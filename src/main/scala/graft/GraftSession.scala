@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuning rationale (100 TB / multi-executor design, exercised on local[N]):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  *    so plans written here survive scale-up without manual re-tuning.
+  *  - shuffle.partitions sized to the local core count (the driver contract
+  *    passes SPARK_GRAFT_CPUS); on a real cluster this would be ~2-3x total
+  *    cores and AQE coalesces down.
+  *  - UTC session timezone: oracle (DuckDB) parity for all temporal ops.
+  */
+object GraftSession {
+  def apply(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft's standard configs to an externally-built session (the
+    * driver owns the session in Verify/Bench; tests own their own). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,13 +1,204 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry maps to. Every `queries` key with a SQL-expressible semantic has a
+  * DuckDB oracle in `oracleSql` with IDENTICAL column names/types.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A reference ETL semantics
+    "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
+    "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
+    "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
+    "enum_validate"            -> (EtlOps.qEnumValidate _),
+    "date_parse_safe"          -> (EtlOps.qDateParseSafe _),
+    "json_extract"             -> (EtlOps.qJsonExtract _),
+    "coalesce_nested"          -> (EtlOps.qCoalesceNested _),
+    // §2.B relational analytics
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
+    "q_groupby_having"    -> (Relational.qGroupByHaving _),
+    "q_broadcast_join"    -> (Relational.qBroadcastJoin _),
+    "q_semi_join"         -> (Relational.qSemiJoin _),
+    "q_anti_join"         -> (Relational.qAntiJoin _),
+    "q_count_distinct"    -> (Relational.qCountDistinct _),
+    "q_approx_distinct"   -> (Relational.qApproxDistinct _),
+    "q_rollup"            -> (Relational.qRollup _),
+    "q_pivot"             -> (Relational.qPivot _),
+    "q_percentiles"       -> (Relational.qPercentiles _),
+    "q_time_buckets"      -> (Relational.qTimeBuckets _),
+    "q_window_topk"       -> (WindowOps.qWindowTopK _),
+    "q_window_running"    -> (WindowOps.qWindowRunning _),
+    "q_sessionize"        -> (WindowOps.qSessionize _),
+    "q_asof_join"         -> (JoinOps.qAsofJoin _),
+    "q_range_join"        -> (JoinOps.qRangeJoin _),
+    "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "upsert_latest_wins" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice,2) AS o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(3,1)), 2) AS DOUBLE) AS o_totalprice, o_orderdate
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "dedup_pk_latest" ->
+      """SELECT user_id, event_id, ts, event_type, round(value,2) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "incremental_changed_rows" ->
+      """WITH snapshot AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN round(o_totalprice*0.5,2) ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT f.o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NULL THEN 'new' ELSE 'changed' END AS change_type
+        |FROM orders f LEFT JOIN snapshot s ON f.o_orderkey = s.o_orderkey
+        |WHERE s.o_orderkey IS NULL
+        |   OR f.o_custkey <> s.o_custkey OR f.o_orderstatus <> s.o_orderstatus
+        |   OR f.o_totalprice <> s.o_totalprice OR f.o_orderdate <> s.o_orderdate
+        |ORDER BY f.o_orderkey""".stripMargin,
+    "enum_validate" ->
+      """SELECT o_orderpriority, o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM') AS is_valid, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY 1""".stripMargin,
+    "date_parse_safe" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "coalesce_nested" ->
+      """SELECT event_id,
+        |  CASE WHEN CAST(json_extract_string(props,'$.k') AS INTEGER) % 3 = 0
+        |       THEN 'face_' || json_extract_string(props,'$.k') || '_0'
+        |       ELSE 'img_' || json_extract_string(props,'$.k') END AS top_img
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),2) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-03-15' AND l_shipdate > '1998-03-15'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_groupby_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY 1 HAVING count(*) > 10 ORDER BY 1""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice),2) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag='A' THEN l_quantity END),2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag='N' THEN l_quantity END),2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag='R' THEN l_quantity END),2) AS "R"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5),2) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9),2) AS p90_qty,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS median_price_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_buckets" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_orderpriority, rank_in_group, o_orderkey, round(o_totalprice,2) AS o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
+        |  FROM orders) t
+        |WHERE rank_in_group <= 3 ORDER BY o_orderpriority, rank_in_group""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(ts) AS session_start, count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id, round(v.value,2) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT size_class, count(*) AS n_parts, round(avg(p_retailprice),2) AS avg_price
+        |FROM part JOIN (VALUES (0,10,'small'),(10,25,'medium'),(25,40,'large'),(40,1000,'huge')) AS b(lo,hi,size_class)
+        |  ON p_size >= lo AND p_size < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Validation / normalization / semi-structured-field operators
+  * (SURVEY.md §2.A), re-expressing the reference's per-card processing:
+  * closed-domain ENUM validation (/root/reference/import_cards.py:29-34,
+  * 186-189), null-on-invalid date parsing (:150-157), JSONB path queries
+  * (README.md JSONB columns), and repairing a missing top-level field from
+  * a nested array (:191-198).
+  *
+  * Everything here is `functions._` column algebra — fully codegen'd,
+  * no UDFs, so each op rides inside WholeStageCodegen at any scale.
+  */
+object EtlOps {
+
+  /** Closed-domain validation: flag rows whose `valueCol` falls outside the
+    * allowed set (the reference warns and keeps the row; we flag). */
+  def validateEnum(df: DataFrame, valueCol: String, allowed: Seq[String]): DataFrame =
+    df.withColumn("is_valid", col(valueCol).isin(allowed: _*))
+
+  /** Null-on-invalid date parsing (reference parse_date). `try_to_date`
+    * returns null for malformed input (ANSI-safe) — exactly the reference's
+    * try/except ValueError. */
+  def parseDateSafe(df: DataFrame, strCol: String, out: String, fmt: String = "yyyy-MM-dd"): DataFrame =
+    df.withColumn(out, expr(s"try_to_date($strCol, '$fmt')"))
+
+  /** Repair a missing top-level value from a nested array-of-structs
+    * (reference: aggregate image_uris from card_faces when absent). */
+  def coalesceFromNested(df: DataFrame, topCol: String, nestedArrayCol: String, field: String): DataFrame =
+    df.withColumn(topCol,
+      coalesce(col(topCol), element_at(col(nestedArrayCol), 1).getField(field)))
+
+  // ---- driver-contract queries over the testdata ----
+
+  /** ENUM validation rollup on order priorities, with the allowed domain
+    * deliberately excluding two real values so both branches appear. */
+  def qEnumValidate(spark: SparkSession, dir: String): DataFrame = {
+    val allowed = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    validateEnum(Tables.orders(spark, dir), "o_orderpriority", allowed)
+      .groupBy(col("o_orderpriority"), col("is_valid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Round-trip date parse with deliberate corruption: every 7th order's
+    * date string is garbage and must parse to null. */
+  def qDateParseSafe(spark: SparkSession, dir: String): DataFrame = {
+    val withStr = Tables.orders(spark, dir)
+      .withColumn("date_str",
+        when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+    parseDateSafe(withStr, "date_str", "parsed_date")
+      .select(col("o_orderkey"), col("parsed_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** JSONB-style path extraction from the events `props` JSON column,
+    * rolled up per event type. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Nested-repair demo shaped like the reference's multiface fix: a
+    * synthesized `faces` JSON array supplies the image when the top-level
+    * value is null (here: every 3rd event). */
+  def qCoalesceNested(spark: SparkSession, dir: String): DataFrame = {
+    val facesSchema = ArrayType(StructType(Seq(StructField("img", StringType))))
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("top_img",
+        when(col("k") % 3 === 0, lit(null.asInstanceOf[String]))
+          .otherwise(concat(lit("img_"), col("k"))))
+      .withColumn("faces",
+        from_json(
+          concat(lit("""[{"img":"face_"""), col("k"), lit("""_0"},{"img":"face_"""), col("k"), lit("""_1"}]""")),
+          facesSchema))
+    coalesceFromNested(ev, "top_img", "faces", "img")
+      .select(col("event_id"), col("top_img"))
+      .orderBy("event_id")
+  }
+}

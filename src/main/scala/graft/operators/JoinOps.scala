@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators Spark lacks as built-ins (SURVEY.md §2.B): as-of join,
+  * interval/range join, and a skew-resistant salted join.
+  */
+object JoinOps {
+
+  /** As-of join: for each left row, attach the most recent right row of the
+    * same key with rightTs <= leftTs.
+    *
+    * Implemented as the scalable union-then-window plan rather than a
+    * range-condition join: tag both sides, union, sort within key by
+    * (ts, side) and carry the last seen right payload forward. This costs
+    * ONE shuffle on the key and is linear in |L|+|R|; a naive
+    * non-equi join is O(|L|·|R|) per key and explodes on hot keys.
+    *
+    * Right rows sort before left rows on timestamp ties, so an exact-tie
+    * right row IS matched (<= semantics, like DuckDB ASOF and pandas
+    * merge_asof).
+    *
+    * @param rightPayload right columns to carry (must not collide with left)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__key", col(key))
+    val r0 = right.select((col(rightTs).as("__ts") +: col(key).as("__key") +: rightPayload.map(col)): _*)
+    val r = leftCols.foldLeft(r0.withColumn("__side", lit(0)))((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    val lAll = rightPayload.foldLeft(l)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    val unioned = lAll.select((leftCols ++ rightPayload ++ Seq("__side", "__ts", "__key")).map(col): _*)
+      .unionByName(r.select((leftCols ++ rightPayload ++ Seq("__side", "__ts", "__key")).map(col): _*))
+    val w = Window
+      .partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1).drop("__side", "__ts", "__key")
+  }
+
+  /** As-of query: each purchase event matched to the user's most recent
+    * prior (or simultaneous) view event. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("value").as("view_value"))
+    asofJoin(purchases, views, "user_id", "ts", "ts", Seq("view_event_id", "view_value"))
+      .select(col("event_id"), col("user_id"), col("view_event_id"),
+        round(col("view_value"), 2).as("view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Interval (range) join: non-equi join of a fact column into bucket
+    * boundaries. The bucket side is tiny ⇒ broadcast nested-loop, which is
+    * the right physical plan: no shuffle of the fact table at all. */
+  def rangeJoin(fact: DataFrame, buckets: DataFrame, value: Column, lo: Column, hi: Column): DataFrame =
+    fact.join(broadcast(buckets), value >= lo && value < hi)
+
+  /** Parts classified into size-range buckets, aggregated per bucket. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val buckets = Seq((0, 10, "small"), (10, 25, "medium"), (25, 40, "large"), (40, 1000, "huge"))
+      .toDF("lo", "hi", "size_class")
+    rangeJoin(Tables.part(spark, dir), buckets, col("p_size"), col("lo"), col("hi"))
+      .groupBy(col("size_class"))
+      .agg(count(lit(1)).as("n_parts"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("size_class")
+  }
+
+  /** Skew-resistant salted equi-join: the big (possibly skewed) side gets a
+    * deterministic salt in [0, nSalts); the small side is exploded across
+    * all salts. The shuffle key becomes (key, salt), splitting any hot key
+    * across nSalts reducers. Results are identical to the plain join.
+    * On Spark 3+ AQE's skewJoin handles moderate skew automatically; this
+    * is the explicit variant for pathological keys. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(col(bigKey)), lit(nSalts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
+    saltedBig
+      .join(saltedSmall, saltedBig("__salt") === saltedSmall("__salt") && col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
+
+  /** Salted events⋈customer join rolled up by market segment — must equal
+    * the plain-join oracle exactly. */
+  def qSkewSaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(Tables.events(spark, dir), Tables.customer(spark, dir), "user_id", "c_custkey", 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+}

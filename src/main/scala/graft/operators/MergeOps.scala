@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Keyed merge / upsert semantics (SURVEY.md §2.A).
+  *
+  * The reference's core write path is a bulk UPSERT — `INSERT ... ON
+  * CONFLICT (id) DO UPDATE SET col = EXCLUDED.col` over 10k-row batches
+  * (/root/reference/import_cards.py:214-225). In a Spark engine the same
+  * semantics become set operations over immutable snapshots:
+  * last-write-wins merge, replay dedup, and changed-row detection for
+  * incremental loads (the script's freshness check,
+  * /root/reference/import_cards.py:320-326).
+  */
+object MergeOps {
+
+  /** UPSERT: rows from `updates` replace same-key rows in `base`; unmatched
+    * update rows are inserted. One shuffle (the anti join); with both sides
+    * bucketed by key on disk this is shuffle-free on a cluster. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Replay dedup: keep the newest version of each key by (orderCol desc,
+    * tiebreak desc) — the batch equivalent of applying an UPSERT stream in
+    * order. Single shuffle on the key. */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderCol: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc, col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Changed/new-row detection vs a snapshot: the incremental-load primitive.
+    * A full-outer join on the key classifies rows as new (no snapshot match)
+    * or changed (any non-key column differs). Comparison is done on a single
+    * canonical hash column, so the shuffle carries 1 extra long per row. */
+  def changedRows(snapshot: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = fresh.columns.filterNot(keys.contains).sorted.toSeq
+    def fp(df: DataFrame) = df.withColumn("__fp", xxhash64(valueCols.map(c => col(c).cast("string")): _*))
+    val snap = fp(snapshot).select((keys.map(col) :+ col("__fp").as("__fp_old")): _*)
+    fp(fresh)
+      .join(snap, keys, "left_outer")
+      .withColumn("change_type",
+        when(col("__fp_old").isNull, lit("new"))
+          .when(col("__fp") =!= col("__fp_old"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .drop("__fp", "__fp_old")
+  }
+
+  // ---- driver-contract queries over the testdata ----
+
+  /** Upsert replay over orders: every 10th order gets a price bump + status
+    * flip, then is merged back last-write-wins. */
+  def qUpsertLatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val updates = base
+      .filter(col("o_orderkey") % 10 === 0)
+      // exact decimal arithmetic: double*1.1 lands on .xx5 halfway points
+      // where Spark and DuckDB round binary doubles differently
+      .withColumn("o_totalprice",
+        round(col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("1.1")), 2)
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("U"))
+    upsert(base, updates, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Latest event per user — UPSERT-stream replay on the events table. */
+  def qDedupPkLatest(spark: SparkSession, dir: String): DataFrame =
+    latestByKey(Tables.events(spark, dir), Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+
+  /** Incremental load: simulate a stale snapshot (missing every 11th order,
+    * every 13th price drifted) and emit only new/changed rows. */
+  def qIncrementalChangedRows(spark: SparkSession, dir: String): DataFrame = {
+    val fresh = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val snapshot = fresh
+      .filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, round(col("o_totalprice") * 0.5, 2))
+          .otherwise(col("o_totalprice")))
+    changedRows(snapshot, fresh, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("change_type"))
+      .orderBy("o_orderkey")
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational analytics core (SURVEY.md §2.B).
+  *
+  * Re-expresses the reference's downstream SQL query surface
+  * (/root/reference/README.md:18 — filter/join/aggregate over the imported
+  * star schema) as declarative DataFrame plans. Every query is a pure
+  * function of (session, data dir); filters and projections are written so
+  * Catalyst pushes them into the parquet scan, and all money/double
+  * aggregates are rounded to fixed decimals for oracle-stable hashing.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer at
+  * TPC-H proportions) are broadcast; fact-fact joins shuffle on their join
+  * key and rely on AQE for skew splitting; nothing collects to the driver.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate groupBy with a
+    * pushed-down date filter. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, aggregate, top-10 with
+    * deterministic tiebreak. Customer is broadcast-sized relative to the
+    * fact tables at every scale factor. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+    val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: snowflake join across six
+    * tables with the dimension chain broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li   = Tables.lineitem(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val reg  = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Aggregate + HAVING: order priorities whose order count crosses a
+    * threshold. */
+  def qGroupByHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .filter(col("n_orders") > 10)
+      .orderBy("o_orderpriority")
+
+  /** Explicit broadcast fact⋈dim join: part is always dimension-sized, so
+    * the join is shuffle-free on the fact side. */
+  def qBroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("p_brand")
+  }
+
+  /** EXISTS via left_semi: customers that placed at least one big order.
+    * Semi joins never duplicate the left side and stream the right. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val big  = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** NOT EXISTS via left_anti: customers with no orders at all. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Exact distinct aggregation (expands to a two-phase shuffle;
+    * partial aggregation keeps the first shuffle narrow). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+
+  /** HyperLogLog approximate distinct — the 100 TB answer to
+    * countDistinct. Sketches merge associatively, so this is a single
+    * narrow shuffle regardless of cardinality. (Implementation-defined
+    * estimates ⇒ rows-only check, exactness asserted in the spec at 5%.) */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders")
+      )
+      .orderBy("l_linestatus")
+
+  /** ROLLUP region→nation hierarchy over customer balances. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat  = Tables.nation(spark, dir)
+    val reg  = Tables.region(spark, dir)
+    cust
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Pivot: return-flag columns per line status. Implemented with an
+    * explicit value list so the plan needs no discovery pass. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+
+  /** Exact interpolated percentiles per group (median + p90). The price
+    * median is computed in integer cents: the interpolated midpoint of two
+    * ints is exact in double, so no rounding is needed and the oracle hash
+    * is stable (a 2-decimal median lands on .xx5 halfway points where
+    * engines' double rounding disagrees). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)")
+          .as("median_price_cents")
+      )
+      .orderBy("l_returnflag")
+
+  /** Tumbling time-window aggregation over the event stream's batch view. */
+  def qTimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("bucket", "event_type")
+}

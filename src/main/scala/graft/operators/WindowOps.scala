@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2.B): top-k per group, running
+  * aggregates, gap-based sessionization.
+  *
+  * All windows partition on a natural key (group / user), so state per
+  * partition is bounded by per-key row counts, not total data size —
+  * the property that keeps these plans viable at 100 TB.
+  */
+object WindowOps {
+
+  /** Generic top-k per group with a deterministic tiebreak. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= k)
+  }
+
+  /** Top-3 orders per priority class by total price. */
+  def qWindowTopK(spark: SparkSession, dir: String): DataFrame =
+    topKPerGroup(
+      Tables.orders(spark, dir),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      3
+    ).select(col("o_orderpriority"), col("rank_in_group").cast("long").as("rank_in_group"), col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "rank_in_group")
+
+  /** Running (cumulative) spend per customer ordered by order date. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend")
+      )
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Gap-based sessionization: a new session starts when the same user is
+    * idle longer than `gap`. Classic lag + cumulative-sum-of-boundaries;
+    * one shuffle on user_id, bounded per-user state.
+    * (Streaming equivalent: graft.streaming.EventStreams.sessionize.) */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String, gapSeconds: Long): DataFrame = {
+    val byUser  = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    // NTZ → LTZ (session tz is UTC) → epoch seconds; NTZ has no direct long cast
+    val epochSecs = (c: Column) => c.cast("timestamp").cast("long")
+    val gapSecs = epochSecs(col(tsCol)) - epochSecs(lag(col(tsCol), 1).over(byUser))
+    events
+      .withColumn("is_new_session",
+        when(gapSecs.isNull || gapSecs > gapSeconds, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum("is_new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .drop("is_new_session")
+  }
+
+  /** Per-session rollup of the events table (30-minute gap). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir), "user_id", "ts", 1800L)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value")
+      )
+      .orderBy("user_id", "session_seq")
+}
