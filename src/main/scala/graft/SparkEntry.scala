@@ -41,7 +41,29 @@ object SparkEntry {
     "q_sessionize"        -> (WindowOps.qSessionize _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
-    "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _)
+    "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
+    // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
+    "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
+    // §2.C dedup & similarity
+    "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
+    "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
+    "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
+    "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
+    "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
+    "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
+    "ann_topk_lsh"        -> (graft.similarity.SimilarityOps.qAnnTopkLsh _),
+    // §2.D text analysis
+    "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
+    "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
+    "text_lang_id"        -> (graft.text.TextOps.qLangId _),
+    "doc_fingerprint"     -> (graft.text.TextOps.qDocFingerprint _),
+    "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
+    // §2.E multimodal
+    "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
+    "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
+    // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
+    "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
+    "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -199,6 +221,91 @@ object SparkEntry {
     "q_skew_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.s, b.s)) AS inter_n,
+        |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "embed_neardup_cosine" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, vec FROM base
+        |  UNION ALL SELECT vec_id + 1000000, list_transform(vec, x -> x * 1.01) FROM base WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(round(list_cosine_similarity(a.vec, b.vec) * 1000000.0) AS BIGINT) AS cos_ppm
+        |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_topk_brute" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id, list_cosine_similarity(qvec, vec) AS c
+        |      FROM q, v WHERE vec_id <> query_id)
+        |SELECT query_id, rank, vec_id, cos_ppm FROM (
+        |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS cos_ppm,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  CAST(round(length(text) * 10000.0 / len(toks)) AS BIGINT) AS chars_per_token_bp,
+        |  CAST(round(length(regexp_replace(text, '[\w\s]', '', 'g')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
+        |  CAST(round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 10000.0 / len(toks)) AS BIGINT) AS stopword_ratio_bp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht'], x))) AS hits_de,
+        |  len(list_filter(toks, x -> list_contains(['le','les','et','est','une','dans'], x))) AS hits_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','los','que','una','por','con'], x))) AS hits_es,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有'], x))) AS hits_zh
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) = 0 THEN 'und'
+        |       WHEN hits_en = greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) THEN 'en'
+        |       WHEN hits_de = greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) THEN 'fr'
+        |       WHEN hits_es = greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) THEN 'es'
+        |       ELSE 'zh' END AS pred_lang,
+        |  greatest(hits_en,hits_de,hits_fr,hits_es,hits_zh) AS top_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |b AS (SELECT words[i] || ' ' || words[i+1] AS bigram
+        |      FROM w, unnest(range(1, len(words))) AS t(i))
+        |SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst cosine-similarity expression (SURVEY.md §2.G).
+  *
+  * One fused loop computes dot, ||a||², ||b||² in a single pass over the two
+  * arrays — no intermediate arrays, no lambda-function call overhead — and
+  * `doGenCode` keeps it inside WholeStageCodegen. Accumulation order is
+  * sequential left-to-right, matching [[VectorOps.cosine]] bit-for-bit.
+  *
+  * Inputs must be array<double>; the SQL builder inserts a widening Cast
+  * for float arrays (exact).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i); double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL registration for graft's native expressions. */
+object GraftFunctions {
+  val cosineSimBuilder: Seq[Expression] => Expression = exprs =>
+    CosineSimilarity(
+      Cast(exprs.head, ArrayType(DoubleType)),
+      Cast(exprs(1), ArrayType(DoubleType)))
+
+  /** Idempotent runtime registration on an existing session (the driver
+    * owns session construction, so extensions alone aren't enough). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+
+  /** Column handle; requires register(spark) on the active session. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
+  * spark.sql.extensions=graft.functions.GraftExtensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        GraftFunctions.cosineSimBuilder))
+}

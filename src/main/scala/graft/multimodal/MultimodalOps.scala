@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.E): media as opaque binary
+  * columns with typed metadata, decoded/feature-extracted in
+  * partition-sized batches.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB — but everything Spark-side is real:
+  * binary column handling, schema, per-partition batching, and the
+  * mapPartitions seam where a vectorized decoder (or Pandas UDF in the
+  * Python API) would plug in.
+  */
+object MultimodalOps {
+
+  /** Byte payloads synthesized from document text (UTF-8) so stats have a
+    * DuckDB oracle; in production this column comes straight from parquet. */
+  private def payloads(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Opaque-binary stats: size, content hash, metadata passthrough — the
+    * cheap scan-side pass that runs before any expensive decode. */
+  def qMmBinaryStats(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("doc_id")
+
+  /** One decoded media record. Width/height/frames come from the STUB. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, batch_size: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode kernel: deterministic pseudo-dimensions derived from the
+    * payload bytes. A real deployment swaps ONLY this function for a codec
+    * call (e.g. JNI/ffmpeg); the batching contract around it stays. */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+    val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+    (b0 % 64 + 1, b1 % 64 + 1, bytes.length % 16 + 1)
+  }
+
+  /** Partition-batched decode: rows are grouped into fixed-size batches
+    * inside each partition (the shape a vectorized decoder wants), decoded,
+    * and re-flattened. mapPartitions is the deliberate seam — this is
+    * per-partition imperative logic no built-in operator expresses. */
+  def decodeInBatches(df: DataFrame, batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real decoder would process `batch` as one vectorized call
+          batch.map { case (id, bytes) =>
+            val (w, h, f) = stubDecode(bytes)
+            DecodedMedia(id, bytes.length.toLong, batch.size, w, h, f)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Driver-contract query: decode the corpus in batches of 32. The
+    * batch_size column is dropped from the output (it depends on partition
+    * boundaries); determinism of the rest is asserted in MultimodalSpec. */
+  def qMmDecodeStub(spark: SparkSession, dir: String): DataFrame =
+    decodeInBatches(payloads(spark, dir), 32)
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      .orderBy("doc_id")
+}

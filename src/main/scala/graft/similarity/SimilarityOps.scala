@@ -1,0 +1,119 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions, VectorOps}
+
+/** Embedding similarity search (SURVEY.md §2.C): cosine near-dup pairs,
+  * brute-force ANN top-k (the exactness baseline), and a random-hyperplane
+  * LSH-bucketed ANN (the 100 TB path).
+  *
+  * Cosines ride on the native [[graft.functions.CosineSimilarity]]
+  * expression — one fused codegen loop per pair. Values are emitted as
+  * integer ppm (`round(cos * 1e6)`) because scale>0 double rounding is not
+  * portable across engines.
+  */
+object SimilarityOps {
+
+  /** cos similarity scaled to integer parts-per-million. */
+  private def cosPpm(a: Column, b: Column): Column =
+    round(GraftFunctions.cosineSim(a, b) * 1000000.0).cast("long")
+
+  /** Embeddings with the float vectors widened to array<double>. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+  }
+
+  /** Corpus with planted near-duplicates: every 25th vector re-keyed and
+    * scaled by 1.01 (cosine to its source ≈ 1, unchanged to all others). */
+  private def withPlanted(base: DataFrame): DataFrame =
+    base.unionByName(
+      base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("vec"), x => x * 1.01).as("vec")))
+
+  // ---- driver-contract queries over the embeddings table ----
+
+  /** Cosine near-dup pairs (>= 0.99) over the corpus with planted dups.
+    * All-pairs comparison is the exactness baseline the LSH variants are
+    * judged against; at scale the same semantics run through
+    * qAnnTopkLsh-style bucketing. */
+  def qEmbedNeardupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val all = withPlanted(vectors(spark, dir))
+    val a = all.select(col("vec_id").as("vec_a"), col("vec").as("va"))
+    val b = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(GraftFunctions.cosineSim(col("va"), col("vb")) >= 0.99)
+      .select(col("vec_a"), col("vec_b"), cosPpm(col("va"), col("vb")).as("cos_ppm"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force cosine top-10 per query vector (queries = vec_id < 10).
+    * The query side broadcasts; the corpus is scanned once — the per-group
+    * ranking shuffles only |queries| x |corpus| scored rows. */
+  def qAnnTopkBrute(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos"),
+        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "vec_id", "cos_ppm")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Number of LSH tables and hyperplane bits per table. */
+  private val NTables = 8
+  private val BitsPerTable = 6
+
+  /** Deterministic random hyperplanes (seeded Gaussian), as literal
+    * array<double> columns — resolved at plan time, broadcast implicitly. */
+  private def hyperplanes(dim: Int): Seq[Seq[Column]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NTables)(Seq.fill(BitsPerTable)(
+      array(Seq.fill(dim)(lit(rng.nextGaussian())): _*)))
+  }
+
+  /** LSH-bucketed ANN over the planted corpus: per table, bucket =
+    * sign-bit pattern of `BitsPerTable` hyperplane dots; candidates = pairs
+    * sharing a bucket in any table; rank candidates by exact cosine.
+    *
+    * Scale shape: corpus shuffles once per table on a small int key; no
+    * all-pairs comparison. A scaled near-duplicate has identical sign
+    * pattern in every table, so true near-dup recall is 1 by construction
+    * (asserted in SimilaritySpec); random far pairs rarely collide. */
+  def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = withPlanted(vectors(spark, dir))
+    val planes = hyperplanes(64)
+    val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.zipWithIndex.map { case (h, j) =>
+        when(VectorOps.dot(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ bitwiseOR _).as("bucket"))
+    }
+    val bucketed = base
+      .select(col("vec_id"), col("vec"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val queries = bucketed.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
+    val cands = bucketed.filter(col("vec_id") < 1000000L)
+      .join(queries, Seq("table", "bucket"))
+      .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(GraftFunctions.cosineSim(col("qvec"), col("vec")).desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming operators (SURVEY.md §2.F). Each transform is
+  * written against a plain DataFrame so the SAME code runs in batch (for
+  * the driver's oracle gate) and on a `readStream` source (exercised in
+  * EventStreamSpec with a memory stream).
+  *
+  * Scale: watermarks bound window state; sessionization state is one small
+  * struct per active user key, dropped on timeout.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type. With a streaming input, pair
+    * with `withWatermark("ts", ...)` (see [[windowCountsStreaming]]). */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming variant: 2-hour watermark bounds state to recent windows. */
+  def windowCountsStreaming(events: DataFrame): DataFrame =
+    windowCounts(events.withWatermark("ts", "2 hours"))
+
+  /** Batch-equivalent driver query — identical semantics to the streaming
+    * path on a completed input (verified in EventStreamSpec). */
+  def qStreamWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    windowCounts(Tables.events(spark, dir)) // window() handles TIMESTAMP_NTZ
+      .orderBy("bucket", "event_type")
+
+  // ---- stateful streaming sessionization ----
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(sessionSeq: Long, lastTs: Long, start: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_seq: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: per
+    * user, events extend the current session unless the gap exceeds
+    * `gapSeconds`, in which case the finished session is emitted and a new
+    * one opens. State is O(1) per active user. Batch-mode contract: all of
+    * a user's events arrive in one sorted group, so every session
+    * (including the last) is emitted; in continuous streaming the final
+    * session flushes on GroupStateTimeout instead. */
+  def sessionizeStateful(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.n == 0L) {
+              st = SessionState(1L, t, t, 1L, e.value)
+            } else if (t - st.lastTs > gapSeconds * 1000L) {
+              out += SessionOut(user, st.sessionSeq, new Timestamp(st.start), st.n, st.sum)
+              st = SessionState(st.sessionSeq + 1, t, t, 1L, e.value)
+            } else {
+              st = st.copy(lastTs = t, n = st.n + 1, sum = st.sum + e.value)
+            }
+          }
+          if (st.n > 0L) { // batch contract: group complete, flush last session
+            out += SessionOut(user, st.sessionSeq, new Timestamp(st.start), st.n, st.sum)
+            state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Batch-equivalent driver query: stateful sessionization over the events
+    * table (30-min gap), value rounded for oracle-stable hashing. */
+  def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+    sessionizeStateful(evs, 1800L)
+      .toDF()
+      .withColumn("session_value", round(col("session_value"), 2))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for an LLM-training-data pipeline (SURVEY.md
+  * §2.D): token counting, quality scoring, language ID, document
+  * fingerprinting, and corpus n-gram frequency.
+  *
+  * Everything is `functions._` column algebra (split / regexp /
+  * higher-order array functions) — fully codegen'd, no UDFs, so each op
+  * scales as a narrow map over the corpus; only `text_ngram_freq` shuffles
+  * (one explode + partial-agg groupBy).
+  *
+  * Float policy: ratios are emitted as integer basis points
+  * (`round(a * 10000.0 / b)` — same operation order as the oracle) because
+  * engine-side rounding of doubles at scale > 0 is not portable.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish lexical tokens: word runs or single non-space symbols. */
+  val BpePattern = "\\w+|[^\\w\\s]"
+
+  /** Stopword lists per language for the heuristic lang-ID / quality ops.
+    * Disjoint marker sets so argmax is unambiguous. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "que", "una", "por", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有")
+  )
+
+  /** Count of tokens that fall in `words`. */
+  private def hitCount(tokens: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens, t => array_contains(arr, t)))
+  }
+
+  // ---- driver-contract queries over the documents table ----
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens per doc. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_bpe_tokens")
+      )
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, token stats, punctuation / stopword /
+    * alpha ratios as integer basis points (exact cross-engine hashing). */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nToks = size(toks).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
+    val nStop = hitCount(toks, Stopwords("en")).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        round(nChars * 10000.0 / nToks).cast("long").as("chars_per_token_bp"),
+        round(nPunct * 10000.0 / nChars).cast("long").as("punct_ratio_bp"),
+        round(nStop * 10000.0 / nToks).cast("long").as("stopword_ratio_bp")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties and
+    * zero-hit docs → "und". Deterministic tie policy: highest count wins,
+    * first language in (en, de, fr, es, zh) order on equal counts. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val hits = langs.map(l => hitCount(toks, Stopwords(l)).as(s"hits_$l"))
+    val withHits = Tables.documents(spark, dir).select((col("doc_id") +: col("lang") +: hits): _*)
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"hits_$l") === col("__best") && col("__best") > 0, lit(l)).otherwise(acc)
+    }
+    withHits
+      .withColumn("__best", best)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        col("__best").cast("long").as("top_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint: polynomial hash over the character
+    * stream, mod 1e9+7 (stays in exact long range at every step). Pure
+    * higher-order-function fold — per-row, no shuffle. */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ''), c -> ascii(c)),
+            |  cast(0 as bigint),
+            |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+        ).as("fingerprint")
+      )
+      .orderBy("doc_id")
+
+  /** Corpus bigram frequency: per-doc bigrams via an index-sequence
+    * transform, explode, global count. Top-100 with deterministic order. */
+  def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr(
+        """transform(
+          |  sequence(1, size(split(trim(text), '\\s+')) - 1),
+          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
+          |              element_at(split(trim(text), '\\s+'), i + 1)))""".stripMargin
+      )).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+}

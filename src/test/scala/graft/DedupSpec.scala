@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.DedupOps
+
+/** Planted-duplicate recall for the non-SQL-expressible dedup operators
+  * (SURVEY.md §2.C rows-only contracts). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Doc ids of 5 long documents (>= 50 words) — near-dup thresholds are
+    * only meaningful when one mutated word leaves shingle-Jaccard high. */
+  private lazy val longIds: Seq[Long] =
+    Tables.documents(spark, SfDir)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 50)
+      .orderBy("doc_id").select("doc_id").as[Long].take(5).toSeq
+
+  /** Corpus with planted near-dups: the 5 long docs copied with id+9000 and
+    * exactly one middle word replaced (shingle-Jaccard >= ~0.88, so banded
+    * LSH at 16x4 detects with probability ~1). */
+  private lazy val planted = {
+    val base = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val mutated = base.filter(col("doc_id").isin(longIds: _*))
+      .select((col("doc_id") + 9000).as("doc_id"),
+        concat_ws(" ",
+          expr("transform(split(trim(text), '\\\\s+'), (w, i) -> IF(i = 25, 'zzyzx', w))"))
+          .as("text"))
+    base.unionByName(mutated)
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val docs = planted
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", DedupOps.minhashSignature(col("sh"), 64))
+    val cands = DedupOps.lshCandidates(docs, "doc_id", "sig", 4)
+      .filter(col("doc_b") >= 9000 && col("doc_a") === col("doc_b") - 9000)
+      .as[(Long, Long)].collect().toSet
+    assert(longIds.forall(i => cands.contains((i, i + 9000))),
+      s"missing planted pairs; got $cands")
+  }
+
+  test("simhash fingerprints of planted near-dups stay within hamming 16") {
+    val sh = planted
+      .select(col("doc_id"), DedupOps.simhash64(split(trim(lower(col("text"))), "\\s+")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    longIds.foreach { i =>
+      val d = java.lang.Long.bitCount(sh(i) ^ sh(i + 9000))
+      assert(d <= 16, s"doc $i vs planted copy: hamming $d")
+    }
+    // and unrelated docs are far apart on average
+    val unrelated = java.lang.Long.bitCount(sh(longIds.head) ^ sh(50))
+    assert(unrelated > 8, s"unrelated docs suspiciously close: $unrelated")
+  }
+
+  test("simhash is deterministic across partitionings") {
+    val a = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
+    val b = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("exact dedup collapses planted copies to one keeper each") {
+    val out = DedupOps.qDedupExact(spark, SfDir)
+    val copies = out.filter(col("n_copies") === 2).count()
+    val total = Tables.documents(spark, SfDir).count()
+    assert(out.count() == total) // every original text survives exactly once
+    assert(copies == (total + 9) / 10) // every 10th doc was planted
+  }
+}

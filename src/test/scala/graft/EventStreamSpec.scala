@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.WindowOps
+import graft.streaming.EventStreams
+
+/** Structured Streaming paths (SURVEY.md §2.F): the registered batch
+  * queries and the real readStream/writeStream pipelines must agree. */
+class EventStreamSpec extends SparkSpec {
+
+  test("streaming windowed counts equal the batch plan on a completed input") {
+    // watermarks require TIMESTAMP (not NTZ) event time
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.windowCountsStreaming(stream)
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    // append mode only emits windows closed by the watermark; every emitted
+    // row must match the batch result exactly
+    val batch = EventStreams.windowCounts(events)
+    val streamed = spark.table("win_counts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("stateful sessionization equals the window-based batch sessionizer") {
+    val stateful = EventStreams.qStreamSessionize(spark, SfDir)
+      .select("user_id", "session_seq", "n_events", "session_value")
+    val batch = WindowOps.qSessionize(spark, SfDir)
+      .select(col("user_id"), col("session_seq"),
+        col("n_events"), col("session_value"))
+    assert(stateful.count() == batch.count())
+    assert(stateful.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stateful).count() == 0)
+  }
+}

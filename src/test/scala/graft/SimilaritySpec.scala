@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, VectorOps}
+import graft.similarity.SimilarityOps
+
+/** Native CosineSimilarity expression + ANN contracts (SURVEY.md §2.C/G). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim expression matches the column-algebra fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val vecs = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+    val a = vecs.select(col("vec_id").as("ida"), col("vec").as("va")).filter(col("ida") < 20)
+    val b = vecs.select(col("vec_id").as("idb"), col("vec").as("vb")).filter(col("idb") < 20)
+    val diffs = a.join(b, col("ida") < col("idb"))
+      .select(
+        GraftFunctions.cosineSim(col("va"), col("vb")).as("native"),
+        VectorOps.cosine(col("va"), col("vb")).as("algebra"))
+      .filter(col("native") =!= col("algebra"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("cosine_sim is registered for SQL and self-similarity is 1") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, SfDir).createOrReplaceTempView("emb")
+    val bad = spark.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) c FROM emb")
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("LSH ANN recall of true near-duplicates is 1 (scaled copies collide in every table)") {
+    val out = SimilarityOps.qAnnTopkLsh(spark, SfDir)
+    // every planted query (vec_id + 1000000) must rank its source vector first
+    val top1 = out.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"), col("cos_ppm")).as[(Long, Long, Long)]
+      .collect()
+    assert(top1.nonEmpty)
+    top1.foreach { case (q, v, ppm) =>
+      assert(v == q - 1000000L, s"query $q top-1 was $v")
+      assert(ppm >= 999999L, s"query $q top-1 cosine ppm $ppm")
+    }
+  }
+
+  test("brute-force top-k agrees with LSH on planted top-1") {
+    val brute = SimilarityOps.qAnnTopkBrute(spark, SfDir)
+    assert(brute.filter(col("rank") === 1).count() == 10) // 10 queries
+    // ranks are dense 1..10 per query
+    val counts = brute.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 10))
+  }
+}
