@@ -16,18 +16,30 @@ import graft.Tables
   */
 object DedupOps {
 
+  /** Distinct n-word shingles from a pre-split words array. Callers project
+    * the words column FIRST (one split per row); building shingles straight
+    * off `split(text)` re-evaluates the split per sequence index. */
+  def shinglesFromWords(words: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+
   /** Word-shingle column: distinct n-word shingles of `text`. */
   def shingles(text: Column, n: Int): Column =
-    array_distinct(expr(
-      s"""transform(
-         |  sequence(1, greatest(size(split(trim(text), '\\\\s+')) - ${n - 1}, 1)),
-         |  i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, $n)))""".stripMargin))
+    shinglesFromWords(split(trim(text), "\\s+"), n)
 
-  /** MinHash signature: for each of `k` hash families, the minimum of
-    * xxhash64(seed, shingle) over the doc's shingle set. One narrow map. */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  /** 64-bit hashes of a shingle set. All downstream set operations
+    * (minhash, intersection counts) run on 8-byte longs instead of strings
+    * — one string hash per shingle total, instead of one per permutation. */
+  def hashedShingles(shingleCol: Column): Column =
+    transform(shingleCol, s => xxhash64(s))
+
+  /** MinHash signature over pre-hashed shingles: permutation i's value is
+    * min over the set of xxhash64(i, h) — a long-to-long rehash, k cheap
+    * passes instead of k string hashes per element. */
+  def minhashSignature(hashedCol: Column, k: Int): Column =
     array((0 until k).map { seed =>
-      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+      array_min(transform(hashedCol, h => xxhash64(lit(seed), h)))
     }: _*)
 
   /** Banded-LSH candidate pairs: split the k-wide signature into bands of
@@ -36,9 +48,11 @@ object DedupOps {
     * The shuffle key is the band bucket — linear in corpus size. */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String, rowsPerBand: Int): DataFrame = {
     val nBands = 16 // caller sizes k = nBands * rowsPerBand
+    // posexplode_outer: the plain generate would get an inferred
+    // size(...)>0 pre-filter that re-evaluates the whole band transform
     val banded = docs.select(
       col(idCol),
-      posexplode(expr(
+      posexplode_outer(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("band", "bucket"))
     )
@@ -60,16 +74,21 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by each
-    * token's xxhash64 bit, sign → bit. Pure column algebra. */
-  def simhash64(tokens: Column): Column = {
-    // bit i of the simhash = 1 iff sum over tokens of (bit i of h(tok) ? 1 : -1) > 0
+    * token's xxhash64 bit, sign → bit. Tokens are hashed ONCE into a long
+    * array; the 64 per-bit folds then only shift/mask longs (codegen
+    * common-subexpression elimination keeps the hash pass single). */
+  def simhash64(tokens: Column): Column =
+    simhashFromHashes(transform(tokens, t => xxhash64(t)))
+
+  /** SimHash from a pre-hashed token column — callers with the hash array
+    * already projected avoid embedding the hash pass 64 times in the plan.
+    * Branchless: per bit, count ones; the +1/-1 vote is positive iff
+    * 2*ones > n. */
+  def simhashFromHashes(hs: Column): Column = {
+    val n = size(hs)
     val bits = (0 until 64).map { i =>
-      val vote = aggregate(
-        tokens,
-        lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      )
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+      val ones = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }
@@ -94,10 +113,13 @@ object DedupOps {
   /** Near-dup candidate pairs via MinHash + banded LSH (16 bands x 4 rows),
     * verified with exact shingle-Jaccard >= 0.5. Rows-only contract (the
     * minhash seeds are implementation detail); planted-dup recall is
-    * asserted in DedupSpec. */
+    * asserted in DedupSpec. The shingle-hash sets are cheap enough (one
+    * string hash per shingle) to recompute on each side of the
+    * verification join — cheaper than pinning them in the block store. */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 64))
     val cands = lshCandidates(docs, "doc_id", "sig", 4)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -117,7 +139,9 @@ object DedupOps {
     * exact hamming <= 3 verification via bit_count(xor). Rows-only. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64(split(trim(lower(col("text"))), "\\s+")).as("sh"))
+      .select(col("doc_id"),
+        transform(split(trim(lower(col("text"))), "\\s+"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
     val banded = docs.select(
       col("doc_id"), col("sh"),
       posexplode(expr("transform(sequence(0,3), b -> (sh >> (b*16)) & 65535)"))
@@ -134,24 +158,27 @@ object DedupOps {
   }
 
   /** N-gram (3-word shingle) Jaccard pairs >= 0.5, exact semantics: the
-    * candidate set (pairs sharing >= 1 shingle via an inverted-index join)
-    * provably contains every pair with Jaccard > 0, so the result equals
-    * brute-force O(n^2) comparison while shuffling only the index. */
+    * inverted index on shingle HASHES yields every co-occurring pair, and
+    * because per-doc shingle sets are distinct, `count(*)` per pair IS the
+    * intersection size — no per-pair array_intersect, no second pass over
+    * the documents. Result equals brute-force O(n^2) comparison (every
+    * Jaccard>0 pair shares a shingle) while shuffling only 8-byte keys. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    val index = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val cands = index.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(index.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+    // set size rides along with every posting, so no separate size join.
+    // explode_outer: plain explode gets an inferred size(sh)>0 filter that
+    // re-evaluates the whole shingle pipeline per row; the inner join on h
+    // drops the null rows an outer generate could add, so results match.
+    val index = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode_outer(col("sh")).as("h"))
+    index.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(index.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val (inter, union) = jaccardCounts(col("sh_a"), col("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter_n", inter.cast("long"))
-      .withColumn("union_n", union.cast("long"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter_n"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .withColumn("union_n", col("n_a") + col("n_b") - col("inter_n"))
       .filter(col("inter_n") * 2 >= col("union_n"))
       .select("doc_a", "doc_b", "inter_n", "union_n")
       .orderBy("doc_a", "doc_b")

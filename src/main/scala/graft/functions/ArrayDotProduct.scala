@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two array<double> columns (SURVEY.md §2.G).
+  *
+  * The column-algebra form (`zip_with` + `aggregate`) allocates an
+  * intermediate products array per row and walks the data twice; this
+  * expression is one fused loop in generated code — the hot inner kernel of
+  * the LSH hyperplane bucketing and any IVF-style ANN. Accumulation is
+  * sequential left-to-right, bit-identical to [[VectorOps.dot]].
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

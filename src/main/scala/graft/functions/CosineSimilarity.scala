@@ -64,22 +64,36 @@ object GraftFunctions {
       Cast(exprs.head, ArrayType(DoubleType)),
       Cast(exprs(1), ArrayType(DoubleType)))
 
+  val dotProductBuilder: Seq[Expression] => Expression = exprs =>
+    ArrayDotProduct(
+      Cast(exprs.head, ArrayType(DoubleType)),
+      Cast(exprs(1), ArrayType(DoubleType)))
+
   /** Idempotent runtime registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("dot_product", dotProductBuilder, "built-in")
+  }
 
-  /** Column handle; requires register(spark) on the active session. */
+  /** Column handles; require register(spark) on the active session. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
   * spark.sql.extensions=graft.functions.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         GraftFunctions.cosineSimBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
+        GraftFunctions.dotProductBuilder))
+  }
 }

@@ -95,7 +95,8 @@ object SimilarityOps {
     val planes = hyperplanes(64)
     val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
       val bits = tbl.zipWithIndex.map { case (h, j) =>
-        when(VectorOps.dot(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
+        // native fused-loop dot: no per-row zip_with allocation x 48 planes
+        when(GraftFunctions.dotProduct(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
       }
       struct(lit(t).as("table"), bits.reduce(_ bitwiseOR _).as("bucket"))
     }

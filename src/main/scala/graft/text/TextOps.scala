@@ -113,12 +113,13 @@ object TextOps {
     * transform, explode, global count. Top-100 with deterministic order. */
   def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(expr(
-        """transform(
-          |  sequence(1, size(split(trim(text), '\\s+')) - 1),
-          |  i -> concat(element_at(split(trim(text), '\\s+'), i), ' ',
-          |              element_at(split(trim(text), '\\s+'), i + 1)))""".stripMargin
-      )).as("bigram"))
+      .select(wsTokens(col("text")).as("words")) // split once per row
+      // explode_outer + null filter: plain explode gets an inferred
+      // size(...)>0 pre-filter that re-evaluates the bigram transform
+      .select(explode_outer(transform(
+        sequence(lit(1), size(col("words")) - 1),
+        i => concat_ws(" ", slice(col("words"), i, lit(2))))).as("bigram"))
+      .filter(col("bigram").isNotNull)
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

@@ -30,7 +30,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH finds every planted near-duplicate pair") {
     val docs = planted
-      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3)).as("sh"))
       .withColumn("sig", DedupOps.minhashSignature(col("sh"), 64))
     val cands = DedupOps.lshCandidates(docs, "doc_id", "sig", 4)
       .filter(col("doc_b") >= 9000 && col("doc_a") === col("doc_b") - 9000)
