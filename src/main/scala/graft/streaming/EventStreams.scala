@@ -34,6 +34,46 @@ object EventStreams {
     windowCounts(Tables.events(spark, dir)) // window() handles TIMESTAMP_NTZ
       .orderBy("bucket", "event_type")
 
+  // ---- streaming keyed upsert sink ----
+
+  /** Continuous keyed UPSERT into a parquet target — the reference's
+    * `INSERT ... ON CONFLICT (id) DO UPDATE` write path
+    * (/root/reference/import_cards.py:214-225) as a streaming sink.
+    *
+    * Each micro-batch is first collapsed last-write-wins WITHIN the batch
+    * (orderCol desc), then merged into the target with
+    * [[graft.operators.MergeOps.upsert]]. On a cluster the target would be
+    * a transactional table format; plain parquet + overwrite keeps the
+    * demo dependency-free while exercising the same merge plan.
+    */
+  def upsertSink(
+      stream: DataFrame,
+      targetPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      orderCol: String,
+      tiebreak: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.operators.MergeOps.latestByKey(batch, keys, orderCol, tiebreak)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val base = spark.read.parquet(targetPath)
+            graft.operators.MergeOps.latestByKey(
+              graft.operators.MergeOps.upsert(base, latest, keys),
+              keys, orderCol, tiebreak)
+          } else latest
+        // stage-then-swap: never overwrite the path still being read, and
+        // never collect the merge to the driver
+        val staging = targetPath + "_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+
   // ---- stateful streaming sessionization ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)

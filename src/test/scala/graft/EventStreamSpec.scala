@@ -36,6 +36,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming upsert sink converges to batch last-write-wins per key") {
+    import graft.operators.MergeOps
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val in = Files.createTempDirectory("graft_upsert_in").toString
+    events.write.mode("overwrite").parquet(in)
+    val target = Files.createTempDirectory("graft_upsert_out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EventStreams.upsertSink(stream, target, ckpt,
+      Seq("user_id"), "ts", "event_id")
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedState = spark.read.parquet(target)
+    val batchState = MergeOps.latestByKey(events, Seq("user_id"), "ts", "event_id")
+    assert(streamedState.count() == batchState.count())
+    assert(streamedState.exceptAll(batchState).count() == 0)
+  }
+
   test("stateful sessionization equals the window-based batch sessionizer") {
     val stateful = EventStreams.qStreamSessionize(spark, SfDir)
       .select("user_id", "session_seq", "n_events", "session_value")

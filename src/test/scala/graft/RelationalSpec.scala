@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Contracts the DuckDB oracle can't express: sketch accuracy, degenerate
+  * inputs, and physical-plan shape (pushdown / broadcast). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("approx_count_distinct is within 5% of exact counts") {
+    val approx = Relational.qApproxDistinct(spark, SfDir)
+      .select("l_linestatus", "approx_parts", "approx_orders")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val exact = Tables.lineitem(spark, SfDir)
+      .groupBy("l_linestatus")
+      .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
+      .as[(String, Long, Long)].collect()
+    exact.foreach { case (status, p, o) =>
+      val (ap, ao) = approx(status)
+      assert(math.abs(ap - p).toDouble / p <= 0.05, s"$status parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o <= 0.05, s"$status orders: $ao vs $o")
+    }
+  }
+
+  test("anti join isolates synthesized orphan customers") {
+    val cust = Tables.customer(spark, SfDir)
+    val orphans = cust.limit(7).withColumn("c_custkey", col("c_custkey") + 1000000L)
+    val all = cust.unionByName(orphans)
+    val out = all.join(Tables.orders(spark, SfDir),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    // every natural customer has orders in the testdata, so exactly the
+    // planted orphans survive
+    assert(out.filter(col("c_custkey") >= 1000000L).count() == 7)
+    assert(out.count() == 7 + Relational.qAntiJoin(spark, SfDir).count())
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, SfDir))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"), s"no pushdown:\n$plan")
+    // projection pruning: only the 7 referenced columns are read
+    assert(plan.contains("l_returnflag") && !plan.contains("l_comment"),
+      "scan reads unused columns")
+  }
+
+  test("q5 snowflake joins broadcast every dimension") {
+    val plan = planOf(Relational.q5LocalSupplier(spark, SfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    // AQE only materializes codegen spans in the executed plan
+    val df = Relational.q1PricingSummary(spark, SfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(N)" prefixes mark WholeStageCodegen spans in the compact plan form
+    assert(plan.contains("*(1)"), s"q1 fell out of codegen:\n$plan")
+    assert(plan.contains("*(1) HashAggregate"), "partial aggregate not fused with the scan stage")
+  }
+}
