@@ -52,6 +52,7 @@ object SparkEntry {
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
     "ann_topk_lsh"        -> (graft.similarity.SimilarityOps.qAnnTopkLsh _),
+    "ann_topk_ivf"        -> (graft.similarity.SimilarityOps.qAnnTopkIvf _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),

@@ -142,9 +142,11 @@ object DedupOps {
       .select(col("doc_id"),
         transform(split(trim(lower(col("text"))), "\\s+"), t => xxhash64(t)).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
+    // outer generate: otherwise the inferred size(...)>0 filter re-inlines
+    // sh = the full 64-fold simhash through the projection
     val banded = docs.select(
       col("doc_id"), col("sh"),
-      posexplode(expr("transform(sequence(0,3), b -> (sh >> (b*16)) & 65535)"))
+      posexplode_outer(expr("transform(sequence(0,3), b -> (sh >> (b*16)) & 65535)"))
         .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -37,10 +37,37 @@ object MultimodalOps {
   case class DecodedMedia(doc_id: Long, n_bytes: Long, batch_size: Int,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decode kernel: deterministic pseudo-dimensions derived from the
-    * payload bytes. A real deployment swaps ONLY this function for a codec
-    * call (e.g. JNI/ffmpeg); the batching contract around it stays. */
-  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+  /** Decode kernel. REAL for PNG and JPEG containers — width/height parsed
+    * straight from the header bytes (IHDR / SOF marker), no codec library —
+    * and a clearly-marked deterministic STUB for everything else (this
+    * container ships no pixel decoders; a deployment swaps only the
+    * fallback for a JNI/ffmpeg call, the batching contract stays). */
+  private[graft] def decodeHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    def u16(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def u32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    if (bytes.length >= 24 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      // PNG: IHDR is always the first chunk; width/height at offsets 16/20
+      (u32(16), u32(20), 1)
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn frame header
+      var i = 2
+      var out: Option[(Int, Int, Int)] = None
+      while (out.isEmpty && i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return fallbackStub(bytes) // corrupt stream
+        val marker = bytes(i + 1) & 0xff
+        val len = u16(i + 2)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          out = Some((u16(i + 7), u16(i + 5), 1)) // SOF: height then width
+        else i += 2 + len
+      }
+      out.getOrElse(fallbackStub(bytes))
+    } else fallbackStub(bytes)
+  }
+
+  /** STUB for non-image payloads: deterministic pseudo-dimensions. */
+  private def fallbackStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     (b0 % 64 + 1, b1 % 64 + 1, bytes.length % 16 + 1)
@@ -59,7 +86,7 @@ object MultimodalOps {
         it.grouped(batchSize).flatMap { batch =>
           // a real decoder would process `batch` as one vectorized call
           batch.map { case (id, bytes) =>
-            val (w, h, f) = stubDecode(bytes)
+            val (w, h, f) = decodeHeader(bytes)
             DecodedMedia(id, bytes.length.toLong, batch.size, w, h, f)
           }
         }

@@ -117,4 +117,46 @@ object SimilarityOps {
         cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
       .orderBy("query_id", "rank")
   }
+
+  /** IVF-style ANN: partition the corpus into k-means cells, probe the
+    * `nProbe` nearest cells per query, rank candidates by exact cosine.
+    *
+    * Scale shape: the coarse quantizer (k centroids) is tiny and broadcast;
+    * the corpus shuffles ONCE on cell id at index time; a query touches
+    * only nProbe/k of the corpus. This is the standard recall/throughput
+    * dial (IVF from the FAISS lineage) next to qAnnTopkLsh's hash variant.
+    * Rows-only contract; planted-dup recall asserted in SimilaritySpec. */
+  def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 4
+    val base = withPlanted(vectors(spark, dir))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("fv").fit(base)
+    val assigned = model.transform(base)
+      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
+    val spark2 = spark
+    import spark2.implicits._
+    val cells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cvec")
+    // probe list: nProbe nearest centroids per query by L2
+    val queries = assigned.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val l2 = expr("aggregate(zip_with(qvec, cvec, (x, y) -> (x-y)*(x-y)), 0D, (a, v) -> a + v)")
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(l2, col("cell"))
+    val probes = queries.join(broadcast(cells), lit(true))
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "qvec", "cell")
+    val cands = probes.join(assigned.filter(col("vec_id") < 1000000L), "cell")
+      .select("query_id", "qvec", "vec_id", "vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(GraftFunctions.cosineSim(col("qvec"), col("vec")).desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -25,6 +25,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.forall(s => s >= 1 && s <= 32))
   }
 
+  test("header decode reads real PNG and JPEG dimensions") {
+    // minimal PNG: signature + IHDR length/type + 640x480 dims
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* width 640 */ 0, 0, 0x01, 0xe0 /* height 480 */,
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(MultimodalOps.decodeHeader(png) == ((640, 480, 1)))
+    // minimal JPEG: SOI + APP0 (len 4) + SOF0 with 240x320 (height first)
+    val jpg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0xf0, 0x01, 0x40, 0x01, 0x00).map(_.toByte)
+    assert(MultimodalOps.decodeHeader(jpg) == ((320, 240, 1)))
+    // non-image payload falls back to the deterministic stub
+    val other = "plain text".getBytes("UTF-8")
+    assert(MultimodalOps.decodeHeader(other) == MultimodalOps.decodeHeader(other))
+  }
+
   test("binary stats match the payload bytes") {
     val row = MultimodalOps.qMmBinaryStats(spark, SfDir).head()
     val text = Tables.documents(spark, SfDir)

@@ -45,6 +45,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recalls planted near-duplicates at top-1") {
+    val out = SimilarityOps.qAnnTopkIvf(spark, SfDir)
+    val top1 = out.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    val hits = top1.count { case (q, v) => v == q - 1000000L }
+    // a 1.01-scaled copy may straddle a cell boundary; probing 4/16 cells
+    // must still recover nearly all sources
+    assert(hits.toDouble / top1.length >= 0.8,
+      s"IVF recall ${hits.toDouble / top1.length} of ${top1.length} planted queries")
+  }
+
   test("brute-force top-k agrees with LSH on planted top-1") {
     val brute = SimilarityOps.qAnnTopkBrute(spark, SfDir)
     assert(brute.filter(col("rank") === 1).count() == 10) // 10 queries
