@@ -34,13 +34,11 @@ object DedupOps {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
-  /** MinHash signature over pre-hashed shingles: permutation i's value is
-    * min over the set of xxhash64(i, h) — a long-to-long rehash, k cheap
-    * passes instead of k string hashes per element. */
+  /** MinHash signature over pre-hashed shingles — the native
+    * [[graft.functions.MinHashSignature]] expression: one fused codegen
+    * loop per row instead of k interpreted transform+array_min passes. */
   def minhashSignature(hashedCol: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(hashedCol, h => xxhash64(lit(seed), h)))
-    }: _*)
+    graft.functions.GraftFunctions.minHashSig(hashedCol, k)
 
   /** Banded-LSH candidate pairs: split the k-wide signature into bands of
     * `rowsPerBand`, bucket on (band index, band slice hash), self-join
@@ -80,11 +78,15 @@ object DedupOps {
   def simhash64(tokens: Column): Column =
     simhashFromHashes(transform(tokens, t => xxhash64(t)))
 
-  /** SimHash from a pre-hashed token column — callers with the hash array
-    * already projected avoid embedding the hash pass 64 times in the plan.
-    * Branchless: per bit, count ones; the +1/-1 vote is positive iff
-    * 2*ones > n. */
-  def simhashFromHashes(hs: Column): Column = {
+  /** SimHash from a pre-hashed token column — the native
+    * [[graft.functions.SimHash64]] expression (fused codegen loop). */
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.GraftFunctions.simHash64(hs)
+
+  /** Column-algebra reference implementation of simhashFromHashes — 64
+    * interpreted folds; kept as the differential-test oracle for the
+    * native expression (DedupSpec asserts bit-identical output). */
+  def simhashAlgebra(hs: Column): Column = {
     val n = size(hs)
     val bits = (0 until 64).map { i =>
       val ones = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))

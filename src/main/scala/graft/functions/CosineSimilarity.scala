@@ -69,18 +69,24 @@ object GraftFunctions {
       Cast(exprs.head, ArrayType(DoubleType)),
       Cast(exprs(1), ArrayType(DoubleType)))
 
-  /** Idempotent runtime registration on an existing session (the driver
+  val simHash64Builder: Seq[Expression] => Expression = exprs => SimHash64(exprs.head)
+
+  /** Idempotent runtime SQL registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("dot_product", dotProductBuilder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
+    reg.createOrReplaceTempFunction("dot_product", dotProductBuilder, "built-in")
+    reg.createOrReplaceTempFunction("simhash64", simHash64Builder, "built-in")
   }
 
-  /** Column handles; require register(spark) on the active session. */
-  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
-  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Column handles — built directly on the expressions, no registry needed. */
+  def cosineSim(a: Column, b: Column): Column = toCol(cosineSimBuilder(Seq(toExpr(a), toExpr(b))))
+  def dotProduct(a: Column, b: Column): Column = toCol(dotProductBuilder(Seq(toExpr(a), toExpr(b))))
+  def simHash64(hashes: Column): Column = toCol(SimHash64(toExpr(hashes)))
+  def minHashSig(hashes: Column, k: Int): Column = toCol(MinHashSignature(toExpr(hashes), k))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -133,7 +133,9 @@ object SimilarityOps {
     val nProbe = 4
     val base = withPlanted(vectors(spark, dir))
       .withColumn("fv", array_to_vector(col("vec")))
-    val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("fv").fit(base)
+    // coarse quantization converges in a handful of iterations; default 20
+    // just burns scans
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(8).setFeaturesCol("fv").fit(base)
     val assigned = model.transform(base)
       .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
     val spark2 = spark

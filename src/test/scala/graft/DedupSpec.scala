@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
     assert(unrelated > 8, s"unrelated docs suspiciously close: $unrelated")
   }
 
+  test("native simhash64 expression matches the column-algebra fold bit-for-bit") {
+    val hs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"),
+        transform(split(trim(lower(col("text"))), "\\s+"), t => xxhash64(t)).as("hs"))
+    val diffs = hs.select(
+      DedupOps.simhashFromHashes(col("hs")).as("native"),
+      DedupOps.simhashAlgebra(col("hs")).as("algebra"))
+      .filter(col("native") =!= col("algebra")).count()
+    assert(diffs == 0)
+  }
+
   test("simhash is deterministic across partitionings") {
     val a = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
     val b = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
