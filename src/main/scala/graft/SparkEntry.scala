@@ -33,6 +33,11 @@ object SparkEntry {
     "q_count_distinct"    -> (Relational.qCountDistinct _),
     "q_approx_distinct"   -> (Relational.qApproxDistinct _),
     "q_rollup"            -> (Relational.qRollup _),
+    "q_cube"              -> (Relational.qCube _),
+    "q_set_ops"           -> (Relational.qSetOps _),
+    "q_string_funcs"      -> (Relational.qStringFuncs _),
+    "q_date_funcs"        -> (Relational.qDateFuncs _),
+    "q_scalar_subquery"   -> (Relational.qScalarSubquery _),
     "q_pivot"             -> (Relational.qPivot _),
     "q_percentiles"       -> (Relational.qPercentiles _),
     "q_time_buckets"      -> (Relational.qTimeBuckets _),
@@ -168,6 +173,35 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |u AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |tagged AS (
+        |  SELECT 'both' AS set_op, c_custkey FROM (SELECT * FROM b INTERSECT SELECT * FROM u)
+        |  UNION ALL SELECT 'building_only', c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM u)
+        |  UNION ALL SELECT 'urgent_only', c_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM b))
+        |SELECT set_op, count(*) AS n FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  regexp_replace(p_name, '\s+', '_', 'g') AS name_snake
+        |FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n,
+        |  count(DISTINCT month(o_orderdate)) AS n_months,
+        |  min(datediff('day', o_orderdate, DATE '1998-12-31')) AS min_age_days,
+        |  max(datediff('day', o_orderdate, DATE '1998-12-31')) AS max_age_days
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,
         |  round(sum(CASE WHEN l_returnflag='A' THEN l_quantity END),2) AS "A",

@@ -177,6 +177,67 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Set operations: customers in the BUILDING segment vs customers with
+    * an urgent order — UNION/INTERSECT/EXCEPT in one labelled result. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val tag = (df: DataFrame, t: String) => df.withColumn("set_op", lit(t))
+    tag(building.intersect(urgent), "both")
+      .unionByName(tag(building.exceptAll(urgent.intersect(building)), "building_only"))
+      .unionByName(tag(urgent.exceptAll(building.intersect(urgent)), "urgent_only"))
+      .groupBy("set_op").agg(count(lit(1)).as("n"))
+      .orderBy("set_op")
+  }
+
+  /** CUBE over (returnflag, linestatus): every aggregation lattice cell. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** String-function surface: LIKE pushdown, substring, upper, length. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%green%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "\\s+", "_").as("name_snake"))
+      .orderBy("p_partkey")
+
+  /** Date-function surface: extraction, truncation, interval arithmetic,
+    * day differences — grouped per order year. */
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("age_days"))
+      .groupBy("order_year")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("order_month")).as("n_months"),
+        min("age_days").cast("long").as("min_age_days"),
+        max("age_days").cast("long").as("max_age_days"))
+      .orderBy("order_year")
+
+  /** Scalar subquery: orders at their customer's personal maximum price. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val maxPer = ord.groupBy(col("o_custkey").as("k"))
+      .agg(max("o_totalprice").as("max_price"))
+    ord.join(maxPer, col("o_custkey") === col("k") && col("o_totalprice") === col("max_price"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Tumbling time-window aggregation over the event stream's batch view. */
   def qTimeBuckets(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
