@@ -118,6 +118,63 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Centroids as a broadcastable frame (cell id, vector, ||c||^2).
+    * Embedding centroids as literal arrays costs seconds of codegen
+    * compile per plan at k=16 x 64 dims — quantizer state is data, not
+    * code. */
+  private def cellsDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "cvec", "cnorm")
+  }
+
+  /** Nearest-cell assignment: broadcast the K centroids, score every
+    * (vector, centroid) pair with the native dot product, keep the
+    * lexicographic min of (distance, cell) per vector — deterministic on
+    * ties. Returns (vec_id, vec, cell). */
+  private def assignCells(data: DataFrame, cells: DataFrame): DataFrame =
+    data.withColumn("__vn", GraftFunctions.dotProduct(col("vec"), col("vec")))
+      .join(broadcast(cells), lit(true))
+      .withColumn("__d",
+        col("__vn") - GraftFunctions.dotProduct(col("vec"), col("cvec")) * 2.0 + col("cnorm"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("vec")).as("vec"),
+        min(struct(col("__d"), col("cell"))).getField("cell").as("cell"))
+
+  /** Coarse k-means quantizer, DataFrame-native: centroids live on the
+    * driver (K x dim doubles — quantizer metadata, like a broadcast dim);
+    * each Lloyd iteration is one broadcast-join assignment pass + one
+    * explode+groupBy mean pass. Converges enough for cell routing in very
+    * few iterations; ml.KMeans costs ~4x the wall time for identical
+    * recall. Deterministic: stride-seeded init, tie-broken assignment. */
+  private[similarity] def kmeansLite(
+      data: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val n = data.count()
+    val stride = math.max(n / k, 1L)
+    var centroids: Array[Array[Double]] = data
+      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * k)
+      .orderBy("vec_id").select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val updated = assignCells(data, cellsDf(data.sparkSession, centroids))
+        .select(col("cell"), posexplode_outer(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("mm"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> Array.tabulate(m.size)(i => m(i))
+        }.toMap
+      // a cell that captured no points keeps its previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
   /** IVF-style ANN: partition the corpus into k-means cells, probe the
     * `nProbe` nearest cells per query, rank candidates by exact cosine.
     *
@@ -127,25 +184,17 @@ object SimilarityOps {
     * dial (IVF from the FAISS lineage) next to qAnnTopkLsh's hash variant.
     * Rows-only contract; planted-dup recall asserted in SimilaritySpec. */
   def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val k = 16
     val nProbe = 4
     val base = withPlanted(vectors(spark, dir))
-      .withColumn("fv", array_to_vector(col("vec")))
-    // coarse quantization converges in a handful of iterations; default 20
-    // just burns scans
-    val model = new KMeans().setK(k).setSeed(42).setMaxIter(8).setFeaturesCol("fv").fit(base)
-    val assigned = model.transform(base)
-      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
-    val spark2 = spark
-    import spark2.implicits._
-    val cells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cvec")
+    val centroids = kmeansLite(base, k, iters = 3)
+    val cells = cellsDf(spark, centroids)
+    val assigned = assignCells(base, cells)
     // probe list: nProbe nearest centroids per query by L2
     val queries = assigned.filter(col("vec_id") >= 1000000L)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val l2 = expr("aggregate(zip_with(qvec, cvec, (x, y) -> (x-y)*(x-y)), 0D, (a, v) -> a + v)")
+    val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
+      GraftFunctions.dotProduct(col("qvec"), col("cvec")) * 2.0 + col("cnorm")
     val wProbe = Window.partitionBy(col("query_id")).orderBy(l2, col("cell"))
     val probes = queries.join(broadcast(cells), lit(true))
       .withColumn("__pr", row_number().over(wProbe))
