@@ -29,4 +29,13 @@ object Bucketing {
     * planned with zero Exchange on either side (asserted in BucketingSpec). */
   def cocolocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Write a fact table hive-partitioned by a (low-cardinality) derived
+    * column — the lake layout that turns time/tenant filters into
+    * directory pruning: a reader filtering on the partition column scans
+    * only matching directories (PartitionFilters in the plan, asserted in
+    * BucketingSpec). At 100 TB this is the first 100-1000x reduction
+    * before any row is read. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

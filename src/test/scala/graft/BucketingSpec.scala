@@ -7,6 +7,23 @@ import graft.operators.Bucketing
   * the layout-level optimization fact⋈fact joins rely on at 100 TB. */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned layout prunes directories on partition-column filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    Bucketing.writePartitioned(
+      Tables.orders(spark, SfDir)
+        .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM")),
+      dir, "order_month")
+    val pruned = spark.read.parquet(dir).filter(col("order_month") === "1997-03")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("order_month"),
+      s"no partition pruning:\n$plan")
+    // and the pruned read returns exactly the month's rows
+    val expected = Tables.orders(spark, SfDir)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-03").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
   test("join of two tables bucketed on the key has no Exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
