@@ -21,6 +21,7 @@ object SparkEntry {
     "enum_validate"            -> (EtlOps.qEnumValidate _),
     "date_parse_safe"          -> (EtlOps.qDateParseSafe _),
     "json_extract"             -> (EtlOps.qJsonExtract _),
+    "json_variant"             -> (EtlOps.qJsonVariant _),
     "coalesce_nested"          -> (EtlOps.qCoalesceNested _),
     // §2.B relational analytics
     "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
@@ -107,6 +108,11 @@ object SparkEntry {
         |  TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date' ELSE strftime(o_orderdate, '%Y-%m-%d') END AS DATE) AS parsed_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_variant" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k

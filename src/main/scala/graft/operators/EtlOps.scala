@@ -67,6 +67,19 @@ object EtlOps {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** JSONB-style extraction via Spark 4's VARIANT type: `parse_json` once,
+    * then typed `variant_get` path access — the modern engine path for
+    * repeated access into semi-structured columns (single parse, binary
+    * encoding, pushdown-friendly), vs per-path string re-parsing in
+    * get_json_object. Same result contract as qJsonExtract. */
+  def qJsonVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Nested-repair demo shaped like the reference's multiface fix: a
     * synthesized `faces` JSON array supplies the image when the top-level
     * value is null (here: every 3rd event). */
