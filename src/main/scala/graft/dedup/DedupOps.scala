@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -161,16 +162,24 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+
   /** N-gram (3-word shingle) Jaccard pairs >= 0.5, exact semantics: the
     * inverted index on shingle HASHES yields every co-occurring pair, and
     * because per-doc shingle sets are distinct, `count(*)` per pair IS the
-    * intersection size — no per-pair array_intersect, no second pass over
-    * the documents. Result equals brute-force O(n^2) comparison (every
-    * Jaccard>0 pair shares a shingle) while shuffling only 8-byte keys. */
+    * intersection size — pure 8-byte keys through hash aggregation, no
+    * per-pair array work. Equals brute-force O(n^2) comparison (every
+    * Jaccard>0 pair shares a shingle).
+    *
+    * Scale dial: when the corpus has hot shingles (boilerplate) the
+    * co-occurrence stream grows quadratically in their document frequency —
+    * switch to [[ngramJaccardPrefix]], which prunes candidates by the
+    * AllPairs prefix filter at the cost of per-candidate verification. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+    val docs = shingleDocs(spark, dir)
     // set size rides along with every posting, so no separate size join.
     // explode_outer: plain explode gets an inferred size(sh)>0 filter that
     // re-evaluates the whole shingle pipeline per row; the inner join on h
@@ -183,6 +192,43 @@ object DedupOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter_n"), first("n_a").as("n_a"), first("n_b").as("n_b"))
       .withColumn("union_n", col("n_a") + col("n_b") - col("inter_n"))
+      .filter(col("inter_n") * 2 >= col("union_n"))
+      .select("doc_a", "doc_b", "inter_n", "union_n")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered variant (AllPairs/PPJoin lineage), same exact result.
+    *
+    * Canonical order = ascending document frequency, then hash. For
+    * J(a,b) >= t, a and b must share an element within their first
+    * |s| - ceil(t*|s|) + 1 canonically-ordered shingles, so candidates come
+    * from a self-join of PREFIX postings only; hot (high-df) shingles land
+    * at the back of every prefix and stop generating pairs. Wins when the
+    * corpus has heavy boilerplate; on small-vocabulary corpora the count
+    * aggregation in [[qNgramJaccard]] is faster (both measured — see
+    * DedupSpec for the equality contract). */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode_outer(col("sh")).as("h"))
+    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
+    val prefix = postings.join(dfreq, "h")
+      .withColumn("__rk", row_number().over(byRarity))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+      .select(col("h"), col("doc_id"))
+    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verification over the full shingle sets
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val (inter, union) = jaccardCounts(col("sh_a"), col("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter_n", inter.cast("long"))
+      .withColumn("union_n", union.cast("long"))
       .filter(col("inter_n") * 2 >= col("union_n"))
       .select("doc_a", "doc_b", "inter_n", "union_n")
       .orderBy("doc_a", "doc_b")

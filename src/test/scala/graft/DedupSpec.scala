@@ -69,6 +69,13 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("prefix-filtered jaccard equals the count-aggregation path exactly") {
+    val fast = DedupOps.qNgramJaccard(spark, SfDir)
+    val pref = DedupOps.ngramJaccardPrefix(spark, SfDir)
+    assert(fast.count() == pref.count())
+    assert(fast.exceptAll(pref).count() == 0)
+  }
+
   test("exact dedup collapses planted copies to one keeper each") {
     val out = DedupOps.qDedupExact(spark, SfDir)
     val copies = out.filter(col("n_copies") === 2).count()
