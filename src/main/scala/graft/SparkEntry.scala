@@ -44,6 +44,7 @@ object SparkEntry {
     "q_time_buckets"      -> (Relational.qTimeBuckets _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
+    "q_window_lead_lag"   -> (WindowOps.qWindowLeadLag _),
     "q_sessionize"        -> (WindowOps.qSessionize _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
@@ -52,6 +53,7 @@ object SparkEntry {
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
+    "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
@@ -229,6 +231,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_group
         |  FROM orders) t
         |WHERE rank_in_group <= 3 ORDER BY o_orderpriority, rank_in_group""".stripMargin,
+    "q_window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate, 1) OVER w AS prev_date,
+        |  lead(o_orderdate, 1) OVER w AS next_date,
+        |  datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -269,6 +278,14 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM all_docs GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_normalized" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, upper(text) || '  !!' FROM documents WHERE doc_id % 7 = 0)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM all_docs
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

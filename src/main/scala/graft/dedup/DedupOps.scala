@@ -162,6 +162,27 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Canonical text normalization before exact dedup — the step that makes
+    * exact dedup catch trivially-reformatted copies: lowercase, strip
+    * non-word/non-space characters, collapse whitespace runs, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\w\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup on NORMALIZED text: case/punctuation/whitespace variants
+    * (planted per doc) collapse onto their source. */
+  def qDedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // plant a shouting, re-spaced variant of every 7th doc
+    val variants = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+    docs.unionByName(variants)
+      .groupBy(xxhash64(normalizeText(col("text"))).as("__h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).cast("long").as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))

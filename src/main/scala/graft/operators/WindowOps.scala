@@ -46,6 +46,20 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Lead/lag surface: each order with its customer's previous and next
+    * order dates and the day gap since the previous one. */
+  def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_date"),
+        lead(col("o_orderdate"), 1).over(w).as("next_date"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
   /** Gap-based sessionization: a new session starts when the same user is
     * idle longer than `gap`. Classic lag + cumulative-sum-of-boundaries;
     * one shuffle on user_id, bounded per-user state.
