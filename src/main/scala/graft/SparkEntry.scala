@@ -41,6 +41,7 @@ object SparkEntry {
     "q_scalar_subquery"   -> (Relational.qScalarSubquery _),
     "q_pivot"             -> (Relational.qPivot _),
     "q_percentiles"       -> (Relational.qPercentiles _),
+    "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_time_buckets"      -> (Relational.qTimeBuckets _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),

@@ -177,6 +177,18 @@ object Relational {
       )
       .orderBy("l_returnflag")
 
+  /** Sketch percentiles — the 100 TB path for qPercentiles: t-digest-style
+    * approx_percentile merges associatively (one narrow shuffle, bounded
+    * memory) where exact percentile buffers whole groups. Rows-only
+    * contract; rank-error tolerance asserted in RelationalSpec. */
+  def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median_qty"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("approx_price_qs"))
+      .orderBy("l_returnflag")
+
   /** Set operations: customers in the BUILDING segment vs customers with
     * an urgent order — UNION/INTERSECT/EXCEPT in one labelled result. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {

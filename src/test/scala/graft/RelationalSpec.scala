@@ -28,6 +28,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile median is within 5% of the exact median") {
+    val approx = Relational.qApproxPercentiles(spark, SfDir)
+      .select("l_returnflag", "approx_median_qty")
+      .as[(String, Double)].collect().toMap
+    val exact = Tables.lineitem(spark, SfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+      .as[(String, Double)].collect()
+    exact.foreach { case (flag, m) =>
+      assert(math.abs(approx(flag) - m) / m <= 0.05, s"$flag: ${approx(flag)} vs $m")
+    }
+  }
+
   test("anti join isolates synthesized orphan customers") {
     val cust = Tables.customer(spark, SfDir)
     val orphans = cust.limit(7).withColumn("c_custkey", col("c_custkey") + 1000000L)
