@@ -68,6 +68,7 @@ object SparkEntry {
     "text_lang_id"        -> (graft.text.TextOps.qLangId _),
     "doc_fingerprint"     -> (graft.text.TextOps.qDocFingerprint _),
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
+    "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
@@ -360,6 +361,22 @@ object SparkEntry {
         |b AS (SELECT words[i] || ' ' || words[i+1] AS bigram
         |      FROM w, unnest(range(1, len(words))) AS t(i))
         |SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact bob' || doc_id || '@mail.example.com' ||
+        |    ' visit https://ex.example/x' || doc_id || ' acct ' || (doc_id + 10000000) AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(d,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g') AS clean,
+        |  length(d) - length(regexp_replace(regexp_replace(regexp_replace(d,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\d{7,}', '<NUM>', 'g')) AS n_chars_redacted
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

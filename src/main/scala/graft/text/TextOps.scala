@@ -109,6 +109,28 @@ object TextOps {
       )
       .orderBy("doc_id")
 
+  /** PII scrubbing — standard training-data redaction pass: emails, then
+    * URLs, then long digit runs (phone/account numbers), replaced with
+    * typed placeholder tokens. Order matters (emails before bare domains).
+    * Pure regexp_replace chain — codegen'd, one narrow map. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\d{7,}", "<NUM>")
+  }
+
+  /** Scrub demo over documents with synthetic PII planted per doc (the
+    * corpus itself is clean), so all three redaction classes execute. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("dirty",
+        concat(col("text"), lit(" contact bob"), col("doc_id"), lit("@mail.example.com"),
+          lit(" visit https://ex.example/x"), col("doc_id"),
+          lit(" acct "), (col("doc_id") + 10000000L)))
+      .select(col("doc_id"), scrubPii(col("dirty")).as("clean"),
+        (length(col("dirty")) - length(scrubPii(col("dirty")))).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+
   /** Corpus bigram frequency: per-doc bigrams via an index-sequence
     * transform, explode, global count. Top-100 with deterministic order. */
   def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
