@@ -26,6 +26,8 @@ object SparkEntry {
     // §2.B relational analytics
     "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q4_order_priority"   -> (Relational.q4OrderPriority _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
     "q_groupby_having"    -> (Relational.qGroupByHaving _),
     "q_broadcast_join"    -> (Relational.qBroadcastJoin _),
@@ -145,6 +147,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-03-15' AND l_shipdate > '1998-03-15'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount),2) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
         |FROM lineitem

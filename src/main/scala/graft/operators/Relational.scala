@@ -72,6 +72,29 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q4-style: orders in a quarter having at least one returned
+    * lineitem (the testdata carries no commit/receipt dates, so the
+    * EXISTS predicate uses the return flag) — date-range filter +
+    * left_semi against the fact table. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))
+    val late = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6-style forecast revenue: pure scan-side filter + single
+    * aggregate — the pushdown/codegen microbenchmark. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Aggregate + HAVING: order priorities whose order count crosses a
     * threshold. */
   def qGroupByHaving(spark: SparkSession, dir: String): DataFrame =
