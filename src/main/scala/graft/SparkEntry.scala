@@ -41,6 +41,7 @@ object SparkEntry {
     "q_string_funcs"      -> (Relational.qStringFuncs _),
     "q_date_funcs"        -> (Relational.qDateFuncs _),
     "q_scalar_subquery"   -> (Relational.qScalarSubquery _),
+    "q_null_safe_join"    -> (Relational.qNullSafeJoin _),
     "q_pivot"             -> (Relational.qPivot _),
     "q_percentiles"       -> (Relational.qPercentiles _),
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
@@ -220,6 +221,15 @@ object SparkEntry {
         |  min(datediff('day', o_orderdate, DATE '1998-12-31')) AS min_age_days,
         |  max(datediff('day', o_orderdate, DATE '1998-12-31')) AS max_age_days
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH cust AS (
+        |  SELECT c_acctbal,
+        |    CASE WHEN c_acctbal > 10.0 THEN 'pos' WHEN c_acctbal < -10.0 THEN 'neg' END AS bal_key
+        |  FROM customer),
+        |dim(bal_key, bucket_name) AS (VALUES ('pos','in_credit'), ('neg','in_debt'), (NULL,'flat'))
+        |SELECT bucket_name, count(*) AS n, round(sum(c_acctbal),2) AS total_bal
+        |FROM cust JOIN dim ON cust.bal_key IS NOT DISTINCT FROM dim.bal_key
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice
         |FROM orders o

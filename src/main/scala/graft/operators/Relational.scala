@@ -228,6 +228,25 @@ object Relational {
       .orderBy("set_op")
   }
 
+  /** Null-safe equality join (<=>): customers bucketed by a nullable
+    * derived key (acctbal sign, null for near-zero balances) matched
+    * against a bucket dim that includes the null bucket — null keys MATCH
+    * under <=> where a plain join would drop them. */
+  def qNullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bucketDim = Seq((Some("pos"), "in_credit"), (Some("neg"), "in_debt"),
+      (Option.empty[String], "flat")).toDF("bal_key", "bucket_name")
+    val cust = Tables.customer(spark, dir)
+      .withColumn("bal_key",
+        when(col("c_acctbal") > 10.0, "pos").when(col("c_acctbal") < -10.0, "neg")
+          .otherwise(lit(null)))
+    cust.join(broadcast(bucketDim), cust("bal_key") <=> bucketDim("bal_key"))
+      .groupBy("bucket_name")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("bucket_name")
+  }
+
   /** CUBE over (returnflag, linestatus): every aggregation lattice cell. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
