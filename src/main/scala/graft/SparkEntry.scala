@@ -77,6 +77,8 @@ object SparkEntry {
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
+    "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),
+    "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
   )
 
@@ -405,6 +407,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, ts, event_type, round(value,2) AS value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_array_funcs" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(cents)), ',') AS top_prices_cents,
+        |  count(*) AS n_top,
+        |  max(cents) AS max_price_cents
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

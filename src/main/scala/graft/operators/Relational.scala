@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -290,6 +291,27 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Array-function surface: per priority class, the sorted list of its 3
+    * biggest order prices (integer cents) plus array stats. collect_list
+    * order is nondeterministic, so sort_array canonicalizes; the list is
+    * emitted as a joined string of cents — portable across every result
+    * hasher, no cross-engine double/array formatting. */
+  def qArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 3)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("bigint"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(col("cents"))).as("tp"))
+      .select(
+        col("o_orderpriority"),
+        concat_ws(",", transform(col("tp"), x => x.cast("string"))).as("top_prices_cents"),
+        size(col("tp")).cast("long").as("n_top"),
+        element_at(col("tp"), -1).as("max_price_cents"))
+      .orderBy("o_orderpriority")
   }
 
   /** Tumbling time-window aggregation over the event stream's batch view. */

@@ -34,6 +34,21 @@ object EventStreams {
     windowCounts(Tables.events(spark, dir)) // window() handles TIMESTAMP_NTZ
       .orderBy("bucket", "event_type")
 
+  /** Keyed dedup — the streaming-ingest idempotency op. Batch form here;
+    * the streaming form is `withWatermark + dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark horizon), exercised in
+    * EventStreamSpec. The driver query doubles the input so the dedup
+    * provably removes rows. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    ev.unionByName(ev)
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   // ---- streaming keyed upsert sink ----
 
   /** Continuous keyed UPSERT into a parquet target — the reference's

@@ -36,6 +36,29 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("watermarked streaming dedup removes duplicate event ids") {
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_dedup_in").toString
+    // two identical files → every event arrives twice
+    events.write.mode("overwrite").parquet(dir + "/a")
+    events.write.mode("overwrite").parquet(dir + "/b")
+    val schema = spark.read.parquet(dir + "/a").schema
+    val stream = spark.readStream.schema(schema).parquet(dir + "/{a,b}")
+    val q = stream
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    val n = spark.table("dedup_out").count()
+    assert(n == events.count(), s"deduped stream has $n rows")
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == n)
+  }
+
   test("streaming upsert sink converges to batch last-write-wins per key") {
     import graft.operators.MergeOps
     val events = Tables.events(spark, SfDir)

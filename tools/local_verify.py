@@ -26,6 +26,10 @@ for name, sql in sorted(oracle.items()):
         fails.append((name, f"oracle sql error: {e}")); continue
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        # list/ndarray cells are unhashable for sorting — canonicalize
+        for c in df.columns:
+            if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
+                df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
         return df
     g, e = norm(got), norm(exp)
