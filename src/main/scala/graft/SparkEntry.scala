@@ -47,6 +47,7 @@ object SparkEntry {
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_time_buckets"      -> (Relational.qTimeBuckets _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
+    "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
     "q_window_lead_lag"   -> (WindowOps.qWindowLeadLag _),
     "q_sessionize"        -> (WindowOps.qSessionize _),
@@ -265,6 +266,12 @@ object SparkEntry {
         |  datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_topk_custom_plan" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice,2) AS o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

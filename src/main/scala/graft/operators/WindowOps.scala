@@ -21,6 +21,19 @@ object WindowOps {
       .filter(col("rank_in_group") <= k)
   }
 
+  /** Top-3 orders per priority via the CUSTOM physical operator
+    * (graft.plans.TopKPerGroupExec): bounded per-group heap instead of a
+    * full window sort. Same rows as qWindowTopK minus the rank column. */
+  def qTopKCustomPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      Tables.orders(spark, dir),
+      3,
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey"))
+    ).select(col("o_orderpriority"), col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderpriority", "o_orderkey")
+
   /** Top-3 orders per priority class by total price. */
   def qWindowTopK(spark: SparkSession, dir: String): DataFrame =
     topKPerGroup(
