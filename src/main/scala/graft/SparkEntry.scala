@@ -28,6 +28,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q4_order_priority"   -> (Relational.q4OrderPriority _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q10_returned_items"  -> (Relational.q10ReturnedItems _),
+    "q_cross_join"        -> (Relational.qCrossJoin _),
     "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
     "q_groupby_having"    -> (Relational.qGroupByHaving _),
     "q_broadcast_join"    -> (Relational.qBroadcastJoin _),
@@ -172,6 +174,19 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, count(*) AS n_pairs, count(DISTINCT n_nationkey) AS n_nations
+        |FROM region CROSS JOIN nation
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_groupby_having" ->
       """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY 1 HAVING count(*) > 10 ORDER BY 1""".stripMargin,

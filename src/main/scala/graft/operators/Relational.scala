@@ -96,6 +96,30 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q10-style returned-item reporting: revenue lost to returns per
+    * customer — lineitem('R') ⋈ orders ⋈ customer ⋈ nation, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Cross join of the two smallest dims — cartesian coverage with an
+    * aggregate so the result is tiny and deterministic. */
+  def qCrossJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).crossJoin(Tables.nation(spark, dir))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("n_nationkey")).as("n_nations"))
+      .orderBy("r_name")
+
   /** Aggregate + HAVING: order priorities whose order count crosses a
     * threshold. */
   def qGroupByHaving(spark: SparkSession, dir: String): DataFrame =
