@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
+    "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
     "ann_topk_lsh"        -> (graft.similarity.SimilarityOps.qAnnTopkLsh _),
     "ann_topk_ivf"        -> (graft.similarity.SimilarityOps.qAnnTopkIvf _),
@@ -356,6 +357,14 @@ object SparkEntry {
         |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "embed_label_centroids" ->
+      """WITH flat AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS x
+        |  FROM embeddings)
+        |SELECT label, dim, CAST(round(avg(x) * 1000000.0) AS BIGINT) AS mean_ppm
+        |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_topk_brute" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 10),

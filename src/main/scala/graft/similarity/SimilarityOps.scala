@@ -38,6 +38,17 @@ object SimilarityOps {
 
   // ---- driver-contract queries over the embeddings table ----
 
+  /** Per-label centroid vectors — the embedding-space aggregation behind
+    * class prototypes / cluster summaries. Emitted long (label, dim,
+    * mean_ppm) so the result is hash-portable; one explode + one partial
+    * aggregated groupBy, no vector shuffling. */
+  def qEmbedLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode_outer(VectorOps.asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg("x") * 1000000.0).cast("long").as("mean_ppm"))
+      .orderBy("label", "dim")
+
   /** Cosine near-dup pairs (>= 0.99) over the corpus with planted dups.
     * All-pairs comparison is the exactness baseline the LSH variants are
     * judged against; at scale the same semantics run through
