@@ -61,6 +61,7 @@ object SparkEntry {
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
+    "dedup_clusters"      -> (graft.dedup.DedupOps.qDedupClusters _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),

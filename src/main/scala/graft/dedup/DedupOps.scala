@@ -183,6 +183,39 @@ object DedupOps {
       .orderBy("keep_id")
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every doc starts as its own cluster; each round adopts
+    * the minimum cluster id among itself and its neighbors. `iters` rounds
+    * resolve components of diameter <= iters (near-dup clusters are
+    * shallow; production CC uses the same loop until a fixpoint count
+    * stops changing). Each round is one join + one aggregation — the
+    * standard scalable CC shape (no driver-side graph). */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    // symmetric edge list including self-loops so isolated docs keep labels
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    (1 to iters).foreach { _ =>
+      labels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster").as("cluster"))
+    }
+    labels
+  }
+
+  /** Cluster assignment for the corpus: components over the exact
+    * Jaccard>=0.5 pair list; singletons keep their own id. Rows-only
+    * (clusters asserted against the pair list in DedupSpec). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val pairs = qNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    dedupClusters(docs, pairs, 3)
+      .select(col("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))

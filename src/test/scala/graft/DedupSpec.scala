@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dup clusters: paired docs share a cluster, singletons keep their id") {
+    val clusters = DedupOps.qDedupClusters(spark, SfDir)
+      .as[(Long, Long)].collect().toMap
+    val pairs = DedupOps.qNgramJaccard(spark, SfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot { case (id, _) => paired(id) }.foreach { case (id, c) =>
+      assert(c == id, s"singleton $id got cluster $c")
+    }
+    // cluster representative is the component minimum
+    pairs.foreach { case (a, b) => assert(clusters(a) <= math.min(a, b)) }
+  }
+
   test("prefix-filtered jaccard equals the count-aggregation path exactly") {
     val fast = DedupOps.qNgramJaccard(spark, SfDir)
     val pref = DedupOps.ngramJaccardPrefix(spark, SfDir)
