@@ -18,6 +18,7 @@ object SparkEntry {
     "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
+    "upsert_scd2_history"      -> (MergeOps.qUpsertScd2History _),
     "enum_validate"            -> (EtlOps.qEnumValidate _),
     "date_parse_safe"          -> (EtlOps.qDateParseSafe _),
     "json_extract"             -> (EtlOps.qJsonExtract _),
@@ -101,6 +102,16 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "upsert_scd2_history" ->
+      """WITH versions AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderdate AS change_ts FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U', o_orderdate + INTERVAL 1 DAY FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus,
+        |  change_ts AS valid_from,
+        |  lead(change_ts, 1) OVER (PARTITION BY o_orderkey ORDER BY change_ts) AS valid_to,
+        |  lead(change_ts, 1) OVER (PARTITION BY o_orderkey ORDER BY change_ts) IS NULL AS is_current
+        |FROM versions ORDER BY o_orderkey, valid_from""".stripMargin,
     "incremental_changed_rows" ->
       """WITH snapshot AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,

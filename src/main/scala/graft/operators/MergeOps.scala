@@ -49,7 +49,36 @@ object MergeOps {
       .drop("__fp", "__fp_old")
   }
 
+  /** SCD2 history: turn a stream of keyed versions into
+    * [valid_from, valid_to) intervals — valid_to = next version's
+    * timestamp, null while current. The temporal complement of
+    * last-write-wins upsert (the reference keeps only the latest row;
+    * warehouses keep the history). One window over the key. */
+  def scd2History(versions: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    versions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ---- driver-contract queries over the testdata ----
+
+  /** SCD2 over synthesized order versions: every 10th order gets a second
+    * version (status flip) a day later; history shows both intervals. */
+  def qUpsertScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate").as("change_ts"))
+    val v2 = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        date_add(col("change_ts"), 1).as("change_ts"))
+    scd2History(base.unionByName(v2), Seq("o_orderkey"), "change_ts")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from")
+  }
+
+  // (driver-contract queries continued)
 
   /** Upsert replay over orders: every 10th order gets a price bump + status
     * flip, then is merged back last-write-wins. */
