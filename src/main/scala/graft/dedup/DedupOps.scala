@@ -191,16 +191,21 @@ object DedupOps {
     * stops changing). Each round is one join + one aggregation — the
     * standard scalable CC shape (no driver-side graph). */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
-    // symmetric edge list including self-loops so isolated docs keep labels
+    // symmetric edge list including self-loops so isolated docs keep
+    // labels. localCheckpoint truncates lineage: without it every
+    // propagation round re-executes the (expensive) pair-mining plan, and
+    // the plan tree grows with the iteration count.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     (1 to iters).foreach { _ =>
       labels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster").as("cluster"))
+        .localCheckpoint()
     }
     labels
   }
