@@ -31,6 +31,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
     "q10_returned_items"  -> (Relational.q10ReturnedItems _),
     "q_cross_join"        -> (Relational.qCrossJoin _),
+    "q_full_outer_join"   -> (Relational.qFullOuterJoin _),
     "q5_local_supplier"   -> (Relational.q5LocalSupplier _),
     "q_groupby_having"    -> (Relational.qGroupByHaving _),
     "q_broadcast_join"    -> (Relational.qBroadcastJoin _),
@@ -199,6 +200,15 @@ object SparkEntry {
     "q_cross_join" ->
       """SELECT r_name, count(*) AS n_pairs, count(DISTINCT n_nationkey) AS n_nations
         |FROM region CROSS JOIN nation
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer_join" ->
+      """WITH spenders AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS spend FROM orders GROUP BY 1 HAVING sum(o_totalprice) > 400000),
+        |rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+        |SELECT CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+        |            WHEN c_custkey IS NULL THEN 'spender_only' ELSE 'rich_only' END AS side,
+        |  count(*) AS n, round(sum(coalesce(spend, 0.0)),2) AS total_spend
+        |FROM spenders FULL OUTER JOIN rich ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_groupby_having" ->
       """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price

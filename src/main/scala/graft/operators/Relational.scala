@@ -111,6 +111,27 @@ object Relational {
       .limit(20)
   }
 
+  /** Full-outer join coverage: big spenders (orders sum > threshold) vs
+    * positive-balance customers — rows classified matched / order-only /
+    * customer-only via null probes, aggregated per class. */
+  def qFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val spenders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("spend"))
+      .filter(col("spend") > 400000.0)
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    spenders.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+      .withColumn("side",
+        when(col("o_custkey").isNotNull && col("c_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNull, "spender_only")
+          .otherwise(lit("rich_only")))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("spend"), lit(0.0))), 2).as("total_spend"))
+      .orderBy("side")
+  }
+
   /** Cross join of the two smallest dims — cartesian coverage with an
     * aggregate so the result is tiny and deterministic. */
   def qCrossJoin(spark: SparkSession, dir: String): DataFrame =
