@@ -54,6 +54,8 @@ object SparkEntry {
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
     "q_window_lead_lag"   -> (WindowOps.qWindowLeadLag _),
+    "q_window_ntile"      -> (WindowOps.qWindowNtile _),
+    "q_histogram"         -> (Relational.qHistogram _),
     "q_sessionize"        -> (WindowOps.qSessionize _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
@@ -310,6 +312,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) t
         |WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, quartile, count(*) AS n, round(sum(o_totalprice),2) AS total FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

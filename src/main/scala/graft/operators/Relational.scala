@@ -230,6 +230,15 @@ object Relational {
       .agg(round(sum("l_quantity"), 2))
       .orderBy("l_linestatus")
 
+  /** Fixed-width value histogram of order prices (integer bucket ids and
+    * counts — no float comparisons anywhere). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** Exact interpolated percentiles per group (median + p90). The price
     * median is computed in integer cents: the interpolated midpoint of two
     * ints is exact in double, so no rounding is needed and the oracle hash

@@ -59,6 +59,17 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** NTILE quartiles of order value per priority class, rolled up per
+    * (priority, quartile) so the output is small and hash-stable. */
+  def qWindowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   /** Lead/lag surface: each order with its customer's previous and next
     * order dates and the day gap since the previous one. */
   def qWindowLeadLag(spark: SparkSession, dir: String): DataFrame = {
