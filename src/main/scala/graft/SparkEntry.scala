@@ -84,6 +84,8 @@ object SparkEntry {
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
+    "mm_resize_stub"      -> (graft.multimodal.MultimodalOps.qMmResizeStub _),
+    "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),

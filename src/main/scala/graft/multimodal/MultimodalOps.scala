@@ -101,4 +101,45 @@ object MultimodalOps {
     decodeInBatches(payloads(spark, dir), 32)
       .select("doc_id", "n_bytes", "width", "height", "n_frames")
       .orderBy("doc_id")
+
+  /** One resized media record; target box + STUB-computed output dims. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int)
+
+  /** Aspect-preserving resize planning: real fit-into-box arithmetic on
+    * the decoded dimensions; the pixel resample itself is the same stub
+    * seam as decode (a deployment swaps the kernel, the plan/metadata
+    * path — which is what Spark owns — stays). */
+  def resizeToBox(decoded: DataFrame, boxW: Int, boxH: Int): DataFrame = {
+    val scale = least(lit(boxW.toDouble) / col("width"), lit(boxH.toDouble) / col("height"), lit(1.0))
+    decoded.select(
+      col("doc_id"), col("width"), col("height"),
+      greatest(floor(col("width") * scale), lit(1)).cast("int").as("out_width"),
+      greatest(floor(col("height") * scale), lit(1)).cast("int").as("out_height"))
+  }
+
+  /** Driver-contract query: decoded dims fit into a 32x32 box. */
+  def qMmResizeStub(spark: SparkSession, dir: String): DataFrame =
+    resizeToBox(
+      decodeInBatches(payloads(spark, dir), 32)
+        .select("doc_id", "width", "height"), 32, 32)
+      .orderBy("doc_id")
+
+  /** Frame sampling: treat the payload as a stream of fixed-size "frames"
+    * and keep every `stride`-th one — the video-pipeline subsample step.
+    * Pure column algebra over the binary: frame i = bytes
+    * [i*frameBytes, (i+1)*frameBytes); emitted as (doc_id, frame_idx,
+    * frame_md5) so downstream dedup/feature steps key on content. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    df.select(col("doc_id"), col("payload"),
+      posexplode_outer(expr(
+        s"transform(sequence(0, greatest(cast(octet_length(payload) / $frameBytes as int) - 1, 0), $stride)," +
+          s" i -> md5(substring(payload, i * $frameBytes + 1, $frameBytes)))"))
+        .as(Seq("sample_idx", "frame_md5")))
+      .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"), col("frame_md5"))
+
+  /** Driver-contract query: every 4th 32-byte frame of each payload. */
+  def qMmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(payloads(spark, dir), 32, 4)
+      .orderBy("doc_id", "sample_idx")
 }

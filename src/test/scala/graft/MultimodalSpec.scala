@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.decodeHeader(other) == MultimodalOps.decodeHeader(other))
   }
 
+  test("resize fits every decoded frame inside the box, preserving aspect") {
+    import org.apache.spark.sql.Row
+    MultimodalOps.qMmResizeStub(spark, SfDir).collect().foreach {
+      case Row(_, w: Int, h: Int, ow: Int, oh: Int) =>
+        assert(ow <= 32 && oh <= 32 && ow >= 1 && oh >= 1)
+        // aspect preserved within floor rounding
+        if (w >= h) assert(ow >= oh) else assert(oh >= ow)
+    }
+  }
+
+  test("frame sampling keeps every stride-th frame with content hashes") {
+    val out = MultimodalOps.qMmFrameSample(spark, SfDir)
+    val one = out.filter(col("doc_id") === 1).collect()
+    val payload = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") === 1).select("text").head().getString(0).getBytes("UTF-8")
+    val expectedFrames = (math.max(payload.length / 32 - 1, 0) / 4) + 1
+    assert(one.length == expectedFrames, s"got ${one.length}, want $expectedFrames")
+    // deterministic across runs
+    assert(out.collect().toSeq == MultimodalOps.qMmFrameSample(spark, SfDir).collect().toSeq)
+  }
+
   test("binary stats match the payload bytes") {
     val row = MultimodalOps.qMmBinaryStats(spark, SfDir).head()
     val text = Tables.documents(spark, SfDir)
