@@ -36,11 +36,21 @@ object Bench {
     // JVM/codegen/IO warmup on the flagship (not reported)
     run("warmup", (s, _) => SparkEntry.entry(s))
 
-    // min of two executions per query: the first run pays per-query codegen
-    // JIT compilation, which is noise at steady state
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(run(name, fn), run(name, fn))
-    }
+    // optional comma-separated subset for local iteration (driver leaves unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // repetitions per query (driver default 2; min-of-n): the first run pays
+    // per-query codegen JIT compilation, which is noise at steady state
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        // full GC between queries: without it a collection triggered by an
+        // earlier query's garbage lands inside a later query's wall time,
+        // which is how sub-second plans sporadically bench at 10x+
+        System.gc()
+        name -> (1 to reps).map(_ => run(name, fn)).min
+      }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

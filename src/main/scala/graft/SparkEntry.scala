@@ -342,6 +342,22 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_seq, min(ts) AS session_start, count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // identical rows contract to q_sessionize (batch/stream equivalence is
+    // the point of the operator), so it shares the same oracle SQL
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(ts) AS session_start, count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id, round(v.value,2) AS view_value
         |FROM (SELECT * FROM events WHERE event_type='purchase') p

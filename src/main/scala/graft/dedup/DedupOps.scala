@@ -44,15 +44,19 @@ object DedupOps {
   /** Banded-LSH candidate pairs: split the k-wide signature into bands of
     * `rowsPerBand`, bucket on (band index, band slice hash), self-join
     * buckets. Returns candidate (doc_a, doc_b) pairs with doc_a < doc_b.
-    * The shuffle key is the band bucket — linear in corpus size. */
+    * The shuffle key is the band bucket — linear in corpus size.
+    * The band count is derived from the signature width per row
+    * (`size(sig) / rowsPerBand`), so any k that is a multiple of
+    * rowsPerBand banding-covers the whole signature — no silent short
+    * slices from a hard-coded band count. */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String, rowsPerBand: Int): DataFrame = {
-    val nBands = 16 // caller sizes k = nBands * rowsPerBand
+    require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
     // posexplode_outer: the plain generate would get an inferred
     // size(...)>0 pre-filter that re-evaluates the whole band transform
     val banded = docs.select(
       col(idCol),
       posexplode_outer(expr(
-        s"transform(sequence(0, ${nBands - 1}), b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        s"transform(sequence(0, size($sigCol) div $rowsPerBand - 1), b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"))
         .as(Seq("band", "bucket"))
     )
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
@@ -184,29 +188,49 @@ object DedupOps {
   }
 
   /** Connected components over a near-dup pair list by iterative min-label
-    * propagation: every doc starts as its own cluster; each round adopts
-    * the minimum cluster id among itself and its neighbors. `iters` rounds
-    * resolve components of diameter <= iters (near-dup clusters are
-    * shallow; production CC uses the same loop until a fixpoint count
-    * stops changing). Each round is one join + one aggregation — the
-    * standard scalable CC shape (no driver-side graph). */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    * propagation TO A FIXPOINT: every doc starts as its own cluster; each
+    * round adopts the minimum cluster id among itself and its neighbors.
+    * Labels only ever decrease (the self-loop keeps a node's own label in
+    * the min), so the global label sum strictly decreases until the
+    * fixpoint — one cheap aggregate per round detects convergence without
+    * a change-count join. Components of ANY diameter resolve (`maxIters`
+    * is a runaway backstop, not a semantic bound). Each round is one join
+    * + one aggregation — the standard scalable CC shape (no driver-side
+    * graph) — and intermediate checkpoint blocks are unpersisted as soon
+    * as the next round materializes, so repeated calls in one JVM don't
+    * accumulate block-store pressure. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // symmetric edge list including self-loops so isolated docs keep
-    // labels. localCheckpoint truncates lineage: without it every
+    // labels. localCheckpoint (eager) truncates lineage: without it every
     // propagation round re-executes the (expensive) pair-mining plan, and
     // the plan tree grows with the iteration count.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-    (1 to iters).foreach { _ =>
-      labels = edges
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster")).head.getAs[Any](0) match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster").as("cluster"))
         .localCheckpoint()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
     }
+    edges.unpersist()
     labels
   }
 
@@ -216,7 +240,7 @@ object DedupOps {
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id")
     val pairs = qNgramJaccard(spark, dir).select("doc_a", "doc_b")
-    dedupClusters(docs, pairs, 3)
+    dedupClusters(docs, pairs)
       .select(col("doc_id"), col("cluster"))
       .orderBy("doc_id")
   }

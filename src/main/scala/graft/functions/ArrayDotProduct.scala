@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two array<double> columns (SURVEY.md §2.G).
   *
@@ -12,12 +13,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression is one fused loop in generated code — the hot inner kernel of
   * the LSH hyperplane bucketing and any IVF-style ANN. Accumulation is
   * sequential left-to-right, bit-identical to [[VectorOps.dot]].
+  *
+  * Semantics: both inputs must be array<double> (enforced at ANALYSIS time
+  * via checkInputDataTypes — the builders in [[GraftFunctions]] insert a
+  * widening Cast for float arrays). Mismatched lengths fold over the
+  * common prefix (zip semantics, like `zip_with`).
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>) inputs, got ($l, $r)")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -15,14 +16,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `doGenCode` keeps it inside WholeStageCodegen. Accumulation order is
   * sequential left-to-right, matching [[VectorOps.cosine]] bit-for-bit.
   *
-  * Inputs must be array<double>; the SQL builder inserts a widening Cast
-  * for float arrays (exact).
+  * Semantics: both inputs must be array<double>, enforced at ANALYSIS time
+  * via checkInputDataTypes (the builders in [[GraftFunctions]] insert a
+  * widening Cast for float arrays — exact). Mismatched lengths fold over
+  * the common prefix (zip semantics); a zero-norm input yields NaN (0/0),
+  * the IEEE answer for an undefined angle — filter zero vectors upstream
+  * if another policy is needed.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>) inputs, got ($l, $r)")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -81,19 +81,21 @@ object EtlOps {
       .orderBy("event_type")
 
   /** Nested-repair demo shaped like the reference's multiface fix: a
-    * synthesized `faces` JSON array supplies the image when the top-level
-    * value is null (here: every 3rd event). */
+    * synthesized `faces` array-of-structs supplies the image when the
+    * top-level value is null (here: every 3rd event). The array is built
+    * with native struct constructors — the operator under test is the
+    * nested-array repair ([[coalesceFromNested]]), and a JSON
+    * serialize/re-parse round-trip would only add two string passes per
+    * row to the same plan. */
   def qCoalesceNested(spark: SparkSession, dir: String): DataFrame = {
-    val facesSchema = ArrayType(StructType(Seq(StructField("img", StringType))))
     val ev = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
       .withColumn("top_img",
         when(col("k") % 3 === 0, lit(null.asInstanceOf[String]))
           .otherwise(concat(lit("img_"), col("k"))))
-      .withColumn("faces",
-        from_json(
-          concat(lit("""[{"img":"face_"""), col("k"), lit("""_0"},{"img":"face_"""), col("k"), lit("""_1"}]""")),
-          facesSchema))
+      .withColumn("faces", array(
+        struct(concat(lit("face_"), col("k"), lit("_0")).as("img")),
+        struct(concat(lit("face_"), col("k"), lit("_1")).as("img"))))
     coalesceFromNested(ev, "top_img", "faces", "img")
       .select(col("event_id"), col("top_img"))
       .orderBy("event_id")

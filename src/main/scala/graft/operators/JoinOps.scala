@@ -87,14 +87,21 @@ object JoinOps {
       .orderBy("size_class")
   }
 
-  /** Skew-resistant salted equi-join: the big (possibly skewed) side gets a
-    * deterministic salt in [0, nSalts); the small side is exploded across
-    * all salts. The shuffle key becomes (key, salt), splitting any hot key
-    * across nSalts reducers. Results are identical to the plain join.
-    * On Spark 3+ AQE's skewJoin handles moderate skew automatically; this
-    * is the explicit variant for pathological keys. */
+  /** Skew-resistant salted equi-join: each ROW of the big (possibly skewed)
+    * side gets a salt in [0, nSalts) — a function of row identity, NOT of
+    * the join key, so a hot key's rows genuinely spread across nSalts
+    * reducers (a key-derived salt would send the whole hot key to one
+    * reducer and mitigate nothing). The small side is exploded across all
+    * salts; the shuffle key becomes (key, salt). Results are identical to
+    * the plain join. On Spark 3+ AQE's skewJoin handles moderate skew
+    * automatically; this is the explicit variant for pathological keys. */
+  /** Per-row salt in [0, nSalts): derived from row identity, never from a
+    * key, so it spreads even a single-key dataset across all salt values. */
+  def rowSalt(nSalts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int")
+
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String, nSalts: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(xxhash64(col(bigKey)), lit(nSalts)).cast("int"))
+    val saltedBig = big.withColumn("__salt", rowSalt(nSalts))
     val saltedSmall = small.withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
     saltedBig
       .join(saltedSmall, saltedBig("__salt") === saltedSmall("__salt") && col(bigKey) === col(smallKey))

@@ -165,11 +165,15 @@ object Relational {
   }
 
   /** EXISTS via left_semi: customers that placed at least one big order.
-    * Semi joins never duplicate the left side and stream the right. */
+    * Semi joins never duplicate the left side; the probe side is projected
+    * to its join key and broadcast (the >300k filter is selective, and a
+    * semi join only needs key existence — a distinct key set, not rows),
+    * so the customer side is never shuffled at all. With an unselective
+    * probe side, drop the hint and let the shuffle + AQE plan it. */
   def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val big  = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
-    cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+    cust.join(broadcast(big.select("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
   }
@@ -258,13 +262,18 @@ object Relational {
   /** Sketch percentiles — the 100 TB path for qPercentiles: t-digest-style
     * approx_percentile merges associatively (one narrow shuffle, bounded
     * memory) where exact percentile buffers whole groups. Rows-only
-    * contract; rank-error tolerance asserted in RelationalSpec. */
+    * contract; rank-error tolerance asserted in RelationalSpec.
+    * All outputs are scalar columns (the price quantiles in integer cents)
+    * so any downstream result hasher can sort/hash rows directly. */
   def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median_qty"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("approx_price_qs"))
+        expr("cast(round(approx_percentile(l_extendedprice, 0.5, 1000) * 100) as bigint)")
+          .as("approx_p50_price_cents"),
+        expr("cast(round(approx_percentile(l_extendedprice, 0.9, 1000) * 100) as bigint)")
+          .as("approx_p90_price_cents"))
       .orderBy("l_returnflag")
 
   /** Set operations: customers in the BUILDING segment vs customers with
@@ -336,12 +345,16 @@ object Relational {
         max("age_days").cast("long").as("max_age_days"))
       .orderBy("order_year")
 
-  /** Scalar subquery: orders at their customer's personal maximum price. */
+  /** Scalar subquery: orders at their customer's personal maximum price.
+    * Planned as a single window max over one scan — the aggregate-then-
+    * self-join formulation reads and shuffles `orders` twice for the same
+    * answer (both sides hash-partition on o_custkey; the window does it
+    * once). */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
-    val maxPer = ord.groupBy(col("o_custkey").as("k"))
-      .agg(max("o_totalprice").as("max_price"))
-    ord.join(maxPer, col("o_custkey") === col("k") && col("o_totalprice") === col("max_price"))
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("__max_price", max("o_totalprice").over(w))
+      .filter(col("o_totalprice") === col("__max_price"))
       .select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("o_custkey", "o_orderkey")

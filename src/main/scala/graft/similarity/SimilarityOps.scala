@@ -49,11 +49,39 @@ object SimilarityOps {
       .agg(round(avg("x") * 1000000.0).cast("long").as("mean_ppm"))
       .orderBy("label", "dim")
 
-  /** Cosine near-dup pairs (>= 0.99) over the corpus with planted dups.
-    * All-pairs comparison is the exactness baseline the LSH variants are
-    * judged against; at scale the same semantics run through
-    * qAnnTopkLsh-style bucketing. */
+  /** Cosine near-dup pairs (>= 0.99) over the corpus with planted dups —
+    * the SCALE path: candidates come from sign-LSH buckets (each vector
+    * shuffles once per table on a small int key), then candidates are
+    * verified with the exact cosine threshold. No all-pairs/nested-loop
+    * join anywhere in the plan (asserted in SimilaritySpec).
+    *
+    * Recall: a near-duplicate at cos >= 0.99 subtends <= 8.1 degrees, so a
+    * random hyperplane separates it with p ~ 0.026; missing all 8 tables
+    * of 6 bits has p ~ 2e-7 per pair (and the planted scaled duplicates
+    * have IDENTICAL sign patterns — recall 1 by construction). Precision 1
+    * from the exact verification. [[embedNeardupCosineBrute]] keeps the
+    * all-pairs oracle for the spec-side equality check. */
   def qEmbedNeardupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val all = withPlanted(vectors(spark, dir))
+    val bucketed = signBucketed(all)
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("vec_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("vec_b"))
+    val cands = a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val va = all.select(col("vec_id").as("vec_a"), col("vec").as("va"))
+    val vb = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .filter(GraftFunctions.cosineSim(col("va"), col("vb")) >= 0.99)
+      .select(col("vec_a"), col("vec_b"), cosPpm(col("va"), col("vb")).as("cos_ppm"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** All-pairs exactness baseline for [[qEmbedNeardupCosine]] — a nested-
+    * loop cartesian by design; NOT registered as a driver query (it is the
+    * spec-side oracle the LSH-routed plan is equality-checked against). */
+  def embedNeardupCosineBrute(spark: SparkSession, dir: String): DataFrame = {
     val all = withPlanted(vectors(spark, dir))
     val a = all.select(col("vec_id").as("vec_a"), col("vec").as("va"))
     val b = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
@@ -93,6 +121,23 @@ object SimilarityOps {
       array(Seq.fill(dim)(lit(rng.nextGaussian())): _*)))
   }
 
+  /** Sign-LSH bucketing shared by the ANN and near-dup paths: per table,
+    * bucket = sign-bit pattern of `BitsPerTable` hyperplane dots. Returns
+    * (vec_id, vec, table, bucket) — one row per (vector, table). */
+  private def signBucketed(base: DataFrame, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim)
+    val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.zipWithIndex.map { case (h, j) =>
+        // native fused-loop dot: no per-row zip_with allocation x 48 planes
+        when(GraftFunctions.dotProduct(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ bitwiseOR _).as("bucket"))
+    }
+    base
+      .select(col("vec_id"), col("vec"), explode(array(bucketCols: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
   /** LSH-bucketed ANN over the planted corpus: per table, bucket =
     * sign-bit pattern of `BitsPerTable` hyperplane dots; candidates = pairs
     * sharing a bucket in any table; rank candidates by exact cosine.
@@ -103,17 +148,7 @@ object SimilarityOps {
     * (asserted in SimilaritySpec); random far pairs rarely collide. */
   def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
-    val planes = hyperplanes(64)
-    val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
-      val bits = tbl.zipWithIndex.map { case (h, j) =>
-        // native fused-loop dot: no per-row zip_with allocation x 48 planes
-        when(GraftFunctions.dotProduct(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ bitwiseOR _).as("bucket"))
-    }
-    val bucketed = base
-      .select(col("vec_id"), col("vec"), explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val bucketed = signBucketed(base)
     val queries = bucketed.filter(col("vec_id") >= 1000000L)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
     val cands = bucketed.filter(col("vec_id") < 1000000L)

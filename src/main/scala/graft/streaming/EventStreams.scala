@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -57,9 +56,18 @@ object EventStreams {
     *
     * Each micro-batch is first collapsed last-write-wins WITHIN the batch
     * (orderCol desc), then merged into the target with
-    * [[graft.operators.MergeOps.upsert]]. On a cluster the target would be
-    * a transactional table format; plain parquet + overwrite keeps the
-    * demo dependency-free while exercising the same merge plan.
+    * [[graft.operators.MergeOps.upsert]].
+    *
+    * Filesystem handling goes through the Hadoop FileSystem API (so the
+    * same code is correct on HDFS; java.io.File would silently report
+    * "missing" on any non-local scheme) and the commit is
+    * stage-then-RENAME: the merge is written to a staging dir, the old
+    * target renamed aside, staging renamed in, the old copy deleted.
+    * Rename is atomic on HDFS/POSIX so a crash leaves either the old or
+    * the new table (plus at worst an orphan `_old`/`_staging` dir that the
+    * next batch clears). On object stores without atomic rename the
+    * production answer is a transactional table format — this sink keeps
+    * the demo dependency-free while exercising the same merge plan.
     */
   def upsertSink(
       stream: DataFrame,
@@ -72,28 +80,36 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        val staging = new org.apache.hadoop.fs.Path(targetPath + "_staging")
+        val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
+        // clear leftovers from a previous crashed commit
+        fs.delete(staging, true)
+        fs.delete(old, true)
         val latest = graft.operators.MergeOps.latestByKey(batch, keys, orderCol, tiebreak)
         val merged =
-          if (new java.io.File(targetPath).exists()) {
+          if (fs.exists(target)) {
             val base = spark.read.parquet(targetPath)
             graft.operators.MergeOps.latestByKey(
               graft.operators.MergeOps.upsert(base, latest, keys),
               keys, orderCol, tiebreak)
           } else latest
-        // stage-then-swap: never overwrite the path still being read, and
-        // never collect the merge to the driver
-        val staging = targetPath + "_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(targetPath)
+        // stage-then-swap via rename: never overwrite the path still being
+        // read, never collect the merge to the driver
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(target)) fs.rename(target, old)
+        fs.rename(staging, target)
+        fs.delete(old, true)
         ()
       }
       .start()
 
   // ---- stateful streaming sessionization ----
 
-  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionEvent(user_id: Long, ts: java.time.Instant, value: Double)
   case class SessionState(sessionSeq: Long, lastTs: Long, start: Long, n: Long, sum: Double)
-  case class SessionOut(user_id: Long, session_seq: Long, session_start: Timestamp,
+  case class SessionOut(user_id: Long, session_seq: Long, session_start: java.time.Instant,
       n_events: Long, session_value: Double)
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState: per
@@ -102,30 +118,36 @@ object EventStreams {
     * one opens. State is O(1) per active user. Batch-mode contract: all of
     * a user's events arrive in one sorted group, so every session
     * (including the last) is emitted; in continuous streaming the final
-    * session flushes on GroupStateTimeout instead. */
+    * session flushes on GroupStateTimeout instead.
+    * Time is carried as epoch MICROSECONDS end-to-end (java.time.Instant
+    * at the API boundary) — java.sql.Timestamp.getTime is millisecond-
+    * resolution and would silently truncate session_start. */
   def sessionizeStateful(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    def micros(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def instant(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, evs, state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.value))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
           val out = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             if (st.n == 0L) {
               st = SessionState(1L, t, t, 1L, e.value)
-            } else if (t - st.lastTs > gapSeconds * 1000L) {
-              out += SessionOut(user, st.sessionSeq, new Timestamp(st.start), st.n, st.sum)
+            } else if (t - st.lastTs > gapSeconds * 1000000L) {
+              out += SessionOut(user, st.sessionSeq, instant(st.start), st.n, st.sum)
               st = SessionState(st.sessionSeq + 1, t, t, 1L, e.value)
             } else {
               st = st.copy(lastTs = t, n = st.n + 1, sum = st.sum + e.value)
             }
           }
           if (st.n > 0L) { // batch contract: group complete, flush last session
-            out += SessionOut(user, st.sessionSeq, new Timestamp(st.start), st.n, st.sum)
+            out += SessionOut(user, st.sessionSeq, instant(st.start), st.n, st.sum)
             state.remove()
           }
           out.result().iterator
@@ -144,6 +166,9 @@ object EventStreams {
     sessionizeStateful(evs, 1800L)
       .toDF()
       .withColumn("session_value", round(col("session_value"), 2))
+      // session tz is UTC, so LTZ->NTZ is an identity relabel; emitting NTZ
+      // matches qSessionize's (oracle-verified) output schema exactly
+      .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
       .orderBy("user_id", "session_seq")
   }
 }

@@ -131,6 +131,15 @@ object TextOps {
         (length(col("dirty")) - length(scrubPii(col("dirty")))).cast("long").as("n_chars_redacted"))
       .orderBy("doc_id")
 
+  /** Bigram array of a pre-split words column. Docs with fewer than two
+    * tokens yield null (NOT a descending sequence(1, 0), which would make
+    * slice() throw at runtime) — callers explode_outer and null-filter,
+    * matching an oracle's empty range(1, len). */
+  def bigrams(words: Column): Column =
+    when(size(words) >= 2, transform(
+      sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", slice(words, i, lit(2)))))
+
   /** Corpus bigram frequency: per-doc bigrams via an index-sequence
     * transform, explode, global count. Top-100 with deterministic order. */
   def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
@@ -138,9 +147,7 @@ object TextOps {
       .select(wsTokens(col("text")).as("words")) // split once per row
       // explode_outer + null filter: plain explode gets an inferred
       // size(...)>0 pre-filter that re-evaluates the bigram transform
-      .select(explode_outer(transform(
-        sequence(lit(1), size(col("words")) - 1),
-        i => concat_ws(" ", slice(col("words"), i, lit(2))))).as("bigram"))
+      .select(explode_outer(bigrams(col("words"))).as("bigram"))
       .filter(col("bigram").isNotNull)
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))

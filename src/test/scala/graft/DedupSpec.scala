@@ -85,6 +85,34 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(clusters(a) <= math.min(a, b)) }
   }
 
+  test("cluster propagation reaches a fixpoint on a diameter-5 chain") {
+    // 1-2-3-4-5-6 needs 5 propagation rounds; a fixed small iteration count
+    // would leave the tail labelled > 1
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 6L).foreach(id => assert(out(id) == 1L, s"doc $id got ${out(id)}"))
+    // and a second isolated component keeps its own minimum
+    val docs2 = (1L to 7L).toDF("doc_id")
+    val pairs2 = Seq((1L, 2L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val out2 = DedupOps.dedupClusters(docs2, pairs2).as[(Long, Long)].collect().toMap
+    assert(out2(6L) == 6L && out2(7L) == 6L && out2(3L) == 3L)
+  }
+
+  test("lsh band count follows the signature width (no hard-coded 16)") {
+    // k = 8, rowsPerBand = 4 -> 2 bands; identical docs must still pair up
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        DedupOps.hashedShingles(DedupOps.shingles(col("text"), 3)).as("sh"))
+      .withColumn("sig", DedupOps.minhashSignature(col("sh"), 8))
+    val cands = DedupOps.lshCandidates(docs, "doc_id", "sig", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 2L)))
+  }
+
   test("prefix-filtered jaccard equals the count-aggregation path exactly") {
     val fast = DedupOps.qNgramJaccard(spark, SfDir)
     val pref = DedupOps.ngramJaccardPrefix(spark, SfDir)

@@ -53,6 +53,18 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() == 7 + Relational.qAntiJoin(spark, SfDir).count())
   }
 
+  test("row salt spreads a single hot key across all salt values") {
+    val hot = Seq.fill(1000)(42L).toDF("k")
+    val saltCounts = hot.withColumn("s", graft.operators.JoinOps.rowSalt(8))
+      .groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(saltCounts.keySet == (0 until 8).toSet,
+      s"hot key landed on salts ${saltCounts.keySet} only")
+    // and the salted join still returns exactly the plain-join rows
+    val small = Seq((42L, "x")).toDF("sk", "v")
+    val joined = graft.operators.JoinOps.saltedJoin(hot, small, "k", "sk", 8)
+    assert(joined.count() == 1000)
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = planOf(Relational.q1PricingSummary(spark, SfDir))
     assert(plan.contains("PushedFilters") &&

@@ -57,6 +57,20 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall ${hits.toDouble / top1.length} of ${top1.length} planted queries")
   }
 
+  test("LSH-routed near-dup pairs equal the all-pairs brute oracle exactly") {
+    val fast = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
+    val brute = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)
+    assert(fast.exceptAll(brute).count() == 0, "LSH path produced extra pairs")
+    assert(brute.exceptAll(fast).count() == 0, "LSH path missed pairs")
+  }
+
+  test("near-dup registered plan has no nested-loop or cartesian join") {
+    val plan = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("brute-force top-k agrees with LSH on planted top-1") {
     val brute = SimilarityOps.qAnnTopkBrute(spark, SfDir)
     assert(brute.filter(col("rank") === 1).count() == 10) // 10 queries

@@ -15,6 +15,16 @@ class TextOpsSpec extends SparkSpec {
     assert(fps == n, s"fingerprint collisions: $fps distinct for $n texts")
   }
 
+  test("bigrams of sub-2-token docs are empty, not a runtime error") {
+    import spark.implicits._
+    val out = Seq("solo", "", "  ", "two words", "a b c")
+      .toDF("text")
+      .select(explode_outer(TextOps.bigrams(TextOps.wsTokens(col("text")))).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .as[String].collect().toSeq.sorted
+    assert(out == Seq("a b", "b c", "two words"))
+  }
+
   test("lang-id argmax policy is deterministic: same hits → same prediction") {
     val out = TextOps.qLangId(spark, SfDir)
     // prediction is a pure function of the text → equal texts equal preds
