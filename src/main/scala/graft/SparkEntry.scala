@@ -62,6 +62,8 @@ object SparkEntry {
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
+    "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
+    "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
@@ -373,6 +375,25 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the synthesized card/set corpus is a pure function of the row index,
+    // so the oracle regenerates it from range() — no fixture tables needed
+    "q_cards_per_set" ->
+      """WITH cards AS (
+        |  SELECT i,
+        |    'S' || CAST(i % 40 AS VARCHAR) AS code,
+        |    i % 12 AS cmc,
+        |    CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
+        |    i % 11 <> 0 AS layout_valid
+        |  FROM range(0, 500) t(i)),
+        |sets AS (
+        |  SELECT 'S' || CAST(i AS VARCHAR) AS code, 'Set ' || CAST(i AS VARCHAR) AS set_name
+        |  FROM range(0, 40) t(i))
+        |SELECT s.code, s.set_name, count(*) AS n_cards,
+        |  CAST(sum(CASE WHEN layout_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_layout,
+        |  CAST(sum(cmc) AS BIGINT) AS sum_cmc,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+        |FROM cards c JOIN sets s ON c.code = s.code
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

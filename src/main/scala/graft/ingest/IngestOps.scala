@@ -1,99 +1,372 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.EtlOps
 
 /** Schema-driven semi-structured ingest (SURVEY.md §2.A,
-  * `ingest_json_cards`), re-expressing the reference's card pipeline:
-  * streaming JSON → typed 67-column schema (/root/reference/import_cards.py
-  * :58-127), null-on-invalid date parse (:150-157), decimal normalization
-  * (:159-172), closed-ENUM layout validation (:29-34,186-189), and
-  * multiface image repair (:191-198).
+  * `ingest_json_cards` / `ingest_json_sets` / `q_cards_per_set`),
+  * re-expressing the reference's card pipeline: streaming JSON → typed
+  * FULL 67-column schema (/root/reference/import_cards.py:58-127,
+  * mtg-database/init.sql:31-100), null-on-invalid date parse (:150-157),
+  * decimal normalization (:159-172), closed-ENUM layout validation
+  * (:29-34,186-189), multiface image repair (:191-198), and the sets
+  * dimension with its own ingest (:244-282, init.sql:105-120).
   *
-  * Spark-first shape: `from_json` against an explicit schema — a narrow,
-  * codegen'd map over the raw strings. On a cluster the same plan runs on
-  * `spark.read.json`/`.text` file sources with the scan parallelized by
-  * split; here the raw JSON is synthesized deterministically so the
-  * operator is testable without fixture files.
+  * Spark-first shape: `from_json` against explicit schemas — a narrow,
+  * codegen'd map over the raw strings. The reference's JSONB columns
+  * become TYPED Spark columns (arrays, maps, structs): Catalyst then
+  * prunes/pushes into them, where JSONB needs GIN indexes and re-parsing.
+  * On a cluster the same plan runs on `spark.read.json`/`.text` file
+  * sources with the scan parallelized by split; here the raw JSON is
+  * synthesized deterministically so the operator is testable without
+  * fixture files (and the DuckDB oracle can regenerate it from range()).
   */
 object IngestOps {
 
-  /** The reference's closed layout domain (subset; import_cards.py:29-34). */
+  /** The reference's complete closed layout domain (import_cards.py:29-34,
+    * init.sql ENUM layout_type — all 24 values). */
   val AllowedLayouts: Seq[String] = Seq(
-    "normal", "split", "flip", "transform", "modal_dfc", "meld",
-    "leveler", "saga", "adventure", "token", "emblem", "planar")
+    "normal", "split", "flip", "transform", "modal_dfc", "meld", "leveler",
+    "class", "case", "saga", "adventure", "mutate", "prototype", "battle",
+    "planar", "scheme", "vanguard", "token", "double_faced_token", "emblem",
+    "augment", "host", "art_series", "reversible_card")
 
-  /** Typed target schema for the card subset we ingest (mirrors the
-    * reference's init.sql core columns; nested objects stay structs). */
+  private val imageUrisType = StructType(Seq(
+    StructField("small", StringType),
+    StructField("normal", StringType),
+    StructField("large", StringType),
+    StructField("png", StringType),
+    StructField("art_crop", StringType),
+    StructField("border_crop", StringType)))
+
+  /** Typed target schema for the FULL card surface — one field per
+    * init.sql `cards` column (67), UUIDs as strings, JSONB as typed
+    * arrays/maps/structs. */
   val CardSchema: StructType = StructType(Seq(
     StructField("id", StringType),
+    StructField("oracle_id", StringType),
+    StructField("object", StringType),
+    StructField("multiverse_ids", ArrayType(IntegerType)),
+    StructField("mtgo_id", IntegerType),
+    StructField("tcgplayer_id", IntegerType),
+    StructField("cardmarket_id", IntegerType),
     StructField("name", StringType),
+    StructField("lang", StringType),
     StructField("released_at", StringType),
+    StructField("uri", StringType),
+    StructField("scryfall_uri", StringType),
     StructField("layout", StringType),
+    StructField("highres_image", BooleanType),
+    StructField("image_status", StringType),
+    StructField("image_uris", imageUrisType),
+    StructField("mana_cost", StringType),
     StructField("cmc", DoubleType),
+    StructField("type_line", StringType),
+    StructField("oracle_text", StringType),
+    StructField("power", StringType),
+    StructField("toughness", StringType),
+    StructField("colors", ArrayType(StringType)),
+    StructField("color_identity", ArrayType(StringType)),
+    StructField("keywords", ArrayType(StringType)),
+    StructField("legalities", MapType(StringType, StringType)),
+    StructField("games", ArrayType(StringType)),
+    StructField("reserved", BooleanType),
+    StructField("game_changer", BooleanType),
+    StructField("foil", BooleanType),
+    StructField("nonfoil", BooleanType),
+    StructField("finishes", ArrayType(StringType)),
+    StructField("oversized", BooleanType),
+    StructField("promo", BooleanType),
+    StructField("reprint", BooleanType),
+    StructField("variation", BooleanType),
+    StructField("set_id", StringType),
+    StructField("set", StringType),
+    StructField("set_name", StringType),
+    StructField("set_type", StringType),
+    StructField("set_uri", StringType),
+    StructField("set_search_uri", StringType),
+    StructField("scryfall_set_uri", StringType),
+    StructField("rulings_uri", StringType),
+    StructField("prints_search_uri", StringType),
+    StructField("collector_number", StringType),
+    StructField("digital", BooleanType),
+    StructField("rarity", StringType),
+    StructField("watermark", StringType),
+    StructField("flavor_text", StringType),
+    StructField("card_back_id", StringType),
+    StructField("artist", StringType),
+    StructField("artist_ids", ArrayType(StringType)),
+    StructField("illustration_id", StringType),
+    StructField("border_color", StringType),
+    StructField("frame", StringType),
+    StructField("frame_effects", ArrayType(StringType)),
+    StructField("security_stamp", StringType),
+    StructField("full_art", BooleanType),
+    StructField("textless", BooleanType),
+    StructField("booster", BooleanType),
+    StructField("story_spotlight", BooleanType),
+    StructField("edhrec_rank", IntegerType),
+    StructField("preview", StructType(Seq(
+      StructField("source", StringType),
+      StructField("source_uri", StringType),
+      StructField("previewed_at", StringType)))),
     StructField("prices", StructType(Seq(
       StructField("usd", StringType),
-      StructField("eur", StringType)))),
-    StructField("image_uris", StructType(Seq(
-      StructField("normal", StringType)))),
+      StructField("usd_foil", StringType),
+      StructField("usd_etched", StringType),
+      StructField("eur", StringType),
+      StructField("eur_foil", StringType),
+      StructField("tix", StringType)))),
+    StructField("related_uris", MapType(StringType, StringType)),
+    StructField("purchase_uris", MapType(StringType, StringType)),
     StructField("card_faces", ArrayType(StructType(Seq(
       StructField("name", StringType),
-      StructField("image_uris", StructType(Seq(
-        StructField("normal", StringType))))))))
+      StructField("mana_cost", StringType),
+      StructField("type_line", StringType),
+      StructField("oracle_text", StringType),
+      StructField("image_uris", imageUrisType)))))
   ))
 
-  /** Deterministic Scryfall-shaped raw JSON corpus: every 7th card has a
-    * malformed date, every 11th an out-of-domain layout, every 3rd no
-    * top-level image (faces only), every 5th no usd price. */
+  /** Typed schema for the sets dimension — one field per init.sql `sets`
+    * column (14). */
+  val SetSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("code", StringType),
+    StructField("name", StringType),
+    StructField("uri", StringType),
+    StructField("scryfall_uri", StringType),
+    StructField("search_uri", StringType),
+    StructField("released_at", StringType),
+    StructField("set_type", StringType),
+    StructField("card_count", IntegerType),
+    StructField("parent_set_code", StringType),
+    StructField("digital", BooleanType),
+    StructField("nonfoil_only", BooleanType),
+    StructField("foil_only", BooleanType),
+    StructField("icon_svg_uri", StringType)))
+
+  /** Number of synthesized sets; card i belongs to set `S{i % NSets}`. */
+  val NSets = 40
+
+  /** Deterministic Scryfall-shaped raw JSON corpus over the FULL card
+    * schema: every 7th card has a malformed date, every 11th an
+    * out-of-domain layout (the other ids cycle through all 24 allowed
+    * values), every 3rd no top-level image (faces only), every 5th no usd
+    * price. Built as a typed struct serialized with to_json, so the
+    * generator IS the schema contract. */
   def syntheticRawCards(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
+    val s = (c: Column) => c.cast("string")
     val date = when(id % 7 === 0, lit("not-a-date"))
-      .otherwise(concat(lit("19"), lpad((id % 30 + 70).cast("string"), 2, "0"),
-        lit("-0"), (id % 9 + 1).cast("string"), lit("-1"), (id % 9).cast("string")))
+      .otherwise(concat(lit("19"), lpad(s(id % 30 + 70), 2, "0"),
+        lit("-0"), s(id % 9 + 1), lit("-1"), s(id % 9)))
     val layout = when(id % 11 === 0, lit("weird"))
-      .otherwise(element_at(array(AllowedLayouts.map(lit): _*), (id % AllowedLayouts.size).cast("int") + 1))
-    val usd = when(id % 5 === 0, lit("null"))
-      .otherwise(concat(lit("\""), (id % 300).cast("string"), lit("."), lpad((id % 100).cast("string"), 2, "0"), lit("\"")))
-    val topImage = when(id % 3 === 0, lit("null"))
-      .otherwise(concat(lit("""{"normal":"https://img/card_"""), id, lit(""".jpg"}""")))
-    spark.range(n).select(concat(
-      lit("""{"id":"card-"""), id,
-      lit("""","name":"Card """), id,
-      lit("""","released_at":""""), date,
-      lit("""","layout":""""), layout,
-      lit("""","cmc":"""), (id % 12).cast("string"),
-      lit(""","prices":{"usd":"""), usd, lit(""","eur":"1.00"}"""),
-      lit(""","image_uris":"""), topImage,
-      lit(""","card_faces":[{"name":"Front","image_uris":{"normal":"https://img/face_"""), id,
-      lit("""_0.jpg"}},{"name":"Back","image_uris":{"normal":"https://img/face_"""), id,
-      lit("""_1.jpg"}}]}""")).as("raw"))
+      .otherwise(element_at(array(AllowedLayouts.map(lit): _*),
+        (id % AllowedLayouts.size).cast("int") + 1))
+    val usd = when(id % 5 === 0, lit(null).cast("string"))
+      .otherwise(concat(s(id % 300), lit("."), lpad(s(id % 100), 2, "0")))
+    val faceImages = (face: Int) => struct(
+      lit(null).cast("string").as("small"),
+      concat(lit("https://img/face_"), id, lit(s"_$face.jpg")).as("normal"),
+      lit(null).cast("string").as("large"),
+      lit(null).cast("string").as("png"),
+      lit(null).cast("string").as("art_crop"),
+      lit(null).cast("string").as("border_crop"))
+    val topImage = when(id % 3 === 0, lit(null).cast(imageUrisType))
+      .otherwise(struct(
+        lit(null).cast("string").as("small"),
+        concat(lit("https://img/card_"), id, lit(".jpg")).as("normal"),
+        lit(null).cast("string").as("large"),
+        lit(null).cast("string").as("png"),
+        lit(null).cast("string").as("art_crop"),
+        lit(null).cast("string").as("border_crop")))
+    val colorWheel = array(lit("W"), lit("U"), lit("B"), lit("R"), lit("G"))
+    val card = struct(
+      concat(lit("card-"), id).as("id"),
+      concat(lit("oracle-"), s(id % 400)).as("oracle_id"),
+      lit("card").as("object"),
+      array((id % 90000).cast("int")).as("multiverse_ids"),
+      (id % 70000).cast("int").as("mtgo_id"),
+      (id % 500000).cast("int").as("tcgplayer_id"),
+      (id % 600000).cast("int").as("cardmarket_id"),
+      concat(lit("Card "), id).as("name"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("ja")), (id % 4).cast("int") + 1).as("lang"),
+      date.as("released_at"),
+      concat(lit("https://api.example/cards/card-"), id).as("uri"),
+      concat(lit("https://site.example/card/card-"), id).as("scryfall_uri"),
+      layout.as("layout"),
+      (id % 2 === 0).as("highres_image"),
+      lit("highres_scan").as("image_status"),
+      topImage.as("image_uris"),
+      concat(lit("{"), s(id % 12), lit("}{W}")).as("mana_cost"),
+      (id % 12).cast("double").as("cmc"),
+      lit("Creature — Construct").as("type_line"),
+      concat(lit("Rules text for card "), id, lit(".")).as("oracle_text"),
+      s(id % 13).as("power"),
+      s(id % 14).as("toughness"),
+      slice(colorWheel, lit(1), (id % 5 + 1).cast("int")).as("colors"),
+      slice(colorWheel, lit(1), (id % 5 + 1).cast("int")).as("color_identity"),
+      array(lit("Flying"), concat(lit("Keyword"), s(id % 6))).as("keywords"),
+      map(lit("standard"), when(id % 2 === 0, lit("legal")).otherwise(lit("not_legal")),
+        lit("modern"), lit("legal")).as("legalities"),
+      array(lit("paper"), lit("mtgo")).as("games"),
+      (id % 97 === 0).as("reserved"),
+      (id % 89 === 0).as("game_changer"),
+      (id % 2 === 0).as("foil"),
+      (id % 2 === 1).as("nonfoil"),
+      array(lit("nonfoil"), lit("foil")).as("finishes"),
+      (id % 83 === 0).as("oversized"),
+      (id % 13 === 0).as("promo"),
+      (id % 4 === 0).as("reprint"),
+      (id % 17 === 0).as("variation"),
+      concat(lit("setid-"), s(id % NSets)).as("set_id"),
+      concat(lit("S"), s(id % NSets)).as("set"),
+      concat(lit("Set "), s(id % NSets)).as("set_name"),
+      lit("expansion").as("set_type"),
+      concat(lit("https://api.example/sets/S"), s(id % NSets)).as("set_uri"),
+      concat(lit("https://api.example/cards/search?set=S"), s(id % NSets)).as("set_search_uri"),
+      concat(lit("https://site.example/sets/S"), s(id % NSets)).as("scryfall_set_uri"),
+      concat(lit("https://api.example/cards/card-"), id, lit("/rulings")).as("rulings_uri"),
+      concat(lit("https://api.example/cards/search?oracle=oracle-"), s(id % 400)).as("prints_search_uri"),
+      s(id % 250 + 1).as("collector_number"),
+      (id % 29 === 0).as("digital"),
+      element_at(array(lit("common"), lit("uncommon"), lit("rare"), lit("mythic")), (id % 4).cast("int") + 1).as("rarity"),
+      when(id % 19 === 0, lit("wm")).otherwise(lit(null).cast("string")).as("watermark"),
+      when(id % 6 === 0, concat(lit("Flavor "), id)).otherwise(lit(null).cast("string")).as("flavor_text"),
+      concat(lit("back-"), s(id % 3)).as("card_back_id"),
+      concat(lit("Artist "), s(id % 50)).as("artist"),
+      array(concat(lit("artist-"), s(id % 50))).as("artist_ids"),
+      concat(lit("illus-"), id).as("illustration_id"),
+      element_at(array(lit("black"), lit("white"), lit("borderless")), (id % 3).cast("int") + 1).as("border_color"),
+      lit("2015").as("frame"),
+      when(id % 23 === 0, array(lit("showcase"))).otherwise(lit(null).cast(ArrayType(StringType))).as("frame_effects"),
+      when(id % 31 === 0, lit("oval")).otherwise(lit(null).cast("string")).as("security_stamp"),
+      (id % 37 === 0).as("full_art"),
+      (id % 41 === 0).as("textless"),
+      (id % 3 =!= 0).as("booster"),
+      (id % 43 === 0).as("story_spotlight"),
+      (id % 20000).cast("int").as("edhrec_rank"),
+      when(id % 47 === 0, struct(
+        lit("src").as("source"), lit("https://preview.example").as("source_uri"),
+        lit("2020-01-01").as("previewed_at")))
+        .otherwise(lit(null).cast(StructType(Seq(
+          StructField("source", StringType), StructField("source_uri", StringType),
+          StructField("previewed_at", StringType))))).as("preview"),
+      struct(
+        usd.as("usd"),
+        concat(s(id % 400), lit(".50")).as("usd_foil"),
+        lit(null).cast("string").as("usd_etched"),
+        lit("1.00").as("eur"),
+        lit("2.00").as("eur_foil"),
+        lit("0.10").as("tix")).as("prices"),
+      map(lit("gatherer"), concat(lit("https://gatherer.example/"), id)).as("related_uris"),
+      map(lit("store"), concat(lit("https://store.example/"), id)).as("purchase_uris"),
+      array(
+        struct(lit("Front").as("name"), lit("{1}").as("mana_cost"),
+          lit("Creature").as("type_line"), lit("Front text").as("oracle_text"),
+          faceImages(0).as("image_uris")),
+        struct(lit("Back").as("name"), lit("{2}").as("mana_cost"),
+          lit("Creature").as("type_line"), lit("Back text").as("oracle_text"),
+          faceImages(1).as("image_uris"))).as("card_faces"))
+    spark.range(n).select(to_json(card).as("raw"))
   }
 
-  /** Full ingest pipeline over a raw-JSON-string column: parse → typed
+  /** Deterministic Scryfall-shaped raw JSON for the sets dimension
+    * (reference import_cards.py:244-282). */
+  def syntheticRawSets(spark: SparkSession, n: Long = NSets.toLong): DataFrame = {
+    val id = col("id")
+    val s = (c: Column) => c.cast("string")
+    val set = struct(
+      concat(lit("setid-"), id).as("id"),
+      concat(lit("S"), id).as("code"),
+      concat(lit("Set "), id).as("name"),
+      concat(lit("https://api.example/sets/S"), id).as("uri"),
+      concat(lit("https://site.example/sets/S"), id).as("scryfall_uri"),
+      concat(lit("https://api.example/cards/search?set=S"), id).as("search_uri"),
+      when(id % 7 === 0, lit("bogus"))
+        .otherwise(concat(lit("20"), lpad(s(id % 25), 2, "0"), lit("-01-15"))).as("released_at"),
+      element_at(array(lit("expansion"), lit("core"), lit("masters"), lit("token")),
+        (id % 4).cast("int") + 1).as("set_type"),
+      (id % 300 + 50).cast("int").as("card_count"),
+      when(id % 5 === 0, concat(lit("S"), s(id + 1))).otherwise(lit(null).cast("string")).as("parent_set_code"),
+      (id % 11 === 0).as("digital"),
+      (id % 13 === 0).as("nonfoil_only"),
+      (id % 17 === 0).as("foil_only"),
+      concat(lit("https://svg.example/S"), id, lit(".svg")).as("icon_svg_uri"))
+    spark.range(n).select(to_json(set).as("raw"))
+  }
+
+  /** Full-width ingest over a raw-JSON-string column: parse all 67 typed
     * columns → date/decimal normalization → enum validation → multiface
-    * image repair. Pure column algebra, no UDFs. */
+    * image repair. Pure column algebra, no UDFs. Output = every schema
+    * column plus the derived (released_date, layout_valid, price_usd,
+    * image_normal, n_faces) columns the downstream queries use. */
   def ingestCards(raw: DataFrame): DataFrame = {
     val parsed = raw
       .select(from_json(col("raw"), CardSchema).as("c"))
       .select(col("c.*"))
     val dated = EtlOps.parseDateSafe(parsed, "released_at", "released_date")
-    val repaired = dated
+    dated
       .withColumn("price_usd", expr("try_cast(prices.usd as decimal(10,2))"))
       .withColumn("layout_valid", col("layout").isin(AllowedLayouts: _*))
       // reference import_cards.py:191-198 — missing top-level image_uris is
       // repaired from the first card face
       .withColumn("image_normal",
-        coalesce(col("image_uris.normal"), element_at(col("card_faces"), 1).getField("image_uris").getField("normal")))
-    repaired.select(
-      col("id"), col("name"), col("released_date"), col("layout"),
-      col("layout_valid"), col("cmc"), col("price_usd"), col("image_normal"),
-      size(col("card_faces")).as("n_faces"))
+        coalesce(col("image_uris.normal"),
+          element_at(col("card_faces"), 1).getField("image_uris").getField("normal")))
+      .withColumn("n_faces", size(col("card_faces")))
+  }
+
+  /** Sets-dimension ingest: parse → safe date → typed columns. */
+  def ingestSets(raw: DataFrame): DataFrame = {
+    val parsed = raw
+      .select(from_json(col("raw"), SetSchema).as("s"))
+      .select(col("s.*"))
+    EtlOps.parseDateSafe(parsed, "released_at", "released_date")
   }
 
   /** Driver-contract query (rows-only: input is synthesized JSON, not a
-    * parquet table; exact semantics asserted in IngestSpec). */
+    * parquet table; exact semantics asserted in IngestSpec). Projects the
+    * analysis-friendly column subset — the full width is exercised by the
+    * parse and asserted in IngestSpec. */
   def qIngestJsonCards(spark: SparkSession, dir: String): DataFrame =
-    ingestCards(syntheticRawCards(spark, 500)).orderBy("id")
+    ingestCards(syntheticRawCards(spark, 500))
+      .select(
+        col("id"), col("name"), col("released_date"), col("layout"),
+        col("layout_valid"), col("cmc"), col("price_usd"), col("image_normal"),
+        col("set"), col("rarity"), size(col("colors")).as("n_colors"),
+        col("edhrec_rank"), col("n_faces"))
+      .orderBy("id")
+
+  /** Driver-contract query for the sets dimension (rows-only). */
+  def qIngestJsonSets(spark: SparkSession, dir: String): DataFrame =
+    ingestSets(syntheticRawSets(spark))
+      .select(col("id"), col("code"), col("name"), col("released_date"),
+        col("set_type"), col("card_count"), col("parent_set_code"), col("digital"))
+      .orderBy("id")
+
+  /** Cards ⋈ sets star query over the two ingest pipelines (the reference
+    * README's core query surface: cards joined to their set). The sets
+    * dimension is broadcast; all aggregates are integral so the DuckDB
+    * oracle (which regenerates the same corpus from range()) hash-matches
+    * exactly. */
+  def qCardsPerSet(spark: SparkSession, dir: String): DataFrame = {
+    // cards itself carries a (denormalized) set_name column, so the
+    // dimension's name gets a private alias until the final projection
+    val cards = ingestCards(syntheticRawCards(spark, 500))
+    val sets = ingestSets(syntheticRawSets(spark))
+      .select(col("code"), col("name").as("__dim_set_name"), col("set_type"))
+    cards.join(broadcast(sets), cards("set") === sets("code"))
+      .groupBy(col("code"), col("__dim_set_name"))
+      .agg(
+        count(lit(1)).as("n_cards"),
+        sum(when(col("layout_valid"), 1L).otherwise(0L)).as("n_valid_layout"),
+        sum(col("cmc").cast("long")).as("sum_cmc"),
+        sum((col("price_usd") * 100).cast("bigint")).as("sum_price_cents"))
+      .withColumnRenamed("__dim_set_name", "set_name")
+      .select("code", "set_name", "n_cards", "n_valid_layout", "sum_cmc", "sum_price_cents")
+      .orderBy("code")
+  }
 }
