@@ -52,11 +52,18 @@ object DedupOps {
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String, rowsPerBand: Int): DataFrame = {
     require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
     // posexplode_outer: the plain generate would get an inferred
-    // size(...)>0 pre-filter that re-evaluates the whole band transform
+    // size(...)>0 pre-filter that re-evaluates the whole band transform.
+    // The CASE guards signatures shorter than one band: sequence(0, -1)
+    // yields a DESCENDING [0, -1] (not an empty array), which would emit a
+    // bogus band that buckets every short-signature doc together — instead
+    // emit no bands (posexplode_outer's null band never equi-joins).
     val banded = docs.select(
       col(idCol),
       posexplode_outer(expr(
-        s"transform(sequence(0, size($sigCol) div $rowsPerBand - 1), b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"))
+        s"""case when size($sigCol) >= $rowsPerBand
+           |then transform(sequence(0, size($sigCol) div $rowsPerBand - 1),
+           |               b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))
+           |else cast(array() as array<int>) end""".stripMargin))
         .as(Seq("band", "bucket"))
     )
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
@@ -190,14 +197,18 @@ object DedupOps {
   /** Connected components over a near-dup pair list by iterative min-label
     * propagation TO A FIXPOINT: every doc starts as its own cluster; each
     * round adopts the minimum cluster id among itself and its neighbors.
-    * Labels only ever decrease (the self-loop keeps a node's own label in
-    * the min), so the global label sum strictly decreases until the
-    * fixpoint — one cheap aggregate per round detects convergence without
-    * a change-count join. Components of ANY diameter resolve (`maxIters`
-    * is a runaway backstop, not a semantic bound). Each round is one join
-    * + one aggregation — the standard scalable CC shape (no driver-side
-    * graph) — and intermediate checkpoint blocks are unpersisted as soon
-    * as the next round materializes, so repeated calls in one JVM don't
+    * Convergence is detected TYPE-AGNOSTICALLY — the self-loop edge row
+    * (src == dst) carries each node's own previous label through the
+    * propagation join, so the round's aggregate emits (new label, previous
+    * label) side by side and a null-safe `!=` count says how many nodes
+    * changed — no numeric-id assumption (a label SUM would return null for
+    * string ids and falsely converge, and can overflow under ANSI mode),
+    * and no extra join: the count scans the just-checkpointed round
+    * output. Components of ANY diameter resolve (`maxIters` is a runaway
+    * backstop, not a semantic bound). Each round is one join + one
+    * aggregation — the standard scalable CC shape (no driver-side graph)
+    * — and intermediate checkpoint blocks are unpersisted as soon as the
+    * next round materializes, so repeated calls in one JVM don't
     * accumulate block-store pressure. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // symmetric edge list including self-loops so isolated docs keep
@@ -209,29 +220,29 @@ object DedupOps {
       .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("cluster")).head.getAs[Any](0) match {
-        case null => 0L
-        case n: Number => n.longValue()
-      }
-    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster").as("cluster"))
+        .agg(
+          min("cluster").as("cluster"),
+          // every node has exactly one self-loop, so this picks out its
+          // own label from the previous round (works for any label type)
+          max(when(col("src") === col("dst"), col("cluster"))).as("__prev"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val nChanged = next.filter(!(col("cluster") <=> col("__prev"))).count()
       labels.unpersist()
+      // keep `next` itself (the checkpointed Dataset) as the loop variable
+      // so unpersist targets the actual checkpoint blocks; __prev rides
+      // along unused and is dropped in the final projection
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = nChanged == 0L
       it += 1
     }
     edges.unpersist()
-    labels
+    labels.drop("__prev")
   }
 
   /** Cluster assignment for the corpus: components over the exact

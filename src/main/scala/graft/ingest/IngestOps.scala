@@ -8,7 +8,7 @@ import graft.operators.EtlOps
 /** Schema-driven semi-structured ingest (SURVEY.md §2.A,
   * `ingest_json_cards` / `ingest_json_sets` / `q_cards_per_set`),
   * re-expressing the reference's card pipeline: streaming JSON → typed
-  * FULL 67-column schema (/root/reference/import_cards.py:58-127,
+  * FULL 68-column schema (/root/reference/import_cards.py:58-127,
   * mtg-database/init.sql:31-100), null-on-invalid date parse (:150-157),
   * decimal normalization (:159-172), closed-ENUM layout validation
   * (:29-34,186-189), multiface image repair (:191-198), and the sets
@@ -42,7 +42,7 @@ object IngestOps {
     StructField("border_crop", StringType)))
 
   /** Typed target schema for the FULL card surface — one field per
-    * init.sql `cards` column (67), UUIDs as strings, JSONB as typed
+    * init.sql `cards` column (68), UUIDs as strings, JSONB as typed
     * arrays/maps/structs. */
   val CardSchema: StructType = StructType(Seq(
     StructField("id", StringType),
@@ -298,7 +298,7 @@ object IngestOps {
     spark.range(n).select(to_json(set).as("raw"))
   }
 
-  /** Full-width ingest over a raw-JSON-string column: parse all 67 typed
+  /** Full-width ingest over a raw-JSON-string column: parse all 68 typed
     * columns → date/decimal normalization → enum validation → multiface
     * image repair. Pure column algebra, no UDFs. Output = every schema
     * column plus the derived (released_date, layout_valid, price_usd,

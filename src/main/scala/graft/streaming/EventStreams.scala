@@ -64,10 +64,15 @@ object EventStreams {
     * stage-then-RENAME: the merge is written to a staging dir, the old
     * target renamed aside, staging renamed in, the old copy deleted.
     * Rename is atomic on HDFS/POSIX so a crash leaves either the old or
-    * the new table (plus at worst an orphan `_old`/`_staging` dir that the
-    * next batch clears). On object stores without atomic rename the
-    * production answer is a transactional table format — this sink keeps
-    * the demo dependency-free while exercising the same merge plan.
+    * the new table. Each batch starts with [[recoverCommitState]]: if a
+    * previous commit crashed mid-swap (target missing, data only in
+    * `_old`/`_staging`), the surviving copy is renamed BACK into place
+    * before leftovers are cleared — never deleted — and every
+    * `fs.rename` return value is checked (Hadoop signals failure via
+    * `false`, not an exception), aborting the batch rather than deleting
+    * a backup after a failed swap. On object stores without atomic rename
+    * the production answer is a transactional table format — this sink
+    * keeps the demo dependency-free while exercising the same merge plan.
     */
   def upsertSink(
       stream: DataFrame,
@@ -84,9 +89,7 @@ object EventStreams {
         val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
         val staging = new org.apache.hadoop.fs.Path(targetPath + "_staging")
         val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
-        // clear leftovers from a previous crashed commit
-        fs.delete(staging, true)
-        fs.delete(old, true)
+        recoverCommitState(fs, target, staging, old)
         val latest = graft.operators.MergeOps.latestByKey(batch, keys, orderCol, tiebreak)
         val merged =
           if (fs.exists(target)) {
@@ -98,12 +101,45 @@ object EventStreams {
         // stage-then-swap via rename: never overwrite the path still being
         // read, never collect the merge to the driver
         merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(target)) fs.rename(target, old)
-        fs.rename(staging, target)
+        if (fs.exists(target))
+          renameOrAbort(fs, target, old)
+        renameOrAbort(fs, staging, target)
         fs.delete(old, true)
         ()
       }
       .start()
+
+  /** Crash-recovery preamble for the stage-then-rename commit: if the last
+    * commit died between "target renamed aside" and "staging renamed in",
+    * the table survives only as `_old` (the pre-merge copy) or `_staging`
+    * (the fully-written merge). Restore the best surviving copy into place
+    * — preferring `_staging`, which already contains the merge — instead
+    * of deleting it, THEN clear whatever leftovers remain. Idempotent;
+    * a no-op when `target` exists (the normal path). */
+  def recoverCommitState(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(target)) {
+      if (fs.exists(staging)) renameOrAbort(fs, staging, target)
+      else if (fs.exists(old)) renameOrAbort(fs, old, target)
+    }
+    fs.delete(staging, true)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Hadoop `FileSystem.rename` reports failure by returning false, not by
+    * throwing — an unchecked call can "succeed" past a failed swap and then
+    * delete the only surviving copy. Abort the batch instead (the streaming
+    * engine retries it; recovery restores the table first). */
+  private def renameOrAbort(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"upsertSink commit: rename $src -> $dst failed")
 
   // ---- stateful streaming sessionization ----
 
@@ -127,6 +163,11 @@ object EventStreams {
     def micros(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
     def instant(us: Long): java.time.Instant =
       java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    // Gap test compares SECOND-floored timestamps — by construction the
+    // same predicate as the batch qSessionize (cast-to-long seconds) and
+    // the shared DuckDB oracle (floor(epoch)), so the three paths agree
+    // even when sub-second timestamps straddle a whole-second boundary.
+    def secondsFloor(us: Long): Long = Math.floorDiv(us, 1000000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -139,7 +180,7 @@ object EventStreams {
             val t = micros(e.ts)
             if (st.n == 0L) {
               st = SessionState(1L, t, t, 1L, e.value)
-            } else if (t - st.lastTs > gapSeconds * 1000000L) {
+            } else if (secondsFloor(t) - secondsFloor(st.lastTs) > gapSeconds) {
               out += SessionOut(user, st.sessionSeq, instant(st.start), st.n, st.sum)
               st = SessionState(st.sessionSeq + 1, t, t, 1L, e.value)
             } else {

@@ -113,6 +113,30 @@ class DedupSpec extends SparkSpec {
     assert(cands == Set((1L, 2L)))
   }
 
+  test("cluster propagation converges for STRING doc ids (type-agnostic fixpoint)") {
+    // a numeric label-sum convergence test returns null on strings and
+    // would falsely converge after one round, leaving the chain unmerged
+    val docs = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(docs, pairs)
+      .as[(String, String)].collect().toMap
+    Seq("a", "b", "c", "d", "e", "f").foreach(id =>
+      assert(out(id) == "a", s"doc $id got ${out(id)}"))
+  }
+
+  test("signatures shorter than one band emit no spurious candidates") {
+    // sequence(0, -1) is DESCENDING [0, -1]; unguarded, every
+    // short-signature doc would land in one shared bogus band and pair up
+    val docs = Seq(
+      (1L, Array(11L, 12L)), // 2 < rowsPerBand = 4
+      (2L, Array(99L, 98L)),
+      (3L, Array.empty[Long]))
+      .toDF("doc_id", "sig")
+    val cands = DedupOps.lshCandidates(docs, "doc_id", "sig", 4)
+    assert(cands.count() == 0, s"short signatures paired: ${cands.collect().toSeq}")
+  }
+
   test("prefix-filtered jaccard equals the count-aggregation path exactly") {
     val fast = DedupOps.qNgramJaccard(spark, SfDir)
     val pref = DedupOps.ngramJaccardPrefix(spark, SfDir)

@@ -82,6 +82,54 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedState.exceptAll(batchState).count() == 0)
   }
 
+  test("commit recovery restores the table from _old or _staging instead of deleting it") {
+    import org.apache.hadoop.fs.Path
+    def mkTable(p: Path, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      fs.mkdirs(p); fs.create(new Path(p, "part-0.parquet")).close()
+    }
+    val root = Files.createTempDirectory("graft_recover").toString
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // crash window A: target renamed aside, staging never swapped in —
+    // the table exists only as _old; recovery must restore, not delete
+    val t1 = new Path(root, "t1"); val s1 = new Path(root, "t1_staging"); val o1 = new Path(root, "t1_old")
+    mkTable(o1, fs)
+    EventStreams.recoverCommitState(fs, t1, s1, o1)
+    assert(fs.exists(t1) && !fs.exists(o1) && !fs.exists(s1))
+
+    // crash window B: staging fully written (it holds the merge) and _old
+    // also present — staging is the richer copy and must win
+    val t2 = new Path(root, "t2"); val s2 = new Path(root, "t2_staging"); val o2 = new Path(root, "t2_old")
+    mkTable(s2, fs); mkTable(o2, fs)
+    EventStreams.recoverCommitState(fs, t2, s2, o2)
+    assert(fs.exists(t2) && fs.exists(new Path(t2, "part-0.parquet")))
+    assert(!fs.exists(s2) && !fs.exists(o2))
+
+    // normal path: target intact, stale leftovers just get cleared
+    val t3 = new Path(root, "t3"); val s3 = new Path(root, "t3_staging"); val o3 = new Path(root, "t3_old")
+    mkTable(t3, fs); mkTable(s3, fs)
+    EventStreams.recoverCommitState(fs, t3, s3, o3)
+    assert(fs.exists(new Path(t3, "part-0.parquet")) && !fs.exists(s3))
+  }
+
+  test("sub-second timestamps use the batch path's second-floored gap predicate") {
+    import spark.implicits._
+    import EventStreams.SessionEvent
+    // raw gap 1800.8s > 1800 but floored gap = 1800 - 0 = 1800, NOT > 1800:
+    // the batch sessionizer and the DuckDB oracle both keep these in ONE
+    // session, so the stateful path must too
+    val evs = Seq(
+      SessionEvent(1L, java.time.Instant.ofEpochMilli(100), 1.0),
+      SessionEvent(1L, java.time.Instant.ofEpochMilli(1800900), 2.0),
+      // and a genuinely-split pair: floored gap 1801 > 1800
+      SessionEvent(2L, java.time.Instant.ofEpochMilli(900), 1.0),
+      SessionEvent(2L, java.time.Instant.ofEpochMilli(1801900), 2.0)
+    ).toDS()
+    val out = EventStreams.sessionizeStateful(evs, 1800L)
+      .collect().map(s => (s.user_id, s.session_seq, s.n_events)).toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 1L), (2L, 2L, 1L)), s"got $out")
+  }
+
   test("stateful sessionization equals the window-based batch sessionizer") {
     val stateful = EventStreams.qStreamSessionize(spark, SfDir)
       .select("user_id", "session_seq", "n_events", "session_value")
