@@ -64,6 +64,8 @@ object SparkEntry {
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
+    "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
+    "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
@@ -261,7 +263,7 @@ object SparkEntry {
         |  upper(substr(p_name, 1, 8)) AS name_prefix,
         |  length(p_name) AS name_len,
         |  regexp_replace(p_name, '\s+', '_', 'g') AS name_snake
-        |FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey""".stripMargin,
+        |FROM part WHERE p_name LIKE '%bolt%' ORDER BY p_partkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n,
         |  count(DISTINCT month(o_orderdate)) AS n_months,
@@ -376,7 +378,75 @@ object SparkEntry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
-    // so the oracle regenerates it from range() — no fixture tables needed
+    // so the oracles regenerate it from range() — no fixture tables needed
+    "ingest_json_cards" ->
+      """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
+        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
+        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
+        |    END AS DATE) AS released_date,
+        |  CASE WHEN i % 11 = 0 THEN 'weird'
+        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
+        |           'class','case','saga','adventure','mutate','prototype','battle',
+        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
+        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
+        |    END AS layout,
+        |  i % 11 <> 0 AS layout_valid,
+        |  CAST(i % 12 AS DOUBLE) AS cmc,
+        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
+        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
+        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
+        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |  CAST(i % 5 + 1 AS INT) AS n_colors,
+        |  CAST(i % 20000 AS INT) AS edhrec_rank,
+        |  CAST(2 AS INT) AS n_faces
+        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    "ingest_json_sets" ->
+      """SELECT
+        |  'setid-' || CAST(i AS VARCHAR) AS id,
+        |  'S' || CAST(i AS VARCHAR) AS code,
+        |  'Set ' || CAST(i AS VARCHAR) AS name,
+        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'bogus'
+        |    ELSE '20' || lpad(CAST(i % 25 AS VARCHAR), 2, '0') || '-01-15' END AS DATE) AS released_date,
+        |  (['expansion','core','masters','token'])[CAST(i % 4 AS INT) + 1] AS set_type,
+        |  CAST(i % 300 + 50 AS INT) AS card_count,
+        |  CASE WHEN i % 5 = 0 THEN 'S' || CAST(i + 1 AS VARCHAR) ELSE NULL END AS parent_set_code,
+        |  i % 11 = 0 AS digital
+        |FROM range(0, 40) t(i) ORDER BY id""".stripMargin,
+    "q_cards_keyword_filter" ->
+      """WITH cards AS (
+        |  SELECT i,
+        |    'card-' || CAST(i AS VARCHAR) AS id,
+        |    'Card ' || CAST(i AS VARCHAR) AS name,
+        |    'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |    (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |    ['Flying', 'Keyword' || CAST(i % 6 AS VARCHAR)] AS kw,
+        |    (['W','U','B','R','G'])[1:CAST(i % 5 AS INT) + 1] AS ci
+        |  FROM range(0, 500) t(i))
+        |SELECT id, name, set_code, rarity,
+        |  array_to_string(kw, ',') AS keywords,
+        |  array_to_string(ci, '') AS color_id
+        |FROM cards
+        |WHERE list_contains(kw, 'Keyword3')
+        |  AND len(list_filter(ci, c -> c NOT IN ('W','U'))) = 0
+        |ORDER BY id""".stripMargin,
+    "q_cards_text_search" ->
+      """WITH cards AS (
+        |  SELECT
+        |    'card-' || CAST(i AS VARCHAR) AS id,
+        |    'Card ' || CAST(i AS VARCHAR) AS name,
+        |    'Rules text for card ' || CAST(i AS VARCHAR) || '.' AS oracle_text
+        |  FROM range(0, 500) t(i)),
+        |flags AS (
+        |  SELECT id, name, oracle_text,
+        |    contains(lower(name), 'card 12') AS name_match,
+        |    list_contains(string_split_regex(lower(oracle_text), '\s+'), '12.') AS text_match
+        |  FROM cards)
+        |SELECT id, name, oracle_text, name_match, text_match
+        |FROM flags WHERE name_match OR text_match ORDER BY id""".stripMargin,
     "q_cards_per_set" ->
       """WITH cards AS (
         |  SELECT i,

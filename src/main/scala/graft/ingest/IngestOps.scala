@@ -327,20 +327,50 @@ object IngestOps {
     EtlOps.parseDateSafe(parsed, "released_at", "released_date")
   }
 
-  /** Driver-contract query (rows-only: input is synthesized JSON, not a
-    * parquet table; exact semantics asserted in IngestSpec). Projects the
+  // ---- session-scoped corpus cache ----
+
+  /** Build-once-per-session materialization of a DataFrame behind a temp
+    * view. The 68-column synthesized corpus costs ~seconds of Janino
+    * codegen (giant literal struct → to_json → from_json) every time its
+    * plan compiles; the DATA is a few hundred KB. Materializing once via
+    * localCheckpoint and registering a temp view makes every downstream
+    * cards query start from a tiny in-memory table — the codegen cost is
+    * paid once per session instead of once per query run. Temp views are
+    * per-SparkSession, so no cross-session leakage; synchronized so
+    * concurrent first calls (parallel Verify) build exactly once. */
+  private def cachedView(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      if (!spark.catalog.tableExists(name))
+        build.localCheckpoint(eager = true).createOrReplaceTempView(name)
+      spark.table(name)
+    }
+
+  /** The ingested 500-card corpus, materialized once per session. */
+  def cardsCorpus(spark: SparkSession, n: Long = 500): DataFrame =
+    cachedView(spark, s"graft_cards_corpus_$n")(ingestCards(syntheticRawCards(spark, n)))
+
+  /** The ingested sets dimension, materialized once per session. */
+  def setsCorpus(spark: SparkSession): DataFrame =
+    cachedView(spark, "graft_sets_corpus")(ingestSets(syntheticRawSets(spark)))
+
+  /** Driver-contract query over the full ingest pipeline. Deliberately NOT
+    * served from [[cardsCorpus]]: this entry IS the ingest operator, so its
+    * bench number must include the real parse work. Projects the
     * analysis-friendly column subset — the full width is exercised by the
-    * parse and asserted in IngestSpec. */
+    * parse and asserted in IngestSpec; price is emitted as integer cents
+    * (hash-portable) and the full-width decimal is asserted in IngestSpec. */
   def qIngestJsonCards(spark: SparkSession, dir: String): DataFrame =
     ingestCards(syntheticRawCards(spark, 500))
       .select(
         col("id"), col("name"), col("released_date"), col("layout"),
-        col("layout_valid"), col("cmc"), col("price_usd"), col("image_normal"),
-        col("set"), col("rarity"), size(col("colors")).as("n_colors"),
+        col("layout_valid"), col("cmc"),
+        (col("price_usd") * 100).cast("bigint").as("price_cents"),
+        col("image_normal"),
+        col("set").as("set_code"), col("rarity"), size(col("colors")).as("n_colors"),
         col("edhrec_rank"), col("n_faces"))
       .orderBy("id")
 
-  /** Driver-contract query for the sets dimension (rows-only). */
+  /** Driver-contract query for the sets dimension. */
   def qIngestJsonSets(spark: SparkSession, dir: String): DataFrame =
     ingestSets(syntheticRawSets(spark))
       .select(col("id"), col("code"), col("name"), col("released_date"),
@@ -355,8 +385,8 @@ object IngestOps {
   def qCardsPerSet(spark: SparkSession, dir: String): DataFrame = {
     // cards itself carries a (denormalized) set_name column, so the
     // dimension's name gets a private alias until the final projection
-    val cards = ingestCards(syntheticRawCards(spark, 500))
-    val sets = ingestSets(syntheticRawSets(spark))
+    val cards = cardsCorpus(spark)
+    val sets = setsCorpus(spark)
       .select(col("code"), col("name").as("__dim_set_name"), col("set_type"))
     cards.join(broadcast(sets), cards("set") === sets("code"))
       .groupBy(col("code"), col("__dim_set_name"))
@@ -369,4 +399,40 @@ object IngestOps {
       .select("code", "set_name", "n_cards", "n_valid_layout", "sum_cmc", "sum_price_cents")
       .orderBy("code")
   }
+
+  /** Keyword + color-identity containment over the ingested corpus — the
+    * reference's single most idiomatic query shape ("all cards with
+    * <keyword> that fit in <colors>"), served there by GIN array indexes
+    * (/root/reference/mtg-database/init.sql:129-131 `USING gin(keywords)`,
+    * `gin(colors)`). Here the arrays are TYPED columns, so containment is
+    * plain codegen'd array algebra: `array_contains` for the keyword,
+    * `array_except(...) = empty` for "color identity ⊆ {W,U}" — both
+    * evaluated in the scan, no index structure needed (and at 100 TB the
+    * same predicates push into parquet row-group statistics via the
+    * accompanying scalar columns). */
+  def qCardsKeywordFilter(spark: SparkSession, dir: String): DataFrame =
+    cardsCorpus(spark)
+      .filter(array_contains(col("keywords"), "Keyword3") &&
+        size(array_except(col("color_identity"), array(lit("W"), lit("U")))) === 0)
+      .select(col("id"), col("name"), col("set").as("set_code"), col("rarity"),
+        concat_ws(",", col("keywords")).as("keywords"),
+        concat_ws("", col("color_identity")).as("color_id"))
+      .orderBy("id")
+
+  /** Name/oracle-text search over the ingested corpus — the reference's
+    * trigram-ILIKE + tsvector surface (init.sql:137-145). Two predicates:
+    * substring match on the card name (the `ILIKE '%term%'` trigram shape)
+    * and tokenized match on the rules text (the tsvector shape — exact
+    * token membership after lowercase+whitespace split). A row qualifies
+    * if either hits; both flags are emitted so the oracle verifies each
+    * predicate, not just the union. */
+  def qCardsTextSearch(spark: SparkSession, dir: String): DataFrame =
+    cardsCorpus(spark)
+      .withColumn("name_match", lower(col("name")).contains("card 12"))
+      .withColumn("text_match",
+        array_contains(split(lower(col("oracle_text")), "\\s+"), "12."))
+      .filter(col("name_match") || col("text_match"))
+      .select(col("id"), col("name"), col("oracle_text"),
+        col("name_match"), col("text_match"))
+      .orderBy("id")
 }

@@ -318,10 +318,14 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** String-function surface: LIKE pushdown, substring, upper, length. */
+  /** String-function surface: LIKE pushdown, substring, upper, length.
+    * The pattern matches ~1/8 of the synthesized part names ("red bolt",
+    * "blue bolt", ...) so the oracle hash verifies real string-function
+    * output — a pattern matching zero rows would pass vacuously
+    * (RelationalSpec asserts non-empty). */
   def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
-      .filter(col("p_name").like("%green%"))
+      .filter(col("p_name").like("%bolt%"))
       .select(
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 8)).as("name_prefix"),

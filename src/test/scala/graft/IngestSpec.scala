@@ -27,8 +27,11 @@ class IngestSpec extends SparkSpec {
   }
 
   test("prices normalize to decimal(10,2), null when absent (every 5th)") {
-    assert(out.filter(col("price_usd").isNull).count() == 500 / 5)
-    assert(out.schema("price_usd").dataType.typeName == "decimal(10,2)")
+    // the driver query emits hash-portable integer cents; the full-width
+    // ingest keeps the typed decimal
+    assert(out.filter(col("price_cents").isNull).count() == 500 / 5)
+    val full = IngestOps.ingestCards(IngestOps.syntheticRawCards(spark, 50))
+    assert(full.schema("price_usd").dataType.typeName == "decimal(10,2)")
   }
 
   test("missing top-level image (every 3rd card) is repaired from first face") {
@@ -81,5 +84,37 @@ class IngestSpec extends SparkSpec {
     assert(out.count() == IngestOps.NSets)
     val total = out.agg(sum("n_cards")).head.getLong(0)
     assert(total == 500, s"join dropped/duplicated cards: $total")
+  }
+
+  test("keyword/color containment finds exactly the WU Keyword3 cards, non-vacuously") {
+    val out = IngestOps.qCardsKeywordFilter(spark, SfDir).collect()
+    assert(out.nonEmpty, "containment query matched zero rows — vacuous")
+    // id%6==3 (Keyword3) and id%5<=1 (identity within {W,U})
+    val expected = (0L until 500L).count(i => i % 6 == 3 && i % 5 <= 1)
+    assert(out.length == expected, s"got ${out.length}, want $expected")
+    out.foreach { r =>
+      assert(r.getAs[String]("keywords").contains("Keyword3"))
+      assert(r.getAs[String]("color_id").forall(c => c == 'W' || c == 'U'))
+    }
+  }
+
+  test("text search matches by name-substring OR rules-text token, non-vacuously") {
+    val out = IngestOps.qCardsTextSearch(spark, SfDir).collect()
+    assert(out.nonEmpty, "text search matched zero rows — vacuous")
+    // '%card 12%' on names: 12, 120..129; token '12.' in rules text: 12 only
+    val ids = out.map(_.getAs[String]("id")).toSet
+    assert(ids == (Set(12L) ++ (120L to 129L)).map(i => s"card-$i"), s"got $ids")
+    assert(out.count(_.getAs[Boolean]("text_match")) == 1)
+    assert(out.forall(_.getAs[Boolean]("name_match")))
+  }
+
+  test("session corpus cache materializes once and serves repeat queries") {
+    val a = IngestOps.cardsCorpus(spark)
+    val b = IngestOps.cardsCorpus(spark)
+    assert(a.count() == 500 && b.count() == 500)
+    assert(spark.catalog.tableExists("graft_cards_corpus_500"))
+    // cached plan must be a trivial scan, not the full ingest pipeline
+    assert(!b.queryExecution.optimizedPlan.toString.contains("from_json"),
+      "corpus cache is re-running the JSON parse")
   }
 }
