@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped build-once materialization of a DataFrame behind a temp
+  * view. Some inputs cost far more to PLAN than to hold: the 68-column
+  * synthesized cards corpus pays seconds of Janino codegen per plan
+  * compile, and near-dup pair mining pays a full inverted-index shuffle
+  * per invocation — while the materialized result is a few hundred KB.
+  * Materializing once via eager localCheckpoint and serving every later
+  * call from the registered temp view pays that cost once per session.
+  *
+  * Temp views are per-SparkSession, so nothing leaks across sessions;
+  * the build is synchronized so concurrent first calls (parallel Verify)
+  * build exactly once. At cluster scale the same pattern holds — a
+  * localCheckpoint pins the result in executor block storage, which is
+  * exactly what you want for a reused intermediate that is small relative
+  * to the inputs that produced it (for large reused intermediates,
+  * substitute a persisted table / `checkpoint` to durable storage).
+  */
+object SessionCache {
+
+  /** Return the cached view `name`, building and registering it on first
+    * use. `build` is evaluated at most once per session per name. */
+  def cachedView(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      if (!spark.catalog.tableExists(name))
+        build.localCheckpoint(eager = true).createOrReplaceTempView(name)
+      spark.table(name)
+    }
+
+  /** Sanitize an arbitrary string (e.g. a data directory path) into a
+    * legal temp-view-name suffix. */
+  def viewKey(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+}

@@ -478,6 +478,41 @@ object SparkEntry {
         |FROM all_docs
         |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
+    // Same answer as ngram_jaccard by construction: the LSH banding only
+    // ROUTES candidate generation; verification is exact Jaccard >= 0.5
+    // over the same 3-word shingles. The oracle computes the full exact
+    // pair list, so a hash match also certifies LSH recall on this corpus.
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.s, b.s)) AS inter_n,
+        |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Recomputes the ENTIRE simhash pipeline: the token hash is the first
+    // 8 md5 digest bytes big-endian (engine-portable, = Spark's
+    // DedupOps.md5Hash64), per-bit majority (2*ones > n) packs the
+    // fingerprint, all-pairs hamming <= 3 is the answer — banding on the
+    // Spark side is routing only (pigeonhole guarantees recall).
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 <> 0)) > len(hs) THEN 1 ELSE 0 END
+        |     FOR i IN range(0, 64)] AS b
+        |  FROM toks)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_filter(range(0, 64), i -> a.b[i+1] <> b.b[i+1])) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id) p
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -329,21 +329,13 @@ object IngestOps {
 
   // ---- session-scoped corpus cache ----
 
-  /** Build-once-per-session materialization of a DataFrame behind a temp
-    * view. The 68-column synthesized corpus costs ~seconds of Janino
-    * codegen (giant literal struct → to_json → from_json) every time its
-    * plan compiles; the DATA is a few hundred KB. Materializing once via
-    * localCheckpoint and registering a temp view makes every downstream
-    * cards query start from a tiny in-memory table — the codegen cost is
-    * paid once per session instead of once per query run. Temp views are
-    * per-SparkSession, so no cross-session leakage; synchronized so
-    * concurrent first calls (parallel Verify) build exactly once. */
+  /** Build-once-per-session materialization — see [[graft.SessionCache]].
+    * The 68-column synthesized corpus costs ~seconds of Janino codegen
+    * (giant literal struct → to_json → from_json) every time its plan
+    * compiles; the DATA is a few hundred KB, so every downstream cards
+    * query starts from a tiny in-memory table. */
   private def cachedView(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      if (!spark.catalog.tableExists(name))
-        build.localCheckpoint(eager = true).createOrReplaceTempView(name)
-      spark.table(name)
-    }
+    graft.SessionCache.cachedView(spark, name)(build)
 
   /** The ingested 500-card corpus, materialized once per session. */
   def cardsCorpus(spark: SparkSession, n: Long = 500): DataFrame =

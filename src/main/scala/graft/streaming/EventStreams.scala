@@ -112,17 +112,24 @@ object EventStreams {
   /** Crash-recovery preamble for the stage-then-rename commit: if the last
     * commit died between "target renamed aside" and "staging renamed in",
     * the table survives only as `_old` (the pre-merge copy) or `_staging`
-    * (the fully-written merge). Restore the best surviving copy into place
-    * — preferring `_staging`, which already contains the merge — instead
-    * of deleting it, THEN clear whatever leftovers remain. Idempotent;
+    * (the merge). `_staging` is only trusted when its write JOB committed
+    * — i.e. the `_SUCCESS` marker exists. A first-batch crash MID-write
+    * leaves a partial `_staging` (no `_SUCCESS`, possibly only
+    * `_temporary`) and no `target`/`_old` at all; renaming that into
+    * place would install a partial dir as the permanent merge base (and
+    * recovery would never re-trigger, since `target` then exists).
+    * Partial staging is deleted; a committed staging or the `_old` copy
+    * is renamed BACK into place, THEN leftovers are cleared. Idempotent;
     * a no-op when `target` exists (the normal path). */
   def recoverCommitState(
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path,
       old: org.apache.hadoop.fs.Path): Unit = {
+    val stagingCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
     if (!fs.exists(target)) {
-      if (fs.exists(staging)) renameOrAbort(fs, staging, target)
+      if (fs.exists(staging) && stagingCommitted) renameOrAbort(fs, staging, target)
       else if (fs.exists(old)) renameOrAbort(fs, old, target)
     }
     fs.delete(staging, true)

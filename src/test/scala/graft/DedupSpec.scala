@@ -101,6 +101,41 @@ class DedupSpec extends SparkSpec {
     assert(out2(6L) == 6L && out2(7L) == 6L && out2(3L) == 3L)
   }
 
+  test("md5Hash64 packs the first 8 digest bytes big-endian (oracle parity)") {
+    // md5('abc') = 900150983cd24fb0...; 0x900150983cd24fb0 as signed =
+    // -8070080442485551184. DuckDB computes the same value via
+    // ('0x' || substr(md5(t),1,16))::UBIGINT — same bits, so the oracle's
+    // simhash fingerprints match Spark's exactly.
+    val got = Seq("abc").toDF("t")
+      .select(DedupOps.md5Hash64(col("t")).as("h")).as[Long].head()
+    assert(got == -8070080442485551184L, f"got $got%x")
+  }
+
+  test("LSH-routed minhash pairs equal the exact Jaccard>=0.5 pair list") {
+    // the oracle-gate contract: banding only routes candidate generation,
+    // verification is exact — so the verified output must equal the full
+    // inverted-index answer (this also certifies LSH recall on the corpus)
+    val lsh = DedupOps.qDedupMinhashLsh(spark, SfDir)
+    val exact = DedupOps.qNgramJaccard(spark, SfDir)
+    assert(lsh.count() > 0)
+    assert(lsh.exceptAll(exact).count() == 0 && exact.exceptAll(lsh).count() == 0)
+  }
+
+  test("nodes appearing only in pairs still converge (and get labels)") {
+    // 7 and 8 are pair endpoints absent from docs: before the node-union
+    // fix they had no self-loop, so __prev stayed null and the changed
+    // count never hit 0 — labels correct, but every call burned all
+    // maxIters rounds. A 3-node star converges in <= 3 rounds.
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq((1L, 7L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val (out, iters) = DedupOps.dedupClustersWithIters(docs, pairs)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.keySet == Set(1L, 2L, 7L, 8L))
+    Seq(1L, 7L, 8L).foreach(id => assert(labels(id) == 1L, s"doc $id got ${labels(id)}"))
+    assert(labels(2L) == 2L)
+    assert(iters <= 4, s"expected fixpoint in <=4 rounds, burned $iters")
+  }
+
   test("lsh band count follows the signature width (no hard-coded 16)") {
     // k = 8, rowsPerBand = 4 -> 2 bands; identical docs must still pair up
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))

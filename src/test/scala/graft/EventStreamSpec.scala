@@ -84,8 +84,10 @@ class EventStreamSpec extends SparkSpec {
 
   test("commit recovery restores the table from _old or _staging instead of deleting it") {
     import org.apache.hadoop.fs.Path
-    def mkTable(p: Path, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    def mkTable(p: Path, fs: org.apache.hadoop.fs.FileSystem,
+                committed: Boolean = true): Unit = {
       fs.mkdirs(p); fs.create(new Path(p, "part-0.parquet")).close()
+      if (committed) fs.create(new Path(p, "_SUCCESS")).close()
     }
     val root = Files.createTempDirectory("graft_recover").toString
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -110,6 +112,21 @@ class EventStreamSpec extends SparkSpec {
     mkTable(t3, fs); mkTable(s3, fs)
     EventStreams.recoverCommitState(fs, t3, s3, o3)
     assert(fs.exists(new Path(t3, "part-0.parquet")) && !fs.exists(s3))
+
+    // crash window C: first batch died MID-staging-write — partial staging
+    // (no _SUCCESS), no target, no _old. The partial dir must be deleted,
+    // NOT installed as the merge base; the sink then rebuilds from scratch
+    val t4 = new Path(root, "t4"); val s4 = new Path(root, "t4_staging"); val o4 = new Path(root, "t4_old")
+    mkTable(s4, fs, committed = false)
+    EventStreams.recoverCommitState(fs, t4, s4, o4)
+    assert(!fs.exists(t4) && !fs.exists(s4))
+
+    // crash window D: partial staging AND an intact _old — _old must win
+    // over the uncommitted merge attempt
+    val t5 = new Path(root, "t5"); val s5 = new Path(root, "t5_staging"); val o5 = new Path(root, "t5_old")
+    mkTable(s5, fs, committed = false); mkTable(o5, fs)
+    EventStreams.recoverCommitState(fs, t5, s5, o5)
+    assert(fs.exists(new Path(t5, "part-0.parquet")) && !fs.exists(s5) && !fs.exists(o5))
   }
 
   test("sub-second timestamps use the batch path's second-floored gap predicate") {
