@@ -66,6 +66,8 @@ object SparkEntry {
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
+    "q_cards_cmc_range"   -> (graft.ingest.IngestOps.qCardsCmcRange _),
+    "q_cards_oracle_lookup" -> (graft.ingest.IngestOps.qCardsOracleLookup _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
@@ -447,6 +449,23 @@ object SparkEntry {
         |  FROM cards)
         |SELECT id, name, oracle_text, name_match, text_match
         |FROM flags WHERE name_match OR text_match ORDER BY id""".stripMargin,
+    "q_cards_cmc_range" ->
+      """SELECT 'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  CAST(i % 12 AS DOUBLE) AS cmc,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity
+        |FROM range(0, 500) t(i)
+        |WHERE i % 12 BETWEEN 2 AND 4
+        |ORDER BY id""".stripMargin,
+    "q_cards_oracle_lookup" ->
+      """SELECT 'card-' || CAST(i AS VARCHAR) AS id,
+        |  'oracle-' || CAST(i % 400 AS VARCHAR) AS oracle_id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity
+        |FROM range(0, 500) t(i)
+        |WHERE i % 400 = 42
+        |ORDER BY id""".stripMargin,
     "q_cards_per_set" ->
       """WITH cards AS (
         |  SELECT i,

@@ -427,4 +427,33 @@ object IngestOps {
       .select(col("id"), col("name"), col("oracle_text"),
         col("name_match"), col("text_match"))
       .orderBy("id")
+
+  /** Numeric range scan on converted mana cost — the reference's
+    * `idx_cards_cmc` btree surface (init.sql:127 `CREATE INDEX
+    * idx_cards_cmc ON cards(cmc)`). Here the predicate is a plain
+    * codegen'd comparison evaluated in the scan; on a parquet lake at
+    * 100 TB the same `cmc BETWEEN` predicate pushes into row-group
+    * min/max statistics (and benefits further from sorting/Z-ordering
+    * the table by cmc at write time — the lake equivalent of the btree). */
+  def qCardsCmcRange(spark: SparkSession, dir: String): DataFrame =
+    cardsCorpus(spark)
+      .filter(col("cmc").between(2.0, 4.0))
+      .select(col("id"), col("name"), col("cmc"), col("rarity"))
+      .orderBy("id")
+
+  /** Point lookup by oracle identity — the reference's
+    * `idx_cards_oracle_id` surface (init.sql:133-134), used there to
+    * fetch every printing of one oracle card. An equality predicate on a
+    * high-cardinality key: at 100 TB this is the shape you serve by
+    * bucketing (or hash-partitioning) the table on `oracle_id`, so the
+    * lookup touches one bucket instead of scanning — locally it is a
+    * scan-evaluated codegen'd equality with parquet dictionary/stats
+    * pushdown. Returns all printings (the corpus reprints every oracle
+    * id once: card-N and card-(N+400) share `oracle-N`). */
+  def qCardsOracleLookup(spark: SparkSession, dir: String): DataFrame =
+    cardsCorpus(spark)
+      .filter(col("oracle_id") === "oracle-42")
+      .select(col("id"), col("oracle_id"), col("name"),
+        col("set").as("set_code"), col("rarity"))
+      .orderBy("id")
 }

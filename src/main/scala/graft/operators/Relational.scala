@@ -322,7 +322,8 @@ object Relational {
     * The pattern matches ~1/8 of the synthesized part names ("red bolt",
     * "blue bolt", ...) so the oracle hash verifies real string-function
     * output — a pattern matching zero rows would pass vacuously
-    * (RelationalSpec asserts non-empty). */
+    * (EntrySpec's non-vacuity sweep covers this and every other
+    * oracle-gated entry). */
   def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .filter(col("p_name").like("%bolt%"))

@@ -108,6 +108,21 @@ class IngestSpec extends SparkSpec {
     assert(out.forall(_.getAs[Boolean]("name_match")))
   }
 
+  test("cmc range scan returns exactly the cards with cmc in [2,4]") {
+    val out = IngestOps.qCardsCmcRange(spark, SfDir).collect()
+    // cmc = i % 12; residues 0..7 occur 42 times in [0,500), 8..11 occur 41
+    val expected = (0L until 500L).count(i => i % 12 >= 2 && i % 12 <= 4)
+    assert(out.length == expected, s"got ${out.length}, want $expected")
+    assert(out.forall { r => val c = r.getAs[Double]("cmc"); c >= 2.0 && c <= 4.0 })
+  }
+
+  test("oracle_id point lookup returns both printings of oracle-42") {
+    val out = IngestOps.qCardsOracleLookup(spark, SfDir).collect()
+    // oracle_id = 'oracle-' || (i % 400): ids 42 and 442 share oracle-42
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("card-42", "card-442"))
+    assert(out.forall(_.getAs[String]("oracle_id") == "oracle-42"))
+  }
+
   test("session corpus cache materializes once and serves repeat queries") {
     val a = IngestOps.cardsCorpus(spark)
     val b = IngestOps.cardsCorpus(spark)

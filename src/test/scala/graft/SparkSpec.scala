@@ -20,4 +20,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // one JVM per sbt test run (fork := true); keep the session for speed
     super.afterAll()
   }
+
+  /** Non-vacuity guard for oracle-gated queries: a predicate that matches
+    * zero rows would hash-match an empty oracle result and pass the
+    * correctness gate without verifying anything. */
+  def assertNonEmpty(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+    assert(!df.isEmpty, s"$what returned zero rows — a vacuous oracle match")
 }
