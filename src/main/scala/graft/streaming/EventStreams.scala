@@ -162,6 +162,12 @@ object EventStreams {
     * a user's events arrive in one sorted group, so every session
     * (including the last) is emitted; in continuous streaming the final
     * session flushes on GroupStateTimeout instead.
+    * Memory caveat: BATCH replay of this kernel buffers one user's whole
+    * group (`evs.toSeq.sortBy` below — Spark hands groups unsorted), so a
+    * hot user concentrates in one task's heap. In true streaming this
+    * never happens (state is O(1); each micro-batch carries a bounded
+    * slice), and the registered batch query uses [[sessionizeSorted]],
+    * whose memory is O(1) regardless of user skew.
     * Time is carried as epoch MICROSECONDS end-to-end (java.time.Instant
     * at the API boundary) — java.sql.Timestamp.getTime is millisecond-
     * resolution and would silently truncate session_start. */
@@ -202,8 +208,57 @@ object EventStreams {
       }
   }
 
-  /** Batch-equivalent driver query: stateful sessionization over the events
-    * table (30-min gap), value rounded for oracle-stable hashing. */
+  /** Batch sessionization kernel with bounded memory: hash-partition by
+    * user, external-sort within partitions by (user, ts, value), then one
+    * linear `mapPartitions` scan carrying O(1) state. Same gap predicate
+    * (second-floored) and tie order as [[sessionizeStateful]] — the spec
+    * asserts kernel equality — but where the stateful kernel's batch
+    * replay buffers a whole user in one task's heap, here a hot user with
+    * 10^7 events lands in Spark's SPILLABLE sort (UnsafeExternalSorter)
+    * and the scan itself never holds more than the open session. This is
+    * the kernel the registered batch query runs; [[sessionizeStateful]]
+    * remains the streaming-parity kernel. */
+  def sessionizeSorted(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("value"))
+      .mapPartitions { rows =>
+        def micros(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+        def instant(us: Long): java.time.Instant =
+          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        def secondsFloor(us: Long): Long = Math.floorDiv(us, 1000000L)
+        var user = 0L
+        var st: SessionState = null // null = no open session
+        def flush(): SessionOut = SessionOut(user, st.sessionSeq, instant(st.start), st.n, st.sum)
+        // a None sentinel closes the final open session at end of partition
+        (rows.map(Option(_)) ++ Iterator(None)).flatMap {
+          case Some(e) =>
+            val t = micros(e.ts)
+            if (st == null) {
+              user = e.user_id; st = SessionState(1L, t, t, 1L, e.value); Iterator.empty
+            } else if (e.user_id != user) {
+              val done = flush()
+              user = e.user_id; st = SessionState(1L, t, t, 1L, e.value)
+              Iterator.single(done)
+            } else if (secondsFloor(t) - secondsFloor(st.lastTs) > gapSeconds) {
+              val done = flush()
+              st = SessionState(st.sessionSeq + 1, t, t, 1L, e.value)
+              Iterator.single(done)
+            } else {
+              st = st.copy(lastTs = t, n = st.n + 1, sum = st.sum + e.value)
+              Iterator.empty
+            }
+          case None =>
+            if (st != null) Iterator.single(flush()) else Iterator.empty
+        }
+      }
+  }
+
+  /** Batch-equivalent driver query: gap sessionization over the events
+    * table (30-min gap), value rounded for oracle-stable hashing. Runs the
+    * skew-safe [[sessionizeSorted]] kernel; [[sessionizeStateful]] is the
+    * same state machine for true streams (spec-asserted equal). */
   def qStreamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables.events(spark, dir)
@@ -211,7 +266,7 @@ object EventStreams {
         col("ts").cast("timestamp").as("ts"),
         col("value").cast("double").as("value"))
       .as[SessionEvent]
-    sessionizeStateful(evs, 1800L)
+    sessionizeSorted(evs, 1800L)
       .toDF()
       .withColumn("session_value", round(col("session_value"), 2))
       // session tz is UTC, so LTZ->NTZ is an identity relabel; emitting NTZ

@@ -157,4 +157,39 @@ class EventStreamSpec extends SparkSpec {
     assert(stateful.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(stateful).count() == 0)
   }
+
+  test("sorted-scan kernel equals the stateful kernel on the events table") {
+    import spark.implicits._
+    import EventStreams.SessionEvent
+    val evs = Tables.events(spark, SfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .as[SessionEvent]
+    val sorted = EventStreams.sessionizeSorted(evs, 1800L).toDF()
+    val stateful = EventStreams.sessionizeStateful(evs, 1800L).toDF()
+    assert(sorted.count() > 0)
+    assert(sorted.exceptAll(stateful).count() == 0)
+    assert(stateful.exceptAll(sorted).count() == 0)
+  }
+
+  test("hot user: 200k single-user events sessionize with bounded task memory") {
+    import spark.implicits._
+    import EventStreams.SessionEvent
+    // one user owns the entire dataset — the skew case that would
+    // concentrate in a single group buffer under the stateful kernel's
+    // batch replay. The sorted kernel routes it through Spark's spillable
+    // sort and a linear scan. Every 1000th event jumps >30min -> 200
+    // sessions of 1000 events each.
+    val n = 200000
+    val evs = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(col("id") * 1000000L + expr("id div 1000") * 2000000000L).as("ts"),
+      lit(1.0).as("value")
+    ).as[SessionEvent]
+    val out = EventStreams.sessionizeSorted(evs, 1800L).collect()
+    assert(out.length == 200, s"got ${out.length} sessions")
+    assert(out.forall(s => s.n_events == 1000L && s.session_value == 1000.0))
+    assert(out.map(_.session_seq).sorted.toSeq == (1L to 200L))
+  }
 }
