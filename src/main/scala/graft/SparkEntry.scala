@@ -50,6 +50,21 @@ object SparkEntry {
     "q_percentiles"       -> (Relational.qPercentiles _),
     "q_approx_percentiles" -> (Relational.qApproxPercentiles _),
     "q_time_buckets"      -> (Relational.qTimeBuckets _),
+    // §2.B extended relational surface
+    "q2_min_acct_supplier" -> (RelationalExt.q2MinAcctSupplier _),
+    "q7_volume_shipping"  -> (RelationalExt.q7VolumeShipping _),
+    "q8_market_share"     -> (RelationalExt.q8MarketShare _),
+    "q9_product_profit"   -> (RelationalExt.q9ProductProfit _),
+    "q14_promo_revenue"   -> (RelationalExt.q14PromoRevenue _),
+    "q18_large_orders"    -> (RelationalExt.q18LargeOrders _),
+    "q19_disjunctive_pred" -> (RelationalExt.q19DisjunctivePred _),
+    "q_grouping_sets"     -> (RelationalExt.qGroupingSets _),
+    "q_conditional_agg"   -> (RelationalExt.qConditionalAgg _),
+    "q_distinct_agg_multi" -> (RelationalExt.qDistinctAggMulti _),
+    "q_window_range_frame" -> (RelationalExt.qWindowRangeFrame _),
+    "q_window_rank_stats" -> (RelationalExt.qWindowRankStats _),
+    "q_gap_fill"          -> (RelationalExt.qGapFill _),
+    "q_stats_moments"     -> (RelationalExt.qStatsMoments _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -301,6 +316,160 @@ object SparkEntry {
     "q_time_buckets" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, ship_year,
+        |  round(sum(rev), 2) AS revenue, count(*) AS n_items
+        |FROM (
+        |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |    year(l.l_shipdate) AS ship_year,
+        |    l.l_extendedprice * (1.0 - l.l_discount) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name IN ('NATION_3','NATION_8')
+        |    AND cn.n_name IN ('NATION_3','NATION_8')
+        |    AND sn.n_name <> cn.n_name) t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o.o_orderdate) AS order_year,
+        |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT) AS rev_cents,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+        |SELECT order_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_cents ELSE 0 END) * 1000000
+        |    // sum(rev_cents) AS BIGINT) AS share_ppm
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT sn.n_name AS supp_nation, year(o.o_orderdate) AS order_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) AS BIGINT)
+        |    - CAST(round((0.1 * p.p_retailprice) * l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rev_cents, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) * 1000000
+        |    // sum(rev_cents) AS BIGINT) AS promo_ppm
+        |FROM b""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_disjunctive_pred" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q2_min_acct_supplier" ->
+      """WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |cand AS (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acct_cents, s_suppkey
+        |  FROM shipped
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_size <= 5)
+        |SELECT p_partkey, p_brand, p_size, acct_cents, s_suppkey FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY acct_cents, s_suppkey) AS rn
+        |  FROM cand) t
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  max_by(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)::HUGEINT * 1000000000000 + o_orderkey) AS biggest_order,
+        |  min_by(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT)::HUGEINT * 1000000000000 + o_orderkey) AS smallest_order,
+        |  bool_or(o_orderstatus = 'F') AS any_filled,
+        |  bool_and(o_totalprice > 0.0) AS all_positive
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_agg_multi" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT year(o_orderdate)) AS n_years, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day, o_cents,
+        |  CAST(sum(o_cents) OVER w AS BIGINT) AS rolling_cents,
+        |  count(*) OVER w AS n_in_window
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_window_rank_stats" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents
+        |  FROM customer)
+        |SELECT c_custkey, c_nationkey, acct_cents,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS d_rank,
+        |  percent_rank() OVER w AS p_rank,
+        |  cume_dist() OVER w AS c_dist
+        |FROM c WINDOW w AS (PARTITION BY c_nationkey ORDER BY acct_cents)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT seg, unnest(generate_series(0, (SELECT max(day) FROM daily))) AS day
+        |  FROM (SELECT DISTINCT seg FROM daily) s)
+        |SELECT seg, day,
+        |  last_value(day_cents IGNORE NULLS) OVER (PARTITION BY seg ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM spine LEFT JOIN daily USING (seg, day)
+        |ORDER BY seg, day""".stripMargin,
+    "q_stats_moments" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, CAST(round(o_totalprice, 0) AS BIGINT) AS x,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_yy
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_topk" ->
       """SELECT o_orderpriority, rank_in_group, o_orderkey, round(o_totalprice,2) AS o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

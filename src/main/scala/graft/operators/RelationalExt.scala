@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended relational surface (SURVEY.md §2.B cont.): the TPC-H query
+  * shapes beyond the core set, plus aggregate/window surfaces (grouping
+  * sets, selective aggregates, multi-distinct, RANGE frames, rank
+  * statistics, gap filling, moment statistics) that a user of the
+  * reference's SQL layer would expect from a complete engine.
+  *
+  * Float-parity convention (see Relational): money lands in the oracle as
+  * exact integer cents — `round(x * 100, 0).cast(bigint)` of bit-identical
+  * per-row doubles — so sums/ratios hash-match DuckDB exactly regardless
+  * of accumulation order; ratios are integer ppm. Double sums appear only
+  * rounded to 2 decimals (the established, gate-proven pattern).
+  *
+  * Scale notes mirror Relational: part/supplier/nation/customer broadcast,
+  * fact tables shuffle on their join keys, every filter is scan-pushable.
+  */
+object RelationalExt {
+
+  /** Exact per-row integer cents of a money double: the product is
+    * bit-identical in any IEEE engine, so its decimal rounding is too. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("bigint")
+
+  private def revenue(c: Column = col("l_extendedprice")): Column =
+    c * (lit(1.0) - col("l_discount"))
+
+  /** Day number since the corpus epoch — integer, engine-portable. */
+  private def dayNum(c: Column): Column = datediff(c, lit("1995-01-01"))
+
+  /** TPC-H Q7-style volume shipping: bidirectional trade volume between
+    * two nations by ship year. The nation filters are applied to the
+    * supplier/customer DIMENSIONS before the fact joins, so the fact
+    * shuffles carry only the ~2/625 of rows that can survive — the
+    * difference between this and filter-after-join is the whole query at
+    * 100 TB. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    // NATION_3/NATION_8 both have suppliers at every test SF (the sf0.001
+    // supplier table has only 10 rows, so most nation pairs are vacuous)
+    val nations = Seq("NATION_3", "NATION_8")
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(round(sum(revenue()), 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** TPC-H Q8-style market share: NATION_3 suppliers' share of PROMO-part
+    * revenue sold to EUROPE customers, per order year. Share is integer
+    * ppm of exact cents — `(nation_cents * 1e6) div total_cents` — so the
+    * ratio is engine-exact (the bigint product bounds this to corpora
+    * under ~9e12 total cents per year; beyond that, widen to decimal). */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custEu = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custEu), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev_cents", cents(revenue()))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", col("rev_cents")).otherwise(0L)).as("nation_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .withColumn("share_ppm", expr("nation_cents * 1000000 div total_cents"))
+      .orderBy("order_year")
+  }
+
+  /** TPC-H Q9-style product profit by supplier nation and year. The
+    * testdata has no partsupp table, so supply cost is modeled as a fixed
+    * 10% of the part's retail price per unit — the operator shape (6-way
+    * join + expression aggregate) is Q9's. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_retailprice")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), year(col("o_orderdate")).as("order_year"))
+      // profit in exact integer cents (revenue cents minus cost cents per
+      // row): a rounded double SUM of differences lands on .xx5 halfway
+      // points often enough to flip against the oracle — integers don't
+      .agg(sum(cents(revenue()) -
+        cents((lit(0.1) * col("p_retailprice")) * col("l_quantity"))).as("profit_cents"))
+      .orderBy("supp_nation", "order_year")
+  }
+
+  /** TPC-H Q14-style promo revenue: conditional aggregate over one month,
+    * promo share as integer ppm of exact cents. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-02-01"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev_cents", cents(revenue()))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .withColumn("promo_ppm", expr("promo_cents * 1000000 div total_cents"))
+  }
+
+  /** TPC-H Q18-style large orders: group the fact table by order, HAVING
+    * on the grouped quantity, then join the qualifying keys back to the
+    * order/customer dimensions. The quantity sum is exact (integral
+    * doubles) so it lands as bigint. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").cast("bigint").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_cents"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q19-style disjunctive predicate: an OR of three
+    * brand/size/quantity conjuncts across the lineitem⋈part join — the
+    * shape that exercises CNF conversion and partial pushdown (each
+    * disjunct's part-side predicate prunes the broadcast build side). */
+  def q19DisjunctivePred(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(revenue()), 2).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q2-style min-cost supplier: per small part, the supplier with
+    * the lowest account balance among those who actually shipped it —
+    * the argmin-per-group + join-back shape. Deterministic via min over
+    * a (cents, suppkey) struct; the (partkey, suppkey) pairs dedupe
+    * BEFORE the dimension join so the shuffle carries keys, not rows. */
+  def q2MinAcctSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val part = Tables.part(spark, dir).filter(col("p_size") <= 5)
+      .select("p_partkey", "p_brand", "p_size")
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), cents(col("s_acctbal")).as("acct_cents"))
+    shipped
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_size"))
+      .agg(min(struct(col("acct_cents"), col("s_suppkey"))).as("m"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("m.acct_cents").as("acct_cents"), col("m.s_suppkey").as("s_suppkey"))
+      .orderBy("p_partkey")
+  }
+
+  /** GROUPING SETS with grouping_id: the explicit-lattice aggregation
+    * surface next to rollup/cube — (priority, status), (priority), and
+    * grand total in one pass over the Expand operator. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+        col("n"), col("total_cents"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Selective-aggregate surface: count_if, bool_and/bool_or, and
+    * deterministic max_by/min_by. The ordering key is the exact cents
+    * value disambiguated by the (unique) order key — max_by over a
+    * non-unique ordering returns an arbitrary peer, which would be a
+    * nondeterministic gate. decimal(38,0) carries the composite exactly
+    * at any scale factor. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sortKey = cents(col("o_totalprice")).cast("decimal(38,0)") *
+      lit(1000000000000L) + col("o_orderkey")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+        max_by(col("o_orderkey"), sortKey).as("biggest_order"),
+        min_by(col("o_orderkey"), sortKey).as("smallest_order"),
+        bool_or(col("o_orderstatus") === "F").as("any_filled"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Multiple DISTINCT aggregates in one pass — the Expand-based
+    * multi-distinct rewrite (each distinct column gets its own expansion
+    * branch, then a two-level aggregate). */
+  def qDistinctAggMulti(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .orderBy("c_mktsegment")
+
+  /** RANGE-frame window: per customer, the rolling 30-day order total —
+    * value-based frames (RANGE) against the row-based frames the core
+    * window queries use. Peers at the same day all see the same frame, so
+    * the result is deterministic without a unique tiebreak. */
+  def qWindowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayNum(col("o_orderdate")).as("day"), cents(col("o_totalprice")).as("o_cents"))
+      .withColumn("rolling_cents", sum(col("o_cents")).over(w))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  /** Rank-statistics window surface: dense_rank / percent_rank /
+    * cume_dist per nation over exact balance cents. percent_rank and
+    * cume_dist are ratios of identical integers on both engines, so the
+    * doubles compare exactly. */
+  def qWindowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("acct_cents"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("acct_cents"))
+      .withColumn("d_rank", dense_rank().over(w).cast("long"))
+      .withColumn("p_rank", percent_rank().over(w))
+      .withColumn("c_dist", cume_dist().over(w))
+      .orderBy("c_custkey")
+  }
+
+  /** Time-series gap fill: build the full (segment × day) spine with
+    * sequence+explode, left-join the daily revenue, and forward-fill
+    * missing days with the last observed value (`last(_, ignoreNulls)`
+    * over an unbounded-preceding frame). Days before a segment's first
+    * sale stay null — both engines agree by construction. The spine is
+    * generated, not collected; at 100 TB the pattern is identical, with
+    * the spine still tiny relative to the fact table. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), dayNum(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+    val spine = daily.select(col("seg")).distinct()
+      .crossJoin(broadcast(daily.agg(max(col("day")).as("max_day"))))
+      .select(col("seg"), explode(sequence(lit(0), col("max_day"))).as("day"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("seg", "day"), "left")
+      .withColumn("filled_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+      .select(col("seg"), col("day"), col("filled_cents"))
+      .orderBy("seg", "day")
+  }
+
+  /** Moment statistics per group, hash-exact: n, Σx, Σy, Σxy, Σx², Σy²
+    * over integer dollars × day number — every moment is an exact bigint
+    * on both engines, unlike corr/stddev doubles whose partition-merge
+    * order makes the last ulps nondeterministic. StatsSpec proves Spark's
+    * native corr/covar_samp/stddev_samp equal the values these moments
+    * derive (within 1e-9), so the native surface is exercised while the
+    * gate stays exact. Σx² bounds this to ~1e18 per group (fine through
+    * sf10; widen to decimal beyond). */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice"), 0).cast("bigint").as("x"),
+        dayNum(col("o_orderdate")).cast("bigint").as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"))
+      .orderBy("o_orderpriority")
+}

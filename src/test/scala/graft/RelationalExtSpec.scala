@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalExt
+
+class RelationalExtSpec extends SparkSpec {
+
+  test("native corr/covar_samp/stddev_samp match the moment-derived values") {
+    // qStatsMoments gates exact integer moments; this bridges them to the
+    // native double stats surface: the natives must equal what the moments
+    // derive, so the oracle indirectly verifies corr/covar/stddev too.
+    val o = Tables.orders(spark, SfDir).select(
+      col("o_orderpriority"),
+      round(col("o_totalprice"), 0).cast("bigint").cast("double").as("x"),
+      datediff(col("o_orderdate"), lit("1995-01-01")).cast("double").as("y"))
+    val natives = o.groupBy("o_orderpriority")
+      .agg(corr(col("x"), col("y")).as("c"),
+        covar_samp(col("x"), col("y")).as("cv"),
+        stddev_samp(col("x")).as("sd"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val rows = RelationalExt.qStatsMoments(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val sx = r.getAs[Long]("sum_x").toDouble; val sy = r.getAs[Long]("sum_y").toDouble
+      val sxy = r.getAs[Long]("sum_xy").toDouble
+      val sxx = r.getAs[Long]("sum_xx").toDouble; val syy = r.getAs[Long]("sum_yy").toDouble
+      val cov = (sxy - sx * sy / n) / (n - 1)
+      val varX = (sxx - sx * sx / n) / (n - 1)
+      val varY = (syy - sy * sy / n) / (n - 1)
+      val corrD = cov / math.sqrt(varX * varY)
+      val (nc, ncv, nsd) = natives(r.getString(0))
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      assert(close(nc, corrD), s"corr $nc vs $corrD")
+      assert(close(ncv, cov), s"covar $ncv vs $cov")
+      assert(close(nsd, math.sqrt(varX)), s"stddev $nsd vs ${math.sqrt(varX)}")
+    }
+  }
+
+  test("q18 keeps exactly the orders whose quantity sum clears the threshold") {
+    val expected = Tables.lineitem(spark, SfDir)
+      .groupBy(col("l_orderkey")).agg(sum("l_quantity").as("s"))
+      .filter(col("s") > 250).count()
+    val out = RelationalExt.q18LargeOrders(spark, SfDir).collect()
+    assert(out.length.toLong == expected && out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("sum_qty") > 250))
+  }
+
+  test("q2 argmin picks the minimum-balance shipper per part, deterministically") {
+    val out = RelationalExt.q2MinAcctSupplier(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // recompute one part's answer by brute force
+    val p = out.head.getAs[Long]("p_partkey")
+    val li = Tables.lineitem(spark, SfDir).filter(col("l_partkey") === p)
+      .select("l_suppkey").distinct()
+    val best = li.join(Tables.supplier(spark, SfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(round(col("s_acctbal") * 100, 0).cast("bigint").as("c"), col("s_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue())).min
+    assert((out.head.getAs[Long]("acct_cents"), out.head.getAs[Number]("s_suppkey").longValue()) == best)
+  }
+
+  test("grouping sets emits the three lattice levels with consistent totals") {
+    val out = RelationalExt.qGroupingSets(spark, SfDir).collect()
+    val total = Tables.orders(spark, SfDir).count()
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == total)
+    // per-priority level (gid=1) sums back to the grand total
+    assert(out.filter(_.getAs[Long]("gid") == 1L).map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("gap fill covers the full spine and fills are monotone-present") {
+    val out = RelationalExt.qGapFill(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val segs = out.map(_._1).distinct
+    val maxDay = out.map(_._2).max
+    assert(out.length == segs.length * (maxDay + 1), "spine has holes")
+    // once a segment has seen data, filled_cents never reverts to null
+    segs.foreach { s =>
+      val fills = out.filter(_._1 == s).sortBy(_._2).map(_._3)
+      val firstData = fills.indexWhere(_.isDefined)
+      assert(firstData >= 0 && fills.drop(firstData).forall(_.isDefined), s"fill gap in $s")
+    }
+  }
+}
