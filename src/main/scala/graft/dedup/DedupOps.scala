@@ -156,15 +156,12 @@ object DedupOps {
     * md5, big-endian. Unlike xxhash64 (Spark-only), md5 is bit-identical
     * across engines, so a DuckDB oracle can recompute the SAME hash —
     * `('0x' || substr(md5(t),1,16))::UBIGINT` — and therefore the same
-    * simhash fingerprints and the same verified pair list. Assembled from
-    * two 32-bit `conv` halves because `conv` yields the UNSIGNED decimal
-    * string and a direct 64-bit cast overflows under ANSI; shiftleft/OR
-    * are pure bit ops, so the sign bit lands correctly. */
-  def md5Hash64(t: Column): Column = {
-    val hex = md5(t.cast("binary"))
-    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("bigint"), 32)
-      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("bigint"))
-  }
+    * simhash fingerprints and the same verified pair list. Delegates to
+    * the native [[graft.functions.Md5Hash64Array]] kernel (digest bytes →
+    * long directly; the earlier hex-substring/conv column algebra paid
+    * two string radix conversions per token). */
+  def md5Hash64(t: Column): Column =
+    element_at(graft.functions.GraftFunctions.md5Hash64Array(array(t)), 1)
 
   /** SimHash near-dup: 64-bit fingerprints bucketed by 4 x 16-bit bands
     * (any pair within hamming distance 3 shares at least one band), then
@@ -177,7 +174,8 @@ object DedupOps {
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        transform(split(trim(lower(col("text"))), "\\s+"), t => md5Hash64(t)).as("hs"))
+        graft.functions.GraftFunctions.md5Hash64Array(
+          split(trim(lower(col("text"))), "\\s+")).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
     // outer generate: otherwise the inferred size(...)>0 filter re-inlines
     // sh = the full 64-fold simhash through the projection

@@ -100,6 +100,7 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = toCol(dotProductBuilder(Seq(toExpr(a), toExpr(b))))
   def simHash64(hashes: Column): Column = toCol(SimHash64(toExpr(hashes)))
   def minHashSig(hashes: Column, k: Int): Column = toCol(MinHashSignature(toExpr(hashes), k))
+  def md5Hash64Array(tokens: Column): Column = toCol(Md5Hash64Array(toExpr(tokens)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
