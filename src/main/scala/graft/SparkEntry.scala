@@ -95,12 +95,14 @@ object SparkEntry {
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
     "ann_topk_lsh"        -> (graft.similarity.SimilarityOps.qAnnTopkLsh _),
     "ann_topk_ivf"        -> (graft.similarity.SimilarityOps.qAnnTopkIvf _),
+    "embed_quantize_int8" -> (graft.similarity.SimilarityOps.qEmbedQuantizeInt8 _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
     "text_lang_id"        -> (graft.text.TextOps.qLangId _),
     "doc_fingerprint"     -> (graft.text.TextOps.qDocFingerprint _),
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
+    "text_stratified_sample" -> (graft.text.TextOps.qStratifiedSample _),
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
@@ -782,6 +784,29 @@ object SparkEntry {
         |b AS (SELECT words[i] || ' ' || words[i+1] AS bigram
         |      FROM w, unnest(range(1, len(words))) AS t(i))
         |SELECT bigram, count(*) AS n FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    // bucket = bits 8..14 of the md5-based 64-bit id hash (engine-portable
+    // by construction); en kept under 32/128, minority languages under 64
+    "text_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 8) & 127 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM h
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 32 ELSE 64 END
+        |ORDER BY doc_id""".stripMargin,
+    "embed_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, vec,
+        |        list_max(list_transform(vec, x -> abs(x))) AS maxabs FROM v)
+        |SELECT vec_id, maxabs,
+        |  CASE WHEN maxabs = 0
+        |    THEN array_to_string(list_transform(vec, x -> '0'), ',')
+        |    ELSE array_to_string(list_transform(vec,
+        |      x -> CAST(CAST(round(x / maxabs * 127.0) AS INTEGER) AS VARCHAR)), ',')
+        |  END AS qvec_csv
+        |FROM m ORDER BY vec_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH dirty AS (
         |  SELECT doc_id,

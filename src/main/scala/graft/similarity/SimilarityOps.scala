@@ -272,4 +272,24 @@ object SimilarityOps {
         cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
       .orderBy("query_id", "rank")
   }
+
+  /** Int8 quantization of the embedding column — the storage/transfer
+    * compression step of an embedding pipeline: q[i] = round(x[i] /
+    * maxabs * 127) with the per-vector scale emitted alongside so the
+    * vector is reconstructible. Every step is the same IEEE operation on
+    * identical inputs in both engines (abs/max compare, one divide + one
+    * multiply per element, ties-away rounding), so the DuckDB oracle
+    * matches exactly; the quantized vector travels in canonical CSV form
+    * (the array-compare convention q_array_funcs established). Narrow
+    * codegen'd map, no shuffle, at any corpus size. */
+  def qEmbedQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
+      .withColumn("qvec",
+        when(col("maxabs") === 0.0, transform(col("vec"), _ => lit(0)))
+          .otherwise(transform(col("vec"),
+            x => round(x / col("maxabs") * 127.0).cast("int"))))
+      .select(col("vec_id"), col("maxabs"),
+        concat_ws(",", transform(col("qvec"), q => q.cast("string"))).as("qvec_csv"))
+      .orderBy("vec_id")
 }

@@ -153,4 +153,25 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
+
+  /** Deterministic stratified downsampling — the reproducible-corpus-cut
+    * every training-data pipeline needs: the keep decision is a pure
+    * function of the document id (bits 8..14 of the engine-portable
+    * [[graft.functions.Md5Hash64Array]] id hash → a stable 0..127 bucket),
+    * with a per-language keep threshold (minority languages kept at a
+    * higher rate — the usual rebalancing move). No RNG, no state: re-runs,
+    * retries, and other engines (the DuckDB oracle recomputes the same
+    * buckets from md5) all select the identical subset, and the filter is
+    * a narrow codegen'd map — no shuffle at any corpus size. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string")))
+      .getItem(0)
+    val keepBelow = when(col("lang") === "en", lit(32)).otherwise(lit(64))
+    Tables.documents(spark, dir)
+      .withColumn("bucket", shiftrightunsigned(bucket, 8).bitwiseAND(lit(127L)))
+      .filter(col("bucket") < keepBelow)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
 }

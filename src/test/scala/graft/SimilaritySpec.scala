@@ -78,4 +78,24 @@ class SimilaritySpec extends SparkSpec {
     val counts = brute.groupBy("query_id").count().select("count").as[Long].collect()
     assert(counts.forall(_ == 10))
   }
+
+  test("int8 quantization reconstructs within half a step per element") {
+    val out = SimilarityOps.qEmbedQuantizeInt8(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    val orig = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    out.foreach { r =>
+      val vec = orig(r.getLong(0))
+      val maxabs = r.getDouble(1)
+      val q = r.getString(2).split(",").map(_.toInt)
+      assert(q.length == vec.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // dequantized error bound: |x - q*scale/127| <= scale/254 + eps
+      if (maxabs > 0) vec.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * maxabs / 127.0) <= maxabs / 254.0 + 1e-12,
+          s"vec ${r.getLong(0)}: $x vs $qi")
+      }
+    }
+  }
 }
