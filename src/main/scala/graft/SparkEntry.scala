@@ -111,6 +111,7 @@ object SparkEntry {
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
+    "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
     "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
@@ -829,6 +830,10 @@ object SparkEntry {
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_enrich_join" ->
+      """SELECT date_trunc('hour', ts) AS bucket, c_mktsegment, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, ts, event_type, round(value,2) AS value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)

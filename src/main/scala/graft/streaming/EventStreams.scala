@@ -33,6 +33,31 @@ object EventStreams {
     windowCounts(Tables.events(spark, dir)) // window() handles TIMESTAMP_NTZ
       .orderBy("bucket", "event_type")
 
+  /** Stream-static enrichment join: events joined to the customer
+    * dimension, then tumbling counts per market segment. In streaming,
+    * stream⋈static re-reads the static side per micro-batch (dimension
+    * updates flow in) and the equi-join broadcasts the dim — no stream
+    * state beyond the watermarked window agg. The same transform runs in
+    * batch for the oracle gate (EventStreamSpec proves parity on a
+    * completed input). */
+  def enrichedSegmentCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("bucket"), col("c_mktsegment"),
+        col("n"), col("total_value"))
+
+  /** Streaming variant: 2-hour watermark bounds window state. */
+  def enrichedSegmentCountsStreaming(events: DataFrame, customer: DataFrame): DataFrame =
+    enrichedSegmentCounts(events.withWatermark("ts", "2 hours"), customer)
+
+  /** Batch-equivalent driver query for the stream-static join. */
+  def qStreamEnrichJoin(spark: SparkSession, dir: String): DataFrame =
+    enrichedSegmentCounts(Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy("bucket", "c_mktsegment")
+
   /** Keyed dedup — the streaming-ingest idempotency op. Batch form here;
     * the streaming form is `withWatermark + dropDuplicatesWithinWatermark`
     * (state bounded by the watermark horizon), exercised in

@@ -36,6 +36,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stream-static enrichment join equals the batch plan on a completed input") {
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = Files.createTempDirectory("graft_stream_enrich").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val customer = Tables.customer(spark, SfDir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.enrichedSegmentCountsStreaming(stream, customer)
+      .writeStream
+      .format("memory")
+      .queryName("enrich_counts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    val batch = EventStreams.enrichedSegmentCounts(events, customer)
+    val streamed = spark.table("enrich_counts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("watermarked streaming dedup removes duplicate event ids") {
     val events = Tables.events(spark, SfDir)
       .withColumn("ts", col("ts").cast("timestamp"))
