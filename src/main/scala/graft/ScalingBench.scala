@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling check for the dedup/similarity/text family
+  * (BASELINE.md "Scaling check" section; VERDICT r3 ask #8).
+  *
+  * There is no driver-generated sf1, so this amplifies sf0.1's
+  * `documents` / `embeddings` tables k-fold into scratch dirs with
+  * per-replica transformations chosen so the *within-replica* duplicate
+  * and similarity structure is preserved EXACTLY while *cross-replica*
+  * similarity is destroyed — i.e. near-dup density per row stays
+  * constant as the corpus grows, which is the honest setting for
+  * measuring whether a pipeline is linear in corpus size:
+  *
+  *  - text: a per-replica Caesar rotation via `translate`. A bijection
+  *    on characters maps each replica's word-shingle universe to a
+  *    disjoint one (any shingle containing a letter differs), while
+  *    within a replica every pairwise Jaccard / simhash / fingerprint
+  *    relation is isomorphic to the original. `n_chars` is preserved.
+  *  - embeddings: a per-replica deterministic sign-flip pattern per
+  *    dimension. For u,v in the same replica cos(u',v') == cos(u,v)
+  *    exactly (s_d^2 = 1); across replicas the sign patterns are
+  *    uncorrelated so expected cosine ~ 0 — no spurious near-dups.
+  *
+  * Usage: SPARK_GRAFT_SCALES=1,3,10 sbt "runMain graft.ScalingBench"
+  * Prints one JSON line per scale plus a per-query log-log slope table
+  * (slope ~1 = linear in corpus size; brute-force ANN is expected ~2,
+  * it is the documented quadratic baseline the LSH/IVF paths replace).
+  */
+object ScalingBench {
+
+  private val family = Seq(
+    "dedup_exact", "dedup_normalized", "dedup_minhash_lsh", "dedup_simhash",
+    "ngram_jaccard", "dedup_clusters", "doc_fingerprint", "text_token_count",
+    "text_lang_id", "text_quality_score", "embed_label_centroids",
+    "embed_neardup_cosine", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf")
+
+  /** Write k-fold amplified documents+embeddings under outDir. */
+  def amplify(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val lower = ('a' to 'z').mkString
+    val upper = ('A' to 'Z').mkString
+    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+
+    val docs = Tables.documents(spark, baseDir)
+    val docReps = (0 until k).map { i =>
+      val t = if (i == 0) col("text")
+              else translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i))
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        t.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    docReps.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, baseDir)
+    val embReps = (0 until k).map { i =>
+      val v = if (i == 0) col("embedding")
+              else expr(s"""transform(embedding, (x, d) ->
+                cast(x * (CASE WHEN pmod(xxhash64(concat('$i:', d)), 2) = 0
+                          THEN 1.0D ELSE -1.0D END) as float))""")
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        v.as("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    embReps.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
+    for (k <- scales) {
+      val dir = s"$scratch/x$k"
+      amplify(spark, baseDir, dir, k)
+      // warmup: touch both tables so first measured query pays no FS surprise
+      Tables.documents(spark, dir).write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, dir).write.format("noop").mode("overwrite").save()
+      for (name <- family) {
+        val fn = SparkEntry.queries(name)
+        System.gc()
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        times(name) = times.getOrElse(name, Map.empty) + (k -> t)
+      }
+      val qs = family.map(n => "\"" + n + f"""\":${times(n)(k)}%.3f""").mkString("{", ",", "}")
+      println(f"""{"metric":"scaling","scale":$k,"queries":$qs}""")
+    }
+
+    // least-squares slope of ln(t) vs ln(scale) across the measured scales
+    println(f"${"query"}%-24s " + scales.map(k => f"x$k%8s").mkString + "   slope")
+    times.foreach { case (name, m) =>
+      val pts = scales.map(k => (math.log(k.toDouble), math.log(m(k))))
+      val n = pts.size; val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      println(f"$name%-24s " + scales.map(k => f"${m(k)}%8.2f").mkString + f"   $slope%5.2f")
+    }
+    spark.stop()
+  }
+}

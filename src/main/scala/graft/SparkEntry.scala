@@ -104,6 +104,9 @@ object SparkEntry {
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
     "text_stratified_sample" -> (graft.text.TextOps.qStratifiedSample _),
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
+    "text_repetition_ratio" -> (graft.text.TextOps.qRepetitionRatio _),
+    "text_boilerplate_spans" -> (graft.text.TextOps.qBoilerplateSpans _),
+    "text_contamination"  -> (graft.text.TextOps.qContamination _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
@@ -795,6 +798,40 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM h
         |WHERE bucket < CASE WHEN lang = 'en' THEN 32 ELSE 64 END
         |ORDER BY doc_id""".stripMargin,
+    "text_repetition_ratio" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |b AS (SELECT doc_id, words,
+        |        CASE WHEN len(words) >= 2
+        |          THEN [array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))]
+        |        END AS bg
+        |      FROM w)
+        |SELECT doc_id, len(words) AS n_words,
+        |  CAST(round((len(words) - len(list_distinct(words))) * 10000.0 / len(words)) AS BIGINT) AS dup_word_bp,
+        |  CAST(round((len(bg) - len(list_distinct(bg))) * 10000.0 / len(bg)) AS BIGINT) AS dup_bigram_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "text_boilerplate_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+4], ' ') FOR i IN range(1, greatest(len(words)-4, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |ex AS (SELECT doc_id, len(s) AS n_spans, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT g, count(DISTINCT doc_id) AS nd FROM ex GROUP BY g)
+        |SELECT e.doc_id, max(e.n_spans) AS n_spans,
+        |  CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) * 10000.0 / max(e.n_spans)) AS BIGINT) AS boilerplate_bp
+        |FROM ex e JOIN cnt c USING (g)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+4], ' ') FOR i IN range(1, greatest(len(words)-4, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+        |ev AS (SELECT doc_id, len(s) AS n_spans, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, max(n_spans) AS n_spans,
+        |  CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(round(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) * 10000.0 / max(n_spans)) AS BIGINT) AS contam_bp
+        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "embed_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -174,4 +174,77 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Gopher-style intra-document repetition ratios: fraction of repeated
+    * words and repeated bigrams per document, as integer basis points.
+    * High-repetition documents are a standard training-data quality cut.
+    * Pure per-row column algebra — a narrow codegen'd map, no shuffle at
+    * any corpus size. Bigram ratio is null for docs under two tokens
+    * (mirrored CASE in the oracle). */
+  def qRepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val words = wsTokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        round((size(col("words")) - size(array_distinct(col("words")))) * 10000.0
+          / size(col("words"))).cast("long").as("dup_word_bp"),
+        round((size(bigrams(col("words"))) - size(array_distinct(bigrams(col("words")))))
+          * 10000.0 / size(bigrams(col("words")))).cast("long").as("dup_bigram_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document boilerplate spans — the C4 "repeated line" removal
+    * signal re-expressed for unstructured text: for each document, how
+    * many of its distinct 5-word spans occur in at least one OTHER
+    * document. One explode + one groupBy(span) + one join-back — every
+    * shuffle keys on the span, so the plan is linear in corpus size
+    * (the span-frequency table is itself distributed; nothing is
+    * collected or broadcast, unlike the fixed-size benchmark set in
+    * [[qContamination]]). */
+  def qBoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupOps.shinglesFromWords
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesFromWords(wsTokens(col("text")), 5).as("spans"))
+      // explode_outer: plain explode gets an inferred size(...)>0 filter
+      // that re-evaluates the shingle transform (spans is never empty)
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        explode_outer(col("spans")).as("g"))
+    val counts = ex.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+    ex.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_spans")).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        round(col("n_shared") * 10000.0 / col("n_spans")).cast("long").as("boilerplate_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark-contamination check: fraction of each document's distinct
+    * 5-word spans that appear in a held-out benchmark set (here the
+    * deterministic doc_id % 97 == 0 slice stands in for the eval suite).
+    * The benchmark span universe is FIXED-size in practice (eval suites
+    * don't grow with the corpus), so it is broadcast and the whole check
+    * is a map-side semi-probe — no shuffle of the corpus at any scale. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupOps.shinglesFromWords
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), shinglesFromWords(wsTokens(col("text")), 5).as("spans"))
+    val bench = base.filter(col("doc_id") % 97 === 0)
+      .select(explode_outer(col("spans")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    base.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        explode_outer(col("spans")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_spans")).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_spans"), col("n_contaminated"),
+        round(col("n_contaminated") * 10000.0 / col("n_spans")).cast("long").as("contam_bp"))
+      .orderBy("doc_id")
+  }
 }

@@ -51,6 +51,49 @@ class TextOpsSpec extends SparkSpec {
       assert(n > expect * 0.5 && n < expect * 1.5, s"$lang kept $n, expected ~$expect")
     }
   }
+
+  test("repetition ratio: hand-built docs get exact basis points; corpus is non-vacuous") {
+    import spark.implicits._
+    val out = TextOps.qRepetitionRatio(spark, SfDir)
+    assertNonEmpty(out, "text_repetition_ratio")
+    assert(out.filter(col("dup_word_bp") > 0).count() > 0,
+      "corpus has no repeated words — vacuous")
+    // exact checks on a tiny literal frame routed through the same algebra
+    val lit = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a b a b"), (4L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.wsTokens(col("text")).as("words"))
+      .select(col("doc_id"),
+        round((size(col("words")) - size(array_distinct(col("words")))) * 10000.0
+          / size(col("words"))).cast("long").as("dup_word_bp"),
+        round((size(TextOps.bigrams(col("words"))) - size(array_distinct(TextOps.bigrams(col("words")))))
+          * 10000.0 / size(TextOps.bigrams(col("words")))).cast("long").as("dup_bigram_bp"))
+      .orderBy("doc_id").collect()
+    assert(lit(0).getLong(1) == 7500L)   // a a a a: 3/4 words dup
+    assert(lit(0).getLong(2) == 6667L)   // bigrams [a a, a a, a a]: 2/3 dup
+    assert(lit(1).getLong(1) == 0L)      // all distinct
+    assert(lit(2).getLong(2) == 3333L)   // [a b, b a, a b]: 1/3 dup
+    assert(lit(3).isNullAt(2))           // <2 tokens → null bigram ratio
+  }
+
+  test("boilerplate spans: planted shared span is found; singleton docs report zero") {
+    val out = TextOps.qBoilerplateSpans(spark, SfDir)
+    assert(out.count() == Tables.documents(spark, SfDir).count(),
+      "every doc must get a row (zero-share docs included)")
+    assert(out.filter(col("n_shared") > 0).count() > 0,
+      "corpus has no cross-doc shared 5-gram spans — vacuous")
+    assert(out.filter(col("n_shared") === 0).count() > 0,
+      "no zero-share docs — the join-back would hide dropped rows")
+    assert(out.filter(col("n_shared") > col("n_spans")).count() == 0)
+  }
+
+  test("contamination: benchmark docs excluded, near-dups of benchmark docs flagged") {
+    val out = TextOps.qContamination(spark, SfDir)
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0,
+      "benchmark docs must not appear in the evaluated set")
+    assert(out.filter(col("n_contaminated") > 0).count() > 0,
+      "nothing flagged — vacuous (the corpus plants near-dups, some hit the mod-97 slice)")
+    assert(out.filter(col("contam_bp") > 10000).count() == 0, "ratio above 100%")
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
