@@ -56,8 +56,17 @@ object SparkEntry {
     "q8_market_share"     -> (RelationalExt.q8MarketShare _),
     "q9_product_profit"   -> (RelationalExt.q9ProductProfit _),
     "q14_promo_revenue"   -> (RelationalExt.q14PromoRevenue _),
+    "q11_important_stock" -> (RelationalExt.q11ImportantStock _),
+    "q12_late_lines"      -> (RelationalExt.q12LateLines _),
+    "q13_cust_distribution" -> (RelationalExt.q13CustomerDistribution _),
+    "q15_top_supplier"    -> (RelationalExt.q15TopSupplier _),
+    "q16_part_supplier_cnt" -> (RelationalExt.q16PartSupplierCnt _),
+    "q17_small_qty_revenue" -> (RelationalExt.q17SmallQtyRevenue _),
     "q18_large_orders"    -> (RelationalExt.q18LargeOrders _),
     "q19_disjunctive_pred" -> (RelationalExt.q19DisjunctivePred _),
+    "q20_excess_inventory" -> (RelationalExt.q20ExcessInventory _),
+    "q21_waiting_orders"  -> (RelationalExt.q21WaitingOrders _),
+    "q22_sales_opportunity" -> (RelationalExt.q22SalesOpportunity _),
     "q_grouping_sets"     -> (RelationalExt.qGroupingSets _),
     "q_conditional_agg"   -> (RelationalExt.qConditionalAgg _),
     "q_distinct_agg_multi" -> (RelationalExt.qDistinctAggMulti _),
@@ -378,6 +387,66 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END) * 1000000
         |    // sum(rev_cents) AS BIGINT) AS promo_ppm
         |FROM b""".stripMargin,
+    "q11_important_stock" ->
+      """WITH value AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM value
+        |WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM value) * 2
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM per_cust
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_supplier_cnt" ->
+      """WITH bridge AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM bridge JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')),
+        |avg_q AS (
+        |  SELECT l_partkey AS pk, CAST(sum(l_quantity) AS BIGINT) AS sum_q,
+        |    count(*) AS n_q
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) // 7 AS BIGINT) AS avg_yearly_cents
+        |FROM li JOIN avg_q ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * n_q * 5 < sum_q""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
@@ -406,6 +475,49 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY acct_cents, s_suppkey) AS rn
         |  FROM cand) t
         |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+    "q20_excess_inventory" ->
+      """WITH qualifying AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS shipped_qty
+        |    FROM lineitem
+        |    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'LARGE')
+        |    GROUP BY 1, 2 HAVING sum(l_quantity) > 60))
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_orders" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    date_diff('day', o_orderdate, l_shipdate) > 90 AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey AS ok FROM li GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) >= 2
+        |     AND count(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1),
+        |waiting AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM li
+        |  WHERE is_late AND l_orderkey IN (SELECT ok FROM per_order))
+        |SELECT s_name, count(*) AS numwait
+        |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_sales_opportunity" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents
+        |  FROM customer),
+        |thresh AS (
+        |  SELECT CAST(sum(acct_cents) AS BIGINT) AS sum_pos, count(*) AS n_pos
+        |  FROM cust WHERE acct_cents > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(acct_cents) AS BIGINT) AS totacct_cents
+        |FROM cust, thresh
+        |WHERE acct_cents * n_pos > sum_pos
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,

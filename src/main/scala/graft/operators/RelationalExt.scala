@@ -309,4 +309,189 @@ object RelationalExt {
         sum(col("x") * col("x")).as("sum_xx"),
         sum(col("y") * col("y")).as("sum_yy"))
       .orderBy("o_orderpriority")
+
+  // ---- the remaining TPC-H shapes (q11-q13, q15-q17, q20-q22), adapted
+  // to the reduced schema (no partsupp/shipmode/phone — each Scaladoc
+  // names the substitution). With these, all 22 TPC-H query shapes are
+  // registered and oracle-gated.
+
+  /** TPC-H Q11-style important stock: value concentration per part for
+    * one nation's suppliers, kept only where the part's share exceeds a
+    * fixed fraction of the nation total (scalar-subquery HAVING). The
+    * partsupp value is modeled as shipped `l_quantity * p_retailprice`.
+    * The global total is a broadcast scalar — one extra reduction, no
+    * second shuffle of the fact. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3").select("s_suppkey")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_retailprice")
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("p_retailprice")) * col("l_quantity").cast("bigint"))
+        .as("value_cents"))
+    value
+      .join(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
+      .filter(col("value_cents") * 1000L > col("total_cents") * 2L) // > 0.2% of total
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping-delay classes: lines shipped more than 60
+    * days after their order date ("late" — the commit/receipt-date pair
+    * doesn't exist here), counted by line status and order priority
+    * criticality. Conditional CASE aggregate over one fact-fact join. */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT join so
+    * zero-order customers survive, per-customer count, then the
+    * distribution of those counts. Two shuffles (custkey, then count) —
+    * both on low-cardinality keys after the first agg. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * the supplier(s) achieving the global max (scalar subquery against
+    * the same derived view — computed once, reused, no re-scan of the
+    * fact under AQE reuse). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(revenue())).as("total_cents"))
+    rev.join(broadcast(rev.agg(max(col("total_cents")).as("max_cents"))))
+      .filter(col("total_cents") === col("max_cents"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-style supplier counts per part class: distinct suppliers
+    * that shipped each (brand, type, size) group, excluding one brand and
+    * excluding "complaint" suppliers (negative account balance stands in
+    * for the comment-text scan). The part-supplier bridge is the shipped
+    * lineitem pairs (no partsupp table), deduplicated BEFORE the
+    * dimension join so the distinct-agg input is minimal. */
+  def q16PartSupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val complaints = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val bridge = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    bridge
+      .join(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#1"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity; the
+    * per-part average is an aggregate joined back to the fact (the
+    * correlated subquery decorrelated by hand). Yearly average revenue
+    * in exact cents div 7. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#2").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    // avg as exact integer: 5 * sum(qty) < n * qty_threshold avoids float
+    // division entirely (l_quantity is integral in this corpus)
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sum_q"),
+        count(lit(1)).as("n_q"))
+    li.join(avgQ, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("bigint") * col("n_q") * 5L < col("sum_q"))
+      .agg(sum(cents(col("l_extendedprice"))).as("s"))
+      .select(expr("s div 7").cast("bigint").as("avg_yearly_cents"))
+  }
+
+  /** TPC-H Q20-style excess inventory: suppliers that shipped more than
+    * 100 units of any LARGE-type part in 1997 — the nested
+    * exists-chain expressed as semi-joins over a grouped threshold. */
+  def q20ExcessInventory(spark: SparkSession, dir: String): DataFrame = {
+    val largeParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE").select("p_partkey")
+    val qualifying = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("shipped_qty"))
+      .filter(col("shipped_qty") > 60)
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-style waiting orders: for multi-supplier orders where at
+    * least one line is late (shipped >90 days after order), count per
+    * supplier the orders where that supplier is the ONLY late one — the
+    * exists/not-exists pair expressed as one grouped pass over the order
+    * (distinct supplier count vs distinct late-supplier count), then a
+    * semi-probe per (order, supplier). One fact-fact join, two grouped
+    * shuffles on o_orderkey — no correlated re-scans. */
+  def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late", datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    li.filter(col("is_late"))
+      .join(perOrder, col("l_orderkey") === col("ok"), "left_semi")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22-style sales opportunity: customers with above-average
+    * positive balance and NO urgent order (market segment stands in for
+    * the phone country code). Anti-join + broadcast scalar threshold —
+    * the fact is touched once, filtered to urgent keys only. */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), cents(col("c_acctbal")).as("acct_cents"))
+    val avgBal = cust.filter(col("acct_cents") > 0)
+      // exact integer threshold: custkey * avg < sum  ==  custkey < avg
+      .agg(sum(col("acct_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("acct_cents") * col("n_pos") > col("sum_pos")) // bal > avg(positive)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(col("acct_cents")).as("totacct_cents"))
+      .orderBy("c_mktsegment")
+  }
 }
