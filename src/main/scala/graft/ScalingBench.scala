@@ -59,8 +59,11 @@ object ScalingBench {
               else expr(s"""transform(embedding, (x, d) ->
                 cast(x * (CASE WHEN pmod(xxhash64(concat('$i:', d)), 2) = 0
                           THEN 1.0D ELSE -1.0D END) as float))""")
+      // replica offset must stay BELOW the 1e6 planted-query id convention
+      // (SimilarityOps.withPlanted): ids >= 1e6 are treated as queries, so
+      // a larger offset would silently turn the whole replica into queries
       emb.select(
-        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        (col("vec_id") + lit(i.toLong * 100000L)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     embReps.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -71,6 +74,7 @@ object ScalingBench {
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
@@ -92,7 +96,7 @@ object ScalingBench {
       // warmup: touch both tables so first measured query pays no FS surprise
       Tables.documents(spark, dir).write.format("noop").mode("overwrite").save()
       Tables.embeddings(spark, dir).write.format("noop").mode("overwrite").save()
-      for (name <- family) {
+      for (name <- family if only.forall(_.contains(name))) {
         val fn = SparkEntry.queries(name)
         System.gc()
         val t = (1 to reps).map { _ =>
@@ -102,7 +106,7 @@ object ScalingBench {
         }.min
         times(name) = times.getOrElse(name, Map.empty) + (k -> t)
       }
-      val qs = family.map(n => "\"" + n + f"""\":${times(n)(k)}%.3f""").mkString("{", ",", "}")
+      val qs = times.keys.toSeq.map(n => "\"" + n + f"""\":${times(n)(k)}%.3f""").mkString("{", ",", "}")
       println(f"""{"metric":"scaling","scale":$k,"queries":$qs}""")
     }
 

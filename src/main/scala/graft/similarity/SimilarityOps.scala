@@ -63,7 +63,7 @@ object SimilarityOps {
     * all-pairs oracle for the spec-side equality check. */
   def qEmbedNeardupCosine(spark: SparkSession, dir: String): DataFrame = {
     val all = withPlanted(vectors(spark, dir))
-    val bucketed = signBucketed(all)
+    val bucketed = signBucketed(all, lshBits(corpusSize(spark, dir)))
     val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("vec_a"))
     val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("vec_b"))
     val cands = a.join(b, Seq("table", "bucket"))
@@ -109,23 +109,40 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Number of LSH tables and hyperplane bits per table. */
+  /** Number of LSH tables. */
   private val NTables = 8
-  private val BitsPerTable = 6
+
+  /** Corpus row count per data dir, memoized per JVM (a parquet count is
+    * metadata-cheap but not free; the size only steers index capacity). */
+  private val sizeMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusSize(spark: SparkSession, dir: String): Long =
+    sizeMemo.computeIfAbsent(dir,
+      _ => java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())).longValue()
+
+  /** Hyperplane bits per table, derived from corpus size so the expected
+    * bucket occupancy stays ~32 vectors as the corpus grows (fixed bits
+    * make candidate counts quadratic in n: bucket size grows linearly AND
+    * the query set does too). Bits cost recall gently (each bit splits a
+    * theta-angle pair with p = theta/pi per plane) — the 8 tables keep the
+    * miss probability negligible through 24 bits, and scaled duplicates
+    * have identical sign patterns at ANY bit width. */
+  private def lshBits(n: Long): Int =
+    math.max(6, math.min(24,
+      math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
 
   /** Deterministic random hyperplanes (seeded Gaussian), as literal
     * array<double> columns — resolved at plan time, broadcast implicitly. */
-  private def hyperplanes(dim: Int): Seq[Seq[Column]] = {
+  private def hyperplanes(dim: Int, bits: Int): Seq[Seq[Column]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(NTables)(Seq.fill(BitsPerTable)(
+    Seq.fill(NTables)(Seq.fill(bits)(
       array(Seq.fill(dim)(lit(rng.nextGaussian())): _*)))
   }
 
   /** Sign-LSH bucketing shared by the ANN and near-dup paths: per table,
-    * bucket = sign-bit pattern of `BitsPerTable` hyperplane dots. Returns
+    * bucket = sign-bit pattern of `bits` hyperplane dots. Returns
     * (vec_id, vec, table, bucket) — one row per (vector, table). */
-  private def signBucketed(base: DataFrame, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(dim)
+  private def signBucketed(base: DataFrame, bits: Int, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, bits)
     val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
       val bits = tbl.zipWithIndex.map { case (h, j) =>
         // native fused-loop dot: no per-row zip_with allocation x 48 planes
@@ -148,7 +165,7 @@ object SimilarityOps {
     * (asserted in SimilaritySpec); random far pairs rarely collide. */
   def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
-    val bucketed = signBucketed(base)
+    val bucketed = signBucketed(base, lshBits(corpusSize(spark, dir)))
     val queries = bucketed.filter(col("vec_id") >= 1000000L)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
     val cands = bucketed.filter(col("vec_id") < 1000000L)
@@ -198,11 +215,12 @@ object SimilarityOps {
     * recall. Deterministic: stride-seeded init, tie-broken assignment. */
   private[similarity] def kmeansLite(
       data: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val n = data.count()
-    val stride = math.max(n / k, 1L)
+    // seed selection by id-hash order: deterministic, spread uniformly over
+    // the corpus, and robust to ANY id distribution (a modulo-stride pick
+    // silently under-seeds offset or sparse id spaces)
     var centroids: Array[Array[Double]] = data
-      .filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * k)
-      .orderBy("vec_id").select("vec").collect()
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select("vec").collect()
       .map(_.getSeq[Double](0).toArray)
     (1 to iters).foreach { _ =>
       val updated = assignCells(data, cellsDf(data.sparkSession, centroids))
@@ -228,11 +246,27 @@ object SimilarityOps {
     * quantizer and assign the corpus once at index time, serve many
     * queries) — so the registered query prices the SEARCH, while the spec
     * exercises the build directly via [[kmeansLite]]. */
+  /** Cell count for an IVF index over n vectors: K ~ sqrt(n) — the
+    * classic balance point (serve work per query ~ nProbe * n/K and build
+    * work ~ n * K meet at sqrt). A FIXED K is quadratic at scale: cells
+    * grow linearly, so does the query set, and their product is n^2/K. */
+  private def ivfCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n / 8.0)).toInt))
+
   private def ivfIndex(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val key = graft.SessionCache.viewKey(dir)
     val base = withPlanted(vectors(spark, dir))
+    // FAISS-lineage split: TRAIN the quantizer on a bounded deterministic
+    // sample (~64 vectors per cell — Lloyd needs no more), then assign the
+    // FULL corpus once. Training on everything would make the build
+    // superlinear for no recall gain.
+    val n = corpusSize(spark, dir)
+    val trainCap = 64L * k
+    val train =
+      if (n > trainCap) base.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
+      else base
     val cells = graft.SessionCache.cachedView(spark, s"graft_ivf_cells_$key")(
-      cellsDf(spark, kmeansLite(base, k, iters = 3)))
+      cellsDf(spark, kmeansLite(train, k, iters = 3)))
     val assigned = graft.SessionCache.cachedView(spark, s"graft_ivf_assigned_$key")(
       assignCells(base, cells))
     (cells, assigned)
@@ -249,7 +283,7 @@ object SimilarityOps {
     * qAnnTopkLsh's hash variant.
     * Rows-only contract; planted-dup recall asserted in SimilaritySpec. */
   def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val k = 16
+    val k = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
     val (cells, assigned) = ivfIndex(spark, dir, k)
     // probe list: nProbe nearest centroids per query by L2
