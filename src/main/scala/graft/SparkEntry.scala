@@ -819,6 +819,27 @@ object SparkEntry {
         |    CAST(len(list_filter(range(0, 64), i -> a.b[i+1] <> b.b[i+1])) AS BIGINT) AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id) p
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // connected components as a recursive reachability walk: min over all
+    // labels a node can reach = the component minimum = Spark's converged
+    // min-label propagation (DedupOps.dedupClusters), singletons included
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.src AS doc_id, w.label
+        |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
+        |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
