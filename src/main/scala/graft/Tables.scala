@@ -31,5 +31,17 @@ object Tables {
       .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+
+  /** Round-robin repartition to the session's default parallelism.
+    *
+    * For CPU-heavy per-row pipelines (shingling, regex scans) over a
+    * SMALL file count, the scan yields too few partitions and the map
+    * runs on one core while 31 idle — one tiny shuffle of the raw rows
+    * buys full map parallelism. At production scale the scan's natural
+    * partitioning (maxPartitionBytes over many files) already provides
+    * this and the repartition collapses to a cheap rebalance; never use
+    * it to move LARGE data that is already well-partitioned. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

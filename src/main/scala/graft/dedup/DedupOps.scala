@@ -135,7 +135,7 @@ object DedupOps {
     * side of the verification join — cheaper than pinning them in the
     * block store. */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 64))
@@ -311,7 +311,10 @@ object DedupOps {
   }
 
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // spread BEFORE the shingle build: the documents scan is few
+    // partitions at bench SFs and the interpreted HOF pipeline is the
+    // cost — see Tables.spread
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
 

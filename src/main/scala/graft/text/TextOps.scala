@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -45,7 +46,7 @@ object TextOps {
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens per doc. */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
@@ -62,7 +63,7 @@ object TextOps {
     val nToks = size(toks).cast("double")
     val nPunct = length(regexp_replace(col("text"), "[\\w\\s]", "")).cast("double")
     val nStop = hitCount(toks, Stopwords("en")).cast("double")
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -81,7 +82,7 @@ object TextOps {
     val toks = wsTokens(lower(col("text")))
     val langs = Seq("en", "de", "fr", "es", "zh")
     val hits = langs.map(l => hitCount(toks, Stopwords(l)).as(s"hits_$l"))
-    val withHits = Tables.documents(spark, dir).select((col("doc_id") +: col("lang") +: hits): _*)
+    val withHits = Tables.spread(spark, Tables.documents(spark, dir)).select((col("doc_id") +: col("lang") +: hits): _*)
     val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
     val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
       when(col(s"hits_$l") === col("__best") && col("__best") > 0, lit(l)).otherwise(acc)
@@ -97,7 +98,7 @@ object TextOps {
     * stream, mod 1e9+7 (stays in exact long range at every step). Pure
     * higher-order-function fold — per-row, no shuffle. */
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         expr(
@@ -122,7 +123,7 @@ object TextOps {
   /** Scrub demo over documents with synthetic PII planted per doc (the
     * corpus itself is clean), so all three redaction classes execute. */
   def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .withColumn("dirty",
         concat(col("text"), lit(" contact bob"), col("doc_id"), lit("@mail.example.com"),
           lit(" visit https://ex.example/x"), col("doc_id"),
@@ -143,7 +144,7 @@ object TextOps {
   /** Corpus bigram frequency: per-doc bigrams via an index-sequence
     * transform, explode, global count. Top-100 with deterministic order. */
   def qNgramFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(wsTokens(col("text")).as("words")) // split once per row
       // explode_outer + null filter: plain explode gets an inferred
       // size(...)>0 pre-filter that re-evaluates the bigram transform
@@ -168,6 +169,9 @@ object TextOps {
       .md5Hash64Array(array(col("doc_id").cast("string")))
       .getItem(0)
     val keepBelow = when(col("lang") === "en", lit(32)).otherwise(lit(64))
+    // no spread here: the keep-decision is a cheap filter that belongs at
+    // the scan — repartitioning rows that are about to be dropped is the
+    // anti-pattern Tables.spread warns about
     Tables.documents(spark, dir)
       .withColumn("bucket", shiftrightunsigned(bucket, 8).bitwiseAND(lit(127L)))
       .filter(col("bucket") < keepBelow)
@@ -183,7 +187,7 @@ object TextOps {
     * (mirrored CASE in the oracle). */
   def qRepetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     val words = wsTokens(col("text"))
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), words.as("words"))
       .select(
         col("doc_id"),
@@ -204,15 +208,23 @@ object TextOps {
     * collected or broadcast, unlike the fixed-size benchmark set in
     * [[qContamination]]). */
   def qBoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.DedupOps.shinglesFromWords
-    val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesFromWords(wsTokens(col("text")), 5).as("spans"))
+    import graft.dedup.DedupOps.{hashedShingles, shinglesFromWords}
+    // spans travel as 64-bit hashes (the DedupOps convention): the two
+    // shuffles carry 8-byte keys instead of ~40-char strings. Per-doc
+    // spans are DISTINCT by construction, so count(*) per span hash IS
+    // the document frequency — no countDistinct Expand/double-shuffle.
+    val ex = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        hashedShingles(shinglesFromWords(wsTokens(col("text")), 5)).as("spans"))
       // explode_outer: plain explode gets an inferred size(...)>0 filter
       // that re-evaluates the shingle transform (spans is never empty)
       .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
         explode_outer(col("spans")).as("g"))
-    val counts = ex.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
-    ex.join(counts, "g")
+    // document frequency via count-over-window, NOT a groupBy + join-back:
+    // a join would make the exploded subtree two plan branches, and the
+    // (interpreted-HOF) shingle construction would run once per branch —
+    // the window keeps it ONE branch, one shuffle on the span hash
+    ex.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy("doc_id")
       .agg(
         max(col("n_spans")).as("n_spans"),
@@ -229,9 +241,12 @@ object TextOps {
     * don't grow with the corpus), so it is broadcast and the whole check
     * is a map-side semi-probe — no shuffle of the corpus at any scale. */
   def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.DedupOps.shinglesFromWords
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), shinglesFromWords(wsTokens(col("text")), 5).as("spans"))
+    import graft.dedup.DedupOps.{hashedShingles, shinglesFromWords}
+    // span hashes, not strings, through the broadcast probe (DedupOps
+    // convention; the oracle verifies the per-doc counts exactly)
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        hashedShingles(shinglesFromWords(wsTokens(col("text")), 5)).as("spans"))
     val bench = base.filter(col("doc_id") % 97 === 0)
       .select(explode_outer(col("spans")).as("g")).distinct()
       .withColumn("hit", lit(1L))
