@@ -23,6 +23,13 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size scan splits to the benched SF (SURVEY §5: fit
+      // maxPartitionBytes to the data): the sf0.1 files are all <11 MB, so
+      // the 128 MB default serializes every map stage onto one core. 4 MB
+      // keeps splits big enough to amortize task setup while letting the
+      // 32 threads work. Production-scale files use the default.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
