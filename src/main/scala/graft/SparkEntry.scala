@@ -124,6 +124,7 @@ object SparkEntry {
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
+    "stream_interval_join" -> (graft.streaming.EventStreams.qStreamIntervalJoin _),
     "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
@@ -1004,6 +1005,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS bucket, c_mktsegment, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  date_diff('second', c.ts, p.ts) AS gap_s
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, purchase_id, click_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, ts, event_type, round(value,2) AS value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)

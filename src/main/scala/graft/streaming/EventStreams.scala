@@ -58,6 +58,53 @@ object EventStreams {
     enrichedSegmentCounts(Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy("bucket", "c_mktsegment")
 
+  /** Stream-stream interval join — click-to-purchase attribution: each
+    * purchase matches the same user's clicks from the preceding 30
+    * minutes (inclusive bounds, mirrored in the oracle). The equi-key is
+    * the user, the time bound is the residual — exactly the condition
+    * shape Spark's streaming symmetric hash join needs to BOUND STATE:
+    * with both sides watermarked, rows older than watermark + interval
+    * are evicted, so state is O(rate x horizon), not O(stream). The same
+    * transform runs in batch (SortMergeJoin with the range residual) for
+    * the oracle gate; EventStreamSpec proves stream/batch parity. */
+  def attributedClicks(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        // floor-of-each-second difference, NOT timestampdiff: engines
+        // disagree on sub-second gaps (Spark truncates the DIFFERENCE,
+        // DuckDB's date_diff counts second-boundary crossings = floor of
+        // each operand) — flooring both operands is portable. NTZ→LTZ
+        // cast is an identity relabel in the UTC session.
+        (expr("unix_micros(cast(purchase_ts as timestamp)) div 1000000") -
+          expr("unix_micros(cast(click_ts as timestamp)) div 1000000"))
+          .cast("long").as("gap_s"))
+
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+
+  /** Streaming variant: both sides watermarked (watermark + join interval
+    * = the state eviction horizon). */
+  def attributedClicksStreaming(events: DataFrame): DataFrame =
+    attributedClicks(
+      clickSide(events).withWatermark("click_ts", "2 hours"),
+      purchaseSide(events).withWatermark("purchase_ts", "2 hours"))
+
+  /** Batch-equivalent driver query for the stream-stream interval join. */
+  def qStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    attributedClicks(clickSide(events), purchaseSide(events))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** Keyed dedup — the streaming-ingest idempotency op. Batch form here;
     * the streaming form is `withWatermark + dropDuplicatesWithinWatermark`
     * (state bounded by the watermark horizon), exercised in

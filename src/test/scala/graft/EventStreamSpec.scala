@@ -36,6 +36,30 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch plan on a completed input") {
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = Files.createTempDirectory("graft_stream_ivj").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.attributedClicksStreaming(stream)
+      .writeStream
+      .format("memory")
+      .queryName("interval_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    val batch = EventStreams.qStreamIntervalJoin(spark, SfDir)
+    val streamed = spark.table("interval_join")
+    assert(streamed.count() > 0, "stream-stream join produced nothing — vacuous")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "stream and batch interval-join results differ")
+  }
+
   test("stream-static enrichment join equals the batch plan on a completed input") {
     val events = Tables.events(spark, SfDir)
       .withColumn("ts", col("ts").cast("timestamp"))
