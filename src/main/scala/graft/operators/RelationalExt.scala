@@ -332,8 +332,12 @@ object RelationalExt {
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("p_retailprice")) * col("l_quantity").cast("bigint"))
         .as("value_cents"))
+    // global total via an unpartitioned window over the PER-PART aggregate
+    // (one row per part — tiny next to the fact), NOT a second aggregate
+    // branch: a self-join against value.agg(...) re-scans the whole fact
+    // chain, doubling the dominant cost at scale
     value
-      .join(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
+      .withColumn("total_cents", sum(col("value_cents")).over(Window.partitionBy()))
       .filter(col("value_cents") * 1000L > col("total_cents") * 2L) // > 0.2% of total
       .select(col("l_partkey"), col("value_cents"))
       .orderBy(col("value_cents").desc, col("l_partkey"))
@@ -379,7 +383,9 @@ object RelationalExt {
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(revenue())).as("total_cents"))
-    rev.join(broadcast(rev.agg(max(col("total_cents")).as("max_cents"))))
+    // global max via unpartitioned window over the per-supplier aggregate
+    // — one fact pass (see q11ImportantStock for the rationale)
+    rev.withColumn("max_cents", max(col("total_cents")).over(Window.partitionBy()))
       .filter(col("total_cents") === col("max_cents"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_cents"))
