@@ -81,6 +81,7 @@ object SparkEntry {
     "q_window_ntile"      -> (WindowOps.qWindowNtile _),
     "q_histogram"         -> (Relational.qHistogram _),
     "q_sessionize"        -> (WindowOps.qSessionize _),
+    "q_event_funnel"      -> (WindowOps.qEventFunnel _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
@@ -622,6 +623,33 @@ object SparkEntry {
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_event_funnel" ->
+      """WITH t_s AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t_c AS (
+        |  SELECT e.user_id, min(ts) AS t_click
+        |  FROM events e JOIN t_s USING (user_id)
+        |  WHERE event_type = 'click'
+        |    AND ts >= t_signup AND ts <= t_signup + INTERVAL 12 HOUR
+        |  GROUP BY 1),
+        |t_p AS (
+        |  SELECT e.user_id, min(ts) AS t_purchase
+        |  FROM events e JOIN t_c USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= t_click AND ts <= t_click + INTERVAL 12 HOUR
+        |  GROUP BY 1),
+        |per_user AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t_purchase IS NOT NULL THEN 3
+        |         WHEN t_click IS NOT NULL THEN 2
+        |         WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN t_s USING (user_id)
+        |  LEFT JOIN t_c USING (user_id)
+        |  LEFT JOIN t_p USING (user_id))
+        |SELECT funnel_stage, count(*) AS n_users
+        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -112,4 +112,40 @@ object WindowOps {
         round(sum("value"), 2).as("session_value")
       )
       .orderBy("user_id", "session_seq")
+
+  /** Funnel analysis with conversion windows — the standard product-
+    * analytics shape: first signup, first click within 12 h OF THAT
+    * signup, first purchase within 12 h of that click; users counted by
+    * furthest stage reached. Each stage is a filtered min-aggregate
+    * joined to the previous stage's anchor time — the k-stage funnel is
+    * k passes over the (type-pruned) fact, each a pushdown-filtered scan
+    * + one user-keyed shuffle, never a per-event window sort. All stage
+    * boundaries are inclusive integer-microsecond comparisons, so the
+    * oracle mirrors exactly. */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr("INTERVAL 12 HOURS")
+    val tS = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val tC = e.filter(col("event_type") === "click")
+      .join(tS, "user_id")
+      .filter(col("ts") >= col("t_signup") && col("ts") <= col("t_signup") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val tP = e.filter(col("event_type") === "purchase")
+      .join(tC, "user_id")
+      .filter(col("ts") >= col("t_click") && col("ts") <= col("t_click") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(tS, Seq("user_id"), "left")
+      .join(tC, Seq("user_id"), "left")
+      .join(tP, Seq("user_id"), "left")
+      .withColumn("funnel_stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_signup").isNotNull, 1)
+          .otherwise(0))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_stage")
+  }
 }

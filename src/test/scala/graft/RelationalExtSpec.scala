@@ -5,6 +5,15 @@ import graft.operators.RelationalExt
 
 class RelationalExtSpec extends SparkSpec {
 
+  test("event funnel partitions all users and discriminates stages") {
+    val out = graft.operators.WindowOps.qEventFunnel(spark, SfDir).collect()
+    val users = Tables.events(spark, SfDir).select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == users,
+      "funnel buckets must partition the user universe")
+    assert(out.length >= 2,
+      "single-bucket funnel — conversion windows not discriminating")
+  }
+
   test("native corr/covar_samp/stddev_samp match the moment-derived values") {
     // qStatsMoments gates exact integer moments; this bridges them to the
     // native double stats surface: the natives must equal what the moments
