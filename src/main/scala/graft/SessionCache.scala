@@ -20,14 +20,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionCache {
 
+  /** Per-(session, name) build locks: a global object lock would serialize
+    * UNRELATED first-builds (the IVF k-means, the jaccard pair mine, and
+    * the cards-corpus codegen all cost seconds) and defeat the parallel
+    * Verify pool; per-name monitors keep build-once semantics without
+    * cross-entry blocking. Entries are tiny (one Object per cached view). */
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Return the cached view `name`, building and registering it on first
     * use. `build` is evaluated at most once per session per name. */
-  def cachedView(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    synchronized {
+  def cachedView(spark: SparkSession, name: String)(build: => DataFrame): DataFrame = {
+    val lock = buildLocks.computeIfAbsent(
+      System.identityHashCode(spark) + "/" + name, _ => new Object)
+    lock.synchronized {
       if (!spark.catalog.tableExists(name))
         build.localCheckpoint(eager = true).createOrReplaceTempView(name)
       spark.table(name)
     }
+  }
 
   /** Sanitize an arbitrary string (e.g. a data directory path) into a
     * legal temp-view-name suffix. */

@@ -84,6 +84,17 @@ object GraftFunctions {
 
   val simHash64Builder: Seq[Expression] => Expression = exprs => SimHash64(exprs.head)
 
+  /** minhash_sig(hashes, k): k must be a foldable int literal — it sizes
+    * the signature buffer at plan time. */
+  val minHashSigBuilder: Seq[Expression] => Expression = exprs =>
+    MinHashSignature(exprs.head, exprs(1).eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig k must be an integer literal, got $other")
+    })
+
+  val md5Hash64Builder: Seq[Expression] => Expression = exprs => Md5Hash64Array(exprs.head)
+
   /** Idempotent runtime SQL registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
   def register(spark: SparkSession): Unit = {
@@ -91,6 +102,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
     reg.createOrReplaceTempFunction("dot_product", dotProductBuilder, "built-in")
     reg.createOrReplaceTempFunction("simhash64", simHash64Builder, "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig", minHashSigBuilder, "built-in")
+    reg.createOrReplaceTempFunction("md5_hash64_array", md5Hash64Builder, "built-in")
   }
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -115,5 +128,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("dot_product"),
         new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
         GraftFunctions.dotProductBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        GraftFunctions.simHash64Builder))
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+        GraftFunctions.minHashSigBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("md5_hash64_array"),
+        new ExpressionInfo(classOf[Md5Hash64Array].getName, "md5_hash64_array"),
+        GraftFunctions.md5Hash64Builder))
   }
 }

@@ -434,7 +434,7 @@ object RelationalExt {
   }
 
   /** TPC-H Q20-style excess inventory: suppliers that shipped more than
-    * 100 units of any LARGE-type part in 1997 — the nested
+    * 60 units of any LARGE-type part in 1997 — the nested
     * exists-chain expressed as semi-joins over a grouped threshold. */
   def q20ExcessInventory(spark: SparkSession, dir: String): DataFrame = {
     val largeParts = Tables.part(spark, dir)

@@ -243,16 +243,22 @@ object EventStreams {
     * Time is carried as epoch MICROSECONDS end-to-end (java.time.Instant
     * at the API boundary) — java.sql.Timestamp.getTime is millisecond-
     * resolution and would silently truncate session_start. */
+  // Shared epoch-microsecond conversions for BOTH sessionize kernels — the
+  // kernels are spec-asserted equal, so the time arithmetic must live in
+  // exactly one place. The gap test compares SECOND-floored timestamps —
+  // by construction the same predicate as the batch qSessionize
+  // (cast-to-long seconds) and the shared DuckDB oracle (floor(epoch)),
+  // so all paths agree even when sub-second timestamps straddle a
+  // whole-second boundary. Pure functions on an object — serializes into
+  // mapPartitions/flatMapGroupsWithState closures safely.
+  private[streaming] def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private[streaming] def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+  private[streaming] def secondsFloor(us: Long): Long = Math.floorDiv(us, 1000000L)
+
   def sessionizeStateful(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    def micros(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
-    def instant(us: Long): java.time.Instant =
-      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-    // Gap test compares SECOND-floored timestamps — by construction the
-    // same predicate as the batch qSessionize (cast-to-long seconds) and
-    // the shared DuckDB oracle (floor(epoch)), so the three paths agree
-    // even when sub-second timestamps straddle a whole-second boundary.
-    def secondsFloor(us: Long): Long = Math.floorDiv(us, 1000000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -296,10 +302,6 @@ object EventStreams {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("value"))
       .mapPartitions { rows =>
-        def micros(i: java.time.Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
-        def instant(us: Long): java.time.Instant =
-          java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-        def secondsFloor(us: Long): Long = Math.floorDiv(us, 1000000L)
         var user = 0L
         var st: SessionState = null // null = no open session
         def flush(): SessionOut = SessionOut(user, st.sessionSeq, instant(st.start), st.n, st.sum)

@@ -119,6 +119,18 @@ class DedupSpec extends SparkSpec {
     val exact = DedupOps.qNgramJaccard(spark, SfDir)
     assert(lsh.count() > 0)
     assert(lsh.exceptAll(exact).count() == 0 && exact.exceptAll(lsh).count() == 0)
+    // PRECONDITION the equality gate rests on: 16x4 banding has ~recall 1
+    // only for pairs well above the 0.5 threshold (P(miss J) =
+    // (1-J^4)^16: 2e-4 at J=0.8, but 35% at J=0.5). The corpus's true
+    // pairs are all planted high-J near-dups; if the data generator ever
+    // introduces organic mid-band pairs, fail HERE with the cause instead
+    // of a mysterious oracle hash mismatch.
+    val midBand = exact
+      .filter(col("inter_n") * 4 < col("union_n") * 3) // J < 0.75
+      .count()
+    assert(midBand == 0,
+      s"$midBand exact pairs with J in [0.5, 0.75): 16x4 banding recall is not ~1 there — " +
+        "retune bands/rows or drop the minhash oracle to spec-only")
   }
 
   test("nodes appearing only in pairs still converge (and get labels)") {

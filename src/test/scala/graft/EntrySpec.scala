@@ -20,4 +20,20 @@ class EntrySpec extends SparkSpec {
     val vacuous = names.filter(n => SparkEntry.queries(n)(spark, SfDir).isEmpty)
     assert(vacuous.isEmpty, s"vacuous oracle matches: ${vacuous.mkString(", ")}")
   }
+
+  test("scalar-aggregate queries have non-null key aggregates (rows>0 can't prove it)") {
+    // A global aggregate over a filter matching ZERO rows still returns
+    // one row (all-NULL sums), so the row-count sweep above is blind to
+    // vacuous filters in the no-groupBy queries — assert their key
+    // aggregate is materially non-null instead.
+    val keyAggs = Map(
+      "q6_forecast_revenue" -> "revenue",
+      "q14_promo_revenue" -> "promo_cents",
+      "q17_small_qty_revenue" -> "avg_yearly_cents",
+      "q19_disjunctive_pred" -> "revenue")
+    val nullAggs = keyAggs.toSeq.sortBy(_._1).filter { case (q, c) =>
+      SparkEntry.queries(q)(spark, SfDir).select(c).head().isNullAt(0)
+    }
+    assert(nullAggs.isEmpty, s"null key aggregates (vacuous filters): ${nullAggs.mkString(", ")}")
+  }
 }

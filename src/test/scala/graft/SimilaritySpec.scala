@@ -30,6 +30,13 @@ class SimilaritySpec extends SparkSpec {
       "SELECT vec_id, cosine_sim(embedding, embedding) c FROM emb")
       .filter(abs(col("c") - 1.0) > 1e-12).count()
     assert(bad == 0)
+    // every native expression is SQL-reachable (the README claims it)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  simhash64(array(1L, 2L, 3L)) AS sh,
+        |  size(minhash_sig(array(1L, 2L, 3L), 8)) AS mh_k,
+        |  size(md5_hash64_array(array('a', 'b'))) AS md_n""".stripMargin).head()
+    assert(row.getDouble(0) == 11.0 && row.getInt(2) == 8 && row.getInt(3) == 2)
   }
 
   test("LSH ANN recall of true near-duplicates is 1 (scaled copies collide in every table)") {
