@@ -59,8 +59,8 @@ object ScalingBench {
     // rather than silently turning whole replicas into ANN queries
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
     require(maxId < 100000L, s"base vec_id range too large for amplification: $maxId >= 1e5")
-    require(k.toLong * 100000L < 1000000L,
-      s"scale $k pushes replica ids past the 1e6 planted-query convention (max scale 9 per " +
+    require((k - 1).toLong * 100000L + maxId < 1000000L,
+      s"scale $k pushes replica ids past the 1e6 planted-query convention (max scale 10 per " +
         "100k id block); raise the block size only together with SimilarityOps.withPlanted")
     val embReps = (0 until k).map { i =>
       val v = if (i == 0) col("embedding")
