@@ -38,4 +38,24 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
+
+  /** Register every star-schema table at `dir` (plus the ingested cards /
+    * sets corpora) as temp views, so the reference's raw-SQL workflow
+    * (`psql`-style ad-hoc queries) works verbatim through `spark.sql`:
+    *
+    * {{{
+    * GraftSession.sqlCatalog(spark, dataDir)
+    * spark.sql("SELECT s.name, count(*) FROM cards c JOIN sets s ON ... GROUP BY 1")
+    * }}}
+    *
+    * Views are lazy metadata over the parquet scans — registration costs
+    * nothing until queried, and every view gets full pushdown/pruning. */
+  def sqlCatalog(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    graft.ingest.IngestOps.cardsCorpus(spark).createOrReplaceTempView("cards")
+    graft.ingest.IngestOps.setsCorpus(spark).createOrReplaceTempView("sets")
+  }
 }

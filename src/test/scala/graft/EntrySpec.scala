@@ -4,6 +4,24 @@ package graft
   * the cross-cutting checks that individual operator specs can't own. */
 class EntrySpec extends SparkSpec {
 
+  test("sqlCatalog serves the reference's raw-SQL workflow over every table") {
+    GraftSession.sqlCatalog(spark, SfDir)
+    // the reference README's query shapes, verbatim SQL through spark.sql
+    val perSet = spark.sql(
+      """SELECT s.code, s.name, count(*) AS n_cards
+        |FROM cards c JOIN sets s ON c.set = s.code
+        |GROUP BY 1, 2 ORDER BY n_cards DESC, s.code""".stripMargin)
+    assert(perSet.count() > 0)
+    val star = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(star.count() == 5)
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL with no query impl: ${orphans.mkString(", ")}")
