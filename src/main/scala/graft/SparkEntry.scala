@@ -122,6 +122,7 @@ object SparkEntry {
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
     "mm_resize_stub"      -> (graft.multimodal.MultimodalOps.qMmResizeStub _),
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
+    "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -1025,6 +1026,17 @@ object SparkEntry {
         |FROM dirty ORDER BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, source, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // recomputes the audio metadata the Scala side must RECOVER by parsing
+    // its own RIFF container — a builder/parser offset bug breaks the match
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  8000 + (doc_id % 5) * 4000 AS sample_rate,
+        |  1 + doc_id % 2 AS n_channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS n_samples,
+        |  (octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000000
+        |    // (8000 + (doc_id % 5) * 4000) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value

@@ -125,6 +125,86 @@ object MultimodalOps {
         .select("doc_id", "width", "height"), 32, 32)
       .orderBy("doc_id")
 
+  /** Build a REAL RIFF/WAVE (PCM) byte stream — little-endian, canonical
+    * 44-byte header + data. The audio twin of the PNG/JPEG path: the
+    * container format is real end-to-end; only sample synthesis is
+    * data-derived (no codecs in this environment). */
+  private[graft] def buildWav(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * bitsPerSample / 8
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
+  /** Parse a WAV header by REAL chunk walking (not fixed offsets): verify
+    * RIFF/WAVE magic, then scan chunks (honoring the odd-size pad byte)
+    * until both `fmt ` and `data` are seen. Returns
+    * (sampleRate, channels, bitsPerSample, dataLen), or None for
+    * non-WAV / truncated input. */
+  private[graft] def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataLen: Option[Long] = None
+    while ((fmt.isEmpty || dataLen.isEmpty) && i + 8 <= bytes.length) {
+      val id = fourcc(i)
+      val size = buf.getInt(i + 4)
+      if (size < 0 || i + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((buf.getInt(i + 12), buf.getShort(i + 10).toInt, buf.getShort(i + 22).toInt))
+      else if (id == "data")
+        dataLen = Some(size.toLong)
+      i += 8 + size + (size & 1) // chunks are word-aligned: odd sizes pad
+    }
+    for ((rate, ch, bits) <- fmt; n <- dataLen) yield (rate, ch, bits, n)
+  }
+
+  /** One parsed audio record. */
+  case class AudioMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
+      bits_per_sample: Long, n_samples: Long, duration_us: Long)
+
+  /** Audio metadata extraction, oracle-gated END-TO-END: each doc's
+    * payload is wrapped in a real WAV container with doc-derived params
+    * (rate 8/12/16/20/24 kHz, 1-2 channels, 16-bit PCM), then the chunk
+    * walker must recover exactly what the DuckDB oracle computes straight
+    * from the document arithmetic — a builder/parser offset bug anywhere
+    * breaks the hash match. Same mapPartitions seam as decode. */
+  def qMmAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, data) =>
+          val rate = 8000 + (id % 5).toInt * 4000
+          val channels = 1 + (id % 2).toInt
+          val wav = buildWav(rate, channels, 16, data)
+          val (r, ch, bits, dataLen) = parseWavHeader(wav)
+            .getOrElse(sys.error(s"self-built WAV failed to parse for doc $id"))
+          val nSamples = dataLen / (ch * bits / 8)
+          AudioMeta(id, r.toLong, ch.toLong, bits.toLong, nSamples,
+            nSamples * 1000000L / r)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as a stream of fixed-size "frames"
     * and keep every `stride`-th one — the video-pipeline subsample step.
     * Pure column algebra over the binary: frame i = bytes

@@ -69,4 +69,19 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") === row.getLong(0)).select("text").head().getString(0)
     assert(row.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
   }
+
+  test("WAV builder/parser round-trip, chunk walking, and rejection") {
+    val data = Array.tabulate(1001)(_.toByte) // odd length → data chunk pads
+    val wav = MultimodalOps.buildWav(44100, 2, 16, data)
+    assert(MultimodalOps.parseWavHeader(wav).contains((44100, 2, 16, 1001L)))
+    // the walker must skip an unknown odd-sized chunk BEFORE fmt/data
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = wav.take(12) ++ extra ++ wav.drop(12)
+    // fix up the RIFF size for the added chunk
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 36 + extra.length + data.length)
+    assert(MultimodalOps.parseWavHeader(spliced).contains((44100, 2, 16, 1001L)))
+    assert(MultimodalOps.parseWavHeader("not audio at all".getBytes).isEmpty)
+    assert(MultimodalOps.parseWavHeader(wav.take(20)).isEmpty) // truncated
+  }
 }
