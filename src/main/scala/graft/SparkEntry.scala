@@ -95,6 +95,7 @@ object SparkEntry {
     "q_cards_oracle_lookup" -> (graft.ingest.IngestOps.qCardsOracleLookup _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
+    "dedup_incremental"   -> (graft.dedup.DedupOps.qDedupIncremental _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
     "dedup_clusters"      -> (graft.dedup.DedupOps.qDedupClusters _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
@@ -800,6 +801,27 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
         |FROM cards c JOIN sets s ON c.code = s.code
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |batch AS (SELECT * FROM sh WHERE doc_id % 7 = 3),
+        |base AS (SELECT * FROM sh WHERE doc_id % 7 <> 3),
+        |near AS (
+        |  SELECT b.doc_id, count(*) AS n_near_dups
+        |  FROM batch b JOIN base c
+        |    ON 2 * len(list_intersect(b.s, c.s)) >= len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.text IN (SELECT text FROM base) THEN 1 ELSE 0 END AS is_exact_dup
+        |  FROM batch b)
+        |SELECT e.doc_id, CAST(e.is_exact_dup AS BIGINT) AS is_exact_dup,
+        |  CAST(coalesce(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(CASE WHEN e.is_exact_dup = 0 AND coalesce(n.n_near_dups, 0) = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_novel
+        |FROM ex e LEFT JOIN near n USING (doc_id) ORDER BY e.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

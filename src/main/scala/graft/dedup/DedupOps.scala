@@ -348,6 +348,54 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental dedup — the growing-corpus ingestion gate: classify a NEW
+    * batch of documents against the EXISTING corpus as exact duplicates
+    * (content hash seen before) and/or near-duplicates (shingle-Jaccard
+    * >= 0.5 against some base doc). The join is strictly BIPARTITE
+    * (batch postings x base postings) — the base corpus is never
+    * self-joined, so each arriving batch costs O(|batch| x avg-df), not a
+    * re-mine of the whole corpus; at production scale the base index is a
+    * maintained table and this is a probe. The batch here is the
+    * deterministic doc_id % 7 == 3 slice re-keyed as arrivals. */
+  /** Classification kernel for [[qDedupIncremental]]: both inputs are
+    * (doc_id, text) frames; bipartite probe only. Exposed for spec-side
+    * planted-data testing (the synthetic corpus has near-dups across the
+    * batch split but no organic exact dups). */
+  def incrementalDedup(batchDocs: DataFrame, baseDocs: DataFrame): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), xxhash64(col("text")).as("th"),
+        hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+    val batch = prep(batchDocs)
+    val base = prep(baseDocs)
+    val exactDup = batch.select(col("doc_id"), col("th"))
+      .join(base.select(col("th")).distinct().withColumn("seen", lit(1L)), Seq("th"), "left")
+      .select(col("doc_id"), coalesce(col("seen"), lit(0L)).as("is_exact_dup"))
+    val bIdx = batch.select(col("doc_id"), size(col("sh")).cast("long").as("n_a"),
+      explode_outer(col("sh")).as("h"))
+    val sIdx = base.select(col("doc_id").as("base_id"), size(col("sh")).cast("long").as("n_b"),
+      explode_outer(col("sh")).as("h"))
+    val nearCounts = bIdx.join(sIdx, Seq("h"))
+      .groupBy(col("doc_id"), col("base_id"))
+      .agg(count(lit(1)).as("inter_n"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .filter(col("inter_n") * 2 >= col("n_a") + col("n_b") - col("inter_n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near_dups"))
+    exactDup.join(nearCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        (col("is_exact_dup") === 0 && coalesce(col("n_near_dups"), lit(0L)) === 0)
+          .cast("long").as("is_novel"))
+      .orderBy("doc_id")
+  }
+
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val isBatch = col("doc_id") % 7 === 3
+    incrementalDedup(docs.filter(isBatch), docs.filter(!isBatch))
+  }
+
   /** Prefix-filtered variant (AllPairs/PPJoin lineage), same exact result.
     *
     * Canonical order = ascending document frequency, then hash. For

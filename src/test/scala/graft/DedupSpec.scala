@@ -133,6 +133,27 @@ class DedupSpec extends SparkSpec {
         "retune bands/rows or drop the minhash oracle to spec-only")
   }
 
+  test("incremental dedup classifies exact dup / near dup / novel (planted)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),    // exact dup of 1
+      (11L, "one two three four five six seven eight nine XX"),  // near dup of 2
+      (12L, "totally different words with zero shared shingles here")) // novel
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(batch, base).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L)._1 == 1L, "exact dup not flagged")
+    assert(out(11L)._1 == 0L && out(11L)._2 > 0L, "near dup not counted")
+    assert(out(12L) == ((0L, 0L, 1L)), "novel doc misclassified")
+    // corpus-level non-vacuity: the %7 split crosses planted near-dup pairs
+    val corpus = DedupOps.qDedupIncremental(spark, SfDir)
+    assert(corpus.filter(col("n_near_dups") > 0).count() > 0)
+    assert(corpus.filter(col("is_novel") === 1).count() > 0)
+  }
+
   test("nodes appearing only in pairs still converge (and get labels)") {
     // 7 and 8 are pair endpoints absent from docs: before the node-union
     // fix they had no self-loop, so __prev stayed null and the changed
