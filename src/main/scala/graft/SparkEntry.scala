@@ -117,6 +117,7 @@ object SparkEntry {
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     "text_repetition_ratio" -> (graft.text.TextOps.qRepetitionRatio _),
     "text_boilerplate_spans" -> (graft.text.TextOps.qBoilerplateSpans _),
+    "text_rare_word_ratio" -> (graft.text.TextOps.qRareWordRatio _),
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
@@ -994,6 +995,17 @@ object SparkEntry {
         |  CAST(round((len(words) - len(list_distinct(words))) * 10000.0 / len(words)) AS BIGINT) AS dup_word_bp,
         |  CAST(round((len(bg) - len(list_distinct(bg))) * 10000.0 / len(bg)) AS BIGINT) AS dup_bigram_bp
         |FROM b ORDER BY doc_id""".stripMargin,
+    "text_rare_word_ratio" ->
+      """WITH ex AS (
+        |  SELECT doc_id, len(ws) AS n_distinct_words, unnest(ws) AS w
+        |  FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |        FROM documents)),
+        |wdf AS (SELECT *, count(*) OVER (PARTITION BY w) AS df FROM ex)
+        |SELECT doc_id, max(n_distinct_words) AS n_distinct_words,
+        |  CAST(sum(CASE WHEN df * 10 < (SELECT count(*) FROM documents) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(round(sum(CASE WHEN df * 10 < (SELECT count(*) FROM documents) THEN 1 ELSE 0 END) * 10000.0
+        |    / max(n_distinct_words)) AS BIGINT) AS rare_word_bp
+        |FROM wdf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate_spans" ->
       """WITH sh AS (
         |  SELECT doc_id,

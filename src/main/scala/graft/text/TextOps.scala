@@ -234,6 +234,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Rare-word ratio — the document-frequency quality cut (OCR noise and
+    * mojibake surface as words little else in the corpus uses): fraction
+    * of each doc's DISTINCT words whose corpus document-frequency is
+    * under 10% of the corpus — a RELATIVE threshold, so the cut means the
+    * same thing at any corpus size. Same single-branch count-over-window
+    * shape as [[qBoilerplateSpans]] (one shuffle on the word, one on the
+    * doc); the corpus row count is quantizer-style scalar metadata (the
+    * SimilarityOps.corpusSize precedent). */
+  def qRareWordRatio(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count()
+    val ex = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), array_distinct(wsTokens(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_distinct_words"),
+        explode_outer(col("ws")).as("w"))
+    ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_distinct_words")).as("n_distinct_words"),
+        sum(when(col("df") * 10 < lit(nDocs), 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_distinct_words"), col("n_rare"),
+        round(col("n_rare") * 10000.0 / col("n_distinct_words")).cast("long").as("rare_word_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: fraction of each document's distinct
     * 5-word spans that appear in a held-out benchmark set (here the
     * deterministic doc_id % 97 == 0 slice stands in for the eval suite).
