@@ -7,12 +7,15 @@ import graft.Tables
 
 /** Text-analysis operators for an LLM-training-data pipeline (SURVEY.md
   * §2.D): token counting, quality scoring, language ID, document
-  * fingerprinting, and corpus n-gram frequency.
+  * fingerprinting, corpus n-gram frequency, PII scrub, stratified
+  * sampling, and the corpus-level quality cuts (repetition, boilerplate
+  * spans, benchmark contamination, rare-word ratio).
   *
   * Everything is `functions._` column algebra (split / regexp /
-  * higher-order array functions) — fully codegen'd, no UDFs, so each op
-  * scales as a narrow map over the corpus; only `text_ngram_freq` shuffles
-  * (one explode + partial-agg groupBy).
+  * higher-order array functions) — no UDFs. The per-doc ops are narrow
+  * maps; the corpus-level ops shuffle once on the token/span key (count
+  * aggregation or count-over-window) plus once on the doc — always
+  * single-branch plans so the interpreted shingle HOFs evaluate once.
   *
   * Float policy: ratios are emitted as integer basis points
   * (`round(a * 10000.0 / b)` — same operation order as the oracle) because
