@@ -33,9 +33,11 @@ object ScalingBench {
 
   private val family = Seq(
     "dedup_exact", "dedup_normalized", "dedup_minhash_lsh", "dedup_simhash",
-    "ngram_jaccard", "dedup_clusters", "doc_fingerprint", "text_token_count",
-    "text_lang_id", "text_quality_score", "embed_label_centroids",
-    "embed_neardup_cosine", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf")
+    "ngram_jaccard", "dedup_clusters", "dedup_incremental", "doc_fingerprint",
+    "text_token_count", "text_lang_id", "text_quality_score",
+    "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
+    "embed_label_centroids", "embed_neardup_cosine", "ann_topk_brute",
+    "ann_topk_lsh", "ann_topk_ivf")
 
   /** Write k-fold amplified documents+embeddings under outDir. */
   def amplify(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
