@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -243,20 +243,122 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
-  /** Exact interpolated percentiles per group (median + p90). The price
-    * median is computed in integer cents: the interpolated midpoint of two
-    * ints is exact in double, so no rounding is needed and the oracle hash
-    * is stable (a 2-decimal median lands on .xx5 halfway points where
-    * engines' double rounding disagrees). */
+  /** Exact interpolated quantiles by two-pass histogram refinement — no
+    * whole-group buffering anywhere. `percentile()` collects every group
+    * value into one aggregation task's heap (~1e9 values/group at 100x —
+    * a scale-killer), and even a rank-over-distinct-values window leaves
+    * one task sorting a whole near-unique group. This instead:
+    *
+    *  1. Pass 1 counts rows per (group, family, log-bucket). Buckets are
+    *     `floor(sign(v)·ln(1+|v|)·512)` — order-preserving, needs no
+    *     min/max pre-pass, and bounded (~355 buckets per binade), so the
+    *     shuffle and driver collect are O(groups × families × buckets)
+    *     regardless of row count.
+    *  2. The driver turns cumulative bucket counts into, per requested p,
+    *     the two covering ranks `floor/ceil(p·(n-1))`, their buckets, and
+    *     each bucket's preceding-rank offset — metadata, like the IVF
+    *     quantizer split, never row data.
+    *  3. Pass 2 broadcast-joins rows to those covering buckets (~n/buckets
+    *     rows per group survive), ranks within each tiny bucket, picks the
+    *     straddling pair, and interpolates with the exact
+    *     `(hi-pos)·v_lo + (pos-lo)·v_hi` formula Spark's `Percentile`
+    *     uses, so results are bit-identical (spec-asserted).
+    *
+    * Both passes parallelize over scan splits at any scale; per-task state
+    * is one ~buckets-sized count map. Contract: group cardinality is
+    * bounded (the per-group quantile list lives on the driver) — the
+    * documented high-cardinality path is [[qApproxPercentiles]]. Bucket
+    * monotonicity relies on value spacing ≫ 1 ulp of `ln` (integers and
+    * fixed-decimal data; not adjacent raw doubles). */
+  private def exactQuantilesByRank(
+      df: DataFrame, groupCol: String,
+      specs: Seq[(Column, Seq[(String, Double)])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    def bucketOf(v: Column): Column =
+      floor(signum(v) * log(abs(v) + lit(1.0)) * lit(512.0)).cast("long")
+    // values ride as doubles: quantity already is one, integer cents are
+    // exact in double up to 2^53; nulls are dropped (percentile semantics)
+    val tagged = df.select(col(groupCol).as("g"), explode(array(
+      specs.zipWithIndex.map { case ((v, _), i) =>
+        struct(lit(i).as("tag"), v.cast("double").as("v"))
+      }: _*)).as("tv"))
+      .select(col("g"), col("tv.tag").as("tag"), col("tv.v").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("bucket", bucketOf(col("v")))
+    val hist = tagged.groupBy(col("g"), col("tag"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    require(hist.length <= 4000000,
+      s"exactQuantilesByRank: ${hist.length} (group, family, bucket) cells —" +
+        " group cardinality too high for exact grouped quantiles; use the" +
+        " sketch path (qApproxPercentiles) instead")
+    // driver: per (group, family) cumulative counts -> covering ranks
+    val targets = hist.groupBy(r => (r.get(0), r.getInt(1))).toSeq.flatMap {
+      case ((g, tag), cells) =>
+        val sorted = cells.sortBy(_.getLong(2))
+        val n = sorted.map(_.getLong(3)).sum
+        val cumBefore = sorted.scanLeft(0L)(_ + _.getLong(3))
+        specs(tag)._2.flatMap { case (name, p) =>
+          val pos = p * (n - 1).toDouble
+          val loRank = math.floor(pos).toLong
+          val hiRank = math.ceil(pos).toLong
+          // one row per DISTINCT covering bucket (lo and hi usually share
+          // one): a duplicate (g, tag, bucket, name) row would fan out the
+          // join and double-count row_number
+          Seq(loRank, hiRank).distinct
+            .map(r => sorted.indices.find(i => cumBefore(i + 1) > r).get)
+            .distinct.map { b =>
+              Row(g, tag, sorted(b).getLong(2), cumBefore(b), name, pos,
+                loRank, hiRank)
+            }
+        }
+    }
+    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+    val tSchema = StructType(Seq(
+      StructField("g", gType), StructField("tag", IntegerType),
+      StructField("bucket", LongType), StructField("cum_before", LongType),
+      StructField("name", StringType), StructField("pos", DoubleType),
+      StructField("lo_rank", LongType), StructField("hi_rank", LongType)))
+    val targetDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](targets.asJava), tSchema)
+    // pass 2: only rows in a covering bucket survive the broadcast probe
+    val picked = tagged.join(broadcast(targetDf), Seq("g", "tag", "bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g", "tag", "name", "bucket").orderBy("v")))
+      .withColumn("grank", col("cum_before") + col("rn") - 1)
+      .where(col("grank") === col("lo_rank") || col("grank") === col("hi_rank"))
+      .groupBy(col("g"), col("name"))
+      .agg(first("pos").as("pos"),
+        first("lo_rank").as("lo_rank"), first("hi_rank").as("hi_rank"),
+        max(when(col("grank") === col("lo_rank"), col("v"))).as("v_lo"),
+        max(when(col("grank") === col("hi_rank"), col("v"))).as("v_hi"))
+      .withColumn("q", when(col("lo_rank") === col("hi_rank"), col("v_lo"))
+        .otherwise(
+          (col("hi_rank").cast("double") - col("pos")) * col("v_lo") +
+            (col("pos") - col("lo_rank").cast("double")) * col("v_hi")))
+    val names = specs.flatMap(_._2.map(_._1))
+    val outCols = names.map(n => max(when(col("name") === n, col("q"))).as(n))
+    picked.groupBy(col("g").as(groupCol)).agg(outCols.head, outCols.tail: _*)
+  }
+
+  /** Exact interpolated percentiles per group (median + p90), computed
+    * rank-based (see [[exactQuantilesByRank]]) so no task ever buffers a
+    * whole group. The price median is computed in integer cents: the
+    * interpolated midpoint of two ints is exact in double, so no rounding
+    * is needed and the oracle hash is stable (a 2-decimal median lands on
+    * .xx5 halfway points where engines' double rounding disagrees). */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
-        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)")
-          .as("median_price_cents")
-      )
+    exactQuantilesByRank(Tables.lineitem(spark, dir), "l_returnflag", Seq(
+      col("l_quantity") ->
+        Seq("median_qty_raw" -> 0.5, "p90_qty_raw" -> 0.9),
+      expr("cast(round(l_extendedprice * 100) as bigint)") ->
+        Seq("median_price_raw" -> 0.5)))
+      .select(col("l_returnflag"),
+        round(col("median_qty_raw"), 2).as("median_qty"),
+        round(col("p90_qty_raw"), 2).as("p90_qty"),
+        col("median_price_raw").as("median_price_cents"))
       .orderBy("l_returnflag")
 
   /** Sketch percentiles — the 100 TB path for qPercentiles: t-digest-style

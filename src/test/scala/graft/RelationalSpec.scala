@@ -41,6 +41,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("rank-based exact percentiles match percentile() bit-for-bit, no buffer agg") {
+    val out = Relational.qPercentiles(spark, SfDir)
+    // no whole-group Percentile buffer anywhere in the plan: the rank
+    // rewrite must keep the scale-killer ObjectHashAggregate out
+    val plan = planOf(out)
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"plan still contains a percentile buffer aggregate:\n$plan")
+    val got = out.as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val want = Tables.lineitem(spark, SfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90_qty"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)")
+          .as("median_price_cents"))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq, s"rank-based != percentile():\n${got.toSeq}\n${want.toSeq}")
+  }
+
   test("anti join isolates synthesized orphan customers") {
     val cust = Tables.customer(spark, SfDir)
     val orphans = cust.limit(7).withColumn("c_custkey", col("c_custkey") + 1000000L)
