@@ -42,4 +42,11 @@ object SessionCache {
   /** Sanitize an arbitrary string (e.g. a data directory path) into a
     * legal temp-view-name suffix. */
   def viewKey(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** View-name key for a DATA DIRECTORY: path + file-state snapshot, so a
+    * dir rewritten within one JVM (amplify-into-scratch) gets a fresh
+    * cache entry instead of a stale served view. Prefer this over
+    * [[viewKey]] whenever the cached content derives from dir contents. */
+  def dirKey(dir: String): String =
+    viewKey(dir) + "_" + Tables.snapshot(dir)
 }

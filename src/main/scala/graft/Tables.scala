@@ -44,4 +44,30 @@ object Tables {
   def spread(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** File-state fingerprint of a table path (names + mtimes + sizes,
+    * recursive over a parquet directory): cheap (one listing, no data
+    * read) and changes whenever the table is rewritten — the invalidation
+    * key for per-JVM memos over data dirs (amplify-into-scratch rewrites
+    * a dir mid-session; a bare dir-keyed memo would serve stale state). */
+  def snapshot(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getPath}:${f.lastModified}:${f.length}").mkString("\n")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)
+  }
+
+  /** Table row count, memoized per (path, [[snapshot]]) — parquet counts
+    * are metadata-cheap locally but a real planning cost against a lake
+    * table, and several operators (rare-word threshold, LSH/IVF capacity)
+    * need the count as scalar metadata on every invocation. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def tableCount(spark: SparkSession, dir: String, name: String): Long =
+    countMemo.computeIfAbsent(
+      s"$dir/$name@${snapshot(s"$dir/$name.parquet")}",
+      _ => java.lang.Long.valueOf(load(spark, dir, name).count())).longValue()
 }

@@ -294,7 +294,7 @@ object DedupOps {
     * number must include the real work. */
   def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.cachedView(
-      spark, "graft_jaccard_pairs_" + graft.SessionCache.viewKey(dir))(
+      spark, "graft_jaccard_pairs_" + graft.SessionCache.dirKey(dir))(
       qNgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
   /** Cluster assignment for the corpus: components over the exact

@@ -112,12 +112,11 @@ object SimilarityOps {
   /** Number of LSH tables. */
   private val NTables = 8
 
-  /** Corpus row count per data dir, memoized per JVM (a parquet count is
-    * metadata-cheap but not free; the size only steers index capacity). */
-  private val sizeMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Corpus row count, memoized per (dir, file-state snapshot) via
+    * [[Tables.tableCount]] — rewriting a dir within one JVM (the
+    * ScalingBench amplify-into-scratch pattern) invalidates the memo. */
   private def corpusSize(spark: SparkSession, dir: String): Long =
-    sizeMemo.computeIfAbsent(dir,
-      _ => java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())).longValue()
+    Tables.tableCount(spark, dir, "embeddings")
 
   /** Hyperplane bits per table, derived from corpus size so the expected
     * bucket occupancy stays ~32 vectors as the corpus grows (fixed bits
@@ -254,7 +253,7 @@ object SimilarityOps {
     math.max(16, math.min(4096, math.ceil(math.sqrt(n / 8.0)).toInt))
 
   private def ivfIndex(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
-    val key = graft.SessionCache.viewKey(dir)
+    val key = graft.SessionCache.dirKey(dir)
     val base = withPlanted(vectors(spark, dir))
     // FAISS-lineage split: TRAIN the quantizer on a bounded deterministic
     // sample (~64 vectors per cell — Lloyd needs no more), then assign the

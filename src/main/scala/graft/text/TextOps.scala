@@ -243,10 +243,10 @@ object TextOps {
     * under 10% of the corpus — a RELATIVE threshold, so the cut means the
     * same thing at any corpus size. Same single-branch count-over-window
     * shape as [[qBoilerplateSpans]] (one shuffle on the word, one on the
-    * doc); the corpus row count is quantizer-style scalar metadata (the
-    * SimilarityOps.corpusSize precedent). */
+    * doc); the corpus row count is quantizer-style scalar metadata,
+    * memoized per (dir, snapshot) so repeat invocations don't re-scan. */
   def qRareWordRatio(spark: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.documents(spark, dir).count()
+    val nDocs = Tables.tableCount(spark, dir, "documents")
     val ex = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), array_distinct(wsTokens(col("text"))).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("n_distinct_words"),
