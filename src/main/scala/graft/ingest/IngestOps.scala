@@ -303,10 +303,16 @@ object IngestOps {
     * image repair. Pure column algebra, no UDFs. Output = every schema
     * column plus the derived (released_date, layout_valid, price_usd,
     * image_normal, n_faces) columns the downstream queries use. */
-  def ingestCards(raw: DataFrame): DataFrame = {
-    val parsed = raw
+  def ingestCards(raw: DataFrame): DataFrame =
+    ingestParsedCards(raw
       .select(from_json(col("raw"), CardSchema).as("c"))
-      .select(col("c.*"))
+      .select(col("c.*")))
+
+  /** Post-parse half of the card ingest (shared by the raw-string-column
+    * path above and the file-source path, where `spark.read.json` already
+    * did the parsing): date/decimal normalization → enum validation →
+    * multiface image repair. */
+  def ingestParsedCards(parsed: DataFrame): DataFrame = {
     val dated = EtlOps.parseDateSafe(parsed, "released_at", "released_date")
     dated
       .withColumn("price_usd", expr("try_cast(prices.usd as decimal(10,2))"))
@@ -440,6 +446,58 @@ object IngestOps {
       .filter(col("cmc").between(2.0, 4.0))
       .select(col("id"), col("name"), col("cmc"), col("rarity"))
       .orderBy("id")
+
+  // ---- file-source ingest path ----
+
+  /** Once-per-JVM materialized raw JSONL corpus on DISK: the same 500
+    * synthesized cards, one JSON document per line across several part
+    * files, plus 5 deliberately truncated lines. This models the real
+    * operational shape of a Scryfall bulk ingest (reference
+    * import_cards.py:351-366 streams a multi-GB JSON *file*): line-
+    * delimited JSON is the splittable form — a cluster scan parallelizes
+    * by byte range, where the dump's original single-array form is
+    * unsplittable under `multiLine=true` (asserted equivalent, for a
+    * small file, in IngestSpec). */
+  private val rawDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  def rawCardsJsonDir(spark: SparkSession): String =
+    rawDirMemo.computeIfAbsent(
+      Integer.valueOf(System.identityHashCode(spark)), _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_raw_cards_json_${System.identityHashCode(spark)}")
+          .getAbsolutePath
+        val corrupt = spark.range(5).select(
+          concat(lit("{\"id\": \"corrupt-"), col("id"), lit("\", \"name\":"))
+            .as("raw"))
+        syntheticRawCards(spark, 500).unionByName(corrupt)
+          .repartition(4) // several part files -> several scan splits
+          .write.mode("overwrite").text(dir)
+        dir
+      })
+
+  /** Driver-contract query over the FILE ingest path: schema-on-read
+    * `spark.read.schema(...).json(dir)` with PERMISSIVE corrupt-record
+    * policy (truncated lines land in `_corrupt_record` instead of failing
+    * the scan — the operational contract for bulk dumps), then the same
+    * post-parse pipeline and projection as [[qIngestJsonCards]], so the
+    * same oracle gates a REAL file scan with real splits. */
+  def qIngestJsonCardsFile(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = spark.read
+      .schema(CardSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(rawCardsJsonDir(spark))
+    ingestParsedCards(
+      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
+      .select(
+        col("id"), col("name"), col("released_date"), col("layout"),
+        col("layout_valid"), col("cmc"),
+        (col("price_usd") * 100).cast("bigint").as("price_cents"),
+        col("image_normal"),
+        col("set").as("set_code"), col("rarity"), size(col("colors")).as("n_colors"),
+        col("edhrec_rank"), col("n_faces"))
+      .orderBy("id")
+  }
 
   /** Point lookup by oracle identity — the reference's
     * `idx_cards_oracle_id` surface (init.sql:133-134), used there to

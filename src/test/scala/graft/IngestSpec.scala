@@ -123,6 +123,47 @@ class IngestSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("oracle_id") == "oracle-42"))
   }
 
+  test("file-source ingest equals the in-memory path and drops corrupt lines") {
+    val fromFile = IngestOps.qIngestJsonCardsFile(spark, SfDir)
+    val inMem = IngestOps.qIngestJsonCards(spark, SfDir)
+    assert(fromFile.collect().toSeq == inMem.collect().toSeq,
+      "file-read ingest diverged from the raw-column ingest")
+    // the PERMISSIVE policy must SEE the 5 truncated lines (not silently
+    // skip or fail the scan) and route them to _corrupt_record
+    val dir = IngestOps.rawCardsJsonDir(spark)
+    val parsed = spark.read
+      .schema(IngestOps.CardSchema.add(
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    // materialize a data column alongside: Spark disallows queries whose
+    // only referenced column is the internal corrupt-record column
+    val corrupt = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("id"), col("_corrupt_record")).collect()
+    assert(corrupt.length == 5)
+    // several part files -> several scan splits (real split parallelism)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) >= 2)
+  }
+
+  test("multiLine array-form dump parses to the same cards (unsplittable form)") {
+    // a Scryfall dump is natively ONE json array; multiLine=true reads it
+    // but cannot split the file — which is exactly why the ingest pipeline
+    // standardizes on JSONL. Equivalence checked on a small array file.
+    val raw = IngestOps.syntheticRawCards(spark, 50)
+      .collect().map(_.getString(0)).mkString("[", ",\n", "]")
+    val f = java.io.File.createTempFile("graft_cards_array", ".json")
+    java.nio.file.Files.writeString(f.toPath, raw)
+    val viaArray = spark.read.schema(IngestOps.CardSchema)
+      .option("multiLine", "true").json(f.getAbsolutePath)
+    val viaLines = IngestOps.syntheticRawCards(spark, 50)
+      .select(from_json(col("raw"), IngestOps.CardSchema).as("c")).select(col("c.*"))
+    assert(viaArray.orderBy("id").collect().toSeq ==
+      viaLines.orderBy("id").collect().toSeq)
+    f.delete()
+  }
+
   test("session corpus cache materializes once and serves repeat queries") {
     val a = IngestOps.cardsCorpus(spark)
     val b = IngestOps.cardsCorpus(spark)
