@@ -334,6 +334,22 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.9),2) AS p90_qty,
         |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS median_price_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tolerance gates: the sketch estimates are engine-specific, so the
+    // spark side emits exact values + in-bound booleans and the oracle
+    // asserts the booleans as literal TRUE (out-of-bound => hash mismatch)
+    "q_approx_distinct" ->
+      """SELECT l_linestatus,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5),2) AS exact_median_qty,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS exact_p50_price_cents,
+        |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS exact_p90_price_cents,
+        |  TRUE AS median_qty_ok, TRUE AS p50_price_ok, TRUE AS p90_price_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_time_buckets" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

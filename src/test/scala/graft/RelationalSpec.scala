@@ -12,32 +12,39 @@ class RelationalSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  test("approx_count_distinct is within 5% of exact counts") {
-    val approx = Relational.qApproxDistinct(spark, SfDir)
-      .select("l_linestatus", "approx_parts", "approx_orders")
-      .as[(String, Long, Long)].collect()
-      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+  test("approx_count_distinct bound booleans hold and exacts match a direct count") {
+    val rows = Relational.qApproxDistinct(spark, SfDir)
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (status, p, o, pOk, oOk) =>
+      assert(pOk && oOk, s"$status estimate out of 5% bound")
+      assert(p > 0 && o > 0)
+    }
     val exact = Tables.lineitem(spark, SfDir)
       .groupBy("l_linestatus")
       .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
-      .as[(String, Long, Long)].collect()
-    exact.foreach { case (status, p, o) =>
-      val (ap, ao) = approx(status)
-      assert(math.abs(ap - p).toDouble / p <= 0.05, s"$status parts: $ap vs $p")
-      assert(math.abs(ao - o).toDouble / o <= 0.05, s"$status orders: $ao vs $o")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (status, p, o, _, _) =>
+      assert(exact(status) == ((p, o)), s"$status exact columns drifted")
     }
   }
 
-  test("approx_percentile median is within 5% of the exact median") {
-    val approx = Relational.qApproxPercentiles(spark, SfDir)
-      .select("l_returnflag", "approx_median_qty")
-      .as[(String, Double)].collect().toMap
+  test("approx_percentile bound booleans hold and exacts match percentile()") {
+    val rows = Relational.qApproxPercentiles(spark, SfDir)
+      .as[(String, Double, Double, Double, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, _, _, _, a, b, c) =>
+      assert(a && b && c, s"$flag sketch out of its p±0.01 bound")
+    }
     val exact = Tables.lineitem(spark, SfDir)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
-      .as[(String, Double)].collect()
-    exact.foreach { case (flag, m) =>
-      assert(math.abs(approx(flag) - m) / m <= 0.05, s"$flag: ${approx(flag)} vs $m")
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("m"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)").as("p50"),
+        expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.9)").as("p90"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.foreach { case (flag, m, p50, p90, _, _, _) =>
+      assert(exact(flag) == ((m, p50, p90)), s"$flag exact quantiles drifted")
     }
   }
 
