@@ -46,6 +46,12 @@ object ScalingBench {
     def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
 
     val docs = Tables.documents(spark, baseDir)
+    // symmetric to the vec_id guard below: a base corpus with doc_id past
+    // the replica block size would silently collide replica doc_ids and
+    // corrupt the dedup-family measurements
+    val maxDocId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxDocId < 100000000L,
+      s"base doc_id range too large for amplification: $maxDocId >= 1e8")
     val docReps = (0 until k).map { i =>
       val t = if (i == 0) col("text")
               else translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i))

@@ -364,13 +364,21 @@ object DedupOps {
   def incrementalDedup(batchDocs: DataFrame, baseDocs: DataFrame): DataFrame = {
     def prep(df: DataFrame) = df
       .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("words"))
-      .select(col("doc_id"), xxhash64(col("text")).as("th"),
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("th"),
         hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
     val batch = prep(batchDocs)
     val base = prep(baseDocs)
-    val exactDup = batch.select(col("doc_id"), col("th"))
-      .join(base.select(col("th")).distinct().withColumn("seen", lit(1L)), Seq("th"), "left")
-      .select(col("doc_id"), coalesce(col("seen"), lit(0L)).as("is_exact_dup"))
+    // the 8-byte hash is the SHUFFLE key; the raw text is the verifier —
+    // a 64-bit collision between different texts must not flip
+    // is_exact_dup (the oracle compares raw text, and exactness is cheap
+    // to keep exact: the text column only rides the already-narrow
+    // exact-dup branch, never the postings explode)
+    val baseTexts = base.select(col("th"), col("text").as("__base_text")).distinct()
+    val exactDup = batch.select(col("doc_id"), col("th"), col("text"))
+      .join(baseTexts, Seq("th"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("text") === col("__base_text"), 1L).otherwise(0L))
+        .as("is_exact_dup"))
     val bIdx = batch.select(col("doc_id"), size(col("sh")).cast("long").as("n_a"),
       explode_outer(col("sh")).as("h"))
     val sIdx = base.select(col("doc_id").as("base_id"), size(col("sh")).cast("long").as("n_b"),

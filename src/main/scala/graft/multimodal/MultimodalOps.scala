@@ -163,7 +163,9 @@ object MultimodalOps {
     while ((fmt.isEmpty || dataLen.isEmpty) && i + 8 <= bytes.length) {
       val id = fourcc(i)
       val size = buf.getInt(i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return None
+      // Long arithmetic: a corrupted size near Int.MaxValue would overflow
+      // `i + 8 + size` to negative and slip past an Int bounds check
+      if (size < 0 || i.toLong + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16)
         fmt = Some((buf.getInt(i + 12), buf.getShort(i + 10).toInt, buf.getShort(i + 22).toInt))
       else if (id == "data")

@@ -110,7 +110,7 @@ object SimilarityOps {
   }
 
   /** Number of LSH tables. */
-  private val NTables = 8
+  private[graft] val NTables = 8
 
   /** Corpus row count, memoized per (dir, file-state snapshot) via
     * [[Tables.tableCount]] — rewriting a dir within one JVM (the
@@ -125,7 +125,7 @@ object SimilarityOps {
     * theta-angle pair with p = theta/pi per plane) — the 8 tables keep the
     * miss probability negligible through 24 bits, and scaled duplicates
     * have identical sign patterns at ANY bit width. */
-  private def lshBits(n: Long): Int =
+  private[graft] def lshBits(n: Long): Int =
     math.max(6, math.min(24,
       math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
 

@@ -71,6 +71,30 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.exceptAll(fast).count() == 0, "LSH path missed pairs")
   }
 
+  test("PRECONDITION: no exact pair sits in the sign-LSH low-recall cosine band") {
+    // the brute-equality gate above rests on every true pair having
+    // near-certain LSH recall at the CURRENT bits/tables (bits grow with
+    // corpus size, so a pair barely over cos 0.99 gets riskier as n
+    // grows: p_miss = (1-(1-θ/π)^bits)^tables). Planted pairs are scaled
+    // copies (θ=0, p_miss=0); if the generator ever introduces organic
+    // near-threshold pairs, fail HERE with the cause instead of a
+    // mysterious oracle hash mismatch downstream.
+    import spark.implicits._
+    val n = Tables.embeddings(spark, SfDir).count()
+    val bits = SimilarityOps.lshBits(n)
+    val tables = SimilarityOps.NTables
+    val expectedMisses = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)
+      .select("cos_ppm").as[Long].collect()
+      .map { ppm =>
+        val theta = math.acos(math.min(1.0, ppm / 1e6))
+        math.pow(1.0 - math.pow(1.0 - theta / math.Pi, bits), tables)
+      }.sum
+    assert(expectedMisses < 1e-4,
+      f"expected $expectedMisses%.2e LSH-missed pairs at bits=$bits/tables=$tables — " +
+        "an organic pair sits in the low-recall cosine band; raise tables or " +
+        "drop the brute-equality oracle to spec-only")
+  }
+
   test("near-dup registered plan has no nested-loop or cartesian join") {
     val plan = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
       .queryExecution.executedPlan.toString
