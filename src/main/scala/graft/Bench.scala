@@ -60,7 +60,15 @@ object Bench {
       }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's captured tail truncates at 2000 chars, which loses the
+    // alphabetically-first queries AND the total; persist the full line
+    // ourselves so every round's numbers survive in-repo
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
     spark.stop()
   }
 }

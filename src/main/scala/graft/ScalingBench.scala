@@ -31,13 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object ScalingBench {
 
-  private val family = Seq(
+  private val docFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_minhash_lsh", "dedup_simhash",
     "ngram_jaccard", "dedup_clusters", "dedup_incremental", "doc_fingerprint",
     "text_token_count", "text_lang_id", "text_quality_score",
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
     "embed_label_centroids", "embed_neardup_cosine", "ann_topk_brute",
     "ann_topk_lsh", "ann_topk_ivf")
+
+  /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
+    * surprise quadratic would hide — grouped countDistinct (q21, q16),
+    * distinct bridges before dim joins (q16), deep join chains (q5, q8),
+    * having-filtered whole-fact aggregation (q18, q1). Facts grow k-fold
+    * with dims FIXED (the realistic lake-table scaling), so the join
+    * family should measure ~linear at fixed dim sizes. */
+  private val relFamily = Seq(
+    "q1_pricing_summary", "q5_local_supplier", "q8_market_share",
+    "q16_part_supplier_cnt", "q18_large_orders", "q21_waiting_orders")
+
+  private val family = docFamily ++ relFamily
 
   /** Write k-fold amplified documents+embeddings under outDir. */
   def amplify(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
@@ -83,6 +95,30 @@ object ScalingBench {
         v.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     embReps.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // relational facts replicate with an orderkey block offset: every
+    // order keeps its exact lineitem structure (join selectivity, per-
+    // order sums, l_partkey/l_suppkey references preserved), while the
+    // DIMENSION tables stay fixed and are copied through — the realistic
+    // lake scaling where facts grow and dims don't. Customer/part/
+    // supplier fan-in grows k-fold by construction.
+    val ord = Tables.orders(spark, baseDir)
+    val li = Tables.lineitem(spark, baseDir)
+    val maxOk = ord.agg(max(col("o_orderkey"))).head().getLong(0)
+    require(maxOk < 10000000L,
+      s"base o_orderkey range too large for amplification: $maxOk >= 1e7")
+    (0 until k).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    (0 until k).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.load(spark, baseDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -109,9 +145,12 @@ object ScalingBench {
     for (k <- scales) {
       val dir = s"$scratch/x$k"
       amplify(spark, baseDir, dir, k)
-      // warmup: touch both tables so first measured query pays no FS surprise
+      // warmup: touch the amplified tables so the first measured query
+      // pays no FS surprise
       Tables.documents(spark, dir).write.format("noop").mode("overwrite").save()
       Tables.embeddings(spark, dir).write.format("noop").mode("overwrite").save()
+      Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
+      Tables.orders(spark, dir).write.format("noop").mode("overwrite").save()
       for (name <- family if only.forall(_.contains(name))) {
         val fn = SparkEntry.queries(name)
         System.gc()

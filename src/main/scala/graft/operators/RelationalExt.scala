@@ -455,25 +455,30 @@ object RelationalExt {
 
   /** TPC-H Q21-style waiting orders: for multi-supplier orders where at
     * least one line is late (shipped >90 days after order), count per
-    * supplier the orders where that supplier is the ONLY late one — the
-    * exists/not-exists pair expressed as one grouped pass over the order
-    * (distinct supplier count vs distinct late-supplier count), then a
-    * semi-probe per (order, supplier). One fact-fact join, two grouped
-    * shuffles on o_orderkey — no correlated re-scans. */
+    * supplier the orders where that supplier is the ONLY late one.
+    *
+    * Shape: ONE pass over the fact⋈fact join, reduced immediately to
+    * (order, supplier, any-late) granularity by a grouped agg, then the
+    * exists/not-exists pair as counts-over-window on the order key — the
+    * qualifying rows ARE the answer pairs, so there is no join back to
+    * the fact (the earlier semi-probe re-evaluated the whole fact join in
+    * a second branch, and its build side outgrew the broadcast threshold
+    * at 3x — caught by ScalingBench, 6x cliff). Per-order window state is
+    * a handful of supplier rows at any scale. */
   def q21WaitingOrders(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("is_late", datediff(col("l_shipdate"), col("o_orderdate")) > 90)
-    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-    li.filter(col("is_late"))
-      .join(perOrder, col("l_orderkey") === col("ok"), "left_semi")
-      .select("l_orderkey", "l_suppkey").distinct()
-      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy("l_orderkey")
+    li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("is_late"), 1).otherwise(0)).as("late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("late")).over(w))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1 && col("late") === 1)
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
