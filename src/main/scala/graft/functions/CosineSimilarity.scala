@@ -95,6 +95,24 @@ object GraftFunctions {
 
   val md5Hash64Builder: Seq[Expression] => Expression = exprs => Md5Hash64Array(exprs.head)
 
+  /** sign_buckets(vec, planes): planes must be a foldable
+    * array<array<array<double>>> literal — it is plan-time quantizer
+    * state, embedded in the expression as a reference object. */
+  val signBucketsBuilder: Seq[Expression] => Expression = exprs => {
+    val cast = Cast(exprs(1), ArrayType(ArrayType(ArrayType(DoubleType))))
+    require(cast.foldable, "sign_buckets planes must be a foldable literal")
+    val planes = cast.eval() match {
+      case ad: ArrayData => ad.toObjectArray(ArrayType(ArrayType(DoubleType))).toSeq.map {
+        case t: ArrayData => t.toObjectArray(ArrayType(DoubleType)).toSeq.map {
+          case p: ArrayData => p.toDoubleArray().toSeq
+        }
+      }
+      case other => throw new IllegalArgumentException(
+        s"sign_buckets planes must be a nested array literal, got $other")
+    }
+    SignBuckets(Cast(exprs.head, ArrayType(DoubleType)), planes)
+  }
+
   /** Idempotent runtime SQL registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
   def register(spark: SparkSession): Unit = {
@@ -104,6 +122,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64", simHash64Builder, "built-in")
     reg.createOrReplaceTempFunction("minhash_sig", minHashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("md5_hash64_array", md5Hash64Builder, "built-in")
+    reg.createOrReplaceTempFunction("sign_buckets", signBucketsBuilder, "built-in")
   }
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -114,6 +133,8 @@ object GraftFunctions {
   def simHash64(hashes: Column): Column = toCol(SimHash64(toExpr(hashes)))
   def minHashSig(hashes: Column, k: Int): Column = toCol(MinHashSignature(toExpr(hashes), k))
   def md5Hash64Array(tokens: Column): Column = toCol(Md5Hash64Array(toExpr(tokens)))
+  def signBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    toCol(SignBuckets(toExpr(vec), planes))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
@@ -140,5 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("md5_hash64_array"),
         new ExpressionInfo(classOf[Md5Hash64Array].getName, "md5_hash64_array"),
         GraftFunctions.md5Hash64Builder))
+    ext.injectFunction(
+      (FunctionIdentifier("sign_buckets"),
+        new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+        GraftFunctions.signBucketsBuilder))
   }
 }

@@ -129,30 +129,24 @@ object SimilarityOps {
     math.max(6, math.min(24,
       math.ceil(math.log(math.max(1.0, n / 32.0)) / math.log(2.0)).toInt))
 
-  /** Deterministic random hyperplanes (seeded Gaussian), as literal
-    * array<double> columns — resolved at plan time, broadcast implicitly. */
-  private def hyperplanes(dim: Int, bits: Int): Seq[Seq[Column]] = {
+  /** Deterministic random hyperplane tensor (seeded Gaussian),
+    * tables × bits × dim. Fill order (table → bit → dim) is the historical
+    * literal-column order, so bucket assignments are unchanged. */
+  private[graft] def hyperplanes(dim: Int, bits: Int): Seq[Seq[Seq[Double]]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(NTables)(Seq.fill(bits)(
-      array(Seq.fill(dim)(lit(rng.nextGaussian())): _*)))
+    Seq.fill(NTables)(Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian())))
   }
 
   /** Sign-LSH bucketing shared by the ANN and near-dup paths: per table,
-    * bucket = sign-bit pattern of `bits` hyperplane dots. Returns
+    * bucket = sign-bit pattern of `bits` hyperplane dots, all tables from
+    * ONE fused native [[graft.functions.SignBuckets]] loop (the tensor is
+    * a codegen reference object, not tables×bits literal arrays — which
+    * cost seconds of Janino compile per plan). Returns
     * (vec_id, vec, table, bucket) — one row per (vector, table). */
-  private def signBucketed(base: DataFrame, bits: Int, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(dim, bits)
-    val bucketCols = planes.zipWithIndex.map { case (tbl, t) =>
-      val bits = tbl.zipWithIndex.map { case (h, j) =>
-        // native fused-loop dot: no per-row zip_with allocation x 48 planes
-        when(GraftFunctions.dotProduct(col("vec"), h) >= 0, lit(1 << j)).otherwise(lit(0))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ bitwiseOR _).as("bucket"))
-    }
-    base
-      .select(col("vec_id"), col("vec"), explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+  private def signBucketed(base: DataFrame, bits: Int, dim: Int = 64): DataFrame =
+    base.select(col("vec_id"), col("vec"),
+      posexplode(GraftFunctions.signBuckets(col("vec"), hyperplanes(dim, bits)))
+        .as(Seq("table", "bucket")))
 
   /** LSH-bucketed ANN over the planted corpus: per table, bucket =
     * sign-bit pattern of `BitsPerTable` hyperplane dots; candidates = pairs

@@ -39,6 +39,34 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getDouble(0) == 11.0 && row.getInt(2) == 8 && row.getInt(3) == 2)
   }
 
+  test("native sign_buckets matches the per-plane dot-product construction bit-for-bit") {
+    GraftFunctions.register(spark)
+    val bits = 8
+    val planes = SimilarityOps.hyperplanes(64, bits)
+    val vecs = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+      .limit(200)
+    // the historical construction: one native dot per (table, bit),
+    // OR-folded into the bucket mask
+    val algebraCols = planes.zipWithIndex.map { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (h, j) =>
+        when(GraftFunctions.dotProduct(col("vec"),
+          array(h.map(lit): _*)) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ bitwiseOR _).as(s"b$t")
+    }
+    val diffs = vecs.select(
+        GraftFunctions.signBuckets(col("vec"), planes).as("native"),
+        array(algebraCols: _*).as("algebra"))
+      .filter(col("native") =!= col("algebra")).count()
+    assert(diffs == 0)
+    // SQL-reachable like every other native expression
+    val viaSql = spark.sql(
+      """SELECT sign_buckets(array(1.0D, -2.0D),
+        |  array(array(array(1.0D, 0.0D), array(0.0D, 1.0D)))) AS b""".stripMargin)
+      .head().getSeq[Int](0)
+    assert(viaSql == Seq(1)) // bit0: dot=1>=0 set; bit1: dot=-2<0 clear
+  }
+
   test("LSH ANN recall of true near-duplicates is 1 (scaled copies collide in every table)") {
     val out = SimilarityOps.qAnnTopkLsh(spark, SfDir)
     // every planted query (vec_id + 1000000) must rank its source vector first
