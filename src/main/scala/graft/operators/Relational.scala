@@ -309,7 +309,7 @@ object Relational {
   private val histMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[org.apache.spark.sql.Row]]()
 
-  private def exactQuantilesByRank(
+  private[graft] def exactQuantilesByRank(
       df: DataFrame, groupCol: String,
       specs: Seq[(Column, Seq[(String, Double)])],
       histKey: Option[String] = None): DataFrame = {

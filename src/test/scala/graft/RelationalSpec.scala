@@ -67,6 +67,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"rank-based != percentile():\n${got.toSeq}\n${want.toSeq}")
   }
 
+  test("histogram-refined quantiles survive degenerate and skewed value distributions") {
+    // worst cases for bucket refinement: a group where EVERY value is
+    // identical (one bucket holds the whole group), a two-value group
+    // straddling an interpolation midpoint, and a heavy-tailed group —
+    // all must match percentile() bit-for-bit
+    val df = spark.range(200000).select(
+      when(col("id") % 3 === 0, "allsame")
+        .when(col("id") % 3 === 1, "twoval").otherwise("tail").as("g"),
+      when(col("id") % 3 === 0, lit(7.0))
+        .when(col("id") % 3 === 1, (col("id") % 2).cast("double"))
+        .otherwise(pow(lit(1.1), col("id") % 200).cast("double")).as("v"))
+    val got = Relational.exactQuantilesByRank(df, "g",
+      Seq(col("v") -> Seq("p50" -> 0.5, "p90" -> 0.9, "p01" -> 0.01)))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val want = df.groupBy(col("g")).agg(
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.01)").as("p01"))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq, s"\n$got\n$want")
+  }
+
   test("anti join isolates synthesized orphan customers") {
     val cust = Tables.customer(spark, SfDir)
     val orphans = cust.limit(7).withColumn("c_custkey", col("c_custkey") + 1000000L)
