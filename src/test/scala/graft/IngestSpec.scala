@@ -145,6 +145,10 @@ class IngestSpec extends SparkSpec {
     assert(corrupt.length == 5)
     // several part files -> several scan splits (real split parallelism)
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) >= 2)
+    // and the registered entry PLANS a real json FileScan — this entry
+    // exists precisely to exercise the file source, not from_json
+    val plan = fromFile.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan json"), plan.linesIterator.take(12).mkString("\n"))
   }
 
   test("multiLine array-form dump parses to the same cards (unsplittable form)") {
