@@ -47,7 +47,10 @@ object ScalingBench {
     * family should measure ~linear at fixed dim sizes. */
   private val relFamily = Seq(
     "q1_pricing_summary", "q5_local_supplier", "q8_market_share",
-    "q16_part_supplier_cnt", "q18_large_orders", "q21_waiting_orders")
+    "q16_part_supplier_cnt", "q18_large_orders", "q21_waiting_orders",
+    // q9: the biggest fact-fact sort-merge; q17: dual-branch fact scan
+    // whose build side is dim-bounded (must NOT cliff like q21 did)
+    "q9_product_profit", "q17_small_qty_revenue")
 
   private val family = docFamily ++ relFamily
 
