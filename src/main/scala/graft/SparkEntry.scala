@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
+    "dedup_containment"   -> (graft.dedup.DedupOps.qDedupContainment _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
@@ -949,6 +950,23 @@ object SparkEntry {
         |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |allw AS (
+        |  SELECT doc_id, words FROM w
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, words[1:greatest((len(words)*2)//5, 3)] FROM w WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM allw)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_n,
+        |  CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * least(len(a.s), len(b.s))
         |ORDER BY doc_a, doc_b""".stripMargin,
     "embed_neardup_cosine" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -404,6 +404,43 @@ object DedupOps {
     incrementalDedup(docs.filter(isBatch), docs.filter(!isBatch))
   }
 
+  /** Containment dedup — the asymmetric near-dup cut symmetric Jaccard
+    * misses: a short doc embedded in a longer one (truncated re-crawl,
+    * quote expansion) has containment |A∩B| / min(|A|,|B|) ≈ 1 while its
+    * Jaccard |A∩B| / |A∪B| can sit far below any symmetric threshold.
+    * Same inverted-index shape as [[qNgramJaccard]] (linear in corpus
+    * size), gated at inter·5 ≥ 4·min (0.8) in pure integer arithmetic so
+    * the cross-engine gate is exact.
+    *
+    * The synthetic corpus's planted dups are same-length edits (its
+    * containment-only set is organically EMPTY — verified), so every
+    * 50th doc is re-keyed truncated to its first 40% of words in-plan
+    * (the SimilarityOps.withPlanted convention): a prefix's shingles are
+    * a subset of the original's, giving containment exactly 1 at Jaccard
+    * ≈ 0.4 — below the symmetric gate. Non-vacuity of the
+    * containment-only set is spec-asserted. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    val planted = raw.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        slice(col("words"), lit(1),
+          greatest(expr("size(words) * 2 div 5"), lit(3))).as("words"))
+    val index = Tables.spread(spark, raw.unionByName(planted))
+      .select(col("doc_id"),
+        hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode_outer(col("sh")).as("h"))
+    index.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(index.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter_n"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .filter(col("inter_n") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select("doc_a", "doc_b", "inter_n", "n_a", "n_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Prefix-filtered variant (AllPairs/PPJoin lineage), same exact result.
     *
     * Canonical order = ascending document frequency, then hash. For

@@ -133,6 +133,29 @@ class DedupSpec extends SparkSpec {
         "retune bands/rows or drop the minhash oracle to spec-only")
   }
 
+  test("containment dedup finds the planted truncations Jaccard misses, non-vacuously") {
+    val out = DedupOps.qDedupContainment(spark, SfDir).collect()
+    assert(out.nonEmpty)
+    // every planted truncation (re-keyed +1e7) must pair with its source
+    // at containment exactly 1 (a prefix's shingles are a subset)
+    val planted = out.filter(_.getAs[Long]("doc_b") >= 10000000L)
+    assert(planted.nonEmpty, "no planted truncation pairs found")
+    planted.filter(r => r.getAs[Long]("doc_b") - 10000000L == r.getAs[Long]("doc_a"))
+      .foreach { r =>
+        assert(r.getAs[Long]("inter_n") ==
+          math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")),
+          s"truncation pair not fully contained: $r")
+      }
+    // NON-VACUITY of the asymmetric cut: some pairs must sit BELOW the
+    // symmetric Jaccard 0.5 gate (inter*2 < union) — otherwise this
+    // query would be indistinguishable from ngram_jaccard
+    val containOnly = out.count { r =>
+      val (i, a, b) = (r.getAs[Long]("inter_n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      i * 2 < a + b - i
+    }
+    assert(containOnly > 0, "containment gate is vacuous vs Jaccard on this corpus")
+  }
+
   test("incremental dedup classifies exact dup / near dup / novel (planted)") {
     import spark.implicits._
     val base = Seq(
