@@ -121,6 +121,7 @@ object SparkEntry {
     "text_boilerplate_spans" -> (graft.text.TextOps.qBoilerplateSpans _),
     "text_rare_word_ratio" -> (graft.text.TextOps.qRareWordRatio _),
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
+    "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
@@ -1009,6 +1010,20 @@ object SparkEntry {
         |  CAST(round(length(regexp_replace(text, '[\w\s]', '', 'g')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
         |  CAST(round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 10000.0 / len(toks)) AS BIGINT) AS stopword_ratio_bp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // the oracle states the selection CONTRACT literally (global ordered
+    // window cumsum); the spark side implements it by histogram cutoff —
+    // a hash mismatch means the phased selection diverged from the greedy
+    // global rule
+    "text_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 10000.0 / len(toks)) AS BIGINT) AS score_bp,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) // 10 AS budget FROM d),
+        |r AS (SELECT d.*, sum(n_tokens) OVER (ORDER BY score_bp DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, score_bp, n_tokens FROM r, b WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id, lang,

@@ -78,6 +78,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Budget-constrained data selection — pick the highest-quality docs
+    * until a token budget (10% of corpus tokens) is exhausted, the data-
+    * mixing step that turns quality scores into an actual training set.
+    *
+    * Selection CONTRACT is the global greedy rule "order by (score desc,
+    * doc_id), take while inclusive running token sum ≤ budget" — which
+    * the DuckDB oracle evaluates literally with a window cumsum. The
+    * IMPLEMENTATION never builds that global single-partition cumsum (a
+    * total-order window is the q_percentiles scale-killer in disguise):
+    * scores are already bounded integers (stopword-ratio basis points),
+    * so phase 1 aggregates (token sum, doc count) per score — a ≤10001-
+    * row collect — and the driver walks the histogram desc to find the
+    * boundary score and its remaining budget; phase 2 selects score >
+    * boundary entirely in-plan and runs the cumsum window ONLY inside
+    * the boundary score's tiny partition. Equivalent by construction:
+    * global-cum(doc) ≤ budget ⟺ bucket-local-cum(doc) ≤ remaining. */
+  def qBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    // (doc_id, score, ntok) is tiny and feeds THREE consumers (histogram
+    // + both selection branches) — session-cache it so the interpreted
+    // token pipeline runs once, not per branch
+    val docs = graft.SessionCache.cachedView(
+      spark, "graft_budget_docs_" + graft.SessionCache.dirKey(dir)) {
+      Tables.spread(spark, Tables.documents(spark, dir)).select(
+        col("doc_id"),
+        round(hitCount(toks, Stopwords("en")).cast("double") * 10000.0 /
+          size(toks).cast("double")).cast("long").as("score_bp"),
+        size(toks).cast("long").as("n_tokens"))
+    }
+    val hist = docs.groupBy(col("score_bp"))
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val budget = hist.map(_._2).sum / 10
+    var cumBefore = 0L
+    var boundary = Long.MinValue
+    var remaining = 0L
+    val it = hist.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val (score, t) = it.next()
+      if (cumBefore + t > budget) { boundary = score; remaining = budget - cumBefore; found = true }
+      else cumBefore += t
+    }
+    val selected =
+      if (!found) docs // whole corpus fits the budget
+      else {
+        val above = docs.filter(col("score_bp") > boundary)
+        val atBoundary = docs.filter(col("score_bp") === boundary)
+          .withColumn("__cum", sum("n_tokens").over(
+            Window.partitionBy("score_bp").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("__cum") <= remaining)
+          .drop("__cum")
+        above.unionByName(atBoundary)
+      }
+    selected.select("doc_id", "score_bp", "n_tokens").orderBy("doc_id")
+  }
+
   /** Heuristic language ID: argmax of per-language stopword hits, ties and
     * zero-hit docs → "und". Deterministic tie policy: highest count wins,
     * first language in (en, de, fr, es, zh) order on equal counts. */

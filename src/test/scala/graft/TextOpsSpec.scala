@@ -94,6 +94,27 @@ class TextOpsSpec extends SparkSpec {
       "nothing flagged — vacuous (the corpus plants near-dups, some hit the mod-97 slice)")
     assert(out.filter(col("contam_bp") > 10000).count() == 0, "ratio above 100%")
   }
+
+  test("budget select equals the global greedy cumsum rule and respects the budget") {
+    import spark.implicits._
+    val got = TextOps.qBudgetSelect(spark, SfDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // reconstruct the contract directly: order all docs by (score desc,
+    // doc_id), take while inclusive cumsum <= 10% of corpus tokens
+    val all = TextOps.qQualityScore(spark, SfDir)
+      .select(col("doc_id"), col("stopword_ratio_bp").as("s"), col("n_tokens").as("t"))
+      .as[(Long, Long, Long)].collect()
+    val budget = all.map(_._3).sum / 10
+    var cum = 0L
+    val want = all.sortBy { case (id, s, _) => (-s, id) }
+      .takeWhile { case (_, _, t) => cum += t; cum <= budget }
+      .map { case (id, s, t) => (id, s, t) }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq, s"phased selection != global rule")
+    assert(got.map(_._3).sum <= budget)
+    // the selection must be a real cut, not everything or nothing
+    assert(got.length < all.length && got.nonEmpty)
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
