@@ -46,6 +46,12 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
+  /** Rows never move between partitions here, so the child's (group-key
+    * hash) partitioning survives — a downstream per-group operator (e.g. a
+    * rank window over the k survivors) plans with ZERO extra exchanges. */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val kk = k

@@ -91,22 +91,41 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Shared ranking tail for the ANN variants: the heavy top-10-per-query
+    * selection runs through the repo's own bounded-heap operator
+    * ([[graft.plans.TopKPerGroupExec]], O(n log k) and one group-key
+    * shuffle) instead of a `row_number()` window that would hash ALL
+    * scored rows into |queries| partitions and fully sort each. The rank
+    * column is then recovered by a window over the <= 10 survivors per
+    * query — and because TopKPerGroupExec preserves its child's hash
+    * partitioning, that residual window plans with zero extra exchanges.
+    *
+    * Input contract: (query_id, vec_id, __cos) with __cos the materialized
+    * exact cosine — scored ONCE per candidate; both the heap ordering and
+    * the emitted cos_ppm reuse the attribute. */
+  private def rankedTop10(scored: DataFrame): DataFrame = {
+    val top = graft.plans.TopK.topKPerGroup(scored, 10,
+      Seq(col("query_id")), Seq(col("__cos").desc, col("vec_id")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("__cos") * 1000000.0).cast("long").as("cos_ppm"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-10 per query vector (queries = vec_id < 10).
-    * The query side broadcasts; the corpus is scanned once — the per-group
-    * ranking shuffles only |queries| x |corpus| scored rows. */
+    * The query side broadcasts; the corpus is scanned once; the per-query
+    * ranking is the bounded-heap [[rankedTop10]] — at 100x corpus the
+    * scored stream still reduces to 10 rows per query inside each map
+    * task's heap instead of sorting |corpus| rows per query partition. */
   def qAnnTopkBrute(spark: SparkSession, dir: String): DataFrame = {
     val base = vectors(spark, dir)
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos"),
-        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select("query_id", "rank", "vec_id", "cos_ppm")
-      .orderBy("query_id", "rank")
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos"))
+    rankedTop10(scored)
   }
 
   /** Number of LSH tables. */
@@ -165,13 +184,8 @@ object SimilarityOps {
       .join(queries, Seq("table", "bucket"))
       .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(GraftFunctions.cosineSim(col("qvec"), col("vec")).desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
-      .orderBy("query_id", "rank")
+    rankedTop10(cands.select(col("query_id"), col("vec_id"),
+      GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
   }
 
   /** Centroids as a broadcastable frame (cell id, vector, ||c||^2).
@@ -291,13 +305,8 @@ object SimilarityOps {
       .select("query_id", "qvec", "cell")
     val cands = probes.join(assigned.filter(col("vec_id") < 1000000L), "cell")
       .select("query_id", "qvec", "vec_id", "vec")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(GraftFunctions.cosineSim(col("qvec"), col("vec")).desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        cosPpm(col("qvec"), col("vec")).as("cos_ppm"))
-      .orderBy("query_id", "rank")
+    rankedTop10(cands.select(col("query_id"), col("vec_id"),
+      GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
   }
 
   /** Int8 quantization of the embedding column — the storage/transfer

@@ -138,6 +138,48 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.forall(_ == 10))
   }
 
+  test("ANN ranking routes through the bounded-heap TopKPerGroupExec, not a full window sort") {
+    Seq(
+      "brute" -> SimilarityOps.qAnnTopkBrute(spark, SfDir),
+      "lsh" -> SimilarityOps.qAnnTopkLsh(spark, SfDir),
+      "ivf" -> SimilarityOps.qAnnTopkIvf(spark, SfDir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"$name missing custom exec:\n${plan.linesIterator.take(40).mkString("\n")}")
+      // the residual rank window runs over <= 10 survivors per query and
+      // must reuse TopKPerGroupExec's preserved hash partitioning: between
+      // the rank Window and the TopKPerGroup node there may be a local Sort
+      // but NO Exchange (other windows in the plan, e.g. IVF probe
+      // selection, shuffle legitimately and are out of scope here)
+      val lines = plan.linesIterator.toVector
+      val winIdx = lines.indexWhere(l => l.contains("Window [row_number()"))
+      val topkIdx = lines.indexWhere(_.contains("TopKPerGroup"))
+      assert(winIdx >= 0 && topkIdx > winIdx, s"$name: rank window not directly above TopKPerGroup:\n$plan")
+      val between = lines.slice(winIdx + 1, topkIdx)
+      assert(!between.exists(_.contains("Exchange")),
+        s"$name ranking tail re-shuffled between Window and TopKPerGroup:\n${between.mkString("\n")}")
+    }
+  }
+
+  test("heap-routed brute top-k equals the window-function formulation row-for-row") {
+    val base = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__cos").desc, col("vec_id"))
+    val windowed = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("__cos") * 1000000.0).cast("long").as("cos_ppm"))
+    val heap = SimilarityOps.qAnnTopkBrute(spark, SfDir)
+    assert(heap.exceptAll(windowed).count() == 0, "heap path produced extra rows")
+    assert(windowed.exceptAll(heap).count() == 0, "heap path missed rows")
+  }
+
   test("int8 quantization reconstructs within half a step per element") {
     val out = SimilarityOps.qEmbedQuantizeInt8(spark, SfDir).collect()
     assert(out.nonEmpty)
