@@ -419,16 +419,24 @@ object DedupOps {
     * a subset of the original's, giving containment exactly 1 at Jaccard
     * ≈ 0.4 — below the symmetric gate. Non-vacuity of the
     * containment-only set is spec-asserted. */
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** The containment corpus (docs + planted truncated re-crawls) as
+    * (doc_id, sh) shingle-hash sets — shared by the count-aggregation and
+    * prefix-filtered containment variants so their equality contract is
+    * over literally the same input. */
+  private def containmentShingleDocs(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
     val planted = raw.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         slice(col("words"), lit(1),
           greatest(expr("size(words) * 2 div 5"), lit(3))).as("words"))
-    val index = Tables.spread(spark, raw.unionByName(planted))
+    Tables.spread(spark, raw.unionByName(planted))
       .select(col("doc_id"),
         hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+  }
+
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val index = containmentShingleDocs(spark, dir)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode_outer(col("sh")).as("h"))
     index.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
@@ -436,6 +444,51 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter_n"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .filter(col("inter_n") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select("doc_a", "doc_b", "inter_n", "n_a", "n_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Prefix-filtered containment variant — the hot-shingle escape hatch for
+    * [[qDedupContainment]], same exact result. The symmetric AllPairs bound
+    * does not transfer to an asymmetric threshold, so the containment form
+    * is: for C(a,b) = |A∩B| / min(|A|,|B|) >= t, look at the SHORTER doc S
+    * (|S| = m) — the intersection has >= ceil(t*m) elements, so at least
+    * one of them sits within S's first m - ceil(t*m) + 1 shingles in
+    * canonical (ascending document frequency, then hash) order; were they
+    * all in the remaining ceil(t*m) - 1 positions the intersection would be
+    * too small. The longer doc admits no such bound (its size does not
+    * constrain t·min), so candidates come from SHORT-side prefix postings
+    * joined against FULL postings — hot boilerplate shingles still fall out
+    * of every prefix, which is what caps the candidate stream when their
+    * document frequency explodes. Ties in size keep only the lower-id doc
+    * as the "short" side (either qualifies as min; one suffices for
+    * coverage and halves duplicate candidates). */
+  def dedupContainmentPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = containmentShingleDocs(spark, dir)
+    val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode_outer(col("sh")).as("h"))
+    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // prefix length for t=0.8 on the candidate-shorter doc: n - ceil(0.8n) + 1
+    val prefix = postings.join(dfreq, "h")
+      .withColumn("__rk", row_number().over(byRarity))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .select(col("h"), col("doc_id").as("doc_s"), col("n").as("n_s"))
+    val cands = prefix
+      .join(postings.select(col("h"), col("doc_id").as("doc_l"), col("n").as("n_l")), Seq("h"))
+      .filter(col("n_s") < col("n_l") ||
+        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
+      .distinct()
+    // exact verification over the full shingle sets
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter_n", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
       .filter(col("inter_n") * 5 >= least(col("n_a"), col("n_b")) * 4)
       .select("doc_a", "doc_b", "inter_n", "n_a", "n_b")
       .orderBy("doc_a", "doc_b")

@@ -235,6 +235,18 @@ class DedupSpec extends SparkSpec {
     assert(fast.exceptAll(pref).count() == 0)
   }
 
+  test("prefix-filtered containment equals the count-aggregation path exactly") {
+    // the asymmetric bound (short-side prefix x full postings) must produce
+    // the identical pair list, including the planted truncations whose
+    // containment-only pairs sit below the symmetric Jaccard gate
+    val fast = DedupOps.qDedupContainment(spark, SfDir)
+    val pref = DedupOps.dedupContainmentPrefix(spark, SfDir)
+    assert(fast.count() > 0)
+    assert(fast.count() == pref.count())
+    assert(fast.exceptAll(pref).count() == 0, "prefix path disagrees on some pairs")
+    assert(pref.exceptAll(fast).count() == 0, "prefix path produced extra pairs")
+  }
+
   test("exact dedup collapses planted copies to one keeper each") {
     val out = DedupOps.qDedupExact(spark, SfDir)
     val copies = out.filter(col("n_copies") === 2).count()
