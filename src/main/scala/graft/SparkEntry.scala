@@ -89,6 +89,7 @@ object SparkEntry {
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
+    "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
@@ -785,6 +786,18 @@ object SparkEntry {
         |  CASE WHEN i % 5 = 0 THEN 'S' || CAST(i + 1 AS VARCHAR) ELSE NULL END AS parent_set_code,
         |  i % 11 = 0 AS digital
         |FROM range(0, 40) t(i) ORDER BY id""".stripMargin,
+    // drift oracle: the planted novel fields are deterministic in i, so
+    // DuckDB recomputes the values the VARIANT _rest column must yield via
+    // variant_get — a mismatch means drift fields were dropped or mangled
+    "ingest_schema_drift" ->
+      """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  i % 11 <> 0 AS layout_valid,
+        |  CASE WHEN i % 4 = 0 THEN 2 ELSE 0 END AS n_rest_fields,
+        |  CASE WHEN i % 4 = 0 THEN i % 7 END AS power_level,
+        |  CASE WHEN i % 4 = 0 THEN 't' || CAST(i % 3 AS VARCHAR) END AS first_tag
+        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
     "q_cards_keyword_filter" ->
       """WITH cards AS (
         |  SELECT i,

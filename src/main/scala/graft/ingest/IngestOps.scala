@@ -499,6 +499,55 @@ object IngestOps {
       .orderBy("id")
   }
 
+  // ---- schema-drift tolerance ----
+
+  /** Raw corpus with planted SCHEMA DRIFT: every 4th card gains two novel
+    * top-level fields (`scry_power_level`, `scry_tags`) that [[CardSchema]]
+    * does not know — the shape of a Scryfall API adding fields between
+    * dumps. Injected textually ahead of the first key so the document stays
+    * the generator's own JSON. */
+  def syntheticRawCardsDrifted(spark: SparkSession, n: Long): DataFrame =
+    syntheticRawCards(spark, n)
+      .withColumn("__cid",
+        regexp_extract(col("raw"), "\"id\":\"card-(\\d+)\"", 1).cast("long"))
+      .select(
+        when(col("__cid") % 4 === 0,
+          concat(lit("{\"scry_power_level\":"), (col("__cid") % 7).cast("string"),
+            lit(",\"scry_tags\":[\"t"), (col("__cid") % 3).cast("string"),
+            lit("\"],"), expr("substr(raw, 2)")))
+          .otherwise(col("raw")).as("raw"))
+
+  /** Forward-compatible ingest: the typed 68-column parse plus a `_rest`
+    * VARIANT map holding every top-level field the schema does NOT know —
+    * the Spark-4 equivalent of the reference's JSONB columns absorbing
+    * unknown new Scryfall fields untouched (init.sql's JSONB columns;
+    * import_cards.py stores documents wholesale). `map<string,variant>`
+    * keeps only the DRIFT fields (minus the 68 known keys), so at 100 TB
+    * the forward-compat surcharge is proportional to the drift, not a
+    * second copy of the document; unknown fields stay queryable with
+    * `variant_get` and flow through reshards/compactions untouched. */
+  def ingestCardsWithRest(raw: DataFrame): DataFrame = {
+    val knownKeys = array(CardSchema.fieldNames.map(lit): _*)
+    val parsed = raw.select(
+      from_json(col("raw"), CardSchema).as("c"),
+      map_filter(
+        from_json(col("raw"), MapType(StringType, VariantType)),
+        (k, _) => !array_contains(knownKeys, k)).as("_rest"))
+    ingestParsedCards(parsed.select(col("c.*"), col("_rest")))
+  }
+
+  /** Driver-contract query: planted novel fields must SURVIVE ingest and
+    * be queryable via variant_get, while undrifted documents carry an
+    * empty `_rest`. Emits scalar extracts (the VARIANT itself is not
+    * hash-portable across engines). */
+  def qIngestSchemaDrift(spark: SparkSession, dir: String): DataFrame =
+    ingestCardsWithRest(syntheticRawCardsDrifted(spark, 500))
+      .select(col("id"), col("name"), col("layout_valid"),
+        size(col("_rest")).cast("long").as("n_rest_fields"),
+        expr("variant_get(_rest['scry_power_level'], '$', 'bigint')").as("power_level"),
+        expr("variant_get(_rest['scry_tags'], '$[0]', 'string')").as("first_tag"))
+      .orderBy("id")
+
   /** Point lookup by oracle identity — the reference's
     * `idx_cards_oracle_id` surface (init.sql:133-134), used there to
     * fetch every printing of one oracle card. An equality predicate on a

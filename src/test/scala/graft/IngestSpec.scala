@@ -151,6 +151,32 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("FileScan json"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("schema drift: unknown fields survive ingest in the VARIANT _rest column") {
+    val out = IngestOps.qIngestSchemaDrift(spark, SfDir).cache()
+    assert(out.count() == 500)
+    // drifted docs (every 4th) carry exactly the two novel fields, with
+    // values queryable through variant_get; undrifted docs carry none
+    val drifted = out.filter(col("n_rest_fields") > 0)
+    assert(drifted.count() == 125)
+    drifted.collect().foreach { r =>
+      val i = r.getString(0).stripPrefix("card-").toLong
+      assert(i % 4 == 0 && r.getLong(3) == 2L)
+      assert(r.getLong(4) == i % 7, s"power_level mangled for card-$i")
+      assert(r.getString(5) == s"t${i % 3}", s"scry_tags mangled for card-$i")
+    }
+    assert(out.filter(col("n_rest_fields") === 0)
+      .filter(col("power_level").isNotNull || col("first_tag").isNotNull).count() == 0)
+    // the typed pipeline is unaffected by drift (layout validation intact)
+    assert(out.filter(!col("layout_valid")).count() == (500 + 10) / 11)
+    // _rest holds ONLY drift: known keys are filtered even on drifted docs
+    val restKeys = IngestOps.ingestCardsWithRest(
+        IngestOps.syntheticRawCardsDrifted(spark, 100))
+      .select(explode(map_keys(col("_rest"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(restKeys == Set("scry_power_level", "scry_tags"), s"got $restKeys")
+    out.unpersist()
+  }
+
   test("multiLine array-form dump parses to the same cards (unsplittable form)") {
     // a Scryfall dump is natively ONE json array; multiLine=true reads it
     // but cannot split the file — which is exactly why the ingest pipeline
