@@ -90,6 +90,7 @@ object SparkEntry {
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
+    "q_sql_adhoc"         -> (graft.ingest.IngestOps.qSqlAdhoc _),
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
@@ -798,6 +799,22 @@ object SparkEntry {
         |  CASE WHEN i % 4 = 0 THEN i % 7 END AS power_level,
         |  CASE WHEN i % 4 = 0 THEN 't' || CAST(i % 3 AS VARCHAR) END AS first_tag
         |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    // the README's ad-hoc SQL example: layout='split' cards joined to sets.
+    // layout cycles over the 24 allowed values except every 11th card
+    // ('weird'); 'split' is index 1 -> i % 24 = 1, minus the %11 overlap
+    "q_sql_adhoc" ->
+      """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  'split' AS layout,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |  'Set ' || CAST(i % 40 AS VARCHAR) AS set_name,
+        |  -- the joined set is S(i % 40) and its set_type cycles %4; 40 is
+        |  -- divisible by 4 so the card's own i%4 indexes the same value
+        |  (['expansion','core','masters','token'])[CAST(i % 4 AS INT) + 1] AS set_type
+        |FROM range(0, 500) t(i)
+        |WHERE i % 24 = 1 AND i % 11 <> 0
+        |ORDER BY id""".stripMargin,
     "q_cards_keyword_filter" ->
       """WITH cards AS (
         |  SELECT i,

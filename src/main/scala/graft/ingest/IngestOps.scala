@@ -499,6 +499,22 @@ object IngestOps {
       .orderBy("id")
   }
 
+  /** Ad-hoc SQL surface end-to-end: the reference README's own example
+    * query (`SELECT * FROM cards WHERE layout = 'split'`, README.md:18)
+    * joined to its set, executed as RAW SQL through
+    * [[graft.GraftSession.sqlCatalog]]'s registered views — proving a
+    * psql-style user can point spark.sql at the catalog and run the
+    * reference's queries verbatim. The views are lazy metadata, so the
+    * SQL path gets the same pushdown/pruning as the DataFrame API. */
+  def qSqlAdhoc(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.sqlCatalog(spark, dir)
+    spark.sql(
+      """SELECT c.id, c.name, c.layout, c.rarity, s.name AS set_name, s.set_type
+        |FROM cards c JOIN sets s ON c.`set` = s.code
+        |WHERE c.layout = 'split'
+        |ORDER BY c.id""".stripMargin)
+  }
+
   // ---- schema-drift tolerance ----
 
   /** Raw corpus with planted SCHEMA DRIFT: every 4th card gains two novel

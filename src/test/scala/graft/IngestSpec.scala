@@ -151,6 +151,21 @@ class IngestSpec extends SparkSpec {
     assert(plan.contains("FileScan json"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("ad-hoc SQL through sqlCatalog equals the DataFrame formulation, non-vacuously") {
+    val viaSql = IngestOps.qSqlAdhoc(spark, SfDir)
+    assert(viaSql.count() > 0, "README example query returned nothing")
+    val cards = IngestOps.cardsCorpus(spark)
+    val viaDf = cards.filter(col("layout") === "split")
+      .join(IngestOps.setsCorpus(spark)
+        .select(col("code"), col("name").as("__dim_set_name"),
+          col("set_type").as("__dim_set_type")),
+        cards("set") === col("code"))
+      .select(cards("id"), cards("name"), cards("layout"), cards("rarity"),
+        col("__dim_set_name").as("set_name"), col("__dim_set_type").as("set_type"))
+    assert(viaSql.exceptAll(viaDf).count() == 0)
+    assert(viaDf.exceptAll(viaSql).count() == 0)
+  }
+
   test("schema drift: unknown fields survive ingest in the VARIANT _rest column") {
     val out = IngestOps.qIngestSchemaDrift(spark, SfDir).cache()
     assert(out.count() == 500)
