@@ -37,7 +37,11 @@ object ScalingBench {
     "text_token_count", "text_lang_id", "text_quality_score",
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
     "embed_label_centroids", "embed_neardup_cosine", "ann_topk_brute",
-    "ann_topk_lsh", "ann_topk_ivf")
+    "ann_topk_lsh", "ann_topk_ivf",
+    // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
+    // inverted index (hot-shingle risk) and the budget-constrained
+    // selection's driver-histogram boundary
+    "dedup_containment", "text_budget_select")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -50,7 +54,10 @@ object ScalingBench {
     "q16_part_supplier_cnt", "q18_large_orders", "q21_waiting_orders",
     // q9: the biggest fact-fact sort-merge; q17: dual-branch fact scan
     // whose build side is dim-bounded (must NOT cliff like q21 did)
-    "q9_product_profit", "q17_small_qty_revenue")
+    "q9_product_profit", "q17_small_qty_revenue",
+    // round-6 addition: the two-pass histogram refinement was THE r4
+    // scale-killer in its buffered form — keep its slope on record
+    "q_percentiles")
 
   private val family = docFamily ++ relFamily
 
@@ -163,6 +170,23 @@ object ScalingBench {
           (System.nanoTime() - t0) / 1e9
         }.min
         times(name) = times.getOrElse(name, Map.empty) + (k -> t)
+      }
+      // ingest family (VERDICT r5 ask #4): the cards corpus is SYNTHESIZED
+      // (no driver file to amplify), so scale the generator itself. The
+      // registered entry parses 500 cards — overhead, not throughput — so
+      // the scaling row runs the same ingestCards pipeline at 20k·k rows,
+      // where the 68-column JSON parse dominates and a superlinear parse
+      // or validate step would show.
+      if (only.forall(_.contains("ingest_json_cards"))) {
+        System.gc()
+        val t = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ingest.IngestOps.ingestCards(
+            graft.ingest.IngestOps.syntheticRawCards(spark, 20000L * k))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        times("ingest_json_cards") = times.getOrElse("ingest_json_cards", Map.empty) + (k -> t)
       }
       val qs = times.keys.toSeq.map(n => "\"" + n + f"""\":${times(n)(k)}%.3f""").mkString("{", ",", "}")
       println(f"""{"metric":"scaling","scale":$k,"queries":$qs}""")

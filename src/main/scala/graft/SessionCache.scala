@@ -49,4 +49,24 @@ object SessionCache {
     * [[viewKey]] whenever the cached content derives from dir contents. */
   def dirKey(dir: String): String =
     viewKey(dir) + "_" + Tables.snapshot(dir)
+
+  /** Last registered view name per (session, prefix, dir), so a dir
+    * REWRITE within one JVM can release the superseded snapshot's view. */
+  private val lastDirView =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[cachedView]] keyed by (prefix, dir snapshot), dropping the previous
+    * snapshot's view for the same (prefix, dir) when the dir was rewritten
+    * (amplify-into-scratch across ScalingBench scale steps). Without the
+    * drop, each rewrite leaks a pinned localCheckpoint for the rest of the
+    * JVM — at 3 scale steps x several cached intermediates that is real
+    * block-manager memory held for no reader. */
+  def cachedDirView(spark: SparkSession, prefix: String, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val name = prefix + "_" + dirKey(dir)
+    val slot = System.identityHashCode(spark) + "/" + prefix + "/" + viewKey(dir)
+    val prev = lastDirView.put(slot, name)
+    if (prev != null && prev != name) spark.catalog.dropTempView(prev)
+    cachedView(spark, name)(build)
+  }
 }

@@ -51,10 +51,18 @@ object Tables {
     * key for per-JVM memos over data dirs (amplify-into-scratch rewrites
     * a dir mid-session; a bare dir-keyed memo would serve stale state). */
   def snapshot(path: String): String = {
+    val root = new java.io.File(path)
+    require(root.exists,
+      s"Tables.snapshot: no such table path $path (expected a parquet file or directory)")
+    // listFiles() returns null (not empty) for unreadable dirs — surface
+    // that as a clear error instead of an opaque NPE mid-walk
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val sig = walk(new java.io.File(path))
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(
+          throw new IllegalStateException(s"Tables.snapshot: cannot list ${f.getPath}"))
+        kids.toSeq.sortBy(_.getName).flatMap(walk)
+      } else Seq(f)
+    val sig = walk(root)
       .map(f => s"${f.getPath}:${f.lastModified}:${f.length}").mkString("\n")
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sig).toLong & 0xffffffffL)

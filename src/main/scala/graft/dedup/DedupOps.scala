@@ -293,8 +293,7 @@ object DedupOps {
     * uncached: that registered entry IS the mining operator, so its bench
     * number must include the real work. */
   def cachedJaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.cachedView(
-      spark, "graft_jaccard_pairs_" + graft.SessionCache.dirKey(dir))(
+    graft.SessionCache.cachedDirView(spark, "graft_jaccard_pairs", dir)(
       qNgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
   /** Cluster assignment for the corpus: components over the exact

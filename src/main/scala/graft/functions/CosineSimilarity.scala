@@ -99,16 +99,26 @@ object GraftFunctions {
     * array<array<array<double>>> literal — it is plan-time quantizer
     * state, embedded in the expression as a reference object. */
   val signBucketsBuilder: Seq[Expression] => Expression = exprs => {
+    def bad(msg: String) = throw new IllegalArgumentException(s"sign_buckets: $msg")
     val cast = Cast(exprs(1), ArrayType(ArrayType(ArrayType(DoubleType))))
-    require(cast.foldable, "sign_buckets planes must be a foldable literal")
+    if (!cast.foldable)
+      bad("planes must be a FOLDABLE array<array<array<double>>> literal " +
+        "(plan-time quantizer state), got a non-foldable expression")
+    // a NULL literal (or null nested table/plane/component) would
+    // otherwise surface as a raw MatchError from the extractor
     val planes = cast.eval() match {
+      case null => bad("planes literal must not be NULL"); Nil
       case ad: ArrayData => ad.toObjectArray(ArrayType(ArrayType(DoubleType))).toSeq.map {
         case t: ArrayData => t.toObjectArray(ArrayType(DoubleType)).toSeq.map {
-          case p: ArrayData => p.toDoubleArray().toSeq
+          case p: ArrayData =>
+            val arr = p.toObjectArray(DoubleType)
+            if (arr.contains(null)) bad("plane components must not be NULL")
+            arr.toSeq.map(_.asInstanceOf[Double])
+          case _ => bad("planes contains a NULL plane"); Nil
         }
+        case _ => bad("planes contains a NULL table"); Nil
       }
-      case other => throw new IllegalArgumentException(
-        s"sign_buckets planes must be a nested array literal, got $other")
+      case other => bad(s"planes must be a nested array literal, got $other"); Nil
     }
     SignBuckets(Cast(exprs.head, ArrayType(DoubleType)), planes)
   }

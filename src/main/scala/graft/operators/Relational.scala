@@ -225,6 +225,11 @@ object Relational {
         struct(lit(0).as("tag"), col("l_partkey").as("k")),
         struct(lit(1).as("tag"), col("l_orderkey").as("k")))).as("tk"))
       .select(col("l_linestatus"), col("tk.tag").as("tag"), col("tk.k").as("k"))
+      // count(DISTINCT k) ignores NULL keys; the groupBy rewrite would
+      // keep the null group as one distinct value. TPC-H keys are
+      // non-null so this is latent, but the rewrite must not change
+      // semantics the day a nullable key lands here.
+      .where(col("k").isNotNull)
     val wide = tagged
       .groupBy(col("l_linestatus"), col("tag"), col("k"))
       .agg(count(lit(1)).as("c"))
@@ -308,6 +313,15 @@ object Relational {
     * ~groups x families x buckets rows, data not session-bound. */
   private val histMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[org.apache.spark.sql.Row]]()
+  /** Entries are keyed by dir SNAPSHOT, so a rewritten dir (ScalingBench
+    * amplify-into-scratch) strands its old key forever; each stranded
+    * array can reach the 4e6-cell guard. Bound the memo instead of letting
+    * one JVM accumulate every scale step's histograms. */
+  private val histMemoMax = 8
+  private def memoizedHist(key: String, build: () => Array[org.apache.spark.sql.Row]) = {
+    if (histMemo.size >= histMemoMax && !histMemo.containsKey(key)) histMemo.clear()
+    histMemo.computeIfAbsent(key, _ => build())
+  }
 
   private[graft] def exactQuantilesByRank(
       df: DataFrame, groupCol: String,
@@ -332,7 +346,7 @@ object Relational {
       .groupBy(col("g"), col("tag"), col("bucket"))
       .agg(count(lit(1)).as("cnt")).collect()
     val hist = histKey match {
-      case Some(k) => histMemo.computeIfAbsent(k, _ => collectHist())
+      case Some(k) => memoizedHist(k, () => collectHist())
       case None => collectHist()
     }
     require(hist.length <= 4000000,
@@ -379,10 +393,21 @@ object Relational {
         first("lo_rank").as("lo_rank"), first("hi_rank").as("hi_rank"),
         max(when(col("grank") === col("lo_rank"), col("v"))).as("v_lo"),
         max(when(col("grank") === col("hi_rank"), col("v"))).as("v_hi"))
-      .withColumn("q", when(col("lo_rank") === col("hi_rank"), col("v_lo"))
-        .otherwise(
-          (col("hi_rank").cast("double") - col("pos")) * col("v_lo") +
-            (col("pos") - col("lo_rank").cast("double")) * col("v_hi")))
+      // loud fallback, not a silent null: if the rank probe ever misses
+      // its covering bucket (the documented failure mode is a bucket map
+      // whose float `ln` breaks monotonicity between pass 1 and pass 2),
+      // v_lo/v_hi come back NULL and the interpolation would emit NULL as
+      // if it were a quantile. raise_error costs nothing on healthy rows
+      // (`when` evaluates it only on a miss).
+      .withColumn("q",
+        when(col("v_lo").isNull || col("v_hi").isNull, raise_error(concat(
+          lit("exactQuantilesByRank: covering-bucket rank probe missed for group="),
+          col("g").cast("string"), lit(", quantile="), col("name"),
+          lit(" — bucket map non-monotone over this data; use the sketch path"))).cast("double"))
+        .otherwise(when(col("lo_rank") === col("hi_rank"), col("v_lo"))
+          .otherwise(
+            (col("hi_rank").cast("double") - col("pos")) * col("v_lo") +
+              (col("pos") - col("lo_rank").cast("double")) * col("v_hi"))))
     val names = specs.flatMap(_._2.map(_._1))
     val outCols = names.map(n => max(when(col("name") === n, col("q"))).as(n))
     picked.groupBy(col("g").as(groupCol)).agg(outCols.head, outCols.tail: _*)

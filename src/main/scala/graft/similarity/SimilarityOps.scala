@@ -261,7 +261,6 @@ object SimilarityOps {
     math.max(16, math.min(4096, math.ceil(math.sqrt(n / 8.0)).toInt))
 
   private def ivfIndex(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
-    val key = graft.SessionCache.dirKey(dir)
     val base = withPlanted(vectors(spark, dir))
     // FAISS-lineage split: TRAIN the quantizer on a bounded deterministic
     // sample (~64 vectors per cell — Lloyd needs no more), then assign the
@@ -272,9 +271,9 @@ object SimilarityOps {
     val train =
       if (n > trainCap) base.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
       else base
-    val cells = graft.SessionCache.cachedView(spark, s"graft_ivf_cells_$key")(
+    val cells = graft.SessionCache.cachedDirView(spark, "graft_ivf_cells", dir)(
       cellsDf(spark, kmeansLite(train, k, iters = 3)))
-    val assigned = graft.SessionCache.cachedView(spark, s"graft_ivf_assigned_$key")(
+    val assigned = graft.SessionCache.cachedDirView(spark, "graft_ivf_assigned", dir)(
       assignCells(base, cells))
     (cells, assigned)
   }

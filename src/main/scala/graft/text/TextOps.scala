@@ -99,8 +99,8 @@ object TextOps {
     // (doc_id, score, ntok) is tiny and feeds THREE consumers (histogram
     // + both selection branches) — session-cache it so the interpreted
     // token pipeline runs once, not per branch
-    val docs = graft.SessionCache.cachedView(
-      spark, "graft_budget_docs_" + graft.SessionCache.dirKey(dir)) {
+    val docs = graft.SessionCache.cachedDirView(
+      spark, "graft_budget_docs", dir) {
       Tables.spread(spark, Tables.documents(spark, dir)).select(
         col("doc_id"),
         round(hitCount(toks, Stopwords("en")).cast("double") * 10000.0 /

@@ -89,6 +89,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq, s"\n$got\n$want")
   }
 
+  test("rank quantiles survive adjacent-double (ulp-level) value spacing") {
+    // The bucket map floor(signum(v)·ln(|v|+1)·512) documents a contract:
+    // value spacing ≫ 1 ulp of ln. Probe the contract's edge directly —
+    // runs of CONSECUTIVE doubles (nextUp chains) at several magnitudes
+    // and signs, plus chains straddling exact bucket boundaries
+    // v = e^(k/512) − 1 where floor() flips. The kernel must either still
+    // match percentile() bit-for-bit (ln stayed monotone over adjacent
+    // doubles) or die through its raise_error covering-bucket fallback;
+    // a silent wrong quantile fails this assert.
+    def chain(start: Double, n: Int): Seq[Double] =
+      Iterator.iterate(start)(Math.nextUp).take(n).toSeq
+    val bucketEdges = Seq(100, 3000, 7000, -2000).map(k => math.exp(k / 512.0) - 1.0)
+    val groups: Seq[(String, Seq[Double])] =
+      (Seq(1.0, 1e6, 1e12, -1.0, -1e9, 0.0).map(b => s"mag_$b" -> chain(b, 400)) ++
+        bucketEdges.map(e => s"edge_$e" -> chain(Math.nextDown(Math.nextDown(e)), 400)))
+    val rows = groups.flatMap { case (g, vs) => vs.map(g -> _) }
+    val df = rows.toDF("g", "v")
+    val got = Relational.exactQuantilesByRank(df, "g",
+      Seq(col("v") -> Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    val want = df.groupBy(col("g")).agg(
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"),
+        expr("percentile(v, 0.99)").as("p99"))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"adjacent-double quantiles drifted silently:\n${got.toSeq}\n${want.toSeq}")
+  }
+
   test("anti join isolates synthesized orphan customers") {
     val cust = Tables.customer(spark, SfDir)
     val orphans = cust.limit(7).withColumn("c_custkey", col("c_custkey") + 1000000L)
