@@ -111,6 +111,7 @@ object SparkEntry {
     "ann_topk_lsh"        -> (graft.similarity.SimilarityOps.qAnnTopkLsh _),
     "ann_topk_ivf"        -> (graft.similarity.SimilarityOps.qAnnTopkIvf _),
     "embed_quantize_int8" -> (graft.similarity.SimilarityOps.qEmbedQuantizeInt8 _),
+    "embed_cluster_dedup" -> (graft.similarity.SimilarityOps.qEmbedClusterDedup _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
@@ -124,12 +125,15 @@ object SparkEntry {
     "text_rare_word_ratio" -> (graft.text.TextOps.qRareWordRatio _),
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
+    "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
+    "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
     "mm_resize_stub"      -> (graft.multimodal.MultimodalOps.qMmResizeStub _),
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
+    "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -1026,6 +1030,52 @@ object SparkEntry {
         |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS cos_ppm,
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
         |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // clusters over the EXACT cos>=0.99 pair graph (the engine routes
+    // candidates through LSH; recall-1 by the 8-table argument in
+    // SimilarityOps, so the exact graph is the contract)
+    "embed_cluster_dedup" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |all_v AS MATERIALIZED (
+        |  SELECT vec_id, vec FROM base
+        |  UNION ALL SELECT vec_id + 1000000, list_transform(vec, x -> x * 1.01) FROM base WHERE vec_id % 25 = 0),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99),
+        |edges AS MATERIALIZED (
+        |  SELECT va AS src, vb AS dst FROM pairs UNION ALL SELECT vb, va FROM pairs),
+        |walk AS (
+        |  SELECT vec_id, vec_id AS label FROM all_v
+        |  UNION
+        |  SELECT e.src AS vec_id, w.label FROM walk w JOIN edges e ON w.vec_id = e.dst)
+        |SELECT vec_id, min(label) AS cluster, vec_id = min(label) AS is_rep
+        |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM t)
+        |SELECT doc_id, n_tokens, token_start,
+        |  token_start // 2048 AS seq_first,
+        |  (token_start + n_tokens - 1) // 2048 AS seq_last,
+        |  token_start % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_bigram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] AS g
+        |       FROM w, unnest(range(1, len(words))) AS t(i)),
+        |dfreq AS (SELECT g, count(*) AS df FROM bg GROUP BY g),
+        |agg AS (
+        |  SELECT b.doc_id, count(*) AS n_distinct_bigrams,
+        |    CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM bg b JOIN dfreq USING (g) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  COALESCE(a.n_novel, 0) AS n_novel,
+        |  CASE WHEN a.n_distinct_bigrams IS NULL THEN 0
+        |       ELSE CAST(round(a.n_novel * 10000.0 / a.n_distinct_bigrams) AS BIGINT) END AS novelty_bp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
@@ -1181,6 +1231,27 @@ object SparkEntry {
         |  (octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000000
         |    // (8000 + (doc_id % 5) * 4000) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the decoded-pixel aggregate recomputed from pure arithmetic: the
+    // raster is (doc_id*31 + k) mod 256 by construction, so DuckDB can
+    // replay the sum over a lateral range() without any image library —
+    // the Spark side must invert real PNG (inflate + unfilter) / BMP
+    // (bottom-up BGR) containers to reproduce it
+    "mm_pixel_decode" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 4 = 3 THEN 'bmp' ELSE 'png' END AS format,
+        |  16 + d.doc_id % 16 AS width,
+        |  8 + d.doc_id % 8 AS height,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+        |  (16 + d.doc_id % 16) * (8 + d.doc_id % 8)
+        |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS n_raster_bytes,
+        |  CAST(SUM((d.doc_id * 31 + t.k) % 256) AS BIGINT) AS pixel_sum
+        |-- 1860 = 31*15*4, the max raster size; this DuckDB's range() takes
+        |-- no lateral column args, so over-generate and filter
+        |FROM documents d, range(1860) t(k)
+        |WHERE t.k < (16 + d.doc_id % 16) * (8 + d.doc_id % 8)
+        |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
+        |GROUP BY 1,2,3,4,5,6
+        |ORDER BY d.doc_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

@@ -25,7 +25,12 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // events.parquet needs the nanosAsLong conf BEFORE any concurrent read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration (driver leaves
+    // unset; Bench has the same switch)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -317,6 +317,36 @@ object SimilarityOps {
     * matches exactly; the quantized vector travels in canonical CSV form
     * (the array-compare convention q_array_funcs established). Narrow
     * codegen'd map, no shuffle, at any corpus size. */
+  /** The cos >= 0.99 near-dup pair list, mined once per session per data
+    * directory (LSH candidates + exact verify) and served from a
+    * checkpointed temp view — the embedding twin of
+    * [[graft.dedup.DedupOps.cachedJaccardPairs]]: consumers after the
+    * first (semantic-dedup clustering) price their own work, not a
+    * re-mine of pairs the session already has. [[qEmbedNeardupCosine]]
+    * stays uncached — that registered entry IS the mining operator. */
+  def cachedNeardupPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cachedDirView(spark, "graft_neardup_pairs", dir)(
+      qEmbedNeardupCosine(spark, dir).select("vec_a", "vec_b"))
+
+  /** Semantic dedup, SemDeDup-shaped: treat exact-verified cos >= 0.99
+    * pairs as edges, take connected components with the same scalable
+    * min-label propagation the text side uses
+    * ([[graft.dedup.DedupOps.dedupClusters]] — per-round join + min
+    * aggregation, no driver-side graph), and mark each component's
+    * min-id member as the KEPT representative; dropping `is_rep = false`
+    * rows is the embedding-space dedup step of a training-data pipeline.
+    * Transitivity matters: A~B and B~C at 0.99 puts A,C in one cluster
+    * even when cos(A,C) < 0.99, which pairwise dedup would miss. */
+  def qEmbedClusterDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = withPlanted(vectors(spark, dir)).select(col("vec_id").as("doc_id"))
+    val pairs = cachedNeardupPairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.dedup.DedupOps.dedupClusters(nodes, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_rep"))
+      .orderBy("vec_id")
+  }
+
   def qEmbedQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
     vectors(spark, dir)
       .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))

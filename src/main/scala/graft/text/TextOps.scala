@@ -348,4 +348,86 @@ object TextOps {
         round(col("n_contaminated") * 10000.0 / col("n_spans")).cast("long").as("contam_bp"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing — concat-and-chunk the tokenized corpus into fixed
+    * 2048-token training sequences (the pack-into-context-windows step of
+    * an LLM data pipeline): documents stream in doc_id order, a doc
+    * straddling a boundary splits across sequences. Emitted per doc:
+    * global token start, first/last sequence id, offset within the first
+    * sequence — everything a downstream chunker needs to cut sequences
+    * without re-scanning.
+    *
+    * CONTRACT: the global running token sum over doc_id order (the DuckDB
+    * oracle evaluates that literally as one window cumsum).
+    * IMPLEMENTATION: never a global single-partition window — the classic
+    * distributed prefix sum: (1) per-id-range partial token sums (one
+    * tiny groupBy → ≤P-row collect of metadata, never rows); (2) a driver
+    * scan turns partials into per-range prefix OFFSETS, broadcast back;
+    * (3) within-range cumsum windows run in parallel, shifted by the
+    * offset. Window partition size is corpus/P, so the plan survives a
+    * 100× scale-up by raising P, where the naive global window serializes
+    * the entire corpus through one task. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val B = 2048L
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    // id-range buckets preserve global order across buckets; max(doc_id)
+    // is a pruned-scan metadata aggregate (parquet column stats)
+    val maxId = Tables.documents(spark, dir).agg(max("doc_id")).head().getLong(0)
+    val p = spark.sparkContext.defaultParallelism
+    val width = math.max(1L, (maxId + p) / p)
+    val bucketed = docs.withColumn("__b", expr(s"doc_id DIV $width"))
+    val partials = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partials.map { case (b, t) => val row = (b, acc); acc += t; row }
+    val spark2 = spark
+    import spark2.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+    val w = Window.partitionBy("__b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offDf), "__b")
+      .withColumn("__local_end", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__off") + col("__local_end") - col("n_tokens")).as("token_start"))
+      .select(col("doc_id"), col("n_tokens"), col("token_start"),
+        expr(s"token_start DIV $B").as("seq_first"),
+        expr(s"(token_start + n_tokens - 1) DIV $B").as("seq_last"),
+        (col("token_start") % B).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram novelty — the n-gram LM cousin of [[qRareWordRatio]]'s
+    * unigram cut and a cheap perplexity proxy: how much of a document's
+    * distinct-bigram vocabulary appears NOWHERE else in the corpus
+    * (document frequency 1). Templated/duplicated text scores near 0;
+    * original prose scores high. Inverted-index shape: one distinct-
+    * bigram explode, one df aggregation, one key join back — each linear
+    * in corpus size; hot boilerplate bigrams are bounded by doc count and
+    * AQE's skew-join split handles the join tail. */
+  def qBigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // same bigram definition as [[bigrams]]/[[qNgramFreq]] (null for
+    // sub-2-token docs), de-duplicated per doc so the count is DOCUMENT
+    // frequency
+    val bgs = array_distinct(bigrams(wsTokens(col("text"))))
+    val docBgs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode_outer(bgs).as("g"))
+    val df = docBgs.filter(col("g").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val agg = docBgs.filter(col("g").isNotNull)
+      .join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    // left join keeps docs with <2 tokens (no bigrams) at zero
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_distinct_bigrams").isNull, 0L)
+          .otherwise(round(col("n_novel") * 10000.0 / col("n_distinct_bigrams")).cast("long"))
+          .as("novelty_bp"))
+      .orderBy("doc_id")
+  }
 }

@@ -84,4 +84,130 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.parseWavHeader("not audio at all".getBytes).isEmpty)
     assert(MultimodalOps.parseWavHeader(wav.take(20)).isEmpty) // truncated
   }
+
+  // ---- real pixel decode (ImageCodec) ----
+
+  import graft.multimodal.ImageCodec
+  import java.awt.image.BufferedImage
+  import javax.imageio.ImageIO
+
+  /** Deterministic raster for codec tests. */
+  private def testImage(w: Int, h: Int, ch: Int, seed: Int): ImageCodec.Image =
+    ImageCodec.Image(w, h, ch,
+      Array.tabulate(w * h * ch)(k => ((seed * 31 + k * 7) % 256).toByte))
+
+  test("PNG encode→decode round-trips every filter type and channel count") {
+    // encodePng cycles filter y % 5, so any h >= 5 exercises all five
+    // filters; channel counts cover gray / gray+alpha / RGB / RGBA
+    for (ch <- Seq(1, 2, 3, 4); (w, h) <- Seq((1, 7), (16, 9), (31, 5))) {
+      val img = testImage(w, h, ch, ch * 100 + w)
+      val decoded = ImageCodec.decodePng(ImageCodec.encodePng(img))
+        .fold(e => fail(s"ch=$ch $w x $h: $e"), identity)
+      assert(decoded.width == w && decoded.height == h && decoded.channels == ch)
+      assert(decoded.pixels.sameElements(img.pixels), s"pixels drifted ch=$ch $w x $h")
+    }
+  }
+
+  test("BMP encode→decode round-trips (bottom-up rows, BGR, padding)") {
+    // widths chosen so row padding hits 0/1/2/3 pad bytes
+    for (w <- Seq(1, 2, 3, 4, 17); h <- Seq(1, 6)) {
+      val img = testImage(w, h, 3, w * 10 + h)
+      val decoded = ImageCodec.decodeBmp(ImageCodec.encodeBmp(img))
+        .fold(e => fail(s"$w x $h: $e"), identity)
+      assert((decoded.width, decoded.height, decoded.channels) == ((w, h, 3)))
+      assert(decoded.pixels.sameElements(img.pixels), s"pixels drifted $w x $h")
+    }
+  }
+
+  test("our PNG/BMP bytes are golden-readable by javax.imageio, pixel-exact") {
+    def argbAt(img: ImageCodec.Image, x: Int, y: Int): Int = {
+      val p = (y * img.width + x) * img.channels
+      def u(i: Int) = img.pixels(p + i) & 0xff
+      img.channels match {
+        case 1 => 0xff000000 | (u(0) << 16) | (u(0) << 8) | u(0)
+        case 3 => 0xff000000 | (u(0) << 16) | (u(1) << 8) | u(2)
+        case 4 => (u(3) << 24) | (u(0) << 16) | (u(1) << 8) | u(2)
+      }
+    }
+    val cases = Seq(
+      ("png", testImage(19, 11, 1, 3)), ("png", testImage(19, 11, 3, 5)),
+      ("png", testImage(19, 11, 4, 9)), ("bmp", testImage(19, 11, 3, 7)))
+    for ((fmt, img) <- cases) {
+      val bytes = if (fmt == "bmp") ImageCodec.encodeBmp(img) else ImageCodec.encodePng(img)
+      val gold = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(gold != null, s"ImageIO rejected our $fmt (ch=${img.channels})")
+      assert(gold.getWidth == img.width && gold.getHeight == img.height)
+      if (img.channels == 1) {
+        // gray: compare raw raster samples — getRGB would run the
+        // linear-gray → sRGB colorspace conversion, which is not identity
+        assert(gold.getRaster.getNumBands == 1, s"gray PNG read with >1 band")
+        for (y <- 0 until img.height; x <- 0 until img.width)
+          assert(gold.getRaster.getSample(x, y, 0) ==
+            (img.pixels(y * img.width + x) & 0xff), s"gray pixel ($x,$y) drifted")
+      } else
+        for (y <- 0 until img.height; x <- 0 until img.width)
+          assert(gold.getRGB(x, y) == argbAt(img, x, y),
+            s"$fmt ch=${img.channels} pixel ($x,$y) drifted")
+    }
+  }
+
+  test("our decoder is golden-exact on ImageIO-WRITTEN PNG and BMP") {
+    // the reverse direction: a third-party writer picks its own filters /
+    // compression levels; our decoder must handle whatever it emits
+    val w = 23; val h = 13
+    val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val argb = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 7) % 256
+      rgb.setRGB(x, y, (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256))
+      argb.setRGB(x, y, (((v + 40) % 256) << 24) | (v << 16) | (v << 8) | v)
+    }
+    def bytesOf(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no ImageIO $fmt writer")
+      bos.toByteArray
+    }
+    for ((buf, fmt, ch) <- Seq((rgb, "png", 3), (argb, "png", 4), (rgb, "bmp", 3))) {
+      val decoded = ImageCodec.decode(bytesOf(buf, fmt))
+        .fold(e => fail(s"ImageIO-written $fmt: $e"), identity)
+      assert((decoded.width, decoded.height) == ((w, h)), s"$fmt dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = buf.getRGB(x, y)
+        val p = (y * w + x) * decoded.channels
+        def u(i: Int) = decoded.pixels(p + i) & 0xff
+        val got =
+          if (decoded.channels == 4) (u(3) << 24) | (u(0) << 16) | (u(1) << 8) | u(2)
+          else 0xff000000 | (u(0) << 16) | (u(1) << 8) | u(2)
+        assert(got == want, s"ImageIO-written $fmt pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("pixel decode rejects out-of-scope or corrupt containers loudly") {
+    assert(ImageCodec.decode("not an image".getBytes).isLeft)
+    val png = ImageCodec.encodePng(testImage(8, 8, 3, 1))
+    assert(ImageCodec.decodePng(png.take(40)).isLeft) // truncated chunk
+    val interlaced = png.clone; interlaced(8 + 4 + 4 + 12) = 1 // IHDR interlace byte
+    assert(ImageCodec.decodePng(interlaced).isLeft)
+    val bmp = ImageCodec.encodeBmp(testImage(8, 8, 3, 2))
+    val rle = bmp.clone
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1) // BI_RLE8
+    assert(ImageCodec.decodeBmp(rle).isLeft)
+    assert(ImageCodec.decodeBmp(bmp.take(53)).isLeft) // truncated
+  }
+
+  test("mm_pixel_decode sums match a driver-side arithmetic recomputation") {
+    val rows = MultimodalOps.qMmPixelDecode(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fmt, w, h, ch, n, sum) =>
+      assert(fmt == (if (id % 4 == 3) "bmp" else "png"))
+      assert(w == 16 + id % 16 && h == 8 + id % 8)
+      assert(ch == (if (id % 4 == 0) 1L else if (id % 4 == 2) 4L else 3L))
+      assert(n == w * h * ch)
+      val want = (0L until n).map(k => (id * 31 + k) % 256).sum
+      assert(sum == want, s"doc $id pixel_sum $sum != $want")
+    }
+  }
 }

@@ -199,4 +199,33 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("semantic dedup clusters are exactly the near-dup pair components") {
+    val labels = SimilarityOps.qEmbedClusterDedup(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val pairs = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no planted near-dup pairs — vacuous")
+    // driver-side union-find over the exact pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    labels.keys.foreach(v => parent.getOrElseUpdate(v, v))
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = labels.keys.map { v =>
+      val members = labels.keys.filter(u => find(u) == find(v))
+      v -> members.min
+    }.toMap
+    labels.foreach { case (v, (cluster, isRep)) =>
+      assert(cluster == want(v), s"vec $v: cluster $cluster != union-find ${want(v)}")
+      assert(isRep == (v == cluster), s"vec $v is_rep inconsistent")
+    }
+    // non-vacuous both ways: real merges happened AND most vectors are singletons
+    assert(labels.count { case (v, (c, _)) => v != c } >= pairs.length / 2)
+    assert(labels.count { case (_, (_, rep)) => rep } < labels.size)
+  }
 }

@@ -95,6 +95,56 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(col("contam_bp") > 10000).count() == 0, "ratio above 100%")
   }
 
+  test("sequence packing equals the global cumsum contract, without a global window") {
+    import spark.implicits._
+    val got = TextOps.qPackSequences(spark, SfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reconstruct the contract naively: global running sum in doc_id order
+    val toks = TextOps.qTokenCount(spark, SfDir)
+      .select("doc_id", "n_ws_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    var start = 0L
+    val want = toks.map { case (id, n) =>
+      val row = (id, n, start, start / 2048, (start + n - 1) / 2048, start % 2048)
+      start += n; row
+    }
+    assert(got.toSeq == want.toSeq, "distributed prefix sum != global cumsum contract")
+    // boundary invariants: offsets inside the window, sequence ids monotone
+    assert(got.forall { case (_, _, _, _, _, off) => off >= 0 && off < 2048 })
+    assert(got.sliding(2).forall { case Array((_, _, s1, _, _, _), (_, _, s2, _, _, _)) => s1 <= s2
+      case _ => true })
+    // the plan must NOT contain a global (empty-partition-spec) window —
+    // every Window operator keys on the range bucket
+    val plan = TextOps.qPackSequences(spark, SfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val windowLines = plan.linesIterator.filter(_.contains("Arguments: [sum")).toSeq
+    assert(windowLines.forall(_.contains("partitionBy")) || !plan.contains("Window ()"),
+      s"global window detected:\n$plan")
+  }
+
+  test("bigram novelty: hand-built corpus gets exact counts; corpus is non-vacuous") {
+    val out = TextOps.qBigramNovelty(spark, SfDir)
+    assert(out.count() == Tables.documents(spark, SfDir).count())
+    val nz = out.filter(col("n_novel") > 0).count()
+    assert(nz > 0, "no novel bigrams anywhere — vacuous")
+    assert(out.filter(col("n_novel") > col("n_distinct_bigrams")).count() == 0)
+    // exact check on a literal mini-corpus routed through the same algebra:
+    // doc1 shares "b c" with doc2; every other bigram appears once
+    import spark.implicits._
+    val mini = Seq((1L, "a b c d"), (2L, "x b c y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val bgs = array_distinct(TextOps.bigrams(TextOps.wsTokens(col("text"))))
+    val docBgs = mini.select(col("doc_id"), explode_outer(bgs).as("g"))
+      .filter(col("g").isNotNull)
+    val dfreq = docBgs.groupBy("g").agg(count(lit(1)).as("df"))
+    val res = docBgs.join(dfreq, "g").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, nov) => id -> ((n, nov)) }.toMap
+    assert(res.get(1L).contains((3L, 2L)), s"doc1: ${res.get(1L)}") // a b, b c, c d; only b c shared
+    assert(res.get(2L).contains((3L, 2L)), s"doc2: ${res.get(2L)}")
+    assert(!res.contains(3L)) // no bigrams in a 1-token doc
+  }
+
   test("budget select equals the global greedy cumsum rule and respects the budget") {
     import spark.implicits._
     val got = TextOps.qBudgetSelect(spark, SfDir)
