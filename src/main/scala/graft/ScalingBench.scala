@@ -41,7 +41,10 @@ object ScalingBench {
     // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
     // inverted index (hot-shingle risk) and the budget-constrained
     // selection's driver-histogram boundary
-    "dedup_containment", "text_budget_select")
+    "dedup_containment", "text_budget_select",
+    // round-6 new operators: component propagation over the near-dup
+    // graph, the distributed prefix sum, and the bigram inverted index
+    "embed_cluster_dedup", "text_pack_sequences", "text_bigram_novelty")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

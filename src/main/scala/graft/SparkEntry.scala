@@ -94,6 +94,8 @@ object SparkEntry {
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
+    "q_cards_name_trgm"   -> (graft.ingest.IngestOps.qCardsNameTrgm _),
+    "text_fulltext_search" -> (graft.text.TextOps.qFulltextSearch _),
     "q_cards_cmc_range"   -> (graft.ingest.IngestOps.qCardsCmcRange _),
     "q_cards_oracle_lookup" -> (graft.ingest.IngestOps.qCardsOracleLookup _),
     // §2.C dedup & similarity
@@ -1030,6 +1032,31 @@ object SparkEntry {
         |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS cos_ppm,
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
         |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_cards_name_trgm" ->
+      """WITH cards AS (
+        |  SELECT 'card-' || CAST(i AS VARCHAR) AS id, 'Card ' || CAST(i AS VARCHAR) AS name
+        |  FROM range(0, 500) t(i)),
+        |tg AS (SELECT id, name,
+        |  list_distinct([substr(lower(name), i, 3) FOR i IN range(1, greatest(length(name)-2, 0)+1)]) AS t
+        |  FROM cards),
+        |q AS (SELECT list_distinct([substr('card 41', i, 3) FOR i IN range(1, length('card 41')-2+1)]) AS qt)
+        |SELECT * FROM (
+        |  SELECT id, name,
+        |    len(list_intersect(t, qt)) AS inter_n,
+        |    len(t) + len(qt) - len(list_intersect(t, qt)) AS union_n,
+        |    CAST(round(len(list_intersect(t, qt)) * 10000.0
+        |      / (len(t) + len(qt) - len(list_intersect(t, qt)))) AS BIGINT) AS sim_bp
+        |  FROM tg, q) s
+        |WHERE sim_bp >= 6000
+        |ORDER BY sim_bp DESC, id""".stripMargin,
+    "text_fulltext_search" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x = 'data')) AS n_data,
+        |  len(list_filter(toks, x -> x = 'spark')) AS n_spark FROM t)
+        |SELECT doc_id, n_data, n_spark, n_data + n_spark AS score
+        |FROM c WHERE n_data > 0 AND n_spark > 0
+        |ORDER BY score DESC, doc_id""".stripMargin,
     // clusters over the EXACT cos>=0.99 pair graph (the engine routes
     // candidates through LSH; recall-1 by the 8-table argument in
     // SimilarityOps, so the exact graph is the contract)

@@ -434,6 +434,39 @@ object IngestOps {
         col("name_match"), col("text_match"))
       .orderBy("id")
 
+  /** Distinct character trigrams of a string column (empty below length
+    * 3 — `sequence` would generate a DESCENDING range there, so guard). */
+  private def charTrigrams(c: Column): Column =
+    when(length(c) >= 3, array_distinct(transform(
+      sequence(lit(1), length(c) - 2), i => substr(c, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Typo-tolerant fuzzy name match — the reference's pg_trgm surface
+    * (init.sql:134-138: `CREATE EXTENSION pg_trgm` + gin trigram indexes
+    * on name/oracle_text for fast `ILIKE`/`similarity()` lookups).
+    * Character-trigram Jaccard between each lowercased card name and the
+    * probe 'card 41', emitted as exact integers (intersection/union
+    * sizes) plus basis points, ranked desc — the `similarity(name, q) >
+    * threshold ORDER BY similarity` query shape. pg_trgm's exact scores
+    * differ (it pads word boundaries); the CAPABILITY — indexable fuzzy
+    * ranking — is what this maps. At scale the trigram set rides the
+    * scan (codegen'd array algebra), and a dedicated inverted
+    * trigram→card index (the gin equivalent) is the
+    * [[graft.dedup.DedupOps]] posting-list pattern applied to names. */
+  def qCardsNameTrgm(spark: SparkSession, dir: String): DataFrame = {
+    val probe = "card 41"
+    val probeTg = probe.sliding(3).toSeq.distinct
+    val tg = charTrigrams(lower(col("name")))
+    val inter = size(array_intersect(tg, array(probeTg.map(lit): _*)))
+    val union = size(tg) + lit(probeTg.size) - inter
+    cardsCorpus(spark)
+      .select(col("id"), col("name"),
+        inter.cast("long").as("inter_n"), union.cast("long").as("union_n"),
+        round(inter * 10000.0 / union).cast("long").as("sim_bp"))
+      .filter(col("sim_bp") >= 6000)
+      .orderBy(col("sim_bp").desc, col("id"))
+  }
+
   /** Numeric range scan on converted mana cost — the reference's
     * `idx_cards_cmc` btree surface (init.sql:127 `CREATE INDEX
     * idx_cards_cmc ON cards(cmc)`). Here the predicate is a plain

@@ -349,6 +349,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Ranked multi-term full-text search — the reference's tsvector GIN
+    * surface (init.sql:144-145: `gin(to_tsvector('english', name || ' '
+    * || oracle_text))`) expressed over the documents corpus: normalize to
+    * word tokens (`\W+` split of the lowercased text — the tsvector
+    * lexing step minus stemming), require ALL query terms (tsquery `&`
+    * semantics), rank by total term frequency (the ts_rank analogue kept
+    * INTEGRAL so the oracle hash is exact). The per-term counts ride the
+    * scan as codegen'd array algebra — at 100 TB this is a full-scan
+    * predicate like any other pushable filter chain, and the dedicated
+    * posting-list index (the GIN equivalent) is the same inverted-index
+    * pattern the dedup family builds. */
+  def qFulltextSearch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\W+")
+    def cnt(term: String) =
+      size(filter(toks, t => t === lit(term))).cast("long")
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), cnt("data").as("n_data"), cnt("spark").as("n_spark"))
+      .filter(col("n_data") > 0 && col("n_spark") > 0)
+      .withColumn("score", col("n_data") + col("n_spark"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Sequence packing — concat-and-chunk the tokenized corpus into fixed
     * 2048-token training sequences (the pack-into-context-windows step of
     * an LLM data pipeline): documents stream in doc_id order, a doc
