@@ -136,6 +136,7 @@ object SparkEntry {
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
+    "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -1279,6 +1280,16 @@ object SparkEntry {
         |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
         |GROUP BY 1,2,3,4,5,6
         |ORDER BY d.doc_id""".stripMargin,
+    "mm_image_stats" ->
+      """SELECT d.doc_id,
+        |  t.k % (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS channel,
+        |  count(*) AS n_samples,
+        |  CAST(SUM((d.doc_id * 31 + t.k) % 256) AS BIGINT) AS sample_sum
+        |FROM documents d, range(1860) t(k)
+        |WHERE t.k < (16 + d.doc_id % 16) * (8 + d.doc_id % 8)
+        |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,

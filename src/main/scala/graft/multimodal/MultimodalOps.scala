@@ -260,6 +260,42 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** One per-channel statistics record over decoded pixels. */
+  case class ChannelStats(doc_id: Long, channel: Long, n_samples: Long, sample_sum: Long)
+
+  /** Per-channel statistics over DECODED pixels — the feature-extraction
+    * stage downstream of [[qMmPixelDecode]] (channel means feed
+    * normalization / dedup fingerprints in an image pipeline). Runs the
+    * full container decode per doc and folds each channel's samples in
+    * one pass; integers end-to-end, so the DuckDB oracle recomputes every
+    * per-channel sum from the raster's defining arithmetic. */
+  def qMmImageStats(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          batch.flatMap { id =>
+            val (fmt, _, bytes) = syntheticImage(id)
+            val img = ImageCodec.decode(bytes)
+              .fold(e => sys.error(s"doc $id: planted $fmt failed to decode: $e"), identity)
+            val ch = img.channels
+            val sums = new Array[Long](ch)
+            val counts = new Array[Long](ch)
+            var k = 0
+            while (k < img.pixels.length) {
+              sums(k % ch) += img.pixels(k) & 0xff; counts(k % ch) += 1; k += 1
+            }
+            (0 until ch).map(c => ChannelStats(id, c.toLong, counts(c), sums(c)))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "channel")
+  }
+
   /** Frame sampling: treat the payload as a stream of fixed-size "frames"
     * and keep every `stride`-th one — the video-pipeline subsample step.
     * Pure column algebra over the binary: frame i = bytes

@@ -430,14 +430,14 @@ object TextOps {
   def qBigramNovelty(spark: SparkSession, dir: String): DataFrame = {
     // same bigram definition as [[bigrams]]/[[qNgramFreq]] (null for
     // sub-2-token docs), de-duplicated per doc so the count is DOCUMENT
-    // frequency
+    // frequency. df rides a count-over-window on the exploded stream
+    // (the qRareWordRatio pattern) — TWO shuffles (bigram key, then
+    // doc_id) instead of the aggregate-then-join-back form's three.
     val bgs = array_distinct(bigrams(wsTokens(col("text"))))
-    val docBgs = Tables.spread(spark, Tables.documents(spark, dir))
+    val agg = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode_outer(bgs).as("g"))
-    val df = docBgs.filter(col("g").isNotNull)
-      .groupBy("g").agg(count(lit(1)).as("df"))
-    val agg = docBgs.filter(col("g").isNotNull)
-      .join(df, "g")
+      .filter(col("g").isNotNull)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_distinct_bigrams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

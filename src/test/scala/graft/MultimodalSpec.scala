@@ -196,6 +196,20 @@ class MultimodalSpec extends SparkSpec {
     assert(ImageCodec.decodeBmp(bmp.take(53)).isLeft) // truncated
   }
 
+  test("per-channel stats partition the decoded raster exactly") {
+    val stats = MultimodalOps.qMmImageStats(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = MultimodalOps.qMmPixelDecode(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(stats.nonEmpty)
+    stats.groupBy(_._1).foreach { case (id, rows) =>
+      val (channels, nBytes, pixelSum) = totals(id)
+      assert(rows.length == channels, s"doc $id: ${rows.length} channel rows for $channels channels")
+      assert(rows.map(_._3).sum == nBytes, s"doc $id: channel sample counts don't cover the raster")
+      assert(rows.map(_._4).sum == pixelSum, s"doc $id: channel sums don't add up to the pixel sum")
+    }
+  }
+
   test("mm_pixel_decode sums match a driver-side arithmetic recomputation") {
     val rows = MultimodalOps.qMmPixelDecode(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
