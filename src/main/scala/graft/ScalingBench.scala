@@ -45,7 +45,7 @@ object ScalingBench {
     // round-6 new operators: component propagation over the near-dup
     // graph, the distributed prefix sum, and the bigram inverted index
     "embed_cluster_dedup", "text_pack_sequences", "text_bigram_novelty",
-    "text_fulltext_search")
+    "text_fulltext_search", "text_heavy_hitters")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

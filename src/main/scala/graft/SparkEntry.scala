@@ -96,6 +96,7 @@ object SparkEntry {
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
     "q_cards_name_trgm"   -> (graft.ingest.IngestOps.qCardsNameTrgm _),
     "text_fulltext_search" -> (graft.text.TextOps.qFulltextSearch _),
+    "text_heavy_hitters"  -> (graft.text.TextOps.qHeavyHitters _),
     "q_cards_cmc_range"   -> (graft.ingest.IngestOps.qCardsCmcRange _),
     "q_cards_oracle_lookup" -> (graft.ingest.IngestOps.qCardsOracleLookup _),
     // §2.C dedup & similarity
@@ -1104,6 +1105,11 @@ object SparkEntry {
         |       ELSE CAST(round(a.n_novel * 10000.0 / a.n_distinct_bigrams) AS BIGINT) END AS novelty_bp
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS exact_n FROM t GROUP BY w)
+        |SELECT w, exact_n, TRUE AS est_ok
+        |FROM c ORDER BY exact_n DESC, w LIMIT 20""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,

@@ -349,6 +349,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters with a count-min sketch gate — the one-pass
+    * bounded-memory frequency-estimation pattern for 100 TB streams,
+    * using Spark's native `count_min_sketch` aggregate (mergeable fixed-
+    * size counter grid; the exact groupBy is the small-scale luxury the
+    * sketch replaces when the token universe stops fitting in a shuffle).
+    *
+    * Tolerance-gated like the other sketches (q_approx_distinct /
+    * q_approx_percentiles): the output carries the EXACT top-20 token
+    * counts (hash-checked against DuckDB) plus an in-plan boolean per
+    * row asserting the CMS estimate obeys its contract — never below the
+    * true count, within eps·N above it (eps = 0.001, fixed seed ⇒
+    * deterministic). The collected sketch is a few-KB summary blob — the
+    * sanctioned metadata-collect shape (SURVEY §5), never row data; the
+    * probe runs as a UDF over only the 20 result rows, not the corpus. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(explode_outer(wsTokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val probe = udf((s: String) => cms.estimateCount(s))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
+    val totalDf = counts.agg(sum("exact_n").as("__n_total"))
+    counts.orderBy(col("exact_n").desc, col("w")).limit(20)
+      .crossJoin(broadcast(totalDf))
+      .withColumn("__est", probe(col("w")))
+      .select(col("w"), col("exact_n"),
+        (col("__est") >= col("exact_n") &&
+          col("__est") <= col("exact_n") + ceil(col("__n_total") * 0.001))
+          .as("est_ok"))
+      .orderBy(col("exact_n").desc, col("w"))
+  }
+
   /** Ranked multi-term full-text search — the reference's tsvector GIN
     * surface (init.sql:144-145: `gin(to_tsvector('english', name || ' '
     * || oracle_text))`) expressed over the documents corpus: normalize to

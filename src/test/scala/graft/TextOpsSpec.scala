@@ -145,6 +145,21 @@ class TextOpsSpec extends SparkSpec {
     assert(!res.contains(3L)) // no bigrams in a 1-token doc
   }
 
+  test("heavy hitters: exact top-20 matches a direct count and CMS bounds hold") {
+    import spark.implicits._
+    val rows = TextOps.qHeavyHitters(spark, SfDir)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_._3), "a CMS estimate broke its never-below / eps-above contract")
+    val direct = Tables.documents(spark, SfDir)
+      .select(explode(TextOps.wsTokens(col("text"))).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(20)
+      .as[(String, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq == direct.toSeq,
+      "sketch-gated exact counts drifted from a direct groupBy count")
+  }
+
   test("budget select equals the global greedy cumsum rule and respects the budget") {
     import spark.implicits._
     val got = TextOps.qBudgetSelect(spark, SfDir)
