@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Bucketed-table utilities (SURVEY.md §5): pre-shuffle fact tables by
   * their join key ONCE at write time so repeated fact⋈fact joins are
@@ -38,4 +38,53 @@ object Bucketing {
     * before any row is read. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a directory of (many small) parquet files into ~targetBytes
+    * files — the small-file problem is the silent killer of lake scans at
+    * scale: every file costs a task + footer read + seek, and a 100 TB
+    * table accreted from streaming micro-batches can hold millions of
+    * KB-sized files. Sizing comes from an FS listing (metadata, no data
+    * read); the rewrite is one round-robin repartition to evenly-sized
+    * outputs. Returns the target file count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length
+      else 0L
+    val totalBytes = walk(new java.io.File(inDir))
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Morton (Z-order) value: bit-interleave of two bounded non-negative
+    * integer columns — pure codegen'd column algebra, no UDF. Sorting a
+    * table by this value clusters rows that are close in BOTH dimensions
+    * into the same files/row-groups, so parquet min/max statistics prune
+    * multi-dimensional predicates that a single-column sort can only
+    * serve for its leading column. Callers must pre-scale inputs into
+    * [0, 2^bits). */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered write: range-partition on the interleaved key, sort within
+    * partitions, write `nFiles` parquet files. Each output file then owns
+    * a compact Z-range — narrow min/max envelopes on BOTH source columns
+    * (asserted quantitatively in BucketingSpec), which is what row-group
+    * skipping needs. The lake equivalent of the reference's multi-column
+    * btree indexes. */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+      nFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

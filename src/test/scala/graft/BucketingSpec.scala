@@ -50,4 +50,59 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compaction rewrites a small-file directory to the sized file count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, SfDir)
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    def files(d: String) = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.getName.endsWith(".parquet"))
+    val smallFiles = files(s"$base/small")
+    assert(smallFiles.length == 64, s"setup wrote ${smallFiles.length} files")
+    val totalBytes = smallFiles.map(_.length).sum
+    val n = Bucketing.compact(spark, s"$base/small", s"$base/compacted", totalBytes / 4)
+    val out = files(s"$base/compacted")
+    assert(out.length == n, s"wrote ${out.length} files, planned $n")
+    assert(n >= 2 && n <= 8, s"sizing picked $n files for a /4 target")
+    assert(spark.read.parquet(s"$base/compacted").count() == docs.count())
+  }
+
+  test("zValue interleaves bits correctly and orders by Morton curve") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Bucketing.zValue(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    // interleave: z(a,b) with a on even bits, b on odd: (1,0)->1, (0,1)->2,
+    // (1,1)->3, (2,2)->12, (65535,65535)->2^32-1
+    assert(out == Seq(0L, 1L, 2L, 3L, 12L, 4294967295L), s"got $out")
+  }
+
+  test("z-ordered files carry narrow min/max envelopes on both dimensions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // two independent dims PRE-SCALED to the same bit width (the zValue
+    // contract: equal widths, or the range split degenerates to the wider
+    // dimension's top bits and the narrower one gets no locality)
+    val src = Tables.orders(spark, SfDir).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 256L).as("cust_b"),
+      (col("o_totalprice").cast("long") % 256L).as("price_b"))
+    src.repartition(32).write.mode("overwrite").parquet(s"$base/roundrobin")
+    Bucketing.writeZOrdered(src, s"$base/zorder", col("cust_b"), col("price_b"), 32, bits = 8)
+    def spanSum(dir: String, c: String): Long =
+      Option(new java.io.File(dir).listFiles()).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath).agg(min(col(c)), max(col(c))).head()
+          r.getLong(1) - r.getLong(0)
+        }.sum
+    // same file count, same rows — but each z-file owns a compact range of
+    // BOTH dimensions, where round-robin files all span the whole domain
+    assert(spark.read.parquet(s"$base/zorder").count() ==
+      spark.read.parquet(s"$base/roundrobin").count())
+    val (zc, rc) = (spanSum(s"$base/zorder", "cust_b"), spanSum(s"$base/roundrobin", "cust_b"))
+    val (zp, rp) = (spanSum(s"$base/zorder", "price_b"), spanSum(s"$base/roundrobin", "price_b"))
+    assert(zc * 2 < rc, s"cust envelopes not clustered: z=$zc rr=$rc")
+    assert(zp * 2 < rp, s"price envelopes not clustered: z=$zp rr=$rp")
+  }
 }
