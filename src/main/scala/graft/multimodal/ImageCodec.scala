@@ -141,6 +141,10 @@ object ImageCodec {
       i += 12 + len
     }
     if (ch < 0) return Left("missing IHDR")
+    // a stream cut exactly between the last IDAT and IEND carries all the
+    // pixel data but is still a truncated transfer — only the IEND marker
+    // distinguishes it, so its absence is an error, not leniency
+    if (!sawEnd) return Left("missing IEND")
     if (idat.size == 0) return Left("missing IDAT")
 
     val stride = w * ch
@@ -227,6 +231,9 @@ object ImageCodec {
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) return Left("bad dimensions")
     val ch = if (bpp == 24) 3 else 4
     val rowSize = (w * (bpp / 8) + 3) & ~3
+    // dataOff below the two headers (or negative from a corrupt i32) would
+    // pass a pure upper-bound check and index before the array start
+    if (dataOff < 54) return Left(s"bad pixel data offset $dataOff")
     if (dataOff.toLong + rowSize.toLong * h > bytes.length) return Left("truncated pixel data")
     val px = new Array[Byte](w * h * ch)
     for (row <- 0 until h) {

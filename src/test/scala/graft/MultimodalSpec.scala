@@ -210,6 +210,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decoder is total: arbitrary or truncated bytes yield Left, never throw") {
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    val pngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill(rnd.nextInt(160))(rnd.nextInt().toByte)
+      ImageCodec.decode(junk)                         // unrecognized or garbage
+      ImageCodec.decodePng(pngSig ++ junk)            // signature + garbage chunks
+      ImageCodec.decodeBmp("BM".getBytes ++ junk)     // magic + garbage header
+    }
+    // every truncation prefix of VALID containers must be a clean Left
+    val png = ImageCodec.encodePng(testImage(9, 7, 4, 11))
+    val bmp = ImageCodec.encodeBmp(testImage(9, 7, 3, 13))
+    for (k <- 0 until png.length) assert(ImageCodec.decodePng(png.take(k)).isLeft)
+    for (k <- 0 until bmp.length) assert(ImageCodec.decodeBmp(bmp.take(k)).isLeft)
+  }
+
   test("mm_pixel_decode sums match a driver-side arithmetic recomputation") {
     val rows = MultimodalOps.qMmPixelDecode(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
