@@ -74,6 +74,7 @@ object SparkEntry {
     "q_window_rank_stats" -> (RelationalExt.qWindowRankStats _),
     "q_gap_fill"          -> (RelationalExt.qGapFill _),
     "q_stats_moments"     -> (RelationalExt.qStatsMoments _),
+    "q_recursive_chain"   -> (RelationalExt.qRecursiveChain _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -622,6 +623,15 @@ object SparkEntry {
         |  CAST(sum(x * x) AS BIGINT) AS sum_xx,
         |  CAST(sum(y * y) AS BIGINT) AS sum_yy
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_recursive_chain" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS anc, CAST(0 AS BIGINT) AS steps FROM supplier
+        |  UNION ALL
+        |  SELECT node, anc // 2, steps + 1 FROM walk WHERE anc > 1
+        |)
+        |SELECT node AS s_suppkey, CAST(max(steps) + 1 AS BIGINT) AS depth,
+        |  CAST(sum(anc) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "q_window_topk" ->
       """SELECT o_orderpriority, rank_in_group, o_orderkey, round(o_totalprice,2) AS o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -505,4 +505,26 @@ object RelationalExt {
       .agg(count(lit(1)).as("numcust"), sum(col("acct_cents")).as("totacct_cents"))
       .orderBy("c_mktsegment")
   }
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`) — hierarchy walking, the
+    * SQL surface a Postgres user reaches for on org charts / BOMs /
+    * category trees. The synthetic hierarchy is the binary tree
+    * `parent(k) = k DIV 2` over supplier keys; each supplier's depth and
+    * ancestor-key sum require the full iterative walk (no closed form in
+    * the plan), so the oracle (DuckDB's own recursive CTE) gates every
+    * step of the recursion. Each iteration is a distributed self-join on
+    * the previous frontier — the same per-round shape as
+    * [[graft.dedup.DedupOps.dedupClusters]], planned by the engine. */
+  def qRecursiveChain(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.sqlCatalog(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE walk AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS anc, CAST(0 AS BIGINT) AS steps FROM supplier
+        |  UNION ALL
+        |  SELECT node, anc DIV 2, steps + 1 FROM walk WHERE anc > 1
+        |)
+        |SELECT node AS s_suppkey, CAST(max(steps) + 1 AS BIGINT) AS depth,
+        |  CAST(sum(anc) AS BIGINT) AS path_sum
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
 }
