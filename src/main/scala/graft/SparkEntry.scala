@@ -75,6 +75,8 @@ object SparkEntry {
     "q_gap_fill"          -> (RelationalExt.qGapFill _),
     "q_stats_moments"     -> (RelationalExt.qStatsMoments _),
     "q_recursive_chain"   -> (RelationalExt.qRecursiveChain _),
+    "q_lateral_topk"      -> (RelationalExt.qLateralTopk _),
+    "q_unpivot"           -> (RelationalExt.qUnpivot _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -632,6 +634,22 @@ object SparkEntry {
         |SELECT node AS s_suppkey, CAST(max(steps) + 1 AS BIGINT) AS depth,
         |  CAST(sum(anc) AS BIGINT) AS path_sum
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n.n_name, t.c_custkey, t.acct_cents
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+        |  FROM customer WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |  FROM lineitem GROUP BY l_returnflag
+        |) UNPIVOT (val FOR metric IN (qty, price_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q_window_topk" ->
       """SELECT o_orderpriority, rank_in_group, o_orderkey, round(o_totalprice,2) AS o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -527,4 +527,36 @@ object RelationalExt {
         |  CAST(sum(anc) AS BIGINT) AS path_sum
         |FROM walk GROUP BY node ORDER BY node""".stripMargin)
   }
+
+  /** Correlated LATERAL subquery — per-outer-row top-k, the "for each
+    * group, its best N" SQL shape (Postgres users write this instead of
+    * a rank window). Catalyst decorrelates the LIMITed inner query into
+    * a per-group rank plan, so the declarative form pays no
+    * nested-loop. */
+  def qLateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.sqlCatalog(spark, dir)
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.acct_cents
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+        |  FROM customer WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""".stripMargin)
+  }
+
+  /** UNPIVOT — wide→long reshaping of an aggregate (the inverse of
+    * [[graft.operators.Relational.qPivot]]): per-flag metric columns melt
+    * into (flag, metric, val) rows, all-integer for the exact gate. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.sqlCatalog(spark, dir)
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |  FROM lineitem GROUP BY l_returnflag
+        |) UNPIVOT (val FOR metric IN (qty, price_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
 }
