@@ -77,6 +77,7 @@ object SparkEntry {
     "q_recursive_chain"   -> (RelationalExt.qRecursiveChain _),
     "q_lateral_topk"      -> (RelationalExt.qLateralTopk _),
     "q_unpivot"           -> (RelationalExt.qUnpivot _),
+    "q_listagg"           -> (RelationalExt.qListagg _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -642,6 +643,10 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         |) t
         |ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""".stripMargin,
+    "q_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_unpivot" ->
       """SELECT l_returnflag, metric, val FROM (
         |  SELECT l_returnflag,

@@ -545,6 +545,19 @@ object RelationalExt {
         |ORDER BY n.n_name, t.acct_cents DESC, t.c_custkey""".stripMargin)
   }
 
+  /** Ordered string aggregation — Spark 4's `listagg(col, sep) WITHIN
+    * GROUP (ORDER BY ...)`, the report-building shape Postgres serves
+    * with `string_agg`. Deterministic by the explicit within-group
+    * order, so the concatenated string is hash-portable. */
+  def qListagg(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.sqlCatalog(spark, dir)
+    spark.sql(
+      """SELECT r_name,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
   /** UNPIVOT — wide→long reshaping of an aggregate (the inverse of
     * [[graft.operators.Relational.qPivot]]): per-flag metric columns melt
     * into (flag, metric, val) rows, all-integer for the exact gate. */
