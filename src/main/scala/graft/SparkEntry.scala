@@ -142,6 +142,7 @@ object SparkEntry {
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
+    "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -1319,6 +1320,36 @@ object SparkEntry {
         |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
         |GROUP BY 1,2,3,4,5,6
         |ORDER BY d.doc_id""".stripMargin,
+    // every aHash bit recomputed from the raster's defining arithmetic:
+    // pixel p's luminance sum, 8x8 grid cell box sums, bit = cell mean
+    // above global mean by exact integer cross-multiplication
+    "mm_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    16 + d.doc_id % 16 AS W, 8 + d.doc_id % 8 AS H,
+        |    CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS C,
+        |    t.k AS p
+        |  FROM documents d, range(465) t(k)
+        |  WHERE t.k < (16 + d.doc_id % 16) * (8 + d.doc_id % 8)),
+        |lum AS (
+        |  SELECT doc_id, W, H, p,
+        |    CAST(SUM((doc_id * 31 + p * C + c.i) % 256) AS BIGINT) AS lsum
+        |  FROM px, range(4) c(i) WHERE c.i < C
+        |  GROUP BY doc_id, W, H, p),
+        |cells AS (
+        |  SELECT doc_id, ((p % W) * 8) // W AS gx, ((p // W) * 8) // H AS gy,
+        |    CAST(SUM(lsum) AS BIGINT) AS csum, COUNT(*) AS cn
+        |  FROM lum GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum, CAST(SUM(cn) AS BIGINT) AS tn
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, gy * 8 + gx AS pos,
+        |    CASE WHEN c.csum * t.tn > t.tsum * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN tot t USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN pos < 32 THEN b * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS hash_lo,
+        |  CAST(SUM(CASE WHEN pos >= 32 THEN b * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS hash_hi
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_image_stats" ->
       """SELECT d.doc_id,
         |  t.k % (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS channel,

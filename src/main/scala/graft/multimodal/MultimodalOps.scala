@@ -296,6 +296,72 @@ object MultimodalOps {
       .orderBy("doc_id", "channel")
   }
 
+  /** One perceptual-hash record: the 64-bit average-hash split into two
+    * 32-bit halves (a single BIGINT would need bit 63 and go negative). */
+  case class PHash(doc_id: Long, hash_lo: Long, hash_hi: Long)
+
+  /** Average-hash (aHash) a decoded raster: 8×8 grid of luminance box
+    * sums, each bit = cell mean above the global mean, compared by exact
+    * integer cross-multiplication (cellSum·totalPixels > totalSum·cellPixels)
+    * so engines can't disagree on a boundary. */
+  private[graft] def averageHash(img: ImageCodec.Image): (Long, Long) = {
+    val w = img.width; val h = img.height; val c = img.channels
+    val cellSum = new Array[Long](64); val cellN = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 8 / w
+        var ci = 0; var lsum = 0L
+        while (ci < c) { lsum += img.pixels((y * w + x) * c + ci) & 0xff; ci += 1 }
+        val cell = gy * 8 + gx
+        cellSum(cell) += lsum; cellN(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val tsum = cellSum.sum; val tn = w.toLong * h
+    var lo = 0L; var hi = 0L
+    var cell = 0
+    while (cell < 64) {
+      if (cellSum(cell) * tn > tsum * cellN(cell)) {
+        if (cell < 32) lo |= 1L << cell else hi |= 1L << (cell - 32)
+      }
+      cell += 1
+    }
+    (lo, hi)
+  }
+
+  /** Perceptual image fingerprint over REAL decoded pixels — the
+    * image-dedup primitive (near-identical images collide or sit at tiny
+    * hamming distance; the text side's [[graft.dedup.DedupOps]] banded
+    * pipelines then apply unchanged to the hash column). Runs the full
+    * container decode per doc; the hash depends only on the raster, so
+    * it is container-invariant (PNG and BMP encodes of the same pixels
+    * hash identically — spec-asserted), and the DuckDB oracle recomputes
+    * every bit from the raster's defining arithmetic. */
+  def qMmPhash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          batch.map { id =>
+            val (fmt, _, bytes) = syntheticImage(id)
+            val img = ImageCodec.decode(bytes)
+              .fold(e => sys.error(s"doc $id: planted $fmt failed to decode: $e"), identity)
+            val (lo, hi) = averageHash(img)
+            PHash(id, lo, hi)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: treat the payload as a stream of fixed-size "frames"
     * and keep every `stride`-th one — the video-pipeline subsample step.
     * Pure column algebra over the binary: frame i = bytes

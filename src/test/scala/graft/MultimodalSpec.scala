@@ -226,6 +226,31 @@ class MultimodalSpec extends SparkSpec {
     for (k <- 0 until bmp.length) assert(ImageCodec.decodeBmp(bmp.take(k)).isLeft)
   }
 
+  test("average-hash is container-invariant and matches raster arithmetic") {
+    // the hash must depend only on the RASTER: PNG and BMP encodes of
+    // the same pixels hash identically after their (very different)
+    // decode paths
+    for (seed <- Seq(3, 17, 42)) {
+      val img = testImage(24, 13, 3, seed)
+      val viaPng = MultimodalOps.averageHash(
+        ImageCodec.decodePng(ImageCodec.encodePng(img)).toOption.get)
+      val viaBmp = MultimodalOps.averageHash(
+        ImageCodec.decodeBmp(ImageCodec.encodeBmp(img)).toOption.get)
+      assert(viaPng == viaBmp, s"seed $seed: container changed the hash")
+    }
+    // and the registered query's bits match a driver-side recomputation
+    val rows = MultimodalOps.qMmPhash(spark, SfDir).limit(50).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (_, img, _) = MultimodalOps.syntheticImage(id)
+      assert((r.getLong(1), r.getLong(2)) == MultimodalOps.averageHash(img),
+        s"doc $id hash drifted from the source raster")
+    }
+    // flat images (all-equal pixels) must hash to all-zero bits, not noise
+    val flat = ImageCodec.Image(16, 16, 1, Array.fill(256)(7.toByte))
+    assert(MultimodalOps.averageHash(flat) == ((0L, 0L)))
+  }
+
   test("mm_pixel_decode sums match a driver-side arithmetic recomputation") {
     val rows = MultimodalOps.qMmPixelDecode(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
