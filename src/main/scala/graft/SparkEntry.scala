@@ -143,6 +143,7 @@ object SparkEntry {
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
+    "mm_phash_neardup"    -> (graft.multimodal.MultimodalOps.qMmPhashNeardup _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -1320,6 +1321,49 @@ object SparkEntry {
         |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
         |GROUP BY 1,2,3,4,5,6
         |ORDER BY d.doc_id""".stripMargin,
+    // full perceptual-dedup pipeline replayed arithmetically: hashes for
+    // the corpus PLUS planted perturbed variants, all-pairs popcount
+    // distance, hamming <= 3 cut (the engine's banded join is recall-exact
+    // by pigeonhole, so the all-pairs oracle is the same set)
+    "mm_phash_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 8 = 0),
+        |px AS (
+        |  SELECT i.doc_id, i.src, i.pert,
+        |    16 + i.src % 16 AS W, 8 + i.src % 8 AS H,
+        |    CASE i.src % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS C,
+        |    t.k AS p
+        |  FROM ids i, range(465) t(k)
+        |  WHERE t.k < (16 + i.src % 16) * (8 + i.src % 8)),
+        |lum AS (
+        |  SELECT doc_id, src, pert, W, H, p,
+        |    CAST(SUM((src * 31 + p * C + c.i
+        |      + CASE WHEN pert = 1 AND (p * C + c.i) % 97 = 0 THEN 8 ELSE 0 END) % 256) AS BIGINT) AS lsum
+        |  FROM px, range(4) c(i) WHERE c.i < C
+        |  GROUP BY doc_id, src, pert, W, H, p),
+        |cells AS (
+        |  SELECT doc_id, ((p % W) * 8) // W AS gx, ((p // W) * 8) // H AS gy,
+        |    CAST(SUM(lsum) AS BIGINT) AS csum, COUNT(*) AS cn
+        |  FROM lum GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum, CAST(SUM(cn) AS BIGINT) AS tn
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, gy * 8 + gx AS pos,
+        |    CASE WHEN c.csum * t.tn > t.tsum * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN b * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS hash_lo,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN b * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS hash_hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.hash_lo, b.hash_lo)) + bit_count(xor(a.hash_hi, b.hash_hi)) AS BIGINT) AS hamming
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id) s
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // every aHash bit recomputed from the raster's defining arithmetic:
     // pixel p's luminance sum, 8x8 grid cell box sums, bit = cell mean
     // above global mean by exact integer cross-multiplication

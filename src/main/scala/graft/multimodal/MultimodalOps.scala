@@ -362,6 +362,79 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Image hashes for the near-dup corpus: every doc's decoded-raster
+    * aHash, plus a planted PERTURBED re-encode of every 8th doc (+8 on
+    * raster bytes at k % 97 == 0 — a mild brightness speckle, re-keyed
+    * +1e7) run through the same encode→decode→hash path. The perturbed
+    * variant's hash sits at hamming 0-1 from its source while unrelated
+    * images measure ≥ 11 — the separation perceptual dedup relies on. */
+  private def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          batch.flatMap { id =>
+            def hashOf(img: ImageCodec.Image, fmt: String): (Long, Long) = {
+              val bytes = if (fmt == "bmp") ImageCodec.encodeBmp(img) else ImageCodec.encodePng(img)
+              averageHash(ImageCodec.decode(bytes)
+                .fold(e => sys.error(s"doc $id: planted $fmt failed to decode: $e"), identity))
+            }
+            val (fmt, img, _) = syntheticImage(id)
+            val (lo, hi) = hashOf(img, fmt)
+            val base = PHash(id, lo, hi)
+            if (id % 8 == 0) {
+              val px = Array.tabulate(img.pixels.length)(k =>
+                ((id * 31 + k + (if (k % 97 == 0) 8 else 0)) % 256).toByte)
+              val (plo, phi) = hashOf(ImageCodec.Image(img.width, img.height, img.channels, px), fmt)
+              Seq(base, PHash(id + 10000000L, plo, phi))
+            } else Seq(base)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual near-dup pairing — the IMAGE twin of
+    * [[graft.dedup.DedupOps.qDedupSimhash]]'s banded pipeline: the 64-bit
+    * aHash splits into 4×16-bit bands, candidates come from an equi-join
+    * on any equal band (pigeonhole: hamming ≤ 3 ⇒ at least one band
+    * identical, so recall is exact), and candidates are verified with the
+    * exact popcount distance. Candidate volume is linear in corpus size
+    * at constant near-dup density — never an all-pairs image comparison.
+    * Besides the planted variants, the pairing legitimately surfaces the
+    * corpus's STRUCTURAL twins: the synthetic raster is periodic in
+    * doc_id mod 256, so dimension-matched id cohorts are pixel-identical
+    * images — real duplicates the operator is supposed to find, and the
+    * oracle reproduces every pair from the same arithmetic. */
+  def qMmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = phashCorpus(spark, dir)
+    val bands = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+      explode(array((0 until 4).map { b =>
+        val half = if (b < 2) col("hash_lo") else col("hash_hi")
+        struct(lit(b).as("band"),
+          shiftright(half, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("doc_id"), col("hash_lo"), col("hash_hi"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("hash_lo").as("lo_a"),
+      col("hash_hi").as("hi_a"), col("band"), col("v"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("hash_lo").as("lo_b"),
+      col("hash_hi").as("hi_b"), col("band"), col("v"))
+    a.join(b, Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "lo_a", "lo_b", "hi_a", "hi_b")
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Frame sampling: treat the payload as a stream of fixed-size "frames"
     * and keep every `stride`-th one — the video-pipeline subsample step.
     * Pure column algebra over the binary: frame i = bytes

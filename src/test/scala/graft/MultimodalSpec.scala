@@ -251,6 +251,22 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.averageHash(flat) == ((0L, 0L)))
   }
 
+  test("phash near-dup pairing recalls every planted perturbed variant") {
+    val pairs = MultimodalOps.qMmPhashNeardup(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    val nDocs = Tables.documents(spark, SfDir).count()
+    val plantedSources = (0L until nDocs by 8L).toSet
+    // every planted variant must pair with its own source at tiny distance
+    plantedSources.foreach { id =>
+      val hit = pairs.find { case (a, b, _) => a == id && b == id + 10000000L }
+      assert(hit.isDefined, s"planted variant of doc $id not recalled")
+      assert(hit.get._3 <= 1, s"planted variant of doc $id at hamming ${hit.get._3}")
+    }
+    // verify symmetric sanity: all reported distances within the cut
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("mm_pixel_decode sums match a driver-side arithmetic recomputation") {
     val rows = MultimodalOps.qMmPixelDecode(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
