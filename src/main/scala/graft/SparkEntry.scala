@@ -89,6 +89,7 @@ object SparkEntry {
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
+    "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
     "mm_phash_neardup"    -> (graft.multimodal.MultimodalOps.qMmPhashNeardup _),
+    "mm_jpeg_decode"      -> (graft.multimodal.MultimodalOps.qMmJpegDecode _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
@@ -762,6 +764,13 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle reads the RAW table: the Z-ordered rewrite must be
+    // row-for-row lossless under the 2-D box predicate
+    "q_zorder_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed
     "ingest_json_cards" ->
@@ -1394,6 +1403,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN pos < 32 THEN b * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS hash_lo,
         |  CAST(SUM(CASE WHEN pos >= 32 THEN b * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS hash_hi
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the JPEG round-trip replayed arithmetically: flat 16x16 tiles at
+    // quant 1 are DC-only and bit-exact through any conformant codec
+    // (spec-asserted), so each doc's decoded pixel sum is just
+    // channels * 256 * sum(tile values) — the Spark side must run a real
+    // third-party-written JPEG through the full entropy-decode pipeline
+    // to reproduce it
+    "mm_jpeg_decode" ->
+      """SELECT d.doc_id,
+        |  16 * (1 + d.doc_id % 3) AS width,
+        |  16 * (1 + d.doc_id % 2) AS height,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+        |  16 * (1 + d.doc_id % 3) * 16 * (1 + d.doc_id % 2)
+        |    * (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END) AS n_raster_bytes,
+        |  CAST(SUM((d.doc_id * 31 + t.k * 17) % 256) * 256
+        |    * (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS pixel_sum
+        |FROM documents d, range(6) t(k)
+        |WHERE t.k < (1 + d.doc_id % 3) * (1 + d.doc_id % 2)
+        |GROUP BY 1,2,3,4,5
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_image_stats" ->
       """SELECT d.doc_id,
         |  t.k % (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS channel,

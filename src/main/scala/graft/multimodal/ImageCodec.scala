@@ -19,9 +19,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * Scope (documented, checked, loudly rejected otherwise): PNG bit depth
   * 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced —
   * i.e. what `ImageIO`'s own PNG writer emits for 8-bit images; BMP
-  * `BI_RGB` 24/32-bit. JPEG stays header-parse-only upstream
-  * ([[MultimodalOps.decodeHeader]]): a DCT entropy decoder is where a
-  * vendored codec genuinely starts paying for itself.
+  * `BI_RGB` 24/32-bit; JPEG baseline/extended-sequential Huffman via
+  * [[JpegCodec]] (the DCT entropy decoder that used to be the declared
+  * seam — now real).
   */
 object ImageCodec {
 
@@ -251,9 +251,11 @@ object ImageCodec {
     Right(Image(w, h, ch, px))
   }
 
-  /** Decode by container sniffing: PNG signature, then BMP magic. */
+  /** Decode by container sniffing: PNG signature, BMP magic, JPEG SOI. */
   def decode(bytes: Array[Byte]): Either[String, Image] =
     if (bytes.length >= 8 && bytes.take(8).sameElements(PngSig)) decodePng(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decode(bytes)
     else Left("unrecognized container")
 }

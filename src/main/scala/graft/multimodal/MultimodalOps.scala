@@ -8,11 +8,14 @@ import graft.Tables
   * columns with typed metadata, decoded/feature-extracted in
   * partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — but everything Spark-side is real:
-  * binary column handling, schema, per-partition batching, and the
-  * mapPartitions seam where a vectorized decoder (or Pandas UDF in the
-  * Python API) would plug in.
+  * The container ships no image/audio codec libraries, so the repo carries
+  * its own pure-JDK ones: PNG/BMP ([[ImageCodec]]) and baseline JPEG
+  * ([[JpegCodec]]) are real bytes-in/pixels-out decode paths, WAV is a
+  * real chunk-walked container. Only non-media payloads fall back to a
+  * clearly-marked deterministic stub ([[fallbackStub]]) — and everything
+  * Spark-side is real either way: binary column handling, schema,
+  * per-partition batching, and the mapPartitions seam where a vectorized
+  * native decoder (or Pandas UDF in the Python API) would plug in.
   */
 object MultimodalOps {
 
@@ -236,8 +239,8 @@ object MultimodalOps {
     * the emitted per-image pixel sum must match the DuckDB oracle's
     * arithmetic recomputation, so any defect anywhere in the
     * deflate/unfilter/layout pipeline breaks the hash gate. Same batched
-    * mapPartitions seam as [[decodeInBatches]]. JPEG remains the declared
-    * header-parse-only format. */
+    * mapPartitions seam as [[decodeInBatches]]. JPEG has its own
+    * oracle-gated path, [[qMmJpegDecode]]. */
   def qMmPixelDecode(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
@@ -433,6 +436,69 @@ object MultimodalOps {
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** One decoded-JPEG record. */
+  case class JpegDecoded(doc_id: Long, width: Long, height: Long,
+      channels: Long, n_raster_bytes: Long, pixel_sum: Long)
+
+  /** REAL JPEG entropy decode, oracle-gated end-to-end: each doc becomes a
+    * flat-16×16-tile image (gray or R=G=B), compressed by a THIRD-PARTY
+    * writer (`javax.imageio`, quality 1.0 → quant tables all ones), then
+    * decoded by [[JpegCodec]] — full marker walk, Huffman entropy decode,
+    * dequantize, IDCT, chroma upsample, color convert. Flat tiles aligned
+    * to both luma and 4:2:0 chroma blocks are DC-only with exact
+    * fixed-point color conversion (R=G=B ⇒ Y=v, Cb=Cr=128), so the
+    * round-trip is bit-exact through any conformant codec and the DuckDB
+    * oracle recomputes every pixel sum from tile arithmetic alone
+    * (MultimodalSpec asserts the bit-exactness property directly). The
+    * lossy general path is golden-checked against ImageIO in the spec. */
+  def qMmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        // writer instances are not thread-safe: one per partition
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        it.grouped(32).flatMap { batch =>
+          batch.map { id =>
+            val tw = (1 + id % 3).toInt; val th = (1 + id % 2).toInt
+            val w = tw * 16; val h = th * 16
+            val gray = id % 2 == 0
+            val img = new java.awt.image.BufferedImage(w, h,
+              if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = ((id * 31 + ((y / 16) * tw + x / 16) * 17) % 256).toInt
+                if (gray) img.getRaster.setSample(x, y, 0, v)
+                else img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+            ios.close()
+            val decoded = ImageCodec.decode(bos.toByteArray)
+              .fold(e => sys.error(s"doc $id: planted JPEG failed to decode: $e"), identity)
+            JpegDecoded(id, decoded.width.toLong, decoded.height.toLong,
+              decoded.channels.toLong, decoded.pixels.length.toLong,
+              decoded.pixels.foldLeft(0L)((s, b) => s + (b & 0xff)))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** Frame sampling: treat the payload as a stream of fixed-size "frames"

@@ -105,4 +105,39 @@ class BucketingSpec extends SparkSpec {
     assert(zc * 2 < rc, s"cust envelopes not clustered: z=$zc rr=$rc")
     assert(zp * 2 < rp, s"price envelopes not clustered: z=$zp rr=$rp")
   }
+
+  test("q_zorder_prune: lossless vs the raw table AND most files skippable") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    // result contract: identical ROW SET to the same box over the raw
+    // table ((l_orderkey, l_linenumber) is not unique in the synthetic
+    // data, so compare fully sorted, exactly as the driver gate does)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = Bucketing.qZorderPrune(spark, SfDir).collect().toSeq.map(key).sorted
+    val want = Tables.lineitem(spark, SfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .filter(col("l_partkey").between(20, 120) && col("l_suppkey").between(2, 8))
+      .collect().toSeq.map(key).sorted
+    assert(got.nonEmpty && got == want)
+    // pruning contract: a box sized ~10% x 20% of the ACTUAL key domain
+    // must be servable from a minority of files via their [min,max]
+    // envelopes — that is the entire point of the Z layout (parquet
+    // row-group skipping uses exactly these stats). Domain-relative
+    // bounds keep the assertion meaningful at every SF.
+    val dir = new java.io.File(Bucketing.zorderedLineitemPath(spark, SfDir))
+    val files = Option(dir.listFiles()).get.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8, s"expected a multi-file layout, got ${files.length}")
+    val dom = Tables.lineitem(spark, SfDir)
+      .agg(fmax(col("l_partkey")), fmax(col("l_suppkey"))).head()
+    val (pLo, pHi) = (dom.getLong(0) / 10, dom.getLong(0) / 5)
+    val (sLo, sHi) = (dom.getLong(1) / 10, dom.getLong(1) * 3 / 10)
+    val reachable = files.count { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(fmin(col("l_partkey")), fmax(col("l_partkey")),
+          fmin(col("l_suppkey")), fmax(col("l_suppkey"))).head()
+      r.getLong(0) <= pHi && r.getLong(1) >= pLo && r.getLong(2) <= sHi && r.getLong(3) >= sLo
+    }
+    assert(reachable * 2 <= files.length,
+      s"box [$pLo,$pHi]x[$sLo,$sHi] reaches $reachable of ${files.length} files — layout not pruning")
+  }
 }

@@ -281,4 +281,111 @@ class MultimodalSpec extends SparkSpec {
       assert(sum == want, s"doc $id pixel_sum $sum != $want")
     }
   }
+
+  // ---- JPEG entropy decode (JpegCodec) ----
+
+  import graft.multimodal.JpegCodec
+
+  /** ImageIO JPEG bytes at an explicit quality. */
+  private def jpegBytes(img: BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    if (progressive)
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("JPEG decode tracks javax.imageio's libjpeg within a small tolerance") {
+    // smooth gradients keep the comparison about the decoder (huffman /
+    // IDCT / fancy-upsampling / color-convert agreement), not about
+    // quantization loss; sizes cover non-multiple-of-8 and -16 edges
+    // where block padding and chroma-edge replication bite
+    val sizes = Seq((16, 16), (23, 13), (33, 17), (8, 8), (64, 48), (1, 1), (5, 3))
+    var worst = 0
+    for ((w, h) <- sizes; quality <- Seq(0.7f, 0.95f); gray <- Seq(true, false)) {
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = 40 + (x * 160) / math.max(w - 1, 1)
+        val g = 30 + (y * 180) / math.max(h - 1, 1)
+        val b = 60 + ((x + y) * 120) / math.max(w + h - 2, 1)
+        if (gray) img.getRaster.setSample(x, y, 0, r)
+        else img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bytes = jpegBytes(img, quality)
+      val gold = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val mine = JpegCodec.decode(bytes)
+        .fold(e => fail(s"$w x $h gray=$gray q=$quality: $e"), identity)
+      assert((mine.width, mine.height) == ((w, h)))
+      assert(mine.channels == (if (gray) 1 else 3))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until mine.channels) {
+        val want =
+          if (gray) gold.getRaster.getSample(x, y, 0)
+          else (gold.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        val got = mine.pixels((y * w + x) * mine.channels + c) & 0xff
+        val d = math.abs(want - got)
+        worst = math.max(worst, d)
+        assert(d <= 3,
+          s"$w x $h gray=$gray q=$quality ($x,$y) band $c: ours $got vs ImageIO $want")
+      }
+    }
+    info(s"worst per-sample deviation vs ImageIO: $worst")
+  }
+
+  test("flat quant-1 tiles survive JPEG bit-exactly (the oracle's DC-only path)") {
+    // 16x16 flat gray tiles align with both luma blocks and 4:2:0 chroma
+    // blocks; at quality 1.0 the quant tables are all ones, so DC-only
+    // blocks round-trip exactly through ANY conformant codec — this is
+    // precisely the property qMmJpegDecode's DuckDB oracle relies on
+    for ((tw, th) <- Seq((2, 1), (3, 2), (1, 1)); gray <- Seq(true, false)) {
+      val w = tw * 16; val h = th * 16
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+      def tileVal(tx: Int, ty: Int) = (37 + (ty * tw + tx) * 41) % 256
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = tileVal(x / 16, y / 16)
+        if (gray) img.getRaster.setSample(x, y, 0, v)
+        else img.setRGB(x, y, (v << 16) | (v << 8) | v) // R=G=B: exact YCbCr
+      }
+      val mine = JpegCodec.decode(jpegBytes(img, 1.0f))
+        .fold(e => fail(s"${w}x$h gray=$gray: $e"), identity)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until mine.channels) {
+        val got = mine.pixels((y * w + x) * mine.channels + c) & 0xff
+        assert(got == tileVal(x / 16, y / 16),
+          s"flat tile ${w}x$h gray=$gray ($x,$y) band $c not bit-exact")
+      }
+    }
+  }
+
+  test("JPEG decoder rejects progressive loudly and is total under fuzzing") {
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) << 16) | ((y * 10) << 8) | 128)
+    val prog = jpegBytes(img, 0.8f, progressive = true)
+    JpegCodec.decode(prog) match {
+      case Left(reason) => assert(reason.contains("SOF2"), s"wrong reason: $reason")
+      case Right(_) => fail("progressive JPEG must be rejected, not half-decoded")
+    }
+    val good = jpegBytes(img, 0.8f)
+    assert(JpegCodec.decode(good).isRight)
+    // totality: truncations at every prefix and deterministic byte flips
+    // must yield Left or Right, never an escaped exception
+    for (n <- 0 until good.length)
+      JpegCodec.decode(java.util.Arrays.copyOf(good, n))
+    for (k <- good.indices by 7) {
+      val mutated = good.clone()
+      mutated(k) = (mutated(k) ^ 0x5a).toByte
+      JpegCodec.decode(mutated)
+    }
+    // via the container sniffer too
+    assert(ImageCodec.decode(good).exists(_.width == 32))
+  }
 }
