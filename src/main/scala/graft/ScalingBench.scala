@@ -33,7 +33,8 @@ object ScalingBench {
 
   private val docFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_minhash_lsh", "dedup_simhash",
-    "ngram_jaccard", "dedup_clusters", "dedup_incremental", "doc_fingerprint",
+    "ngram_jaccard", "ngram_jaccard_prefix", "dedup_clusters",
+    "dedup_incremental", "doc_fingerprint",
     "text_token_count", "text_lang_id", "text_quality_score",
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
     "embed_label_centroids", "embed_neardup_cosine", "ann_topk_brute",
@@ -45,7 +46,15 @@ object ScalingBench {
     // round-6 new operators: component propagation over the near-dup
     // graph, the distributed prefix sum, and the bigram inverted index
     "embed_cluster_dedup", "text_pack_sequences", "text_bigram_novelty",
-    "text_fulltext_search", "text_heavy_hitters")
+    "text_fulltext_search", "text_heavy_hitters",
+    // JPEG entropy decode is per-row compute (encode+decode per doc, no
+    // joins) — its slope row documents that the mapPartitions seam stays
+    // linear. mm_phash_neardup is deliberately NOT here: replica doc_id
+    // offsets are ≡ 0 mod 256, so the id-arithmetic rasters make every
+    // replica pixel-identical to the base — duplicate density would grow
+    // with k, an artifact of the amplifier, not the operator (its banded
+    // join is the same shape as dedup_simhash, which IS measured).
+    "mm_jpeg_decode")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -61,7 +70,11 @@ object ScalingBench {
     "q9_product_profit", "q17_small_qty_revenue",
     // round-6 addition: the two-pass histogram refinement was THE r4
     // scale-killer in its buffered form — keep its slope on record
-    "q_percentiles")
+    "q_percentiles",
+    // Z-order box query: first rep pays the build-once Morton rewrite of
+    // the amplified lineitem (memoized per dir snapshot), min-of-reps
+    // then measures the pruned read path
+    "q_zorder_prune")
 
   private val family = docFamily ++ relFamily
 

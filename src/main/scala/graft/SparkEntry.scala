@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
+    "ngram_jaccard_prefix" -> (graft.dedup.DedupOps.ngramJaccardPrefix _),
     "dedup_containment"   -> (graft.dedup.DedupOps.qDedupContainment _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "ann_topk_ivf"        -> (graft.similarity.SimilarityOps.qAnnTopkIvf _),
     "embed_quantize_int8" -> (graft.similarity.SimilarityOps.qEmbedQuantizeInt8 _),
     "embed_cluster_dedup" -> (graft.similarity.SimilarityOps.qEmbedClusterDedup _),
+    "embed_project_rand"  -> (graft.similarity.SimilarityOps.qEmbedProjectRand _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
@@ -1034,6 +1036,20 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the AllPairs prefix-filtered form is exact (DedupSpec asserts
+    // equality with the count-aggregation form), so it shares the same
+    // all-pairs oracle
+    "ngram_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.s, b.s)) AS inter_n,
+        |  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS union_n
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_containment" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
@@ -1266,6 +1282,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |  CAST(round(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) * 10000.0 / max(n_spans)) AS BIGINT) AS contam_bp
         |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // quantize-then-project in pure integer arithmetic: sums are
+    // order-independent, so the oracle replays every projected value
+    // exactly with no float-summation-order hazard
+    "embed_project_rand" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, vec,
+        |        list_max(list_transform(vec, x -> abs(x))) AS maxabs FROM v),
+        |q AS (SELECT vec_id,
+        |        CASE WHEN maxabs = 0 THEN list_transform(vec, x -> 0)
+        |             ELSE list_transform(vec,
+        |               x -> CAST(round(x / maxabs * 127.0) AS INTEGER)) END AS qvec
+        |      FROM m),
+        |d AS (SELECT vec_id, qvec, unnest(range(8)) AS dim FROM q)
+        |SELECT vec_id, dim,
+        |  CAST(list_sum(list_transform(range(len(qvec)),
+        |    j -> qvec[j + 1] * ((j * 131 + dim * 17 + j * dim * 29) % 257 % 7 - 3))) AS BIGINT) AS y
+        |FROM d ORDER BY vec_id, dim""".stripMargin,
     "embed_quantize_int8" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -357,4 +357,37 @@ object SimilarityOps {
       .select(col("vec_id"), col("maxabs"),
         concat_ws(",", transform(col("qvec"), q => q.cast("string"))).as("qvec_csv"))
       .orderBy("vec_id")
+
+  /** Random-projection dimensionality reduction (64 → 8), the standard
+    * pre-ANN / visualization step of an embedding pipeline, composed with
+    * the int8 quantizer so the whole computation is INTEGER arithmetic:
+    * y_d = Σ_j q_j · w(j,d) with the deterministic sparse-JL-style weight
+    * w(j,d) = ((j·131 + d·17 + j·d·29) mod 257) mod 7 − 3 ∈ [−3,3] (the
+    * j·d cross term keeps output dims from being shifts of each other).
+    * Integer sums are order-independent, so the DuckDB oracle reproduces
+    * every value exactly — no float-summation-order hazard — and the
+    * quantizer's scale invariance means a rescaled near-duplicate
+    * projects IDENTICALLY (spec-asserted). Pure codegen'd column algebra
+    * (`transform`/`aggregate` over the array column), no UDF: per-row
+    * work, embarrassingly parallel at any corpus size. */
+  def qEmbedProjectRand(spark: SparkSession, dir: String): DataFrame =
+    projectQuantized(vectors(spark, dir)).orderBy("vec_id", "dim")
+
+  /** Projection kernel over (vec_id, vec: array<double>) — factored out
+    * so specs can drive it with constructed corpora. */
+  private[graft] def projectQuantized(df: DataFrame): DataFrame =
+    df
+      .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
+      .withColumn("qvec",
+        when(col("maxabs") === 0.0, transform(col("vec"), _ => lit(0)))
+          .otherwise(transform(col("vec"),
+            x => round(x / col("maxabs") * 127.0).cast("int"))))
+      .select(col("vec_id"),
+        posexplode(expr(
+          """transform(sequence(0, 7), d ->
+            |  aggregate(sequence(0, size(qvec) - 1), cast(0 as bigint),
+            |    (acc, j) -> acc + element_at(qvec, j + 1)
+            |      * (pmod(j * 131 + d * 17 + j * d * 29, 257) % 7 - 3)))""".stripMargin))
+          .as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
 }

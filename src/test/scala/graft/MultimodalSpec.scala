@@ -365,6 +365,71 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG restart markers: hand-built stream with DRI decodes exactly") {
+    // a minimal single-component baseline JPEG built from the spec text:
+    // quant table all ones, a 12-code DC table (categories 0-11 at length
+    // 4), a single-code AC table (EOB = one "0" bit), restart interval 2.
+    // Flat 8x8 tiles are DC-only, so the decode must be bit-exact — and
+    // the writer is NOT ImageIO, so this also proves the Huffman path on
+    // tables no Java encoder emits.
+    val tiles = Seq(200, 50, 125, 8, 255, 0) // 48x8 image, 6 MCUs, RST after every 2
+    val w = tiles.length * 8; val h = 8
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(2 + 1 + 64); b(0x00) // DQT: 8-bit table 0
+    (0 until 64).foreach(_ => b(1))
+    b(0xff); b(0xc0); u16(2 + 6 + 3) // SOF0: 1 component
+    b(8); u16(h); u16(w); b(1); b(1); b(0x11); b(0)
+    b(0xff); b(0xc4); u16(2 + 17 + 12); b(0x00) // DHT DC 0: 12 codes at len 4
+    val dcCounts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcCounts.foreach(b); (0 until 12).foreach(b)
+    b(0xff); b(0xc4); u16(2 + 17 + 1); b(0x10) // DHT AC 0: one code "0" = EOB
+    b(1); (0 until 15).foreach(_ => b(0)); b(0x00)
+    b(0xff); b(0xdd); u16(4); u16(2) // DRI: restart every 2 MCUs
+    b(0xff); b(0xda); u16(2 + 1 + 2 + 3) // SOS
+    b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // entropy data: per MCU, DC category code (4 bits = the category
+    // itself) + magnitude bits + EOB "0"; byte-align with 1s at restarts
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); nBits += 1
+        if (nBits == 8) { b(bitBuf); if (bitBuf == 0xff) b(0x00); bitBuf = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    var pred = 0; var rst = 0
+    tiles.zipWithIndex.foreach { case (v, mcu) =>
+      if (mcu > 0 && mcu % 2 == 0) {
+        align(); b(0xff); b(0xd0 + rst); rst = (rst + 1) & 7
+        pred = 0
+      }
+      val dc = 8 * (v - 128)
+      val diff = dc - pred; pred = dc
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB
+    }
+    align(); b(0xff); b(0xd9) // EOI
+    val img = JpegCodec.decode(out.toByteArray)
+      .fold(e => fail(s"hand-built restart JPEG: $e"), identity)
+    assert((img.width, img.height, img.channels) == ((w, h, 1)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.pixels(y * w + x) & 0xff) == tiles(x / 8),
+        s"($x,$y): ${img.pixels(y * w + x) & 0xff} != ${tiles(x / 8)}")
+    // a WRONG restart marker index must be rejected, not misparsed
+    val broken = out.toByteArray.clone()
+    val rstPos = broken.indices.dropRight(1).find(i => // first FF D0 pair
+      (broken(i) & 0xff) == 0xff && (broken(i + 1) & 0xff) == 0xd0).get + 1
+    broken(rstPos) = 0xd5.toByte
+    assert(JpegCodec.decode(broken).isLeft)
+  }
+
   test("JPEG decoder rejects progressive loudly and is total under fuzzing") {
     val img = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 24; x <- 0 until 32)

@@ -228,4 +228,45 @@ class SimilaritySpec extends SparkSpec {
     assert(labels.count { case (v, (c, _)) => v != c } >= pairs.length / 2)
     assert(labels.count { case (_, (_, rep)) => rep } < labels.size)
   }
+
+  test("random projection matches a driver-side recompute and is scale-invariant") {
+    val rows = SimilarityOps.qEmbedProjectRand(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, SfDir).count()
+    assert(rows.length == n * 8, s"expected 8 dims per vector, got ${rows.length} for $n")
+    // driver-side recompute for a sample: quantize then integer-project
+    val sampleIds = rows.map(_._1).distinct.take(20).toSet
+    val raw = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id").isInCollection(sampleIds))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def project(vec: Seq[Double]): Seq[Long] = {
+      val maxabs = vec.map(math.abs).max
+      val q = if (maxabs == 0) vec.map(_ => 0L)
+        else vec.map(x => math.round(x / maxabs * 127.0))
+      (0 until 8).map { d =>
+        q.zipWithIndex.map { case (qj, j) =>
+          qj * ((j * 131 + d * 17 + j * d * 29) % 257 % 7 - 3)
+        }.sum
+      }
+    }
+    val byId = rows.groupBy(_._1)
+    sampleIds.foreach { id =>
+      val got = byId(id).sortBy(_._2).map(_._3).toSeq
+      assert(got == project(raw(id)), s"vec $id projection drifted from recompute")
+    }
+    // scale invariance: a rescaled duplicate quantizes to the same int8
+    // vector, so its projection is IDENTICAL — the property that lets
+    // projected space stand in for raw space in dedup candidate gen
+    val spark2 = spark
+    import spark2.implicits._
+    val v = raw(sampleIds.head)
+    val dup = Seq((0L, v), (1L, v.map(_ * 1.7)))
+      .toDF("vec_id", "vec")
+    val proj = SimilarityOps.projectQuantized(dup)
+      .collect().groupBy(_.getLong(0)).view.mapValues(
+        _.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(proj(0L) == proj(1L), "rescaled duplicate must project identically")
+    // and the weight matrix is not degenerate: output dims differ
+    assert(proj(0L).distinct.size > 1)
+  }
 }
