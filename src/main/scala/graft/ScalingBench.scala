@@ -37,7 +37,8 @@ object ScalingBench {
     "dedup_incremental", "doc_fingerprint",
     "text_token_count", "text_lang_id", "text_quality_score",
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
-    "embed_label_centroids", "embed_neardup_cosine", "ann_topk_brute",
+    "embed_label_centroids", "embed_neardup_cosine", "embed_project_rand",
+    "ann_topk_brute",
     "ann_topk_lsh", "ann_topk_ivf",
     // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
     // inverted index (hot-shingle risk) and the budget-constrained

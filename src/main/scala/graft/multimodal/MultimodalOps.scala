@@ -426,15 +426,18 @@ object MultimodalOps {
       col("hash_hi").as("hi_a"), col("band"), col("v"))
     val b = bands.select(col("doc_id").as("doc_b"), col("hash_lo").as("lo_b"),
       col("hash_hi").as("hi_b"), col("band"), col("v"))
+    // verify BEFORE the pair-dedup: hamming is a function of the hashes
+    // riding along with each candidate, so filtering first means the
+    // distinct's exchange carries only surviving (doc_a, doc_b, hamming)
+    // triples instead of every band collision with four hash columns
     a.join(b, Seq("band", "v"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "lo_a", "lo_b", "hi_a", "hi_b")
-      .distinct()
       .withColumn("hamming",
         bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -332,12 +332,15 @@ object RelationalExt {
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("p_retailprice")) * col("l_quantity").cast("bigint"))
         .as("value_cents"))
-    // global total via an unpartitioned window over the PER-PART aggregate
-    // (one row per part — tiny next to the fact), NOT a second aggregate
-    // branch: a self-join against value.agg(...) re-scans the whole fact
-    // chain, doubling the dominant cost at scale
+    // global total as a BROADCAST SCALAR, not an unpartitioned window:
+    // the window form funnels every per-part row through one partition
+    // (1e8+ rows at catalog scale), while the scalar branch is a
+    // two-stage aggregate — only per-partition partial sums move — and
+    // ReuseExchange serves both branches from the SAME fact shuffle
+    // (plan-asserted in RelationalExtSpec), so the fact is still read
+    // and shuffled exactly once
     value
-      .withColumn("total_cents", sum(col("value_cents")).over(Window.partitionBy()))
+      .crossJoin(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
       .filter(col("value_cents") * 1000L > col("total_cents") * 2L) // > 0.2% of total
       .select(col("l_partkey"), col("value_cents"))
       .orderBy(col("value_cents").desc, col("l_partkey"))
@@ -379,13 +382,18 @@ object RelationalExt {
     * the same derived view — computed once, reused, no re-scan of the
     * fact under AQE reuse). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit isNotNull mirrors what the supplier join infers on the
+    // main branch — without it the two branches' scan subtrees differ by
+    // that one inferred filter and ReuseExchange can't dedupe them
     val rev = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01")
+        && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(revenue())).as("total_cents"))
-    // global max via unpartitioned window over the per-supplier aggregate
-    // — one fact pass (see q11ImportantStock for the rationale)
-    rev.withColumn("max_cents", max(col("total_cents")).over(Window.partitionBy()))
+    // global max as a broadcast scalar against the same derived view —
+    // two-stage agg + ReuseExchange, no single-partition window (see
+    // q11ImportantStock)
+    rev.crossJoin(broadcast(rev.agg(max(col("total_cents")).as("max_cents"))))
       .filter(col("total_cents") === col("max_cents"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_cents"))

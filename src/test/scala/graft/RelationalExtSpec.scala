@@ -93,4 +93,21 @@ class RelationalExtSpec extends SparkSpec {
       assert(firstData >= 0 && fills.drop(firstData).forall(_.isDefined), s"fill gap in $s")
     }
   }
+
+  test("q11/q15 global scalars: no single-partition window, shuffle reused") {
+    // the broadcast-scalar form must keep ONE fact shuffle (the scalar
+    // branch rides the same exchange via ReuseExchange under AQE) and
+    // must NOT plan an unpartitioned Window (which would funnel every
+    // per-group row through a single partition at catalog scale)
+    for ((name, df) <- Seq(
+        "q11" -> RelationalExt.q11ImportantStock(spark, SfDir),
+        "q15" -> RelationalExt.q15TopSupplier(spark, SfDir))) {
+      df.collect() // materialize so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still plans a window:\n${plan.take(400)}")
+      assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage") ||
+        plan.contains("ReusedQueryStage") || plan.contains("reuse"),
+        s"$name scalar branch does not reuse the fact shuffle")
+    }
+  }
 }
