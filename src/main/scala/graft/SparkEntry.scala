@@ -137,6 +137,7 @@ object SparkEntry {
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
+    "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
@@ -1149,6 +1150,24 @@ object SparkEntry {
         |  (token_start + n_tokens - 1) // 2048 AS seq_last,
         |  token_start % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // vocab = top-16 words by (count DESC, word) with contiguous ids
+    // (16 < the synthetic corpus's 31-token vocabulary, so OOV→UNK
+    // carries real traffic); the position-weighted checksum makes the id
+    // SEQUENCE order-sensitive so any ranking/tokenization drift breaks
+    // the hash
+    "text_vocab_encode" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |tok AS (SELECT doc_id, words[i] AS w, i AS pos
+        |        FROM d, unnest(range(1, len(words) + 1)) AS t(i)),
+        |vocab AS (
+        |  SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS id
+        |  FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 16))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  CAST(sum(pos * coalesce(v.id, 0)) AS BIGINT) AS ids_checksum
+        |FROM tok LEFT JOIN vocab v USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bigram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |bg AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] AS g

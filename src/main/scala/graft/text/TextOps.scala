@@ -488,4 +488,43 @@ object TextOps {
           .as("novelty_bp"))
       .orderBy("doc_id")
   }
+
+  /** Vocabulary size for [[qVocabEncode]] — a model constant, not a
+    * corpus-derived value, which is what keeps the id-assignment window
+    * bounded at any corpus size. Deliberately set BELOW the synthetic
+    * corpus's 31-token vocabulary so the OOV/UNK path carries real
+    * traffic in every gate run (production would use 32k-256k — only
+    * this constant changes). */
+  private val VocabSize = 16
+
+  /** Vocabulary construction + document encoding — the tokenize → vocab →
+    * id-sequence step of a training-data pipeline. The vocab is the top
+    * [[VocabSize]] words by (count DESC, word) with contiguous 1-based
+    * ids; id assignment is a TakeOrdered over a BOUNDED set (vocab size
+    * is a model constant), then a row_number whose unpartitioned window
+    * holds ≤ VocabSize rows — corpus-scale work is only the word count
+    * and the broadcast-joined encode pass. Out-of-vocab tokens map to 0
+    * (the UNK convention). Each doc emits its token/UNK counts and a
+    * position-weighted integer checksum of the id sequence —
+    * order-sensitive, so any drift in tokenization, ranking, or join
+    * semantics breaks the oracle hash. */
+  def qVocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("words"))
+    val vocab = docs.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(VocabSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select("w", "id")
+    docs.select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_unk"),
+        sum((col("pos") + 1).cast("long") * coalesce(col("id"), lit(0L)))
+          .as("ids_checksum"))
+      .orderBy("doc_id")
+  }
 }

@@ -180,6 +180,32 @@ class TextOpsSpec extends SparkSpec {
     // the selection must be a real cut, not everything or nothing
     assert(got.length < all.length && got.nonEmpty)
   }
+
+  test("vocab encode matches a driver-side recompute of vocab and checksums") {
+    val rows = TextOps.qVocabEncode(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val texts = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    // driver-side vocab: top-16 by (count desc, word), ids 1-based
+    val vocab = texts.values.toSeq.flatMap(toks)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    rows.foreach { case (id, nTok, nUnk, checksum) =>
+      val ts = toks(texts(id))
+      assert(nTok == ts.length, s"doc $id n_tokens")
+      assert(nUnk == ts.count(!vocab.contains(_)), s"doc $id n_unk")
+      val want = ts.zipWithIndex.map { case (w, i) =>
+        (i + 1).toLong * vocab.getOrElse(w, 0L) }.sum
+      assert(checksum == want, s"doc $id checksum $checksum != $want")
+    }
+    // non-vacuous: the corpus must actually have OOV words AND vocab hits
+    assert(rows.map(_._3).sum > 0, "no UNK anywhere — vocab cut vacuous")
+    assert(rows.map(_._4).sum > 0, "no vocab hits — encoding vacuous")
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
