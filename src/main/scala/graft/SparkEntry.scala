@@ -154,6 +154,7 @@ object SparkEntry {
     "stream_enrich_join"  -> (graft.streaming.EventStreams.qStreamEnrichJoin _),
     "stream_interval_join" -> (graft.streaming.EventStreams.qStreamIntervalJoin _),
     "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),
+    "stream_top_users"    -> (graft.streaming.EventStreams.qStreamTopUsers _),
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
   )
@@ -1505,6 +1506,11 @@ object SparkEntry {
       """SELECT DISTINCT event_id, user_id, ts, event_type, round(value,2) AS value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+    "stream_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin,
     "q_array_funcs" ->
       """WITH ranked AS (
         |  SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS cents,

@@ -58,6 +58,26 @@ object EventStreams {
     enrichedSegmentCounts(Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy("bucket", "c_mktsegment")
 
+  /** Streaming top-k leaderboard: per-user running totals, top k by
+    * activity — the live-dashboard shape. The transform is one shared
+    * groupBy + TakeOrdered: in batch it plans map-side partial aggs +
+    * a bounded top-k; in streaming the SAME transform runs in complete
+    * output mode (sort+limit is legal there because the sink rewrites
+    * the whole bounded-k result each trigger; state is one row per
+    * user, the leaderboard's inherent floor). Integer cents per event
+    * keep the sum exact cross-engine. EventStreamSpec proves the
+    * streaming path converges to this on a completed input. */
+  def topUsers(events: DataFrame, k: Int): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
+  /** Batch-equivalent driver query for the streaming leaderboard. */
+  def qStreamTopUsers(spark: SparkSession, dir: String): DataFrame =
+    topUsers(Tables.events(spark, dir), 20)
+
   /** Stream-stream interval join — click-to-purchase attribution: each
     * purchase matches the same user's clicks from the preceding 30
     * minutes (inclusive bounds, mirrored in the oracle). The equi-key is

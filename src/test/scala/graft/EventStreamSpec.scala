@@ -36,6 +36,39 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming top-k leaderboard converges to the batch result") {
+    // complete output mode: the sink holds the whole bounded-k result and
+    // is rewritten each trigger — after the last micro-batch it must equal
+    // the batch plan on the same completed input, including tie order
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = Files.createTempDirectory("graft_stream_topk").toString
+    // several input files so AvailableNow processes multiple micro-batches
+    events.repartition(5).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val q = EventStreams.topUsers(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir), 20)
+      .writeStream
+      .format("memory")
+      .queryName("top_users")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+
+    val got = spark.table("top_users")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (-t._2, t._1))
+    val want = EventStreams.topUsers(events, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // at tiny SFs the corpus can have fewer than k users — both paths
+    // must then return that full set in the same order
+    assert(got.nonEmpty && got.length == want.length)
+    assert(got == want.sortBy(t => (-t._2, t._1)),
+      "streaming leaderboard diverged from the batch plan")
+  }
+
   test("stream-stream interval join equals the batch plan on a completed input") {
     val events = Tables.events(spark, SfDir)
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -430,6 +430,65 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(broken).isLeft)
   }
 
+  test("JPEG 4:2:2: hand-built three-component stream decodes exactly") {
+    // h2v1 subsampling (Y 2x1, Cb/Cr 1x1): each MCU interleaves two Y
+    // blocks + one Cb + one Cr — the multi-component MCU walk and the
+    // horizontal fancy-upsample path, which no ImageIO-written golden
+    // exercises (Java's writer emits 4:2:0). Flat gray 16-px tiles align
+    // with the 16-wide MCUs, chroma is flat 128, so decode is bit-exact.
+    val tiles = Seq(30, 190, 100, 255) // 64x8, 4 MCUs of 16x8
+    val w = tiles.length * 16; val h = 8
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8)
+    b(0xff); b(0xdb); u16(2 + 1 + 64); b(0x00)
+    (0 until 64).foreach(_ => b(1))
+    b(0xff); b(0xc0); u16(2 + 6 + 9) // SOF0: 3 components
+    b(8); u16(h); u16(w); b(3)
+    b(1); b(0x21); b(0) // Y: h=2, v=1
+    b(2); b(0x11); b(0) // Cb: 1x1
+    b(3); b(0x11); b(0) // Cr: 1x1
+    b(0xff); b(0xc4); u16(2 + 17 + 12); b(0x00) // DC table: 12 codes at len 4
+    val counts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    counts.foreach(b); (0 until 12).foreach(b)
+    b(0xff); b(0xc4); u16(2 + 17 + 1); b(0x10) // AC table: EOB = "0"
+    b(1); (0 until 15).foreach(_ => b(0)); b(0x00)
+    b(0xff); b(0xda); u16(2 + 1 + 6 + 3)
+    b(3); b(1); b(0x00); b(2); b(0x00); b(3); b(0x00); b(0); b(63); b(0)
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); nBits += 1
+        if (nBits == 8) { b(bitBuf); if (bitBuf == 0xff) b(0x00); bitBuf = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    def emitDc(diff: Int): Unit = {
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB
+    }
+    var predY = 0; val predC = Array(0, 0)
+    tiles.foreach { v =>
+      val dc = 8 * (v - 128)
+      emitDc(dc - predY); predY = dc // first Y block of the MCU
+      emitDc(0) // second Y block: same flat value, diff 0
+      emitDc(0 - predC(0)); predC(0) = 0 // Cb flat 128 -> DC 0
+      emitDc(0 - predC(1)); predC(1) = 0 // Cr
+    }
+    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    b(0xff); b(0xd9)
+    val img = JpegCodec.decode(out.toByteArray)
+      .fold(e => fail(s"hand-built 4:2:2 JPEG: $e"), identity)
+    assert((img.width, img.height, img.channels) == ((w, h, 3)))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((img.pixels((y * w + x) * 3 + c) & 0xff) == tiles(x / 16),
+        s"($x,$y) band $c: ${img.pixels((y * w + x) * 3 + c) & 0xff} != ${tiles(x / 16)}")
+  }
+
   test("JPEG decoder rejects progressive loudly and is total under fuzzing") {
     val img = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
     for (y <- 0 until 24; x <- 0 until 32)
