@@ -86,6 +86,7 @@ object SparkEntry {
     "q_histogram"         -> (Relational.qHistogram _),
     "q_sessionize"        -> (WindowOps.qSessionize _),
     "q_event_funnel"      -> (WindowOps.qEventFunnel _),
+    "q_retention_cohort"  -> (WindowOps.qRetentionCohort _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
@@ -696,6 +697,14 @@ object SparkEntry {
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM d GROUP BY user_id),
+        |a AS (SELECT DISTINCT d.user_id, f.cohort,
+        |        CAST((d.d - f.cohort) // 7 AS BIGINT) AS week_offset
+        |      FROM d JOIN f USING (user_id))
+        |SELECT cohort, week_offset, count(*) AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_event_funnel" ->
       """WITH t_s AS (
         |  SELECT user_id, min(ts) AS t_signup FROM events

@@ -148,4 +148,26 @@ object WindowOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("funnel_stage")
   }
+
+  /** Cohort retention: users cohorted by first-activity day, counted per
+    * (cohort, weeks-since-cohort) — the product-analytics retention
+    * matrix. Plan note: the first-touch aggregate and the activity join
+    * both key on user_id, so the join reuses the aggregate's hash
+    * partitioning (one user_id shuffle total); the final (cohort, week)
+    * rollup is over a low-cardinality key. The per-user distinct before
+    * the rollup bounds each user's contribution to one row per active
+    * week regardless of event volume — the skew-safe shape when a few
+    * users emit millions of events. */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        floor(datediff(col("d"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
 }
