@@ -55,7 +55,7 @@ object ScalingBench {
     // replica pixel-identical to the base — duplicate density would grow
     // with k, an artifact of the amplifier, not the operator (its banded
     // join is the same shape as dedup_simhash, which IS measured).
-    "mm_jpeg_decode")
+    "mm_jpeg_decode", "text_vocab_encode")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -75,7 +75,10 @@ object ScalingBench {
     // Z-order box query: first rep pays the build-once Morton rewrite of
     // the amplified lineitem (memoized per dir snapshot), min-of-reps
     // then measures the pruned read path
-    "q_zorder_prune")
+    "q_zorder_prune",
+    // per-user analytics over the replicated events (disjoint user
+    // blocks keep per-user structure exact while the corpus grows)
+    "q_retention_cohort", "stream_top_users")
 
   private val family = docFamily ++ relFamily
 
@@ -147,6 +150,24 @@ object ScalingBench {
       Tables.load(spark, baseDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+
+    // events replicate with disjoint user/event id blocks: every replica
+    // keeps the exact per-user event-time structure (cohorts, sessions,
+    // leaderboard counts) while users never collide across replicas — the
+    // honest scaling for per-user analytics. Read RAW (nanos stay long;
+    // Tables.events applies its DIV-1000 conversion on load) so the
+    // scratch copy round-trips through the same loader path.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.load(spark, baseDir, "events")
+    val maxUid = ev.agg(max(col("user_id"))).head().getLong(0)
+    val maxEid = ev.agg(max(col("event_id"))).head().getLong(0)
+    require(maxUid < 1000000L && maxEid < 1000000000L,
+      s"base event id ranges too large for amplification: uid $maxUid eid $maxEid")
+    (0 until k).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
