@@ -123,6 +123,7 @@ object SparkEntry {
     "embed_quantize_int8" -> (graft.similarity.SimilarityOps.qEmbedQuantizeInt8 _),
     "embed_cluster_dedup" -> (graft.similarity.SimilarityOps.qEmbedClusterDedup _),
     "embed_project_rand"  -> (graft.similarity.SimilarityOps.qEmbedProjectRand _),
+    "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),

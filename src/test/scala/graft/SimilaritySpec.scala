@@ -92,6 +92,40 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall ${hits.toDouble / top1.length} of ${top1.length} planted queries")
   }
 
+  test("IVF+PQ ANN recalls planted near-duplicates and agrees with exact rerank") {
+    val out = SimilarityOps.qAnnTopkIvfPq(spark, SfDir)
+    val rows = out.select(col("query_id"), col("rank"), col("vec_id"), col("cos_ppm"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // same output contract as the other ann entries: 10 ranked rows/query
+    val byQuery = rows.groupBy(_._1)
+    byQuery.values.foreach(g => assert(g.map(_._2).sorted.toSeq == (1L to 10L)))
+    // planted recall: the ADC shortlist must retain each query's scaled
+    // source so the exact rerank can put it at top-1 — same 0.8 bound as
+    // plain IVF (the PQ stage must not lose what the probes found)
+    val top1 = rows.filter(_._2 == 1L)
+    val hits = top1.count { case (q, _, v, _) => v == q - 1000000L }
+    assert(hits.toDouble / top1.length >= 0.8,
+      s"IVF+PQ recall ${hits.toDouble / top1.length} of ${top1.length} planted queries")
+    // rerank exactness: emitted cos_ppm must equal the true cosine of the
+    // emitted pair (PQ approximates CANDIDATE RANKING only, never scores)
+    val raw = Tables.embeddings(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    rows.take(50).foreach { case (q, _, v, ppm) =>
+      val qv = raw.get(q - 1000000L).map(_.map(_ * 1.01)) // planted query = scaled source
+      qv.foreach { qvec =>
+        raw.get(v).foreach { cv =>
+          assert(math.abs(math.round(cos(qvec, cv) * 1000000.0) - ppm) <= 1,
+            s"query $q vec $v cos_ppm $ppm drifted from exact")
+        }
+      }
+    }
+  }
+
   test("LSH-routed near-dup pairs equal the all-pairs brute oracle exactly") {
     val fast = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
     val brute = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)
