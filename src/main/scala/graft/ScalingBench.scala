@@ -39,7 +39,7 @@ object ScalingBench {
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
     "embed_label_centroids", "embed_neardup_cosine", "embed_project_rand",
     "ann_topk_brute",
-    "ann_topk_lsh", "ann_topk_ivf",
+    "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivfpq",
     // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
     // inverted index (hot-shingle risk) and the budget-constrained
     // selection's driver-histogram boundary
