@@ -405,11 +405,12 @@ object SimilarityOps {
       posexplode(expr(s"transform(sequence(0, ${PqBlocks - 1})," +
         s" b -> slice($vecCol, b * $sub + 1, $sub))")).as(Seq("block", "bvec")): _*)
 
-  /** Corpus PQ codes (vec_id, block, code) — the 8-byte-per-vector index
-    * payload, assigned once per session (broadcast codebook, min-struct
-    * argmin) and served from [[SessionCache]]. At serve time candidate
-    * ranking touches ONLY these codes — never the full vectors — which is
-    * the memory/bandwidth win PQ exists for. */
+  /** Corpus PQ codes (vec_id, codes: array<int> of length [[PqBlocks]])
+    * — the 8-byte-per-vector index payload, assigned once per session
+    * (broadcast codebook, min-struct argmin per block, re-packed into
+    * block order) and served from [[SessionCache]]. At serve time
+    * candidate ranking touches ONLY these codes — never the full
+    * vectors — which is the memory/bandwidth win PQ exists for. */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.cachedDirView(spark, "graft_pq_codes", dir) {
       val base = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
@@ -420,18 +421,23 @@ object SimilarityOps {
           col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0)
         .groupBy("vec_id", "block")
         .agg(min(struct(col("__d"), col("cell"))).getField("cell").as("code"))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(block, code)))," +
+          " s -> s.code)").as("codes"))
     }
 
   /** IVF+PQ ANN top-k — the canonical large-corpus serving shape (FAISS
     * IVFPQ): IVF probes bound the candidate set sublinearly, a per-query
-    * asymmetric-distance table (blocks × cells, broadcastable) ranks
-    * candidates from their 8-code representation ALONE, and only the
-    * 50-deep shortlist pays an exact-cosine re-rank against real
-    * vectors. At 100 TB the full-precision corpus stays on disk; the
-    * serving working set is the code table at a ~32x compression.
-    * Output contract matches the other ann entries. Rows-only by design
-    * (k-means state is not SQL-reproducible); SimilaritySpec gates
-    * planted-recall and shortlist behavior. */
+    * asymmetric-distance table — packed as ONE broadcastable array of
+    * blocks·cells slots — ranks candidates from their 8-code
+    * representation ALONE via a single fused `aggregate` per candidate
+    * (dt[b·16 + code[b]] summed inside whole-stage codegen, no per-block
+    * row explosion), and only the 50-deep shortlist pays an exact-cosine
+    * re-rank against real vectors. At 100 TB the full-precision corpus
+    * stays on disk; the serving working set is the code table at a ~32x
+    * compression. Output contract matches the other ann entries.
+    * Rows-only by design (k-means state is not SQL-reproducible);
+    * SimilaritySpec gates planted-recall and shortlist behavior. */
   def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val kCells = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
@@ -448,16 +454,25 @@ object SimilarityOps {
     // candidates carry (query_id, vec_id) ONLY — no vectors move
     val cands = probes.join(assigned.filter(col("vec_id") < 1000000L), "cell")
       .select("query_id", "vec_id")
-    // per-query ADC table: |queries| x 8 x 16 rows, broadcastable
+    // per-query ADC table, packed as ONE array of blocks*cells distances
+    // (slot b*16+c = distance of q's block b to cell c) so the per-
+    // candidate scoring below is a single fused aggregate — no 8-way row
+    // explosion through a join
     val dim = queries.select(size(col("qvec"))).head().getInt(0)
     val dt = subBlocks(queries, "qvec", dim / PqBlocks)
       .join(broadcast(pqCodebookDf(spark, dir)), "block")
-      .select(col("query_id"), col("block"), col("cell").as("code"),
-        (col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0).as("dt"))
+      .select(col("query_id"), (col("block") * PqCells + col("cell")).as("slot"),
+        (col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0).as("d"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(slot, d))), s -> s.d)").as("dt"))
+    // one row per candidate: ADC = sum over blocks of dt[b*16 + code[b]],
+    // fully inside whole-stage codegen
     val approx = cands.join(pqCodes(spark, dir), "vec_id")
-      .join(broadcast(dt), Seq("query_id", "block", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("dt")).as("__adc"))
+      .join(broadcast(dt), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        expr(s"""aggregate(sequence(0, ${PqBlocks - 1}), cast(0.0 as double),
+          |  (acc, b) -> acc + element_at(dt, b * $PqCells + element_at(codes, b + 1) + 1))"""
+          .stripMargin).as("__adc"))
     val shortlist = graft.plans.TopK.topKPerGroup(approx, 50,
       Seq(col("query_id")), Seq(col("__adc"), col("vec_id")))
     val base = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
