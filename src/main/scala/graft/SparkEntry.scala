@@ -91,6 +91,7 @@ object SparkEntry {
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
+    "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
@@ -784,6 +785,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_zorder3_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
+        |  AND l_quantity BETWEEN 10 AND 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed

@@ -65,13 +65,20 @@ object Bucketing {
     * multi-dimensional predicates that a single-column sort can only
     * serve for its leading column. Callers must pre-scale inputs into
     * [0, 2^bits). */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = zValueN(Seq(a, b), bits)
+
+  /** k-column Morton interleave: bit i of column j lands at position
+    * k·i + j. All inputs must be pre-scaled into [0, 2^bits); total
+    * interleaved width k·bits must fit a long. Pure codegen'd column
+    * algebra — the same expression shape at any column count. */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val k = cols.length
+    require(k >= 2, s"need at least 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62, s"$k cols x $bits bits overflow a long")
+    (for (i <- 0 until bits; (c, j) <- cols.zipWithIndex)
+      yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), k * i + j))
+      .reduce(_ bitwiseOR _)
   }
 
   /** Z-ordered write: range-partition on the interleaved key, sort within
@@ -114,6 +121,50 @@ object Bucketing {
       }
     }
     path
+  }
+
+  /** Build-once 3-D Z-ordered copy of lineitem on (partkey, suppkey,
+    * quantity) — the [[zValueN]] twin of [[zorderedLineitemPath]], each
+    * dimension scaled to the shared 3×20-bit width from its write-side
+    * maximum. */
+  private[graft] def zordered3LineitemPath(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{col, max}
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_zorder3_" + graft.SessionCache.dirKey(dir)
+    val lock = zorderLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val li = graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"))
+        val m = li.agg(max("l_partkey"), max("l_suppkey"), max("l_quantity")).head()
+        val (maxP, maxS, maxQ) = (m.getLong(0) + 1, m.getLong(1) + 1, m.getDouble(2).toLong + 1)
+        val bits = 20
+        val w = 1L << bits
+        li.withColumn("__z", zValueN(Seq(
+            col("l_partkey") * w / maxP,
+            col("l_suppkey") * w / maxS,
+            col("l_quantity").cast("long") * w / maxQ), bits))
+          .repartitionByRange(16, org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
+  /** 3-D box predicate served from the 3-column Morton layout — the
+    * multi-dimensional generalization of [[qZorderPrune]] (the
+    * reference's composite indexes routinely span 3 columns). Same
+    * contract: the oracle reads the RAW table, so the rewrite must be
+    * row-for-row lossless under the box. */
+  def qZorder3Prune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(zordered3LineitemPath(spark, dir))
+      .filter(col("l_partkey").between(20, 120) && col("l_suppkey").between(2, 8)
+        && col("l_quantity").between(10, 30))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** Z-order as a QUERY-side win, driver-gated: a 2-D box predicate served

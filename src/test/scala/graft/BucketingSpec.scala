@@ -140,4 +140,33 @@ class BucketingSpec extends SparkSpec {
     assert(reachable * 2 <= files.length,
       s"box [$pLo,$pHi]x[$sLo,$sHi] reaches $reachable of ${files.length} files — layout not pruning")
   }
+
+  test("q_zorder3_prune: lossless 3-D box and per-dim envelopes clustered") {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val got = Bucketing.qZorder3Prune(spark, SfDir).collect().toSeq.map(key).sorted
+    val want = Tables.lineitem(spark, SfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .filter(col("l_partkey").between(20, 120) && col("l_suppkey").between(2, 8)
+        && col("l_quantity").between(10, 30))
+      .collect().toSeq.map(key).sorted
+    assert(got.nonEmpty && got == want)
+    // every dimension's summed per-file envelope must be a strict subset
+    // of the whole domain times the file count — i.e. the 3-way
+    // interleave clusters ALL THREE dims, not just the leading one
+    val dir = new java.io.File(Bucketing.zordered3LineitemPath(spark, SfDir))
+    val files = Option(dir.listFiles()).get.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 8)
+    for (c <- Seq("l_partkey", "l_suppkey")) {
+      val dom = Tables.lineitem(spark, SfDir)
+        .agg(fmax(col(c)) - fmin(col(c))).head().getLong(0)
+      val spanSum = files.map { f =>
+        val r = spark.read.parquet(f.getPath).agg(fmin(col(c)), fmax(col(c))).head()
+        r.getLong(1) - r.getLong(0)
+      }.sum
+      assert(spanSum * 3 < dom * files.length * 2,
+        s"$c envelopes not clustered: spanSum $spanSum vs domain $dom x ${files.length}")
+    }
+  }
 }
