@@ -75,7 +75,7 @@ object ScalingBench {
     // Z-order box query: first rep pays the build-once Morton rewrite of
     // the amplified lineitem (memoized per dir snapshot), min-of-reps
     // then measures the pruned read path
-    "q_zorder_prune",
+    "q_zorder_prune", "q_zorder3_prune",
     // per-user analytics over the replicated events (disjoint user
     // blocks keep per-user structure exact while the corpus grows)
     "q_retention_cohort", "stream_top_users")
