@@ -102,6 +102,7 @@ object SparkEntry {
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
     "q_cards_text_search" -> (graft.ingest.IngestOps.qCardsTextSearch _),
     "q_cards_name_trgm"   -> (graft.ingest.IngestOps.qCardsNameTrgm _),
+    "q_cards_text_trgm"   -> (graft.ingest.IngestOps.qCardsTextTrgm _),
     "text_fulltext_search" -> (graft.text.TextOps.qFulltextSearch _),
     "text_heavy_hitters"  -> (graft.text.TextOps.qHeavyHitters _),
     "q_cards_cmc_range"   -> (graft.ingest.IngestOps.qCardsCmcRange _),
@@ -1113,6 +1114,24 @@ object SparkEntry {
         |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS cos_ppm,
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
         |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_cards_text_trgm" ->
+      """WITH cards AS (
+        |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,
+        |    'Rules text for card ' || CAST(i AS VARCHAR) || '.' AS oracle_text
+        |  FROM range(0, 500) t(i)),
+        |tg AS (SELECT id, oracle_text,
+        |  list_distinct([substr(lower(oracle_text), i, 3) FOR i IN range(1, greatest(length(oracle_text)-2, 0)+1)]) AS t
+        |  FROM cards),
+        |q AS (SELECT list_distinct([substr('rules text for carb 41', i, 3) FOR i IN range(1, length('rules text for carb 41')-2+1)]) AS qt)
+        |SELECT * FROM (
+        |  SELECT id, oracle_text,
+        |    len(list_intersect(t, qt)) AS inter_n,
+        |    len(t) + len(qt) - len(list_intersect(t, qt)) AS union_n,
+        |    CAST(round(len(list_intersect(t, qt)) * 10000.0
+        |      / (len(t) + len(qt) - len(list_intersect(t, qt)))) AS BIGINT) AS sim_bp
+        |  FROM tg, q) s
+        |WHERE sim_bp >= 6500
+        |ORDER BY sim_bp DESC, id""".stripMargin,
     "q_cards_name_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id, 'Card ' || CAST(i AS VARCHAR) AS name

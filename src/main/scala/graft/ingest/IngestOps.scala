@@ -467,6 +467,26 @@ object IngestOps {
       .orderBy(col("sim_bp").desc, col("id"))
   }
 
+  /** Fuzzy RULES-TEXT match — the reference's second trigram index,
+    * `idx_cards_oracle_text_trgm` (init.sql:138: gin trigram over
+    * oracle_text), as the same exact-integer trigram-Jaccard ranking
+    * [[qCardsNameTrgm]] maps for names; probe carries a typo ("carb")
+    * the trigram match must see through. Closes the literal
+    * index-for-index mapping of init.sql's index set. */
+  def qCardsTextTrgm(spark: SparkSession, dir: String): DataFrame = {
+    val probe = "rules text for carb 41"
+    val probeTg = probe.sliding(3).toSeq.distinct
+    val tg = charTrigrams(lower(col("oracle_text")))
+    val inter = size(array_intersect(tg, array(probeTg.map(lit): _*)))
+    val union = size(tg) + lit(probeTg.size) - inter
+    cardsCorpus(spark)
+      .select(col("id"), col("oracle_text"),
+        inter.cast("long").as("inter_n"), union.cast("long").as("union_n"),
+        round(inter * 10000.0 / union).cast("long").as("sim_bp"))
+      .filter(col("sim_bp") >= 6500)
+      .orderBy(col("sim_bp").desc, col("id"))
+  }
+
   /** Numeric range scan on converted mana cost — the reference's
     * `idx_cards_cmc` btree surface (init.sql:127 `CREATE INDEX
     * idx_cards_cmc ON cards(cmc)`). Here the predicate is a plain
