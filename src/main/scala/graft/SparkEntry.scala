@@ -92,6 +92,7 @@ object SparkEntry {
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
     "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
+    "q_compact_read"      -> (Bucketing.qCompactRead _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
@@ -793,6 +794,12 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
         |  AND l_quantity BETWEEN 10 AND 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // raw-table oracle: the shatter -> compact round-trip must be
+    // row-for-row lossless
+    "q_compact_read" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed
     "ingest_json_cards" ->

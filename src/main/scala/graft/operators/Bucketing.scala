@@ -123,6 +123,41 @@ object Bucketing {
     path
   }
 
+  /** Build-once compacted copy of lineitem: the source is first
+    * DELIBERATELY shattered into many small files (the accreted-
+    * micro-batch shape [[compact]] exists to fix), then compacted to
+    * ~1 MB targets. */
+  private[graft] def compactedLineitemPath(spark: SparkSession, dir: String): String = {
+    val base = sys.props("java.io.tmpdir") +
+      "/graft_compact_" + graft.SessionCache.dirKey(dir)
+    val lock = zorderLocks.computeIfAbsent(base, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(s"$base/out", "_SUCCESS").exists()) {
+        graft.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+          .repartition(64) // the small-file problem, manufactured
+          .write.mode("overwrite").parquet(s"$base/in")
+        compact(spark, s"$base/in", s"$base/out", targetBytes = 1L << 20)
+      }
+    }
+    s"$base/out"
+  }
+
+  /** Small-file compaction as a DRIVER-GATED read path: the oracle reads
+    * the raw table, so the shatter → compact round-trip must preserve
+    * every row and value exactly; CompactionSpec-style file-count
+    * arithmetic lives in BucketingSpec. This is the maintenance
+    * operation a streaming-accreted 100 TB table needs continuously —
+    * here proven lossless under the same hash gate as any query. */
+  def qCompactRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, round => fround, sum}
+    spark.read.parquet(compactedLineitemPath(spark, dir))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Build-once 3-D Z-ordered copy of lineitem on (partkey, suppkey,
     * quantity) — the [[zValueN]] twin of [[zorderedLineitemPath]], each
     * dimension scaled to the shared 3×20-bit width from its write-side
