@@ -90,6 +90,7 @@ object SparkEntry {
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
+    "q_skew_diagnose"     -> (JoinOps.qSkewDiagnose _),
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
     "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
     "q_compact_read"      -> (Bucketing.qCompactRead _),
@@ -794,6 +795,17 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 2 AND 8
         |  AND l_quantity BETWEEN 10 AND 30
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_skew_diagnose" ->
+      """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |top AS (SELECT string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY cnt DESC, user_id) AS top_keys
+        |        FROM (SELECT * FROM pk ORDER BY cnt DESC, user_id LIMIT 3))
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(max(cnt) * count(*) * 1000000 // sum(cnt) AS BIGINT) AS skew_ppm,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+        |  (SELECT top_keys FROM top) AS top_keys
+        |FROM pk""".stripMargin,
     // raw-table oracle: the shatter -> compact round-trip must be
     // row-for-row lossless
     "q_compact_read" ->

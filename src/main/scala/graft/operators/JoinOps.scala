@@ -115,4 +115,32 @@ object JoinOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
       .orderBy("c_mktsegment")
+
+  /** Join-key skew diagnostics — the profiling pass that decides between
+    * a plain shuffle join, AQE skew handling, and explicit salting
+    * ([[qSkewSaltedJoin]]): per-key event counts reduced to the
+    * distribution facts that matter (key count, max/mean ratio in ppm,
+    * share held by the heaviest key) plus the top-3 heavy keys. Two
+    * aggregations, the second over one row per key; the top-3 is a
+    * bounded TakeOrdered. All integers — exact across engines. */
+  def qSkewDiagnose(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // canonical order via array_sort over (-cnt, user_id) structs —
+    // collect_list alone would depend on post-limit row order
+    val top = perKey.orderBy(col("cnt").desc, col("user_id")).limit(3)
+      .agg(expr("""concat_ws(',',
+        | transform(array_sort(collect_list(struct(-cnt AS nc, user_id))),
+        |   s -> cast(s.user_id AS string)))""".stripMargin).as("top_keys"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      // DIV: integer division on both engines (DuckDB //) — the
+      // double-divide-then-truncate form would hand each engine its own
+      // rounding
+      .withColumn("skew_ppm", expr("max_cnt * n_keys * 1000000 DIV n_rows"))
+      .withColumn("top_share_ppm", expr("max_cnt * 1000000 DIV n_rows"))
+      .crossJoin(broadcast(top))
+  }
 }
