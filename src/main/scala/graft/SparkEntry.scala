@@ -146,8 +146,8 @@ object SparkEntry {
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
-    "mm_decode_stub"      -> (graft.multimodal.MultimodalOps.qMmDecodeStub _),
-    "mm_resize_stub"      -> (graft.multimodal.MultimodalOps.qMmResizeStub _),
+    "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
+    "mm_resize"           -> (graft.multimodal.MultimodalOps.qMmResize _),
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
@@ -1532,6 +1532,69 @@ object SparkEntry {
         |WHERE t.k < (1 + d.doc_id % 3) * (1 + d.doc_id % 2)
         |GROUP BY 1,2,3,4,5
         |ORDER BY d.doc_id""".stripMargin,
+    // decode + feature extract replayed arithmetically: the raster is
+    // (doc_id*31 + k) mod 256 by construction, so min/max and the 4-bin
+    // histogram are recomputable without any image library — the Spark
+    // side must run the real header parse + container decode to agree
+    "mm_decode" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 4 = 3 THEN 'bmp' ELSE 'png' END AS format,
+        |  16 + d.doc_id % 16 AS width,
+        |  8 + d.doc_id % 8 AS height,
+        |  CAST(CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+        |  CAST(MIN((d.doc_id * 31 + t.k) % 256) AS BIGINT) AS sample_min,
+        |  CAST(MAX((d.doc_id * 31 + t.k) % 256) AS BIGINT) AS sample_max,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 31 + t.k) % 256 < 64 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 31 + t.k) % 256 BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 31 + t.k) % 256 BETWEEN 128 AND 191 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+        |  CAST(SUM(CASE WHEN (d.doc_id * 31 + t.k) % 256 >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
+        |FROM documents d, range(1860) t(k)
+        |WHERE t.k < (16 + d.doc_id % 16) * (8 + d.doc_id % 8)
+        |    * (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END)
+        |GROUP BY 1,2,3,4,5
+        |ORDER BY d.doc_id""".stripMargin,
+    // the box-filter resample replayed arithmetically: every source pixel
+    // maps forward to output cell (sx*OW//W, sy*OH//H); each output
+    // sample is the floor-divided cell mean; the emitted sum covers every
+    // resampled sample — decode, fit arithmetic, and the resample kernel
+    // are all inside this hash
+    "mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 16 + doc_id % 16 AS W, 8 + doc_id % 8 AS H,
+        |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS C
+        |  FROM documents),
+        |od AS (
+        |  SELECT *, CAST(8 AS BIGINT) AS OW, greatest((H * 8) // W, 1) AS OH
+        |  FROM dims),
+        |cells AS (
+        |  SELECT doc_id, W, H, OW, OH,
+        |    (((t.k // C) % W) * OW) // W AS ox,
+        |    (((t.k // C) // W) * OH) // H AS oy,
+        |    t.k % C AS ch,
+        |    SUM((doc_id * 31 + t.k) % 256) // COUNT(*) AS v
+        |  FROM od, range(1860) t(k)
+        |  WHERE t.k < W * H * C
+        |  GROUP BY ALL)
+        |SELECT doc_id, CAST(W AS BIGINT) AS width, CAST(H AS BIGINT) AS height,
+        |  OW AS out_width, CAST(OH AS BIGINT) AS out_height,
+        |  CAST(COUNT(*) AS BIGINT) AS out_n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS out_pixel_sum
+        |FROM cells GROUP BY 1,2,3,4,5 ORDER BY doc_id""".stripMargin,
+    // strided sampling over a real multi-frame container: frame f of doc
+    // d has raster (d*31 + f*7 + k) mod 256 at doc-derived dims; kept
+    // frames are the even indices — the container walk, stride, and
+    // per-frame decode must all agree with this arithmetic
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, 4 + (doc_id % 3) * 4 AS W, 4 AS H, t.k AS frame_idx
+        |  FROM documents, range(8) t(k)
+        |  WHERE t.k < 2 + doc_id % 7 AND t.k % 2 = 0)
+        |SELECT doc_id, frame_idx, CAST(W AS BIGINT) AS width,
+        |  CAST(H AS BIGINT) AS height,
+        |  CAST(SUM((doc_id * 31 + frame_idx * 7 + s.k) % 256) AS BIGINT) AS pixel_sum
+        |FROM f, range(144) s(k)
+        |WHERE s.k < W * H * 3
+        |GROUP BY 1,2,3,4 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_image_stats" ->
       """SELECT d.doc_id,
         |  t.k % (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS channel,

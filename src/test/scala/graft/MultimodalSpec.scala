@@ -42,25 +42,81 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.decodeHeader(other) == MultimodalOps.decodeHeader(other))
   }
 
-  test("resize fits every decoded frame inside the box, preserving aspect") {
-    import org.apache.spark.sql.Row
-    MultimodalOps.qMmResizeStub(spark, SfDir).collect().foreach {
-      case Row(_, w: Int, h: Int, ow: Int, oh: Int) =>
-        assert(ow <= 32 && oh <= 32 && ow >= 1 && oh >= 1)
-        // aspect preserved within floor rounding
-        if (w >= h) assert(ow >= oh) else assert(oh >= ow)
+  test("decode features match a driver-side recomputation of the raster") {
+    val rows = MultimodalOps.qMmDecode(spark, SfDir).limit(60).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (_, img, _) = MultimodalOps.syntheticImage(id)
+      val samples = img.pixels.map(_ & 0xff)
+      assert(r.getString(1) == (if (id % 4 == 3) "bmp" else "png"))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((img.width.toLong, img.height.toLong, img.channels.toLong)))
+      assert(r.getLong(5) == samples.min.toLong, s"doc $id sample_min")
+      assert(r.getLong(6) == samples.max.toLong, s"doc $id sample_max")
+      (0 until 4).foreach { b =>
+        assert(r.getLong(7 + b) == samples.count(_ >> 6 == b).toLong,
+          s"doc $id hist_$b")
+      }
     }
   }
 
-  test("frame sampling keeps every stride-th frame with content hashes") {
-    val out = MultimodalOps.qMmFrameSample(spark, SfDir)
-    val one = out.filter(col("doc_id") === 1).collect()
-    val payload = Tables.documents(spark, SfDir)
-      .filter(col("doc_id") === 1).select("text").head().getString(0).getBytes("UTF-8")
-    val expectedFrames = (math.max(payload.length / 32 - 1, 0) / 4) + 1
-    assert(one.length == expectedFrames, s"got ${one.length}, want $expectedFrames")
-    // deterministic across runs
-    assert(out.collect().toSeq == MultimodalOps.qMmFrameSample(spark, SfDir).collect().toSeq)
+  test("fit-box arithmetic preserves aspect and never upscales") {
+    for (w <- 1 to 40; h <- 1 to 20) {
+      val (ow, oh) = MultimodalOps.fitBox(w, h, 8, 8)
+      assert(ow >= 1 && oh >= 1 && ow <= math.min(w, 8) && oh <= math.min(h, 8))
+      if (w >= h) assert(ow >= oh) else assert(oh >= ow)
+      // already-fitting images pass through untouched
+      if (w <= 8 && h <= 8) assert((ow, oh) == ((w, h)))
+    }
+  }
+
+  test("box resample matches a naive per-cell average and keeps mass ordering") {
+    val img = testImage(17, 9, 3, 21)
+    val out = MultimodalOps.resampleBox(img, 8, 4)
+    assert((out.width, out.height, out.channels) == ((8, 4, 3)))
+    // recompute each output sample by the forward floor mapping
+    for (oy <- 0 until 4; ox <- 0 until 8; c <- 0 until 3) {
+      val cell = for {
+        sy <- 0 until 9 if sy * 4 / 9 == oy
+        sx <- 0 until 17 if sx * 8 / 17 == ox
+      } yield img.pixels((sy * 17 + sx) * 3 + c) & 0xff
+      val want = cell.map(_.toLong).sum / cell.length
+      val got = out.pixels((oy * 8 + ox) * 3 + c) & 0xff
+      assert(got == want, s"cell ($ox,$oy) ch $c: $got != $want")
+    }
+    // a flat image resamples to the same flat value
+    val flat = graft.multimodal.ImageCodec.Image(16, 8, 1, Array.fill(128)(93.toByte))
+    assert(MultimodalOps.resampleBox(flat, 5, 3).pixels.forall(_ == 93.toByte))
+  }
+
+  test("frame container walk recovers every frame; sampling keeps even indices") {
+    for (id <- Seq(0L, 1L, 6L, 13L)) {
+      val container = MultimodalOps.buildFrameContainer(id)
+      val frames = MultimodalOps.splitFrames(container)
+        .fold(e => fail(s"doc $id: $e"), identity)
+      assert(frames.length == 2 + (id % 7).toInt, s"doc $id frame count")
+      // each recovered frame is an independently decodable BMP whose
+      // raster matches the defining arithmetic
+      frames.zipWithIndex.foreach { case (bytes, f) =>
+        val img = graft.multimodal.ImageCodec.decodeBmp(bytes)
+          .fold(e => fail(s"frame $f: $e"), img => img)
+        assert(img.width == 4 + (id % 3).toInt * 4 && img.height == 4)
+        img.pixels.zipWithIndex.foreach { case (b, k) =>
+          assert((b & 0xff) == ((id * 31 + f * 7 + k) % 256).toInt)
+        }
+      }
+      // truncation and trailing garbage are loud Lefts, not misparses
+      assert(MultimodalOps.splitFrames(container.dropRight(3)).isLeft)
+      assert(MultimodalOps.splitFrames(container ++ Array[Byte](1, 2, 3)).isLeft)
+    }
+    // the registered query keeps exactly the even frame indices
+    val sampled = MultimodalOps.qMmFrameSample(spark, SfDir)
+      .select("doc_id", "frame_idx").collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.map(_.getLong(1)).sorted.toSeq }
+    sampled.take(20).foreach { case (id, idxs) =>
+      assert(idxs == (0L until (2 + id % 7) by 2L).toSeq, s"doc $id sampled $idxs")
+    }
   }
 
   test("binary stats match the payload bytes") {
