@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main: measure each ANN variant's true per-query recall@10
+  * vs the brute top-10 at a given SF dir — the numbers the
+  * [[graft.similarity.SimilarityOps]] recall-gate thresholds are set
+  * from (thresholds must sit BELOW the measured minimum with margin at
+  * every SF the gate runs at: sf0.001 for specs, sf0.01 for the driver).
+  * Usage: runMain graft.RecallProbe <sfDir>
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.similarity.SimilarityOps
+    val variants = Seq(
+      "lsh" -> SimilarityOps.annTopkLshRanked(spark, dir),
+      "ivf" -> SimilarityOps.annTopkIvfRanked(spark, dir),
+      "ivfpq" -> SimilarityOps.annTopkIvfPqRanked(spark, dir))
+    val truth = SimilarityOps.bruteTruthForProbe(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+    variants.foreach { case (name, ranked) =>
+      val hits = ranked.join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(when(col("in_brute"), 1).otherwise(0)).as("hits"),
+          max(when(col("rank") === 1, col("vec_id"))).as("top1"))
+        .select(col("query_id"), col("hits"),
+          (col("top1") === col("query_id") - 1000000L).as("top1_ok"))
+        .collect()
+      val recalls = hits.map(_.getLong(1) * 10)
+      println(f"[$name%6s] queries=${hits.length} recall%%: " +
+        f"min=${recalls.min} p10=${recalls.sorted.apply(recalls.length / 10)} " +
+        f"mean=${recalls.sum / recalls.length} " +
+        f"top1_fails=${hits.count(!_.getBoolean(2))}")
+    }
+    spark.stop()
+  }
+}

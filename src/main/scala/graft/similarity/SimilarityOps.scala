@@ -167,6 +167,58 @@ object SimilarityOps {
       posexplode(GraftFunctions.signBuckets(col("vec"), hyperplanes(dim, bits)))
         .as(Seq("table", "bucket")))
 
+  /** Exact brute-force top-10 truth for the planted query set — the
+    * recall denominator every ANN gate wrapper compares against. Same
+    * broadcast-queries + bounded-heap shape as [[qAnnTopkBrute]]. */
+  private def bruteTruthTop10(spark: SparkSession, dir: String): DataFrame = {
+    val base = withPlanted(vectors(spark, dir))
+    val queries = base.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val corpus = base.filter(col("vec_id") < 1000000L)
+    rankedTop10(corpus.join(broadcast(queries), lit(true))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
+  }
+
+  /** [[bruteTruthTop10]] exposed for the RecallProbe diagnostic main. */
+  private[graft] def bruteTruthForProbe(spark: SparkSession, dir: String): DataFrame =
+    bruteTruthTop10(spark, dir)
+
+  /** Tolerance gate for the ANN variants (VERDICT r6 ask #2, the
+    * `q_approx_distinct` / `text_heavy_hitters` pattern): the exact
+    * brute top-10 is computed alongside the approximate ranking IN-PLAN,
+    * and the result carries booleans the DuckDB oracle asserts literally
+    * TRUE — per-query `top1_ok` (the planted query's rank-1 hit IS its
+    * source vector, the cos≈1 planted contract) and a corpus-level
+    * `mean_recall_ok` (mean recall@10 vs brute >= minMeanRecallPct,
+    * stamped on every row; per-query floors would be vacuous because the
+    * planted source alone guarantees 10%). A capacity regression, a
+    * probe-routing bug, or a shortlist that drops the true neighbor
+    * flips a boolean and breaks the driver's hash gate — no k-means
+    * state needs to be SQL-reproducible for this to hold. Thresholds
+    * are set from [[graft.RecallProbe]] measurements at sf0.001 and
+    * sf0.01 with margin. */
+  private def recallGate(spark: SparkSession, dir: String, ranked: DataFrame,
+      minMeanRecallPct: Int): DataFrame = {
+    val truth = bruteTruthTop10(spark, dir)
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+    val perQuery = ranked
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("in_brute"), 1).otherwise(0)).as("__hits"),
+        max(when(col("rank") === 1, col("vec_id"))).as("__top1"))
+    val meanOk = perQuery.agg(
+      (sum(col("__hits")) * 10 >= lit(minMeanRecallPct.toLong) * count(lit(1)))
+        .as("mean_recall_ok"))
+    perQuery.join(broadcast(meanOk), lit(true))
+      .select(col("query_id"),
+        lit(10L).as("k"),
+        col("mean_recall_ok"),
+        (col("__top1") === col("query_id") - 1000000L).as("top1_ok"))
+      .orderBy("query_id")
+  }
+
   /** LSH-bucketed ANN over the planted corpus: per table, bucket =
     * sign-bit pattern of `BitsPerTable` hyperplane dots; candidates = pairs
     * sharing a bucket in any table; rank candidates by exact cosine.
@@ -175,7 +227,7 @@ object SimilarityOps {
     * all-pairs comparison. A scaled near-duplicate has identical sign
     * pattern in every table, so true near-dup recall is 1 by construction
     * (asserted in SimilaritySpec); random far pairs rarely collide. */
-  def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annTopkLshRanked(spark: SparkSession, dir: String): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
     val bucketed = signBucketed(base, lshBits(corpusSize(spark, dir)))
     val queries = bucketed.filter(col("vec_id") >= 1000000L)
@@ -187,6 +239,25 @@ object SimilarityOps {
     rankedTop10(cands.select(col("query_id"), col("vec_id"),
       GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
   }
+
+  /** Driver-contract LSH entry: the ranked search through the
+    * [[recallGate]]. Scaled duplicates collide in every table, so both
+    * booleans hold with margin (thresholds measured in SimilaritySpec). */
+  def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame =
+    recallGate(spark, dir, annTopkLshRanked(spark, dir), LshMinMeanRecallPct)
+
+  /** Measured-floor MEAN-recall thresholds (percent of the brute
+    * top-10), from [[graft.RecallProbe]]: lsh means 37 (sf0.001) / 41
+    * (sf0.01); ivf 66/71; ivfpq 61/66. Floors sit well below the
+    * measured minimum-across-SF so the literal-TRUE oracle holds with
+    * margin at both the spec SF and the driver SF; the spec also
+    * asserts the measured mean clears the floor, so silent recall decay
+    * shows up there first. IVF probes beat LSH buckets on this corpus
+    * (uniform random vectors collide weakly in sign buckets); PQ costs
+    * a few points of tail vs plain IVF through the 8-byte codes. */
+  private[graft] val LshMinMeanRecallPct = 25
+  private[graft] val IvfMinMeanRecallPct = 50
+  private[graft] val IvfPqMinMeanRecallPct = 45
 
   /** Centroids as a broadcastable frame (cell id, vector, ||c||^2).
     * Embedding centroids as literal arrays costs seconds of codegen
@@ -287,8 +358,8 @@ object SimilarityOps {
     * make); a query touches only nProbe/k of the corpus. This is the
     * standard recall/throughput dial (IVF from the FAISS lineage) next to
     * qAnnTopkLsh's hash variant.
-    * Rows-only contract; planted-dup recall asserted in SimilaritySpec. */
-  def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    * Planted-dup recall asserted in SimilaritySpec. */
+  def annTopkIvfRanked(spark: SparkSession, dir: String): DataFrame = {
     val k = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
     val (cells, assigned) = ivfIndex(spark, dir, k)
@@ -307,6 +378,11 @@ object SimilarityOps {
     rankedTop10(cands.select(col("query_id"), col("vec_id"),
       GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
   }
+
+  /** Driver-contract IVF entry: the ranked search through the
+    * [[recallGate]]. */
+  def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame =
+    recallGate(spark, dir, annTopkIvfRanked(spark, dir), IvfMinMeanRecallPct)
 
   /** Int8 quantization of the embedding column — the storage/transfer
     * compression step of an embedding pipeline: q[i] = round(x[i] /
@@ -435,10 +511,9 @@ object SimilarityOps {
     * row explosion), and only the 50-deep shortlist pays an exact-cosine
     * re-rank against real vectors. At 100 TB the full-precision corpus
     * stays on disk; the serving working set is the code table at a ~32x
-    * compression. Output contract matches the other ann entries.
-    * Rows-only by design (k-means state is not SQL-reproducible);
+    * compression. Output contract matches the other ann entries;
     * SimilaritySpec gates planted-recall and shortlist behavior. */
-  def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def annTopkIvfPqRanked(spark: SparkSession, dir: String): DataFrame = {
     val kCells = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
     val (cells, assigned) = ivfIndex(spark, dir, kCells)
@@ -482,6 +557,11 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
   }
+
+  /** Driver-contract IVF+PQ entry: the ranked search through the
+    * [[recallGate]]. */
+  def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    recallGate(spark, dir, annTopkIvfPqRanked(spark, dir), IvfPqMinMeanRecallPct)
 
   /** Random-projection dimensionality reduction (64 → 8), the standard
     * pre-ANN / visualization step of an embedding pipeline, composed with

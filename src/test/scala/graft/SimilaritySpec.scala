@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH ANN recall of true near-duplicates is 1 (scaled copies collide in every table)") {
-    val out = SimilarityOps.qAnnTopkLsh(spark, SfDir)
+    val out = SimilarityOps.annTopkLshRanked(spark, SfDir)
     // every planted query (vec_id + 1000000) must rank its source vector first
     val top1 = out.filter(col("rank") === 1)
       .select(col("query_id"), col("vec_id"), col("cos_ppm")).as[(Long, Long, Long)]
@@ -81,7 +81,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF ANN recalls planted near-duplicates at top-1") {
-    val out = SimilarityOps.qAnnTopkIvf(spark, SfDir)
+    val out = SimilarityOps.annTopkIvfRanked(spark, SfDir)
     val top1 = out.filter(col("rank") === 1)
       .select(col("query_id"), col("vec_id")).as[(Long, Long)].collect()
     assert(top1.nonEmpty)
@@ -93,7 +93,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF+PQ ANN recalls planted near-duplicates and agrees with exact rerank") {
-    val out = SimilarityOps.qAnnTopkIvfPq(spark, SfDir)
+    val out = SimilarityOps.annTopkIvfPqRanked(spark, SfDir)
     val rows = out.select(col("query_id"), col("rank"), col("vec_id"), col("cos_ppm"))
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
@@ -122,6 +122,27 @@ class SimilaritySpec extends SparkSpec {
           assert(math.abs(math.round(cos(qvec, cv) * 1000000.0) - ppm) <= 1,
             s"query $q vec $v cos_ppm $ppm drifted from exact")
         }
+      }
+    }
+  }
+
+  test("ANN recall gates emit literally-TRUE booleans (the driver-oracle contract)") {
+    // the registered ann entries are the ranked searches wrapped in the
+    // in-plan recall gate; the DuckDB oracle asserts every boolean TRUE,
+    // so any false here at the spec SF means the driver gate would break
+    val gated = Seq(
+      "lsh" -> SimilarityOps.qAnnTopkLsh(spark, SfDir),
+      "ivf" -> SimilarityOps.qAnnTopkIvf(spark, SfDir),
+      "ivfpq" -> SimilarityOps.qAnnTopkIvfPq(spark, SfDir))
+    val nQueries = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") % 25 === 0).count()
+    gated.foreach { case (name, df) =>
+      val rows = df.collect()
+      assert(rows.length == nQueries, s"$name: ${rows.length} gate rows for $nQueries queries")
+      rows.foreach { r =>
+        assert(r.getLong(1) == 10L, s"$name k column")
+        assert(r.getBoolean(2), s"$name query ${r.getLong(0)}: mean_recall_ok false")
+        assert(r.getBoolean(3), s"$name query ${r.getLong(0)}: top1_ok false")
       }
     }
   }
@@ -175,8 +196,8 @@ class SimilaritySpec extends SparkSpec {
   test("ANN ranking routes through the bounded-heap TopKPerGroupExec, not a full window sort") {
     Seq(
       "brute" -> SimilarityOps.qAnnTopkBrute(spark, SfDir),
-      "lsh" -> SimilarityOps.qAnnTopkLsh(spark, SfDir),
-      "ivf" -> SimilarityOps.qAnnTopkIvf(spark, SfDir)
+      "lsh" -> SimilarityOps.annTopkLshRanked(spark, SfDir),
+      "ivf" -> SimilarityOps.annTopkIvfRanked(spark, SfDir)
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerGroup"), s"$name missing custom exec:\n${plan.linesIterator.take(40).mkString("\n")}")
