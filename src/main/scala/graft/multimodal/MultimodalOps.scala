@@ -569,7 +569,9 @@ object MultimodalOps {
       .select(col("doc_id").cast("long"))
       .as[Long]
       .mapPartitions { it =>
-        // writer instances are not thread-safe: one per partition
+        // writer instances are not thread-safe: one per partition,
+        // disposed when the partition's iterator is exhausted (the ++
+        // tail runs after the last element on long-lived executors)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
         val param = writer.getDefaultWriteParam
         param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -604,7 +606,7 @@ object MultimodalOps {
               decoded.channels.toLong, decoded.pixels.length.toLong,
               decoded.pixels.foldLeft(0L)((s, b) => s + (b & 0xff)))
           }
-        }
+        } ++ { writer.dispose(); Iterator.empty }
       }
       .toDF()
       .orderBy("doc_id")

@@ -342,8 +342,15 @@ object SimilarityOps {
     val train =
       if (n > trainCap) base.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
       else base
-    val cells = graft.SessionCache.cachedDirView(spark, "graft_ivf_cells", dir)(
-      cellsDf(spark, kmeansLite(train, k, iters = 3)))
+    val cells = graft.SessionCache.cachedDirView(spark, "graft_ivf_cells", dir) {
+      val centroids = kmeansLite(train, k, iters = 3)
+      // probe selection ranks exactly k cells; a short quantizer (corpus
+      // under k vectors) would make nProbe/k coverage claims wrong
+      require(centroids.length == k,
+        s"IVF: quantizer has ${centroids.length} cells, need $k " +
+          s"(training corpus too small)")
+      cellsDf(spark, centroids)
+    }
     val assigned = graft.SessionCache.cachedDirView(spark, "graft_ivf_assigned", dir)(
       assignCells(base, cells))
     (cells, assigned)
@@ -459,9 +466,17 @@ object SimilarityOps {
         if (n > trainCap) base.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
         else base
       Array.tabulate(PqBlocks) { b =>
-        kmeansLite(
+        val cells = kmeansLite(
           train.select(col("vec_id"), expr(s"slice(vec, ${b * sub + 1}, $sub)").as("vec")),
           PqCells, iters = 3)
+        // the ADC lookup below indexes a DENSE blocks x cells table
+        // (slot = b*PqCells + code) — a short codebook (training sample
+        // under PqCells rows) would silently shift every later block's
+        // distances, so fail loudly instead
+        require(cells.length == PqCells,
+          s"PQ block $b: codebook has ${cells.length} cells, need $PqCells " +
+            s"(training corpus too small to train a PQ quantizer)")
+        cells
       }
     })
   }

@@ -486,6 +486,56 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(broken).isLeft)
   }
 
+  test("JPEG single-component scan ignores declared 2x2 sampling (T.81 non-interleaved)") {
+    // a grayscale JPEG may legally declare 2x2 sampling factors; per
+    // T.81 A.2 a one-component scan is NON-interleaved — one data unit
+    // per MCU — so the decoder must walk 1 block per MCU, not h x v.
+    // Flat 8x8 tiles at quant 1 are DC-only, so decode is bit-exact.
+    val tiles = Seq(90, 201)
+    val w = tiles.length * 8; val h = 8
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); u16(2 + 1 + 64); b(0x00) // DQT all ones
+    (0 until 64).foreach(_ => b(1))
+    b(0xff); b(0xc0); u16(2 + 6 + 3) // SOF0: 1 component, declared 2x2
+    b(8); u16(h); u16(w); b(1); b(1); b(0x22); b(0)
+    b(0xff); b(0xc4); u16(2 + 17 + 12); b(0x00) // DC table: 12 codes at len 4
+    val counts = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    counts.foreach(b); (0 until 12).foreach(b)
+    b(0xff); b(0xc4); u16(2 + 17 + 1); b(0x10) // AC table: EOB = "0"
+    b(1); (0 until 15).foreach(_ => b(0)); b(0x00)
+    b(0xff); b(0xda); u16(2 + 1 + 2 + 3) // SOS
+    b(1); b(1); b(0x00); b(0); b(63); b(0)
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> i) & 1); nBits += 1
+        if (nBits == 8) { b(bitBuf); if (bitBuf == 0xff) b(0x00); bitBuf = 0; nBits = 0 }
+        i -= 1
+      }
+    }
+    var pred = 0
+    tiles.foreach { v =>
+      val dc = 8 * (v - 128)
+      val diff = dc - pred; pred = dc
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB
+    }
+    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    b(0xff); b(0xd9) // EOI
+    val img = JpegCodec.decode(out.toByteArray)
+      .fold(e => fail(s"grayscale-with-2x2-factors JPEG rejected: $e"), img => img)
+    assert((img.width, img.height, img.channels) == ((w, h, 1)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.pixels(y * w + x) & 0xff) == tiles(x / 8),
+        s"($x,$y): ${img.pixels(y * w + x) & 0xff} != ${tiles(x / 8)}")
+  }
+
   test("JPEG 4:2:2: hand-built three-component stream decodes exactly") {
     // h2v1 subsampling (Y 2x1, Cb/Cr 1x1): each MCU interleaves two Y
     // blocks + one Cb + one Cr — the multi-component MCU walk and the
