@@ -97,6 +97,8 @@ object SparkEntry {
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
+    "ingest_csv_cards"    -> (graft.ingest.IngestOps.qIngestCsvCards _),
+    "ingest_orc_cards"    -> (graft.ingest.IngestOps.qIngestOrcCards _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
     "q_sql_adhoc"         -> (graft.ingest.IngestOps.qSqlAdhoc _),
@@ -844,6 +846,60 @@ object SparkEntry {
     // identical to ingest_json_cards — a hash mismatch means the file
     // scan, split handling, or corrupt-record policy broke
     "ingest_json_cards_file" ->
+      """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
+        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
+        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
+        |    END AS DATE) AS released_date,
+        |  CASE WHEN i % 11 = 0 THEN 'weird'
+        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
+        |           'class','case','saga','adventure','mutate','prototype','battle',
+        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
+        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
+        |    END AS layout,
+        |  i % 11 <> 0 AS layout_valid,
+        |  CAST(i % 12 AS DOUBLE) AS cmc,
+        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
+        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
+        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
+        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |  CAST(i % 5 + 1 AS INT) AS n_colors,
+        |  CAST(i % 20000 AS INT) AS edhrec_rank,
+        |  CAST(2 AS INT) AS n_faces
+        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    // identical corpus read back from CSV (scalars typed, nested
+    // columns as JSON strings, 5 malformed lines dropped by PERMISSIVE)
+    // and from ORC (full nested schema native) — same oracle as the
+    // JSON file path, so a mismatch isolates the source implementation
+    "ingest_csv_cards" ->
+      """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
+        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
+        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
+        |    END AS DATE) AS released_date,
+        |  CASE WHEN i % 11 = 0 THEN 'weird'
+        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
+        |           'class','case','saga','adventure','mutate','prototype','battle',
+        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
+        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
+        |    END AS layout,
+        |  i % 11 <> 0 AS layout_valid,
+        |  CAST(i % 12 AS DOUBLE) AS cmc,
+        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
+        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
+        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
+        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |  CAST(i % 5 + 1 AS INT) AS n_colors,
+        |  CAST(i % 20000 AS INT) AS edhrec_rank,
+        |  CAST(2 AS INT) AS n_faces
+        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    "ingest_orc_cards" ->
       """SELECT
         |  'card-' || CAST(i AS VARCHAR) AS id,
         |  'Card ' || CAST(i AS VARCHAR) AS name,

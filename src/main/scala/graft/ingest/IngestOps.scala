@@ -552,6 +552,124 @@ object IngestOps {
       .orderBy("id")
   }
 
+  // ---- CSV / ORC file-source ingest parity (VERDICT r6 ask #3) ----
+  // The reference's corpus is JSON-only, but a 100 TB lake is not: the
+  // same 68-column contract must ingest from whatever landed. Both paths
+  // reuse the identical post-parse pipeline and oracle as the JSON file
+  // path, so a hash mismatch isolates the SOURCE (scan, split, corrupt
+  // policy, type round-trip) rather than the pipeline.
+
+  /** The typed-but-unprocessed corpus (CardSchema rows before the ingest
+    * pipeline) — what a raw landing zone holds. */
+  private def parsedCardsRaw(spark: SparkSession): DataFrame =
+    syntheticRawCards(spark, 500)
+      .select(from_json(col("raw"), CardSchema).as("c"))
+      .select(col("c.*"))
+
+  /** The shared driver-contract projection over an ingested cards frame
+    * (the same columns [[qIngestJsonCardsFile]] emits). */
+  private def ingestProjection(ingested: DataFrame): DataFrame =
+    ingested.select(
+      col("id"), col("name"), col("released_date"), col("layout"),
+      col("layout_valid"), col("cmc"),
+      (col("price_usd") * 100).cast("bigint").as("price_cents"),
+      col("image_normal"),
+      col("set").as("set_code"), col("rarity"), size(col("colors")).as("n_colors"),
+      col("edhrec_rank"), col("n_faces"))
+      .orderBy("id")
+
+  /** CSV-flattened read schema: scalars keep their type, nested fields
+    * travel as JSON strings — the operational "CSV with embedded JSON
+    * columns" export shape (CSV itself cannot carry arrays/structs). */
+  private[graft] def csvReadSchema: StructType = StructType(CardSchema.fields.map { f =>
+    f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => StructField(f.name, StringType)
+      case _ => f
+    }
+  })
+
+  private val csvDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Once-per-JVM CSV materialization of the corpus: typed scalars +
+    * JSON-encoded nested columns, several part files, plus one part file
+    * of malformed rows (unterminated quote) the PERMISSIVE policy must
+    * shunt into `_corrupt_record` rather than fail the scan. */
+  def rawCardsCsvDir(spark: SparkSession): String =
+    csvDirMemo.computeIfAbsent(
+      Integer.valueOf(System.identityHashCode(spark)), _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_raw_cards_csv_${System.identityHashCode(spark)}")
+          .getAbsolutePath
+        val flat = parsedCardsRaw(spark).select(CardSchema.fields.map { f =>
+          f.dataType match {
+            case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+        flat.repartition(4).write.mode("overwrite").option("header", "true").csv(dir)
+        // header line first (the reader skips line 1 of every file when
+        // header=true), then 5 malformed rows: a non-numeric token in the
+        // typed cmc column fails conversion and marks the record corrupt.
+        // The bad token must sit in a column the query actually READS —
+        // CSV parser column pruning skips conversion (and so corruption
+        // detection) for pruned columns; short rows merely null-pad.
+        val cmcIdx = CardSchema.fieldNames.indexOf("cmc")
+        val corrupt = ("id" +: (0 until 5).map(i =>
+          ("corrupt-" + i) + ",x" * (cmcIdx - 1) + ",NOT_A_DOUBLE")).mkString("\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "part-99999-corrupt.csv"), corrupt)
+        dir
+      })
+
+  /** Driver-contract query over the CSV ingest path: schema-on-read
+    * `spark.read.schema(...).csv(dir)` with PERMISSIVE corrupt handling,
+    * nested columns re-hydrated with `from_json` against their CardSchema
+    * types, then the same pipeline + projection as the JSON path — so the
+    * identical oracle gates the CSV source's quoting/escaping round-trip
+    * of JSON-bearing fields, its split handling, and its corrupt policy. */
+  def qIngestCsvCards(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = spark.read
+      .schema(csvReadSchema.add(StructField("_corrupt_record", StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(rawCardsCsvDir(spark))
+      .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val rebuilt = parsed.select(CardSchema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          from_json(col(f.name), f.dataType).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+    ingestProjection(ingestParsedCards(rebuilt))
+  }
+
+  private val orcDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Once-per-JVM ORC materialization: the FULL nested 68-column schema
+    * round-trips natively (ORC carries structs/arrays/maps), several part
+    * files for real scan splits. */
+  def rawCardsOrcDir(spark: SparkSession): String =
+    orcDirMemo.computeIfAbsent(
+      Integer.valueOf(System.identityHashCode(spark)), _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_raw_cards_orc_${System.identityHashCode(spark)}")
+          .getAbsolutePath
+        parsedCardsRaw(spark).repartition(4).write.mode("overwrite").orc(dir)
+        dir
+      })
+
+  /** Driver-contract query over the ORC ingest path: schema-on-read
+    * against the typed 68-column contract through Spark's vectorized ORC
+    * reader (nested columns native, no JSON hop), then the same pipeline
+    * + projection and the same oracle as the JSON/CSV paths. */
+  def qIngestOrcCards(spark: SparkSession, dir: String): DataFrame =
+    ingestProjection(ingestParsedCards(
+      spark.read.schema(CardSchema).orc(rawCardsOrcDir(spark))))
+
   /** Ad-hoc SQL surface end-to-end: the reference README's own example
     * query (`SELECT * FROM cards WHERE layout = 'split'`, README.md:18)
     * joined to its set, executed as RAW SQL through

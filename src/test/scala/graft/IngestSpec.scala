@@ -209,6 +209,37 @@ class IngestSpec extends SparkSpec {
     f.delete()
   }
 
+  test("CSV and ORC source paths equal the JSON file path row-for-row") {
+    val viaJson = IngestOps.qIngestJsonCardsFile(spark, SfDir).collect().toSeq
+    val viaCsv = IngestOps.qIngestCsvCards(spark, SfDir).collect().toSeq
+    val viaOrc = IngestOps.qIngestOrcCards(spark, SfDir).collect().toSeq
+    assert(viaJson.size == 500)
+    assert(viaCsv == viaJson, "CSV source drifted from the JSON path")
+    assert(viaOrc == viaJson, "ORC source drifted from the JSON path")
+  }
+
+  test("CSV corrupt lines land in _corrupt_record, non-vacuously") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    // read the materialized CSV dir raw: exactly the 5 planted malformed
+    // rows must carry a corrupt record when the checked column is read
+    val raw = spark.read
+      .schema(IngestOps.csvReadSchema.add(StructField("_corrupt_record", StringType)))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(IngestOps.rawCardsCsvDir(spark))
+      .select("id", "cmc", "_corrupt_record")
+    // collect with data columns referenced: a bare count() would prune to
+    // only the corrupt column, which the CSV source disallows
+    // cmc must survive into the collected projection: corruption is only
+    // detected for columns the scan actually converts (column pruning)
+    val corrupt = raw.filter(col("_corrupt_record").isNotNull)
+      .select("id", "cmc", "_corrupt_record").collect()
+    assert(corrupt.length == 5,
+      "PERMISSIVE corrupt-record path is vacuous — no malformed rows detected")
+    assert(raw.select("id", "cmc").collect().length == 505)
+  }
+
   test("session corpus cache materializes once and serves repeat queries") {
     val a = IngestOps.cardsCorpus(spark)
     val b = IngestOps.cardsCorpus(spark)
