@@ -78,7 +78,12 @@ object ScalingBench {
     "q_zorder_prune", "q_zorder3_prune",
     // per-user analytics over the replicated events (disjoint user
     // blocks keep per-user structure exact while the corpus grows)
-    "q_retention_cohort", "stream_top_users")
+    "q_retention_cohort", "stream_top_users",
+    // round-7 additions (VERDICT r6 ask #4): the session window (state
+    // per user, gap logic) and the ordered funnel (per-user sequence
+    // match) — both must stay linear as events grow at fixed per-user
+    // density
+    "q_sessionize", "q_event_funnel")
 
   private val family = docFamily ++ relFamily
 

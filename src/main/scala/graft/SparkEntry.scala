@@ -164,7 +164,8 @@ object SparkEntry {
     "stream_dedup"        -> (graft.streaming.EventStreams.qStreamDedup _),
     "stream_top_users"    -> (graft.streaming.EventStreams.qStreamTopUsers _),
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
-    "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _)
+    "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _),
+    "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -753,6 +754,27 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_seq, min(ts) AS session_start, count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // watermark-lateness accounting: the oracle replays the arrival order
+    // (event_id) with an exclusive running-max window — the per-event
+    // watermark — and recomputes every per-hour drop metric exactly
+    "stream_late_data" ->
+      """WITH o AS (
+        |  SELECT event_id, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+        |  FROM events),
+        |c AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |    CASE WHEN wm_us IS NOT NULL AND ts_us < wm_us - 7200000000 THEN 1 ELSE 0 END AS late,
+        |    CASE WHEN wm_us IS NOT NULL AND ts_us < wm_us - 7200000000
+        |      THEN (wm_us - 7200000000 - ts_us) // 1000000 ELSE 0 END AS late_s
+        |  FROM o)
+        |SELECT bucket, count(*) AS n_total,
+        |  CAST(sum(late) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(late) AS BIGINT) AS n_kept,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical rows contract to q_sessionize (batch/stream equivalence is
     // the point of the operator), so it shares the same oracle SQL
     "stream_sessionize" ->

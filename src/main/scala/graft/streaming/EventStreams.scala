@@ -368,4 +368,56 @@ object EventStreams {
       .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Watermark-lateness accounting (VERDICT r6 ask #6) — the
+    * dropped-late metrics a production stream job exports: replay the
+    * event stream in its arrival order (event_id, the synthetic commit
+    * order), track the per-event watermark = running max event time seen
+    * BEFORE each arrival minus the horizon, and classify an event as
+    * dropped-late when its event time is below that watermark. Emitted
+    * per tumbling hour: totals, kept, dropped, and the worst lateness in
+    * seconds. This per-event replay is the STRICTEST watermark (a real
+    * micro-batch engine advances the watermark only at batch boundaries,
+    * so it drops a subset — EventStreamSpec pins the real engine's drops
+    * to the same classification computed at batch granularity).
+    *
+    * Scale shape: the global running max is a DISTRIBUTED prefix max
+    * (the `text_pack_sequences` pattern): per-bucket maxes (a bounded
+    * <= nBuckets frame), a window over that tiny frame for cross-bucket
+    * prefixes, then per-bucket PARALLEL windows for the within-bucket
+    * running max — never a single-partition window over the stream. */
+  def lateDataAccounting(events: DataFrame, horizonS: Long, nBuckets: Int): DataFrame = {
+    val horizonUs = horizonS * 1000000L
+    val ev = events.select(col("event_id"), col("ts"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val width = maxId / nBuckets + 1
+    val bucketed = ev.withColumn("bucket", expr(s"event_id div $width"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, -1)
+    val prefix = bucketed.groupBy("bucket").agg(max("ts_us").as("bmax"))
+      .withColumn("prev_max_us", max("bmax").over(wPrev))
+      .select("bucket", "prev_max_us")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("event_id").rowsBetween(Long.MinValue, -1)
+    bucketed.join(broadcast(prefix), "bucket")
+      .withColumn("wm_us", greatest(max("ts_us").over(wIn), col("prev_max_us")))
+      .withColumn("late",
+        col("wm_us").isNotNull && col("ts_us") < col("wm_us") - horizonUs)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("late"), 0L).otherwise(1L)).as("n_kept"),
+        max(when(col("late"),
+          expr(s"(wm_us - $horizonUs - ts_us) div 1000000")).otherwise(0L))
+          .as("max_late_s"))
+      .select(col("window.start").as("bucket"), col("n_total"),
+        col("n_dropped"), col("n_kept"), col("max_late_s"))
+  }
+
+  /** Batch-equivalent driver query: 2-hour horizon, 32 range buckets. */
+  def qStreamLateData(spark: SparkSession, dir: String): DataFrame =
+    lateDataAccounting(Tables.events(spark, dir), 7200L, 32)
+      .orderBy("bucket")
 }

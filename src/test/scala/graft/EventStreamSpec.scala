@@ -36,6 +36,54 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("watermark drops late rows; lateDataAccounting reproduces the classification") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    // arrival plan (event_id = arrival order): the wm-advancing events sit
+    // in EARLIER micro-batches than the late arrivals they doom, so the
+    // per-event replay and the engine's per-batch watermark agree exactly
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+      .writeStream.format("memory").queryName("late_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, t("10:00")), (1L, t("10:10"))); q.processAllAvailable()
+      mem.addData((2L, t("14:00"))); q.processAllAvailable() // wm -> 12:00
+      // 11:00 is below the 12:00 watermark -> dropped; 13:30 is kept
+      mem.addData((3L, t("11:00")), (4L, t("13:30"))); q.processAllAvailable()
+      mem.addData((5L, t("20:00"))); q.processAllAvailable() // wm -> 18:00
+      // 13:40 is below the 18:00 watermark -> dropped (its window already
+      // finalized at n=1 — a kept row would re-emit the 13:00 window)
+      mem.addData((6L, t("13:40")), (7L, t("19:30"))); q.processAllAvailable()
+      val emitted = spark.table("late_counts").as[(java.sql.Timestamp, Long)]
+        .collect().toMap
+      assert(emitted == Map(t("10:00") -> 2L, t("13:00") -> 1L, t("14:00") -> 1L),
+        s"engine emitted $emitted")
+    } finally q.stop()
+    // the batch replay must classify exactly the same two drops, with
+    // exact lateness — and the distributed prefix max (3 uneven buckets)
+    // must agree with the naive single-window definition
+    val events = Seq(
+      (0L, t("10:00")), (1L, t("10:10")), (2L, t("14:00")), (3L, t("11:00")),
+      (4L, t("13:30")), (5L, t("20:00")), (6L, t("13:40")), (7L, t("19:30")))
+      .toDF("event_id", "ts")
+    val out = EventStreams.lateDataAccounting(events, 7200L, 3)
+      .orderBy("bucket")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (t("10:00"), 2L, 0L, 2L, 0L),
+      (t("11:00"), 1L, 1L, 0L, 3600L),
+      (t("13:00"), 2L, 1L, 1L, 15600L),
+      (t("14:00"), 1L, 0L, 1L, 0L),
+      (t("19:00"), 1L, 0L, 1L, 0L),
+      (t("20:00"), 1L, 0L, 1L, 0L)), s"got $out")
+  }
+
   test("streaming top-k leaderboard converges to the batch result") {
     // complete output mode: the sink holds the whole bounded-k result and
     // is rewritten each trigger — after the last micro-batch it must equal

@@ -142,6 +142,47 @@ class RelationalSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("AQE skew-join split fires on a planted skewed key distribution") {
+    // closes the q_skew_diagnose -> strategy-choice story with a PLAN
+    // contract: when diagnostics say "skewed", the AQE path must actually
+    // split the skewed partition at runtime (VERDICT r6 ask #5)
+    val overrides = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512KB",
+      // force sort-merge: both static and AQE runtime broadcast off
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key owns 250k of 300k padded rows -> its shuffle
+      // partition is ~40 MB vs ~2 MB median under 4 shuffle partitions
+      // pad must be row-dependent AND incompressible: a literal pad
+      // constant-folds out of the shuffle entirely, and a repetitive one
+      // lz4-compresses below the skew threshold (skew detection reads
+      // COMPRESSED map-output sizes) — hashes do neither
+      val big = spark.range(300000).select(
+        when(col("id") < 250000, 0L).otherwise(col("id") % 64).as("k"),
+        col("id").as("v"),
+        repeat(sha2(col("id").cast("string"), 256), 4).as("pad"))
+      val dim = spark.range(64).select(col("id").as("k"), col("id").as("w"))
+      // global partial aggregate: requires no output distribution, so
+      // OptimizeSkewedJoin is free to split (an agg keyed on k would
+      // suppress the split to preserve partitioning)
+      val out = big.join(dim, "k").agg(sum(length(col("pad"))).as("bytes"))
+      assert(out.collect().head.getLong(0) == 300000L * 256)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire:\n${plan.linesIterator.take(40).mkString("\n")}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = planOf(Relational.q1PricingSummary(spark, SfDir))
     assert(plan.contains("PushedFilters") &&
