@@ -39,7 +39,12 @@ object ScalingBench {
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",
     "embed_label_centroids", "embed_neardup_cosine", "embed_project_rand",
     "ann_topk_brute",
+    // the registered ann entries gate recall on a bounded <= 64-query
+    // sample (linear by construction); the *_full rows measure the
+    // ranked searches over the FULL planted query set — the serving
+    // shape whose slope the index capacities exist to keep flat
     "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivfpq",
+    "ann_topk_lsh_full", "ann_topk_ivf_full", "ann_topk_ivfpq_full",
     // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
     // inverted index (hot-shingle risk) and the budget-constrained
     // selection's driver-histogram boundary
@@ -86,6 +91,18 @@ object ScalingBench {
     "q_sessionize", "q_event_funnel")
 
   private val family = docFamily ++ relFamily
+
+  /** Scaling-only measurement rows that are not registered driver
+    * queries: the full-query-set ranked ANN searches (the registered
+    * gate entries sample <= 64 queries, so their slopes no longer price
+    * the all-queries serving shape). */
+  private val extraFns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_lsh_full" ->
+      ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.annTopkLshRanked(s, d)),
+    "ann_topk_ivf_full" ->
+      ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.annTopkIvfRanked(s, d)),
+    "ann_topk_ivfpq_full" ->
+      ((s: SparkSession, d: String) => graft.similarity.SimilarityOps.annTopkIvfPqRanked(s, d)))
 
   /** Write k-fold amplified documents+embeddings under outDir. */
   def amplify(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
@@ -206,7 +223,7 @@ object ScalingBench {
       Tables.lineitem(spark, dir).write.format("noop").mode("overwrite").save()
       Tables.orders(spark, dir).write.format("noop").mode("overwrite").save()
       for (name <- family if only.forall(_.contains(name))) {
-        val fn = SparkEntry.queries(name)
+        val fn = extraFns.getOrElse(name, SparkEntry.queries(name))
         System.gc()
         val t = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

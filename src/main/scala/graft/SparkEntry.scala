@@ -151,6 +151,7 @@ object SparkEntry {
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
     "mm_resize"           -> (graft.multimodal.MultimodalOps.qMmResize _),
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
+    "mm_scene_cut"        -> (graft.multimodal.MultimodalOps.qMmSceneCut _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
@@ -1212,21 +1213,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
         |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the ANN tolerance gates (VERDICT r6 ask #2): the Spark side computes
-    // exact brute top-10 recall in-plan and emits booleans; the oracle
-    // asserts them literally TRUE for every planted query — recall floors
-    // measured via graft.RecallProbe, documented at the thresholds
+    // exact brute top-10 recall in-plan over a bounded deterministic
+    // query sample (<= 64 — the gate must stay LINEAR in corpus size)
+    // and emits booleans; the oracle reproduces the sample with the same
+    // id arithmetic and asserts the booleans literally TRUE — recall
+    // floors measured via graft.RecallProbe, documented at the thresholds
     "ann_topk_lsh" ->
-      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
         |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     "ann_topk_ivf" ->
-      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
         |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     "ann_topk_ivfpq" ->
-      """SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
         |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY query_id""".stripMargin,
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     "q_cards_text_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,
@@ -1689,6 +1698,21 @@ object SparkEntry {
         |FROM f, range(144) s(k)
         |WHERE s.k < W * H * 3
         |GROUP BY 1,2,3,4 ORDER BY doc_id, frame_idx""".stripMargin,
+    // adjacent-frame differences over the scene-structured container:
+    // both rasters are id arithmetic, so every |a-b| sum and the cut
+    // boolean replay exactly — the Spark side must decode real BMP
+    // frames out of the walked container to reproduce them
+    "mm_scene_cut" ->
+      """WITH p AS (
+        |  SELECT d.doc_id, t.f, s.k,
+        |    (d.doc_id * 31 + (t.f // 3) * 1000 + (t.f % 3) * 7 + s.k) % 256 AS a,
+        |    (d.doc_id * 31 + ((t.f + 1) // 3) * 1000 + ((t.f + 1) % 3) * 7 + s.k) % 256 AS b
+        |  FROM documents d, range(8) t(f), range(96) s(k))
+        |SELECT doc_id, f AS frame_from, f + 1 AS frame_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(a - b)) AS BIGINT) AS diff_sum,
+        |  SUM(ABS(a - b)) > 31 * COUNT(*) AS is_cut
+        |FROM p GROUP BY 1, 2, 3 ORDER BY doc_id, frame_from""".stripMargin,
     "mm_image_stats" ->
       """SELECT d.doc_id,
         |  t.k % (CASE d.doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END) AS channel,

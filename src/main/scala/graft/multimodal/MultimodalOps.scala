@@ -647,6 +647,69 @@ object MultimodalOps {
     Right(out.result())
   }
 
+  /** Scene-structured multi-frame container: 3 scenes x 3 frames, 8x4
+    * RGB BMPs concatenated. Scene s frame j's raster is
+    * `(id·31 + s·1000 + j·7 + k) mod 256` — within a scene adjacent
+    * frames differ by a small constant byte shift (a gentle visual
+    * delta), across a scene boundary the shift is large (a hard cut). */
+  private[graft] def buildSceneContainer(id: Long): Array[Byte] = {
+    val w = 8; val h = 4
+    (0 until 9).map { f =>
+      val px = Array.tabulate(w * h * 3)(k =>
+        ((id * 31 + (f / 3) * 1000 + (f % 3) * 7 + k) % 256).toByte)
+      ImageCodec.encodeBmp(ImageCodec.Image(w, h, 3, px))
+    }.reduce(_ ++ _)
+  }
+
+  /** One adjacent-frame difference record. */
+  case class SceneCut(doc_id: Long, frame_from: Long, frame_to: Long,
+      n_samples: Long, diff_sum: Long, is_cut: Boolean)
+
+  /** Scene-cut detection — the shot-segmentation step of a video
+    * training-data pipeline (sample one representative frame per scene
+    * instead of a blind stride): walk the multi-frame container, decode
+    * adjacent frames, and compare their rasters by summed absolute
+    * sample difference; a pair whose mean difference exceeds the cut
+    * threshold (31 levels) is a scene boundary. Exact bounds on this
+    * corpus: a within-scene pair (byte shift +7) means at most 24.7
+    * levels (7 for non-wrapping samples, 249 for the <=7 wrapping ones)
+    * and a cross-scene pair (shift +218 mod 256) at least 38 — the
+    * threshold sits in the gap — and because the rasters are id
+    * arithmetic, the DuckDB oracle recomputes every diff_sum and cut
+    * decision exactly. Per-row mapPartitions compute, embarrassingly
+    * parallel; only ADJACENT pairs are compared (linear in frames,
+    * never all-pairs). */
+  def qMmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          batch.flatMap { id =>
+            val frames = splitFrames(buildSceneContainer(id))
+              .fold(e => sys.error(s"doc $id: container walk failed: $e"), identity)
+              .map(bytes => ImageCodec.decodeBmp(bytes)
+                .fold(e => sys.error(s"doc $id frame failed to decode: $e"), img => img))
+            frames.iterator.zip(frames.iterator.drop(1)).zipWithIndex.map {
+              case ((a, b), f) =>
+                var sum = 0L
+                var k = 0
+                while (k < a.pixels.length) {
+                  sum += math.abs((a.pixels(k) & 0xff) - (b.pixels(k) & 0xff))
+                  k += 1
+                }
+                SceneCut(id, f.toLong, (f + 1).toLong, a.pixels.length.toLong,
+                  sum, sum > 31L * a.pixels.length)
+            }.toSeq
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_from")
+  }
+
   /** One sampled-and-decoded frame record. */
   case class SampledFrame(doc_id: Long, frame_idx: Long, width: Long,
       height: Long, pixel_sum: Long)

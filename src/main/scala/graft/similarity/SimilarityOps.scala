@@ -184,6 +184,30 @@ object SimilarityOps {
   private[graft] def bruteTruthForProbe(spark: SparkSession, dir: String): DataFrame =
     bruteTruthTop10(spark, dir)
 
+  /** Recall gates run on a BOUNDED deterministic query sample (<= 64):
+    * brute truth costs O(gatedQueries x corpus), and the planted query
+    * set grows WITH the corpus, so gating every query would make the
+    * registered entries quadratic at scale (ScalingBench measured ivfpq
+    * slope 0.59 -> 0.89 when the all-queries gate briefly stood).
+    * Production recall monitoring samples its query set for exactly this
+    * reason. The sample is pure id arithmetic — (vec_id div 25) mod
+    * stride — so the DuckDB oracle reproduces it with a scalar
+    * subquery; the full-query ranked searches remain exercised by specs
+    * and by ScalingBench's *_full rows. */
+  private val GateQueryCap = 64L
+
+  private[graft] def gateStride(spark: SparkSession, dir: String): Long = {
+    val nq = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 25 === 0).count()
+    math.max(1L, (nq + GateQueryCap - 1) / GateQueryCap)
+  }
+
+  /** Predicate selecting the gated query sample from a planted-query-id
+    * column (ids are source + 1e6 with source % 25 == 0; the division is
+    * exact, floor+cast only guards the double `/`). */
+  private def inGateSample(queryId: Column, stride: Long): Column =
+    pmod(floor((queryId - 1000000L) / 25L).cast("long"), lit(stride)) === 0
+
   /** Tolerance gate for the ANN variants (VERDICT r6 ask #2, the
     * `q_approx_distinct` / `text_heavy_hitters` pattern): the exact
     * brute top-10 is computed alongside the approximate ranking IN-PLAN,
@@ -199,8 +223,9 @@ object SimilarityOps {
     * are set from [[graft.RecallProbe]] measurements at sf0.001 and
     * sf0.01 with margin. */
   private def recallGate(spark: SparkSession, dir: String, ranked: DataFrame,
-      minMeanRecallPct: Int): DataFrame = {
+      minMeanRecallPct: Int, queryStride: Long): DataFrame = {
     val truth = bruteTruthTop10(spark, dir)
+      .filter(inGateSample(col("query_id"), queryStride))
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
     val perQuery = ranked
       .join(truth, Seq("query_id", "vec_id"), "left")
@@ -227,10 +252,12 @@ object SimilarityOps {
     * all-pairs comparison. A scaled near-duplicate has identical sign
     * pattern in every table, so true near-dup recall is 1 by construction
     * (asserted in SimilaritySpec); random far pairs rarely collide. */
-  def annTopkLshRanked(spark: SparkSession, dir: String): DataFrame = {
+  def annTopkLshRanked(spark: SparkSession, dir: String,
+      queryStride: Long = 1L): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
     val bucketed = signBucketed(base, lshBits(corpusSize(spark, dir)))
     val queries = bucketed.filter(col("vec_id") >= 1000000L)
+      .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"), col("bucket"))
     val cands = bucketed.filter(col("vec_id") < 1000000L)
       .join(queries, Seq("table", "bucket"))
@@ -243,8 +270,10 @@ object SimilarityOps {
   /** Driver-contract LSH entry: the ranked search through the
     * [[recallGate]]. Scaled duplicates collide in every table, so both
     * booleans hold with margin (thresholds measured in SimilaritySpec). */
-  def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame =
-    recallGate(spark, dir, annTopkLshRanked(spark, dir), LshMinMeanRecallPct)
+  def qAnnTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    recallGate(spark, dir, annTopkLshRanked(spark, dir, st), LshMinMeanRecallPct, st)
+  }
 
   /** Measured-floor MEAN-recall thresholds (percent of the brute
     * top-10), from [[graft.RecallProbe]]: lsh means 37 (sf0.001) / 41
@@ -366,12 +395,14 @@ object SimilarityOps {
     * standard recall/throughput dial (IVF from the FAISS lineage) next to
     * qAnnTopkLsh's hash variant.
     * Planted-dup recall asserted in SimilaritySpec. */
-  def annTopkIvfRanked(spark: SparkSession, dir: String): DataFrame = {
+  def annTopkIvfRanked(spark: SparkSession, dir: String,
+      queryStride: Long = 1L): DataFrame = {
     val k = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
     val (cells, assigned) = ivfIndex(spark, dir, k)
     // probe list: nProbe nearest centroids per query by L2
     val queries = assigned.filter(col("vec_id") >= 1000000L)
+      .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
       GraftFunctions.dotProduct(col("qvec"), col("cvec")) * 2.0 + col("cnorm")
@@ -388,8 +419,10 @@ object SimilarityOps {
 
   /** Driver-contract IVF entry: the ranked search through the
     * [[recallGate]]. */
-  def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame =
-    recallGate(spark, dir, annTopkIvfRanked(spark, dir), IvfMinMeanRecallPct)
+  def qAnnTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    recallGate(spark, dir, annTopkIvfRanked(spark, dir, st), IvfMinMeanRecallPct, st)
+  }
 
   /** Int8 quantization of the embedding column — the storage/transfer
     * compression step of an embedding pipeline: q[i] = round(x[i] /
@@ -528,11 +561,13 @@ object SimilarityOps {
     * stays on disk; the serving working set is the code table at a ~32x
     * compression. Output contract matches the other ann entries;
     * SimilaritySpec gates planted-recall and shortlist behavior. */
-  def annTopkIvfPqRanked(spark: SparkSession, dir: String): DataFrame = {
+  def annTopkIvfPqRanked(spark: SparkSession, dir: String,
+      queryStride: Long = 1L): DataFrame = {
     val kCells = ivfCells(corpusSize(spark, dir))
     val nProbe = 4
     val (cells, assigned) = ivfIndex(spark, dir, kCells)
     val queries = assigned.filter(col("vec_id") >= 1000000L)
+      .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
       GraftFunctions.dotProduct(col("qvec"), col("cvec")) * 2.0 + col("cnorm")
@@ -575,8 +610,10 @@ object SimilarityOps {
 
   /** Driver-contract IVF+PQ entry: the ranked search through the
     * [[recallGate]]. */
-  def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame =
-    recallGate(spark, dir, annTopkIvfPqRanked(spark, dir), IvfPqMinMeanRecallPct)
+  def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    recallGate(spark, dir, annTopkIvfPqRanked(spark, dir, st), IvfPqMinMeanRecallPct, st)
+  }
 
   /** Random-projection dimensionality reduction (64 → 8), the standard
     * pre-ANN / visualization step of an embedding pipeline, composed with

@@ -119,6 +119,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scene-cut detection flags exactly the scene boundaries") {
+    val rows = MultimodalOps.qMmSceneCut(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length == 8, s"doc $id: ${rs.length} adjacent pairs for 9 frames")
+      // scenes are frames {0,1,2},{3,4,5},{6,7,8}: cuts at 2->3 and 5->6
+      val cuts = rs.filter(_.getBoolean(5)).map(_.getLong(1)).sorted.toSeq
+      assert(cuts == Seq(2L, 5L), s"doc $id flagged cuts at $cuts")
+    }
+    // diff_sum matches a driver-side recompute from the raster arithmetic
+    rows.filter(_.getLong(0) < 5).foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1).toInt)
+      val want = (0 until 96).map { k =>
+        val a = (id * 31 + (f / 3) * 1000 + (f % 3) * 7 + k) % 256
+        val b = (id * 31 + ((f + 1) / 3) * 1000 + ((f + 1) % 3) * 7 + k) % 256
+        math.abs(a - b)
+      }.sum
+      assert(r.getLong(4) == want, s"doc $id pair $f: ${r.getLong(4)} != $want")
+    }
+  }
+
   test("binary stats match the payload bytes") {
     val row = MultimodalOps.qMmBinaryStats(spark, SfDir).head()
     val text = Tables.documents(spark, SfDir)
