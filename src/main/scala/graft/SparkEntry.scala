@@ -143,6 +143,7 @@ object SparkEntry {
     "text_rare_word_ratio" -> (graft.text.TextOps.qRareWordRatio _),
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
+    "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
@@ -1353,6 +1354,21 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mixture reweighting: per-source token mass vs the uniform target
+    // share, all floor-division integer arithmetic
+    "text_domain_mix" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               count(*) AS n_sources FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |  total_tokens // n_sources AS target_tokens,
+        |  least(1000000, (total_tokens // n_sources) * 1000000 // n_tokens) AS keep_rate_ppm,
+        |  n_tokens * least(1000000, (total_tokens // n_sources) * 1000000 // n_tokens) // 1000000
+        |    AS expected_tokens
+        |FROM ps, tot ORDER BY source""".stripMargin,
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id,

@@ -78,6 +78,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Data-mixture reweighting — the domain-balancing step of a training
+    * pipeline (keep one crawl from dominating the mix): per-source token
+    * mass vs the uniform target share, emitting the keep-rate each
+    * source needs. Over-represented sources get `keep_rate_ppm =
+    * target/actual`; under-represented sources cap at 1.0 (never
+    * upsample). Integer ppm / floor-division arithmetic end-to-end so
+    * the DuckDB oracle reproduces every value exactly.
+    *
+    * Scale shape: one map-side partial-agg `groupBy(source)` reduces
+    * the corpus to a per-source frame; the global totals come back as a
+    * broadcast scalar (the q11/q15 broadcast-scalar pattern) — no
+    * window over the corpus and no driver collect. */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSource.join(broadcast(totals), lit(true))
+      .withColumn("target_tokens", expr("total_tokens div n_sources"))
+      .withColumn("keep_rate_ppm",
+        least(lit(1000000L), expr("target_tokens * 1000000 div n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("keep_rate_ppm"),
+        expr("n_tokens * keep_rate_ppm div 1000000").as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Budget-constrained data selection — pick the highest-quality docs
     * until a token budget (10% of corpus tokens) is exhausted, the data-
     * mixing step that turns quality scores into an actual training set.

@@ -52,6 +52,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: rates bounded, under-share sources kept whole, math exact") {
+    val rows = TextOps.qDomainMix(spark, SfDir).collect()
+    assert(rows.length >= 2, "corpus has a single source — mixture test vacuous")
+    val total = rows.map(_.getLong(2)).sum
+    val target = total / rows.length
+    rows.foreach { r =>
+      val (nTok, tgt, rate, exp) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tgt == target, s"${r.getString(0)} target $tgt != $target")
+      assert(rate >= 1 && rate <= 1000000L, s"${r.getString(0)} rate $rate")
+      // under-represented sources are kept whole; over-represented ones
+      // land at/under the target after reweighting
+      if (nTok <= target) assert(rate == 1000000L, s"${r.getString(0)} downsampled an under-share source")
+      else assert(exp <= target, s"${r.getString(0)} expected $exp > target $target")
+      assert(exp == nTok * rate / 1000000L)
+    }
+  }
+
   test("repetition ratio: hand-built docs get exact basis points; corpus is non-vacuous") {
     import spark.implicits._
     val out = TextOps.qRepetitionRatio(spark, SfDir)
