@@ -53,6 +53,9 @@ object ScalingBench {
     // graph, the distributed prefix sum, and the bigram inverted index
     "embed_cluster_dedup", "text_pack_sequences", "text_bigram_novelty",
     "text_fulltext_search", "text_heavy_hitters",
+    // round-7: mixture reweighting (one partial-agg groupBy + broadcast
+    // scalar — should be flat-to-linear)
+    "text_domain_mix",
     // JPEG entropy decode is per-row compute (encode+decode per doc, no
     // joins) — its slope row documents that the mapPartitions seam stays
     // linear. mm_phash_neardup is deliberately NOT here: replica doc_id
@@ -88,7 +91,10 @@ object ScalingBench {
     // per user, gap logic) and the ordered funnel (per-user sequence
     // match) — both must stay linear as events grow at fixed per-user
     // density
-    "q_sessionize", "q_event_funnel")
+    "q_sessionize", "q_event_funnel",
+    // round-7: the arrival-order watermark replay — its distributed
+    // prefix max (bucketed parallel windows) is the scale claim to test
+    "stream_late_data")
 
   private val family = docFamily ++ relFamily
 
