@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A reference ETL semantics
     "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
+    "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
     "upsert_scd2_history"      -> (MergeOps.qUpsertScd2History _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "mm_frame_sample"     -> (graft.multimodal.MultimodalOps.qMmFrameSample _),
     "mm_scene_cut"        -> (graft.multimodal.MultimodalOps.qMmSceneCut _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
+    "mm_audio_energy"     -> (graft.multimodal.MultimodalOps.qMmAudioEnergy _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
@@ -171,6 +173,23 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // CDC replay: the oracle takes the last (ts, event_id)-ordered op per
+    // user with a window and drops keys whose final op is a DELETE; the
+    // Spark side must reach the same state through its max(struct) agg
+    "upsert_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 17 = 0 THEN 'D'
+        |         WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |last AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  op AS last_op, round(value, 2) AS value
+        |FROM last WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin,
     "upsert_latest_wins" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice,2) AS o_totalprice, o_orderdate
         |FROM orders WHERE o_orderkey % 10 <> 0
@@ -1538,6 +1557,31 @@ object SparkEntry {
         |  (octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000000
         |    // (8000 + (doc_id % 5) * 4000) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // windowed PCM energy replayed from byte arithmetic: sample s's two
+    // little-endian bytes are (id*31 + 2s) and (id*31 + 2s + 1) mod 256,
+    // int16 sign handled explicitly — the Spark side must chunk-walk to
+    // the data offset and decode real signed samples to reproduce it
+    "mm_audio_energy" ->
+      """WITH p AS (
+        |  SELECT d.doc_id, 1 + d.doc_id % 2 AS ch, w.i AS window_idx,
+        |    c.i AS channel, j.i AS j
+        |  FROM documents d, range(8) w(i), range(2) c(i), range(64) j(i)
+        |  WHERE c.i < 1 + d.doc_id % 2
+        |    AND w.i < (512 // (1 + d.doc_id % 2)) // 64),
+        |s AS (
+        |  SELECT doc_id, channel, window_idx,
+        |    (doc_id * 31 + ((window_idx * 64 + j) * ch + channel) * 2) % 256
+        |      + 256 * ((doc_id * 31 + ((window_idx * 64 + j) * ch + channel) * 2 + 1) % 256)
+        |      AS raw
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, channel, window_idx,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        |  FROM s)
+        |SELECT doc_id, channel, window_idx, count(*) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the decoded-pixel aggregate recomputed from pure arithmetic: the
     // raster is (doc_id*31 + k) mod 256 by construction, so DuckDB can
     // replay the sum over a lateral range() without any image library —

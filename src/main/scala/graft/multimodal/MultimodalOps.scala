@@ -257,19 +257,19 @@ object MultimodalOps {
     out.array()
   }
 
-  /** Parse a WAV header by REAL chunk walking (not fixed offsets): verify
-    * RIFF/WAVE magic, then scan chunks (honoring the odd-size pad byte)
-    * until both `fmt ` and `data` are seen. Returns
-    * (sampleRate, channels, bitsPerSample, dataLen), or None for
-    * non-WAV / truncated input. */
-  private[graft] def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  /** Parse a WAV container by REAL chunk walking (not fixed offsets):
+    * verify RIFF/WAVE magic, then scan chunks (honoring the odd-size pad
+    * byte) until both `fmt ` and `data` are seen. Returns
+    * (sampleRate, channels, bitsPerSample, dataOffset, dataLen), or None
+    * for non-WAV / truncated input. */
+  private[graft] def parseWavChunks(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
     var i = 12
     var fmt: Option[(Int, Int, Int)] = None
-    var dataLen: Option[Long] = None
-    while ((fmt.isEmpty || dataLen.isEmpty) && i + 8 <= bytes.length) {
+    var data: Option[(Int, Long)] = None
+    while ((fmt.isEmpty || data.isEmpty) && i + 8 <= bytes.length) {
       val id = fourcc(i)
       val size = buf.getInt(i + 4)
       // Long arithmetic: a corrupted size near Int.MaxValue would overflow
@@ -278,11 +278,15 @@ object MultimodalOps {
       if (id == "fmt " && size >= 16)
         fmt = Some((buf.getInt(i + 12), buf.getShort(i + 10).toInt, buf.getShort(i + 22).toInt))
       else if (id == "data")
-        dataLen = Some(size.toLong)
+        data = Some((i + 8, size.toLong))
       i += 8 + size + (size & 1) // chunks are word-aligned: odd sizes pad
     }
-    for ((rate, ch, bits) <- fmt; n <- dataLen) yield (rate, ch, bits, n)
+    for ((rate, ch, bits) <- fmt; (off, n) <- data) yield (rate, ch, bits, off, n)
   }
+
+  /** Header-only view of [[parseWavChunks]] (metadata pass). */
+  private[graft] def parseWavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    parseWavChunks(bytes).map { case (r, c, b, _, n) => (r, c, b, n) }
 
   /** One parsed audio record. */
   case class AudioMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
@@ -314,6 +318,64 @@ object MultimodalOps {
       }
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** One audio-energy window record. */
+  case class AudioEnergy(doc_id: Long, channel: Long, window_idx: Long,
+      n_samples: Long, sum_sq: Long, peak_abs: Long)
+
+  /** Windowed audio energy over REAL decoded PCM — the feature-extraction
+    * stage downstream of [[qMmAudioMeta]] (silence trimming / VAD /
+    * loudness normalization all start from per-window energy): each doc
+    * gets a genuine WAV container around 1024 bytes of id-arithmetic PCM,
+    * the chunk walker locates the data chunk by offset (never a fixed-44
+    * assumption), 16-bit little-endian SIGNED samples are decoded per
+    * interleaved channel, and every 64-frame window emits its exact
+    * integer energy (sum of squares — RMS without the sqrt, so engines
+    * cannot disagree) and peak amplitude. The DuckDB oracle recomputes
+    * every value from the byte arithmetic, so the container walk, the
+    * int16 decode (sign handling included), the channel de-interleave,
+    * and the windowing are all inside the hash gate. Same batched
+    * mapPartitions seam as the image decoders. */
+  def qMmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(32).flatMap { batch =>
+          batch.flatMap { id =>
+            val ch = 1 + (id % 2).toInt
+            val pcm = Array.tabulate(1024)(k => ((id * 31 + k) % 256).toByte)
+            val wav = buildWav(8000 + (id % 5).toInt * 4000, ch, 16, pcm)
+            val (_, pCh, bits, dataOff, dataLen) = parseWavChunks(wav)
+              .getOrElse(sys.error(s"self-built WAV failed to parse for doc $id"))
+            require(pCh == ch && bits == 16, s"doc $id: parsed fmt drifted")
+            val frames = (dataLen / (2 * ch)).toInt
+            val winFrames = 64
+            (0 until frames / winFrames).flatMap { w =>
+              (0 until ch).map { c =>
+                var sumSq = 0L
+                var peak = 0L
+                var j = 0
+                while (j < winFrames) {
+                  val s = ((w * winFrames + j) * ch + c) * 2
+                  val lo = wav(dataOff + s) & 0xff
+                  val hi = wav(dataOff + s + 1)
+                  val v = (lo | (hi << 8)) // hi is SIGNED: sign extends
+                  sumSq += v.toLong * v
+                  if (math.abs(v) > peak) peak = math.abs(v).toLong
+                  j += 1
+                }
+                AudioEnergy(id, c.toLong, w.toLong, winFrames.toLong, sumSq, peak)
+              }
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "channel", "window_idx")
   }
 
   /** One fully-decoded image record (REAL pixels, not a stub). */

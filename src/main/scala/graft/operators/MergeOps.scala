@@ -62,7 +62,46 @@ object MergeOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** CDC apply — replay an ordered change log (op ∈ I/U/D per key) into
+    * final table state: the ingestion shape a Delta/Hudi-style MERGE
+    * serves, and the missing third of the upsert family (upsert inserts
+    * and updates; CDC also DELETES). The latest op per key wins by
+    * (tsCol, seqCol); a terminal D removes the key entirely. One
+    * partial-aggregated groupBy via max(struct(...)) — map-side combine
+    * reduces each key to one candidate per task, so the shuffle carries
+    * ~|keys| rows, never a window sort over the log. */
+  def cdcApply(log: DataFrame, keys: Seq[String], tsCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val rest = log.columns.filterNot(c =>
+      keys.contains(c) || c == tsCol || c == seqCol || c == opCol).toSeq
+    val ordered = struct(
+      (col(tsCol) +: col(seqCol) +: col(opCol) +: rest.map(col)): _*)
+    log.groupBy(keys.map(col): _*)
+      .agg(max(ordered).as("__last"))
+      .filter(col(s"__last.$opCol") =!= "D")
+      .select(keys.map(col) ++
+        (tsCol +: seqCol +: opCol +: rest).map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   // ---- driver-contract queries over the testdata ----
+
+  /** CDC apply over a change log synthesized from events: op derives
+    * from event_id (every 17th a DELETE, every 3rd an INSERT, the rest
+    * UPDATEs), ordered by (ts, event_id) per user. Users whose LAST
+    * change is a delete vanish from the final state — the semantics an
+    * upsert-only merge cannot express. */
+  def qUpsertCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_id") % 17 === 0, "D")
+        .when(col("event_id") % 3 === 0, "I").otherwise("U").as("op"),
+      col("value"))
+    cdcApply(log, Seq("user_id"), "ts", "event_id", "op")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("op").as("last_op"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
 
   /** SCD2 over synthesized order versions: every 10th order gets a second
     * version (status flip) a day later; history shows both intervals. */

@@ -188,6 +188,28 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.table("dedup_out").select("event_id").distinct().count() == n)
   }
 
+  test("CDC apply: terminal deletes remove keys, delete-then-update resurrects") {
+    import graft.operators.MergeOps
+    import spark.implicits._
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:00:$s%02d")
+    val log = Seq(
+      // key 1: I then U — survives with the U row's value
+      (1L, t(1), 10L, "I", 1.0), (1L, t(2), 11L, "U", 2.0),
+      // key 2: I then D — must vanish entirely
+      (2L, t(1), 20L, "I", 3.0), (2L, t(3), 21L, "D", 0.0),
+      // key 3: D then a LATER I — resurrected
+      (3L, t(1), 30L, "D", 0.0), (3L, t(4), 31L, "I", 4.0),
+      // key 4: same-ts tie broken by seq — the higher event_id wins
+      (4L, t(5), 40L, "U", 5.0), (4L, t(5), 41L, "D", 0.0)
+    ).toDF("user_id", "ts", "event_id", "op", "value")
+    val out = MergeOps.cdcApply(log, Seq("user_id"), "ts", "event_id", "op")
+      .orderBy("user_id")
+      .select("user_id", "event_id", "op", "value")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, 11L, "U", 2.0), (3L, 31L, "I", 4.0)),
+      s"CDC final state drifted: $out")
+  }
+
   test("streaming upsert sink converges to batch last-write-wins per key") {
     import graft.operators.MergeOps
     val events = Tables.events(spark, SfDir)

@@ -162,6 +162,47 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.parseWavHeader(wav.take(20)).isEmpty) // truncated
   }
 
+  test("audio energy decodes signed PCM correctly even behind extra chunks") {
+    // a hand-built stereo signal with known samples: frame f carries
+    // (+f*3, -f*3) — energy and peak are exactly computable
+    val ch = 2; val frames = 128
+    val data = new Array[Byte](frames * ch * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (f <- 0 until frames) { bb.putShort((f * 3).toShort); bb.putShort((-f * 3).toShort) }
+    val wav = MultimodalOps.buildWav(16000, ch, 16, data)
+    // splice an unknown chunk BEFORE data: the offset must come from the
+    // walk, not a fixed-44 assumption
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = wav.take(12) ++ extra ++ wav.drop(12)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 36 + extra.length + data.length)
+    val (_, pCh, bits, off, len) = MultimodalOps.parseWavChunks(spliced).get
+    assert((pCh, bits, len) == ((2, 16, data.length.toLong)))
+    // decode samples from the walked offset and check both channels
+    for (f <- 0 until frames; c <- 0 until ch) {
+      val p = off + (f * ch + c) * 2
+      val v = (spliced(p) & 0xff) | (spliced(p + 1) << 8)
+      val want = if (c == 0) f * 3 else -f * 3
+      assert(v == want, s"frame $f ch $c: $v != $want")
+    }
+    // and the registered query matches a driver-side recompute
+    val rows = MultimodalOps.qMmAudioEnergy(spark, SfDir).limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, c, w) = (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt)
+      val nCh = 1 + (id % 2).toInt
+      var sumSq = 0L; var peak = 0L
+      for (j <- 0 until 64) {
+        val s = ((w * 64 + j) * nCh + c) * 2
+        val raw = ((id * 31 + s) % 256 + 256 * ((id * 31 + s + 1) % 256)).toInt
+        val v = if (raw >= 32768) raw - 65536 else raw
+        sumSq += v.toLong * v; peak = math.max(peak, math.abs(v).toLong)
+      }
+      assert(r.getLong(4) == sumSq, s"doc $id ch $c win $w sum_sq")
+      assert(r.getLong(5) == peak, s"doc $id ch $c win $w peak")
+    }
+  }
+
   // ---- real pixel decode (ImageCodec) ----
 
   import graft.multimodal.ImageCodec
