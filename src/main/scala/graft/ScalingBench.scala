@@ -94,7 +94,10 @@ object ScalingBench {
     "q_sessionize", "q_event_funnel",
     // round-7: the arrival-order watermark replay — its distributed
     // prefix max (bucketed parallel windows) is the scale claim to test
-    "stream_late_data")
+    "stream_late_data",
+    // round-7: delete-capable CDC replay — one max(struct) groupBy over
+    // the log; map-side combine should keep it linear-to-flat
+    "upsert_cdc_apply")
 
   private val family = docFamily ++ relFamily
 

@@ -42,6 +42,15 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL with no query impl: ${orphans.mkString(", ")}")
   }
 
+  test("every registered query is oracle-gated (zero rows-only entries)") {
+    // round 7 closed the last rows-only entries (ANN recall gates, real
+    // multimodal kernels); this pins the invariant so a future entry
+    // cannot silently ship without a driver-verifiable oracle
+    val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(ungated.isEmpty,
+      s"registered queries without a DuckDB oracle: ${ungated.mkString(", ")}")
+  }
+
   test("every oracle-gated query is non-vacuous at sf0.001") {
     // A filter matching zero rows hash-matches an empty oracle result and
     // passes the gate without verifying anything — so every oracle-gated
