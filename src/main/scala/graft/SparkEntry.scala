@@ -172,6 +172,44 @@ object SparkEntry {
     "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _)
   )
 
+  /** Shared oracle bodies — one string, referenced per entry, so a
+    * threshold or schema change cannot silently diverge one variant. */
+  private val AnnGateOracle =
+    """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin
+
+  /** The synthesized cards corpus regenerated from range(): shared by the
+    * in-memory ingest and the JSON-file / CSV / ORC source-parity entries
+    * (identical pipeline + projection — a mismatch isolates the source). */
+  private val CardsIngestOracle =
+    """SELECT
+        |  'card-' || CAST(i AS VARCHAR) AS id,
+        |  'Card ' || CAST(i AS VARCHAR) AS name,
+        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
+        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
+        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
+        |    END AS DATE) AS released_date,
+        |  CASE WHEN i % 11 = 0 THEN 'weird'
+        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
+        |           'class','case','saga','adventure','mutate','prototype','battle',
+        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
+        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
+        |    END AS layout,
+        |  i % 11 <> 0 AS layout_valid,
+        |  CAST(i % 12 AS DOUBLE) AS cmc,
+        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
+        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
+        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
+        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
+        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
+        |  CAST(i % 5 + 1 AS INT) AS n_colors,
+        |  CAST(i % 20000 AS INT) AS edhrec_rank,
+        |  CAST(2 AS INT) AS n_faces
+        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // CDC replay: the oracle takes the last (ts, event_id)-ordered op per
     // user with a window and drops keys whose final op is a DELETE; the
@@ -859,114 +897,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed
-    "ingest_json_cards" ->
-      """SELECT
-        |  'card-' || CAST(i AS VARCHAR) AS id,
-        |  'Card ' || CAST(i AS VARCHAR) AS name,
-        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
-        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
-        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
-        |    END AS DATE) AS released_date,
-        |  CASE WHEN i % 11 = 0 THEN 'weird'
-        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
-        |           'class','case','saga','adventure','mutate','prototype','battle',
-        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
-        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
-        |    END AS layout,
-        |  i % 11 <> 0 AS layout_valid,
-        |  CAST(i % 12 AS DOUBLE) AS cmc,
-        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
-        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
-        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
-        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
-        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
-        |  CAST(i % 5 + 1 AS INT) AS n_colors,
-        |  CAST(i % 20000 AS INT) AS edhrec_rank,
-        |  CAST(2 AS INT) AS n_faces
-        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    "ingest_json_cards" -> CardsIngestOracle,
     // the file path reads the SAME 500 cards back from disk (plus 5
     // corrupt lines the PERMISSIVE policy must drop), so its oracle is
     // identical to ingest_json_cards — a hash mismatch means the file
     // scan, split handling, or corrupt-record policy broke
-    "ingest_json_cards_file" ->
-      """SELECT
-        |  'card-' || CAST(i AS VARCHAR) AS id,
-        |  'Card ' || CAST(i AS VARCHAR) AS name,
-        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
-        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
-        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
-        |    END AS DATE) AS released_date,
-        |  CASE WHEN i % 11 = 0 THEN 'weird'
-        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
-        |           'class','case','saga','adventure','mutate','prototype','battle',
-        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
-        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
-        |    END AS layout,
-        |  i % 11 <> 0 AS layout_valid,
-        |  CAST(i % 12 AS DOUBLE) AS cmc,
-        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
-        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
-        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
-        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
-        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
-        |  CAST(i % 5 + 1 AS INT) AS n_colors,
-        |  CAST(i % 20000 AS INT) AS edhrec_rank,
-        |  CAST(2 AS INT) AS n_faces
-        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    "ingest_json_cards_file" -> CardsIngestOracle,
     // identical corpus read back from CSV (scalars typed, nested
     // columns as JSON strings, 5 malformed lines dropped by PERMISSIVE)
     // and from ORC (full nested schema native) — same oracle as the
     // JSON file path, so a mismatch isolates the source implementation
-    "ingest_csv_cards" ->
-      """SELECT
-        |  'card-' || CAST(i AS VARCHAR) AS id,
-        |  'Card ' || CAST(i AS VARCHAR) AS name,
-        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
-        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
-        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
-        |    END AS DATE) AS released_date,
-        |  CASE WHEN i % 11 = 0 THEN 'weird'
-        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
-        |           'class','case','saga','adventure','mutate','prototype','battle',
-        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
-        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
-        |    END AS layout,
-        |  i % 11 <> 0 AS layout_valid,
-        |  CAST(i % 12 AS DOUBLE) AS cmc,
-        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
-        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
-        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
-        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
-        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
-        |  CAST(i % 5 + 1 AS INT) AS n_colors,
-        |  CAST(i % 20000 AS INT) AS edhrec_rank,
-        |  CAST(2 AS INT) AS n_faces
-        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
-    "ingest_orc_cards" ->
-      """SELECT
-        |  'card-' || CAST(i AS VARCHAR) AS id,
-        |  'Card ' || CAST(i AS VARCHAR) AS name,
-        |  TRY_CAST(CASE WHEN i % 7 = 0 THEN 'not-a-date'
-        |    ELSE '19' || lpad(CAST(i % 30 + 70 AS VARCHAR), 2, '0')
-        |         || '-0' || CAST(i % 9 + 1 AS VARCHAR) || '-1' || CAST(i % 9 AS VARCHAR)
-        |    END AS DATE) AS released_date,
-        |  CASE WHEN i % 11 = 0 THEN 'weird'
-        |    ELSE (['normal','split','flip','transform','modal_dfc','meld','leveler',
-        |           'class','case','saga','adventure','mutate','prototype','battle',
-        |           'planar','scheme','vanguard','token','double_faced_token','emblem',
-        |           'augment','host','art_series','reversible_card'])[CAST(i % 24 AS INT) + 1]
-        |    END AS layout,
-        |  i % 11 <> 0 AS layout_valid,
-        |  CAST(i % 12 AS DOUBLE) AS cmc,
-        |  CASE WHEN i % 5 = 0 THEN NULL ELSE (i % 300) * 100 + (i % 100) END AS price_cents,
-        |  CASE WHEN i % 3 = 0 THEN 'https://img/face_' || CAST(i AS VARCHAR) || '_0.jpg'
-        |       ELSE 'https://img/card_' || CAST(i AS VARCHAR) || '.jpg' END AS image_normal,
-        |  'S' || CAST(i % 40 AS VARCHAR) AS set_code,
-        |  (['common','uncommon','rare','mythic'])[CAST(i % 4 AS INT) + 1] AS rarity,
-        |  CAST(i % 5 + 1 AS INT) AS n_colors,
-        |  CAST(i % 20000 AS INT) AS edhrec_rank,
-        |  CAST(2 AS INT) AS n_faces
-        |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    "ingest_csv_cards" -> CardsIngestOracle,
+    "ingest_orc_cards" -> CardsIngestOracle,
     "ingest_json_sets" ->
       """SELECT
         |  'setid-' || CAST(i AS VARCHAR) AS id,
@@ -1238,24 +1180,9 @@ object SparkEntry {
     // and emits booleans; the oracle reproduces the sample with the same
     // id arithmetic and asserts the booleans literally TRUE — recall
     // floors measured via graft.RecallProbe, documented at the thresholds
-    "ann_topk_lsh" ->
-      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
-        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
-        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
-        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
-    "ann_topk_ivf" ->
-      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
-        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
-        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
-        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
-    "ann_topk_ivfpq" ->
-      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
-        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
-        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
-        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
-        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
+    "ann_topk_lsh" -> AnnGateOracle,
+    "ann_topk_ivf" -> AnnGateOracle,
+    "ann_topk_ivfpq" -> AnnGateOracle,
     "q_cards_text_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,
@@ -1381,13 +1308,19 @@ object SparkEntry {
         |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |               count(*) AS n_sources FROM ps)
-        |SELECT source, n_docs, n_tokens,
-        |  total_tokens // n_sources AS target_tokens,
-        |  least(1000000, (total_tokens // n_sources) * 1000000 // n_tokens) AS keep_rate_ppm,
-        |  n_tokens * least(1000000, (total_tokens // n_sources) * 1000000 // n_tokens) // 1000000
-        |    AS expected_tokens
-        |FROM ps, tot ORDER BY source""".stripMargin,
+        |               count(*) AS n_sources FROM ps),
+        |tg AS (SELECT ps.*, total_tokens // n_sources AS t FROM ps, tot),
+        |-- overflow-safe floor(t*1e6/n): q1*1000 + (r1*1000)//n with
+        |-- q1 = (t*1000)//n, r1 = (t*1000)%n — mirrors the Spark side
+        |rt AS (SELECT tg.*, least(1000000,
+        |         (t * 1000 // n_tokens) * 1000
+        |           + ((t * 1000 % n_tokens) * 1000) // n_tokens) AS rate
+        |       FROM tg)
+        |SELECT source, n_docs, n_tokens, t AS target_tokens,
+        |  CAST(rate AS BIGINT) AS keep_rate_ppm,
+        |  CAST((n_tokens // 1000000) * rate
+        |    + ((n_tokens % 1000000) * rate) // 1000000 AS BIGINT) AS expected_tokens
+        |FROM rt ORDER BY source""".stripMargin,
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id,

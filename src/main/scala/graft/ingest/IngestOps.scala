@@ -540,16 +540,8 @@ object IngestOps {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(rawCardsJsonDir(spark))
-    ingestParsedCards(
-      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
-      .select(
-        col("id"), col("name"), col("released_date"), col("layout"),
-        col("layout_valid"), col("cmc"),
-        (col("price_usd") * 100).cast("bigint").as("price_cents"),
-        col("image_normal"),
-        col("set").as("set_code"), col("rarity"), size(col("colors")).as("n_colors"),
-        col("edhrec_rank"), col("n_faces"))
-      .orderBy("id")
+    ingestProjection(ingestParsedCards(
+      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")))
   }
 
   // ---- CSV / ORC file-source ingest parity (VERDICT r6 ask #3) ----
@@ -593,7 +585,9 @@ object IngestOps {
 
   /** Once-per-JVM CSV materialization of the corpus: typed scalars +
     * JSON-encoded nested columns, several part files, plus one part file
-    * of malformed rows (unterminated quote) the PERMISSIVE policy must
+    * of malformed rows (a non-numeric token planted in the typed `cmc`
+    * column — a column the queries READ, because the parser only detects
+    * corruption in columns it converts) that the PERMISSIVE policy must
     * shunt into `_corrupt_record` rather than fail the scan. */
   def rawCardsCsvDir(spark: SparkSession): String =
     csvDirMemo.computeIfAbsent(

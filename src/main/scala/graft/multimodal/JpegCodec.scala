@@ -118,7 +118,7 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  private final class Component(val id: Int, var h: Int, var v: Int, val tq: Int) {
+  private final class Component(val id: Int, val h: Int, val v: Int, val tq: Int) {
     var dcTab: HuffTable = _
     var acTab: HuffTable = _
     var pred: Int = 0
@@ -343,14 +343,21 @@ object JpegCodec {
     Left("jpeg: no SOS marker")
   }
 
-  private def decodeScan(bytes: Array[Byte], scanStart: Int, comps: Array[Component],
+  private def decodeScan(bytes: Array[Byte], scanStart: Int, frameComps: Array[Component],
       quant: Array[Array[Int]], w: Int, h: Int, restartInterval: Int): Either[String, Image] = {
     // T.81 A.2: a single-component scan is NON-interleaved — one data
     // unit per MCU, block counts from the component's own dimensions.
     // Declared sampling factors are meaningless in a one-component frame
     // (libjpeg effectively ignores them); honoring them would desync the
-    // MCU walk on a grayscale JPEG declaring e.g. 2x2 factors.
-    if (comps.length == 1) { comps(0).h = 1; comps(0).v = 1 }
+    // MCU walk on a grayscale JPEG declaring e.g. 2x2 factors. Use a
+    // CORRECTED COPY so the frame's declared metadata stays immutable.
+    val comps =
+      if (frameComps.length == 1 && (frameComps(0).h != 1 || frameComps(0).v != 1)) {
+        val c = frameComps(0)
+        val c1 = new Component(c.id, 1, 1, c.tq)
+        c1.dcTab = c.dcTab; c1.acTab = c.acTab
+        Array(c1)
+      } else frameComps
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)

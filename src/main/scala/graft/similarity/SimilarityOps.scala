@@ -169,10 +169,17 @@ object SimilarityOps {
 
   /** Exact brute-force top-10 truth for the planted query set — the
     * recall denominator every ANN gate wrapper compares against. Same
-    * broadcast-queries + bounded-heap shape as [[qAnnTopkBrute]]. */
-  private def bruteTruthTop10(spark: SparkSession, dir: String): DataFrame = {
+    * broadcast-queries + bounded-heap shape as [[qAnnTopkBrute]]. The
+    * stride filter is applied to the QUERIES FRAME AT THE SOURCE: a
+    * post-hoc filter above [[rankedTop10]] cannot push below the custom
+    * TopKPerGroupPlan node, so it would score corpus x ALL queries and
+    * silently reintroduce the quadratic the sample exists to remove
+    * (caught by review; toy bench sizes masked it). */
+  private def bruteTruthTop10(spark: SparkSession, dir: String,
+      queryStride: Long = 1L): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
     val queries = base.filter(col("vec_id") >= 1000000L)
+      .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val corpus = base.filter(col("vec_id") < 1000000L)
     rankedTop10(corpus.join(broadcast(queries), lit(true))
@@ -196,11 +203,15 @@ object SimilarityOps {
     * and by ScalingBench's *_full rows. */
   private val GateQueryCap = 64L
 
-  private[graft] def gateStride(spark: SparkSession, dir: String): Long = {
-    val nq = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 25 === 0).count()
-    math.max(1L, (nq + GateQueryCap - 1) / GateQueryCap)
-  }
+  private val gateStrideMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def gateStride(spark: SparkSession, dir: String): Long =
+    gateStrideMemo.computeIfAbsent(graft.SessionCache.dirKey(dir), _ => {
+      val nq = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 25 === 0).count()
+      math.max(1L, (nq + GateQueryCap - 1) / GateQueryCap)
+    }).longValue()
 
   /** Predicate selecting the gated query sample from a planted-query-id
     * column (ids are source + 1e6 with source % 25 == 0; the division is
@@ -224,8 +235,7 @@ object SimilarityOps {
     * sf0.01 with margin. */
   private def recallGate(spark: SparkSession, dir: String, ranked: DataFrame,
       minMeanRecallPct: Int, queryStride: Long): DataFrame = {
-    val truth = bruteTruthTop10(spark, dir)
-      .filter(inGateSample(col("query_id"), queryStride))
+    val truth = bruteTruthTop10(spark, dir, queryStride)
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
     val perQuery = ranked
       .join(truth, Seq("query_id", "vec_id"), "left")

@@ -390,7 +390,10 @@ object EventStreams {
     val horizonUs = horizonS * 1000000L
     val ev = events.select(col("event_id"), col("ts"),
       expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
-    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val maxIdRow = ev.agg(max("event_id")).head()
+    // empty input: max() is null — fall through with width 1 so the
+    // pipeline yields an empty result instead of an opaque NPE
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
     val width = maxId / nBuckets + 1
     val bucketed = ev.withColumn("bucket", expr(s"event_id div $width"))
     val wPrev = org.apache.spark.sql.expressions.Window

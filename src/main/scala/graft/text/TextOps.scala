@@ -99,11 +99,22 @@ object TextOps {
       sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
     perSource.join(broadcast(totals), lit(true))
       .withColumn("target_tokens", expr("total_tokens div n_sources"))
+      // floor(t*1e6/n) WITHOUT the t*1e6 intermediate (which overflows
+      // Long past ~9.2e12 tokens — and Spark wraps silently where DuckDB
+      // errors): split 1e6 = 1000*1000 and carry the exact remainder,
+      //   floor(t*1e6/n) = q1*1000 + floor((r1*1000)/n),
+      //   q1 = (t*1000) div n, r1 = (t*1000) mod n  (< n)
+      // — exact for t, n up to ~9.2e15 tokens (~36 PB of text)
       .withColumn("keep_rate_ppm",
-        least(lit(1000000L), expr("target_tokens * 1000000 div n_tokens")))
+        least(lit(1000000L), expr(
+          "(target_tokens * 1000 div n_tokens) * 1000" +
+            " + ((target_tokens * 1000 % n_tokens) * 1000) div n_tokens")))
+      // same trick for floor(n*rate/1e6): rate <= 1e6, so split n instead
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("keep_rate_ppm"),
-        expr("n_tokens * keep_rate_ppm div 1000000").as("expected_tokens"))
+        expr("(n_tokens div 1000000) * keep_rate_ppm" +
+          " + ((n_tokens % 1000000) * keep_rate_ppm) div 1000000")
+          .as("expected_tokens"))
       .orderBy("source")
   }
 
