@@ -69,6 +69,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain-mix rate arithmetic is overflow-safe and exact at petabyte token counts") {
+    import spark.implicits._
+    // the quotient/remainder decomposition must equal BigInt truth right
+    // up to its documented ~9.2e15-token domain (t*1e6 would overflow
+    // Long past ~9.2e12 — the review finding the decomposition fixes)
+    val cases = Seq(
+      (9200000000000000L, 9100000000000000L), // ~9.2e15: near the domain edge
+      (12345678901234L, 98765432109876L),     // ~1e13/1e14: past the naive overflow
+      (98765432109876L, 12345678901234L),     // over-share: must cap at 1e6
+      (1L, 3L), (500L, 499L), (7L, 7L))
+    cases.foreach { case (t, n) =>
+      val rate = Seq((t, n)).toDF("target_tokens", "n_tokens")
+        .selectExpr("least(1000000, (target_tokens * 1000 div n_tokens) * 1000" +
+          " + ((target_tokens * 1000 % n_tokens) * 1000) div n_tokens) AS rate")
+        .head().getLong(0)
+      val wantRate = (BigInt(t) * 1000000 / BigInt(n)).min(BigInt(1000000))
+      assert(BigInt(rate) == wantRate, s"rate t=$t n=$n: $rate != $wantRate")
+      val exp = Seq((n, rate)).toDF("n_tokens", "rate")
+        .selectExpr("(n_tokens div 1000000) * rate" +
+          " + ((n_tokens % 1000000) * rate) div 1000000 AS e")
+        .head().getLong(0)
+      assert(BigInt(exp) == BigInt(n) * BigInt(rate) / 1000000,
+        s"expected_tokens t=$t n=$n")
+    }
+  }
+
   test("repetition ratio: hand-built docs get exact basis points; corpus is non-vacuous") {
     import spark.implicits._
     val out = TextOps.qRepetitionRatio(spark, SfDir)
