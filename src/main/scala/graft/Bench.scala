@@ -76,6 +76,24 @@ object Bench {
     val total = results.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only the LAST ~2000 chars of stdout, so when the
+    // full per-query map pushes the line past that, the FRONT — where the
+    // total sits — is what truncation eats (BENCH_r07.json parsed null).
+    // Emit a second, tail-safe summary line that always fits: the total
+    // plus as many of the slowest queries as a conservative char budget
+    // allows, with an explicit count of what was omitted.
+    if (line.length > 1900) {
+      val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":{"""
+      val budget = 1800 - head.length
+      val kept = scala.collection.mutable.ListBuffer.empty[String]
+      var used = 0
+      results.sortBy(-_._2).foreach { case (k, v) =>
+        val frag = "\"" + k + f"""\":$v%.3f"""
+        if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
+      }
+      val omitted = results.size - kept.size
+      println(head + kept.mkString(",") + s"""},"queries_omitted":$omitted}""")
+    }
     // the driver's captured tail truncates at 2000 chars, which loses the
     // alphabetically-first queries AND the total; persist the full line
     // ourselves so every round's numbers survive in-repo. The default

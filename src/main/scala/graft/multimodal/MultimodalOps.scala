@@ -56,9 +56,13 @@ object MultimodalOps {
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
       // PNG: IHDR is always the first chunk; width/height at offsets 16/20
       (u32(16), u32(20), 1)
-    } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
-      // BMP: BITMAPINFOHEADER width/height at offsets 18/22 (LE; negative
-      // height = top-down storage, the dimension is its magnitude)
+    } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
+      le32(14) == 40 && le32(18) > 0) {
+      // BMP: require the BITMAPINFOHEADER size field (offset 14) == 40 and
+      // a positive width before trusting the 'BM' magic — arbitrary text
+      // starting with "BM" must fall through to the stub, not yield
+      // garbage dims. Width/height at offsets 18/22 (LE; negative height =
+      // top-down storage, the dimension is its magnitude).
       (le32(18), math.abs(le32(22)), 1)
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       // JPEG: walk marker segments to the first SOFn frame header
@@ -631,10 +635,14 @@ object MultimodalOps {
       .select(col("doc_id").cast("long"))
       .as[Long]
       .mapPartitions { it =>
-        // writer instances are not thread-safe: one per partition,
-        // disposed when the partition's iterator is exhausted (the ++
-        // tail runs after the last element on long-lived executors)
+        // writer instances are not thread-safe: one per partition. Dispose
+        // via a task-completion listener so cleanup runs on both normal
+        // completion AND task abort / downstream limit — an iterator-tail
+        // dispose only fires when the partition is fully consumed, which
+        // leaks native writer state on long-lived executors.
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => writer.dispose())
         val param = writer.getDefaultWriteParam
         param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         param.setCompressionQuality(1.0f)
@@ -668,7 +676,12 @@ object MultimodalOps {
               decoded.channels.toLong, decoded.pixels.length.toLong,
               decoded.pixels.foldLeft(0L)((s, b) => s + (b & 0xff)))
           }
-        } ++ { writer.dispose(); Iterator.empty }
+        } ++ {
+          // outside a Spark task (plain iterator consumption in specs)
+          // there is no completion listener — fall back to exhaust-dispose
+          if (tc == null) writer.dispose()
+          Iterator.empty
+        }
       }
       .toDF()
       .orderBy("doc_id")

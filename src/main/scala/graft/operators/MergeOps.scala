@@ -69,7 +69,17 @@ object MergeOps {
     * (tsCol, seqCol); a terminal D removes the key entirely. One
     * partial-aggregated groupBy via max(struct(...)) — map-side combine
     * reduces each key to one candidate per task, so the shuffle carries
-    * ~|keys| rows, never a window sort over the log. */
+    * ~|keys| rows, never a window sort over the log.
+    *
+    * PRECONDITION: (tsCol, seqCol) must uniquely order the log within
+    * each key. On a (ts, seq) tie the struct comparison silently
+    * continues into opCol and then every payload column in declaration
+    * order — a lexical tie-break ('U' > 'I' > 'D', then arbitrary
+    * values) that no other engine's "latest row wins" replay matches
+    * (a row_number-based merge picks an unspecified row on ties). A log
+    * whose sequence column is a genuine per-key monotonic id (an LSN, a
+    * Kafka offset, an event id) satisfies this by construction; one
+    * that doesn't must first be de-duplicated on (keys, tsCol, seqCol). */
   def cdcApply(log: DataFrame, keys: Seq[String], tsCol: String,
       seqCol: String, opCol: String): DataFrame = {
     val rest = log.columns.filterNot(c =>

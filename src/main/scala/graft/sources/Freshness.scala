@@ -28,4 +28,20 @@ object Freshness {
     case Some(l) if l.isBefore(remote)     => Refresh
     case Some(_)                           => UpToDate
   }
+
+  /** One bulk-data catalog entry — the three fields the reference reads
+    * from each item of the bulk-data API payload
+    * (import_cards.py:296-316: `type`, `updated_at`, `download_uri`). */
+  final case class BulkEntry(tpe: String, updatedAt: Instant, downloadUri: String)
+
+  /** Bulk-type selection (import_cards.py:300-311): the user-facing
+    * desired type `all_prints` maps to the server-side catalog type
+    * `all_cards`; any other type matches verbatim; a desired type absent
+    * from the catalog is a loud error naming the USER-FACING type (the
+    * reference raises `RuntimeError(f"{BULK_DATA_TYPE} bulk data not
+    * found")` — with the original name, not the mapped one). */
+  def select(desired: String, catalog: Seq[BulkEntry]): Either[String, BulkEntry] = {
+    val mapped = if (desired == "all_prints") "all_cards" else desired
+    catalog.find(_.tpe == mapped).toRight(s"$desired bulk data not found")
+  }
 }

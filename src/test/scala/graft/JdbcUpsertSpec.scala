@@ -77,4 +77,23 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(Freshness.decide(Some(t1), t1) == Freshness.UpToDate)
     assert(Freshness.decide(Some(t1), t0) == Freshness.UpToDate)
   }
+
+  test("bulk-type selection mirrors the reference's desired-type mapping") {
+    val t = Instant.parse("2026-03-01T00:00:00Z")
+    val catalog = Seq(
+      Freshness.BulkEntry("oracle_cards", t, "https://example.invalid/oracle.json"),
+      Freshness.BulkEntry("unique_artwork", t, "https://example.invalid/art.json"),
+      Freshness.BulkEntry("all_cards", t, "https://example.invalid/all.json"))
+    // verbatim match
+    assert(Freshness.select("oracle_cards", catalog)
+      .exists(_.downloadUri.endsWith("oracle.json")))
+    // the reference's all_prints -> all_cards mapping (import_cards.py:300-307)
+    assert(Freshness.select("all_prints", catalog)
+      .exists(_.tpe == "all_cards"))
+    // missing type errors with the USER-FACING name, like the reference
+    assert(Freshness.select("default_cards", catalog) ==
+      Left("default_cards bulk data not found"))
+    assert(Freshness.select("all_prints", catalog.filterNot(_.tpe == "all_cards")) ==
+      Left("all_prints bulk data not found"))
+  }
 }
