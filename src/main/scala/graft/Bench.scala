@@ -21,7 +21,7 @@ object Bench {
     "q_count_distinct", "text_boilerplate_spans", "text_contamination",
     "text_repetition_ratio", "text_lang_id", "text_quality_score",
     "text_token_count", "text_rare_word_ratio", "dedup_simhash",
-    "ngram_jaccard")
+    "ngram_jaccard", "ngram_jaccard_countagg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

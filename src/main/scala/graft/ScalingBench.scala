@@ -33,7 +33,7 @@ object ScalingBench {
 
   private val docFamily = Seq(
     "dedup_exact", "dedup_normalized", "dedup_minhash_lsh", "dedup_simhash",
-    "ngram_jaccard", "ngram_jaccard_prefix", "dedup_clusters",
+    "ngram_jaccard", "ngram_jaccard_countagg", "dedup_clusters",
     "dedup_incremental", "doc_fingerprint",
     "text_token_count", "text_lang_id", "text_quality_score",
     "text_boilerplate_spans", "text_contamination", "text_rare_word_ratio",

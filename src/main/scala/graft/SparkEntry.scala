@@ -119,8 +119,11 @@ object SparkEntry {
     "dedup_clusters"      -> (graft.dedup.DedupOps.qDedupClusters _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
     "dedup_simhash"       -> (graft.dedup.DedupOps.qDedupSimhash _),
+    // ngram_jaccard is the AllPairs prefix-filtered miner (the scale-safe
+    // default since round 8); the count-aggregation form stays registered
+    // so its small-corpus fast path keeps an oracle row and a scaling slope
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
-    "ngram_jaccard_prefix" -> (graft.dedup.DedupOps.ngramJaccardPrefix _),
+    "ngram_jaccard_countagg" -> (graft.dedup.DedupOps.ngramJaccardCountAgg _),
     "dedup_containment"   -> (graft.dedup.DedupOps.qDedupContainment _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
@@ -1116,10 +1119,10 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
         |ORDER BY doc_a, doc_b""".stripMargin,
-    // the AllPairs prefix-filtered form is exact (DedupSpec asserts
-    // equality with the count-aggregation form), so it shares the same
-    // all-pairs oracle
-    "ngram_jaccard_prefix" ->
+    // the count-aggregation form is exact (DedupSpec asserts equality
+    // with the prefix-filtered default), so it shares the same all-pairs
+    // oracle
+    "ngram_jaccard_countagg" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s

