@@ -97,7 +97,11 @@ object ScalingBench {
     "stream_late_data",
     // round-7: delete-capable CDC replay — one max(struct) groupBy over
     // the log; map-side combine should keep it linear-to-flat
-    "upsert_cdc_apply")
+    "upsert_cdc_apply",
+    // round-8: the event-time skew profiling pass — two aggregations
+    // (hour buckets, then one row per distinct hour); same linear shape
+    // as upsert_cdc_apply
+    "q_time_skew_diagnose")
 
   private val family = docFamily ++ relFamily
 

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
     "q_skew_diagnose"     -> (JoinOps.qSkewDiagnose _),
+    "q_time_skew_diagnose" -> (JoinOps.qTimeSkewDiagnose _),
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
     "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
     "q_compact_read"      -> (Bucketing.qCompactRead _),
@@ -892,6 +893,17 @@ object SparkEntry {
         |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
         |  (SELECT top_keys FROM top) AS top_keys
         |FROM pk""".stripMargin,
+    "q_time_skew_diagnose" ->
+      """WITH pb AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt FROM events GROUP BY 1),
+        |top AS (SELECT string_agg(CAST(bucket AS VARCHAR), ',' ORDER BY cnt DESC, bucket) AS top_buckets
+        |        FROM (SELECT * FROM pb ORDER BY cnt DESC, bucket LIMIT 3))
+        |SELECT count(*) AS n_buckets,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(max(cnt) * count(*) * 1000000 // sum(cnt) AS BIGINT) AS skew_ppm,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top_share_ppm,
+        |  (SELECT top_buckets FROM top) AS top_buckets
+        |FROM pb""".stripMargin,
     // raw-table oracle: the shatter -> compact round-trip must be
     // row-for-row lossless
     "q_compact_read" ->

@@ -143,4 +143,34 @@ object JoinOps {
       .withColumn("top_share_ppm", expr("max_cnt * 1000000 DIV n_rows"))
       .crossJoin(broadcast(top))
   }
+
+  /** EVENT-TIME skew diagnostics — [[qSkewDiagnose]]'s temporal twin
+    * (VERDICT r7 stretch item): per-hour event-time bucket counts
+    * reduced to the same integer-exact distribution facts (bucket
+    * count, max/mean ratio in ppm, heaviest bucket's share) plus the
+    * top-3 hot hours in canonical order. This is the profiling pass
+    * that decides whether a windowed aggregation / watermark replay
+    * will hot-spot: a replay burst or clock-skewed producer puts most
+    * of the stream into one window, and the fix (finer buckets,
+    * repartition on a composite key, two-level window) is chosen from
+    * exactly these facts. Same two-aggregation shape — the second runs
+    * over one row per DISTINCT hour, the top-3 is a bounded
+    * TakeOrdered. Hot-hour ids travel as their canonical timestamp
+    * strings (both engines render 'yyyy-MM-dd HH:mm:ss'). */
+  def qTimeSkewDiagnose(spark: SparkSession, dir: String): DataFrame = {
+    val perBucket = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = perBucket.orderBy(col("cnt").desc, col("bucket")).limit(3)
+      .agg(expr("""concat_ws(',',
+        | transform(array_sort(collect_list(struct(-cnt AS nc, cast(bucket AS string) AS b))),
+        |   s -> s.b))""".stripMargin).as("top_buckets"))
+    perBucket.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .withColumn("skew_ppm", expr("max_cnt * n_buckets * 1000000 DIV n_rows"))
+      .withColumn("top_share_ppm", expr("max_cnt * 1000000 DIV n_rows"))
+      .crossJoin(broadcast(top))
+  }
 }

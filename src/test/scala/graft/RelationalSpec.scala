@@ -130,6 +130,27 @@ class RelationalSpec extends SparkSpec {
     assert(out.count() == 7 + Relational.qAntiJoin(spark, SfDir).count())
   }
 
+  test("event-time skew diagnostics report consistent integer facts") {
+    val r = graft.operators.JoinOps.qTimeSkewDiagnose(spark, SfDir).head()
+    val nBuckets = r.getAs[Long]("n_buckets")
+    val nRows = r.getAs[Long]("n_rows")
+    val maxCnt = r.getAs[Long]("max_cnt")
+    assert(nBuckets > 0 && maxCnt > 0 && nRows >= maxCnt)
+    // the facts must be mutually consistent with their definitions
+    assert(r.getAs[Long]("skew_ppm") == maxCnt * nBuckets * 1000000L / nRows)
+    assert(r.getAs[Long]("top_share_ppm") == maxCnt * 1000000L / nRows)
+    // n_rows is the full event count — no bucket drops rows
+    assert(nRows == Tables.events(spark, SfDir).count())
+    val top = r.getAs[String]("top_buckets").split(",")
+    assert(top.nonEmpty && top.length <= 3 && top.distinct.length == top.length)
+    // the reported hottest hour really is the max-count bucket
+    val perBucket = Tables.events(spark, SfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket")).count()
+      .orderBy(col("count").desc, col("bucket"))
+      .select(col("bucket").cast("string")).as[String].head()
+    assert(top.head == perBucket)
+  }
+
   test("row salt spreads a single hot key across all salt values") {
     val hot = Seq.fill(1000)(42L).toDF("k")
     val saltCounts = hot.withColumn("s", graft.operators.JoinOps.rowSalt(8))
