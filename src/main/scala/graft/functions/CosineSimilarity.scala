@@ -145,6 +145,8 @@ object GraftFunctions {
   def md5Hash64Array(tokens: Column): Column = toCol(Md5Hash64Array(toExpr(tokens)))
   def signBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     toCol(SignBuckets(toExpr(vec), planes))
+  def adcLookup(codes: Column, dt: Column, cells: Int): Column =
+    toCol(AdcLookup(toExpr(codes), toExpr(dt), cells))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -650,14 +650,16 @@ object SimilarityOps {
         (col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0).as("d"))
       .groupBy("query_id")
       .agg(expr("transform(array_sort(collect_list(struct(slot, d))), s -> s.d)").as("dt"))
-    // one row per candidate: ADC = sum over blocks of dt[b*16 + code[b]],
-    // fully inside whole-stage codegen
+    // one row per candidate: ADC = sum over blocks of dt[b*16 + code[b]]
+    // via the native codegen'd [[graft.functions.AdcLookup]] kernel — the
+    // earlier `aggregate()` HOF form ran interpreted per candidate (HOFs
+    // sit outside whole-stage codegen), and this stream is the plan's
+    // only O(queries x probed-corpus) volume (differential-tested
+    // against the HOF algebra in SimilaritySpec)
     val approx = cands
       .join(broadcast(dt), "query_id")
       .select(col("query_id"), col("vec_id"),
-        expr(s"""aggregate(sequence(0, ${PqBlocks - 1}), cast(0.0 as double),
-          |  (acc, b) -> acc + element_at(dt, b * $PqCells + element_at(codes, b + 1) + 1))"""
-          .stripMargin).as("__adc"))
+        GraftFunctions.adcLookup(col("codes"), col("dt"), PqCells).as("__adc"))
     // the exact-re-rank shortlist must grow with the candidate stream:
     // ADC error is per-candidate noise, so at a FIXED depth a 10x larger
     // probed set pushes true neighbors below the cut with growing

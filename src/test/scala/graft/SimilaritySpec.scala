@@ -92,6 +92,31 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall ${hits.toDouble / top1.length} of ${top1.length} planted queries")
   }
 
+  test("native adc_lookup matches the aggregate-HOF algebra bit-for-bit and rejects bad codes") {
+    GraftFunctions.register(spark)
+    // random-ish but deterministic codes/tables: 8 blocks x 16 cells
+    val rows = (0 until 200).map { i =>
+      val codes = Array.tabulate(8)(b => (i * 31 + b * 7) % 16)
+      val dt = Array.tabulate(128)(s => ((i * 13 + s * 97) % 1000) / 8.0 - 60.0)
+      (codes, dt)
+    }
+    val df = rows.toDF("codes", "dt")
+    val diffs = df.select(
+        GraftFunctions.adcLookup(col("codes"), col("dt"), 16).as("native"),
+        expr("""aggregate(sequence(0, 7), cast(0.0 as double),
+          | (acc, b) -> acc + element_at(dt, b * 16 + element_at(codes, b + 1) + 1))"""
+          .stripMargin).as("algebra"))
+      .filter(col("native") =!= col("algebra"))
+      .count()
+    assert(diffs == 0)
+    // out-of-range code must raise loudly, not return a plausible score
+    val bad = Seq((Array(0, 16), Array.fill(32)(0.0))).toDF("codes", "dt")
+    val e = intercept[Exception] {
+      bad.select(GraftFunctions.adcLookup(col("codes"), col("dt"), 16)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("IVF+PQ ANN recalls planted near-duplicates and agrees with exact rerank") {
     val out = SimilarityOps.annTopkIvfPqRanked(spark, SfDir)
     val rows = out.select(col("query_id"), col("rank"), col("vec_id"), col("cos_ppm"))
