@@ -35,6 +35,15 @@ object DedupOps {
   def hashedShingles(shingleCol: Column): Column =
     transform(shingleCol, s => xxhash64(s))
 
+  /** Distinct n-word shingle HASHES straight from the words array — the
+    * native fused [[graft.functions.ShingleHash64]] kernel, bit-identical
+    * to `hashedShingles(shinglesFromWords(words, n))` (differential-
+    * tested below in DedupSpec): the algebra form runs four nested
+    * higher-order functions interpreted per row, which was the dominant
+    * scan-side constant of every shingle miner. */
+  def shingleHashes(words: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingleHash64(words, n)
+
   /** MinHash signature over pre-hashed shingles — the native
     * [[graft.functions.MinHashSignature]] expression: one fused codegen
     * loop per row instead of k interpreted transform+array_min passes. */
@@ -137,7 +146,7 @@ object DedupOps {
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("words"), 3).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 64))
     val cands = lshCandidates(docs, "doc_id", "sig", 4)
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -315,7 +324,7 @@ object DedupOps {
     // cost — see Tables.spread
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
-      .select(col("doc_id"), hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("words"), 3).as("sh"))
 
   /** N-gram (3-word shingle) Jaccard pairs >= 0.5 — the DEFAULT pair
     * miner, delegating to the AllPairs prefix-filtered form
@@ -375,7 +384,7 @@ object DedupOps {
     def prep(df: DataFrame) = df
       .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("words"))
       .select(col("doc_id"), col("text"), xxhash64(col("text")).as("th"),
-        hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+        shingleHashes(col("words"), 3).as("sh"))
     val batch = prep(batchDocs)
     val base = prep(baseDocs)
     // the 8-byte hash is the SHUFFLE key; the raw text is the verifier —
@@ -441,8 +450,7 @@ object DedupOps {
         slice(col("words"), lit(1),
           greatest(expr("size(words) * 2 div 5"), lit(3))).as("words"))
     Tables.spread(spark, raw.unionByName(planted))
-      .select(col("doc_id"),
-        hashedShingles(shinglesFromWords(col("words"), 3)).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("words"), 3).as("sh"))
   }
 
   /** Containment pairs — the DEFAULT miner delegates to the prefix-

@@ -147,6 +147,8 @@ object GraftFunctions {
     toCol(SignBuckets(toExpr(vec), planes))
   def adcLookup(codes: Column, dt: Column, cells: Int): Column =
     toCol(AdcLookup(toExpr(codes), toExpr(dt), cells))
+  def shingleHash64(words: Column, n: Int): Column =
+    toCol(ShingleHash64(toExpr(words), n))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -63,6 +63,32 @@ class DedupSpec extends SparkSpec {
     assert(diffs == 0)
   }
 
+  test("native shingle_hash64 matches the algebra pipeline as a set incl. edge cases") {
+    // same distinct hash VALUES; the native kernel emits them sorted
+    // (no consumer depends on shingle order), so compare sorted arrays
+    def diffs(df: org.apache.spark.sql.DataFrame) = df.select(
+        array_sort(DedupOps.shingleHashes(col("words"), 3)).as("native"),
+        array_sort(DedupOps.hashedShingles(
+          DedupOps.shinglesFromWords(col("words"), 3))).as("algebra"))
+      .filter(not(col("native") <=> col("algebra"))).count()
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+    assert(diffs(docs) == 0)
+    // edge cases the slice/greatest algebra defines: empty array (one ""
+    // shingle), single word, exactly n words, repeated words (de-dup)
+    val edge = Seq(
+      Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+      Seq("a", "a", "a", "a"), Seq("x", "y", "x", "y", "x", "y"))
+      .toDF("words")
+    assert(diffs(edge) == 0)
+    // and the native output really is sorted distinct
+    val sortedOk = edge.unionByName(docs.select("words")).select(
+        (DedupOps.shingleHashes(col("words"), 3) ===
+          array_sort(array_distinct(DedupOps.shingleHashes(col("words"), 3)))).as("ok"))
+      .filter(not(col("ok"))).count()
+    assert(sortedOk == 0)
+  }
+
   test("simhash is deterministic across partitionings") {
     val a = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
     val b = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
