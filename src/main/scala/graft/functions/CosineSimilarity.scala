@@ -149,6 +149,8 @@ object GraftFunctions {
     toCol(AdcLookup(toExpr(codes), toExpr(dt), cells))
   def shingleHash64(words: Column, n: Int): Column =
     toCol(ShingleHash64(toExpr(words), n))
+  def randProject8(vec: Column): Column =
+    toCol(RandProject8(toExpr(vec)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -701,8 +701,22 @@ object SimilarityOps {
     projectQuantized(vectors(spark, dir)).orderBy("vec_id", "dim")
 
   /** Projection kernel over (vec_id, vec: array<double>) — factored out
-    * so specs can drive it with constructed corpora. */
+    * so specs can drive it with constructed corpora. The quantize +
+    * 8-way projection is the native fused
+    * [[graft.functions.RandProject8]] expression (one codegen'd pass per
+    * row); [[projectQuantizedAlgebra]] keeps the column-algebra form as
+    * its differential-test oracle. */
   private[graft] def projectQuantized(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        posexplode(graft.functions.GraftFunctions.randProject8(col("vec")))
+          .as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+
+  /** Column-algebra reference implementation of [[projectQuantized]] —
+    * 8 x dim interpreted lambda bindings per row; kept as the
+    * differential-test oracle for the native expression (SimilaritySpec
+    * asserts identical output). */
+  private[graft] def projectQuantizedAlgebra(df: DataFrame): DataFrame =
     df
       .withColumn("maxabs", array_max(transform(col("vec"), x => abs(x))))
       .withColumn("qvec",

@@ -504,15 +504,30 @@ object TextOps {
     * in corpus size; hot boilerplate bigrams are bounded by doc count and
     * AQE's skew-join split handles the join tail. */
   def qBigramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    // same bigram definition as [[bigrams]]/[[qNgramFreq]] (null for
-    // sub-2-token docs), de-duplicated per doc so the count is DOCUMENT
-    // frequency. df rides a count-over-window on the exploded stream
+    // same bigram SET as [[bigrams]]/[[qNgramFreq]] but keyed by the
+    // 64-bit shingle hash (the native [[graft.dedup.DedupOps
+    // .shingleHashes]] kernel, n=2, already distinct per doc): df only
+    // needs bigram EQUALITY, so the exploded stream and both shuffles
+    // carry 8-byte longs instead of rebuilt bigram strings, and the
+    // per-row shingle pass is one codegen'd kernel instead of an
+    // interpreted transform chain. Within-corpus xxhash64 collisions
+    // would merge two bigrams' df counts: expected colliding pairs =
+    // n_distinct^2 / 2^65 — ~3e-7 at this corpus, and still only ~1e-6
+    // relative novelty error at a 1e11-bigram (100 TB) corpus, noise for
+    // a df=1 novelty heuristic. The sub-2-token docs bigrams() nulls out
+    // are excluded by the size filter (shingleHashes would give them one
+    // whole-array shingle), keeping them on the left-join zero path.
+    // df rides a count-over-window on the exploded stream
     // (the qRareWordRatio pattern) — TWO shuffles (bigram key, then
     // doc_id) instead of the aggregate-then-join-back form's three.
-    val bgs = array_distinct(bigrams(wsTokens(col("text"))))
     val agg = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), explode_outer(bgs).as("g"))
-      .filter(col("g").isNotNull)
+      .select(col("doc_id"), wsTokens(col("text")).as("words"))
+      .filter(size(col("words")) >= 2)
+      // explode_outer dodges InferFiltersFromGenerate's size(...)>0
+      // pre-filter, which would re-evaluate the kernel (arrays are
+      // non-empty here anyway — n=2 over >=2 words)
+      .select(col("doc_id"),
+        explode_outer(graft.dedup.DedupOps.shingleHashes(col("words"), 2)).as("g"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_distinct_bigrams"),

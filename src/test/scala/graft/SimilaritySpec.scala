@@ -117,6 +117,33 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("native rand_project8 matches the quantize+fold algebra incl. halfway rounding") {
+    // real corpus: same (vec_id, dim, y) rows from both forms
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id", "dim").as[(Long, Long, Long)].collect().toSeq
+    val corpus = Tables.embeddings(spark, SfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    assert(rows(SimilarityOps.projectQuantized(corpus)) ==
+      rows(SimilarityOps.projectQuantizedAlgebra(corpus)))
+    // constructed edges: zero vector, single element, exact +/-.5 halfway
+    // quantization points (HALF_UP is away from zero: 63.5 -> 64,
+    // -63.5 -> -64), and sign mixes
+    val edge = Seq(
+      (1L, Array(0.0, 0.0, 0.0)),
+      (2L, Array(5.0)),
+      (3L, Array(63.5, 127.0)),
+      (4L, Array(-63.5, 127.0)),
+      (5L, Array(-0.5, -127.0, 126.5, 1.0)),
+      (6L, Array(-1.0, 0.25, 0.75))).toDF("vec_id", "vec")
+    assert(rows(SimilarityOps.projectQuantized(edge)) ==
+      rows(SimilarityOps.projectQuantizedAlgebra(edge)))
+    // the empty vector is undefined in the algebra form (array_max of an
+    // empty array is null); the kernel pins it to the all-zero projection
+    val empty = Seq((9L, Array.empty[Double])).toDF("vec_id", "vec")
+    assert(rows(SimilarityOps.projectQuantized(empty)) ==
+      (0L until 8L).map(d => (9L, d, 0L)))
+  }
+
   test("IVF+PQ ANN recalls planted near-duplicates and agrees with exact rerank") {
     val out = SimilarityOps.annTopkIvfPqRanked(spark, SfDir)
     val rows = out.select(col("query_id"), col("rank"), col("vec_id"), col("cos_ppm"))
