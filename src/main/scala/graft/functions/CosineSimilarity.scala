@@ -151,6 +151,8 @@ object GraftFunctions {
     toCol(ShingleHash64(toExpr(words), n))
   def randProject8(vec: Column): Column =
     toCol(RandProject8(toExpr(vec)))
+  def rollingHashFp(text: Column): Column =
+    toCol(RollingHashFp(toExpr(text)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -196,21 +196,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Rolling-hash document fingerprint: polynomial hash over the character
-    * stream, mod 1e9+7 (stays in exact long range at every step). Pure
-    * higher-order-function fold — per-row, no shuffle. */
+  /** Rolling-hash document fingerprint: polynomial hash over the
+    * code-point stream, mod 1e9+7 (stays in exact long range at every
+    * step). Per-row, no shuffle — the native codegen'd
+    * [[graft.functions.RollingHashFp]] kernel;
+    * [[docFingerprintAlgebra]] keeps the HOF fold as its
+    * differential-test oracle. */
   def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(split(text, ''), c -> ascii(c)),
-            |  cast(0 as bigint),
-            |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-        ).as("fingerprint")
-      )
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHashFp(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Column-algebra reference implementation of the fingerprint fold —
+    * two per-row arrays plus an interpreted per-character fold; kept as
+    * the differential-test oracle for the native expression
+    * (TextOpsSpec asserts bit-identical output). */
+  private[graft] def docFingerprintAlgebra(text: Column): Column =
+    expr(
+      """aggregate(
+        |  transform(split(text, ''), c -> ascii(c)),
+        |  cast(0 as bigint),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
 
   /** PII scrubbing — standard training-data redaction pass: emails, then
     * URLs, then long digit runs (phone/account numbers), replaced with

@@ -15,6 +15,22 @@ class TextOpsSpec extends SparkSpec {
     assert(fps == n, s"fingerprint collisions: $fps distinct for $n texts")
   }
 
+  test("native rolling_hash_fp matches the split/ascii fold incl. non-ASCII") {
+    import spark.implicits._
+    def diffs(df: org.apache.spark.sql.DataFrame) = df.select(
+        graft.functions.GraftFunctions.rollingHashFp(col("text")).as("native"),
+        TextOps.docFingerprintAlgebra(col("text")).as("algebra"))
+      .filter(col("native") =!= col("algebra")).count()
+    assert(diffs(Tables.documents(spark, SfDir).select("text")) == 0)
+    // edges: empty text (split('') gives one "" element, ascii 0 — hash
+    // 0), 1 char, 2-byte (u-umlaut) / 3-byte (CJK) sequences, an astral
+    // pair (surrogates stay one code point), and mixes
+    val edge = Seq("", "a", "ü", "中文 text", "a😀b",
+      "mixed é中😀 tail", " leading and trailing ")
+      .toDF("text")
+    assert(diffs(edge) == 0)
+  }
+
   test("bigrams of sub-2-token docs are empty, not a runtime error") {
     import spark.implicits._
     val out = Seq("solo", "", "  ", "two words", "a b c")
