@@ -83,10 +83,24 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) array columns as
-    * integer counts — callers compare `2 * inter >= union` etc. so no
-    * float division is involved. */
+  /** Exact Jaccard similarity of two SORTED-DISTINCT long-array columns
+    * ([[shingleHashes]] outputs) as integer counts — callers compare
+    * `2 * inter >= union` etc. so no float division is involved. The
+    * intersection count is the native allocation-free merge
+    * [[graft.functions.SortedIntersectCount]] (raises on unsorted
+    * input); [[jaccardCountsAlgebra]] keeps the generic array_intersect
+    * form as its differential-test oracle. */
   def jaccardCounts(a: Column, b: Column): (Column, Column) = {
+    val inter = graft.functions.GraftFunctions.sortedIntersectCount(a, b)
+    val union = size(a) + size(b) - inter
+    (inter, union)
+  }
+
+  /** Generic-order reference implementation of [[jaccardCounts]] — a
+    * boxed hash set plus a materialized intersection array per pair;
+    * kept as the differential-test oracle for the native merge
+    * (DedupSpec asserts identical counts). */
+  def jaccardCountsAlgebra(a: Column, b: Column): (Column, Column) = {
     val inter = size(array_intersect(a, b))
     val union = size(a) + size(b) - inter
     (inter, union)
@@ -152,11 +166,16 @@ object DedupOps {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val (inter, union) = jaccardCounts(col("sh_a"), col("sh_b"))
+    // the threshold rides the verify JOIN's condition (verify-before-
+    // exchange): phrased as 3*inter >= |A|+|B| (== 2*inter >= union) so
+    // the condition carries ONE merge-kernel occurrence, not two — the
+    // per-candidate hot path is the condition; the (inter, union)
+    // projection only runs on survivors
     cands
       .join(a, "doc_a").join(b, "doc_b")
+      .filter(inter * 3 >= size(col("sh_a")) + size(col("sh_b")))
       .withColumn("inter_n", inter.cast("long"))
       .withColumn("union_n", union.cast("long"))
-      .filter(col("inter_n") * 2 >= col("union_n"))
       .select("doc_a", "doc_b", "inter_n", "union_n")
       .orderBy("doc_a", "doc_b")
   }
@@ -518,7 +537,9 @@ object DedupOps {
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(broadcast(cands), Seq("doc_a"))
       .join(b, Seq("doc_b"))
-      .withColumn("inter_n", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter_n",
+        graft.functions.GraftFunctions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
       .filter(col("inter_n") * 5 >= least(col("n_a"), col("n_b")) * 4)
@@ -568,11 +589,15 @@ object DedupOps {
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val (inter, union) = jaccardCounts(col("sh_a"), col("sh_b"))
+    // threshold phrased as 3*inter >= |A|+|B| (== 2*inter >= union): the
+    // filter lands in the verify join's condition — right place, runs
+    // per candidate — and this form carries ONE merge-kernel occurrence
+    // instead of two; the (inter, union) projection only prices survivors
     a.join(broadcast(cands), Seq("doc_a"))
       .join(b, Seq("doc_b"))
+      .filter(inter * 3 >= size(col("sh_a")) + size(col("sh_b")))
       .withColumn("inter_n", inter.cast("long"))
       .withColumn("union_n", union.cast("long"))
-      .filter(col("inter_n") * 2 >= col("union_n"))
       .select("doc_a", "doc_b", "inter_n", "union_n")
       .orderBy("doc_a", "doc_b")
   }

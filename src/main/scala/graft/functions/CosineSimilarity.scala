@@ -153,6 +153,8 @@ object GraftFunctions {
     toCol(RandProject8(toExpr(vec)))
   def rollingHashFp(text: Column): Column =
     toCol(RollingHashFp(toExpr(text)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

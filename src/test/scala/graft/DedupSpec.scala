@@ -89,6 +89,37 @@ class DedupSpec extends SparkSpec {
     assert(sortedOk == 0)
   }
 
+  test("native sorted_intersect_count matches array_intersect and rejects unsorted input") {
+    // corpus pairs: every adjacent doc pair's shingle sets, both forms
+    val docs = Tables.documents(spark, SfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), DedupOps.shingleHashes(col("words"), 3).as("sh"))
+    val pairs = docs.select(col("doc_id"), col("sh").as("sh_a"))
+      .join(docs.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh_b")), "doc_id")
+    val (ni, nu) = DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
+    val (ai, au) = DedupOps.jaccardCountsAlgebra(col("sh_a"), col("sh_b"))
+    val diffs = pairs.select(ni.as("ni"), nu.as("nu"), ai.as("ai"), au.as("au"))
+      .filter(col("ni") =!= col("ai") || col("nu") =!= col("au")).count()
+    assert(diffs == 0)
+    // constructed edges: disjoint, identical, empty, one-sided empty, subset
+    val edge = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(7L)),
+      (Seq(2L, 9L), Seq(-5L, 2L, 9L, 11L))).toDF("sh_a", "sh_b")
+    val (ei, _) = DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
+    assert(edge.select(ei).as[Int].collect().toSeq == Seq(0, 3, 0, 0, 2))
+    // unsorted (or duplicate-carrying) input must raise loudly, not
+    // return a plausible count — the violation must be one the merge
+    // actually walks (the guard rides the merge's own comparisons, so a
+    // descent after the other side exhausts goes unvisited by design)
+    val bad = Seq((Seq(3L, 1L, 2L), Seq(1L, 2L, 5L, 9L))).toDF("sh_a", "sh_b")
+    val (bi, _) = DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
+    val e = intercept[Exception] { bad.select(bi).collect() }
+    assert(e.getMessage != null)
+  }
+
   test("simhash is deterministic across partitionings") {
     val a = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
     val b = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
