@@ -56,6 +56,11 @@ object ScalingBench {
     // round-7: mixture reweighting (one partial-agg groupBy + broadcast
     // scalar — should be flat-to-linear)
     "text_domain_mix",
+    // round-8: the in-plan bloom build (one linear base scan into an
+    // OR-merged sketch) + per-batch-row probe — the slope should track
+    // the two scans; and the A-ES weighted sample, whose TakeOrdered
+    // heap must keep it scan-bound
+    "dedup_bloom_probe", "text_weighted_sample",
     // JPEG entropy decode is per-row compute (encode+decode per doc, no
     // joins) — its slope row documents that the mapPartitions seam stays
     // linear. mm_phash_neardup is deliberately NOT here: replica doc_id

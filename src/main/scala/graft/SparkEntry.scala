@@ -126,6 +126,7 @@ object SparkEntry {
     "ngram_jaccard"       -> (graft.dedup.DedupOps.qNgramJaccard _),
     "ngram_jaccard_countagg" -> (graft.dedup.DedupOps.ngramJaccardCountAgg _),
     "dedup_containment"   -> (graft.dedup.DedupOps.qDedupContainment _),
+    "dedup_bloom_probe"   -> (graft.dedup.DedupOps.qDedupBloomProbe _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "doc_fingerprint"     -> (graft.text.TextOps.qDocFingerprint _),
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
     "text_stratified_sample" -> (graft.text.TextOps.qStratifiedSample _),
+    "text_weighted_sample" -> ((s: SparkSession, d: String) => graft.text.TextOps.qWeightedSample(s, d)),
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     "text_repetition_ratio" -> (graft.text.TextOps.qRepetitionRatio _),
     "text_boilerplate_spans" -> (graft.text.TextOps.qBoilerplateSpans _),
@@ -1162,6 +1164,23 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE 5 * len(list_intersect(a.s, b.s)) >= 4 * least(len(a.s), len(b.s))
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the bloom itself is Spark-side sketch state the oracle cannot (and
+    // must not) rebuild — the oracle recomputes the EXACT dup flags and
+    // pins the sketch's contract booleans at literal TRUE (a bloom has no
+    // false negatives; realized fpp must sit under the sized bound), the
+    // same gate shape as text_heavy_hitters' CMS columns
+    "dedup_bloom_probe" ->
+      """WITH base AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN b.text IN (SELECT text FROM base) THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  TRUE AS no_false_negative,
+        |  TRUE AS fp_ok
+        |FROM batch b ORDER BY b.doc_id""".stripMargin,
     "embed_neardup_cosine" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |all_v AS (
@@ -1397,6 +1416,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM h
         |WHERE bucket < CASE WHEN lang = 'en' THEN 32 ELSE 64 END
+        |ORDER BY doc_id""".stripMargin,
+    // A-ES keys are doubles (ln), but only the selected ID SET is output
+    // and compared — adjacent keys differ by orders of magnitude more
+    // than a libm ulp, so the set is engine-stable
+    "text_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 11) + 1)
+        |       / 9007199254740992.0) / n_chars AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars
+        |FROM (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
     "text_repetition_ratio" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),

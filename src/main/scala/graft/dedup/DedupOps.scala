@@ -601,4 +601,71 @@ object DedupOps {
       .select("doc_a", "doc_b", "inter_n", "union_n")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Bloom-filter incremental-dedup probe — the sketch pattern for
+    * "is this batch row already in a base corpus too big to join"
+    * (the 100 TB shape of [[incrementalDedup]]'s exact branch: at that
+    * scale the base side cannot be shuffled per batch; a bloom built
+    * once costs one linear scan with map-side partial OR-merges and the
+    * probe is a broadcast-sized constant per batch row — exactly how
+    * Spark's own AQE runtime filters ship build-side key sets to the
+    * probe scan).
+    *
+    * Everything stays in ONE plan: `bloom_filter_agg` (Spark's
+    * catalyst BloomFilterAggregate surfaced via
+    * [[graft.functions.GraftFunctions.register]]) builds the filter
+    * inside a scalar subquery — no driver-side sketch collect — and the
+    * codegen'd `bloom_might_contain` probes it per batch row. Keys are
+    * `xxhash64(text)`: the bloom ingests 8-byte longs, never the text.
+    *
+    * Gate shape (the CMS / ANN-recall precedent — the sketch itself is
+    * not oracle-reproducible, its CONTRACT is): alongside the exact
+    * truth (a semi-join computable at test scale), the output carries
+    *  - `no_false_negative`: bloom_hit OR NOT exact-dup — a bloom NEVER
+    *    misses a present key, so this must be literal TRUE on every row;
+    *  - `fp_ok`: false-positive count <= 5% of clean rows + 1 (corpus
+    *    -wide, broadcast-scalar join) — generous vs the 1% design fpp.
+    * The DuckDB oracle recomputes the exact flags and asserts both
+    * booleans literally TRUE, so a silently-broken filter (wrong bits,
+    * wrong sizing, a probe that stops hitting) fails the hash gate.
+    *
+    * Batch = every 7th doc (fresh crawl) plus re-ingested replays of
+    * every 11th base doc under new ids — the planted guaranteed-dup
+    * traffic for the no-false-negative leg at every SF. */
+  def qDedupBloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("__bloom_docs")
+    // sized for a 200k-item base at 1% fpp (the production knob; the
+    // test corpora sit far under it, driving realized fpp toward zero —
+    // the fp_ok bound stays a real, non-vacuous contract)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(200000L, 0.01)
+    spark.sql(
+      s"""WITH base AS (
+         |  SELECT text FROM __bloom_docs WHERE doc_id % 7 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM __bloom_docs WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id, text FROM __bloom_docs
+         |  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0),
+         |probe AS (
+         |  SELECT b.doc_id,
+         |    (s.text IS NOT NULL) AS exact_dup,
+         |    bloom_might_contain(
+         |      (SELECT bloom_filter_agg(xxhash64(text), CAST(200000 AS BIGINT),
+         |                               CAST($numBits AS BIGINT)) FROM base),
+         |      xxhash64(b.text)) AS bloom_hit
+         |  FROM batch b
+         |  LEFT JOIN (SELECT DISTINCT text FROM base) s ON b.text = s.text),
+         |tot AS (
+         |  SELECT sum(CASE WHEN bloom_hit AND NOT exact_dup THEN 1 ELSE 0 END) AS fp_n,
+         |         sum(CASE WHEN NOT exact_dup THEN 1 ELSE 0 END) AS clean_n
+         |  FROM probe)
+         |SELECT p.doc_id,
+         |  CAST(p.exact_dup AS BIGINT) AS is_dup,
+         |  (p.bloom_hit OR NOT p.exact_dup) AS no_false_negative,
+         |  (t.fp_n * 20 <= t.clean_n + 20) AS fp_ok
+         |FROM probe p CROSS JOIN tot t
+         |ORDER BY p.doc_id""".stripMargin)
+  }
 }

@@ -95,6 +95,33 @@ object GraftFunctions {
 
   val md5Hash64Builder: Seq[Expression] => Expression = exprs => Md5Hash64Array(exprs.head)
 
+  /** bloom_filter_agg(xxhash64(key)[, estimatedItems[, numBits]]) —
+    * Spark's own runtime-filter sketch aggregate
+    * (catalyst BloomFilterAggregate), surfaced as a SQL function so a
+    * scalar subquery can build a corpus bloom filter IN-PLAN (partial
+    * per-partition blooms OR-merged map-side — one pass, no shuffle of
+    * the keyed data). The analyzer wraps the bare AggregateFunction. */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+    case Seq(c, n) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c, n, org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
+            n.eval().asInstanceOf[Number].longValue(), 0.03)))
+    case Seq(c, n, m) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, m)
+    case other => throw new IllegalArgumentException(
+      s"bloom_filter_agg takes 1-3 arguments, got ${other.size}")
+  }
+
+  /** bloom_might_contain(bloomScalarSubquery, xxhash64(key)) — codegen'd
+    * probe (catalyst BloomFilterMightContain); the bloom side must be a
+    * scalar subquery or constant, enforced by its own type check. */
+  val bloomMightContainBuilder: Seq[Expression] => Expression = exprs =>
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, exprs(1))
+
   /** sign_buckets(vec, planes): planes must be a foldable
     * array<array<array<double>>> literal — it is plan-time quantizer
     * state, embedded in the expression as a reference object. */
@@ -133,6 +160,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", minHashSigBuilder, "built-in")
     reg.createOrReplaceTempFunction("md5_hash64_array", md5Hash64Builder, "built-in")
     reg.createOrReplaceTempFunction("sign_buckets", signBucketsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("bloom_filter_agg", bloomAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain", bloomMightContainBuilder, "built-in")
   }
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -185,5 +214,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("sign_buckets"),
         new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
         GraftFunctions.signBucketsBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("bloom_filter_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "bloom_filter_agg"),
+        GraftFunctions.bloomAggBuilder))
+    ext.injectFunction(
+      (FunctionIdentifier("bloom_might_contain"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "bloom_might_contain"),
+        GraftFunctions.bloomMightContainBuilder))
   }
 }

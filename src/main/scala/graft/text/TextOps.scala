@@ -288,6 +288,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distributed weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis A-ES ("Weighted random sampling with a reservoir", IPL
+    * 2006): each row gets key u^(1/w) for uniform u, and the k largest
+    * keys ARE a weight-proportional sample without replacement. Ordering
+    * by u^(1/w) equals ordering by ln(u)/w, which is what's computed
+    * (one log instead of a pow).
+    *
+    * The uniform is deterministic and engine-portable, same contract as
+    * [[qStratifiedSample]]: the [[graft.functions.Md5Hash64Array]] id
+    * hash's top 53 bits map to u ∈ (0, 1] via exact power-of-two
+    * arithmetic (`(h >>> 11) + 1) / 2^53` — every step reproducible
+    * bit-for-bit in DuckDB from md5). Weights are the document token
+    * mass (`n_chars`) — "sample proportional to length" is the standard
+    * budget-shaped corpus cut.
+    *
+    * Scale shape: the plan is one narrow map (hash + log per row) into
+    * TakeOrderedAndProject — per-partition bounded top-k heaps, merged
+    * on the driver; no global sort, no shuffle of the corpus at any
+    * size. The selected ids are output (keys are doubles and engines may
+    * differ in the last ulp of `ln`; id sets are stable because adjacent
+    * A-ES keys in any real corpus are separated by far more than an
+    * ulp). */
+  def qWeightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string")))
+      .getItem(0)
+    val u = (shiftrightunsigned(h, 11) + 1).cast("double") / lit(9007199254740992.0) // 2^53
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("__key", log(u) / col("n_chars").cast("double"))
+      .orderBy(col("__key").desc)
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style intra-document repetition ratios: fraction of repeated
     * words and repeated bigrams per document, as integer basis points.
     * High-repetition documents are a standard training-data quality cut.

@@ -120,6 +120,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("bloom probe: no false negatives, bounded fps, planted replays flagged") {
+    graft.functions.GraftFunctions.register(spark)
+    // direct round-trip of the registered functions: every member of the
+    // build set must hit (a bloom has NO false negatives), and probes of
+    // a disjoint id range must mostly miss (1%-fpp sizing, slack 10x)
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(1000L, 0.01)
+    spark.range(0, 1000).createOrReplaceTempView("__bloom_members")
+    spark.range(500000, 500100).createOrReplaceTempView("__bloom_outside")
+    def probe(view: String) = spark.sql(
+      s"""SELECT bloom_might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(id), CAST(1000 AS BIGINT),
+         |                           CAST($bits AS BIGINT)) FROM __bloom_members),
+         |  xxhash64(id)) AS hit FROM $view""".stripMargin)
+    assert(probe("__bloom_members").filter(!col("hit")).count() == 0)
+    assert(probe("__bloom_outside").filter(col("hit")).count() <= 10)
+    // the registered query's contract columns, from the actual output
+    val rows = DedupOps.qDedupBloomProbe(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "bloom false negative — impossible by construction")
+    assert(rows.forall(_.getBoolean(3)), "false-positive bound broken")
+    // planted re-ingested replays (re-keyed +10000000) must all flag dup,
+    // and the fresh-batch leg must contribute non-dup traffic too
+    val replays = rows.filter(_.getLong(0) >= 10000000L)
+    assert(replays.nonEmpty && replays.forall(_.getLong(1) == 1L),
+      "a planted replay was not flagged as a duplicate")
+    assert(rows.exists(_.getLong(1) == 0L), "no clean rows — fp leg vacuous")
+  }
+
   test("simhash is deterministic across partitionings") {
     val a = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq
     val b = DedupOps.qDedupSimhash(spark, SfDir).collect().toSeq

@@ -15,6 +15,31 @@ class TextOpsSpec extends SparkSpec {
     assert(fps == n, s"fingerprint collisions: $fps distinct for $n texts")
   }
 
+  test("weighted sample replays the A-ES formula exactly and favors heavy docs") {
+    val sel = TextOps.qWeightedSample(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sel == TextOps.qWeightedSample(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(sel.size == 100)
+    // driver-side replay of the exact key formula: same md5-derived
+    // uniform, same ln(u)/w key, same top-100 — the distributed
+    // TakeOrdered must select the identical id set
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val expect = docs.map { case (id, w) =>
+      val h = graft.functions.Md5Hash64Array.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+      (id, w, math.log(((h >>> 11) + 1).toDouble / 9007199254740992.0) / w)
+    }.sortBy(-_._3).take(100).map(t => (t._1, t._2)).sortBy(_._1).toSeq
+    assert(sel == expect)
+    // weight-proportionality: the sample's mean token mass must exceed the
+    // corpus mean (that is what "weighted by n_chars" buys)
+    val meanSel = sel.map(_._2).sum.toDouble / sel.size
+    val meanAll = docs.map(_._2.toDouble).sum / docs.size
+    assert(meanSel > meanAll,
+      s"sample mean $meanSel not above corpus mean $meanAll — weighting vacuous")
+  }
+
   test("native rolling_hash_fp matches the split/ascii fold incl. non-ASCII") {
     import spark.implicits._
     def diffs(df: org.apache.spark.sql.DataFrame) = df.select(
