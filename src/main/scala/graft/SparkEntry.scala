@@ -144,6 +144,8 @@ object SparkEntry {
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
     "text_stratified_sample" -> (graft.text.TextOps.qStratifiedSample _),
     "text_weighted_sample" -> ((s: SparkSession, d: String) => graft.text.TextOps.qWeightedSample(s, d)),
+    "text_bpe_pairs"      -> (graft.text.TextOps.qBpePairs _),
+    "text_lm_perplexity"  -> (graft.text.TextOps.qLmPerplexity _),
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     "text_repetition_ratio" -> (graft.text.TextOps.qRepetitionRatio _),
     "text_boilerplate_spans" -> (graft.text.TextOps.qBoilerplateSpans _),
@@ -1429,6 +1431,39 @@ object SparkEntry {
         |SELECT doc_id, n_chars
         |FROM (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+        |wf AS (SELECT word, count(*) AS f FROM w WHERE len(word) >= 2 GROUP BY word),
+        |p AS (SELECT unnest([substr(word, i, 2) FOR i IN range(1, len(word))]) AS pair, f FROM wf)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // per-bigram integer micronat quantization BEFORE the sum: a sum of
+    // doubles is partition-order-dependent and engine-divergent; a sum
+    // of per-row-rounded longs is exact on both sides
+    "text_lm_perplexity" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |refw AS (SELECT unnest(words) AS w FROM d WHERE doc_id % 5 = 0),
+        |uni AS (SELECT w, count(*) AS c1 FROM refw GROUP BY w),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |refbg AS (
+        |  SELECT unnest([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bg
+        |  FROM d WHERE doc_id % 5 = 0 AND len(words) >= 2),
+        |bi AS (SELECT bg, count(*) AS c12 FROM refbg GROUP BY bg),
+        |inst AS (
+        |  SELECT doc_id,
+        |    unnest([words[i] FOR i IN range(1, len(words))]) AS w1,
+        |    unnest([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bg
+        |  FROM d WHERE doc_id % 5 <> 0 AND len(words) >= 2),
+        |nll AS (
+        |  SELECT i.doc_id,
+        |    CAST(round(ln((coalesce(u.c1, 0) + (SELECT v FROM vocab))
+        |                  / (coalesce(b.c12, 0) + 1)) * 1000000.0) AS BIGINT) AS nll_unat
+        |  FROM inst i LEFT JOIN uni u ON i.w1 = u.w LEFT JOIN bi b ON i.bg = b.bg)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(nll_unat) AS BIGINT) AS nll_sum_unat,
+        |  CAST(sum(nll_unat) // count(*) AS BIGINT) AS mean_nll_unat
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition_ratio" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |b AS (SELECT doc_id, words,

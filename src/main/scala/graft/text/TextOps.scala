@@ -625,4 +625,97 @@ object TextOps {
           .as("ids_checksum"))
       .orderBy("doc_id")
   }
+
+  /** BPE merge-pair mining — the inner statistic of byte-pair-encoding
+    * vocabulary training (Sennrich et al. 2016): for every adjacent
+    * character pair inside a word, total occurrences across the corpus
+    * weighted by word frequency; the top pair is the next BPE merge.
+    *
+    * Scale shape, the reason BPE training is feasible at corpus size:
+    * the corpus collapses to its VOCABULARY first (one word-count
+    * groupBy, map-side combined, vocabulary-sized keys), and the pair
+    * explosion runs over distinct words only — pair stats shuffle a
+    * pair-universe-sized frame (≤ alphabet², tiny), never the corpus.
+    * Pairs are 2-char substrings (no end-of-word marker — merges stay
+    * within words by construction here since pairs never span the
+    * whitespace split). Top 50 by count, pair ascending on ties. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wordFreq = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(explode_outer(wsTokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("f"))
+    wordFreq
+      .select(col("f"), explode_outer(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
+  /** n-gram LM quality scoring (the CCNet / KenLM-filter stage): a
+    * word-bigram language model with add-one smoothing is trained on a
+    * held-out reference slice (every 5th doc), and every remaining doc
+    * is scored by its total and mean negative log-likelihood — low
+    * perplexity ≈ reference-like prose, high ≈ noise. The standard
+    * quality cut when a learned LM is the filter.
+    *
+    * NLL of bigram (w1,w2) = ln((C(w1)+V) / (C(w1,w2)+1)) — C counts
+    * from the reference slice, V its vocabulary size; an unseen w1
+    * degrades to ln(V/1), the uniform fallback. Each bigram's NLL is
+    * quantized to integer MICRONATS per row BEFORE any aggregation
+    * (the cos_ppm precedent): summing doubles across rows is partition-
+    * order-dependent and engine-divergent, while a sum of per-row
+    * integers is exact everywhere, so the gate compares bit-equal longs.
+    *
+    * Scale shape: the LM tables are vocabulary-sized aggregates (map-
+    * side combined), the scoring pass is two equi-joins on word keys
+    * (AQE broadcasts them when the vocab fits, the realistic case), and
+    * V rides a broadcast one-row cross join — nothing corpus-sized
+    * shuffles twice. */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("words"))
+    val isRef = col("doc_id") % 5 === 0
+    val refWords = docs.filter(isRef)
+      .select(col("doc_id"), explode_outer(col("words")).as("w"))
+    val uni = refWords.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+    // bigram counts keyed by the pair STRING ("w1 w2"): instance streams
+    // join on it directly; counts are over OCCURRENCES, so the shingle
+    // helpers' array_distinct must not apply — pairs rebuilt positionally
+    // the >=2 guard matters on BOTH passes: sequence(1, size-1) DESCENDS
+    // for 1-word docs ([1,0]) and element_at(words, 0) is an ANSI error
+    val biOcc = docs.filter(isRef)
+      .filter(size(col("words")) >= 2)
+      .select(explode_outer(transform(
+        sequence(lit(1), size(col("words")) - 1),
+        i => concat_ws(" ", element_at(col("words"), i), element_at(col("words"), i + 1)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val scored = docs.filter(!isRef)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        explode_outer(transform(
+          sequence(lit(1), size(col("words")) - 1),
+          i => struct(element_at(col("words"), i).as("w1"),
+            concat_ws(" ", element_at(col("words"), i),
+              element_at(col("words"), i + 1)).as("bg")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(biOcc, Seq("bg"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) * 1e6)
+          .cast("long").as("nll_unat"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_unat")).as("nll_sum_unat"))
+    scored
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll_sum_unat"),
+        floor(col("nll_sum_unat") / col("n_bigrams")).cast("long").as("mean_nll_unat"))
+      .orderBy("doc_id")
+  }
 }

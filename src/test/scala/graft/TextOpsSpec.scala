@@ -290,6 +290,54 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum > 0, "no UNK anywhere — vocab cut vacuous")
     assert(rows.map(_._4).sum > 0, "no vocab hits — encoding vacuous")
   }
+
+  test("BPE pair mining matches a driver-side frequency fold") {
+    val got = TextOps.qBpePairs(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.size == 50)
+    val texts = Tables.documents(spark, SfDir)
+      .select("text").collect().map(_.getString(0))
+    val wf = texts.flatMap(_.trim.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = scala.collection.mutable.Map.empty[String, Long]
+    wf.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairs(p) = pairs.getOrElse(p, 0L) + f
+      }
+    }
+    val want = pairs.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    assert(got == want)
+    // the top merge must be a genuinely frequent pair, not a tie artifact
+    assert(got.head._2 > got.last._2, "top-50 all tied — corpus too uniform to verify ordering")
+  }
+
+  test("LM perplexity: micronat sums replay exactly from a driver-side bigram LM") {
+    val got = TextOps.qLmPerplexity(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val ref = docs.filter(_._1 % 5 == 0)
+    val uni = ref.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bi = ref.map(_._2).filter(_.size >= 2)
+      .flatMap(ws => ws.sliding(2).map(s => s"${s(0)} ${s(1)}"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = docs.filter(d => d._1 % 5 != 0 && d._2.size >= 2).map { case (id, ws) =>
+      val nlls = ws.sliding(2).toSeq.map { s =>
+        val c1 = uni.getOrElse(s(0), 0L)
+        val c12 = bi.getOrElse(s"${s(0)} ${s(1)}", 0L)
+        math.round(math.log((c1 + v).toDouble / (c12 + 1).toDouble) * 1e6)
+      }
+      (id, nlls.size.toLong, nlls.sum, math.floorDiv(nlls.sum, nlls.size.toLong))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // non-vacuous: reference-slice prose must score better than the tail —
+    // i.e. the LM discriminates (spread in mean NLL across scored docs)
+    val means = got.map(_._4)
+    assert(means.distinct.length > 1, "all docs identical mean NLL — LM vacuous")
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
