@@ -46,11 +46,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    /** One timed execution. A failure is NOT a time: time-to-exception on
+      * a broken query (0.06-0.22 s for an analysis error) is
+      * indistinguishable from "fast" in the artifact, which silently
+      * deflated the r8 totals. Return the error alongside the wall time so
+      * the summary can flag it. */
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     // JVM/codegen/IO warmup on the flagship (not reported)
@@ -70,48 +80,70 @@ object Bench {
         // which is how sub-second plans sporadically bench at 10x+
         System.gc()
         val n = if (extraReps(name)) math.max(reps, 4) else reps
-        name -> (1 to n).map(_ => run(name, fn)).min
+        val runs = (1 to n).map(_ => run(name, fn))
+        // min over SUCCESSFUL reps; if every rep failed, keep the time but
+        // carry the error so the artifact marks the row as not-a-benchmark
+        val ok = runs.collect { case (t, None) => t }
+        (name, if (ok.nonEmpty) ok.min else runs.map(_._1).min,
+          if (ok.nonEmpty) None else runs.head._2)
       }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver keeps only the LAST ~2000 chars of stdout, so when the
-    // full per-query map pushes the line past that, the FRONT — where the
-    // total sits — is what truncation eats (BENCH_r07.json parsed null).
-    // Emit a second, tail-safe summary line that always fits: the total
-    // plus as many of the slowest queries as a conservative char budget
-    // allows, with an explicit count of what was omitted.
-    if (line.length > 1900) {
-      val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":{"""
+    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + f"""\":$v%.3f"""
+    }.mkString("{", ",", "}")
+    val errsJson = failed.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    }.mkString("{", ",", "}")
+    // total sums only queries that actually executed; a failure must never
+    // be priced at the cost of raising an exception
+    val total = results.collect { case (_, v, None) => v }.sum
+    val onlyFlag = if (only.isDefined) ""","subset":true""" else ""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON it finds there, so the LAST line printed must always be a
+    // complete, parseable summary that fits: total + failure count + as
+    // many of the slowest queries as a conservative char budget allows.
+    // The full per-query map goes to BENCH_LOCAL.json (below), not stdout.
+    if (line.length <= 1900) println(line)
+    else {
+      val head =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"sf":"$sfDir","queries":{"""
       val budget = 1800 - head.length
       val kept = scala.collection.mutable.ListBuffer.empty[String]
       var used = 0
-      results.sortBy(-_._2).foreach { case (k, v) =>
+      results.sortBy(-_._2).foreach { case (k, v, _) =>
         val frag = "\"" + k + f"""\":$v%.3f"""
         if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
       }
       val omitted = results.size - kept.size
       println(head + kept.mkString(",") + s"""},"queries_omitted":$omitted}""")
     }
-    // the driver's captured tail truncates at 2000 chars, which loses the
-    // alphabetically-first queries AND the total; persist the full line
-    // ourselves so every round's numbers survive in-repo. The default
-    // anchors at the repo root (nearest ancestor with build.sbt) rather
-    // than the raw CWD, so a bench launched from a subdir still lands the
-    // artifact where the judge reads it.
+    // Persist the full line in-repo so every round's complete numbers
+    // survive driver-side truncation. The default anchors at the repo root
+    // (nearest ancestor with build.sbt) rather than the raw CWD. A subset
+    // run (SPARK_GRAFT_ONLY) must NEVER clobber the full-suite artifact —
+    // route it via SPARK_GRAFT_BENCH_OUT or it is simply not persisted.
     def repoRoot: java.nio.file.Path = {
       var p = java.nio.file.Paths.get("").toAbsolutePath
       while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
         p = p.getParent
       if (p == null) java.nio.file.Paths.get("").toAbsolutePath else p
     }
-    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse(repoRoot.resolve("BENCH_LOCAL.json"))
-    try java.nio.file.Files.writeString(out, line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(java.nio.file.Paths.get(_))
+      .orElse(if (only.isDefined) None else Some(repoRoot.resolve("BENCH_LOCAL.json")))
+    out.foreach { o =>
+      try java.nio.file.Files.writeString(o, line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $o: ${e.getMessage}") }
+    }
+    if (only.isDefined && out.isEmpty)
+      System.err.println("[bench] subset run (SPARK_GRAFT_ONLY): not persisting BENCH_LOCAL.json")
     spark.stop()
+    // loud, but exit 0: the driver's bench capture must still record the
+    // artifact — the "failed" count in the JSON is the machine-readable flag
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.map(_._1).mkString(", ")}")
   }
 }

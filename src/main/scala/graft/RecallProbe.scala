@@ -21,13 +21,11 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.similarity.SimilarityOps
-    val variants = Seq(
-      "lsh" -> SimilarityOps.annTopkLshRanked(spark, dir),
-      "ivf" -> SimilarityOps.annTopkIvfRanked(spark, dir),
-      "ivfpq" -> SimilarityOps.annTopkIvfPqRanked(spark, dir))
     val truth = SimilarityOps.bruteTruthForProbe(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
-    variants.foreach { case (name, ranked) =>
+      .cache()
+
+    def report(tag: String, ranked: org.apache.spark.sql.DataFrame): Unit = {
       val hits = ranked.join(truth, Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
         .agg(sum(when(col("in_brute"), 1).otherwise(0)).as("hits"),
@@ -36,11 +34,23 @@ object RecallProbe {
           (col("top1") === col("query_id") - 1000000L).as("top1_ok"))
         .collect()
       val recalls = hits.map(_.getLong(1) * 10)
-      println(f"[$name%6s] queries=${hits.length} recall%%: " +
+      println(f"[$tag%12s] queries=${hits.length} recall%%: " +
         f"min=${recalls.min} p10=${recalls.sorted.apply(recalls.length / 10)} " +
         f"mean=${recalls.sum / recalls.length} " +
         f"top1_fails=${hits.count(!_.getBoolean(2))}")
     }
+
+    report("lsh", SimilarityOps.annTopkLshRanked(spark, dir))
+    // Sweep the IVF probe fraction (1/4 default, 1/8, 1/16): per-query
+    // serve cost is ~n/denom, so every doubling of denom that HOLDS the
+    // recall floors halves the dominant serving term. The index build is
+    // denom-independent (cached), so the sweep isolates the search dial.
+    for (denom <- Seq(4, 8, 16)) {
+      sys.props("graft.ivf.probe.denom") = denom.toString
+      report(s"ivf 1/$denom", SimilarityOps.annTopkIvfRanked(spark, dir))
+      report(s"ivfpq 1/$denom", SimilarityOps.annTopkIvfPqRanked(spark, dir))
+    }
+    sys.props.remove("graft.ivf.probe.denom")
     spark.stop()
   }
 }

@@ -21,14 +21,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and convert to
-    * microsecond TIMESTAMP_NTZ (integer division — double math would lose
-    * precision at 1e18 nanos). */
+  /** events.parquet has shipped with two physical typings for `ts` across
+    * generator versions: INT64 TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects unless read as a raw long) and plain timestamp[us].
+    * Branch on the LOADED schema rather than hardcoding either: an integral
+    * `ts` gets the nanos→micros conversion (integer division — double math
+    * would lose precision at 1e18 nanos); a timestamp-typed `ts` is
+    * normalized to TIMESTAMP_NTZ and otherwise read natively so pushdown
+    * and pruning stay intact. A generator retype must never again zero the
+    * events-backed sixth of the suite (see TablesSpec's dual fixtures). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType | IntegerType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(
+          s"Tables.events: unsupported parquet type for ts: $other (expected integral nanos or timestamp)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
 

@@ -28,6 +28,7 @@ object Verify {
     // optional comma-separated subset for local iteration (driver leaves
     // unset; Bench has the same switch)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -35,7 +36,8 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+          failures.add(name)
         }
       }
     }
@@ -58,5 +60,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Fail LOUDLY after all dumps + oracle_sql.json are written: the
+    // driver's per-query compare still sees every query that did run, but
+    // a broken query can no longer hide behind a stderr line (r8 lost 25
+    // queries silently to one analysis error).
+    if (!failures.isEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${String.join(", ", failures)}")
+      sys.exit(1)
+    }
   }
 }

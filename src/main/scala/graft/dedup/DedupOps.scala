@@ -290,7 +290,7 @@ object DedupOps {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val next = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(
@@ -298,6 +298,24 @@ object DedupOps {
           // every node has exactly one self-loop, so this picks out its
           // own label from the previous round (works for any label type)
           max(when(col("src") === col("dst"), col("cluster"))).as("__prev"))
+      // Pointer jumping: replace each node's label with its LABEL's label
+      // (labels are themselves node ids, so the lookup is a self-join on
+      // this round's output). Min-propagation alone needs O(diameter)
+      // rounds — a chain of 1000 near-dups pays ~1000 localCheckpoint
+      // barriers; shortcutting doubles the hop distance covered per round,
+      // making rounds O(log diameter) (Shiloach-Vishkin style). One extra
+      // equi-join per round, same linear shuffle volume.
+      val next = propagated.as("n")
+        .join(
+          propagated.select(col("doc_id").as("cluster"), col("cluster").as("__jump")).as("j"),
+          Seq("cluster"), "left")
+        .select(
+          col("n.doc_id"),
+          // left join: a label pointing at a node absent from this round's
+          // output (impossible given self-loops, but belt-and-braces)
+          // falls back to the un-jumped label
+          coalesce(col("__jump"), col("cluster")).as("cluster"),
+          col("n.__prev"))
         .localCheckpoint()
       val nChanged = next.filter(!(col("cluster") <=> col("__prev"))).count()
       labels.unpersist()

@@ -408,7 +408,13 @@ object SimilarityOps {
     * concentrate neighbors in few cells; uniform-random synthetic
     * vectors are the worst case for cell pruning, so this default is
     * the conservative one). */
-  private def ivfProbes(k: Int): Int = math.max(6, (k + 3) / 4)
+  /** Probe-fraction denominator (nProbe = cells/D). Overridable via the
+    * `graft.ivf.probe.denom` system property so RecallProbe can SWEEP
+    * fractions (1/4, 1/8, 1/16) in one JVM and measure the recall cost of
+    * each — the data that justifies (or lowers) the production default. */
+  private def probeDenom: Int =
+    sys.props.get("graft.ivf.probe.denom").map(_.toInt).getOrElse(4)
+  private def ivfProbes(k: Int): Int = math.max(6, (k + probeDenom - 1) / probeDenom)
 
   private def ivfIndex(spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val base = withPlanted(vectors(spark, dir))

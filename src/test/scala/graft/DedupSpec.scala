@@ -277,6 +277,18 @@ class DedupSpec extends SparkSpec {
     assert(iters <= 4, s"expected fixpoint in <=4 rounds, burned $iters")
   }
 
+  test("pointer doubling converges a 1000-node chain in O(log diameter) rounds") {
+    // plain min-propagation needs ~999 rounds here (one hop per round,
+    // each paying a localCheckpoint barrier); the per-round pointer jump
+    // doubles the covered distance, so convergence must be logarithmic.
+    val docs = (1L to 1000L).toDF("doc_id")
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (out, iters) = DedupOps.dedupClustersWithIters(docs, pairs)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size == 1000 && labels.values.forall(_ == 1L))
+    assert(iters <= 14, s"expected O(log 1000) ~ <=14 rounds, burned $iters")
+  }
+
   test("lsh band count follows the signature width (no hard-coded 16)") {
     // k = 8, rowsPerBand = 4 -> 2 bands; identical docs must still pair up
     val docs = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
