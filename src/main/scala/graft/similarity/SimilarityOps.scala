@@ -411,7 +411,14 @@ object SimilarityOps {
   /** Probe-fraction denominator (nProbe = cells/D). Overridable via the
     * `graft.ivf.probe.denom` system property so RecallProbe can SWEEP
     * fractions (1/4, 1/8, 1/16) in one JVM and measure the recall cost of
-    * each — the data that justifies (or lowers) the production default. */
+    * each — the data that justifies (or lowers) the production default.
+    * Measured r9 (BASELINE.md "IVF probe-fraction sweep"): at the x10
+    * corpus — the only scale where cells (87) outgrow the nProbe floor
+    * enough for the fraction to bite — 1/8 costs ivf 16 mean-recall
+    * points (68→52, a 2-point margin over the 50 gate floor) and brings
+    * back decay-with-corpus-size; 1/4 stays flat across sf0.1→x10. On
+    * this uniform-random corpus the default stays 1/4; a clustered
+    * production embedding space is where 1/8+ becomes safe. */
   private def probeDenom: Int =
     sys.props.get("graft.ivf.probe.denom").map(_.toInt).getOrElse(4)
   private def ivfProbes(k: Int): Int = math.max(6, (k + probeDenom - 1) / probeDenom)
@@ -536,36 +543,49 @@ object SimilarityOps {
   private val PqCells = 16
 
   /** PQ codebooks, one 16-cell k-means per 8-dim sub-block, trained on
-    * the same bounded deterministic sample the IVF quantizer uses and
-    * memoized per (dir, file-snapshot): ~1k doubles of quantizer
-    * metadata — the train/serve split of the sanctioned-collect list. */
+    * RESIDUALS (vec − coarse-cell centroid) over the same bounded
+    * deterministic sample the IVF quantizer uses, memoized per
+    * (dir, file-snapshot): ~1k doubles of quantizer metadata — the
+    * train/serve split of the sanctioned-collect list. Residual encoding
+    * is the FAISS IVFPQ default (r9): the coarse quantizer removes the
+    * between-cell component, so the PQ budget quantizes only the
+    * within-cell displacement — tighter codes, better shortlist ordering
+    * at the same 8 bytes/vector. */
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  /** (vec_id, rvec = vec − centroid(cell of vec)) over `assigned`. */
+  private def residualized(assigned: DataFrame, cells: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(cells.select(col("cell"), col("cvec"))), "cell")
+      .select(col("vec_id"),
+        expr("zip_with(vec, cvec, (a, b) -> a - b)").as("rvec"))
 
   private def pqCodebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val key = graft.SessionCache.dirKey(dir)
     pqMemo.computeIfAbsent(key, _ => {
-      val base = withPlanted(vectors(spark, dir))
-      val dim = base.select(size(col("vec"))).head().getInt(0)
+      val (cells, assigned) = ivfIndex(spark, dir, ivfCells(corpusSize(spark, dir)))
+      val resid = residualized(assigned, cells)
+      val dim = resid.select(size(col("rvec"))).head().getInt(0)
       require(dim % PqBlocks == 0, s"PQ: dim $dim not divisible by $PqBlocks blocks")
       val sub = dim / PqBlocks
       val n = corpusSize(spark, dir)
       val trainCap = 64L * PqCells
       val train =
-        if (n > trainCap) base.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
-        else base
+        if (n > trainCap) resid.filter(pmod(xxhash64(col("vec_id")), lit(n / trainCap + 1)) === 0)
+        else resid
       Array.tabulate(PqBlocks) { b =>
-        val cells = kmeansLite(
-          train.select(col("vec_id"), expr(s"slice(vec, ${b * sub + 1}, $sub)").as("vec")),
+        val cb = kmeansLite(
+          train.select(col("vec_id"), expr(s"slice(rvec, ${b * sub + 1}, $sub)").as("vec")),
           PqCells, iters = 3)
         // the ADC lookup below indexes a DENSE blocks x cells table
         // (slot = b*PqCells + code) — a short codebook (training sample
         // under PqCells rows) would silently shift every later block's
         // distances, so fail loudly instead
-        require(cells.length == PqCells,
-          s"PQ block $b: codebook has ${cells.length} cells, need $PqCells " +
+        require(cb.length == PqCells,
+          s"PQ block $b: codebook has ${cb.length} cells, need $PqCells " +
             s"(training corpus too small to train a PQ quantizer)")
-        cells
+        cb
       }
     })
   }
@@ -593,9 +613,11 @@ object SimilarityOps {
     * vectors — which is the memory/bandwidth win PQ exists for. */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.cachedDirView(spark, "graft_pq_codes", dir) {
-      val base = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
-      val dim = base.select(size(col("vec"))).head().getInt(0)
-      subBlocks(base.select(col("vec_id"), col("vec")), "vec", dim / PqBlocks)
+      val (cells, assigned) = ivfIndex(spark, dir, ivfCells(corpusSize(spark, dir)))
+      // codes quantize the RESIDUAL re the vector's own coarse cell
+      val base = residualized(assigned.filter(col("vec_id") < 1000000L), cells)
+      val dim = base.select(size(col("rvec"))).head().getInt(0)
+      subBlocks(base, "rvec", dim / PqBlocks)
         .join(broadcast(pqCodebookDf(spark, dir)), "block")
         .withColumn("__d",
           col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0)
@@ -607,13 +629,16 @@ object SimilarityOps {
     }
 
   /** IVF+PQ ANN top-k — the canonical large-corpus serving shape (FAISS
-    * IVFPQ): IVF probes bound the candidate set sublinearly, a per-query
-    * asymmetric-distance table — packed as ONE broadcastable array of
-    * blocks·cells slots — ranks candidates from their 8-code
-    * representation ALONE via a single fused `aggregate` per candidate
-    * (dt[b·16 + code[b]] summed inside whole-stage codegen, no per-block
-    * row explosion), and only the 50-deep shortlist pays an exact-cosine
-    * re-rank against real vectors. At 100 TB the full-precision corpus
+    * IVFPQ, RESIDUAL-encoded since r9): IVF probes bound the candidate
+    * set sublinearly, codes quantize each vector's residual re its
+    * coarse centroid, and the asymmetric-distance tables use the FAISS
+    * precomputed-tables decomposition — a query-independent per-cell
+    * table plus a cell-independent per-query table, each packed as ONE
+    * broadcastable array of blocks·cells slots — so candidates are
+    * ranked from their 8-code representation ALONE via two fused lookup
+    * walks per candidate inside whole-stage codegen (no per-block row
+    * explosion, no per-(query,cell) table build), and only the bounded
+    * shortlist pays an exact-cosine re-rank against real vectors. At 100 TB the full-precision corpus
     * stays on disk; the serving working set is the code table at a ~32x
     * compression. Output contract matches the other ann entries;
     * SimilaritySpec gates planted-recall and shortlist behavior. */
@@ -628,10 +653,14 @@ object SimilarityOps {
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
       GraftFunctions.dotProduct(col("qvec"), col("cvec")) * 2.0 + col("cnorm")
     val wProbe = Window.partitionBy(col("query_id")).orderBy(l2, col("cell"))
+    // carry −2⟨q, C_cell⟩ out of the probe scoring: it is the one
+    // query×cell term of the residual-ADC decomposition below, and it is
+    // already computed here for the probe ranking itself
     val probes = queries.join(broadcast(cells), lit(true))
+      .withColumn("__qc", GraftFunctions.dotProduct(col("qvec"), col("cvec")) * -2.0)
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
-      .select("query_id", "cell")
+      .select("query_id", "qvec", "cell", "__qc")
     // The serving index carries the codes NEXT TO the cell assignment
     // (one session-cached join, r8): candidates leave the probe join
     // already holding their 8 codes, so the candidate stream — the only
@@ -642,30 +671,64 @@ object SimilarityOps {
       spark, "graft_pq_index", dir)(
       assigned.filter(col("vec_id") < 1000000L).select("vec_id", "cell")
         .join(pqCodes(spark, dir), "vec_id"))
-    // candidates carry (query_id, vec_id, codes) — no vectors move
-    val cands = probes.join(indexWithCodes, "cell")
-      .select("query_id", "vec_id", "codes")
-    // per-query ADC table, packed as ONE array of blocks*cells distances
-    // (slot b*16+c = distance of q's block b to cell c) so the per-
-    // candidate scoring below is a single fused aggregate — no 8-way row
-    // explosion through a join
+    // candidates carry (query_id, cell, vec_id, codes, −2⟨q,C⟩) — no
+    // vectors move
+    val cands = probes.drop("qvec").join(indexWithCodes, "cell")
+      .select("query_id", "cell", "vec_id", "codes", "__qc")
+    // Residual ADC via the FAISS precomputed-tables decomposition: a
+    // naive residual lookup table is per (query, probed cell) — a
+    // queries×nProbe×(blocks·cells) build (measured 2.6x the serving
+    // cost at x10). Decompose instead:
+    //   ‖q − C − r‖² = ‖q‖² + (−2⟨q,C⟩) + Σ_b ‖C_b + r_b‖² + Σ_b −2⟨q_b, r_b⟩
+    // ‖q‖² is rank-constant per query (dropped); −2⟨q,C⟩ falls out of
+    // probe scoring (`__qc`); T2[cell] = packed ‖C_b + cb‖² slots is
+    // QUERY-independent (built once per index from quantizer metadata,
+    // cells×128 doubles, broadcast); T3[query] = packed −2⟨q_b, cb⟩
+    // slots is CELL-independent (blocks·cells rows per query — the same
+    // bounded build as non-residual ADC). Per candidate the score is two
+    // fused AdcLookup walks + one scalar add, all inside codegen.
     val dim = queries.select(size(col("qvec"))).head().getInt(0)
-    val dt = subBlocks(queries, "qvec", dim / PqBlocks)
-      .join(broadcast(pqCodebookDf(spark, dir)), "block")
-      .select(col("query_id"), (col("block") * PqCells + col("cell")).as("slot"),
-        (col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0).as("d"))
+    val sub = dim / PqBlocks
+    val cbArr = pqCodebook(spark, dir)
+    // T2 from driver-side quantizer metadata (bounded: ≤4096 cells × dim)
+    val spark2 = spark
+    import spark2.implicits._
+    val t2 = broadcast(
+      cells.select(col("cell"), col("cvec")).as[(Int, Seq[Double])].collect().toSeq
+        .map { case (cellId, cvec) =>
+          (cellId, Array.tabulate(PqBlocks * PqCells) { slot =>
+            val (b, c) = (slot / PqCells, slot % PqCells)
+            var s = 0.0
+            var i = 0
+            while (i < sub) {
+              val v = cvec(b * sub + i) + cbArr(b)(c)(i)
+              s += v * v
+              i += 1
+            }
+            s
+          }.toSeq)
+        }.toDF("cell", "t2"))
+    val cb = pqCodebookDf(spark, dir).select(col("block"),
+      col("cell").as("code"), col("cvec").as("codevec"))
+    val t3 = subBlocks(queries, "qvec", sub)
+      .join(broadcast(cb), "block")
+      .select(col("query_id"), (col("block") * PqCells + col("code")).as("slot"),
+        (GraftFunctions.dotProduct(col("bvec"), col("codevec")) * -2.0).as("d"))
       .groupBy("query_id")
-      .agg(expr("transform(array_sort(collect_list(struct(slot, d))), s -> s.d)").as("dt"))
-    // one row per candidate: ADC = sum over blocks of dt[b*16 + code[b]]
-    // via the native codegen'd [[graft.functions.AdcLookup]] kernel — the
+      .agg(expr("transform(array_sort(collect_list(struct(slot, d))), s -> s.d)").as("t3"))
+    // one row per candidate: ADC = __qc + T2-walk + T3-walk via the
+    // native codegen'd [[graft.functions.AdcLookup]] kernel — the
     // earlier `aggregate()` HOF form ran interpreted per candidate (HOFs
     // sit outside whole-stage codegen), and this stream is the plan's
     // only O(queries x probed-corpus) volume (differential-tested
     // against the HOF algebra in SimilaritySpec)
     val approx = cands
-      .join(broadcast(dt), "query_id")
+      .join(broadcast(t3), "query_id")
+      .join(t2, "cell")
       .select(col("query_id"), col("vec_id"),
-        GraftFunctions.adcLookup(col("codes"), col("dt"), PqCells).as("__adc"))
+        (col("__qc")
+          + GraftFunctions.adcLookup(col("codes"), col("t2"), PqCells)
+          + GraftFunctions.adcLookup(col("codes"), col("t3"), PqCells)).as("__adc"))
     // the exact-re-rank shortlist must grow with the candidate stream:
     // ADC error is per-candidate noise, so at a FIXED depth a 10x larger
     // probed set pushes true neighbors below the cut with growing
