@@ -536,7 +536,14 @@ object DedupOps {
       explode_outer(col("sh")).as("h"))
     val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // prefix length for t=0.8 on the candidate-shorter doc: n - ceil(0.8n) + 1
+    // prefix length for t=0.8 on the candidate-shorter doc: n - ceil(0.8n) + 1.
+    // NO positional (PPJoin) filter on this asymmetric miner — measured
+    // r9: ranking the LONG side costs a second full-postings window sort
+    // (+0.7 s isolated at sf0.1) and prunes ~3%, because df is GLOBAL:
+    // a shingle rare enough to sit in the short doc's prefix ranks early
+    // in the long doc's canonical order too, so the positional bound
+    // 1 + min(n_s−p_s, n_l−p_l) almost never bites. The symmetric
+    // jaccard miner keeps the filter (both sides already ranked — free).
     val prefix = postings.join(dfreq, "h")
       .withColumn("__rk", row_number().over(byRarity))
       .filter(col("__rk") <= col("n") - ceil(col("n") * 0.8) + 1)
@@ -563,6 +570,33 @@ object DedupOps {
       .filter(col("inter_n") * 5 >= least(col("n_a"), col("n_b")) * 4)
       .select("doc_a", "doc_b", "inter_n", "n_a", "n_b")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Stage-size diagnostic for the containment miner (graft.Diag only):
+    * how many rows each mining stage produces at `dir` — the numbers that
+    * explain a slope change without touching the registered query. */
+  private[graft] def containmentDiag(spark: SparkSession, dir: String): String = {
+    val docs = containmentShingleDocs(spark, dir)
+    val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode_outer(col("sh")).as("h"))
+    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = postings.join(dfreq, "h")
+      .withColumn("__rk", row_number().over(byRarity))
+      .filter(col("__rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+      .select(col("h"), col("doc_id").as("doc_s"), col("n").as("n_s"))
+    val candsPre = prefix
+      .join(postings.select(col("h"), col("doc_id").as("doc_l"), col("n").as("n_l")), Seq("h"))
+      .filter(col("n_s") < col("n_l") ||
+        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
+    val cands = candsPre
+      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
+        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
+      .distinct()
+    val hotDf = dfreq.agg(max("df")).head().getLong(0)
+    s"docs=${docs.count()} postings=${postings.count()} distinctShingles=${dfreq.count()} " +
+      s"maxDf=$hotDf prefixRows=${prefix.count()} candRowsPreDistinct=${candsPre.count()} " +
+      s"cands=${cands.count()} verified=${qDedupContainment(spark, dir).count()}"
   }
 
   /** Prefix-filtered variant (AllPairs/PPJoin lineage), same exact result.
@@ -597,11 +631,19 @@ object DedupOps {
     val prefix = postings.join(dfreq, "h")
       .withColumn("__rk", row_number().over(byRarity))
       .filter(col("__rk") <= col("n") - ceil(col("n") * 0.5) + 1)
-      .select(col("h"), col("doc_id"), col("n"))
-    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("h"))
+      .select(col("h"), col("doc_id"), col("n"), col("__rk"))
+    // PPJoin positional filter (r9, see dedupContainmentPrefix for the
+    // first-common-shingle validity argument): J >= 0.5 forces
+    // 3·inter >= n_a + n_b, and a match at ranks (p_a, p_b) bounds
+    // inter by 1 + min(n_a−p_a, n_b−p_b)
+    val cands = prefix.select(col("h"), col("doc_id").as("doc_a"), col("n").as("n_a"),
+        col("__rk").as("p_a"))
+      .join(prefix.select(col("h"), col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("__rk").as("p_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
+      .filter((lit(1) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))) * 3
+        >= col("n_a") + col("n_b"))
       .select("doc_a", "doc_b").distinct()
     // exact verification over the full shingle sets, candidates broadcast
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
