@@ -554,6 +554,32 @@ object SimilarityOps {
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
 
+  /** Query-independent half of the residual-ADC decomposition: per coarse
+    * cell, the packed slot array T2[b·cells + c] = ‖C_b + cb_c‖² (C = the
+    * cell centroid, cb = the PQ codebook entry). Pure driver-side
+    * arithmetic over quantizer metadata; extracted so the slot packing —
+    * an off-by-one here silently degrades recall without failing the
+    * (deliberately loose) recall gates — is differential-testable
+    * (SimilaritySpec pins it against a naive per-(block,code)
+    * reconstruction). */
+  private[graft] def pqT2Rows(
+      cellVecs: Seq[(Int, Seq[Double])],
+      codebook: Array[Array[Array[Double]]],
+      sub: Int): Seq[(Int, Seq[Double])] =
+    cellVecs.map { case (cellId, cvec) =>
+      (cellId, Array.tabulate(PqBlocks * PqCells) { slot =>
+        val (b, c) = (slot / PqCells, slot % PqCells)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val v = cvec(b * sub + i) + codebook(b)(c)(i)
+          s += v * v
+          i += 1
+        }
+        s
+      }.toSeq)
+    }
+
   /** (vec_id, rvec = vec − centroid(cell of vec)) over `assigned`. */
   private def residualized(assigned: DataFrame, cells: DataFrame): DataFrame =
     assigned
@@ -694,20 +720,10 @@ object SimilarityOps {
     val spark2 = spark
     import spark2.implicits._
     val t2 = broadcast(
-      cells.select(col("cell"), col("cvec")).as[(Int, Seq[Double])].collect().toSeq
-        .map { case (cellId, cvec) =>
-          (cellId, Array.tabulate(PqBlocks * PqCells) { slot =>
-            val (b, c) = (slot / PqCells, slot % PqCells)
-            var s = 0.0
-            var i = 0
-            while (i < sub) {
-              val v = cvec(b * sub + i) + cbArr(b)(c)(i)
-              s += v * v
-              i += 1
-            }
-            s
-          }.toSeq)
-        }.toDF("cell", "t2"))
+      pqT2Rows(
+        cells.select(col("cell"), col("cvec")).as[(Int, Seq[Double])].collect().toSeq,
+        cbArr, sub)
+        .toDF("cell", "t2"))
     val cb = pqCodebookDf(spark, dir).select(col("block"),
       col("cell").as("code"), col("cvec").as("codevec"))
     val t3 = subBlocks(queries, "qvec", sub)

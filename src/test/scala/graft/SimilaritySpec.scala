@@ -144,6 +144,37 @@ class SimilaritySpec extends SparkSpec {
       (0L until 8L).map(d => (9L, d, 0L)))
   }
 
+  test("residual-ADC T2 slot packing matches the naive per-(block,code) reconstruction") {
+    // deterministic synthetic quantizer metadata: 3 cells x 64 dims,
+    // 8 blocks x 16 codes x 8-dim sub-vectors
+    val sub = 8
+    val cells = (0 until 3).map(c =>
+      (c, (0 until 64).map(i => (c * 64 + i) * 0.01 - 0.3)))
+    val codebook = Array.tabulate(8, 16, sub)((b, k, i) =>
+      math.sin(b * 1.7 + k * 0.31 + i * 0.057))
+    val t2 = graft.similarity.SimilarityOps.pqT2Rows(cells, codebook, sub)
+    assert(t2.map(_._1) == Seq(0, 1, 2))
+    for ((cellId, packed) <- t2) {
+      assert(packed.length == 8 * 16)
+      val cvec = cells(cellId)._2
+      for (b <- 0 until 8; k <- 0 until 16) {
+        // naive: reconstruct C_b + cb_k elementwise, then sum of squares
+        val naive = (0 until sub).map { i =>
+          val v = cvec(b * sub + i) + codebook(b)(k)(i)
+          v * v
+        }.sum
+        assert(math.abs(packed(b * 16 + k) - naive) < 1e-12,
+          s"cell $cellId slot (b=$b, k=$k) drifted")
+      }
+    }
+    // an intentionally swapped slot layout (k*8 + b) must NOT match —
+    // guards against the packing silently flipping while both sides of
+    // the differential use the same (wrong) convention
+    val flat = t2.head._2
+    val swapped = (0 until 8 * 16).map(s => flat((s % 16) * 8 + s / 16))
+    assert(swapped != flat)
+  }
+
   test("IVF+PQ ANN recalls planted near-duplicates and agrees with exact rerank") {
     val out = SimilarityOps.annTopkIvfPqRanked(spark, SfDir)
     val rows = out.select(col("query_id"), col("rank"), col("vec_id"), col("cos_ppm"))
