@@ -102,39 +102,13 @@ object Bench {
         (name, if (ok.nonEmpty) ok.min else runs.map(_._1).min,
           if (ok.nonEmpty) None else runs.head._2)
       }
-    val failed = results.collect { case (k, _, Some(e)) => k -> e }
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k + f"""\":$v%.3f"""
-    }.mkString("{", ",", "}")
-    val errsJson = failed.map { case (k, e) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    }.mkString("{", ",", "}")
-    // total sums only queries that actually executed; a failure must never
-    // be priced at the cost of raising an exception
-    val total = results.collect { case (_, v, None) => v }.sum
-    val onlyFlag = if (only.isDefined) ""","subset":true""" else ""
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    val (stdoutLine, line) = summarize(results, sfDir, only.isDefined)
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON it finds there, so the LAST line printed must always be a
     // complete, parseable summary that fits: total + failure count + as
     // many of the slowest queries as a conservative char budget allows.
     // The full per-query map goes to BENCH_LOCAL.json (below), not stdout.
-    if (line.length <= 1900) println(line)
-    else {
-      val head =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"sf":"$sfDir","queries":{"""
-      val budget = 1800 - head.length
-      val kept = scala.collection.mutable.ListBuffer.empty[String]
-      var used = 0
-      results.sortBy(-_._2).foreach { case (k, v, _) =>
-        val frag = "\"" + k + f"""\":$v%.3f"""
-        if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
-      }
-      val omitted = results.size - kept.size
-      println(head + kept.mkString(",") + s"""},"queries_omitted":$omitted}""")
-    }
+    println(stdoutLine)
     // Persist the full line in-repo so every round's complete numbers
     // survive driver-side truncation. The default anchors at the repo root
     // (nearest ancestor with build.sbt) rather than the raw CWD. A subset
@@ -158,7 +132,52 @@ object Bench {
     spark.stop()
     // loud, but exit 0: the driver's bench capture must still record the
     // artifact — the "failed" count in the JSON is the machine-readable flag
-    if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.map(_._1).mkString(", ")}")
+    val failedNames = results.collect { case (k, _, Some(_)) => k }
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")
+  }
+
+  /** Assemble the (stdout, artifact) summary lines from per-query
+    * results `(name, min-seconds, error-if-all-reps-failed)`. Pure so
+    * BenchSpec can plant a failing query and assert both JSONs flag it:
+    * a failed query contributes its error to `errors`, bumps `failed`,
+    * and is EXCLUDED from `value` (a failure must never be priced at
+    * time-to-exception, which deflated the r8 totals). The stdout line
+    * is guaranteed <= ~1900 chars — the driver keeps only the last
+    * ~2000 chars of stdout — falling back to a slowest-first subset of
+    * the per-query map with an explicit `queries_omitted` count; the
+    * artifact line always carries the full map. */
+  private[graft] def summarize(
+      results: Seq[(String, Double, Option[String])],
+      sfDir: String,
+      subset: Boolean): (String, String) = {
+    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k + f"""\":$v%.3f"""
+    }.mkString("{", ",", "}")
+    val errsJson = failed.map { case (k, e) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val onlyFlag = if (subset) ""","subset":true""" else ""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    val stdoutLine =
+      if (line.length <= 1900) line
+      else {
+        val head =
+          f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"sf":"$sfDir","queries":{"""
+        val budget = 1800 - head.length
+        val kept = scala.collection.mutable.ListBuffer.empty[String]
+        var used = 0
+        results.sortBy(-_._2).foreach { case (k, v, _) =>
+          val frag = "\"" + k + f"""\":$v%.3f"""
+          if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
+        }
+        val omitted = results.size - kept.size
+        head + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
+      }
+    (stdoutLine, line)
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The VERDICT r8 done-criterion for loud bench failures: a planted
+  * failing query must be visibly flagged in BOTH emitted JSONs, and its
+  * time-to-exception must not be priced into the total. */
+class BenchSpec extends AnyFunSuite {
+
+  private val ok = Seq(
+    ("q_fast", 0.5, None: Option[String]),
+    ("q_slow", 2.0, None: Option[String]))
+
+  test("a planted failing query is flagged in both JSONs and excluded from the total") {
+    val results = ok :+ (("q_broken", 0.07, Some("""DATATYPE_MISMATCH: "x" vs "y"""")))
+    val (stdout, artifact) = Bench.summarize(results, "/data/sf", subset = false)
+    for (j <- Seq(stdout, artifact)) {
+      assert(j.contains("\"failed\":1"), j)
+      assert(j.contains("\"value\":2.500"), s"total must exclude the failure: $j")
+      assert(!j.contains("\"subset\""), j)
+    }
+    // the artifact carries the error text (JSON-escaped, control chars out)
+    assert(artifact.contains("\"q_broken\":\"DATATYPE_MISMATCH: \\\"x\\\" vs \\\"y\\\"\""))
+    // the failed query's wall time still appears per-query, marked by the
+    // errors map rather than hidden
+    assert(artifact.contains("\"q_broken\":0.070"))
+  }
+
+  test("a clean run reports failed:0 with an empty errors map") {
+    val (stdout, artifact) = Bench.summarize(ok, "/data/sf", subset = false)
+    assert(stdout == artifact)
+    assert(artifact.contains("\"failed\":0") && artifact.contains("\"errors\":{}"))
+    assert(artifact.contains("\"value\":2.500") && artifact.contains("\"query_count\":2"))
+  }
+
+  test("subset runs are marked and long runs emit a bounded tail-safe stdout line") {
+    val (s, _) = Bench.summarize(ok, "/d", subset = true)
+    assert(s.contains("\"subset\":true"))
+    // 300 queries force the overflow path: stdout stays under the
+    // driver's 2000-char capture with slowest-first content + an
+    // explicit omitted count; the artifact line keeps everything
+    val many = (1 to 300).map(i => (f"q_$i%03d", i / 100.0, None: Option[String]))
+    val (stdout, artifact) = Bench.summarize(many, "/d", subset = false)
+    assert(stdout.length <= 1900, s"stdout line ${stdout.length} chars")
+    assert(stdout.contains("\"queries_omitted\":"))
+    assert(stdout.contains("\"q_300\"") && !stdout.contains("\"q_001\""),
+      "tail-safe line must keep the slowest queries")
+    assert(artifact.contains("\"q_001\":0.010") && artifact.contains("\"q_300\":3.000"))
+  }
+}
