@@ -617,10 +617,16 @@ object SimilarityOps {
   }
 
   /** Codebook as a broadcastable (block, cell, cvec, cnorm) frame. */
-  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame = {
+  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame =
+    codebookDf(spark, pqCodebook(spark, dir))
+
+  /** A codebook array as a broadcastable (block, cell, cvec, cnorm)
+    * frame — shared by the session-trained and the store-loaded paths. */
+  private def codebookDf(spark: SparkSession,
+      arr: Array[Array[Array[Double]]]): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    pqCodebook(spark, dir).zipWithIndex.flatMap { case (cells, b) =>
+    arr.zipWithIndex.flatMap { case (cells, b) =>
       cells.zipWithIndex.map { case (c, i) => (b, i, c.toSeq, c.map(x => x * x).sum) }
     }.toSeq.toDF("block", "cell", "cvec", "cnorm")
   }
@@ -668,12 +674,48 @@ object SimilarityOps {
     * stays on disk; the serving working set is the code table at a ~32x
     * compression. Output contract matches the other ann entries;
     * SimilaritySpec gates planted-recall and shortlist behavior. */
-  def annTopkIvfPqRanked(spark: SparkSession, dir: String,
-      queryStride: Long = 1L): DataFrame = {
+  /** The persistable IVF+PQ serving index: the probe-able cell table,
+    * the codes-joined corpus assignment, and the (tiny) residual PQ
+    * codebook — exactly the state a build-once/serve-many deployment
+    * writes at index time and every serving session loads
+    * ([[graft.sources.AnnIndexStore]] is the parquet round-trip). */
+  final case class IvfPqIndex(
+      cells: DataFrame,
+      withCodes: DataFrame,
+      codebook: Array[Array[Array[Double]]],
+      nCells: Int)
+
+  /** Session-built index from the corpus at `dir` (every piece served
+    * from [[SessionCache]] / per-dir memos, so repeated calls are free). */
+  private[graft] def buildIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
     val kCells = ivfCells(corpusSize(spark, dir))
-    val nProbe = ivfProbes(kCells)
     val (cells, assigned) = ivfIndex(spark, dir, kCells)
-    val queries = assigned.filter(col("vec_id") >= 1000000L)
+    // The serving index carries the codes NEXT TO the cell assignment
+    // (one session-cached join, r8): candidates leave the probe join
+    // already holding their 8 codes, so the candidate stream — the only
+    // O(queries x n/4) volume in the plan — never shuffles again to
+    // fetch them (the former cands-by-vec_id codes join was the x10
+    // scaling cliff: 4M-row exchange per run, slope 1.31).
+    val withCodes = graft.SessionCache.cachedDirView(
+      spark, "graft_pq_index", dir)(
+      assigned.filter(col("vec_id") < 1000000L).select("vec_id", "cell")
+        .join(pqCodes(spark, dir), "vec_id"))
+    IvfPqIndex(cells, withCodes, pqCodebook(spark, dir), kCells)
+  }
+
+  def annTopkIvfPqRanked(spark: SparkSession, dir: String,
+      queryStride: Long = 1L): DataFrame =
+    ivfPqServe(spark, dir, queryStride, buildIvfPqIndex(spark, dir))
+
+  /** Serve IVF+PQ top-k from an INDEX VALUE — session-built or loaded
+    * from [[graft.sources.AnnIndexStore]]; queries and the exact-rerank
+    * vectors still come from the corpus at `dir`. */
+  private[graft] def ivfPqServe(spark: SparkSession, dir: String,
+      queryStride: Long, idx: IvfPqIndex): DataFrame = {
+    val nProbe = ivfProbes(idx.nCells)
+    val cells = idx.cells
+    val queries = withPlanted(vectors(spark, dir))
+      .filter(col("vec_id") >= 1000000L)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
@@ -687,19 +729,9 @@ object SimilarityOps {
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
       .select("query_id", "qvec", "cell", "__qc")
-    // The serving index carries the codes NEXT TO the cell assignment
-    // (one session-cached join, r8): candidates leave the probe join
-    // already holding their 8 codes, so the candidate stream — the only
-    // O(queries x n/4) volume in the plan — never shuffles again to
-    // fetch them (the former cands-by-vec_id codes join was the x10
-    // scaling cliff: 4M-row exchange per run, slope 1.31).
-    val indexWithCodes = graft.SessionCache.cachedDirView(
-      spark, "graft_pq_index", dir)(
-      assigned.filter(col("vec_id") < 1000000L).select("vec_id", "cell")
-        .join(pqCodes(spark, dir), "vec_id"))
     // candidates carry (query_id, cell, vec_id, codes, −2⟨q,C⟩) — no
     // vectors move
-    val cands = probes.drop("qvec").join(indexWithCodes, "cell")
+    val cands = probes.drop("qvec").join(idx.withCodes, "cell")
       .select("query_id", "cell", "vec_id", "codes", "__qc")
     // Residual ADC via the FAISS precomputed-tables decomposition: a
     // naive residual lookup table is per (query, probed cell) — a
@@ -715,16 +747,15 @@ object SimilarityOps {
     // fused AdcLookup walks + one scalar add, all inside codegen.
     val dim = queries.select(size(col("qvec"))).head().getInt(0)
     val sub = dim / PqBlocks
-    val cbArr = pqCodebook(spark, dir)
     // T2 from driver-side quantizer metadata (bounded: ≤4096 cells × dim)
     val spark2 = spark
     import spark2.implicits._
     val t2 = broadcast(
       pqT2Rows(
         cells.select(col("cell"), col("cvec")).as[(Int, Seq[Double])].collect().toSeq,
-        cbArr, sub)
+        idx.codebook, sub)
         .toDF("cell", "t2"))
-    val cb = pqCodebookDf(spark, dir).select(col("block"),
+    val cb = codebookDf(spark, idx.codebook).select(col("block"),
       col("cell").as("code"), col("cvec").as("codevec"))
     val t3 = subBlocks(queries, "qvec", sub)
       .join(broadcast(cb), "block")

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.SimilarityOps
+import graft.similarity.SimilarityOps.IvfPqIndex
+
+/** Cross-SESSION persistence for the IVF+PQ serving index — the piece
+  * that turns the per-JVM [[graft.SessionCache]] build-once/serve-many
+  * split into the real deployment shape: at 100 TB the index build (a
+  * full-corpus k-means assignment + PQ encode) is a batch job whose
+  * output OUTLIVES the JVM, and serving sessions load it instead of
+  * rebuilding (FAISS writes .index files; a lakehouse writes index
+  * TABLES — this store does the latter, so the index is itself
+  * queryable, partition-prunable parquet).
+  *
+  * Layout under `path`:
+  *   - `cells.parquet`    (cell, cvec, cnorm)         — probe-able quantizer
+  *   - `codes.parquet`    (vec_id, cell, codes)       — the 8-byte/vector corpus
+  *   - `codebook.parquet` (block, code, cvec)         — residual PQ codebook
+  *   - `meta.json`        snapshot + capacity constants
+  *
+  * Staleness: `meta.json` records [[graft.Tables.snapshot]] of the
+  * embeddings table at WRITE time; [[read]] recomputes it and fails
+  * loudly on mismatch — serving from an index built over a different
+  * corpus returns silently-wrong neighbors, the worst failure mode an
+  * ANN store can have. Pass `allowStale = true` only for forensics.
+  */
+object AnnIndexStore {
+
+  private def metaPath(path: String) = java.nio.file.Paths.get(path, "meta.json")
+
+  /** Build (via the session cache — free if already built) and persist
+    * the serving index for the corpus at `dataDir`. */
+  def write(spark: SparkSession, dataDir: String, path: String): Unit = {
+    val idx = SimilarityOps.buildIvfPqIndex(spark, dataDir)
+    idx.cells.write.mode("overwrite").parquet(s"$path/cells.parquet")
+    idx.withCodes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+    val spark2 = spark
+    import spark2.implicits._
+    idx.codebook.zipWithIndex.flatMap { case (cells, b) =>
+      cells.zipWithIndex.map { case (c, k) => (b, k, c.toSeq) }
+    }.toSeq.toDF("block", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook.parquet")
+    val meta =
+      s"""{"snapshot":"${graft.Tables.snapshot(s"$dataDir/embeddings.parquet")}",""" +
+        s""""nCells":${idx.nCells},"blocks":${idx.codebook.length},""" +
+        s""""codes":${idx.codebook.head.length}}"""
+    java.nio.file.Files.writeString(metaPath(path), meta)
+  }
+
+  /** Load a persisted index for serving against `dataDir`. */
+  def read(spark: SparkSession, dataDir: String, path: String,
+      allowStale: Boolean = false): IvfPqIndex = {
+    val meta = java.nio.file.Files.readString(metaPath(path))
+    def field(k: String): String =
+      s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(meta)
+        .getOrElse(throw new IllegalStateException(
+          s"AnnIndexStore: meta.json at $path missing field $k"))
+        .group(1)
+    val storedSnap = field("snapshot")
+    val liveSnap = graft.Tables.snapshot(s"$dataDir/embeddings.parquet")
+    if (storedSnap != liveSnap && !allowStale)
+      throw new IllegalStateException(
+        s"AnnIndexStore: index at $path was built over a DIFFERENT corpus " +
+          s"(stored snapshot $storedSnap, live $liveSnap) — serving it would " +
+          "return wrong neighbors; rebuild with write(), or pass " +
+          "allowStale=true for forensics only")
+    val nCells = field("nCells").toInt
+    val blocks = field("blocks").toInt
+    val codes = field("codes").toInt
+    val cbRows = spark.read.parquet(s"$path/codebook.parquet")
+      .select("block", "code", "cvec").collect()
+    require(cbRows.length == blocks * codes,
+      s"AnnIndexStore: codebook has ${cbRows.length} rows, expected ${blocks * codes}")
+    val codebook = Array.ofDim[Array[Double]](blocks, codes)
+    cbRows.foreach { r =>
+      codebook(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    IvfPqIndex(
+      spark.read.parquet(s"$path/cells.parquet"),
+      spark.read.parquet(s"$path/codes.parquet"),
+      codebook,
+      nCells)
+  }
+
+  /** Serve top-k from a LOADED index (queries + exact-rerank vectors
+    * still read from the live corpus at `dataDir`). */
+  def serve(spark: SparkSession, dataDir: String, path: String,
+      queryStride: Long = 1L): DataFrame =
+    SimilarityOps.ivfPqServe(spark, dataDir, queryStride,
+      read(spark, dataDir, path))
+}

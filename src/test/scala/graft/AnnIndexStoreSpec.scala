@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.SimilarityOps
+import graft.sources.AnnIndexStore
+
+/** Cross-session index persistence: the parquet round-trip must serve
+  * IDENTICAL results to the session-built index, and a corpus/index
+  * mismatch must fail loudly (silently-wrong neighbors are the worst
+  * ANN-store failure mode). */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private val store = java.nio.file.Files
+    .createTempDirectory("graft_ann_index").toString
+
+  test("write/read round-trips the index and serves identical top-10") {
+    AnnIndexStore.write(spark, SfDir, store)
+    val loaded = AnnIndexStore.read(spark, SfDir, store)
+    val live = SimilarityOps.buildIvfPqIndex(spark, SfDir)
+    assert(loaded.nCells == live.nCells)
+    // codebook bit-identical
+    assert(loaded.codebook.length == live.codebook.length)
+    for (b <- live.codebook.indices)
+      assert(loaded.codebook(b).map(_.toSeq).toSeq == live.codebook(b).map(_.toSeq).toSeq,
+        s"codebook block $b drifted through parquet")
+    // index tables row-identical
+    assert(loaded.cells.exceptAll(live.cells).isEmpty &&
+      live.cells.exceptAll(loaded.cells).isEmpty)
+    assert(loaded.withCodes.exceptAll(live.withCodes).isEmpty &&
+      live.withCodes.exceptAll(loaded.withCodes).isEmpty)
+    // and the search served from the LOADED index equals the live path
+    val cols = Seq("query_id", "rank", "vec_id", "cos_ppm")
+    val fromStore = AnnIndexStore.serve(spark, SfDir, store)
+      .select(cols.map(col): _*).orderBy("query_id", "rank").collect()
+    val fromLive = SimilarityOps.annTopkIvfPqRanked(spark, SfDir)
+      .select(cols.map(col): _*).orderBy("query_id", "rank").collect()
+    assert(fromStore.nonEmpty)
+    assert(fromStore.toSeq == fromLive.toSeq)
+  }
+
+  test("a stale index (corpus mismatch) fails loudly unless forensics-flagged") {
+    AnnIndexStore.write(spark, SfDir, store)
+    // the sf0.01 corpus has a different embeddings snapshot than sf0.001
+    val other = "/root/testdata/sf0.01"
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.read(spark, other, store)
+    }
+    assert(e.getMessage.contains("DIFFERENT corpus"))
+    // forensics escape hatch still loads
+    assert(AnnIndexStore.read(spark, other, store, allowStale = true).nCells > 0)
+  }
+
+  test("a corrupt meta.json names the missing field") {
+    AnnIndexStore.write(spark, SfDir, store)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store, "meta.json"), """{"nCells":16}""")
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.read(spark, SfDir, store)
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+}
