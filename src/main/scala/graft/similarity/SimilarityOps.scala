@@ -319,7 +319,12 @@ object SimilarityOps {
     * MEANS rather than collapsing below the floors. */
   private[graft] val LshMinMeanRecallPct = 60
   private[graft] val IvfMinMeanRecallPct = 50
-  private[graft] val IvfPqMinMeanRecallPct = 40
+  /** 40 → 50 in r9: residual encoding lifted measured ivfpq means to
+    * 67/69/58 at sf0.001/0.01/0.1 (RecallProbe, deterministic
+    * pipeline), so 50 keeps ≥17 points of margin at the two
+    * oracle-asserted scales while catching a residual/codebook/ADC
+    * regression that the old floor would have slept through. */
+  private[graft] val IvfPqMinMeanRecallPct = 50
 
   /** Centroids as a broadcastable frame (cell id, vector, ||c||^2).
     * Embedding centroids as literal arrays costs seconds of codegen
