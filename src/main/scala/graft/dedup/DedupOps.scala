@@ -290,6 +290,9 @@ object DedupOps {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
+      // checkpointed before the jump self-join below references it twice:
+      // without the barrier the propagation join+agg executes once per
+      // reference (exchange reuse covers the shuffle, not the aggregation)
       val propagated = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -298,6 +301,7 @@ object DedupOps {
           // every node has exactly one self-loop, so this picks out its
           // own label from the previous round (works for any label type)
           max(when(col("src") === col("dst"), col("cluster"))).as("__prev"))
+        .localCheckpoint()
       // Pointer jumping: replace each node's label with its LABEL's label
       // (labels are themselves node ids, so the lookup is a self-join on
       // this round's output). Min-propagation alone needs O(diameter)
@@ -318,6 +322,8 @@ object DedupOps {
           col("n.__prev"))
         .localCheckpoint()
       val nChanged = next.filter(!(col("cluster") <=> col("__prev"))).count()
+      // next is checkpointed, so the round's intermediate blocks can go
+      propagated.unpersist()
       labels.unpersist()
       // keep `next` itself (the checkpointed Dataset) as the loop variable
       // so unpersist targets the actual checkpoint blocks; __prev rides
