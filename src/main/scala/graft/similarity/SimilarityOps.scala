@@ -712,6 +712,33 @@ object SimilarityOps {
       queryStride: Long = 1L): DataFrame =
     ivfPqServe(spark, dir, queryStride, buildIvfPqIndex(spark, dir))
 
+  /** Encode a batch of (vec_id, vec) against a FROZEN index — nearest
+    * stored cell, residual PQ codes from the stored codebook — returning
+    * (vec_id, cell, codes) rows shaped exactly like `idx.withCodes`
+    * (the [[graft.sources.AnnIndexStore.append]] ingestion kernel). One
+    * broadcast-join pass; no retraining, no base-corpus touch. */
+  private[graft] def encodeWithIndex(spark: SparkSession, batch: DataFrame,
+      idx: IvfPqIndex): DataFrame = {
+    val sub = idx.codebook.head.head.length
+    val assigned = assignCells(batch.select(col("vec_id"), col("vec")), idx.cells)
+    val resid = assigned
+      .join(broadcast(idx.cells.select(col("cell"), col("cvec"))), "cell")
+      // the carried IVF cell must not collide with the codebook frame's
+      // own `cell` (= code id) column through the join below
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        expr("zip_with(vec, cvec, (a, b) -> a - b)").as("rvec"))
+    subBlocks(resid, "rvec", sub)
+      .join(broadcast(codebookDf(spark, idx.codebook)), "block")
+      .withColumn("__d",
+        col("cnorm") - GraftFunctions.dotProduct(col("bvec"), col("cvec")) * 2.0)
+      .groupBy("vec_id", "ivf_cell", "block")
+      .agg(min(struct(col("__d"), col("cell"))).getField("cell").as("code"))
+      .groupBy("vec_id", "ivf_cell")
+      .agg(expr("transform(array_sort(collect_list(struct(block, code)))," +
+        " s -> s.code)").as("codes"))
+      .select(col("vec_id"), col("ivf_cell").as("cell"), col("codes"))
+  }
+
   /** Serve IVF+PQ top-k from an INDEX VALUE — session-built or loaded
     * from [[graft.sources.AnnIndexStore]]; queries and the exact-rerank
     * vectors still come from the corpus at `dir`. */

@@ -91,4 +91,30 @@ object AnnIndexStore {
       queryStride: Long = 1L): DataFrame =
     SimilarityOps.ivfPqServe(spark, dataDir, queryStride,
       read(spark, dataDir, path))
+
+  /** Incrementally index a batch of new vectors — the FAISS `add()`
+    * semantics: assign each batch vector to its nearest STORED coarse
+    * cell and PQ-encode its residual with the STORED codebook (no
+    * retrain — the quantizer is frozen at build time, which is what
+    * makes the operation an append instead of a rebuild), then append
+    * the (vec_id, cell, codes) rows to `codes.parquet`. One broadcast
+    * join pass over the batch; the base corpus is never touched. The
+    * quantizer drifts from the data distribution as appends accumulate
+    * — production systems rebuild when recall sags; [[read]]'s snapshot
+    * gate is deliberately left on the BUILD corpus so a rebuild-vs-
+    * append decision stays visible in `meta.json` (`appended` count). */
+  def append(spark: SparkSession, dataDir: String, path: String,
+      batch: DataFrame): Unit = {
+    val idx = read(spark, dataDir, path)
+    val encoded = SimilarityOps.encodeWithIndex(spark, batch, idx)
+    encoded.write.mode("append").parquet(s"$path/codes.parquet")
+    val meta = java.nio.file.Files.readString(metaPath(path))
+    val n = batch.count()
+    val updated =
+      if (meta.contains("\"appended\":"))
+        """"appended":(\d+)""".r.replaceAllIn(meta,
+          m => s""""appended":${m.group(1).toLong + n}""")
+      else meta.patch(meta.lastIndexOf('}'), s""","appended":$n""", 0)
+    java.nio.file.Files.writeString(metaPath(path), updated)
+  }
 }

@@ -51,6 +51,37 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.read(spark, other, store, allowStale = true).nCells > 0)
   }
 
+  test("append encodes a batch with the frozen quantizer and records the count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_append").toString
+    AnnIndexStore.write(spark, SfDir, dir)
+    val before = AnnIndexStore.read(spark, SfDir, dir)
+    val nBefore = before.withCodes.count()
+    // plant two batch vectors: one EQUAL to an existing corpus vector
+    // (must land in the same cell with the same codes), one arbitrary
+    val sample = before.withCodes.limit(1).collect().head
+    val (knownId, knownCell, knownCodes) =
+      (sample.getLong(0), sample.getInt(1), sample.getSeq[Int](2))
+    val knownVec = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") === knownId)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .head().getSeq[Double](0)
+    val batch = Seq(
+      (5000001L, knownVec),
+      (5000002L, knownVec.map(v => 1.0 - v))).toDF("vec_id", "vec")
+    AnnIndexStore.append(spark, SfDir, dir, batch)
+    val after = AnnIndexStore.read(spark, SfDir, dir)
+    assert(after.withCodes.count() == nBefore + 2)
+    val dup = after.withCodes.filter(col("vec_id") === 5000001L).collect().head
+    assert(dup.getInt(1) == knownCell, "identical vector must land in the same cell")
+    assert(dup.getSeq[Int](2) == knownCodes, "identical vector must get identical codes")
+    // a second append accumulates the count in meta.json
+    AnnIndexStore.append(spark, SfDir, dir, batch.filter(col("vec_id") === 5000002L))
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "meta.json"))
+    assert(meta.contains("\"appended\":3"), meta)
+  }
+
   test("a corrupt meta.json names the missing field") {
     AnnIndexStore.write(spark, SfDir, store)
     java.nio.file.Files.writeString(
