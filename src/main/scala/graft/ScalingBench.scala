@@ -250,6 +250,25 @@ object ScalingBench {
         }.min
         times(name) = times.getOrElse(name, Map.empty) + (k -> t)
       }
+      // Heavy-tail retry, mirroring graft.Bench (r9): the in-family r9
+      // sweep posted dedup_containment at 20.6 s at x10 while the same
+      // code measured 6.4 s isolated minutes later — transient host
+      // contention. One extra rep at the END of the scale's loop (a
+      // different noise window) for any row whose min exceeded 2.5 s;
+      // keep the overall min. Genuinely slow rows re-measure the same,
+      // so slopes stay honest while contention spikes self-correct.
+      for (name <- family if only.forall(_.contains(name))
+           if times(name).getOrElse(k, 0.0) >= 2.5) {
+        val fn = extraFns.getOrElse(name, SparkEntry.queries(name))
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < times(name)(k)) {
+          System.err.println(f"[scaling] $name x$k retry: ${times(name)(k)}%.2f -> $t%.2f s")
+          times(name) = times(name) + (k -> t)
+        }
+      }
       // ingest family (VERDICT r5 ask #4): the cards corpus is SYNTHESIZED
       // (no driver file to amplify), so scale the generator itself. The
       // registered entry parses 500 cards — overhead, not throughput — so
