@@ -79,6 +79,7 @@ object SparkEntry {
     "q_lateral_topk"      -> (RelationalExt.qLateralTopk _),
     "q_unpivot"           -> (RelationalExt.qUnpivot _),
     "q_listagg"           -> (RelationalExt.qListagg _),
+    "q_hll_distinct"      -> (RelationalExt.qHllDistinct _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
     "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
     "q_compact_read"      -> (Bucketing.qCompactRead _),
+    "q_partition_prune"   -> (Bucketing.qPartitionPrune _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
@@ -135,6 +137,7 @@ object SparkEntry {
     "embed_quantize_int8" -> (graft.similarity.SimilarityOps.qEmbedQuantizeInt8 _),
     "embed_cluster_dedup" -> (graft.similarity.SimilarityOps.qEmbedClusterDedup _),
     "embed_project_rand"  -> (graft.similarity.SimilarityOps.qEmbedProjectRand _),
+    "embed_kmeans"        -> (graft.similarity.SimilarityOps.qEmbedKmeans _),
     "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -156,6 +159,7 @@ object SparkEntry {
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
+    "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -731,6 +735,17 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // mergeable-HLL distinct counting: exact counts hash-gated, the
+    // sketch/union path contract-gated by the in-plan ±5% boolean
+    // (the text_heavy_hitters CMS gate shape)
+    "q_hll_distinct" ->
+      """SELECT grp, n_exact, TRUE AS est_ok FROM (
+        |  SELECT o_orderpriority AS grp,
+        |    count(DISTINCT o_custkey) AS n_exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
+        |ORDER BY grp""".stripMargin,
     "q_unpivot" ->
       """SELECT l_returnflag, metric, val FROM (
         |  SELECT l_returnflag,
@@ -914,6 +929,14 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // raw-table oracle again: the hive-partitioned rewrite must be
+    // row-for-row lossless under the month filter
+    "q_partition_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderdate,
+        |  strftime(o_orderdate, '%Y-%m') AS order_month
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |ORDER BY o_orderkey""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed
     "ingest_json_cards" -> CardsIngestOracle,
@@ -1193,6 +1216,42 @@ object SparkEntry {
         |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // integer-exact Lloyd k-means (k=8, 2 update rounds, init = vec_id<8,
+    // ties to the lowest cell): dims quantized to shifted micro-units so
+    // truncating division is floor division on both engines; the oracle
+    // replays every assignment and centroid update exactly
+    "embed_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT) + 2000000)) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS dim
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cell, dim, x AS cx FROM v WHERE vec_id < 8),
+        |d1 AS (SELECT v.vec_id, c.cell,
+        |         CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS dist
+        |       FROM v JOIN c0 c USING (dim) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cell FROM d1
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |u1 AS (SELECT a.cell, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS cx
+        |       FROM a1 a JOIN v USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT * FROM u1 UNION ALL
+        |       SELECT cell, dim, cx FROM c0 WHERE cell NOT IN (SELECT cell FROM u1)),
+        |d2 AS (SELECT v.vec_id, c.cell,
+        |         CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS dist
+        |       FROM v JOIN c1 c USING (dim) GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cell FROM d2
+        |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |u2 AS (SELECT a.cell, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS cx
+        |       FROM a2 a JOIN v USING (vec_id) GROUP BY 1, 2),
+        |c2 AS (SELECT * FROM u2 UNION ALL
+        |       SELECT cell, dim, cx FROM c1 WHERE cell NOT IN (SELECT cell FROM u2)),
+        |d3 AS (SELECT v.vec_id, c.cell,
+        |         CAST(sum((v.x - c.cx) * (v.x - c.cx)) AS BIGINT) AS dist
+        |       FROM v JOIN c2 c USING (dim) GROUP BY 1, 2)
+        |SELECT vec_id, cell, dist FROM d3
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+        |ORDER BY vec_id""".stripMargin,
     "embed_label_centroids" ->
       """WITH flat AS (
         |  SELECT label,
@@ -1310,6 +1369,28 @@ object SparkEntry {
         |  CAST(sum(pos * coalesce(v.id, 0)) AS BIGINT) AS ids_checksum
         |FROM tok LEFT JOIN vocab v USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-doc top-3 TF-IDF terms: idf quantized to integer micronats per
+    // TERM before the multiply (the perplexity precedent), score an exact
+    // long, ties broken by term — the oracle replays every value
+    "text_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term,
+        |    CAST(round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |      / count(DISTINCT doc_id)) * 1000000) AS BIGINT) AS idf_unat
+        |  FROM toks GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf_unat AS score_unat
+        |  FROM tf JOIN idf USING (term))
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score_unat DESC, term) AS rank,
+        |  term, tf, score_unat
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "text_bigram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |bg AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] AS g

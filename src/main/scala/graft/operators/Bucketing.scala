@@ -217,4 +217,41 @@ object Bucketing {
       .filter(col("l_partkey").between(20, 120) && col("l_suppkey").between(2, 8))
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  /** Build-once hive-partitioned copy of orders, laid out by order month —
+    * the directory layout behind [[writePartitioned]]'s contract, here
+    * owned by a driver-gated query. */
+  private[graft] def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_hivepart_" + graft.SessionCache.dirKey(dir)
+    val lock = zorderLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        writePartitioned(
+          graft.Tables.orders(spark, dir)
+            .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM")),
+          path, "order_month")
+      }
+    }
+    path
+  }
+
+  /** Hive-style partition pruning as a DRIVER-GATED read path: a month
+    * filter over the partitioned layout must return exactly the raw
+    * table's rows for that month (the oracle reads the RAW table), and
+    * the plan must serve the predicate from PartitionFilters — directory
+    * listing, zero data files outside the month touched (asserted
+    * quantitatively in BucketingSpec). At 100 TB this layout is the
+    * first 100-1000x reduction for any time/tenant-scoped query, before
+    * row-group statistics ([[qZorderPrune]]) even come into play. */
+  def qPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round => fround}
+    spark.read.parquet(partitionedOrdersPath(spark, dir))
+      .filter(col("order_month") === "1996-03")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        fround(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderdate"), col("order_month"))
+      .orderBy("o_orderkey")
+  }
 }

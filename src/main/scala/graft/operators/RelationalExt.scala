@@ -580,4 +580,37 @@ object RelationalExt {
         |) UNPIVOT (val FOR metric IN (qty, price_cents))
         |ORDER BY l_returnflag, metric""".stripMargin)
   }
+
+  /** Distinct counting through MERGEABLE HLL sketches (Apache DataSketches
+    * via Spark's native `hll_sketch_agg`/`hll_union_agg`) — the 100 TB
+    * distinct-count pattern: per-shard sketches are tiny (2^lgK bytes),
+    * map-side combinable, STORABLE, and the rollup row is a sketch UNION,
+    * never a rescan. Here each order-priority group builds its own sketch
+    * of customer ids in one pass and the ALL row merges those five
+    * sketches — at fleet scale the groups are daily shards and the union
+    * answers "distinct customers ever" from kilobytes.
+    *
+    * Gate shape follows `text_heavy_hitters` (CMS): the exact distinct
+    * counts are hash-gated, and the sketch path is contract-gated by an
+    * in-plan boolean — estimate within ±5% of exact (lgK=14 over ≤ ~25k
+    * distinct keys estimates far inside that; the bound trips on any
+    * sketch/union regression). The exact countDistinct is the GATE's
+    * cost, not the pattern's — production serves from the sketches. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val per = orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        hll_sketch_agg(col("o_custkey"), 14).as("__sk"))
+    val all = per
+      .agg(hll_union_agg(col("__sk")).as("__sk"))
+      .crossJoin(broadcast(
+        orders.agg(countDistinct(col("o_custkey")).as("n_exact"))))
+      .select(lit("ALL").as("grp"), col("n_exact"), col("__sk"))
+    per.unionByName(all)
+      .select(col("grp"), col("n_exact"),
+        (abs(hll_sketch_estimate(col("__sk")) - col("n_exact"))
+          <= col("n_exact") * 0.05).as("est_ok"))
+      .orderBy("grp")
+  }
 }

@@ -542,6 +542,94 @@ object SimilarityOps {
         concat_ws(",", transform(col("qvec"), q => q.cast("string"))).as("qvec_csv"))
       .orderBy("vec_id")
 
+  /** Distributed Lloyd k-means surfaced as a first-class operator — the
+    * clustering primitive the IVF quantizer ([[kmeansLite]]) and
+    * SemDeDup-style semantic dedup both build on, here in an
+    * INTEGER-EXACT form so every assignment and centroid is
+    * hash-portable across engines (the cos_ppm / micronat precedent):
+    * dims are quantized to micro-units (`round(x*1e6) + 2e6` — the shift
+    * keeps every value positive so truncating division IS floor
+    * division on both engines), distances are exact integer sums
+    * (max term 64·(2.5e6)² ≈ 2.6e14 ≪ 2⁵³, so double arithmetic carries
+    * them exactly), and centroid updates use truncating integer mean
+    * (`sum div count`), matching DuckDB's `//` bit-for-bit.
+    *
+    * Deterministic spec: init = the k lowest vec_ids; 2 Lloyd update
+    * rounds; final assignment emitted as (vec_id, cell, dist); ties in
+    * distance break to the lowest cell. An empty cell keeps its previous
+    * centroid (same rule as [[kmeansLite]]).
+    *
+    * Scale shape (the reason this is Spark-shaped and not a driver
+    * loop): centroids are k×d quantizer METADATA (the sanctioned-collect
+    * list — ≤ k·d longs per round, like [[kmeansLite]]'s train step);
+    * each assignment pass is one broadcast join + a map-side-combined
+    * groupBy(vec_id) argmin (shuffle volume n rows, never n·k — the k
+    * candidate rows for a vector are produced inside one task and the
+    * partial min collapses them before the exchange); each update pass
+    * shuffles only k·d (cell, dim) keys after map-side partial sums.
+    * Nothing grows super-linearly in the corpus; k and iters are the
+    * only knobs, exactly as in the IVF build. */
+  def qEmbedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir).select(
+      col("vec_id"),
+      transform(col("vec"), x => round(x * 1000000.0) + 2000000.0).as("q"))
+    kmeansExact(base, k = 8, rounds = 2)
+  }
+
+  /** Core of [[qEmbedKmeans]], exposed for planted-data specs: `base` is
+    * (vec_id, q array<double> of EXACT non-negative integer values).
+    * Init = the k lowest vec_ids (which must exist); `rounds` Lloyd
+    * updates; returns the final assignment (vec_id, cell, dist). */
+  private[graft] def kmeansExact(base: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // centroid state as a broadcastable frame (quantizer metadata, not
+    // literal code — the cellsDf codegen lesson applies here too)
+    val spark2 = base.sparkSession
+    import spark2.implicits._
+    def cellsOf(c: Array[Array[Long]]): DataFrame =
+      c.zipWithIndex
+        .map { case (v, i) =>
+          (i.toLong, v.map(_.toDouble).toSeq, v.map(x => x.toDouble * x).sum) }
+        .toSeq.toDF("cell", "cvec", "cnorm")
+
+    // ||v-c||² = ||v||² − 2⟨v,c⟩ + ||c||² — one fused native dot product
+    // per (vector, centroid), every term an exact integer in a double
+    def assign(cells: DataFrame): DataFrame =
+      base.withColumn("__vn", GraftFunctions.dotProduct(col("q"), col("q")))
+        .join(broadcast(cells), lit(true))
+        .withColumn("__d",
+          col("__vn") - GraftFunctions.dotProduct(col("q"), col("cvec")) * 2.0 + col("cnorm"))
+        .groupBy("vec_id")
+        .agg(first(col("q")).as("q"),
+          min(struct(col("__d"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("q"),
+          col("best.cell").as("cell"), col("best.__d").cast("long").as("dist"))
+
+    var centroids: Array[Array[Long]] = base.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).map(_.toLong).toArray)
+    require(centroids.length == k,
+      s"kmeansExact: init needs vec_ids 0..${k - 1} present, found ${centroids.length}")
+    (1 to rounds).foreach { _ =>
+      val sums = assign(cellsOf(centroids))
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).cast("long").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getLong(2), r.getLong(3)))
+      val updated = sums.groupBy(_._1).map { case (cell, rows) =>
+        cell -> {
+          val byPos = rows.map(t => t._2 -> (t._3 / t._4)).toMap
+          Array.tabulate(byPos.size)(byPos)
+        }
+      }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    assign(cellsOf(centroids))
+      .select(col("vec_id"), col("cell"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   // ---- IVF+PQ: product-quantized candidate ranking (FAISS IVFPQ lineage)
 
   private val PqBlocks = 8

@@ -729,4 +729,42 @@ object TextOps {
         floor(col("nll_sum_unat") / col("n_bigrams")).cast("long").as("mean_nll_unat"))
       .orderBy("doc_id")
   }
+
+  /** Per-document top-3 TF-IDF terms — the classic salient-term extractor
+    * (keyword tagging / topic routing / relevance features downstream of
+    * [[qFulltextSearch]]'s raw-TF ranking). IDF is quantized to integer
+    * micronats per TERM before any multiplication (`round(ln(N/df)·1e6)`
+    * — the [[qLmPerplexity]] precedent, so the gate compares exact
+    * longs), and the per-doc score is the exact integer `tf · idf_unat`.
+    * A term present in every document scores 0 (ln 1), so stopwords
+    * drop out of the top ranks by construction.
+    *
+    * Scale shape: tf is one map-side-combined groupBy on (doc, word);
+    * df is a vocabulary-sized aggregate that AQE broadcasts back onto
+    * the tf stream (vocab ≪ corpus, the realistic case); N is memoized
+    * scalar metadata. The per-doc top-3 runs through the repo's own
+    * bounded-heap [[graft.plans.TopKPerGroupExec]] — O(n log k) with one
+    * group-key shuffle, never a full per-doc sort of the scored stream. */
+  def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.tableCount(spark, dir, "documents")
+    val occ = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode_outer(wsTokens(col("text"))).as("term"))
+    val tf = occ.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df falls out of tf for free (one tf row per doc×term), so the
+    // corpus is exploded ONCE and the second use of the tf subtree rides
+    // a ReusedExchange instead of a second scan+Generate pass
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        round(log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long").as("idf_unat"))
+    val scored = tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf") * col("idf_unat")).as("score_unat"))
+    val top = graft.plans.TopK.topKPerGroup(scored, 3,
+      Seq(col("doc_id")), Seq(col("score_unat").desc, col("term")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_unat").desc, col("term"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score_unat"))
+      .orderBy("doc_id", "rank")
+  }
 }

@@ -24,6 +24,35 @@ class BucketingSpec extends SparkSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("q_partition_prune reads ONLY the month's directory, losslessly") {
+    val out = Bucketing.qPartitionPrune(spark, SfDir)
+    val rows = out.collect()
+    val expected = Tables.orders(spark, SfDir)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1996-03").count()
+    assert(rows.length == expected && expected > 0, "pruned read lost/gained rows")
+    // quantitative: the scan's file count equals the files physically in
+    // the one matching partition directory — pruning by LISTING, not by
+    // reading-and-filtering
+    def parquets(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet"))
+    val root = new java.io.File(Bucketing.partitionedOrdersPath(spark, SfDir))
+    val monthFiles = parquets(new java.io.File(root, "order_month=1996-03"))
+    val allFiles = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory).map(parquets).sum
+    // descend through AQE stage boundaries (QueryStageExec is a leaf to
+    // collect(), so a plain collect sees zero scans under AQE)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s.metrics("numFiles").value)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(out.queryExecution.executedPlan).sum
+    assert(scanned == monthFiles && monthFiles < allFiles,
+      s"scanned $scanned files; month dir has $monthFiles of $allFiles total")
+  }
+
   test("join of two tables bucketed on the key has no Exchange") {
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

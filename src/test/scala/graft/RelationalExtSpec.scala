@@ -110,4 +110,26 @@ class RelationalExtSpec extends SparkSpec {
         s"$name scalar branch does not reuse the fact shuffle")
     }
   }
+
+  test("q_hll_distinct: exact counts right, union row present, ±5% gate non-vacuous") {
+    val out = RelationalExt.qHllDistinct(spark, SfDir).collect()
+    val orders = Tables.orders(spark, SfDir)
+    val globalExact = orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val all = out.filter(_.getString(0) == "ALL")
+    assert(all.length == 1 && all.head.getLong(1) == globalExact,
+      "ALL row must carry the exact global distinct")
+    assert(out.forall(_.getBoolean(2)), "sketch estimate drifted past ±5% of exact")
+    assert(out.length == orders.select("o_orderpriority").distinct().count() + 1)
+    // the boolean gate CAN fail: a sketch built over a halved key space
+    // vs the full exact count must violate the same ±5% bound — proving
+    // est_ok is a live comparison, not a vacuously-true literal
+    val broken = orders
+      .agg(hll_sketch_agg(
+          when(col("o_custkey") % 2 === 0, col("o_custkey")), 14).as("__sk"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      .select((abs(hll_sketch_estimate(col("__sk")) - col("n_exact"))
+        <= col("n_exact") * 0.05).as("est_ok"))
+      .head().getBoolean(0)
+    assert(!broken, "halved sketch still inside the bound — gate is vacuous")
+  }
 }

@@ -407,4 +407,39 @@ class SimilaritySpec extends SparkSpec {
     // and the weight matrix is not degenerate: output dims differ
     assert(proj(0L).distinct.size > 1)
   }
+
+  test("kmeansExact replays a hand-computed Lloyd round bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two obvious 1-D clusters; init = ids 0,1 (one seed in each)
+    val base = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(100.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(98.0, 0.0)), (4L, Seq(4.0, 0.0)), (5L, Seq(96.0, 0.0)))
+      .toDF("vec_id", "q")
+    val out = SimilarityOps.kmeansExact(base, k = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // after one update: c0 = floor-mean(0,2,4) = (2,0); c1 = (98,0) —
+    // final distances hand-checked against those centroids
+    assert(out == Seq((0L, 0L, 4L), (1L, 1L, 4L), (2L, 0L, 0L),
+      (3L, 1L, 0L), (4L, 0L, 4L), (5L, 1L, 4L)))
+  }
+
+  test("kmeansExact breaks distance ties to the lowest cell, deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq(
+      (0L, Seq(0.0)), (1L, Seq(100.0)), (2L, Seq(50.0)))
+      .toDF("vec_id", "q")
+    // rounds = 0: assignment against the raw seeds; v2 is equidistant
+    val out = SimilarityOps.kmeansExact(base, k = 2, rounds = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 2500L)),
+      "equidistant vector must land in the LOWEST cell id")
+    // and the registered query is run-to-run deterministic on real data
+    val a = SimilarityOps.qEmbedKmeans(spark, SfDir).collect().toSeq
+    val b = SimilarityOps.qEmbedKmeans(spark, SfDir).collect().toSeq
+    assert(a == b, "qEmbedKmeans must be deterministic across runs")
+    assert(a.map(_.getLong(1)).distinct.size > 1,
+      "degenerate clustering — all vectors in one cell")
+  }
 }

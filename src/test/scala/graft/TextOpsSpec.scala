@@ -338,6 +338,39 @@ class TextOpsSpec extends SparkSpec {
     val means = got.map(_._4)
     assert(means.distinct.length > 1, "all docs identical mean NLL — LM vacuous")
   }
+
+  test("tfidf top terms: ranks contiguous, scores monotone, values replayed exactly") {
+    val out = TextOps.qTfidfTopTerms(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        "per-doc ranks must be contiguous from 1")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5
+        case _ => true
+      }, "scores must be non-increasing in rank")
+    }
+    // differential replay from the raw text, whole pipeline in plain Scala
+    val texts = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq).toMap
+    val n = texts.size.toDouble
+    val df = texts.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val want = texts.flatMap { case (id, words) =>
+      words.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (w, tf) =>
+          val idf = math.round(math.log(n / df(w)) * 1e6)
+          (id, w, tf.toLong, tf * idf) }
+        .sortBy { case (_, w, _, s) => (-s, w) }
+        .take(3).zipWithIndex
+        .map { case ((_, w, tf, s), i) => (id, i + 1L, w, tf, s) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(out.toSeq.sortBy(t => (t._1, t._2)) == want)
+    // non-vacuous: salience discriminates — some doc's top-1 is positive
+    assert(out.exists(t => t._2 == 1L && t._5 > 0L))
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
