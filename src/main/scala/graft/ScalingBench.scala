@@ -68,7 +68,13 @@ object ScalingBench {
     // replica pixel-identical to the base — duplicate density would grow
     // with k, an artifact of the amplifier, not the operator (its banded
     // join is the same shape as dedup_simhash, which IS measured).
-    "mm_jpeg_decode", "text_vocab_encode")
+    "mm_jpeg_decode", "text_vocab_encode",
+    // round-9 additions: Lloyd k-means (rounds × one broadcast-join
+    // assignment pass — must stay linear in n at fixed k), the tf-idf
+    // top-terms extractor (vocab-sized idf join + bounded-heap top-k),
+    // and the unigram-entropy cut (one (doc,word) groupBy + doc-bounded
+    // window)
+    "embed_kmeans", "text_tfidf_topterms", "text_unigram_entropy")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -106,7 +112,18 @@ object ScalingBench {
     // round-8: the event-time skew profiling pass — two aggregations
     // (hour buckets, then one row per distinct hour); same linear shape
     // as upsert_cdc_apply
-    "q_time_skew_diagnose")
+    "q_time_skew_diagnose",
+    // round-9 additions: mergeable-HLL distinct counting (map-side
+    // sketch partials — the exact-count gate is the knowingly-priced
+    // term), the one-scan column profiler (its multi-distinct Expand
+    // multiplies shuffled rows per ndv column — the slope row prices
+    // that honestly), and the hive-partitioned month read (first rep
+    // pays the memoized partitionBy rewrite; min-of-reps measures the
+    // pruned directory read — replicas keep their dates, so the selected
+    // month grows k-fold with the corpus and the honest expectation is
+    // slope ~1 at a 1/n_months constant, the win being the untouched
+    // other months)
+    "q_hll_distinct", "q_profile_columns", "q_partition_prune")
 
   private val family = docFamily ++ relFamily
 

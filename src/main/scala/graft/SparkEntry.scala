@@ -80,6 +80,8 @@ object SparkEntry {
     "q_unpivot"           -> (RelationalExt.qUnpivot _),
     "q_listagg"           -> (RelationalExt.qListagg _),
     "q_hll_distinct"      -> (RelationalExt.qHllDistinct _),
+    "q_skyline"           -> (RelationalExt.qSkyline _),
+    "q_profile_columns"   -> (RelationalExt.qProfileColumns _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -160,6 +162,7 @@ object SparkEntry {
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
+    "text_unigram_entropy" -> (graft.text.TextOps.qUnigramEntropy _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -746,6 +749,42 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders)
         |ORDER BY grp""".stripMargin,
+    // 2-D skyline: the oracle states the dominance rule LITERALLY as a
+    // NOT EXISTS self-join; the implementation's running-max scan must
+    // reproduce it row-for-row (ties at a frontier point all survive)
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT a.p_partkey, a.price_cents, a.p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY a.price_cents, a.p_partkey""".stripMargin,
+    // one-pass column profiling: per-column UNION ALL report, money as
+    // exact cents, min/max canonicalized to strings
+    "q_profile_columns" ->
+      """WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents FROM orders)
+        |SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null, count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_str, CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM o
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM o
+        |UNION ALL
+        |SELECT 'total_cents', count(*), count(*) - count(total_cents), count(DISTINCT total_cents),
+        |  CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR) FROM o
+        |ORDER BY col_name""".stripMargin,
     "q_unpivot" ->
       """SELECT l_returnflag, metric, val FROM (
         |  SELECT l_returnflag,
@@ -1391,6 +1430,23 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    // per-doc unigram entropy: each word's surprisal ln(n/c) quantized to
+    // integer micronats BEFORE the weighted sum (the perplexity/tfidf
+    // precedent) so the gate compares exact longs
+    "text_unigram_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, w, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM tf),
+        |q AS (SELECT doc_id, c, n,
+        |        CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS s_unat
+        |      FROM wn)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct_words,
+        |  CAST(SUM(c * s_unat) AS BIGINT) AS entropy_sum_unat,
+        |  CAST(floor(SUM(c * s_unat) / max(n)) AS BIGINT) AS mean_entropy_unat
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bigram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |bg AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] AS g

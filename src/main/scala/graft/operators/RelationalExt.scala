@@ -613,4 +613,93 @@ object RelationalExt {
           <= col("n_exact") * 0.05).as("est_ok"))
       .orderBy("grp")
   }
+
+  /** 2-D Pareto frontier (skyline) over part: minimize price, maximize
+    * size — the multi-criteria "best offers" query (SKYLINE OF in other
+    * engines; the classic Börzsönyi et al. ICDE'01 operator). A row is on
+    * the skyline iff no other row is ≤ its price AND ≥ its size with at
+    * least one strict. Exact integer dims (price as cents) so the gate
+    * replays every comparison.
+    *
+    * Scale shape — NEVER the naive O(n²) dominance self-join the oracle
+    * states: for 2-D, a point survives iff its size beats the max size
+    * among all STRICTLY cheaper points, so the skyline is a running-max
+    * scan. (1) collapse same-price groups to their max size (one
+    * map-side-combined groupBy — same-price domination); (2) running max
+    * over the per-price frame as a DISTRIBUTED prefix max (the
+    * `text_pack_sequences` / `stream_late_data` pattern: per-bucket
+    * maxes, a ≤nBuckets cross-bucket window, parallel in-bucket windows
+    * — no global single-partition window at any corpus size); (3) the
+    * surviving (price, size) frontier is tiny by construction (expected
+    * O(log n) on random data), so the join back to recover ties/row ids
+    * broadcasts. One scan, one groupBy shuffle, one bounded scalar. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).select(
+      col("p_partkey"),
+      cents(col("p_retailprice")).as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+    val perPrice = pts.groupBy("price_cents").agg(max("p_size").as("max_size"))
+    // bounded scalar metadata (the lateDataAccounting precedent): bucket
+    // width for the range partitioning of the prefix max
+    val maxPriceRow = pts.agg(max("price_cents")).head()
+    val maxPrice = if (maxPriceRow.isNullAt(0)) 0L else maxPriceRow.getLong(0)
+    val width = maxPrice / 32 + 1
+    val bucketed = perPrice.withColumn("bucket", expr(s"price_cents div $width"))
+    val wPrev = Window.orderBy("bucket").rowsBetween(Long.MinValue, -1)
+    val prefix = bucketed.groupBy("bucket").agg(max("max_size").as("bmax"))
+      .withColumn("prev_max", max("bmax").over(wPrev))
+      .select("bucket", "prev_max")
+    // in-bucket rows are DISTINCT prices, so the strict-predecessor row
+    // frame is exactly the strictly-cheaper set
+    val wIn = Window.partitionBy("bucket").orderBy("price_cents")
+      .rowsBetween(Long.MinValue, -1)
+    val frontier = bucketed.join(broadcast(prefix), "bucket")
+      .withColumn("cheaper_max", greatest(
+        coalesce(max("max_size").over(wIn), lit(Long.MinValue)),
+        coalesce(col("prev_max"), lit(Long.MinValue))))
+      .where(col("max_size") > col("cheaper_max"))
+      // fresh names: frontier derives from pts, so a same-name join-back
+      // would be an ambiguous self-join
+      .select(col("price_cents").as("f_price"), col("max_size").as("f_size"))
+    pts.join(broadcast(frontier),
+        col("price_cents") === col("f_price") && col("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy("price_cents", "p_partkey")
+  }
+
+  /** One-pass column profiling over orders — the ANALYZE/data-quality
+    * sweep every ingestion pipeline runs before trusting a drop: per
+    * column row count, null count, exact distinct count, min and max in
+    * a canonical string form (money profiled as exact cents). All six
+    * stats for all five columns come from ONE scan: a single aggregate
+    * row (multi-distinct via Catalyst's Expand rewrite — the
+    * `q_distinct_agg_multi` machinery), exploded into the per-column
+    * report frame by a 5-element inline table that never touches data.
+    *
+    * At fleet scale the exact ndv column is the knowingly-priced part
+    * (Expand replicates scan rows per distinct-agg); the sketch swap is
+    * [[qHllDistinct]]'s `hll_sketch_agg` per column — same plan shape,
+    * kilobyte state. min/max/null counts stay exact and map-side. */
+  def qProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("total_cents", cents(col("o_totalprice")))
+    def stats(c: String): Seq[Column] = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "total_cents")
+    val aggRow = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(stats): _*)
+    aggRow.select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+          col(s"${c}_ndv").as("n_distinct"),
+          col(s"${c}_min").as("min_str"),
+          col(s"${c}_max").as("max_str"))): _*)).as("s"))
+      .select(col("s.col_name"), col("n_rows"), col("s.n_null"),
+        col("s.n_distinct"), col("s.min_str"), col("s.max_str"))
+      .orderBy("col_name")
+  }
 }

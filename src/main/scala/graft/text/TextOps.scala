@@ -767,4 +767,39 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score_unat"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Per-document unigram entropy — the Gopher-lineage distributional
+    * quality cut (templated/repetitive text has LOW word-distribution
+    * entropy; natural prose is high): H = Σ_w (c_w/n)·ln(n/c_w) over the
+    * doc's own word frequencies. Each word's surprisal `ln(n/c)` is
+    * quantized to integer MICRONATS before the weighted sum (the
+    * [[qLmPerplexity]] / [[qTfidfTopTerms]] precedent — double sums are
+    * partition-order/engine-divergent, integer sums are not), so
+    * `entropy_sum_unat = Σ c·round(ln(n/c)·1e6)` = n × H in micronats is
+    * exact on both engines; the per-token mean is a floor division. A
+    * one-word-repeated doc scores 0; a doc of n distinct words scores
+    * ln(n).
+    *
+    * Scale shape: one map-side-combined groupBy(doc, word) for counts,
+    * the per-doc total as a doc-partitioned window over the counts frame
+    * (bounded by per-doc vocabulary, never corpus-wide), one final
+    * groupBy(doc). Linear, two shuffles on the same doc_id key — AQE
+    * plans the second as a ReusedExchange-adjacent local agg. */
+  def qUnigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy("doc_id")
+    tf.withColumn("n", sum("c").over(wDoc))
+      .withColumn("surprisal_unat",
+        round(log(col("n").cast("double") / col("c").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("c") * col("surprisal_unat")).as("entropy_sum_unat"))
+      .withColumn("mean_entropy_unat",
+        floor(col("entropy_sum_unat") / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

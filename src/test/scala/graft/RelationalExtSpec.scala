@@ -132,4 +132,53 @@ class RelationalExtSpec extends SparkSpec {
       .head().getBoolean(0)
     assert(!broken, "halved sketch still inside the bound — gate is vacuous")
   }
+
+  test("skyline equals the literal dominance rule and is strictly monotone") {
+    val got = RelationalExt.qSkyline(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // driver-side replay of the dominance rule the oracle states — the
+    // running-max scan must reproduce the O(n²) definition exactly
+    val pts = Tables.part(spark, SfDir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("bigint"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = pts.filter { case (_, pc, sz) =>
+      !pts.exists { case (_, bpc, bsz) =>
+        bpc <= pc && bsz >= sz && (bpc < pc || bsz > sz) }
+    }.sortBy(p => (p._2, p._1))
+    assert(got == want)
+    assert(got.nonEmpty, "empty skyline — vacuous")
+    // along increasing price, skyline size must STRICTLY increase
+    // (distinct points; duplicates share both coordinates)
+    val distinctPts = got.map(p => (p._2, p._3)).distinct
+    assert(distinctPts.sortBy(_._1).sliding(2).forall {
+      case Seq((p1, s1), (p2, s2)) => p1 < p2 && s1 < s2
+      case _ => true
+    }, "frontier not strictly monotone")
+  }
+
+  test("profile columns matches direct aggregates for every profiled column") {
+    val out = RelationalExt.qProfileColumns(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "total_cents"))
+    val o = Tables.orders(spark, SfDir)
+    val n = o.count()
+    assert(out.values.forall(_._1 == n), "n_rows differs across column rows")
+    assert(out.values.forall(_._2 == 0L), "generated orders have no nulls")
+    val ck = out("o_custkey")
+    assert(ck._3 == o.select(countDistinct(col("o_custkey"))).head().getLong(0))
+    assert(out("o_orderkey")._4 ==
+      o.agg(min("o_orderkey")).head().getLong(0).toString)
+    assert(out("o_orderstatus")._5 ==
+      o.agg(max("o_orderstatus")).head().getString(0))
+    // total_cents min/max replay from exact per-row cents
+    val centsAgg = o.select(round(col("o_totalprice") * 100, 0).cast("bigint").as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(out("total_cents")._4 == centsAgg.getLong(0).toString &&
+      out("total_cents")._5 == centsAgg.getLong(1).toString)
+  }
 }

@@ -371,6 +371,38 @@ class TextOpsSpec extends SparkSpec {
     // non-vacuous: salience discriminates — some doc's top-1 is positive
     assert(out.exists(t => t._2 == 1L && t._5 > 0L))
   }
+
+  test("unigram entropy: micronat sums replay exactly; repetition scores zero") {
+    val got = TextOps.qUnigramEntropy(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .map { case (id, ws) =>
+        val n = ws.size.toLong
+        val counts = ws.groupBy(identity).view.mapValues(_.size.toLong)
+        val sum = counts.values.map(c =>
+          c * math.round(math.log(n.toDouble / c.toDouble) * 1e6)).sum
+        (id, n, counts.size.toLong, sum, math.floorDiv(sum, n))
+      }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // cut is non-vacuous: the corpus must spread (repetitive vs diverse)
+    assert(got.map(_._5).distinct.length > 1, "all docs same entropy — vacuous")
+    // boundary facts on hand-built docs through the same arithmetic: a
+    // one-word doc is exactly 0; all-distinct words is exactly ln(n)
+    import spark.implicits._
+    val planted = Seq((1L, "x x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * round(log(col("n").cast("double") / col("c").cast("double")) * 1e6)
+        .cast("long")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(planted(1L) == 0L)
+    assert(planted(2L) == 4L * math.round(math.log(4.0) * 1e6))
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
