@@ -82,6 +82,8 @@ object SparkEntry {
     "q_hll_distinct"      -> (RelationalExt.qHllDistinct _),
     "q_skyline"           -> (RelationalExt.qSkyline _),
     "q_profile_columns"   -> (RelationalExt.qProfileColumns _),
+    "q_pagerank"          -> (GraphOps.qPagerank _),
+    "q_dq_rules"          -> (EtlOps.qDqRules _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -163,6 +165,7 @@ object SparkEntry {
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
     "text_unigram_entropy" -> (graft.text.TextOps.qUnigramEntropy _),
+    "text_dsir_weights"   -> (graft.text.TextOps.qDsirWeights _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -175,6 +178,7 @@ object SparkEntry {
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
     "mm_phash_neardup"    -> (graft.multimodal.MultimodalOps.qMmPhashNeardup _),
+    "mm_phash_clusters"   -> (graft.multimodal.MultimodalOps.qMmPhashClusters _),
     "mm_jpeg_decode"      -> (graft.multimodal.MultimodalOps.qMmJpegDecode _),
     // §2.F streaming (batch-equivalent registrations; streaming paths in specs)
     "stream_window_counts" -> (graft.streaming.EventStreams.qStreamWindowCounts _),
@@ -785,6 +789,51 @@ object SparkEntry {
         |SELECT 'total_cents', count(*), count(*) - count(total_cents), count(DISTINCT total_cents),
         |  CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR) FROM o
         |ORDER BY col_name""".stripMargin,
+    // PageRank: the oracle UNROLLS the 5 damped integer-exact iterations
+    // as chained CTEs (aggregation over a recursive reference is not
+    // portable SQL — the k-means precedent); every rank is replayed
+    // bit-for-bit in ppm units with truncating division
+    "q_pagerank" ->
+      """WITH nodes AS (SELECT s_suppkey AS v FROM supplier),
+        |edges AS (
+        |  SELECT s_suppkey AS src, s_suppkey // 2 AS dst FROM supplier WHERE s_suppkey >= 1
+        |  UNION ALL
+        |  SELECT s_suppkey, s_suppkey // 3 FROM supplier WHERE s_suppkey >= 1),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+        |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |r1 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(sum(r.rank // e.outdeg), 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN ed e ON e.dst = n.v LEFT JOIN r0 r ON r.v = e.src GROUP BY n.v),
+        |r2 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(sum(r.rank // e.outdeg), 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN ed e ON e.dst = n.v LEFT JOIN r1 r ON r.v = e.src GROUP BY n.v),
+        |r3 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(sum(r.rank // e.outdeg), 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN ed e ON e.dst = n.v LEFT JOIN r2 r ON r.v = e.src GROUP BY n.v),
+        |r4 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(sum(r.rank // e.outdeg), 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN ed e ON e.dst = n.v LEFT JOIN r3 r ON r.v = e.src GROUP BY n.v),
+        |r5 AS (SELECT n.v, CAST(150000 + (850000 * coalesce(sum(r.rank // e.outdeg), 0)) // 1000000 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN ed e ON e.dst = n.v LEFT JOIN r4 r ON r.v = e.src GROUP BY n.v)
+        |SELECT v AS s_suppkey, rank AS rank_ppm FROM r5 ORDER BY s_suppkey""".stripMargin,
+    // data-quality rules: the oracle states each rule literally; the
+    // accepted-values rule excludes the real 'P' status on purpose so
+    // the report carries genuine violation traffic
+    "q_dq_rules" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nulldate
+        |  FROM orders),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v_fk
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL)
+        |SELECT 'fk_custkey_in_customer' AS rule, v_fk AS violations, n_rows, v_fk = 0 AS passed FROM agg, fk
+        |UNION ALL SELECT 'orderdate_not_null', v_nulldate, n_rows, v_nulldate = 0 FROM agg, fk
+        |UNION ALL SELECT 'pk_unique_orderkey', v_pk, n_rows, v_pk = 0 FROM agg, fk
+        |UNION ALL SELECT 'status_in_accepted_set', v_status, n_rows, v_status = 0 FROM agg, fk
+        |UNION ALL SELECT 'totalprice_positive', v_price, n_rows, v_price = 0 FROM agg, fk
+        |ORDER BY rule""".stripMargin,
     "q_unpivot" ->
       """SELECT l_returnflag, metric, val FROM (
         |  SELECT l_returnflag,
@@ -1601,6 +1650,26 @@ object SparkEntry {
         |  CAST(sum(nll_unat) AS BIGINT) AS nll_sum_unat,
         |  CAST(sum(nll_unat) // count(*) AS BIGINT) AS mean_nll_unat
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: the oracle replays the smoothed unigram
+    // log-ratio per word occurrence in integer micronats (factors cast
+    // to double before multiplying, matching the implementation exactly)
+    "text_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |occ AS (SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3') AS tgt, unnest(words) AS w FROM d),
+        |raw AS (SELECT w, count(*) AS cr FROM occ GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS ct FROM occ WHERE tgt GROUP BY w),
+        |sc AS (SELECT count(*) AS nr, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+        |         count(DISTINCT w) AS v FROM occ),
+        |lw AS (
+        |  SELECT o.doc_id,
+        |    CAST(round(ln(
+        |      (CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) * CAST(s.nr + s.v AS DOUBLE)) /
+        |      (CAST(r.cr + 1 AS DOUBLE) * CAST(s.nt + s.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lw_unat
+        |  FROM occ o JOIN raw r USING (w) LEFT JOIN tgt t USING (w), sc s)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(lw_unat) AS BIGINT) AS logw_sum_unat,
+        |  CAST(sum(lw_unat) // count(*) AS BIGINT) AS mean_logw_unat
+        |FROM lw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition_ratio" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |b AS (SELECT doc_id, words,
@@ -1797,6 +1866,58 @@ object SparkEntry {
         |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id) s
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // image dedup clusters: the neardup hash arithmetic above, then
+    // LITERAL reachability (recursive min-label walk) over the pair
+    // graph — the pointer-jumping implementation must reproduce it
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE ids AS MATERIALIZED (
+        |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1 FROM documents WHERE doc_id % 8 = 0),
+        |px AS (
+        |  SELECT i.doc_id, i.src, i.pert,
+        |    16 + i.src % 16 AS W, 8 + i.src % 8 AS H,
+        |    CASE i.src % 4 WHEN 0 THEN 1 WHEN 2 THEN 4 ELSE 3 END AS C,
+        |    t.k AS p
+        |  FROM ids i, range(465) t(k)
+        |  WHERE t.k < (16 + i.src % 16) * (8 + i.src % 8)),
+        |lum AS (
+        |  SELECT doc_id, src, pert, W, H, p,
+        |    CAST(SUM((src * 31 + p * C + c.i
+        |      + CASE WHEN pert = 1 AND (p * C + c.i) % 97 = 0 THEN 8 ELSE 0 END) % 256) AS BIGINT) AS lsum
+        |  FROM px, range(4) c(i) WHERE c.i < C
+        |  GROUP BY doc_id, src, pert, W, H, p),
+        |cells AS (
+        |  SELECT doc_id, ((p % W) * 8) // W AS gx, ((p // W) * 8) // H AS gy,
+        |    CAST(SUM(lsum) AS BIGINT) AS csum, COUNT(*) AS cn
+        |  FROM lum GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum, CAST(SUM(cn) AS BIGINT) AS tn
+        |        FROM cells GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, gy * 8 + gx AS pos,
+        |    CASE WHEN c.csum * t.tn > t.tsum * c.cn THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |hashes AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos < 32 THEN b * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS BIGINT) AS hash_lo,
+        |    CAST(SUM(CASE WHEN pos >= 32 THEN b * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS BIGINT) AS hash_hi
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hash_lo, b.hash_lo)) + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM ids
+        |  UNION
+        |  SELECT e.src AS doc_id, w.label FROM walk w JOIN edges e ON w.doc_id = e.dst),
+        |lab AS (SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id),
+        |sz AS (SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster)
+        |SELECT l.doc_id, l.cluster, CAST(s.n_members AS BIGINT) AS n_members,
+        |  l.doc_id = l.cluster AS is_rep
+        |FROM lab l JOIN sz s USING (cluster) ORDER BY l.doc_id""".stripMargin,
     // every aHash bit recomputed from the raster's defining arithmetic:
     // pixel p's luminance sum, 8x8 grid cell box sums, bit = cell mean
     // above global mean by exact integer cross-multiplication

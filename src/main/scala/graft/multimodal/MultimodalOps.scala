@@ -584,7 +584,13 @@ object MultimodalOps {
     * doc_id mod 256, so dimension-matched id cohorts are pixel-identical
     * images — real duplicates the operator is supposed to find, and the
     * oracle reproduces every pair from the same arithmetic. */
-  def qMmPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def qMmPhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    phashNeardupPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The unordered hamming≤3 pair list behind [[qMmPhashNeardup]] —
+    * factored out so [[qMmPhashClusters]] consumes the pairs without
+    * paying the registered query's presentation sort. */
+  private[graft] def phashNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val hashes = phashCorpus(spark, dir)
     val bands = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
       explode(array((0 until 4).map { b =>
@@ -610,7 +616,32 @@ object MultimodalOps {
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Image-level dedup clusters — connected components over the
+    * [[qMmPhashNeardup]] pair graph, the IMAGE twin of
+    * [[graft.dedup.DedupOps.qDedupClusters]]: pairwise near-dup hits
+    * chain transitively (original ↔ re-encode ↔ re-crop), so corpus
+    * dedup must keep one representative per COMPONENT, not per pair.
+    * Reuses the generic pointer-jumping min-label propagation (rounds
+    * O(log component diameter)); the representative is the component's
+    * min doc_id, and each row carries its component size so a keep-policy
+    * downstream can threshold on duplication degree.
+    *
+    * Scale shape: pair mining is the banded equi-join (linear at
+    * constant dup density), clustering shuffles one label row per image
+    * per round — the exact dedup_clusters budget; the size join is a
+    * same-key groupBy+join on `cluster`, co-partitioned with the label
+    * frame it feeds. */
+  def qMmPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val images = phashCorpus(spark, dir).select(col("doc_id"))
+    val pairs = phashNeardupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = graft.dedup.DedupOps.dedupClusters(images, pairs)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_members"),
+        (col("doc_id") === col("cluster")).as("is_rep"))
+      .orderBy("doc_id")
   }
 
   /** One decoded-JPEG record. */

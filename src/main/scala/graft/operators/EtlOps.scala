@@ -100,4 +100,45 @@ object EtlOps {
       .select(col("event_id"), col("top_img"))
       .orderBy("event_id")
   }
+
+  /** Rule-based data-quality report over orders — the dbt-test /
+    * Great-Expectations contract sweep every ingestion gate runs before
+    * promoting a drop: primary-key uniqueness, referential integrity to
+    * the customer dimension, a closed accepted-values domain, a range
+    * rule, and a not-null rule, each reported as (rule, violations,
+    * rows_checked, passed). The accepted-values rule deliberately
+    * excludes the real `P` status so the report carries genuine failure
+    * traffic; the reference's ingest has the same shape inline
+    * (import_cards.py:29-34 ENUM guard + ON CONFLICT key discipline).
+    *
+    * Scale shape: four of the five rules fold into ONE map-side-combined
+    * scan (conditional aggs + one distinct count — the pk rule's exact
+    * ndv is the knowingly-priced part, `q_hll_distinct`'s sketch is the
+    * fleet swap); the FK rule is a broadcast-able left-anti join against
+    * the dimension's key column only. The report frame itself is five
+    * rows exploded from the single agg row — no data re-scan. */
+  def qDqRules(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val aggRow = o.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).cast("long").as("v_pk"),
+      sum(when(!col("o_orderstatus").isin("O", "F"), 1L).otherwise(0L))
+        .cast("long").as("v_status"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast("long").as("v_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).cast("long").as("v_nulldate"))
+    val fkRow = o.select(col("o_custkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("v_fk"))
+    aggRow.crossJoin(fkRow)
+      .select(col("n_rows"), explode(array(
+        struct(lit("fk_custkey_in_customer").as("rule"), col("v_fk").as("violations")),
+        struct(lit("orderdate_not_null").as("rule"), col("v_nulldate").as("violations")),
+        struct(lit("pk_unique_orderkey").as("rule"), col("v_pk").as("violations")),
+        struct(lit("status_in_accepted_set").as("rule"), col("v_status").as("violations")),
+        struct(lit("totalprice_positive").as("rule"), col("v_price").as("violations")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
+        col("n_rows"), (col("r.violations") === 0L).as("passed"))
+      .orderBy("rule")
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over the relational tables (SURVEY.md §2.B).
+  *
+  * [[qPagerank]] is the link-analysis primitive (importance ranking of a
+  * crawl/citation graph — for an LLM-data pipeline, the quality prior a
+  * crawl frontier or domain-weighting stage consumes). The repo already
+  * exercises iterate-to-fixpoint joins (connected components in
+  * DedupOps, Lloyd k-means in SimilarityOps); PageRank adds the
+  * mass-propagation shape: per-iteration contributions flow along edges
+  * (join), accumulate at destinations (groupBy sum), and re-join the
+  * node set — the Pregel/GraphX pattern expressed as plain DataFrame
+  * rounds, no driver-side graph state.
+  */
+object GraphOps {
+
+  /** PageRank over a deterministic link graph derived from the supplier
+    * keys: node s links to s DIV 2 and s DIV 3 (s >= 1) — a two-parent
+    * collapsing DAG whose low-numbered nodes accumulate rank through
+    * multiple hops, so the ranking is non-trivial (node 0 is the one
+    * dangling sink). All arithmetic is integer-exact in ppm-of-initial
+    * units (the cos_ppm / micronat precedent): ranks start at 1,000,000,
+    * each node's per-edge contribution is `rank DIV outdeg`, and one
+    * update is `150000 + (850000 * inbound_sum) DIV 1000000` — the
+    * damping-0.85 PageRank step with truncating division, replayed
+    * bit-for-bit by the DuckDB oracle's unrolled CTE chain (aggregation
+    * over a recursive reference is not portable SQL, the k-means
+    * lesson). Dangling mass is deliberately NOT redistributed: the
+    * simple absorbing variant keeps both engines' arithmetic identical;
+    * the conserving variant adds one broadcast scalar per round.
+    *
+    * Scale shape: each of the 5 fixed rounds is one equi-join of the
+    * edge list against the current ranks (both hash-partitioned on the
+    * same key — at production scale pre-partition edges ONCE by src and
+    * the per-round shuffle is ranks-sized only, never edges-sized) plus
+    * one map-side-combined groupBy(dst). State per round is one row per
+    * node; localCheckpoint truncates the growing lineage exactly as the
+    * CC loop does. Skewed in-degree (this graph halves toward node 0)
+    * is the classic PageRank hot-key — AQE skew handling or the salting
+    * pattern from q_skew_salted_join applies unchanged. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.supplier(spark, dir).select(col("s_suppkey").as("v"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey").as("src"))
+    // two outlinks per node s >= 1 (both resolve to live nodes: keys are
+    // the contiguous 0..N-1 supplier range); node 0 emits nothing
+    val edges = supp.filter(col("src") >= 1)
+      .select(col("src"), expr("src div 2").as("dst"))
+      .unionByName(supp.filter(col("src") >= 1)
+        .select(col("src"), expr("src div 3").as("dst")))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges.join(outdeg, "src").localCheckpoint()
+    var ranks = nodes.select(col("v"), lit(1000000L).as("rank")).localCheckpoint()
+    for (_ <- 1 to 5) {
+      val inbound = withDeg
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum("contrib").as("inbound"))
+      ranks = nodes
+        .join(inbound, Seq("v"), "left")
+        .select(col("v"),
+          (lit(150000L) + expr("(850000 * coalesce(inbound, 0)) div 1000000"))
+            .cast("long").as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("s_suppkey"), col("rank").as("rank_ppm"))
+      .orderBy("s_suppkey")
+  }
+}

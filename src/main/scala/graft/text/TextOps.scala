@@ -802,4 +802,59 @@ object TextOps {
         floor(col("entropy_sum_unat") / col("n_tokens")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling — the domain-matching selection stage: score
+    * every raw document by how target-domain-like its word distribution
+    * is, then resample proportionally). Target here is the `src0-src3`
+    * slice (a fifth of the corpus standing in for "the domain we want
+    * more of"); the feature LM is add-one-smoothed unigrams, so a word's
+    * log importance ratio is
+    * `ln(((ct+1)·(nr+V)) / ((cr+1)·(nt+V)))` — ct/cr the target/raw
+    * corpus counts, nt/nr the token totals, V the raw vocabulary — and a
+    * document's weight is the sum over its word OCCURRENCES. Each
+    * per-occurrence term is quantized to integer MICRONATS before
+    * summation (the [[qLmPerplexity]] precedent: double sums are
+    * partition-order/engine-divergent; the downstream resampler in
+    * [[qWeightedSample]]'s A-ES shape consumes the weights unchanged).
+    *
+    * Scale shape: the LM tables are vocabulary-sized map-side-combined
+    * aggregates, the three corpus scalars ride one broadcast single-row
+    * frame, and scoring is two word-key equi-joins (AQE broadcasts
+    * vocab-sized sides in the realistic case) — nothing corpus-sized
+    * shuffles more than once, the exact [[qLmPerplexity]] plan family. */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), wsTokens(col("text")).as("words"))
+    val occ = docs.select(col("doc_id"),
+      col("source").isin("src0", "src1", "src2", "src3").as("tgt"),
+      explode_outer(col("words")).as("w"))
+    val raw = occ.groupBy("w").agg(count(lit(1)).as("cr"))
+    val tgtLm = occ.filter(col("tgt")).groupBy("w").agg(count(lit(1)).as("ct"))
+    val scalars = occ.agg(
+      count(lit(1)).cast("long").as("nr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("long").as("nt"),
+      countDistinct(col("w")).cast("long").as("v"))
+    // factors go to double BEFORE multiplying: the long product is exact
+    // here but would overflow ANSI long arithmetic at fleet token counts,
+    // and IEEE doubles of exact integers multiply identically everywhere
+    occ.join(raw, Seq("w"))
+      .join(tgtLm, Seq("w"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
+            (col("nr") + col("v")).cast("double") /
+            ((col("cr") + lit(1L)).cast("double") *
+              (col("nt") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("lw_unat"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("lw_unat").as("logw_sum_unat"))
+      // `div` (truncate toward zero), NOT floor: weights are NEGATIVE for
+      // off-domain docs and DuckDB's integer `//` truncates — floor would
+      // disagree by one micronat on every negative inexact division
+      .withColumn("mean_logw_unat",
+        expr("logw_sum_unat div n_words").cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -680,4 +680,29 @@ class MultimodalSpec extends SparkSpec {
     // via the container sniffer too
     assert(ImageCodec.decode(good).exists(_.width == 32))
   }
+
+  test("phash clusters: pairs co-labeled, labels are component minima, sizes add up") {
+    val pairs = MultimodalOps.qMmPhashNeardup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = MultimodalOps.qMmPhashClusters(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    assert(pairs.nonEmpty, "no near-dup pairs — clustering untested")
+    // every near-dup pair must land in one component
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters") }
+    // label = min member id; is_rep marks exactly that member
+    val members = rows.groupBy(_._2)
+    members.foreach { case (c, ms) =>
+      assert(ms.map(_._1).min == c, s"cluster $c label is not its min member") }
+    rows.foreach { case (id, c, _, rep) => assert(rep == (id == c)) }
+    // sizes: every member agrees with its component's cardinality, and the
+    // component sizes partition the image universe
+    members.foreach { case (c, ms) =>
+      assert(ms.forall(_._3 == ms.length), s"cluster $c size mismatch") }
+    assert(rows.length == members.values.map(_.length).sum)
+    // non-vacuous: transitive chains exist (some component bigger than a pair)
+    assert(members.values.exists(_.length > 2),
+      "no multi-image component — transitivity untested")
+  }
 }

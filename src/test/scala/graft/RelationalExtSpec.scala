@@ -181,4 +181,48 @@ class RelationalExtSpec extends SparkSpec {
     assert(out("total_cents")._4 == centsAgg.getLong(0).toString &&
       out("total_cents")._5 == centsAgg.getLong(1).toString)
   }
+
+  test("pagerank: sinks at the floor, root accumulates, structure replayed") {
+    val out = graft.operators.GraphOps.qPagerank(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.supplier(spark, SfDir).count()
+    assert(out.size == n, "one rank row per supplier node")
+    // every rank carries at least the teleport floor
+    assert(out.values.forall(_ >= 150000L))
+    // the max-key node has no inbound edges (its children 2k/3k are out of
+    // key range), so its rank is EXACTLY the floor
+    assert(out(out.keys.max) == 150000L)
+    // node 0 is the collapsing DAG's sink side: it must hold the max rank
+    assert(out(0L) == out.values.max, "rank mass must accumulate at node 0")
+    // driver-side replay of the exact integer iteration over the same graph
+    val keys = out.keys.toSeq.sorted
+    val edges = keys.filter(_ >= 1).flatMap(s => Seq(s -> (s / 2), s -> (s / 3)))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val inbound = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / outdeg(src) }.sum).toMap
+      rank = keys.map(k => k -> (150000L + 850000L * inbound.getOrElse(k, 0L) / 1000000L)).toMap
+    }
+    assert(out == rank, "distributed ranks must equal the driver replay")
+  }
+
+  test("dq rules: planted accepted-set violation fires, structural rules pass") {
+    val out = graft.operators.EtlOps.qDqRules(spark, SfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val n = Tables.orders(spark, SfDir).count()
+    assert(out.size == 5)
+    assert(out.values.forall(_._2 == n), "every rule reports the scanned row count")
+    // the accepted set excludes the real 'P' status on purpose: the rule
+    // must FAIL with exactly the P count (a rule set that never fires is
+    // untested machinery)
+    val pCount = Tables.orders(spark, SfDir)
+      .filter(col("o_orderstatus") === "P").count()
+    assert(pCount > 0, "corpus lost its P orders — violation traffic gone")
+    assert(out("status_in_accepted_set") == ((pCount, n, false)))
+    // generator invariants: keys unique, FK closed, dates present, prices positive
+    for (rule <- Seq("pk_unique_orderkey", "fk_custkey_in_customer",
+        "orderdate_not_null", "totalprice_positive"))
+      assert(out(rule) == ((0L, n, true)), s"$rule should pass on clean testdata")
+  }
 }

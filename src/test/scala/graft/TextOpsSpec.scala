@@ -403,6 +403,37 @@ class TextOpsSpec extends SparkSpec {
     assert(planted(1L) == 0L)
     assert(planted(2L) == 4L * math.round(math.log(4.0) * 1e6))
   }
+
+  test("DSIR weights: micronat log-ratios replay exactly; target domain separates") {
+    val got = TextOps.qDsirWeights(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+").toSeq))
+    val tgtSet = Set("src0", "src1", "src2", "src3")
+    val all = docs.flatMap { case (_, src, ws) => ws.map(w => (tgtSet(src), w)) }
+    val cr = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nr = all.size.toLong
+    val nt = all.count(_._1).toLong
+    val v = cr.size.toLong
+    val want = docs.map { case (id, _, ws) =>
+      val s = ws.map { w =>
+        math.round(math.log(
+          (ct.getOrElse(w, 0L) + 1L).toDouble * (nr + v).toDouble /
+            ((cr(w) + 1L).toDouble * (nt + v).toDouble)) * 1e6)
+      }.sum
+      (id, ws.size.toLong, s, s / ws.size) // Long / truncates = `div`
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the selection signal is real: target-domain docs must outscore the
+    // rest on average, or resampling by these weights selects noise
+    val isTgt = docs.map { case (id, src, _) => id -> tgtSet(src) }.toMap
+    val (t, o) = got.partition(r => isTgt(r._1))
+    assert(t.nonEmpty && o.nonEmpty)
+    assert(t.map(_._4).sum.toDouble / t.length > o.map(_._4).sum.toDouble / o.length,
+      "target slice does not outscore off-domain docs — no selection signal")
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
