@@ -84,6 +84,7 @@ object SparkEntry {
     "q_profile_columns"   -> (RelationalExt.qProfileColumns _),
     "q_pagerank"          -> (GraphOps.qPagerank _),
     "q_dq_rules"          -> (EtlOps.qDqRules _),
+    "q_incremental_agg_merge" -> (RelationalExt.qIncrementalAggMerge _),
     "q_window_topk"       -> (WindowOps.qWindowTopK _),
     "q_topk_custom_plan"  -> (WindowOps.qTopKCustomPlan _),
     "q_window_running"    -> (WindowOps.qWindowRunning _),
@@ -166,6 +167,8 @@ object SparkEntry {
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
     "text_unigram_entropy" -> (graft.text.TextOps.qUnigramEntropy _),
     "text_dsir_weights"   -> (graft.text.TextOps.qDsirWeights _),
+    "text_ccnet_bucket"   -> (graft.text.TextOps.qCcnetBucket _),
+    "text_substring_dedup" -> (graft.text.TextOps.qSubstringDedup _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -834,6 +837,15 @@ object SparkEntry {
         |UNION ALL SELECT 'status_in_accepted_set', v_status, n_rows, v_status = 0 FROM agg, fk
         |UNION ALL SELECT 'totalprice_positive', v_price, n_rows, v_price = 0 FROM agg, fk
         |ORDER BY rule""".stripMargin,
+    // incremental aggregate maintenance: the oracle is the FULL direct
+    // recompute — passing proves merge(partial(base), partial(delta))
+    // equals agg(whole), the law the materialized-view refresh rests on
+    "q_incremental_agg_merge" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_unpivot" ->
       """SELECT l_returnflag, metric, val FROM (
         |  SELECT l_returnflag,
@@ -1670,6 +1682,75 @@ object SparkEntry {
         |  CAST(sum(lw_unat) AS BIGINT) AS logw_sum_unat,
         |  CAST(sum(lw_unat) // count(*) AS BIGINT) AS mean_logw_unat
         |FROM lw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing: the perplexity CTE chain above, then discrete
+    // per-language tercile cutoffs from the md5-bucket sample and an
+    // integer comparison — replayed value-for-value
+    "text_ccnet_bucket" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+        |refw AS (SELECT unnest(words) AS w FROM d WHERE doc_id % 5 = 0),
+        |uni AS (SELECT w, count(*) AS c1 FROM refw GROUP BY w),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |refbg AS (
+        |  SELECT unnest([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bg
+        |  FROM d WHERE doc_id % 5 = 0 AND len(words) >= 2),
+        |bi AS (SELECT bg, count(*) AS c12 FROM refbg GROUP BY bg),
+        |inst AS (
+        |  SELECT doc_id,
+        |    unnest([words[i] FOR i IN range(1, len(words))]) AS w1,
+        |    unnest([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))]) AS bg
+        |  FROM d WHERE doc_id % 5 <> 0 AND len(words) >= 2),
+        |nll AS (
+        |  SELECT i.doc_id,
+        |    CAST(round(ln((coalesce(u.c1, 0) + (SELECT v FROM vocab))
+        |                  / (coalesce(b.c12, 0) + 1)) * 1000000.0) AS BIGINT) AS nll_unat
+        |  FROM inst i LEFT JOIN uni u ON i.w1 = u.w LEFT JOIN bi b ON i.bg = b.bg),
+        |sc AS (SELECT doc_id, CAST(sum(nll_unat) // count(*) AS BIGINT) AS mean_nll_unat
+        |       FROM nll GROUP BY doc_id),
+        |wl AS (SELECT s.doc_id, dd.lang, s.mean_nll_unat FROM sc s JOIN documents dd USING (doc_id)),
+        |np AS (SELECT least(1024, (1024 * 1000 + count(*) - 1) // count(*)) AS cap FROM documents),
+        |samp AS (
+        |  SELECT wl.* FROM wl, np
+        |  WHERE CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 8) & 1023 AS BIGINT) < cap),
+        |ranked AS (
+        |  SELECT lang, mean_nll_unat,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mean_nll_unat, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS m
+        |  FROM samp),
+        |cuts AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = (m + 2) // 3 THEN mean_nll_unat END) AS tc1,
+        |    max(CASE WHEN rn = (2 * m + 2) // 3 THEN mean_nll_unat END) AS tc2
+        |  FROM ranked GROUP BY lang)
+        |SELECT w.doc_id, w.lang, w.mean_nll_unat,
+        |  CASE WHEN w.mean_nll_unat <= c.tc1 THEN 'head'
+        |       WHEN w.mean_nll_unat <= c.tc2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM wl w LEFT JOIN cuts c USING (lang) ORDER BY w.doc_id""".stripMargin,
+    // exact-substring dedup: positional 8-gram postings on the SAME
+    // 63-bit md5 keys as the implementation (identical hash, identical
+    // collisions), diagonal runs via pos - row_number grouping
+    "text_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS pos, w
+        |       FROM d WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |        CAST((('0x' || substr(md5(array_to_string(w[pos:pos+7], ' ')), 1, 16))::UBIGINT >> 1) AS BIGINT) AS gram_h
+        |      FROM g0),
+        |rare AS (SELECT gram_h FROM (SELECT gram_h, count(DISTINCT doc_id) AS df
+        |                             FROM g GROUP BY gram_h) WHERE df <= 32),
+        |cg AS (SELECT g.* FROM g JOIN rare USING (gram_h)),
+        |hits AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+        |  FROM cg a JOIN cg b ON a.gram_h = b.gram_h AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, diag,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+        |  FROM hits),
+        |rl AS (SELECT doc_a, doc_b, diag, grp, count(*) AS run_len
+        |       FROM runs GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, CAST(max(run_len) + 7 AS BIGINT) AS longest_words,
+        |  CAST(sum(run_len) AS BIGINT) AS n_shared_grams
+        |FROM rl GROUP BY doc_a, doc_b HAVING max(run_len) + 7 >= 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "text_repetition_ratio" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |b AS (SELECT doc_id, words,

@@ -702,4 +702,40 @@ object RelationalExt {
         col("s.n_distinct"), col("s.min_str"), col("s.max_str"))
       .orderBy("col_name")
   }
+
+  /** Incremental aggregate maintenance (the materialized-view refresh /
+    * Delta-MERGE-into-summary shape): a per-customer order summary is
+    * maintained as ALGEBRAIC partials — count, sum, min, max — computed
+    * separately over a base slice (orders before 1998) and a delta slice
+    * (the rest), then merged by re-aggregating the partials: counts and
+    * sums add, mins and maxes fold. The oracle recomputes the summary
+    * from the FULL table directly, so the gate proves the decomposition
+    * law the whole pattern rests on (merge(partial(A), partial(B)) =
+    * agg(A ∪ B)) — the same law behind Spark's own partial aggregation,
+    * stated here at the table-maintenance level.
+    *
+    * Scale shape: at lake scale the base partials are a PERSISTED
+    * summary table that is never rescanned — each refresh pays one scan
+    * of the delta plus a partials-sized merge shuffle (both sides
+    * already keyed by o_custkey; at 100 TB the summary is bucketed on
+    * the key, making the merge exchange-free). The demo computes the
+    * base partials in-plan because the gate needs the full pipeline in
+    * one query; only the date filter separates the two scans. */
+  def qIncrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("total_cents"))
+    def partials(df: DataFrame): DataFrame = df.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"), sum("total_cents").as("sum_cents"),
+      min("total_cents").as("min_cents"), max("total_cents").as("max_cents"))
+    val base = partials(o.filter(col("o_orderdate") < lit("1998-01-01")))
+    val delta = partials(o.filter(col("o_orderdate") >= lit("1998-01-01")))
+    base.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum("n_orders").cast("long").as("n_orders"),
+        sum("sum_cents").cast("long").as("sum_cents"),
+        min("min_cents").cast("long").as("min_cents"),
+        max("max_cents").cast("long").as("max_cents"))
+      .orderBy("o_custkey")
+  }
 }

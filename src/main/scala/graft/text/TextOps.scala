@@ -857,4 +857,98 @@ object TextOps {
         expr("logw_sum_unat div n_words").cast("long"))
       .orderBy("doc_id")
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every scored
+    * doc labeled head/middle/tail by its per-language perplexity tercile
+    * — the standard "keep head+middle, drop tail" corpus cut downstream
+    * of [[qLmPerplexity]]. CCNet computes its cutoffs from a held-out
+    * sample, and so does this: tercile cutoff VALUES come from a
+    * deterministic ~1000-doc md5-bucket sample (the [[qStratifiedSample]]
+    * portable-hash contract; cap = ceil(1024·1000/n) of 1024 hash
+    * buckets), ranked per language in a BOUNDED window — never a
+    * total-order window over the corpus (the text_budget_select lesson).
+    * Every doc is then bucketed by integer comparison against the
+    * broadcast per-language cutoffs, a narrow codegen'd map. Cutoffs are
+    * actual sample values (discrete terciles, ranks ceil(m/3) and
+    * ceil(2m/3)), so comparisons are integer-exact — no interpolated
+    * double whose last ulp could flip a boundary doc between engines. */
+  def qCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qLmPerplexity(spark, dir).select(col("doc_id"), col("mean_nll_unat"))
+    val withLang = scored
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+    val n = Tables.tableCount(spark, dir, "documents")
+    val cap = math.min(1024L, (1024L * 1000L + n - 1) / n)
+    val hb = shiftrightunsigned(graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8)
+      .bitwiseAND(lit(1023L))
+    val ranked = withLang.filter(hb < lit(cap))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("mean_nll_unat"), col("doc_id"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
+    val cuts = ranked
+      .groupBy("lang")
+      .agg(max(when(col("rn") === expr("(m + 2) div 3"), col("mean_nll_unat"))).as("c1"),
+        max(when(col("rn") === expr("(2 * m + 2) div 3"), col("mean_nll_unat"))).as("c2"))
+    withLang.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("mean_nll_unat"),
+        when(col("mean_nll_unat") <= col("c1"), lit("head"))
+          .when(col("mean_nll_unat") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-substring near-dup pairs (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): report document pairs
+    * sharing a long VERBATIM word run — the duplication mode Jaccard and
+    * MinHash miss when two long documents share one copied paragraph.
+    * The suffix-array construction of the paper is approximated the
+    * distributed way: positional 8-gram postings (64-bit portable md5
+    * keys, 8-byte shuffle rows), an inverted-index self-join, and shared
+    * runs recovered as maximal DIAGONALS — matches with equal `pa − pb`
+    * at consecutive positions chain into runs via the classic
+    * `pos − row_number()` grouping. A run of r consecutive shared
+    * 8-grams is a shared substring of r+7 words; pairs with a run ≥ 2
+    * (≥ 9 shared words) are emitted with their longest run and total
+    * shared-gram mass.
+    *
+    * Scale shape: postings are linear in corpus tokens; the self-join is
+    * bounded per gram by the df ≤ 32 hot-gram cap (ultra-common 8-grams
+    * are boilerplate — [[qBoilerplateSpans]]'s business, and dropping
+    * them only splits a run at positions the cap fired, exactly like the
+    * AllPairs prefix filter's bounded-candidate argument); the run
+    * windows partition by (pair, diagonal) — thousands of tiny
+    * partitions, never a corpus-wide sort. */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+      // guard BEFORE sequence(): sequence(1, size-7) DESCENDS when the
+      // doc has fewer than 8 words (the qLmPerplexity lesson)
+      .filter(size(col("w")) >= 8)
+    val grams = docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        shiftrightunsigned(graft.functions.GraftFunctions
+          .md5Hash64Array(array(col("col"))).getItem(0), 1).as("gram_h"))
+    val rare = grams.groupBy("gram_h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= 32)
+      .select("gram_h")
+    val capped = grams.join(rare, "gram_h")
+    val hits = capped.select(col("gram_h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(capped.select(col("gram_h"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("gram_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val runs = hits
+      .withColumn("grp", col("pa") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg((max("run_len") + 7).cast("long").as("longest_words"),
+        sum("run_len").cast("long").as("n_shared_grams"))
+      .filter(col("longest_words") >= 9)
+      .orderBy("doc_a", "doc_b")
+  }
 }

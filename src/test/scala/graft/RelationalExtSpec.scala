@@ -225,4 +225,22 @@ class RelationalExtSpec extends SparkSpec {
         "orderdate_not_null", "totalprice_positive"))
       assert(out(rule) == ((0L, n, true)), s"$rule should pass on clean testdata")
   }
+
+  test("incremental agg merge equals the direct full recompute; both slices live") {
+    val merged = RelationalExt.qIncrementalAggMerge(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val o = Tables.orders(spark, SfDir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0).cast("bigint").as("c"))
+    val direct = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"), max("c").as("mx"))
+      .orderBy("o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(merged.toSeq == direct.toSeq, "partial-merge must equal the direct agg")
+    // non-vacuous: the 1998 cutoff must split the data, or the merge path
+    // degenerates to a rename of the direct plan
+    val split = Tables.orders(spark, SfDir)
+      .agg(sum(when(col("o_orderdate") < lit("1998-01-01"), 1L).otherwise(0L)),
+        sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L))).head()
+    assert(split.getLong(0) > 0 && split.getLong(1) > 0, "cutoff leaves a slice empty")
+  }
 }

@@ -434,6 +434,50 @@ class TextOpsSpec extends SparkSpec {
     assert(t.map(_._4).sum.toDouble / t.length > o.map(_._4).sum.toDouble / o.length,
       "target slice does not outscore off-domain docs — no selection signal")
   }
+
+  test("ccnet buckets: per-lang value-monotone, all scored docs labeled, non-vacuous") {
+    val rows = TextOps.qCcnetBucket(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val scored = TextOps.qLmPerplexity(spark, SfDir).count()
+    assert(rows.length == scored, "every scored doc gets a bucket")
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      // buckets must respect the value order: max(head) <= min(middle) <= ...
+      val byB = ls.groupBy(_._4)
+      assert(byB.keySet.subsetOf(order.keySet))
+      for (a <- byB.keys; b <- byB.keys; if order(a) < order(b))
+        assert(byB(a).map(_._3).max <= byB(b).map(_._3).min,
+          s"$lang: $a values overrun $b")
+      // the cut is live in every language: no lang collapses to one bucket
+      assert(byB.size == 3, s"$lang: only ${byB.keys} buckets present")
+    }
+  }
+
+  test("substring dedup: reported runs equal a direct per-pair scan of the texts") {
+    val rows = TextOps.qSubstringDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no substring pairs — miner untested")
+    val words = Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+")).toMap
+    // the df<=32 cap never fires on this corpus (max 8-gram df is ~4), so
+    // the reported runs must EQUAL the uncapped quadratic ground truth
+    rows.foreach { case (a, b, longest, mass) =>
+      val (wa, wb) = (words(a), words(b))
+      var best = 0; var total = 0L
+      for (diag <- -(wb.length - 8) to (wa.length - 8)) {
+        var run = 0
+        for (i <- math.max(0, diag) to math.min(wa.length - 8, wb.length - 8 + diag)) {
+          val j = i - diag
+          if (wa.slice(i, i + 8).sameElements(wb.slice(j, j + 8))) { run += 1; total += 1 }
+          else { if (run > best) best = run; run = 0 }
+        }
+        if (run > best) best = run
+      }
+      assert(best + 7 == longest, s"pair ($a,$b): longest run mismatch")
+      assert(total == mass, s"pair ($a,$b): shared-gram mass mismatch")
+      assert(longest >= 9, "threshold must hold for every reported pair")
+    }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
