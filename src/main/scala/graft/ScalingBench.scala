@@ -74,7 +74,16 @@ object ScalingBench {
     // top-terms extractor (vocab-sized idf join + bounded-heap top-k),
     // and the unigram-entropy cut (one (doc,word) groupBy + doc-bounded
     // window)
-    "embed_kmeans", "text_tfidf_topterms", "text_unigram_entropy")
+    "embed_kmeans", "text_tfidf_topterms", "text_unigram_entropy",
+    // round-9 late additions: DSIR scoring (vocab tables GROW ~k-fold
+    // under the disjoint-rotation amplifier — the slope prices that),
+    // CCNet bucketing (its sample cap shrinks as n grows, so cutoff
+    // work stays bounded), substring-run mining (within-replica runs
+    // preserved by the rotation bijection, cross-replica destroyed —
+    // same honesty argument as ngram_jaccard), and power-iteration PCA
+    // (rounds x one linear pass at fixed d)
+    "text_dsir_weights", "text_ccnet_bucket", "text_substring_dedup",
+    "embed_pca_power")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -123,7 +132,14 @@ object ScalingBench {
     // month grows k-fold with the corpus and the honest expectation is
     // slope ~1 at a 1/n_months constant, the win being the untouched
     // other months)
-    "q_hll_distinct", "q_profile_columns", "q_partition_prune")
+    "q_hll_distinct", "q_profile_columns", "q_partition_prune",
+    // round-9 late additions: the DQ rule sweep (one conditional-agg
+    // scan + key-only anti-join) and the partial-merge view refresh
+    // (two fact scans + a partials-sized merge) — both should track the
+    // fact scan. q_pagerank is deliberately absent: its graph is the
+    // supplier DIMENSION (fixed under fact amplification), so a slope
+    // row would measure constant work and flatter the suite.
+    "q_dq_rules", "q_incremental_agg_merge")
 
   private val family = docFamily ++ relFamily
 

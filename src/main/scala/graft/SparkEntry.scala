@@ -143,6 +143,7 @@ object SparkEntry {
     "embed_cluster_dedup" -> (graft.similarity.SimilarityOps.qEmbedClusterDedup _),
     "embed_project_rand"  -> (graft.similarity.SimilarityOps.qEmbedProjectRand _),
     "embed_kmeans"        -> (graft.similarity.SimilarityOps.qEmbedKmeans _),
+    "embed_pca_power"     -> (graft.similarity.SimilarityOps.qEmbedPcaPower _),
     "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -1799,6 +1800,28 @@ object SparkEntry {
     // quantize-then-project in pure integer arithmetic: sums are
     // order-independent, so the oracle replays every projected value
     // exactly with no float-summation-order hazard
+    // power-iteration PCA: three unrolled integer-exact rounds (milli
+    // quantization, truncating mean-centering, DIV-1024 dot scores,
+    // max-abs-1000 renorm) — every intermediate replayed bit-for-bit
+    "embed_pca_power" ->
+      """WITH e AS (SELECT vec_id, unnest(range(64)) AS dim, embedding FROM embeddings),
+        |q AS (SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS q FROM e),
+        |m AS (SELECT dim, sum(q) // count(*) AS mu FROM q GROUP BY dim),
+        |c AS (SELECT vec_id, q.dim, q - mu AS c FROM q JOIN m USING (dim)),
+        |d1 AS (SELECT vec_id, sum(c * 1000) // 1024 AS s FROM c GROUP BY vec_id),
+        |y1 AS (SELECT dim, sum(c * s) AS y FROM c JOIN d1 USING (vec_id) GROUP BY dim),
+        |x1 AS (SELECT greatest(max(abs(y)), 1) AS mx FROM y1),
+        |v1 AS (SELECT dim, (y * 1000) // mx AS v FROM y1, x1),
+        |d2 AS (SELECT vec_id, sum(c * v) // 1024 AS s FROM c JOIN v1 USING (dim) GROUP BY vec_id),
+        |y2 AS (SELECT dim, sum(c * s) AS y FROM c JOIN d2 USING (vec_id) GROUP BY dim),
+        |x2 AS (SELECT greatest(max(abs(y)), 1) AS mx FROM y2),
+        |v2 AS (SELECT dim, (y * 1000) // mx AS v FROM y2, x2),
+        |d3 AS (SELECT vec_id, sum(c * v) // 1024 AS s FROM c JOIN v2 USING (dim) GROUP BY vec_id),
+        |y3 AS (SELECT dim, sum(c * s) AS y FROM c JOIN d3 USING (vec_id) GROUP BY dim),
+        |x3 AS (SELECT greatest(max(abs(y)), 1) AS mx FROM y3),
+        |v3 AS (SELECT dim, (y * 1000) // mx AS v FROM y3, x3)
+        |SELECT dim, CAST(v AS BIGINT) AS component FROM v3 ORDER BY dim""".stripMargin,
     "embed_project_rand" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec

@@ -967,4 +967,52 @@ object SimilarityOps {
             |      * (pmod(j * 131 + d * 17 + j * d * 29, 257) % 7 - 3)))""".stripMargin))
           .as(Seq("dim", "y")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+
+  /** Distributed power-iteration PCA: the leading principal direction of
+    * the embedding corpus (the whitening / drift-monitoring / coarse-
+    * projection primitive — [[qEmbedProjectRand]] is the data-oblivious
+    * projection, this is the data-ADAPTIVE one), computed without ever
+    * materializing the d×d covariance: three Lloyd-style rounds of
+    * y = Cᵀ(Cv), each round one dot-product pass over the rows and one
+    * d-sized re-aggregation. Everything is INTEGER-EXACT in the k-means
+    * tradition — components quantized to milli-units (round(x·1000)),
+    * truncating-division mean centering, per-row dot scores scaled
+    * `DIV 1024`, and the direction renormalized each round to max-abs
+    * 1000 by integer division — so the DuckDB oracle replays every
+    * intermediate bit-for-bit (power iteration's self-amplification
+    * would make floating-point drift compound across rounds).
+    *
+    * Scale shape: the centered frame is localCheckpoint'd ONCE,
+    * pre-partitioned by vec_id, and reused by all rounds (unpersisted on
+    * exit); per round the dot-score groupBy rides that partitioning with
+    * no exchange, the d-sized direction and the max-abs scalar are
+    * broadcasts, and the only corpus shuffle is the explode's initial
+    * spread — rounds × one linear pass, the same budget as
+    * [[qEmbedKmeans]]'s assignment step. */
+  def qEmbedPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col").cast("double") * 1000).cast("long").as("q"))
+    val m = e.groupBy("dim").agg(expr("sum(q) div count(1)").as("mu"))
+    val c = e.join(broadcast(m), "dim")
+      .select(col("vec_id"), col("dim"), (col("q") - col("mu")).as("c"))
+      .repartition(col("vec_id"))
+      .localCheckpoint()
+    var v = m.select(col("dim"), lit(1000L).as("v"))
+    for (_ <- 1 to 3) {
+      val dots = c.join(broadcast(v), "dim")
+        .groupBy("vec_id").agg(expr("sum(c * v) div 1024").as("s"))
+      val y = c.join(dots, "vec_id")
+        .groupBy("dim").agg(sum(col("c") * col("s")).as("y"))
+      val mx = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("mx"))
+      v = y.crossJoin(broadcast(mx))
+        .select(col("dim"), expr("(y * 1000) div mx").cast("long").as("v"))
+        .localCheckpoint()
+    }
+    // the final v is an EAGER localCheckpoint (64 materialized rows), so
+    // the centered frame's blocks can be freed before the caller consumes
+    c.unpersist()
+    v.select(col("dim"), col("v").as("component")).orderBy("dim")
+  }
 }

@@ -442,4 +442,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.getLong(1)).distinct.size > 1,
       "degenerate clustering — all vectors in one cell")
   }
+
+  test("pca power iteration: driver replay bit-exact, renorm pinned, deterministic") {
+    val got = SimilarityOps.qEmbedPcaPower(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64)
+    // renorm contract: at least one component sits at exactly +-1000 and
+    // none exceeds it
+    assert(got.map(x => math.abs(x._2)).max == 1000L)
+    // driver replay of the exact integer recurrence
+    val vecs = Tables.embeddings(spark, SfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val d = 64
+    val q = vecs.map { case (_, v) => v.map(x => math.round(x.toDouble * 1000)) }
+    val n = q.length.toLong
+    val mu = Array.tabulate(d)(j => q.map(_(j)).sum / n)
+    val c = q.map(row => Array.tabulate(d)(j => row(j) - mu(j)))
+    var v = Array.fill(d)(1000L)
+    for (_ <- 1 to 3) {
+      val s = c.map(row => (0 until d).map(j => row(j) * v(j)).sum / 1024L)
+      val y = Array.tabulate(d)(j => c.indices.map(i => c(i)(j) * s(i)).sum)
+      val mx = math.max(y.map(math.abs).max, 1L)
+      v = y.map(yj => yj * 1000L / mx)
+    }
+    assert(got.map(_._2).toSeq == v.toSeq, "distributed PCA must equal the replay")
+    // determinism across invocations (fresh plan objects)
+    val again = SimilarityOps.qEmbedPcaPower(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == again.toSeq)
+  }
 }
