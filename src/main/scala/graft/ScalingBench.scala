@@ -83,7 +83,8 @@ object ScalingBench {
     // same honesty argument as ngram_jaccard), and power-iteration PCA
     // (rounds x one linear pass at fixed d)
     "text_dsir_weights", "text_ccnet_bucket", "text_substring_dedup",
-    "embed_pca_power")
+    // VAD = one decode pass + channel-key agg + per-channel run windows
+    "embed_pca_power", "mm_audio_vad")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

@@ -178,6 +178,7 @@ object SparkEntry {
     "mm_scene_cut"        -> (graft.multimodal.MultimodalOps.qMmSceneCut _),
     "mm_audio_meta"       -> (graft.multimodal.MultimodalOps.qMmAudioMeta _),
     "mm_audio_energy"     -> (graft.multimodal.MultimodalOps.qMmAudioEnergy _),
+    "mm_audio_vad"        -> (graft.multimodal.MultimodalOps.qMmAudioVad _),
     "mm_pixel_decode"     -> (graft.multimodal.MultimodalOps.qMmPixelDecode _),
     "mm_image_stats"      -> (graft.multimodal.MultimodalOps.qMmImageStats _),
     "mm_phash"            -> (graft.multimodal.MultimodalOps.qMmPhash _),
@@ -1906,6 +1907,44 @@ object SparkEntry {
         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
         |  CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs
         |FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // VAD spans: the energy replay above, then the adaptive per-channel
+    // mean threshold and index − row_number run grouping, all integer
+    "mm_audio_vad" ->
+      """WITH p AS (
+        |  SELECT d.doc_id, 1 + d.doc_id % 2 AS ch, w.i AS window_idx,
+        |    c.i AS channel, j.i AS j
+        |  FROM documents d, range(8) w(i), range(2) c(i), range(64) j(i)
+        |  WHERE c.i < 1 + d.doc_id % 2
+        |    AND w.i < (512 // (1 + d.doc_id % 2)) // 64),
+        |s AS (
+        |  SELECT doc_id, channel, window_idx,
+        |    (doc_id * 31 + ((window_idx * 64 + j) * ch + channel) * 2) % 256
+        |      + 256 * ((doc_id * 31 + ((window_idx * 64 + j) * ch + channel) * 2 + 1) % 256)
+        |      AS raw
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, channel, window_idx,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+        |  FROM s),
+        |e AS (SELECT doc_id, channel, window_idx, CAST(SUM(v * v) AS BIGINT) AS sum_sq
+        |      FROM v GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, channel, count(*) AS n_windows,
+        |         sum(sum_sq) // count(*) AS thr
+        |       FROM e GROUP BY 1, 2),
+        |act AS (
+        |  SELECT e.doc_id, e.channel, e.window_idx,
+        |    e.window_idx - row_number() OVER (PARTITION BY e.doc_id, e.channel ORDER BY e.window_idx) AS grp
+        |  FROM e JOIN st USING (doc_id, channel) WHERE e.sum_sq > st.thr),
+        |sp AS (SELECT doc_id, channel, grp, count(*) AS len
+        |       FROM act GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id, channel, sum(len) AS act_n, count(*) AS span_n, max(len) AS longest
+        |        FROM sp GROUP BY 1, 2)
+        |SELECT st.doc_id, st.channel, st.n_windows,
+        |  CAST(coalesce(a.act_n, 0) AS BIGINT) AS n_active,
+        |  CAST(coalesce(a.span_n, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(a.longest, 0) AS BIGINT) AS longest_span
+        |FROM st LEFT JOIN agg a USING (doc_id, channel)
+        |ORDER BY st.doc_id, st.channel""".stripMargin,
     // the decoded-pixel aggregate recomputed from pure arithmetic: the
     // raster is (doc_id*31 + k) mod 256 by construction, so DuckDB can
     // replay the sum over a lateral range() without any image library —

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -341,7 +342,13 @@ object MultimodalOps {
     * int16 decode (sign handling included), the channel de-interleave,
     * and the windowing are all inside the hash gate. Same batched
     * mapPartitions seam as the image decoders. */
-  def qMmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+  def qMmAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    audioEnergyFrame(spark, dir).orderBy("doc_id", "channel", "window_idx")
+
+  /** The unordered per-window energy frame behind [[qMmAudioEnergy]] —
+    * factored out so [[qMmAudioVad]] consumes it without the registered
+    * query's presentation sort. */
+  private[graft] def audioEnergyFrame(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     Tables.documents(spark, dir)
@@ -379,7 +386,44 @@ object MultimodalOps {
         }
       }
       .toDF()
-      .orderBy("doc_id", "channel", "window_idx")
+  }
+
+  /** Voice-activity / silence-span detection over the decoded PCM — the
+    * trim/segmentation stage every audio ingestion pipeline runs between
+    * decode and feature extraction: a window is ACTIVE when its energy
+    * exceeds the channel's own mean (integer truncating division — an
+    * adaptive threshold, so quiet and loud recordings both segment), and
+    * consecutive active windows chain into spans via the same
+    * `index − row_number` diagonal-run grouping the substring miner
+    * uses. Per (doc, channel): window count, active count, span count,
+    * and the longest active span — the numbers a trimmer needs to decide
+    * what to keep. Channels whose windows are all equal-energy (half the
+    * synthetic corpus) legitimately report zero active windows: nothing
+    * exceeds its own mean, the silence-only case.
+    *
+    * Scale shape: one decode pass (the [[qMmAudioEnergy]] seam), one
+    * channel-key mean agg joined back on the same key, and run windows
+    * partitioned per (doc, channel) — thousands of tiny partitions,
+    * never a corpus-wide sort. */
+  def qMmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val e = audioEnergyFrame(spark, dir)
+    val stats = e.groupBy("doc_id", "channel").agg(
+      count(lit(1)).as("n_windows"),
+      expr("sum(sum_sq) div count(1)").as("thr"))
+    val act = e.join(stats.select("doc_id", "channel", "thr"), Seq("doc_id", "channel"))
+      .filter(col("sum_sq") > col("thr"))
+      .withColumn("grp", col("window_idx") - row_number().over(
+        Window.partitionBy("doc_id", "channel").orderBy("window_idx")))
+    val spans = act.groupBy("doc_id", "channel", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id", "channel")
+      .agg(sum("len").as("act_n"), count(lit(1)).as("span_n"), max("len").as("longest"))
+    stats.join(spans, Seq("doc_id", "channel"), "left")
+      .select(col("doc_id"), col("channel"), col("n_windows"),
+        coalesce(col("act_n"), lit(0L)).cast("long").as("n_active"),
+        coalesce(col("span_n"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("longest"), lit(0L)).cast("long").as("longest_span"))
+      .orderBy("doc_id", "channel")
   }
 
   /** One fully-decoded image record (REAL pixels, not a stub). */

@@ -705,4 +705,31 @@ class MultimodalSpec extends SparkSpec {
     assert(members.values.exists(_.length > 2),
       "no multi-image component — transitivity untested")
   }
+
+  test("audio VAD: spans replay from the energy frame; silence-only case live") {
+    val energy = MultimodalOps.qMmAudioEnergy(spark, SfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val got = MultimodalOps.qMmAudioVad(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == energy.size, "one VAD row per (doc, channel)")
+    got.foreach { case (doc, ch, nWin, nAct, nSpans, longest) =>
+      val wins = energy((doc, ch))
+      assert(nWin == wins.length)
+      val thr = wins.map(_._2).sum / wins.length
+      val active = wins.map(_._2 > thr)
+      assert(nAct == active.count(identity))
+      // run-length encode the active mask
+      val runs = active.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true)  => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(nSpans == runs.length, s"($doc,$ch): span count mismatch")
+      assert(longest == (if (runs.isEmpty) 0 else runs.max), s"($doc,$ch): longest mismatch")
+    }
+    // both regimes carry traffic: segmented channels AND silence-only ones
+    assert(got.exists(_._5 > 0), "no active spans anywhere — threshold vacuous")
+    assert(got.exists(_._5 == 0), "no silence-only channel — zero path untested")
+  }
 }
