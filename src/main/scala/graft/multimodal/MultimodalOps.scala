@@ -629,13 +629,12 @@ object MultimodalOps {
     * images — real duplicates the operator is supposed to find, and the
     * oracle reproduces every pair from the same arithmetic. */
   def qMmPhashNeardup(spark: SparkSession, dir: String): DataFrame =
-    phashNeardupPairs(spark, dir).orderBy("doc_a", "doc_b")
+    phashNeardupPairs(phashCorpus(spark, dir)).orderBy("doc_a", "doc_b")
 
-  /** The unordered hamming≤3 pair list behind [[qMmPhashNeardup]] —
-    * factored out so [[qMmPhashClusters]] consumes the pairs without
-    * paying the registered query's presentation sort. */
-  private[graft] def phashNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = phashCorpus(spark, dir)
+  /** The unordered hamming≤3 pair list behind [[qMmPhashNeardup]],
+    * parameterized by the hash corpus so [[qMmPhashClusters]] can feed
+    * the session-cached hashes instead of paying a second decode pass. */
+  private[graft] def phashNeardupPairs(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("hash_lo"), col("hash_hi"),
       explode(array((0 until 4).map { b =>
         val half = if (b < 2) col("hash_lo") else col("hash_hi")
@@ -678,8 +677,14 @@ object MultimodalOps {
     * same-key groupBy+join on `cluster`, co-partitioned with the label
     * frame it feeds. */
   def qMmPhashClusters(spark: SparkSession, dir: String): DataFrame = {
-    val images = phashCorpus(spark, dir).select(col("doc_id"))
-    val pairs = phashNeardupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // the dedup_clusters precedent: the MINING entries (qMmPhash,
+    // qMmPhashNeardup) stay uncached — they price the decode — while this
+    // CONSUMER serves the tiny (doc_id, hash_lo, hash_hi) corpus from a
+    // session-cached view, so clustering doesn't re-decode every image
+    val hashes = graft.SessionCache.cachedDirView(spark, "graft_phash_hashes", dir)(
+      phashCorpus(spark, dir))
+    val images = hashes.select(col("doc_id"))
+    val pairs = phashNeardupPairs(hashes).select(col("doc_a"), col("doc_b"))
     val labels = graft.dedup.DedupOps.dedupClusters(images, pairs)
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "cluster")
