@@ -52,8 +52,14 @@ object GraphOps {
       .unionByName(supp.filter(col("src") >= 1)
         .select(col("src"), expr("src div 3").as("dst")))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edge list checkpointed ONCE (it appears in all 5 rounds' lineage —
+    // unchecked it would recompute per reference); the rank frames are NOT
+    // checkpointed: the round count is a fixed 5, so the lineage is
+    // bounded and one end-to-end execution beats 5 materialization
+    // barriers (an OPEN-ended loop like the CC fixpoint must checkpoint —
+    // this one must not)
     val withDeg = edges.join(outdeg, "src").localCheckpoint()
-    var ranks = nodes.select(col("v"), lit(1000000L).as("rank")).localCheckpoint()
+    var ranks = nodes.select(col("v"), lit(1000000L).as("rank"))
     for (_ <- 1 to 5) {
       val inbound = withDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
@@ -65,7 +71,6 @@ object GraphOps {
         .select(col("v"),
           (lit(150000L) + expr("(850000 * coalesce(inbound, 0)) div 1000000"))
             .cast("long").as("rank"))
-        .localCheckpoint()
     }
     ranks.select(col("v").as("s_suppkey"), col("rank").as("rank_ppm"))
       .orderBy("s_suppkey")

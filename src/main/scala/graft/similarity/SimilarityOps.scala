@@ -1006,13 +1006,18 @@ object SimilarityOps {
       val y = c.join(dots, "vec_id")
         .groupBy("dim").agg(sum(col("c") * col("s")).as("y"))
       val mx = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("mx"))
+      // no per-round checkpoint: the round count is a fixed 3, each v is
+      // referenced once by the next round, and every corpus-sized subtree
+      // bottoms out at the checkpointed `c` — one end-to-end execution
+      // beats three materialization barriers (the pagerank argument; an
+      // open-ended fixpoint loop would need the checkpoints)
       v = y.crossJoin(broadcast(mx))
         .select(col("dim"), expr("(y * 1000) div mx").cast("long").as("v"))
-        .localCheckpoint()
     }
-    // the final v is an EAGER localCheckpoint (64 materialized rows), so
-    // the centered frame's blocks can be freed before the caller consumes
+    // ONE eager materialization of the final 64-row direction, so the
+    // centered frame's pinned blocks can be freed before the caller runs
+    val out = v.localCheckpoint()
     c.unpersist()
-    v.select(col("dim"), col("v").as("component")).orderBy("dim")
+    out.select(col("dim"), col("v").as("component")).orderBy("dim")
   }
 }
