@@ -170,6 +170,7 @@ object SparkEntry {
     "text_dsir_weights"   -> (graft.text.TextOps.qDsirWeights _),
     "text_ccnet_bucket"   -> (graft.text.TextOps.qCcnetBucket _),
     "text_substring_dedup" -> (graft.text.TextOps.qSubstringDedup _),
+    "text_train_split"    -> (graft.text.TextOps.qTrainSplit _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -1664,6 +1665,35 @@ object SparkEntry {
         |  CAST(sum(nll_unat) AS BIGINT) AS nll_sum_unat,
         |  CAST(sum(nll_unat) // count(*) AS BIGINT) AS mean_nll_unat
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dedup-aware split: md5 buckets replayed exactly; the leak flag
+    // re-states the Jaccard pair rule literally and joins across splits
+    "text_train_split" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 8) % 100 AS BIGINT) AS bucket
+        |        FROM documents)),
+        |leaky AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT p.doc_a AS doc_id FROM pairs p
+        |      JOIN lab x ON p.doc_a = x.doc_id JOIN lab y ON p.doc_b = y.doc_id
+        |      WHERE x.split <> y.split
+        |    UNION ALL
+        |    SELECT p.doc_b FROM pairs p
+        |      JOIN lab x ON p.doc_a = x.doc_id JOIN lab y ON p.doc_b = y.doc_id
+        |      WHERE x.split <> y.split))
+        |SELECT l.doc_id, l.split, k.doc_id IS NOT NULL AS is_leaky
+        |FROM lab l LEFT JOIN leaky k ON l.doc_id = k.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
     // DSIR importance weights: the oracle replays the smoothed unigram
     // log-ratio per word occurrence in integer micronats (factors cast
     // to double before multiplying, matching the implementation exactly)

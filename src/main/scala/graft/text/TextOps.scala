@@ -951,4 +951,41 @@ object TextOps {
       .filter(col("longest_words") >= 9)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Dedup-aware train/val/test splitting: every doc gets a deterministic
+    * 80/10/10 split from the engine-portable md5 id hash (the
+    * [[qStratifiedSample]] contract — re-runs and other engines assign
+    * identically, no RNG), and docs with a Jaccard≥0.5 near-dup in a
+    * DIFFERENT split are flagged leaky — the eval-contamination failure
+    * mode naive random splitting ships (the val doc whose near-copy sits
+    * in train), and the reason split assignment must be dedup-aware.
+    * Downstream policy is the caller's (move the pair to one side, or
+    * drop it); the operator's job is the flag.
+    *
+    * Scale shape: the split label is a narrow codegen'd map at the scan;
+    * the near-dup pairs come from the session-cached mine
+    * ([[graft.dedup.DedupOps.cachedJaccardPairs]] — the dedup_clusters
+    * precedent, so this entry prices the SPLIT CHECK, not a re-mine),
+    * and the leak check is two broadcast-able joins of the tiny pair
+    * list against the label frame plus one broadcast flag join back. */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = shiftrightunsigned(graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8) % 100
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
+    val cross = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    val leaky = cross.select(col("doc_a").as("doc_id"))
+      .unionByName(cross.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("leak", lit(true))
+    lab.join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("leak"), lit(false)).as("is_leaky"))
+      .orderBy("doc_id")
+  }
 }

@@ -478,6 +478,22 @@ class TextOpsSpec extends SparkSpec {
       assert(longest >= 9, "threshold must hold for every reported pair")
     }
   }
+
+  test("train split: leak flags equal the cross-split pair closure, splits all live") {
+    val rows = TextOps.qTrainSplit(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val split = rows.map(r => r._1 -> r._2).toMap
+    assert(rows.map(_._2).distinct.sorted.toSeq == Seq("test", "train", "val"),
+      "a split bucket is empty — proportions untested")
+    // ground truth from the registered miner itself
+    val pairs = graft.dedup.DedupOps.qNgramJaccard(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val leakyTruth = pairs.filter { case (a, b) => split(a) != split(b) }
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(leakyTruth.nonEmpty, "no cross-split near-dup — leak path vacuous")
+    rows.foreach { case (id, _, leaky) =>
+      assert(leaky == leakyTruth(id), s"doc $id leak flag mismatch") }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
