@@ -982,42 +982,56 @@ object SimilarityOps {
     * intermediate bit-for-bit (power iteration's self-amplification
     * would make floating-point drift compound across rounds).
     *
-    * Scale shape: the centered frame is localCheckpoint'd ONCE,
-    * pre-partitioned by vec_id, and reused by all rounds (unpersisted on
-    * exit); per round the dot-score groupBy rides that partitioning with
-    * no exchange, the d-sized direction and the max-abs scalar are
-    * broadcasts, and the only corpus shuffle is the explode's initial
-    * spread — rounds × one linear pass, the same budget as
-    * [[qEmbedKmeans]]'s assignment step. */
+    * Scale shape: ZERO exchanges. The direction v and the per-dim mean
+    * are bounded metadata (d = 64 longs — the quantizer-training /
+    * k-means-centroid collect precedent), so each round is one narrow
+    * codegen'd pass over the centered ARRAY column: the per-row dot
+    * score is a fused `aggregate` over the array, and the d per-dim
+    * sums y come back as 64 map-side-combined aggregate expressions in
+    * a single global agg row — no explode, no shuffle, no join at any
+    * corpus size. The centered frame is localCheckpoint'd once and
+    * freed on exit; 1 + rounds linear passes total. */
   def qEmbedPcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").cast("long").as("dim"),
-        round(col("col").cast("double") * 1000).cast("long").as("q"))
-    val m = e.groupBy("dim").agg(expr("sum(q) div count(1)").as("mu"))
-    val c = e.join(broadcast(m), "dim")
-      .select(col("vec_id"), col("dim"), (col("q") - col("mu")).as("c"))
-      .repartition(col("vec_id"))
+    val d = 64
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("qv"))
+    // per-dim means: one agg row of d sums + the count (bounded metadata)
+    val muRow = q.agg(count(lit(1)).as("n"),
+      (0 until d).map(j => sum(element_at(col("qv"), j + 1)).as(s"s$j")): _*).head()
+    val n = muRow.getLong(0)
+    require(n > 0, "embed_pca_power: empty embeddings table")
+    val mu = Array.tabulate(d)(j => muRow.getLong(j + 1) / n) // Long./ == div
+    val muLit = mu.mkString("array(", "L,", "L)")
+    val c = q.select(col("vec_id"),
+        expr(s"transform(qv, (x, i) -> x - element_at($muLit, i + 1))").as("cv"))
       .localCheckpoint()
-    var v = m.select(col("dim"), lit(1000L).as("v"))
+    var v = Array.fill(d)(1000L)
     for (_ <- 1 to 3) {
-      val dots = c.join(broadcast(v), "dim")
-        .groupBy("vec_id").agg(expr("sum(c * v) div 1024").as("s"))
-      val y = c.join(dots, "vec_id")
-        .groupBy("dim").agg(sum(col("c") * col("s")).as("y"))
-      val mx = y.agg(greatest(max(abs(col("y"))), lit(1L)).as("mx"))
-      // no per-round checkpoint: the round count is a fixed 3, each v is
-      // referenced once by the next round, and every corpus-sized subtree
-      // bottoms out at the checkpointed `c` — one end-to-end execution
-      // beats three materialization barriers (the pagerank argument; an
-      // open-ended fixpoint loop would need the checkpoints)
-      v = y.crossJoin(broadcast(mx))
-        .select(col("dim"), expr("(y * 1000) div mx").cast("long").as("v"))
+      val vLit = v.mkString("array(", "L,", "L)")
+      // fused per-row dot score, then d per-dim sums — one pass, one row
+      val yRow = c
+        .select(col("cv"), expr(
+          s"""aggregate(sequence(0, ${d - 1}), cast(0 as bigint),
+             |  (acc, j) -> acc + element_at(cv, j + 1) * element_at($vLit, j + 1)) div 1024"""
+            .stripMargin).as("s"))
+        .agg((0 until d).map(j =>
+          sum(element_at(col("cv"), j + 1) * col("s")).as(s"y$j")).head,
+          (1 until d).map(j =>
+            sum(element_at(col("cv"), j + 1) * col("s")).as(s"y$j")): _*)
+        .head()
+      val y = Array.tabulate(d)(j => yRow.getLong(j))
+      val mx = math.max(y.map(math.abs).max, 1L)
+      v = y.map(yj => yj * 1000L / mx)
     }
-    // ONE eager materialization of the final 64-row direction, so the
-    // centered frame's pinned blocks can be freed before the caller runs
-    val out = v.localCheckpoint()
     c.unpersist()
-    out.select(col("dim"), col("v").as("component")).orderBy("dim")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        v.zipWithIndex.map { case (comp, dim) =>
+          org.apache.spark.sql.Row(dim.toLong, comp) }.toSeq, 1),
+      StructType(Seq(StructField("dim", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
+      .orderBy("dim")
   }
 }
