@@ -83,10 +83,12 @@ object ScalingBench {
     // same honesty argument as ngram_jaccard), and power-iteration PCA
     // (rounds x one linear pass at fixed d)
     "text_dsir_weights", "text_ccnet_bucket", "text_substring_dedup",
-    // VAD = one decode pass + channel-key agg + per-channel run windows
+    "embed_pca_power",
+    // VAD = one decode pass + channel-key agg + per-channel run windows;
     // split check = label map + tiny-pair joins (first rep pays the
-    // session pair-mine build; min-of-reps measures the served check)
-    "embed_pca_power", "mm_audio_vad", "text_train_split")
+    // session pair-mine build; min-of-reps measures the served check);
+    // MI audit = one map-side groupBy + metadata-sized re-aggs
+    "mm_audio_vad", "text_train_split", "text_lang_source_mi")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

@@ -171,6 +171,7 @@ object SparkEntry {
     "text_ccnet_bucket"   -> (graft.text.TextOps.qCcnetBucket _),
     "text_substring_dedup" -> (graft.text.TextOps.qSubstringDedup _),
     "text_train_split"    -> (graft.text.TextOps.qTrainSplit _),
+    "text_lang_source_mi" -> (graft.text.TextOps.qLangSourceMi _),
     // §2.E multimodal
     "mm_binary_stats"     -> (graft.multimodal.MultimodalOps.qMmBinaryStats _),
     "mm_decode"           -> (graft.multimodal.MultimodalOps.qMmDecode _),
@@ -1665,6 +1666,20 @@ object SparkEntry {
         |  CAST(sum(nll_unat) AS BIGINT) AS nll_sum_unat,
         |  CAST(sum(nll_unat) // count(*) AS BIGINT) AS mean_nll_unat
         |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // metadata MI audit: joint/marginal counts and the micronat PMI
+    // replayed literally (double factors multiplied in the same order)
+    "text_lang_source_mi" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_ls FROM documents GROUP BY 1, 2),
+        |lm AS (SELECT lang, sum(n_ls) AS n_l FROM cells GROUP BY 1),
+        |sm AS (SELECT source, sum(n_ls) AS n_s FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_ls) AS n FROM cells)
+        |SELECT c.lang, c.source, c.n_ls,
+        |  CAST(round(ln(CAST(c.n_ls AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |    / (CAST(l.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_unat,
+        |  CAST(c.n_ls * CAST(round(ln(CAST(c.n_ls AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |    / (CAST(l.n_l AS DOUBLE) * CAST(s.n_s AS DOUBLE))) * 1000000.0) AS BIGINT) AS BIGINT) AS contrib_unat
+        |FROM cells c JOIN lm l USING (lang) JOIN sm s USING (source), tot t
+        |ORDER BY c.lang, c.source""".stripMargin,
     // dedup-aware split: md5 buckets replayed exactly; the leak flag
     // re-states the Jaccard pair rule literally and joins across splits
     "text_train_split" ->

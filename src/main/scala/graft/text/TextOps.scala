@@ -968,6 +968,37 @@ object TextOps {
     * precedent, so this entry prices the SPLIT CHECK, not a re-mine),
     * and the leak check is two broadcast-able joins of the tiny pair
     * list against the label frame plus one broadcast flag join back. */
+  /** Metadata mutual-information audit: pointwise MI between the corpus's
+    * language and source columns — the sampling-bias check a pipeline
+    * runs before trusting per-language statistics (a source that ships
+    * only one language makes lang-conditioned metrics confounded;
+    * independent metadata → PMI ≈ 0 everywhere). Per (lang, source)
+    * cell: the joint count and pmi = ln(n_ls·N / (n_l·n_s)) quantized to
+    * integer MICRONATS (the perplexity precedent), plus the cell's
+    * contribution n_ls·pmi to N·MI — so Σ contrib / N is the corpus MI
+    * and every value is bit-portable.
+    *
+    * Scale shape: ONE map-side-combined groupBy(lang, source) over the
+    * scan; marginals and the total re-aggregate the cell frame itself
+    * (cells ≤ |langs|·|sources| — metadata-sized), broadcast back. The
+    * corpus is touched once. */
+  def qLangSourceMi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
+    val langM = cells.groupBy("lang").agg(sum("n_ls").as("n_l"))
+    val srcM = cells.groupBy("source").agg(sum("n_ls").as("n_s"))
+    val total = cells.agg(sum("n_ls").as("n"))
+    cells.join(broadcast(langM), "lang")
+      .join(broadcast(srcM), "source")
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_ls"),
+        round(log(col("n_ls").cast("double") * col("n").cast("double") /
+          (col("n_l").cast("double") * col("n_s").cast("double"))) * 1e6)
+          .cast("long").as("pmi_unat"))
+      .withColumn("contrib_unat", (col("n_ls") * col("pmi_unat")).cast("long"))
+      .orderBy("lang", "source")
+  }
+
   def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = shiftrightunsigned(graft.functions.GraftFunctions
       .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8) % 100

@@ -494,6 +494,28 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach { case (id, _, leaky) =>
       assert(leaky == leakyTruth(id), s"doc $id leak flag mismatch") }
   }
+
+  test("lang-source MI: cells replay from driver counts, identities hold") {
+    val rows = TextOps.qLangSourceMi(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val meta = Tables.documents(spark, SfDir).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val joint = meta.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nl = meta.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ns = meta.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = meta.length.toLong
+    assert(rows.length == joint.size, "one row per observed (lang, source) cell")
+    rows.foreach { case (l, s, nls, pmi, contrib) =>
+      assert(nls == joint((l, s)))
+      val want = math.round(math.log(
+        nls.toDouble * n.toDouble / (nl(l).toDouble * ns(s).toDouble)) * 1e6)
+      assert(pmi == want, s"($l,$s): pmi mismatch")
+      assert(contrib == nls * pmi)
+    }
+    // the audit is non-vacuous: PMI must vary across cells (perfectly
+    // uniform synthetic metadata would make every pmi identical)
+    assert(rows.map(_._4).distinct.length > 1)
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
