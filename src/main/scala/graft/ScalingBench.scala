@@ -144,7 +144,9 @@ object ScalingBench {
     // fact scan. q_pagerank is deliberately absent: its graph is the
     // supplier DIMENSION (fixed under fact amplification), so a slope
     // row would measure constant work and flatter the suite.
-    "q_dq_rules", "q_incremental_agg_merge")
+    "q_dq_rules", "q_incremental_agg_merge",
+    // MAD anomaly flags: one hourly groupBy + a time-bounded collect
+    "q_event_anomaly")
 
   private val family = docFamily ++ relFamily
 

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_sessionize"        -> (WindowOps.qSessionize _),
     "q_event_funnel"      -> (WindowOps.qEventFunnel _),
     "q_retention_cohort"  -> (WindowOps.qRetentionCohort _),
+    "q_event_anomaly"     -> (WindowOps.qEventAnomaly _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
@@ -796,6 +797,18 @@ object SparkEntry {
         |SELECT 'total_cents', count(*), count(*) - count(total_cents), count(DISTINCT total_cents),
         |  CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR) FROM o
         |ORDER BY col_name""".stripMargin,
+    // MAD anomaly flags: lower medians stated literally as rank
+    // (m+1)//2 in (value, hour) order — integer-exact on both engines
+    "q_event_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS ts_hour, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n, ts_hour) AS rn, count(*) OVER () AS m FROM h),
+        |med AS (SELECT n AS med FROM r WHERE rn = (m + 1) // 2),
+        |rd AS (SELECT h.ts_hour, h.n, abs(h.n - med.med) AS dev FROM h, med),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY dev, ts_hour) AS rn, count(*) OVER () AS m FROM rd),
+        |mad AS (SELECT dev AS mad FROM r2 WHERE rn = (m + 1) // 2)
+        |SELECT rd.ts_hour, rd.n, CAST(rd.dev AS BIGINT) AS deviation,
+        |  rd.dev > 3 * mad.mad AS is_anomaly
+        |FROM rd, mad ORDER BY rd.ts_hour""".stripMargin,
     // PageRank: the oracle UNROLLS the 5 damped integer-exact iterations
     // as chained CTEs (aggregation over a recursive reference is not
     // portable SQL — the k-means precedent); every rank is replayed

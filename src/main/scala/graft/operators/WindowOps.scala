@@ -170,4 +170,51 @@ object WindowOps {
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort", "week_offset")
   }
+
+  /** Robust time-series anomaly detection over event volume — the
+    * pipeline-monitoring primitive (ingestion stalls, bot spikes, clock
+    * skew all show up as hourly-count outliers first): per-hour counts
+    * flagged by the MAD rule, `|n − median| > 3·MAD`, with the LOWER
+    * median (rank ⌈m/2⌉ in (value, hour) order) so every statistic is an
+    * integer an engine can replay exactly — no interpolated halfway
+    * points, the robust twin of z-scores that one genuine spike would
+    * poison (the mean AND the stddev move; the median doesn't).
+    *
+    * Scale shape: ONE corpus scan (map-side-combined groupBy to hourly
+    * counts); the counts frame is TIME-bounded metadata — a year of
+    * hours is 8 760 rows regardless of corpus size — so it rides a
+    * bounded driver collect (the budget_select histogram precedent) and
+    * median/MAD/flags are driver arithmetic, never a second scan or a
+    * single-partition window over data. */
+  def qEventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // date_trunc coerces NTZ input to session-TZ TIMESTAMP; cast straight
+    // back (session TZ is pinned UTC) so the collected values are
+    // LocalDateTime and the written column matches the oracle's naive type
+    val hours = Tables.events(spark, dir)
+      .select(date_trunc("HOUR", col("ts")).cast("timestamp_ntz").as("ts_hour"))
+      .groupBy("ts_hour").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1)))
+    require(hours.nonEmpty, "q_event_anomaly: no events")
+    def lowerMedian[A](xs: Seq[(A, Long)])(implicit ord: Ordering[(Long, A)]): Long = {
+      val sorted = xs.map { case (t, v) => (v, t) }.sorted
+      sorted(((sorted.size + 1) / 2 - 1).toInt)._1
+    }
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_.isBefore(_))
+    val med = lowerMedian(hours.toSeq)
+    val mad = lowerMedian(hours.toSeq.map { case (t, n) => (t, math.abs(n - med)) })
+    val out = hours.toSeq.sortBy(_._1).map { case (t, n) =>
+      val dev = math.abs(n - med)
+      org.apache.spark.sql.Row(t, n, dev, dev > 3 * mad)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("ts_hour", TimestampNTZType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("deviation", LongType, nullable = false),
+        StructField("is_anomaly", BooleanType, nullable = false))))
+  }
 }

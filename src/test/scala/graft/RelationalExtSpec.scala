@@ -243,4 +243,28 @@ class RelationalExtSpec extends SparkSpec {
         sum(when(col("o_orderdate") >= lit("1998-01-01"), 1L).otherwise(0L))).head()
     assert(split.getLong(0) > 0 && split.getLong(1) > 0, "cutoff leaves a slice empty")
   }
+
+  test("event anomaly: MAD rule replays from hourly counts, both flag states live") {
+    val rows = graft.operators.WindowOps.qEventAnomaly(spark, SfDir).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val counts = Tables.events(spark, SfDir)
+      .groupBy(date_trunc("HOUR", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1)))
+    assert(rows.length == counts.length)
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_.isBefore(_))
+    def lowMed(vs: Seq[(Long, java.time.LocalDateTime)]): Long =
+      vs.sorted.apply((vs.size + 1) / 2 - 1)._1
+    val med = lowMed(counts.toSeq.map { case (t, n) => (n, t) })
+    val mad = lowMed(counts.toSeq.map { case (t, n) => (math.abs(n - med), t) })
+    val byHour = counts.toMap
+    rows.foreach { case (t, n, dev, flag) =>
+      assert(n == byHour(t))
+      assert(dev == math.abs(n - med))
+      assert(flag == (dev > 3 * mad), s"$t flag mismatch (med=$med mad=$mad)")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "anomaly flags are one-sided — rule vacuous on this corpus")
+  }
 }
