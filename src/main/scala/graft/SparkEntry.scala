@@ -120,6 +120,7 @@ object SparkEntry {
     "text_fulltext_search" -> (graft.text.TextOps.qFulltextSearch _),
     "text_heavy_hitters"  -> (graft.text.TextOps.qHeavyHitters _),
     "q_cards_cmc_range"   -> (graft.ingest.IngestOps.qCardsCmcRange _),
+    "q_cards_fuzzy_join"  -> (graft.ingest.IngestOps.qCardsFuzzyJoin _),
     "q_cards_oracle_lookup" -> (graft.ingest.IngestOps.qCardsOracleLookup _),
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
@@ -1430,6 +1431,31 @@ object SparkEntry {
         |  FROM tg, q) s
         |WHERE sim_bp >= 6000
         |ORDER BY sim_bp DESC, id""".stripMargin,
+    // fuzzy JOIN: the oracle ranks by LITERAL all-pairs list Jaccard,
+    // so the inverted-index candidates must be complete to match rank 1
+    "q_cards_fuzzy_join" ->
+      """WITH cards AS (
+        |  SELECT 'card-' || CAST(i AS VARCHAR) AS id, lower('Card ' || CAST(i AS VARCHAR)) AS lname
+        |  FROM range(0, 500) t(i)),
+        |tg AS (SELECT id, lname,
+        |  list_distinct([substr(lname, i, 3) FOR i IN range(1, greatest(length(lname)-2, 0)+1)]) AS t
+        |  FROM cards),
+        |probes AS (
+        |  SELECT id AS probe_id, replace(lname, ' ', 'x') AS probe_name
+        |  FROM cards WHERE CAST(substr(id, 6) AS INTEGER) % 25 = 0),
+        |ptg AS (SELECT probe_id,
+        |  list_distinct([substr(probe_name, i, 3) FOR i IN range(1, greatest(length(probe_name)-2, 0)+1)]) AS pt
+        |  FROM probes),
+        |cand AS (
+        |  SELECT p.probe_id, c.id,
+        |    len(list_intersect(p.pt, c.t)) AS inter_n,
+        |    CAST(round(len(list_intersect(p.pt, c.t)) * 10000.0
+        |      / (len(p.pt) + len(c.t) - len(list_intersect(p.pt, c.t)))) AS BIGINT) AS sim_bp
+        |  FROM ptg p, tg c
+        |  WHERE len(list_intersect(p.pt, c.t)) >= 1)
+        |SELECT probe_id, id AS matched_id, CAST(inter_n AS BIGINT) AS inter_n, sim_bp
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim_bp DESC, id) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "text_fulltext_search" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\W+') AS toks FROM documents),
         |c AS (SELECT doc_id,

@@ -487,6 +487,53 @@ object IngestOps {
       .orderBy(col("sim_bp").desc, col("id"))
   }
 
+  /** Typo-tolerant fuzzy JOIN — the SET-to-SET generalization of
+    * [[qCardsNameTrgm]]'s single-probe ranking, i.e. the pg_trgm
+    * `a JOIN b ON similarity(a.name, b.name) > t` shape (entity
+    * resolution / import reconciliation: match a whole batch of dirty
+    * names against the catalog in one pass). Every 25th card yields a
+    * probe with a planted typo — the space replaced by 'x'
+    * ("card 75" → "cardx75"), which keeps the discriminating number
+    * trigrams intact so the TRUE source outranks its prefix cousins
+    * (IngestSpec asserts the recovery rate); matching
+    * goes through an inverted trigram→name index — postings equi-join,
+    * per-pair intersection count, exact-integer Jaccard — NEVER an
+    * all-pairs string comparison, and each probe keeps its best match
+    * by (sim_bp, id) rank. The oracle does the literal all-pairs
+    * list-intersection ranking, so index completeness is inside the
+    * hash gate (a candidate the index misses would change rank 1).
+    *
+    * Scale shape: postings are linear in total name length; candidate
+    * volume is bounded by trigram selectivity exactly like the shingle
+    * miners (a df cap slots in unchanged if a catalog has pathological
+    * hot trigrams); the per-probe rank is a tiny per-group window. */
+  def qCardsFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cards = cardsCorpus(spark).select(col("id"), lower(col("name")).as("lname"))
+    val probes = cards
+      .filter(expr("cast(substr(id, 6) as int) % 25 = 0"))
+      .select(col("id").as("probe_id"),
+        regexp_replace(col("lname"), " ", "x").as("probe_name"))
+    val ctg = charTrigrams(col("lname"))
+    val cpost = cards.select(col("id"), size(ctg).cast("long").as("n_c"),
+      explode(ctg).as("tg"))
+    val ptg = charTrigrams(col("probe_name"))
+    val ppost = probes.select(col("probe_id"), size(ptg).cast("long").as("n_p"),
+      explode(ptg).as("tg"))
+    val cand = ppost.join(cpost, "tg")
+      .groupBy("probe_id", "id")
+      .agg(count(lit(1)).as("inter_n"), first("n_p").as("n_p"), first("n_c").as("n_c"))
+      .withColumn("sim_bp",
+        round(col("inter_n") * 10000.0 / (col("n_p") + col("n_c") - col("inter_n")))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim_bp").desc, col("id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("id").as("matched_id"),
+        col("inter_n").cast("long").as("inter_n"), col("sim_bp"))
+      .orderBy("probe_id")
+  }
+
   /** Numeric range scan on converted mana cost — the reference's
     * `idx_cards_cmc` btree surface (init.sql:127 `CREATE INDEX
     * idx_cards_cmc ON cards(cmc)`). Here the predicate is a plain

@@ -249,4 +249,17 @@ class IngestSpec extends SparkSpec {
     assert(!b.queryExecution.optimizedPlan.toString.contains("from_json"),
       "corpus cache is re-running the JSON parse")
   }
+
+  test("fuzzy join recovers the typo'd source for most probes, never trivially") {
+    val rows = graft.ingest.IngestOps.qCardsFuzzyJoin(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20, "one best match per probe")
+    val recovered = rows.count { case (p, m, _, _) => p == m }
+    // the planted space->x typo keeps number trigrams intact: the true
+    // source must win for the large majority (prefix cousins take a few)
+    assert(recovered >= 15, s"only $recovered/20 probes recovered their source")
+    assert(recovered < 20, "perfect recovery — the typo is not perturbing anything")
+    rows.foreach { case (_, _, inter, bp) =>
+      assert(inter >= 2 && bp > 2000, "a best match with near-zero overlap") }
+  }
 }
