@@ -88,7 +88,9 @@ object ScalingBench {
     // split check = label map + tiny-pair joins (first rep pays the
     // session pair-mine build; min-of-reps measures the served check);
     // MI audit = one map-side groupBy + metadata-sized re-aggs
-    "mm_audio_vad", "text_train_split", "text_lang_source_mi")
+    "mm_audio_vad", "text_train_split", "text_lang_source_mi",
+    // decision frame: hash groupBy + cached pairs + CC + two key joins
+    "dedup_decision")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

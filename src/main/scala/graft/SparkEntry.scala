@@ -136,6 +136,7 @@ object SparkEntry {
     "ngram_jaccard_countagg" -> (graft.dedup.DedupOps.ngramJaccardCountAgg _),
     "dedup_containment"   -> (graft.dedup.DedupOps.qDedupContainment _),
     "dedup_bloom_probe"   -> (graft.dedup.DedupOps.qDedupBloomProbe _),
+    "dedup_decision"      -> (graft.dedup.DedupOps.qDedupDecision _),
     "embed_neardup_cosine" -> (graft.similarity.SimilarityOps.qEmbedNeardupCosine _),
     "embed_label_centroids" -> (graft.similarity.SimilarityOps.qEmbedLabelCentroids _),
     "ann_topk_brute"      -> (graft.similarity.SimilarityOps.qAnnTopkBrute _),
@@ -1265,6 +1266,39 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.label
         |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
         |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dedup decision: exact groups on the SAME md5-64 keys as the
+    // implementation, components via literal recursive reachability over
+    // the jaccard pairs + planted copy edges, precedence stated as CASE
+    "dedup_decision" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |docs AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0),
+        |hashed AS (SELECT doc_id,
+        |  CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th FROM docs),
+        |er AS (SELECT th, min(doc_id) AS exact_rep FROM hashed GROUP BY th),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM base)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1000000 FROM base WHERE doc_id % 10 = 0),
+        |edges AS MATERIALIZED (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT doc_id, doc_id AS label FROM docs
+        |  UNION
+        |  SELECT e.src AS doc_id, w.label FROM walk w JOIN edges e ON w.doc_id = e.dst),
+        |lab AS (SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id)
+        |SELECT h.doc_id, l.cluster,
+        |  CASE WHEN h.doc_id <> e.exact_rep THEN 'exact_dup'
+        |       WHEN h.doc_id <> l.cluster THEN 'near_dup' ELSE 'keep' END AS decision
+        |FROM hashed h JOIN er e USING (th) JOIN lab l USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

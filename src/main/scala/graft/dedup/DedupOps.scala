@@ -361,6 +361,47 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The per-document KEEP/DROP decision frame — the artifact a dedup
+    * pipeline actually materializes (each mining operator emits evidence;
+    * something must reconcile it into one verdict per doc): exact
+    * duplicates (same content hash, planted replays of every 10th doc)
+    * are dropped first, then non-representatives of their near-dup
+    * component, and the survivor set is exactly one doc per content
+    * family. Content identity uses the engine-portable md5 id hash —
+    * the scale form (grouping full text shuffles the corpus; an 8-byte
+    * key doesn't), replayed with identical collisions by the oracle.
+    * Exact copies join the component graph through explicit
+    * (source, copy) edges — a copy is also transitively connected to
+    * its source's near-dups, so one component holds the whole family.
+    *
+    * Scale shape: one hash groupBy for exact reps, the session-cached
+    * pair mine plus trivially-derived copy edges for components
+    * (the [[qDedupClusters]] budget), and two key joins to attach the
+    * verdicts. Decision precedence is spec-pinned. */
+  def qDedupDecision(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val docs = base.unionByName(planted)
+    // 63-bit keys (>> 1): DuckDB cannot cast a full UBIGINT to BIGINT,
+    // so both engines drop the top bit and share identical collisions
+    val hashed = docs.select(col("doc_id"),
+      shiftrightunsigned(graft.functions.GraftFunctions
+        .md5Hash64Array(array(col("text"))).getItem(0), 1).as("th"))
+    val exactRep = hashed.groupBy("th").agg(min("doc_id").as("exact_rep"))
+    val pairs = cachedJaccardPairs(spark, dir)
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")))
+    val clusters = dedupClusters(docs.select("doc_id"), pairs)
+    hashed.join(exactRep, "th")
+      .join(clusters, "doc_id")
+      .select(col("doc_id"), col("cluster"),
+        when(col("doc_id") =!= col("exact_rep"), "exact_dup")
+          .when(col("doc_id") =!= col("cluster"), "near_dup")
+          .otherwise("keep").as("decision"))
+      .orderBy("doc_id")
+  }
+
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     // spread BEFORE the shingle build: the documents scan is few
     // partitions at bench SFs and the interpreted HOF pipeline is the

@@ -356,4 +356,22 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == total) // every original text survives exactly once
     assert(copies == (total + 9) / 10) // every 10th doc was planted
   }
+
+  test("dedup decision: one keeper per component, copies always exact_dup") {
+    val rows = DedupOps.qDedupDecision(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every planted replay (id >= 1e6) must fall to the exact rule
+    val copies = rows.filter(_._1 >= 1000000L)
+    assert(copies.nonEmpty && copies.forall(_._3 == "exact_dup"))
+    // exactly one keeper per near-dup component: the component min is
+    // also its text-group's min (copy edges put the group inside the
+    // component), so precedence can never orphan a component
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.count(_._3 == "keep") == 1, s"component $c keeper count != 1")
+      assert(ms.exists(m => m._1 == c && m._3 == "keep"),
+        s"component $c keeper is not its representative")
+    }
+    // the near rule carries real traffic beyond the planted copies
+    assert(rows.count(_._3 == "near_dup") > 0)
+  }
 }
