@@ -148,7 +148,8 @@ object ScalingBench {
     // row would measure constant work and flatter the suite.
     "q_dq_rules", "q_incremental_agg_merge",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
-    "q_event_anomaly")
+    // journey paths: per-user sessionize + per-session rank windows
+    "q_event_anomaly", "q_event_paths")
 
   private val family = docFamily ++ relFamily
 

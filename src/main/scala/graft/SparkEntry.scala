@@ -95,6 +95,7 @@ object SparkEntry {
     "q_event_funnel"      -> (WindowOps.qEventFunnel _),
     "q_retention_cohort"  -> (WindowOps.qRetentionCohort _),
     "q_event_anomaly"     -> (WindowOps.qEventAnomaly _),
+    "q_event_paths"       -> (WindowOps.qEventPaths _),
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
@@ -799,6 +800,27 @@ object SparkEntry {
         |SELECT 'total_cents', count(*), count(*) - count(total_cents), count(DISTINCT total_cents),
         |  CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR) FROM o
         |ORDER BY col_name""".stripMargin,
+    // journey paths: the sessionize break rule + (ts, event_id) ordered
+    // string_agg, frequency-ranked — replayed literally
+    "q_event_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+        |  FROM sessions
+        |), p AS (
+        |  SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // MAD anomaly flags: lower medians stated literally as rank
     // (m+1)//2 in (value, hour) order — integer-exact on both engines
     "q_event_anomaly" ->

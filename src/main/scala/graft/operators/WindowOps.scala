@@ -113,6 +113,36 @@ object WindowOps {
       )
       .orderBy("user_id", "session_seq")
 
+  /** Top user-journey paths — the behavioral-analytics twin of the
+    * funnel: instead of checking ONE hypothesized sequence, surface the
+    * paths users actually take (each session's first 8 event types
+    * joined in order), ranked by session count. The path prefix is
+    * bounded so the string and its group key stay small; within-session
+    * order is (ts, event_id) — ts ties are real in event data and an
+    * unordered collect would be run-dependent, so the path is built from
+    * an array_sort over (rn, type) structs, fully deterministic.
+    *
+    * Scale shape: the sessionize window is per-user (bounded state), the
+    * rank window per (user, session) — tiny partitions — and the final
+    * frequency count groups by the path-universe-sized string key with a
+    * TakeOrdered(20), never a global sort. */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+      "user_id", "ts", 1800L)
+    val wIn = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("ts"), col("event_id"))
+    s.withColumn("rn", row_number().over(wIn))
+      .filter(col("rn") <= 8)
+      .groupBy("user_id", "session_seq")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   /** Funnel analysis with conversion windows — the standard product-
     * analytics shape: first signup, first click within 12 h OF THAT
     * signup, first purchase within 12 h of that click; users counted by

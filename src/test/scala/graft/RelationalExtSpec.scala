@@ -267,4 +267,22 @@ class RelationalExtSpec extends SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4),
       "anomaly flags are one-sided — rule vacuous on this corpus")
   }
+
+  test("event paths: replayed from the sessionize frame, ranking total-ordered") {
+    val got = graft.operators.WindowOps.qEventPaths(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sess = graft.operators.WindowOps.sessionize(
+      Tables.events(spark, SfDir).select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+      "user_id", "ts", 1800L).collect()
+      .map(r => ((r.getLong(0), r.getLong(4)), (r.getAs[java.time.LocalDateTime](3), r.getLong(1), r.getString(2))))
+    val want = sess.groupBy(_._1).values.map { es =>
+      implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+        Ordering.fromLessThan(_.isBefore(_))
+      es.map(_._2).sortBy(t => (t._1, t._2)).take(8).map(_._3).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want.toSeq, "top paths must equal the driver replay")
+    assert(got.map(_._1).forall(_.split(">").length <= 8))
+    assert(got.map(_._1).distinct.length == got.length)
+  }
 }
