@@ -401,12 +401,17 @@ object MultimodalOps {
     * synthetic corpus) legitimately report zero active windows: nothing
     * exceeds its own mean, the silence-only case.
     *
-    * Scale shape: one decode pass (the [[qMmAudioEnergy]] seam), one
-    * channel-key mean agg joined back on the same key, and run windows
-    * partitioned per (doc, channel) — thousands of tiny partitions,
-    * never a corpus-wide sort. */
+    * Scale shape: the energy frame feeds TWO subtrees (the per-channel
+    * stats agg and the run windows), which would execute the WAV decode
+    * twice — so the tiny per-window frame is served from a session-
+    * cached view (the mm_phash_clusters precedent: [[qMmAudioEnergy]]
+    * stays uncached and prices the decode; this CONSUMER prices the
+    * span logic). One channel-key mean agg joined back on the same key,
+    * run windows partitioned per (doc, channel) — thousands of tiny
+    * partitions, never a corpus-wide sort. */
   def qMmAudioVad(spark: SparkSession, dir: String): DataFrame = {
-    val e = audioEnergyFrame(spark, dir)
+    val e = graft.SessionCache.cachedDirView(spark, "graft_audio_energy", dir)(
+      audioEnergyFrame(spark, dir))
     val stats = e.groupBy("doc_id", "channel").agg(
       count(lit(1)).as("n_windows"),
       expr("sum(sum_sq) div count(1)").as("thr"))

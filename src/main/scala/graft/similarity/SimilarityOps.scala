@@ -829,9 +829,16 @@ object SimilarityOps {
 
   /** Serve IVF+PQ top-k from an INDEX VALUE — session-built or loaded
     * from [[graft.sources.AnnIndexStore]]; queries and the exact-rerank
-    * vectors still come from the corpus at `dir`. */
+    * vectors come from the corpus at `dir`, plus `extraVectors`
+    * (vec_id, vec) for vectors indexed AFTER the build (the store's
+    * append path): without them an appended candidate would survive ADC
+    * ranking only to be silently dropped by the rerank's corpus join —
+    * the exact "silently-wrong neighbors" failure the store exists to
+    * prevent. Appended ids must not collide with the corpus or the
+    * planted-query (+1e6) id space. */
   private[graft] def ivfPqServe(spark: SparkSession, dir: String,
-      queryStride: Long, idx: IvfPqIndex): DataFrame = {
+      queryStride: Long, idx: IvfPqIndex,
+      extraVectors: Option[DataFrame] = None): DataFrame = {
     val nProbe = ivfProbes(idx.nCells)
     val cells = idx.cells
     val queries = withPlanted(vectors(spark, dir))
@@ -840,18 +847,24 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
       GraftFunctions.dotProduct(col("qvec"), col("cvec")) * 2.0 + col("cnorm")
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(l2, col("cell"))
     // carry −2⟨q, C_cell⟩ out of the probe scoring: it is the one
     // query×cell term of the residual-ADC decomposition below, and it is
-    // already computed here for the probe ranking itself
+    // already computed here for the probe ranking itself. The ranking
+    // key __l2 is materialized BEFORE the window: as a bare orderBy
+    // expression it would pin qvec/cvec into the window exchange (~512
+    // dead bytes per (query, cell) row on the serving hot path); as a
+    // column, pruning drops the vectors below the sort.
     val probes = queries.join(broadcast(cells), lit(true))
       .withColumn("__qc", GraftFunctions.dotProduct(col("qvec"), col("cvec")) * -2.0)
-      .withColumn("__pr", row_number().over(wProbe))
+      .withColumn("__l2", l2)
+      .select("query_id", "cell", "__qc", "__l2")
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__l2"), col("cell"))))
       .filter(col("__pr") <= nProbe)
-      .select("query_id", "qvec", "cell", "__qc")
+      .select("query_id", "cell", "__qc")
     // candidates carry (query_id, cell, vec_id, codes, −2⟨q,C⟩) — no
     // vectors move
-    val cands = probes.drop("qvec").join(idx.withCodes, "cell")
+    val cands = probes.join(idx.withCodes, "cell")
       .select("query_id", "cell", "vec_id", "codes", "__qc")
     // Residual ADC via the FAISS precomputed-tables decomposition: a
     // naive residual lookup table is per (query, probed cell) — a
@@ -906,7 +919,9 @@ object SimilarityOps {
     val shortlistDepth = math.max(50, math.min(400, (corpusSize(spark, dir) / 20).toInt))
     val shortlist = graft.plans.TopK.topKPerGroup(approx, shortlistDepth,
       Seq(col("query_id")), Seq(col("__adc"), col("vec_id")))
-    val base = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
+    val corpusBase = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
+    val base = extraVectors.fold(corpusBase)(ev =>
+      corpusBase.unionByName(ev.select(col("vec_id"), col("vec"))))
     rankedTop10(shortlist
       .join(base, "vec_id")
       .join(broadcast(queries), "query_id")

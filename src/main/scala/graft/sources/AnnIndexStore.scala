@@ -86,11 +86,19 @@ object AnnIndexStore {
   }
 
   /** Serve top-k from a LOADED index (queries + exact-rerank vectors
-    * still read from the live corpus at `dataDir`). */
+    * read from the live corpus at `dataDir`, UNION any vectors indexed
+    * by [[append]] — their full vectors live in the store precisely so
+    * the exact rerank can return them; an ADC-ranked candidate the
+    * rerank cannot resolve would otherwise be dropped silently). */
   def serve(spark: SparkSession, dataDir: String, path: String,
-      queryStride: Long = 1L): DataFrame =
+      queryStride: Long = 1L): DataFrame = {
+    val appendedDir = new java.io.File(s"$path/appended_vectors.parquet")
+    val extra =
+      if (appendedDir.exists) Some(spark.read.parquet(appendedDir.getPath))
+      else None
     SimilarityOps.ivfPqServe(spark, dataDir, queryStride,
-      read(spark, dataDir, path))
+      read(spark, dataDir, path), extra)
+  }
 
   /** Incrementally index a batch of new vectors — the FAISS `add()`
     * semantics: assign each batch vector to its nearest STORED coarse
@@ -108,6 +116,11 @@ object AnnIndexStore {
     val idx = read(spark, dataDir, path)
     val encoded = SimilarityOps.encodeWithIndex(spark, batch, idx)
     encoded.write.mode("append").parquet(s"$path/codes.parquet")
+    // the FULL vectors too: codes serve the ADC ranking, but the exact
+    // rerank needs the vector — an appended candidate the rerank cannot
+    // resolve would be dropped silently (see [[serve]])
+    batch.select(col("vec_id"), col("vec"))
+      .write.mode("append").parquet(s"$path/appended_vectors.parquet")
     val meta = java.nio.file.Files.readString(metaPath(path))
     val n = batch.count()
     val updated =

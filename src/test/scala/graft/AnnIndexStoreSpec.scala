@@ -91,4 +91,30 @@ class AnnIndexStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("snapshot"))
   }
+
+  test("serve returns appended vectors: the twin ranks adjacent to its source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_serve_append").toString
+    AnnIndexStore.write(spark, SfDir, dir)
+    val served0 = AnnIndexStore.serve(spark, SfDir, dir)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pick a vector that IS a top-9 answer for some query, append an
+    // exact twin of it: identical cell+codes -> identical ADC -> both in
+    // the shortlist; identical cosine with the (vec_id) tie-break puts
+    // the twin right after its source, inside the top-10
+    val (qid, srcRank, srcId) = served0.filter(_._2 <= 9).head
+    val srcVec = Tables.embeddings(spark, SfDir)
+      .filter(col("vec_id") === srcId)
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .head().getSeq[Double](0)
+    AnnIndexStore.append(spark, SfDir, dir, Seq((7000001L, srcVec)).toDF("vec_id", "vec"))
+    val served1 = AnnIndexStore.serve(spark, SfDir, dir)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == qid)
+    assert(served1.exists(r => r._3 == 7000001L && r._2 == srcRank + 1),
+      s"appended twin of $srcId (rank $srcRank for query $qid) not served: " +
+        served1.sortBy(_._2).mkString(", "))
+  }
 }
