@@ -71,12 +71,17 @@ object Bench {
     // one representative per family (shingle/minhash kernels, k-means +
     // ANN join shapes, image codec, window/agg relational) so measured
     // minima start from a compiled JVM regardless of suite order.
-    run("warmup", (s, _) => SparkEntry.entry(s))
-    for (w <- Seq("ngram_jaccard_countagg", "ann_topk_ivf", "mm_decode", "q_window_topk"))
-      SparkEntry.queries.get(w).foreach(fn => run(s"warmup:$w", fn))
-
     // optional comma-separated subset for local iteration (driver leaves unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // subset runs skip the family warmups: paying the ANN index build +
+    // image-codec JIT to time one sub-second query defeats iteration, and
+    // a subset adjudication runs reps>=3 anyway, so min-of-n absorbs the
+    // first-rep compilation the warmups exist to hide in FULL runs
+    if (only.isEmpty) {
+      run("warmup", (s, _) => SparkEntry.entry(s))
+      for (w <- Seq("ngram_jaccard_countagg", "ann_topk_ivf", "mm_decode", "q_window_topk"))
+        SparkEntry.queries.get(w).foreach(fn => run(s"warmup:$w", fn))
+    }
     // repetitions per query (driver default 2; min-of-n): the first run pays
     // per-query codegen JIT compilation, which is noise at steady state
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
@@ -97,10 +102,18 @@ object Bench {
         val n = if (extraReps(name)) math.max(reps, 4) else reps
         val runs = (1 to n).map(_ => run(name, fn))
         // min over SUCCESSFUL reps; if every rep failed, keep the time but
-        // carry the error so the artifact marks the row as not-a-benchmark
+        // carry the error so the artifact marks the row as not-a-benchmark.
+        // A query that failed on SOME reps but succeeded on others has a
+        // valid minimum, but the failure must not vanish into stderr — it
+        // is carried with the "intermittent" marker, which summarize
+        // reports under "flaky" (counted separately from "failed": the
+        // time is real, the reliability signal must survive in the JSON)
         val ok = runs.collect { case (t, None) => t }
+        val firstErr = runs.collectFirst { case (_, Some(e)) => e }
         (name, if (ok.nonEmpty) ok.min else runs.map(_._1).min,
-          if (ok.nonEmpty) None else runs.head._2)
+          if (ok.isEmpty) firstErr
+          else firstErr.map(e =>
+            s"intermittent ${runs.size - ok.size}/${runs.size} reps: $e"))
       }
     // Heavy-tail retry: two r9 full runs each posted ~10x outliers on
     // DIFFERENT queries (dedup_containment 17.1 s; dedup_incremental
@@ -170,23 +183,30 @@ object Bench {
       results: Seq[(String, Double, Option[String])],
       sfDir: String,
       subset: Boolean): (String, String) = {
-    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    // "failed" = no successful rep (excluded from the total — the time is
+    // time-to-exception, not a benchmark); "flaky" = some reps failed but
+    // a valid minimum exists (counted in the total, error preserved)
+    val (flaky, failed) = results
+      .collect { case (k, _, Some(e)) => k -> e }
+      .partition(_._2.startsWith("intermittent"))
     val qs = results.map { case (k, v, _) =>
       "\"" + k + f"""\":$v%.3f"""
     }.mkString("{", ",", "}")
-    val errsJson = failed.map { case (k, e) =>
+    val errsJson = (failed ++ flaky).map { case (k, e) =>
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect {
+      case (_, v, e) if e.forall(_.startsWith("intermittent")) => v
+    }.sum
     val onlyFlag = if (subset) ""","subset":true""" else ""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
     val stdoutLine =
       if (line.length <= 1900) line
       else {
         val head =
-          f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size}$onlyFlag,"sf":"$sfDir","queries":{"""
+          f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag,"sf":"$sfDir","queries":{"""
         val budget = 1800 - head.length
         val kept = scala.collection.mutable.ListBuffer.empty[String]
         var used = 0

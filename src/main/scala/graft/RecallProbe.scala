@@ -45,12 +45,16 @@ object RecallProbe {
     // serve cost is ~n/denom, so every doubling of denom that HOLDS the
     // recall floors halves the dominant serving term. The index build is
     // denom-independent (cached), so the sweep isolates the search dial.
-    for (denom <- Seq(4, 8, 16)) {
-      sys.props("graft.ivf.probe.denom") = denom.toString
-      report(s"ivf 1/$denom", SimilarityOps.annTopkIvfRanked(spark, dir))
-      report(s"ivfpq 1/$denom", SimilarityOps.annTopkIvfPqRanked(spark, dir))
-    }
-    sys.props.remove("graft.ivf.probe.denom")
+    // try/finally: the property steers the REGISTERED gated queries too,
+    // so an exception mid-sweep must not leave the rest of the JVM
+    // serving at 1/16 probes (recall floors were measured at 1/4)
+    try {
+      for (denom <- Seq(4, 8, 16)) {
+        sys.props("graft.ivf.probe.denom") = denom.toString
+        report(s"ivf 1/$denom", SimilarityOps.annTopkIvfRanked(spark, dir))
+        report(s"ivfpq 1/$denom", SimilarityOps.annTopkIvfPqRanked(spark, dir))
+      }
+    } finally sys.props.remove("graft.ivf.probe.denom")
     spark.stop()
   }
 }

@@ -578,36 +578,13 @@ object DedupOps {
     * as the "short" side (either qualifies as min; one suffices for
     * coverage and halves duplicate candidates). */
   def dedupContainmentPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = containmentShingleDocs(spark, dir)
-    val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      explode_outer(col("sh")).as("h"))
-    val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    // prefix length for t=0.8 on the candidate-shorter doc: n - ceil(0.8n) + 1.
-    // NO positional (PPJoin) filter on this asymmetric miner — measured
-    // r9: ranking the LONG side costs a second full-postings window sort
-    // (+0.7 s isolated at sf0.1) and prunes ~3%, because df is GLOBAL:
-    // a shingle rare enough to sit in the short doc's prefix ranks early
-    // in the long doc's canonical order too, so the positional bound
-    // 1 + min(n_s−p_s, n_l−p_l) almost never bites. The symmetric
-    // jaccard miner keeps the filter (both sides already ranked — free).
-    val prefix = postings.join(dfreq, "h")
-      .withColumn("__rk", row_number().over(byRarity))
-      .filter(col("__rk") <= col("n") - ceil(col("n") * 0.8) + 1)
-      .select(col("h"), col("doc_id").as("doc_s"), col("n").as("n_s"))
-    val cands = prefix
-      .join(postings.select(col("h"), col("doc_id").as("doc_l"), col("n").as("n_l")), Seq("h"))
-      .filter(col("n_s") < col("n_l") ||
-        (col("n_s") === col("n_l") && col("doc_s") < col("doc_l")))
-      .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
-        greatest(col("doc_s"), col("doc_l")).as("doc_b"))
-      .distinct()
+    val st = containmentStages(spark, dir)
     // exact verification over the full shingle sets, candidates broadcast
     // (same rationale and graceful-degradation story as
     // [[ngramJaccardPrefix]]'s verify)
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(broadcast(cands), Seq("doc_a"))
+    val a = st.docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = st.docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(broadcast(st.cands), Seq("doc_a"))
       .join(b, Seq("doc_b"))
       .withColumn("inter_n",
         graft.functions.GraftFunctions.sortedIntersectCount(
@@ -619,10 +596,24 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Stage-size diagnostic for the containment miner (graft.Diag only):
-    * how many rows each mining stage produces at `dir` — the numbers that
-    * explain a slope change without touching the registered query. */
-  private[graft] def containmentDiag(spark: SparkSession, dir: String): String = {
+  /** The containment miner's mining stages under ONE definition, so the
+    * [[containmentDiag]] stage sizes can never drift from the registered
+    * query they explain (the prefix rule changed twice in r8/r9 — a
+    * copy-pasted diagnostic would have kept reporting the old pipeline).
+    *
+    * Prefix length for t=0.8 on the candidate-shorter doc:
+    * n − ceil(0.8n) + 1. NO positional (PPJoin) filter on this
+    * asymmetric miner — measured r9: ranking the LONG side costs a
+    * second full-postings window sort (+0.7 s isolated at sf0.1) and
+    * prunes ~3%, because df is GLOBAL: a shingle rare enough to sit in
+    * the short doc's prefix ranks early in the long doc's canonical
+    * order too, so the positional bound 1 + min(n_s−p_s, n_l−p_l)
+    * almost never bites. The symmetric jaccard miner keeps the filter
+    * (both sides already ranked — free). */
+  private case class ContainmentStages(docs: DataFrame, postings: DataFrame,
+      dfreq: DataFrame, prefix: DataFrame, candsPre: DataFrame, cands: DataFrame)
+
+  private def containmentStages(spark: SparkSession, dir: String): ContainmentStages = {
     val docs = containmentShingleDocs(spark, dir)
     val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
       explode_outer(col("sh")).as("h"))
@@ -640,10 +631,20 @@ object DedupOps {
       .select(least(col("doc_s"), col("doc_l")).as("doc_a"),
         greatest(col("doc_s"), col("doc_l")).as("doc_b"))
       .distinct()
-    val hotDf = dfreq.agg(max("df")).head().getLong(0)
-    s"docs=${docs.count()} postings=${postings.count()} distinctShingles=${dfreq.count()} " +
-      s"maxDf=$hotDf prefixRows=${prefix.count()} candRowsPreDistinct=${candsPre.count()} " +
-      s"cands=${cands.count()} verified=${qDedupContainment(spark, dir).count()}"
+    ContainmentStages(docs, postings, dfreq, prefix, candsPre, cands)
+  }
+
+  /** Stage-size diagnostic for the containment miner (graft.Diag only):
+    * how many rows each mining stage produces at `dir` — the numbers that
+    * explain a slope change without touching the registered query. Built
+    * on the SAME [[containmentStages]] the miner runs. */
+  private[graft] def containmentDiag(spark: SparkSession, dir: String): String = {
+    val st = containmentStages(spark, dir)
+    val hotDf = st.dfreq.agg(max("df")).head().getLong(0)
+    s"docs=${st.docs.count()} postings=${st.postings.count()} " +
+      s"distinctShingles=${st.dfreq.count()} maxDf=$hotDf " +
+      s"prefixRows=${st.prefix.count()} candRowsPreDistinct=${st.candsPre.count()} " +
+      s"cands=${st.cands.count()} verified=${qDedupContainment(spark, dir).count()}"
   }
 
   /** Prefix-filtered variant (AllPairs/PPJoin lineage), same exact result.

@@ -1025,15 +1025,14 @@ object SimilarityOps {
     for (_ <- 1 to 3) {
       val vLit = v.mkString("array(", "L,", "L)")
       // fused per-row dot score, then d per-dim sums — one pass, one row
+      val ys = (0 until d).map(j =>
+        sum(element_at(col("cv"), j + 1) * col("s")).as(s"y$j"))
       val yRow = c
         .select(col("cv"), expr(
           s"""aggregate(sequence(0, ${d - 1}), cast(0 as bigint),
              |  (acc, j) -> acc + element_at(cv, j + 1) * element_at($vLit, j + 1)) div 1024"""
             .stripMargin).as("s"))
-        .agg((0 until d).map(j =>
-          sum(element_at(col("cv"), j + 1) * col("s")).as(s"y$j")).head,
-          (1 until d).map(j =>
-            sum(element_at(col("cv"), j + 1) * col("s")).as(s"y$j")): _*)
+        .agg(ys.head, ys.tail: _*)
         .head()
       val y = Array.tabulate(d)(j => yRow.getLong(j))
       val mx = math.max(y.map(math.abs).max, 1L)

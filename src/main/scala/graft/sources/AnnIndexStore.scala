@@ -31,9 +31,23 @@ object AnnIndexStore {
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "meta.json")
 
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists) {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+      if (!f.delete())
+        throw new IllegalStateException(s"AnnIndexStore: cannot delete ${f.getPath}")
+    }
+
   /** Build (via the session cache — free if already built) and persist
     * the serving index for the corpus at `dataDir`. */
   def write(spark: SparkSession, dataDir: String, path: String): Unit = {
+    // a REBUILD invalidates any prior generation's appended vectors:
+    // left behind, serve() would silently union them into the rerank
+    // base (and an id that joined the new corpus would produce duplicate
+    // candidate rows in the top-10) — the rebuild-when-recall-sags
+    // lifecycle starts from a clean appended set, and the fresh
+    // meta.json below drops the stale "appended" count with it
+    deleteRecursively(new java.io.File(s"$path/appended_vectors.parquet"))
     val idx = SimilarityOps.buildIvfPqIndex(spark, dataDir)
     idx.cells.write.mode("overwrite").parquet(s"$path/cells.parquet")
     idx.withCodes.write.mode("overwrite").parquet(s"$path/codes.parquet")

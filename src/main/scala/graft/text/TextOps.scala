@@ -968,6 +968,27 @@ object TextOps {
     * precedent, so this entry prices the SPLIT CHECK, not a re-mine),
     * and the leak check is two broadcast-able joins of the tiny pair
     * list against the label frame plus one broadcast flag join back. */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = shiftrightunsigned(graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8) % 100
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
+    val cross = pairs
+      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    val leaky = cross.select(col("doc_a").as("doc_id"))
+      .unionByName(cross.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("leak", lit(true))
+    lab.join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("leak"), lit(false)).as("is_leaky"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata mutual-information audit: pointwise MI between the corpus's
     * language and source columns — the sampling-bias check a pipeline
     * runs before trusting per-language statistics (a source that ships
@@ -999,24 +1020,4 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
-  def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = shiftrightunsigned(graft.functions.GraftFunctions
-      .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8) % 100
-    val lab = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
-    val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
-    val cross = pairs
-      .join(lab.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
-      .join(lab.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
-      .filter(col("sa") =!= col("sb"))
-    val leaky = cross.select(col("doc_a").as("doc_id"))
-      .unionByName(cross.select(col("doc_b").as("doc_id")))
-      .distinct()
-      .withColumn("leak", lit(true))
-    lab.join(leaky, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("split"),
-        coalesce(col("leak"), lit(false)).as("is_leaky"))
-      .orderBy("doc_id")
-  }
 }

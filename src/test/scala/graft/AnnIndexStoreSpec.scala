@@ -116,5 +116,15 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(served1.exists(r => r._3 == 7000001L && r._2 == srcRank + 1),
       s"appended twin of $srcId (rank $srcRank for query $qid) not served: " +
         served1.sortBy(_._2).mkString(", "))
+    // a REBUILD starts a fresh generation: the appended vectors are gone
+    // and serving returns to the pre-append results
+    AnnIndexStore.write(spark, SfDir, dir)
+    assert(!new java.io.File(s"$dir/appended_vectors.parquet").exists,
+      "rebuild left a stale appended-vectors generation behind")
+    val served2 = AnnIndexStore.serve(spark, SfDir, dir)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served2.toSeq == served0.toSeq,
+      "post-rebuild serve must equal the pre-append results")
   }
 }

@@ -47,4 +47,18 @@ class BenchSpec extends AnyFunSuite {
       "tail-safe line must keep the slowest queries")
     assert(artifact.contains("\"q_001\":0.010") && artifact.contains("\"q_300\":3.000"))
   }
+
+  test("an intermittent failure is flagged as flaky, counted in the total") {
+    val results = ok :+ (("q_flaky", 1.0,
+      Some("intermittent 1/3 reps: executor OOM")))
+    val (stdout, artifact) = Bench.summarize(results, "/data/sf", subset = false)
+    for (j <- Seq(stdout, artifact)) {
+      // a valid minimum exists, so the row is NOT a failure...
+      assert(j.contains("\"failed\":0"), j)
+      // ...but the reliability signal must survive in the JSON
+      assert(j.contains("\"flaky\":1"), j)
+      assert(j.contains("\"value\":3.500"), s"flaky time counts in the total: $j")
+    }
+    assert(artifact.contains("\"q_flaky\":\"intermittent 1/3 reps: executor OOM\""))
+  }
 }
