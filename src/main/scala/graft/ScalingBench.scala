@@ -148,8 +148,10 @@ object ScalingBench {
     // row would measure constant work and flatter the suite.
     "q_dq_rules", "q_incremental_agg_merge",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
-    // journey paths: per-user sessionize + per-session rank windows
-    "q_event_anomaly", "q_event_paths")
+    // journey paths: per-user sessionize + per-session rank windows;
+    // bloom semi-join: the probe must keep the reduced stream (and so
+    // the join) linear in the fact at a fixed-selectivity dimension
+    "q_event_anomaly", "q_event_paths", "q_bloom_semijoin")
 
   private val family = docFamily ++ relFamily
 

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_asof_join"         -> (JoinOps.qAsofJoin _),
     "q_range_join"        -> (JoinOps.qRangeJoin _),
     "q_skew_salted_join"  -> (JoinOps.qSkewSaltedJoin _),
+    "q_bloom_semijoin"    -> (JoinOps.qBloomSemijoin _),
     "q_skew_diagnose"     -> (JoinOps.qSkewDiagnose _),
     "q_time_skew_diagnose" -> (JoinOps.qTimeSkewDiagnose _),
     "q_zorder_prune"      -> (Bucketing.qZorderPrune _),
@@ -833,6 +834,14 @@ object SparkEntry {
         |SELECT rd.ts_hour, rd.n, CAST(rd.dev AS BIGINT) AS deviation,
         |  rd.dev > 3 * mad.mad AS is_anomaly
         |FROM rd, mad ORDER BY rd.ts_hour""".stripMargin,
+    // bloom semi-join reduction: the oracle is the PLAIN join — passing
+    // proves the bloom pre-filter is semantically free (fp-safe)
+    "q_bloom_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // PageRank: the oracle UNROLLS the 5 damped integer-exact iterations
     // as chained CTEs (aggregation over a recursive reference is not
     // portable SQL — the k-means precedent); every rank is replayed

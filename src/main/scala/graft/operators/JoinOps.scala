@@ -173,4 +173,46 @@ object JoinOps {
       .withColumn("top_share_ppm", expr("max_cnt * 1000000 DIV n_rows"))
       .crossJoin(broadcast(top))
   }
+
+  /** Bloom-filter semi-join reduction — the runtime-filter shape that
+    * makes selective fact⋈dim joins cheap at lake scale: the filtered
+    * dimension's join keys fold into an in-plan `bloom_filter_agg`
+    * scalar subquery (kilobytes, broadcast), and a codegen'd
+    * `bloom_might_contain` probe drops non-matching fact rows AT THE
+    * SCAN — before they pay the join shuffle. The exact join still runs
+    * AFTER the probe (a bloom answers "maybe"), so false positives are
+    * removed and the result is bit-identical to the plain join — which
+    * is exactly what the oracle states, making "the reduction is
+    * semantically free" part of the hash gate. Spark's own
+    * runtime-filter rewrite injects this automatically in narrow cases;
+    * the explicit form works for any producible key set and documents
+    * the contract (the dedup_bloom_probe machinery aimed at a JOIN).
+    *
+    * Scale shape: one dimension scan builds the filter (map-side
+    * OR-merged partials, no driver sketch collect), the fact scan
+    * probes it row-by-row inside codegen, and only surviving rows
+    * (selectivity × fact + fp) enter the exchange — at a 1/5-selective
+    * dimension that is ~80% of the join's shuffle bytes gone. */
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.customer(spark, dir).createOrReplaceTempView("__bsj_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("__bsj_orders")
+    // sized for a 1M-key dimension at 1% fpp (the production knob)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(1000000L, 0.01)
+    spark.sql(
+      s"""WITH dim AS (
+         |  SELECT c_custkey FROM __bsj_customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         |pre AS (
+         |  SELECT o_custkey, o_orderpriority, o_totalprice FROM __bsj_orders
+         |  WHERE bloom_might_contain(
+         |    (SELECT bloom_filter_agg(xxhash64(c_custkey), CAST(1000000 AS BIGINT),
+         |                             CAST($numBits AS BIGINT)) FROM dim),
+         |    xxhash64(o_custkey)))
+         |SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         |FROM pre JOIN dim ON o_custkey = c_custkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
 }

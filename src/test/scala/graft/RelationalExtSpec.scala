@@ -285,4 +285,42 @@ class RelationalExtSpec extends SparkSpec {
     assert(got.map(_._1).forall(_.split(">").length <= 8))
     assert(got.map(_._1).distinct.length == got.length)
   }
+
+  test("bloom semijoin: the probe genuinely reduces the pre-join stream, fp-safe") {
+    import org.apache.spark.util.sketch.BloomFilter
+    graft.functions.GraftFunctions.register(spark)
+    Tables.customer(spark, SfDir).createOrReplaceTempView("__bsj_customer")
+    Tables.orders(spark, SfDir).createOrReplaceTempView("__bsj_orders")
+    val numBits = BloomFilter.optimalNumOfBits(1000000L, 0.01)
+    val pre = spark.sql(
+      s"""SELECT count(*) FROM __bsj_orders
+         |WHERE bloom_might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(c_custkey), CAST(1000000 AS BIGINT),
+         |                           CAST($numBits AS BIGINT))
+         |   FROM __bsj_customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         |  xxhash64(o_custkey))""".stripMargin).head().getLong(0)
+    val total = Tables.orders(spark, SfDir).count()
+    val trueMatches = spark.sql(
+      """SELECT count(*) FROM __bsj_orders o
+        |WHERE EXISTS (SELECT 1 FROM __bsj_customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'AUTOMOBILE')""".stripMargin)
+      .head().getLong(0)
+    // no false negatives: every true match survives the probe
+    assert(pre >= trueMatches, "bloom dropped a true join row")
+    // the reduction is real: the probe must cut the stream well below
+    // the full scan (a filter that keeps everything is vacuous)
+    assert(pre < total * 6 / 10,
+      s"bloom kept $pre of $total rows — no meaningful reduction")
+    // and the registered query's result equals the plain join
+    val got = graft.operators.JoinOps.qBloomSemijoin(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM __bsj_orders JOIN __bsj_customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'AUTOMOBILE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
 }
