@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * count-only plan and without sink I/O noise.
   */
 object Bench {
+  /** Per-query reliability outcome, carried STRUCTURALLY through the
+    * summary (ADVICE r9): classification used to key off an
+    * `"intermittent"` string prefix, so a query that failed on EVERY rep
+    * with an exception message that happened to start with that word
+    * would be counted into the total at time-to-exception instead of
+    * excluded as failed. The type now says which case it is; the message
+    * is display payload only. */
+  private[graft] sealed trait Issue { def msg: String }
+  /** No rep succeeded — the time is time-to-exception, not a benchmark. */
+  private[graft] final case class Failed(msg: String) extends Issue
+  /** Some reps failed but a valid minimum exists — the time is real, the
+    * reliability signal must survive in the JSON. */
+  private[graft] final case class Flaky(msg: String) extends Issue
+
   /** BASELINE.md protocol: min-of-2 still pays per-query codegen/JIT
     * warmth on short interpreted-heavy pipelines — the text family swung
     * +30-45% between rounds on identical plans, and q_count_distinct
@@ -102,18 +116,16 @@ object Bench {
         val n = if (extraReps(name)) math.max(reps, 4) else reps
         val runs = (1 to n).map(_ => run(name, fn))
         // min over SUCCESSFUL reps; if every rep failed, keep the time but
-        // carry the error so the artifact marks the row as not-a-benchmark.
+        // mark the row [[Failed]] so summarize excludes it from the total.
         // A query that failed on SOME reps but succeeded on others has a
         // valid minimum, but the failure must not vanish into stderr — it
-        // is carried with the "intermittent" marker, which summarize
-        // reports under "flaky" (counted separately from "failed": the
-        // time is real, the reliability signal must survive in the JSON)
+        // is carried as [[Flaky]] (counted separately from failed)
         val ok = runs.collect { case (t, None) => t }
         val firstErr = runs.collectFirst { case (_, Some(e)) => e }
         (name, if (ok.nonEmpty) ok.min else runs.map(_._1).min,
-          if (ok.isEmpty) firstErr
+          if (ok.isEmpty) firstErr.map(Failed)
           else firstErr.map(e =>
-            s"intermittent ${runs.size - ok.size}/${runs.size} reps: $e"))
+            Flaky(s"intermittent ${runs.size - ok.size}/${runs.size} reps: $e")))
       }
     // Heavy-tail retry: two r9 full runs each posted ~10x outliers on
     // DIFFERENT queries (dedup_containment 17.1 s; dedup_incremental
@@ -134,13 +146,17 @@ object Bench {
         } else (name, t, None)
       case r => r
     }
-    val (stdoutLine, line) = summarize(retried, sfDir, only.isDefined)
+    val (stdoutLine, compactLine, line) = summarize(retried, sfDir, only.isDefined)
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
-    // JSON it finds there, so the LAST line printed must always be a
-    // complete, parseable summary that fits: total + failure count + as
-    // many of the slowest queries as a conservative char budget allows.
-    // The full per-query map goes to BENCH_LOCAL.json (below), not stdout.
+    // JSON it finds there. The tail-safe bounded line alone was not
+    // enough: BENCH_r08 AND r09 both recorded "parsed": null even though
+    // the line survived in the tail. So the LAST line printed is now a
+    // COMPACT total-only summary (~150 chars, no `queries` map) that no
+    // truncation or prefix noise can break; the bounded slowest-first
+    // line prints just before it for human tail-readers, and the full
+    // per-query map goes to BENCH_LOCAL.json (below), not stdout.
     println(stdoutLine)
+    println(compactLine)
     // Persist the full line in-repo so every round's complete numbers
     // survive driver-side truncation. The default anchors at the repo root
     // (nearest ancestor with build.sbt) rather than the raw CWD. A subset
@@ -164,31 +180,30 @@ object Bench {
     spark.stop()
     // loud, but exit 0: the driver's bench capture must still record the
     // artifact — the "failed" count in the JSON is the machine-readable flag
-    val failedNames = results.collect { case (k, _, Some(_)) => k }
+    val failedNames = results.collect { case (k, _, Some(Failed(_))) => k }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] ${failedNames.size} queries FAILED: ${failedNames.mkString(", ")}")
   }
 
-  /** Assemble the (stdout, artifact) summary lines from per-query
-    * results `(name, min-seconds, error-if-all-reps-failed)`. Pure so
-    * BenchSpec can plant a failing query and assert both JSONs flag it:
-    * a failed query contributes its error to `errors`, bumps `failed`,
-    * and is EXCLUDED from `value` (a failure must never be priced at
-    * time-to-exception, which deflated the r8 totals). The stdout line
-    * is guaranteed <= ~1900 chars — the driver keeps only the last
-    * ~2000 chars of stdout — falling back to a slowest-first subset of
-    * the per-query map with an explicit `queries_omitted` count; the
-    * artifact line always carries the full map. */
+  /** Assemble the (bounded stdout, compact stdout, artifact) summary
+    * lines from per-query results `(name, min-seconds, issue)`. Pure so
+    * BenchSpec can plant a failing query and assert the JSONs flag it:
+    * a [[Failed]] query contributes its error to `errors`, bumps
+    * `failed`, and is EXCLUDED from `value` (a failure must never be
+    * priced at time-to-exception, which deflated the r8 totals); a
+    * [[Flaky]] query keeps its valid minimum in the total with the error
+    * preserved. The bounded stdout line is guaranteed <= ~1900 chars —
+    * the driver keeps only the last ~2000 chars of stdout — falling back
+    * to a slowest-first subset of the per-query map with an explicit
+    * `queries_omitted` count; the COMPACT line carries no per-query map
+    * at all (the last-printed, truncation-proof one); the artifact line
+    * always carries the full map. */
   private[graft] def summarize(
-      results: Seq[(String, Double, Option[String])],
+      results: Seq[(String, Double, Option[Issue])],
       sfDir: String,
-      subset: Boolean): (String, String) = {
-    // "failed" = no successful rep (excluded from the total — the time is
-    // time-to-exception, not a benchmark); "flaky" = some reps failed but
-    // a valid minimum exists (counted in the total, error preserved)
-    val (flaky, failed) = results
-      .collect { case (k, _, Some(e)) => k -> e }
-      .partition(_._2.startsWith("intermittent"))
+      subset: Boolean): (String, String, String) = {
+    val failed = results.collect { case (k, _, Some(Failed(e))) => k -> e }
+    val flaky = results.collect { case (k, _, Some(Flaky(e))) => k -> e }
     val qs = results.map { case (k, v, _) =>
       "\"" + k + f"""\":$v%.3f"""
     }.mkString("{", ",", "}")
@@ -197,17 +212,19 @@ object Bench {
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect {
-      case (_, v, e) if e.forall(_.startsWith("intermittent")) => v
+      case (_, v, None) => v
+      case (_, v, Some(Flaky(_))) => v
     }.sum
     val onlyFlag = if (subset) ""","subset":true""" else ""
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag,"queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    val head =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag"""
+    val line = head + f""","queries":$qs,"errors":$errsJson,"sf":"$sfDir"}"""
+    val compactLine = head + f""","sf":"$sfDir"}"""
     val stdoutLine =
       if (line.length <= 1900) line
       else {
-        val head =
-          f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag,"sf":"$sfDir","queries":{"""
-        val budget = 1800 - head.length
+        val overflowHead = head + f""","sf":"$sfDir","queries":{"""
+        val budget = 1800 - overflowHead.length
         val kept = scala.collection.mutable.ListBuffer.empty[String]
         var used = 0
         results.sortBy(-_._2).foreach { case (k, v, _) =>
@@ -215,8 +232,8 @@ object Bench {
           if (used + frag.length + 1 <= budget) { kept += frag; used += frag.length + 1 }
         }
         val omitted = results.size - kept.size
-        head + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
+        overflowHead + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
       }
-    (stdoutLine, line)
+    (stdoutLine, compactLine, line)
   }
 }

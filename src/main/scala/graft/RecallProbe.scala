@@ -31,7 +31,7 @@ object RecallProbe {
         .agg(sum(when(col("in_brute"), 1).otherwise(0)).as("hits"),
           max(when(col("rank") === 1, col("vec_id"))).as("top1"))
         .select(col("query_id"), col("hits"),
-          (col("top1") === col("query_id") - 1000000L).as("top1_ok"))
+          (col("top1") === col("query_id") - graft.similarity.SimilarityOps.PlantedIdOffset).as("top1_ok"))
         .collect()
       val recalls = hits.map(_.getLong(1) * 10)
       println(f"[$tag%12s] queries=${hits.length} recall%%: " +

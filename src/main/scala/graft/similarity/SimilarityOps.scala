@@ -17,6 +17,34 @@ import graft.functions.{GraftFunctions, VectorOps}
   */
 object SimilarityOps {
 
+  /** The planted-query id space: a planted twin's id = source id +
+    * PlantedIdOffset, and every corpus/query split in this file (and the
+    * DuckDB oracles' literal `1000000`) keys off it. ONE definition
+    * (VERDICT r9 "what's wrong" #2 — the literal appeared ~10 times) plus
+    * a loud per-dir guard in [[vectors]]: a corpus whose real ids reach
+    * the offset would silently alias corpus vectors into query id space,
+    * so such a corpus must fail the build instead. The value itself must
+    * stay 1e6 — the oracle SQL (AnnGateOracle et al.) reproduces the
+    * split with the literal. */
+  private[graft] val PlantedIdOffset = 1000000L
+
+  private val idSpaceGuardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Fails loudly (once per dir+file-snapshot) if corpus ids collide with
+    * the planted id space. Max over one column — cheap, memoized. */
+  private def assertIdSpace(spark: SparkSession, dir: String): Unit =
+    idSpaceGuardMemo.computeIfAbsent(graft.SessionCache.dirKey(dir), _ => {
+      val mx = Tables.embeddings(spark, dir)
+        .agg(max(col("vec_id"))).head().getLong(0)
+      require(mx < PlantedIdOffset,
+        s"embeddings at $dir: max vec_id $mx >= planted-id offset " +
+          s"$PlantedIdOffset — corpus ids would alias into the planted " +
+          "query id space and every corpus/query split in SimilarityOps " +
+          "would be silently wrong; re-key the corpus below the offset")
+      java.lang.Boolean.TRUE
+    })
+
   /** cos similarity scaled to integer parts-per-million. */
   private def cosPpm(a: Column, b: Column): Column =
     round(GraftFunctions.cosineSim(a, b) * 1000000.0).cast("long")
@@ -24,6 +52,7 @@ object SimilarityOps {
   /** Embeddings with the float vectors widened to array<double>. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    assertIdSpace(spark, dir)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("vec"))
   }
@@ -33,7 +62,7 @@ object SimilarityOps {
   private def withPlanted(base: DataFrame): DataFrame =
     base.unionByName(
       base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
           transform(col("vec"), x => x * 1.01).as("vec")))
 
   // ---- driver-contract queries over the embeddings table ----
@@ -178,10 +207,10 @@ object SimilarityOps {
   private def bruteTruthTop10(spark: SparkSession, dir: String,
       queryStride: Long = 1L): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
-    val queries = base.filter(col("vec_id") >= 1000000L)
+    val queries = base.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val corpus = base.filter(col("vec_id") < 1000000L)
+    val corpus = base.filter(col("vec_id") < PlantedIdOffset)
     rankedTop10(corpus.join(broadcast(queries), lit(true))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
@@ -217,7 +246,7 @@ object SimilarityOps {
     * column (ids are source + 1e6 with source % 25 == 0; the division is
     * exact, floor+cast only guards the double `/`). */
   private def inGateSample(queryId: Column, stride: Long): Column =
-    pmod(floor((queryId - 1000000L) / 25L).cast("long"), lit(stride)) === 0
+    pmod(floor((queryId - PlantedIdOffset) / 25L).cast("long"), lit(stride)) === 0
 
   /** Tolerance gate for the ANN variants (VERDICT r6 ask #2, the
     * `q_approx_distinct` / `text_heavy_hitters` pattern): the exact
@@ -250,7 +279,7 @@ object SimilarityOps {
       .select(col("query_id"),
         lit(10L).as("k"),
         col("mean_recall_ok"),
-        (col("__top1") === col("query_id") - 1000000L).as("top1_ok"))
+        (col("__top1") === col("query_id") - PlantedIdOffset).as("top1_ok"))
       .orderBy("query_id")
   }
 
@@ -277,12 +306,12 @@ object SimilarityOps {
     // tables/bits. Query-side only: the corpus still materializes ONE
     // row per (vector, table), so the index cost is unchanged and the
     // probe fan-out (1 + bits, ~log n) rides the bounded query sample.
-    val queries = bucketed.filter(col("vec_id") >= 1000000L)
+    val queries = bucketed.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"),
         explode(expr(s"concat(array(bucket), transform(sequence(0, ${bits - 1})," +
           s" i -> int(bucket ^ shiftleft(1, i))))")).as("bucket"))
-    val cands = bucketed.filter(col("vec_id") < 1000000L)
+    val cands = bucketed.filter(col("vec_id") < PlantedIdOffset)
       .join(queries, Seq("table", "bucket"))
       .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"))
       .distinct()
@@ -469,7 +498,7 @@ object SimilarityOps {
     val nProbe = ivfProbes(k)
     val (cells, assigned) = ivfIndex(spark, dir, k)
     // probe list: nProbe nearest centroids per query by L2
-    val queries = assigned.filter(col("vec_id") >= 1000000L)
+    val queries = assigned.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
@@ -479,7 +508,7 @@ object SimilarityOps {
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
       .select("query_id", "qvec", "cell")
-    val cands = probes.join(assigned.filter(col("vec_id") < 1000000L), "cell")
+    val cands = probes.join(assigned.filter(col("vec_id") < PlantedIdOffset), "cell")
       .select("query_id", "qvec", "vec_id", "vec")
     rankedTop10(cands.select(col("query_id"), col("vec_id"),
       GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
@@ -740,7 +769,7 @@ object SimilarityOps {
     graft.SessionCache.cachedDirView(spark, "graft_pq_codes", dir) {
       val (cells, assigned) = ivfIndex(spark, dir, ivfCells(corpusSize(spark, dir)))
       // codes quantize the RESIDUAL re the vector's own coarse cell
-      val base = residualized(assigned.filter(col("vec_id") < 1000000L), cells)
+      val base = residualized(assigned.filter(col("vec_id") < PlantedIdOffset), cells)
       val dim = base.select(size(col("rvec"))).head().getInt(0)
       subBlocks(base, "rvec", dim / PqBlocks)
         .join(broadcast(pqCodebookDf(spark, dir)), "block")
@@ -791,7 +820,7 @@ object SimilarityOps {
     // scaling cliff: 4M-row exchange per run, slope 1.31).
     val withCodes = graft.SessionCache.cachedDirView(
       spark, "graft_pq_index", dir)(
-      assigned.filter(col("vec_id") < 1000000L).select("vec_id", "cell")
+      assigned.filter(col("vec_id") < PlantedIdOffset).select("vec_id", "cell")
         .join(pqCodes(spark, dir), "vec_id"))
     IvfPqIndex(cells, withCodes, pqCodebook(spark, dir), kCells)
   }
@@ -842,7 +871,7 @@ object SimilarityOps {
     val nProbe = ivfProbes(idx.nCells)
     val cells = idx.cells
     val queries = withPlanted(vectors(spark, dir))
-      .filter(col("vec_id") >= 1000000L)
+      .filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
     val l2 = GraftFunctions.dotProduct(col("qvec"), col("qvec")) -
@@ -919,7 +948,7 @@ object SimilarityOps {
     val shortlistDepth = math.max(50, math.min(400, (corpusSize(spark, dir) / 20).toInt))
     val shortlist = graft.plans.TopK.topKPerGroup(approx, shortlistDepth,
       Seq(col("query_id")), Seq(col("__adc"), col("vec_id")))
-    val corpusBase = withPlanted(vectors(spark, dir)).filter(col("vec_id") < 1000000L)
+    val corpusBase = withPlanted(vectors(spark, dir)).filter(col("vec_id") < PlantedIdOffset)
     val base = extraVectors.fold(corpusBase)(ev =>
       corpusBase.unionByName(ev.select(col("vec_id"), col("vec"))))
     rankedTop10(shortlist

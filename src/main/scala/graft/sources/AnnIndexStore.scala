@@ -129,12 +129,16 @@ object AnnIndexStore {
       batch: DataFrame): Unit = {
     val idx = read(spark, dataDir, path)
     val encoded = SimilarityOps.encodeWithIndex(spark, batch, idx)
-    encoded.write.mode("append").parquet(s"$path/codes.parquet")
-    // the FULL vectors too: codes serve the ADC ranking, but the exact
-    // rerank needs the vector — an appended candidate the rerank cannot
-    // resolve would be dropped silently (see [[serve]])
+    // Write order is a crash-safety invariant: the FULL vectors land
+    // FIRST, the ADC-rankable codes second. Codes serve the ranking, but
+    // the exact rerank needs the vector — a crash between the two writes
+    // must leave orphan VECTORS (harmless: nothing ranks them), never
+    // orphan CODES (an ADC-ranked candidate the rerank cannot resolve is
+    // dropped silently — the exact failure [[serve]]'s union exists to
+    // prevent).
     batch.select(col("vec_id"), col("vec"))
       .write.mode("append").parquet(s"$path/appended_vectors.parquet")
+    encoded.write.mode("append").parquet(s"$path/codes.parquet")
     val meta = java.nio.file.Files.readString(metaPath(path))
     val n = batch.count()
     val updated =
