@@ -1871,11 +1871,21 @@ object SparkEntry {
         |  SELECT lang,
         |    max(CASE WHEN rn = (m + 2) // 3 THEN mean_nll_unat END) AS tc1,
         |    max(CASE WHEN rn = (2 * m + 2) // 3 THEN mean_nll_unat END) AS tc2
-        |  FROM ranked GROUP BY lang)
+        |  FROM ranked GROUP BY lang),
+        |granked AS (
+        |  SELECT mean_nll_unat,
+        |    row_number() OVER (ORDER BY mean_nll_unat, doc_id) AS grn,
+        |    count(*) OVER () AS gm
+        |  FROM samp),
+        |gcuts AS (
+        |  SELECT max(CASE WHEN grn = (gm + 2) // 3 THEN mean_nll_unat END) AS g1,
+        |    max(CASE WHEN grn = (2 * gm + 2) // 3 THEN mean_nll_unat END) AS g2
+        |  FROM granked)
         |SELECT w.doc_id, w.lang, w.mean_nll_unat,
-        |  CASE WHEN w.mean_nll_unat <= c.tc1 THEN 'head'
-        |       WHEN w.mean_nll_unat <= c.tc2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-        |FROM wl w LEFT JOIN cuts c USING (lang) ORDER BY w.doc_id""".stripMargin,
+        |  CASE WHEN w.mean_nll_unat <= coalesce(c.tc1, g.g1) THEN 'head'
+        |       WHEN w.mean_nll_unat <= coalesce(c.tc2, g.g2) THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM wl w LEFT JOIN cuts c USING (lang), gcuts g ORDER BY w.doc_id""".stripMargin,
     // exact-substring dedup: positional 8-gram postings on the SAME
     // 63-bit md5 keys as the implementation (identical hash, identical
     // collisions), diagonal runs via pos - row_number grouping

@@ -881,7 +881,8 @@ object TextOps {
     val hb = shiftrightunsigned(graft.functions.GraftFunctions
       .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8)
       .bitwiseAND(lit(1023L))
-    val ranked = withLang.filter(hb < lit(cap))
+    val sampled = withLang.filter(hb < lit(cap))
+    val ranked = sampled
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("mean_nll_unat"), col("doc_id"))))
       .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
@@ -889,10 +890,26 @@ object TextOps {
       .groupBy("lang")
       .agg(max(when(col("rn") === expr("(m + 2) div 3"), col("mean_nll_unat"))).as("c1"),
         max(when(col("rn") === expr("(2 * m + 2) div 3"), col("mean_nll_unat"))).as("c2"))
+    // GLOBAL tercile cutoffs over the same sample, the fallback for a
+    // language the ~1000-doc sample happened to miss (ADVICE r9): with
+    // null per-lang cutoffs every doc of an unsampled rare language fell
+    // through to 'tail', so the standard keep-head+middle policy silently
+    // dropped the entire language. Global cutoffs are the CCNet-faithful
+    // degradation — bucket by the corpus-wide perplexity distribution
+    // until the language has sample mass. The single-partition window is
+    // over the BOUNDED sample (<= ~1024 rows), never the corpus.
+    val wAll = Window.partitionBy(lit(0))
+    val gcuts = sampled
+      .withColumn("grn", row_number().over(
+        wAll.orderBy(col("mean_nll_unat"), col("doc_id"))))
+      .withColumn("gm", count(lit(1)).over(wAll))
+      .agg(max(when(col("grn") === expr("(gm + 2) div 3"), col("mean_nll_unat"))).as("g1"),
+        max(when(col("grn") === expr("(2 * gm + 2) div 3"), col("mean_nll_unat"))).as("g2"))
     withLang.join(broadcast(cuts), Seq("lang"), "left")
+      .crossJoin(broadcast(gcuts))
       .select(col("doc_id"), col("lang"), col("mean_nll_unat"),
-        when(col("mean_nll_unat") <= col("c1"), lit("head"))
-          .when(col("mean_nll_unat") <= col("c2"), lit("middle"))
+        when(col("mean_nll_unat") <= coalesce(col("c1"), col("g1")), lit("head"))
+          .when(col("mean_nll_unat") <= coalesce(col("c2"), col("g2")), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
       .orderBy("doc_id")
   }

@@ -453,6 +453,55 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccnet: an unsampled language buckets by global cutoffs, not all-'tail' (ADVICE r9)") {
+    // Plant a language whose every doc hashes OUTSIDE the cutoff sample:
+    // before the fallback, its per-lang cutoffs were null and every doc
+    // fell through to 'tail' — under keep-head+middle the whole language
+    // was silently dropped (and the oracle mirrored it, so the gate
+    // could not catch it). With the fallback those docs must bucket by
+    // the GLOBAL sample cutoffs.
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccnet_unsampled").toString
+    // 4 re-keyed copies -> 2000 docs -> cap = ceil(1024*1000/2000) = 512:
+    // roughly half the corpus sits outside the sample, so unsampled
+    // scored docs exist to plant on (at the natural 500-doc corpus the
+    // cap is 1024 and EVERYTHING is sampled — the bug was unreachable)
+    val base = Tables.documents(spark, SfDir)
+    val big = (0 until 4).map(k =>
+        base.withColumn("doc_id", col("doc_id") + lit(k * 1000L)))
+      .reduce(_ unionByName _)
+    val cap = 512L
+    val hb = shiftrightunsigned(graft.functions.GraftFunctions
+      .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8)
+      .bitwiseAND(lit(1023L))
+    val zzIds = big.withColumn("hb", hb)
+      .filter(col("hb") >= cap && col("doc_id") % 5 =!= 0)
+      .select("doc_id").orderBy("doc_id").limit(40)
+      .collect().map(_.getLong(0)).toSet
+    assert(zzIds.size == 40, "not enough unsampled scored docs to plant")
+    big.withColumn("lang",
+        when(col("doc_id").isInCollection(zzIds), lit("zz")).otherwise(col("lang")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.qCcnetBucket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val hbMap = big.select(col("doc_id"), hb.as("hb")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zzRows = rows.filter(_._2 == "zz")
+    assert(zzRows.nonEmpty && zzRows.forall(r => hbMap(r._1) >= cap),
+      "construction broke: a planted doc landed in the sample")
+    // replicate the fallback: global tercile cutoffs over the sampled
+    // scored docs, (value, doc_id)-ordered, ranks (m+2)/3 and (2m+2)/3
+    val sample = rows.filter(r => hbMap(r._1) < cap).sortBy(r => (r._3, r._1))
+    val gm = sample.length
+    val (g1, g2) = (sample((gm + 2) / 3 - 1)._3, sample((2 * gm + 2) / 3 - 1)._3)
+    zzRows.foreach { case (id, _, v, b) =>
+      val exp = if (v <= g1) "head" else if (v <= g2) "middle" else "tail"
+      assert(b == exp, s"doc $id: bucket $b, expected $exp under global fallback")
+    }
+    assert(zzRows.exists(_._4 != "tail"),
+      "vacuous plant — every planted doc is 'tail' even under the fallback")
+  }
+
   test("substring dedup: reported runs equal a direct per-pair scan of the texts") {
     val rows = TextOps.qSubstringDedup(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
