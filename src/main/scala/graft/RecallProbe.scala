@@ -25,8 +25,9 @@ object RecallProbe {
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
       .cache()
 
-    def report(tag: String, ranked: org.apache.spark.sql.DataFrame): Unit = {
-      val hits = ranked.join(truth, Seq("query_id", "vec_id"), "left")
+    def report(tag: String, ranked: org.apache.spark.sql.DataFrame,
+        against: org.apache.spark.sql.DataFrame = truth): Unit = {
+      val hits = ranked.join(against, Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
         .agg(sum(when(col("in_brute"), 1).otherwise(0)).as("hits"),
           max(when(col("rank") === 1, col("vec_id"))).as("top1"))
@@ -41,6 +42,22 @@ object RecallProbe {
     }
 
     report("lsh", SimilarityOps.annTopkLshRanked(spark, dir))
+    // kNN-graph join: its truth is the GRAPH (self excluded, twins are
+    // legitimate neighbors), not the base-corpus serve truth above.
+    // Sweep the probe-cell count — the candidate stream is linear in it,
+    // so each step prices its recall directly.
+    try {
+      for (p <- Seq(3, 4, 6); div <- Seq(50, 20, 10)) {
+        sys.props("graft.knn.probe.cells") = p.toString
+        sys.props("graft.knn.shortlist.div") = div.toString
+        report(s"knn p$p d$div", SimilarityOps.knnRankedForProbe(spark, dir),
+          SimilarityOps.knnTruthForProbe(spark, dir)
+            .select(col("query_id"), col("vec_id"), lit(true).as("in_brute")))
+      }
+    } finally {
+      sys.props.remove("graft.knn.probe.cells")
+      sys.props.remove("graft.knn.shortlist.div")
+    }
     // Sweep the IVF probe fraction (1/4 default, 1/8, 1/16): per-query
     // serve cost is ~n/denom, so every doubling of denom that HOLDS the
     // recall floors halves the dominant serving term. The index build is

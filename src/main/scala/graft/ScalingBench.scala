@@ -45,6 +45,12 @@ object ScalingBench {
     // shape whose slope the index capacities exist to keep flat
     "ann_topk_lsh", "ann_topk_ivf", "ann_topk_ivfpq",
     "ann_topk_lsh_full", "ann_topk_ivf_full", "ann_topk_ivfpq_full",
+    // round-10: the corpus-scale kNN-graph join — the registered entry
+    // already computes EVERY graph vector's neighbors (only the gate is
+    // sampled), so it needs no *_full twin; expected ~n^1.5 candidate
+    // stream at K~sqrt(n) cells, parallelism should keep the wall slope
+    // under the VERDICT ask of 0.7
+    "ann_knn_join",
     // round-6 additions (VERDICT r5 ask #4): the asymmetric-containment
     // inverted index (hot-shingle risk) and the budget-constrained
     // selection's driver-histogram boundary

@@ -150,6 +150,7 @@ object SparkEntry {
     "embed_kmeans"        -> (graft.similarity.SimilarityOps.qEmbedKmeans _),
     "embed_pca_power"     -> (graft.similarity.SimilarityOps.qEmbedPcaPower _),
     "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
+    "ann_knn_join"        -> (graft.similarity.SimilarityOps.qAnnKnnJoin _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
@@ -1461,6 +1462,10 @@ object SparkEntry {
     "ann_topk_lsh" -> AnnGateOracle,
     "ann_topk_ivf" -> AnnGateOracle,
     "ann_topk_ivfpq" -> AnnGateOracle,
+    // corpus-scale kNN-graph join: same gate contract — the full graph
+    // is computed in-plan; the sampled twins' booleans (vs the GRAPH
+    // brute truth, self excluded) are what the oracle asserts
+    "ann_knn_join" -> AnnGateOracle,
     "q_cards_text_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,

@@ -263,9 +263,18 @@ object SimilarityOps {
     * are set from [[graft.RecallProbe]] measurements at sf0.001 and
     * sf0.01 with margin. */
   private def recallGate(spark: SparkSession, dir: String, ranked: DataFrame,
-      minMeanRecallPct: Int, queryStride: Long): DataFrame = {
-    val truth = bruteTruthTop10(spark, dir, queryStride)
-      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+      minMeanRecallPct: Int, queryStride: Long): DataFrame =
+    gateAgainstTruth(ranked,
+      bruteTruthTop10(spark, dir, queryStride)
+        .select(col("query_id"), col("vec_id"), lit(true).as("in_brute")),
+      minMeanRecallPct)
+
+  /** Core of [[recallGate]] with the exact-truth frame supplied by the
+    * caller — shared with the kNN-graph gate, whose truth differs
+    * (candidates = the full planted GRAPH minus self, not the base
+    * corpus). `truth` must be (query_id, vec_id, in_brute=true). */
+  private def gateAgainstTruth(ranked: DataFrame, truth: DataFrame,
+      minMeanRecallPct: Int): DataFrame = {
     val perQuery = ranked
       .join(truth, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
@@ -963,6 +972,199 @@ object SimilarityOps {
   def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val st = gateStride(spark, dir)
     recallGate(spark, dir, annTopkIvfPqRanked(spark, dir, st), IvfPqMinMeanRecallPct, st)
+  }
+
+  // ---- corpus-scale kNN-graph join (VERDICT r9 ask #1) ----
+
+  /** Probe cells per GRAPH vector for the kNN-graph join. Unlike the
+    * serve path's pinned 1/4 cell FRACTION (bounded query set), here the
+    * query set IS the corpus: a pinned fraction would make the candidate
+    * stream n²/denom — the quadratic this operator exists to avoid. A
+    * small FIXED probe count is the standard kNN-graph trade (each
+    * vector's own cell plus its 3 next-nearest): the candidate stream is
+    * n · probes · cellsize ~ n^1.5 at K ~ sqrt(n) cells, and the recall
+    * cost of the narrow probe is measured and gated
+    * ([[KnnMinMeanRecallPct]]) rather than assumed. Overridable via the
+    * `graft.knn.probe.cells` property so RecallProbe can sweep it; the
+    * r10 sweep (probes 3/4/6 × depth-div 50/20/10) picked 4: +6 mean
+    * recall points over 3 at the asserted scales for a 1/3 larger
+    * candidate stream, while 6 buys only ~5 more points for twice the
+    * stream of 3. */
+  private[graft] def KnnProbeCells: Int =
+    sys.props.get("graft.knn.probe.cells").map(_.toInt).getOrElse(4)
+
+  /** Exact-rerank shortlist depth per graph vector: tracks the per-query
+    * candidate stream like the serve path (ADC error is per-candidate
+    * noise) but with a lower cap — the rerank pays n·depth exact
+    * cosines, so the serve path's 400 would dominate the whole join.
+    * The r10 sweep showed depth, not probe count, is the binding recall
+    * limiter at sf0.1 (probes 3→6 moved mean recall 42→44 at div 50,
+    * while div 50→10 moved it 42→51 at probes 3): the probed cells DO
+    * hold the true neighbors; ADC noise pushes them below a shallow
+    * cut. n/10 (cap 200) is the measured knee. */
+  private def knnShortlistDepth(n: Long): Int = {
+    val div = sys.props.get("graft.knn.shortlist.div").map(_.toInt).getOrElse(10)
+    math.max(30, math.min(200, (n / div).toInt))
+  }
+
+  /** Graph membership (vec_id, cell, codes): the indexed base corpus
+    * plus the planted twins encoded through the FROZEN index via
+    * [[encodeWithIndex]] — the store-append kernel reused, so the twins
+    * arrive exactly as late-indexed vectors would in production. Cached
+    * per (dir, snapshot): the encode is one broadcast pass over n/25
+    * rows. */
+  private def knnGraphCodes(spark: SparkSession, dir: String,
+      idx: IvfPqIndex): DataFrame =
+    graft.SessionCache.cachedDirView(spark, "graft_knn_codes", dir) {
+      val twins = withPlanted(vectors(spark, dir))
+        .filter(col("vec_id") >= PlantedIdOffset)
+      idx.withCodes.unionByName(encodeWithIndex(spark, twins, idx))
+    }
+
+  /** Every graph vector's top-10 neighbors — the corpus-scale kNN-graph
+    * self-join (the primitive behind SemDeDup-at-scale tuning,
+    * curriculum dedup, and density-based filtering), served through the
+    * session IVF+PQ index as an index-to-index join. NEVER the O(n²)
+    * cosine self-join:
+    *
+    *  1. probe selection: each graph vector ranks the broadcast coarse
+    *     cells and keeps its [[KnnProbeCells]] nearest (bounded-heap
+    *     [[graft.plans.TopKPerGroupExec]] over the n·K scored rows — a
+    *     window would sort every query's K rows after a full exchange);
+    *  2. candidates: probes ⋈ graph codes ON CELL — the stream is
+    *     n · probes · cellsize rows of (codes, ADC terms), no vectors;
+    *  3. ADC ranking from the 8-byte codes via the same residual
+    *     precomputed-tables decomposition as [[ivfPqServe]] — T2 per
+    *     cell broadcast, T3 per query CARRIED ON THE PROBE ROWS (the
+    *     serve path broadcasts T3 because its query set is bounded;
+    *     corpus-wide T3 cannot broadcast, and attaching it to the ×P
+    *     probe rows lets the candidate stream inherit it through the
+    *     cell join without ever shuffling candidates on query_id);
+    *  4. bounded exact re-rank: top-[[knnShortlistDepth]] per query by
+    *     ADC (slim (query_id, vec_id, __adc) rows through the heap
+    *     operator), then exact cosine against the corpus vectors.
+    *
+    * Self-edges are excluded in-plan. Output: (query_id, rank, vec_id,
+    * cos_ppm) for EVERY graph vector — base corpus and twins. */
+  def annKnnJoinRanked(spark: SparkSession, dir: String): DataFrame = {
+    val idx = buildIvfPqIndex(spark, dir)
+    val graph = knnGraphCodes(spark, dir, idx)
+    val qframe = withPlanted(vectors(spark, dir))
+    val cells = idx.cells
+    val n = corpusSize(spark, dir)
+
+    // 1. probe cells per graph vector; __qc = −2⟨q,C⟩ carried for ADC
+    val scoredCells = qframe
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .join(broadcast(cells), lit(true))
+      .withColumn("__qc", GraftFunctions.dotProduct(col("qvec"), col("cvec")) * -2.0)
+      .withColumn("__l2",
+        GraftFunctions.dotProduct(col("qvec"), col("qvec")) + col("__qc") + col("cnorm"))
+      .select("query_id", "cell", "__qc", "__l2")
+    val probes = graft.plans.TopK.topKPerGroup(scoredCells, KnnProbeCells,
+        Seq(col("query_id")), Seq(col("__l2"), col("cell")))
+      .select("query_id", "cell", "__qc")
+
+    // 3a. per-query T3 (cell-independent ADC half): one linear pass over
+    // the graph vectors — blocks·cells slots, 128 doubles per query
+    val dim = qframe.select(size(col("vec"))).head().getInt(0)
+    val sub = dim / PqBlocks
+    val cb = codebookDf(spark, idx.codebook).select(col("block"),
+      col("cell").as("code"), col("cvec").as("codevec"))
+    val t3 = subBlocks(
+        qframe.select(col("vec_id").as("query_id"), col("vec").as("qvec")), "qvec", sub)
+      .join(broadcast(cb), "block")
+      .select(col("query_id"), (col("block") * PqCells + col("code")).as("slot"),
+        (GraftFunctions.dotProduct(col("bvec"), col("codevec")) * -2.0).as("d"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(slot, d))), s -> s.d)").as("t3"))
+
+    // 3b. T2 (query-independent half) from driver-side quantizer metadata
+    val spark2 = spark
+    import spark2.implicits._
+    val t2 = broadcast(
+      pqT2Rows(
+        cells.select(col("cell"), col("cvec")).as[(Int, Seq[Double])].collect().toSeq,
+        idx.codebook, sub)
+        .toDF("cell", "t2"))
+
+    // 2+3c. candidates inherit T3 through the cell join; ADC is computed
+    // in the same stage, so the only thing that ever shuffles on
+    // query_id is the slim (query_id, vec_id, __adc) stream below
+    val approx = probes.join(t3, "query_id")
+      .join(graph, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(t2, "cell")
+      .select(col("query_id"), col("vec_id"),
+        (col("__qc")
+          + GraftFunctions.adcLookup(col("codes"), col("t2"), PqCells)
+          + GraftFunctions.adcLookup(col("codes"), col("t3"), PqCells)).as("__adc"))
+
+    // 4. bounded exact re-rank
+    val shortlist = graft.plans.TopK.topKPerGroup(approx, knnShortlistDepth(n),
+      Seq(col("query_id")), Seq(col("__adc"), col("vec_id")))
+    rankedTop10(shortlist
+      .join(qframe, "vec_id")
+      .join(qframe.select(col("vec_id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
+  }
+
+  /** Graph-brute truth on the bounded twin sample: candidates = the FULL
+    * graph minus self (a twin's neighbors legitimately include other
+    * twins, so [[bruteTruthTop10]] — base-corpus candidates only — would
+    * be the WRONG denominator here). */
+  private def knnBruteTruth(spark: SparkSession, dir: String,
+      queryStride: Long): DataFrame = {
+    val qframe = withPlanted(vectors(spark, dir))
+    val queries = qframe.filter(col("vec_id") >= PlantedIdOffset)
+      .filter(inGateSample(col("vec_id"), queryStride))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    rankedTop10(qframe.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
+  }
+
+  /** [[annKnnJoinRanked]] restricted to the gated twin sample, exposed
+    * for RecallProbe floor measurement. */
+  private[graft] def knnRankedForProbe(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    annKnnJoinRanked(spark, dir)
+      .filter(col("query_id") >= PlantedIdOffset)
+      .filter(inGateSample(col("query_id"), st))
+  }
+
+  /** [[knnBruteTruth]] exposed for the RecallProbe diagnostic main. */
+  private[graft] def knnTruthForProbe(spark: SparkSession, dir: String): DataFrame =
+    knnBruteTruth(spark, dir, gateStride(spark, dir))
+
+  /** Measured-floor mean recall for the kNN-graph join (percent of the
+    * graph-brute top-10 over the sampled twins), from [[graft.RecallProbe]]
+    * at the adopted dials (probes 4, shortlist n/10): means 62/65/57 at
+    * sf0.001/0.01/0.1. 50 sits ≥12 points under both ORACLE-ASSERTED
+    * scales (specs at 0.001, driver at 0.01) and still under the sf0.1
+    * bench measurement; the residual sub-serve recall is the honest
+    * uniform-random-corpus geometry (cell pruning's worst case — same
+    * note as the serve floors), priced against the n² brute join this
+    * operator replaces. */
+  private[graft] val KnnMinMeanRecallPct = 50
+
+  /** Driver-contract kNN-graph entry: the FULL graph join (every corpus
+    * vector's neighbors are computed — that is the operator being
+    * priced), gated on the bounded twin sample against the graph-brute
+    * truth (the [[recallGate]] pattern: booleans the DuckDB oracle
+    * asserts literally TRUE; truth cost stays O(sample · n)). top1_ok
+    * holds because a twin's nearest graph neighbor is its cos≈1 source;
+    * mean_recall_ok floors the probe-narrowed recall. */
+  def qAnnKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    val sampled = annKnnJoinRanked(spark, dir)
+      .filter(col("query_id") >= PlantedIdOffset)
+      .filter(inGateSample(col("query_id"), st))
+    gateAgainstTruth(sampled,
+      knnBruteTruth(spark, dir, st)
+        .select(col("query_id"), col("vec_id"), lit(true).as("in_brute")),
+      KnnMinMeanRecallPct)
   }
 
   /** Random-projection dimensionality reduction (64 → 8), the standard

@@ -216,7 +216,8 @@ class SimilaritySpec extends SparkSpec {
     val gated = Seq(
       "lsh" -> SimilarityOps.qAnnTopkLsh(spark, SfDir),
       "ivf" -> SimilarityOps.qAnnTopkIvf(spark, SfDir),
-      "ivfpq" -> SimilarityOps.qAnnTopkIvfPq(spark, SfDir))
+      "ivfpq" -> SimilarityOps.qAnnTopkIvfPq(spark, SfDir),
+      "knn_join" -> SimilarityOps.qAnnKnnJoin(spark, SfDir))
     val nQueries = Tables.embeddings(spark, SfDir)
       .filter(col("vec_id") % 25 === 0).count()
     gated.foreach { case (name, df) =>
@@ -227,6 +228,38 @@ class SimilaritySpec extends SparkSpec {
         assert(r.getBoolean(2), s"$name query ${r.getLong(0)}: mean_recall_ok false")
         assert(r.getBoolean(3), s"$name query ${r.getLong(0)}: top1_ok false")
       }
+    }
+  }
+
+  test("kNN-graph join: planted mutual top-1, full-graph coverage, no self edges") {
+    val ranked = SimilarityOps.annKnnJoinRanked(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.embeddings(spark, SfDir).count()
+    val nTwins = Tables.embeddings(spark, SfDir).filter(col("vec_id") % 25 === 0).count()
+    // EVERY graph vector (corpus + twins) gets exactly 10 ranked
+    // neighbors — the corpus-scale contract that distinguishes the graph
+    // join from the bounded-query serve entries
+    val byQ = ranked.groupBy(_._1)
+    assert(byQ.size == n + nTwins, s"graph coverage: ${byQ.size} of ${n + nTwins}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L), s"query $q ranks broken")
+      assert(rows.forall(_._3 != q), s"query $q has a self edge")
+    }
+    // planted contract in BOTH directions: a twin's nearest neighbor is
+    // its source, and a source's nearest neighbor is its cos≈1 twin
+    val off = SimilarityOps.PlantedIdOffset
+    val top1 = ranked.filter(_._2 == 1L).map(r => r._1 -> (r._3, r._4)).toMap
+    val twins = top1.filter(_._1 >= off)
+    assert(twins.size == nTwins)
+    twins.foreach { case (q, (v, ppm)) =>
+      assert(v == q - off, s"twin $q top-1 was $v")
+      assert(ppm >= 999999L, s"twin $q top-1 cos_ppm $ppm")
+    }
+    val sources = top1.filter { case (q, _) => q < off && q % 25 == 0 }
+    assert(sources.size == nTwins)
+    sources.foreach { case (q, (v, ppm)) =>
+      assert(v == q + off, s"source $q top-1 was $v")
+      assert(ppm >= 999999L, s"source $q top-1 cos_ppm $ppm")
     }
   }
 
@@ -280,7 +313,8 @@ class SimilaritySpec extends SparkSpec {
     Seq(
       "brute" -> SimilarityOps.qAnnTopkBrute(spark, SfDir),
       "lsh" -> SimilarityOps.annTopkLshRanked(spark, SfDir),
-      "ivf" -> SimilarityOps.annTopkIvfRanked(spark, SfDir)
+      "ivf" -> SimilarityOps.annTopkIvfRanked(spark, SfDir),
+      "knn_join" -> SimilarityOps.annKnnJoinRanked(spark, SfDir)
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("TopKPerGroup"), s"$name missing custom exec:\n${plan.linesIterator.take(40).mkString("\n")}")
