@@ -357,6 +357,21 @@ class DedupSpec extends SparkSpec {
     assert(copies == (total + 9) / 10) // every 10th doc was planted
   }
 
+  test("dedup_decision golden plan: no window, no nested-loop join (VERDICT r9 ask #7)") {
+    // the load-bearing plan facts at 100 TB: the verdict frame is a hash
+    // groupBy (map-side partial min per content hash) plus two key joins
+    // over the session-cached components — a row_number window over the
+    // corpus or a nested-loop/cartesian join anywhere would be the
+    // silent scale-killer this contract pins against
+    val df = DedupOps.qDedupDecision(spark, SfDir)
+    df.collect() // AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"dedup_decision plans a window:\n${plan.take(400)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"dedup_decision plans an all-pairs join:\n${plan.take(400)}")
+  }
+
   test("dedup decision: one keeper per component, copies always exact_dup") {
     val rows = DedupOps.qDedupDecision(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

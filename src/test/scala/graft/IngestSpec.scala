@@ -250,6 +250,24 @@ class IngestSpec extends SparkSpec {
       "corpus cache is re-running the JSON parse")
   }
 
+  test("q_cards_fuzzy_join golden plan: probe side broadcast, rank window per probe (VERDICT r9 ask #7)") {
+    // the load-bearing plan facts: the probe postings (1/25 of the
+    // catalog, a few hundred rows) must BROADCAST into the catalog
+    // postings — a shuffle join would move the whole inverted index for
+    // a tiny probe batch — and the best-match ranking must window by
+    // probe_id (bounded groups), never an all-pairs string comparison
+    val df = graft.ingest.IngestOps.qCardsFuzzyJoin(spark, SfDir)
+    df.collect() // AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"postings join is not broadcast:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "fuzzy join fell back to an all-pairs comparison")
+    val specs = plan.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty && specs.forall(_.take(80).contains("probe_id")),
+      s"rank window is not probe-partitioned: ${specs.map(_.take(80)).mkString(" | ")}")
+  }
+
   test("fuzzy join recovers the typo'd source for most probes, never trivially") {
     val rows = graft.ingest.IngestOps.qCardsFuzzyJoin(spark, SfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -286,6 +286,45 @@ class RelationalExtSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length)
   }
 
+  test("q_event_paths golden plan: user-partitioned windows only, top-20 via TakeOrdered (VERDICT r9 ask #7)") {
+    // the load-bearing plan facts: both windows (sessionize gap rank,
+    // within-session step rank) must partition by user — an
+    // unpartitioned window would funnel the whole event stream through
+    // one task — and the final top-20 must be the bounded
+    // TakeOrderedAndProject, never a global sort
+    val df = graft.operators.WindowOps.qEventPaths(spark, SfDir)
+    df.collect() // AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    val specs = plan.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty, "expected window specs in the event-paths plan")
+    specs.foreach(s => assert(s.take(80).contains("user_id"),
+      s"unpartitioned window spec: ${s.take(80)}"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is not a bounded TakeOrdered:\n${plan.take(400)}")
+  }
+
+  test("q_bloom_semijoin golden plan: the bloom probe filters the fact BELOW the join (VERDICT r9 ask #7)") {
+    // the load-bearing plan fact: the probe must survive into the
+    // physical plan on the fact-scan side (below the join), where it
+    // cuts the exchange — a probe optimized away or hoisted above the
+    // join would make the whole reduction a no-op while the result
+    // stayed hash-identical
+    val df = graft.operators.JoinOps.qBloomSemijoin(spark, SfDir)
+    df.collect() // AQE finalizes the physical plan
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("custkey"))
+    // the expression prints with its Catalyst prettyName `might_contain`;
+    // the fact-side probe is the Filter referencing o_custkey
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("might_contain") && l.contains("xxhash64(o_custkey"))
+    assert(joinIdx >= 0, "join missing from the physical plan")
+    assert(probeIdx > joinIdx,
+      s"bloom probe not below the join (join@$joinIdx, probe@$probeIdx):\n" +
+        lines.slice(math.max(0, joinIdx - 2), math.max(probeIdx, joinIdx) + 2).mkString("\n"))
+    assert(lines(probeIdx).contains("Filter"),
+      s"fact-side bloom probe is not a Filter: ${lines(probeIdx)}")
+  }
+
   test("bloom semijoin: the probe genuinely reduces the pre-join stream, fp-safe") {
     import org.apache.spark.util.sketch.BloomFilter
     graft.functions.GraftFunctions.register(spark)
