@@ -934,7 +934,16 @@ object TextOps {
     * them only splits a run at positions the cap fired, exactly like the
     * AllPairs prefix filter's bounded-candidate argument); the run
     * windows partition by (pair, diagonal) — thousands of tiny
-    * partitions, never a corpus-wide sort. */
+    * partitions, never a corpus-wide sort.
+    *
+    * Cap POLICY (r10, spec-pinned in TextOpsSpec): a verbatim run made
+    * ONLY of hot grams — e.g. two docs whose entire overlap is a
+    * boilerplate header pasted into 40+ other docs — is dropped
+    * entirely, BY DESIGN: reporting it would report the header's
+    * quadratic pair fan-out (10^5 carrier docs → 10^9 pairs), and the
+    * duplicated mass is precisely what the boilerplate detector already
+    * surfaces span-by-span. Any overlap with ≥ 2 consecutive rare grams
+    * still reports its pair. */
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), wsTokens(col("text")).as("w"))

@@ -502,6 +502,51 @@ class TextOpsSpec extends SparkSpec {
       "vacuous plant — every planted doc is 'tail' even under the fallback")
   }
 
+  test("substring dedup POLICY: a run made ONLY of hot boilerplate grams is dropped (VERDICT r9 ask #3)") {
+    // The df<=32 cap silently drops verbatim runs consisting ONLY of
+    // ultra-common 8-grams (e.g. a boilerplate header pasted into 40+
+    // docs). This spec makes that outcome EXPLICIT and pins it as
+    // policy, not accident: such runs are boilerplate — the business of
+    // qBoilerplateSpans (which mines exactly the high-df gram spans) —
+    // and reporting the quadratic pair fan-out of a hot header
+    // (40 docs -> 780 pairs, 10^5 docs -> 10^9 pairs) is the scale
+    // failure the cap exists to prevent. A run with ANY rare-gram
+    // stretch of >= 2 consecutive grams still surfaces its pair.
+    val spark2 = spark
+    import spark2.implicits._
+    val header = (1 to 10).map(i => s"boiler$i").mkString(" ") // 3 8-grams
+    val rare = (1 to 12).map(i => s"unique$i").mkString(" ")   // 5 8-grams
+    val docs =
+      // 40 filler docs all carrying the header: df(header grams) = 42 > 32
+      (1 to 40).map(i => (i.toLong, s"$header filler${i}a filler${i}b filler${i}c")) ++
+        // the planted HOT-ONLY pair: shared text is exactly the header
+        // (tails < 8 words add no shared grams)
+        Seq((1001L, s"$header aa1 aa2"), (1002L, s"$header bb1 bb2")) ++
+        // the control pair: a 12-word verbatim run of df=2 grams
+        Seq((2001L, s"$rare cc1 cc2"), (2002L, s"$rare dd1 dd2"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotgram").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = TextOps.qSubstringDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // the control pair IS found, with the exact run length
+    assert(pairs.contains((2001L, 2002L)), s"control pair missing: ${pairs.keys}")
+    assert(pairs((2001L, 2002L))._1 == 12L, s"control run length ${pairs((2001L, 2002L))}")
+    // the hot-only pair is MISSED — the documented cap policy
+    assert(!pairs.contains((1001L, 1002L)),
+      "hot-only pair reported — the df cap no longer fires; re-measure its scale bound")
+    // and no pair among the 40 header carriers either (their only shared
+    // run is the header): the cap is what keeps this from being 780 rows
+    assert(pairs.keys.forall { case (a, b) => a > 40L || b > 40L },
+      s"boilerplate fan-out leaked through the cap: ${pairs.keys.filter(p => p._1 <= 40 && p._2 <= 40)}")
+    // the dropped mass is exactly what qBoilerplateSpans exists to mine:
+    // the header grams must be visible to the boilerplate detector
+    val spans = TextOps.qBoilerplateSpans(spark, dir).collect()
+    assert(spans.nonEmpty, "boilerplate detector blind to the hot header")
+  }
+
   test("substring dedup: reported runs equal a direct per-pair scan of the texts") {
     val rows = TextOps.qSubstringDedup(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
