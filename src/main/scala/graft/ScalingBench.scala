@@ -200,20 +200,24 @@ object ScalingBench {
     // planted-query threshold AND above the base id range — enforce it
     // rather than silently turning whole replicas into ANN queries
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    require(maxId < 100000L, s"base vec_id range too large for amplification: $maxId >= 1e5")
-    require((k - 1).toLong * 100000L + maxId < 1000000L,
-      s"scale $k pushes replica ids past the 1e6 planted-query convention (max scale 10 per " +
-        "100k id block); raise the block size only together with SimilarityOps.withPlanted")
+    // adaptive replica block (r10, was a fixed 100k which capped the
+    // sweep at x10): the smallest multiple of 25 above maxId — the
+    // mod-25 alignment preserves every replica's every-25th planted-
+    // query structure exactly — so high scales still fit under the 1e6
+    // planted-id offset (SimilarityOps.PlantedIdOffset: ids >= 1e6 are
+    // queries, so a replica crossing it would silently become queries;
+    // SimilarityOps' id-space guard also fails such a corpus loudly)
+    val block = (maxId / 25L + 1L) * 25L
+    require((k - 1).toLong * block + maxId < 1000000L,
+      s"scale $k pushes replica ids past the 1e6 planted-query offset " +
+        s"(replica block $block from base max id $maxId)")
     val embReps = (0 until k).map { i =>
       val v = if (i == 0) col("embedding")
               else expr(s"""transform(embedding, (x, d) ->
                 cast(x * (CASE WHEN pmod(xxhash64(concat('$i:', d)), 2) = 0
                           THEN 1.0D ELSE -1.0D END) as float))""")
-      // replica offset must stay BELOW the 1e6 planted-query id convention
-      // (SimilarityOps.withPlanted): ids >= 1e6 are treated as queries, so
-      // a larger offset would silently turn the whole replica into queries
       emb.select(
-        (col("vec_id") + lit(i.toLong * 100000L)).as("vec_id"),
+        (col("vec_id") + lit(i.toLong * block)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.reduce(_ unionAll _)
     embReps.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
