@@ -881,35 +881,46 @@ object TextOps {
     val hb = shiftrightunsigned(graft.functions.GraftFunctions
       .md5Hash64Array(array(col("doc_id").cast("string"))).getItem(0), 8)
       .bitwiseAND(lit(1023L))
-    val sampled = withLang.filter(hb < lit(cap))
-    val ranked = sampled
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("mean_nll_unat"), col("doc_id"))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("lang")))
-    val cuts = ranked
-      .groupBy("lang")
-      .agg(max(when(col("rn") === expr("(m + 2) div 3"), col("mean_nll_unat"))).as("c1"),
-        max(when(col("rn") === expr("(2 * m + 2) div 3"), col("mean_nll_unat"))).as("c2"))
-    // GLOBAL tercile cutoffs over the same sample, the fallback for a
-    // language the ~1000-doc sample happened to miss (ADVICE r9): with
-    // null per-lang cutoffs every doc of an unsampled rare language fell
-    // through to 'tail', so the standard keep-head+middle policy silently
-    // dropped the entire language. Global cutoffs are the CCNet-faithful
-    // degradation — bucket by the corpus-wide perplexity distribution
-    // until the language has sample mass. The single-partition window is
-    // over the BOUNDED sample (<= ~1024 rows), never the corpus.
-    val wAll = Window.partitionBy(lit(0))
-    val gcuts = sampled
-      .withColumn("grn", row_number().over(
-        wAll.orderBy(col("mean_nll_unat"), col("doc_id"))))
-      .withColumn("gm", count(lit(1)).over(wAll))
-      .agg(max(when(col("grn") === expr("(gm + 2) div 3"), col("mean_nll_unat"))).as("g1"),
-        max(when(col("grn") === expr("(2 * gm + 2) div 3"), col("mean_nll_unat"))).as("g2"))
+    // Per-language AND global tercile cutoffs from ONE bounded driver
+    // collect of the sample's (lang, value, doc_id) rows (<= ~1024 —
+    // the budget_select histogram pattern). The global cutoffs are the
+    // fallback for a language the sample happened to miss (ADVICE r9):
+    // with null per-lang cutoffs every doc of an unsampled rare language
+    // fell through to 'tail', so the standard keep-head+middle policy
+    // silently dropped the entire language; global cutoffs are the
+    // CCNet-faithful degradation until the language has sample mass.
+    // Driver-side deliberately: the plan alternative (a second windowed
+    // aggregation over `sampled`) re-evaluates the whole CORPUS-sized
+    // LM-scoring subtree a third time (the sample filter sits above the
+    // scoring, not below it). At sf0.1 an isolated A/B measures the two
+    // forms equal — the scoring pass is cheap there — but at scale the
+    // third evaluation is a full extra corpus pass, while this is
+    // integer arithmetic over ~1000 collected rows.
+    val sample = withLang.filter(hb < lit(cap))
+      .select(col("lang"), col("mean_nll_unat"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cutoff VALUE at 1-based rank ceil(m/3) / ceil(2m/3) in
+    // (value, doc_id) order — identical arithmetic to the oracle SQL
+    def tercilesOf(rows: Seq[(String, Long, Long)]): (Long, Long) = {
+      val sorted = rows.map(t => (t._2, t._3)).sorted
+      val m = sorted.length
+      (sorted(((m + 2) / 3 - 1).toInt)._1, sorted(((2 * m + 2) / 3 - 1).toInt)._1)
+    }
+    // empty sample -> null cutoffs -> every comparison null -> 'tail',
+    // exactly the oracle's max-over-empty semantics
+    val (g1Col, g2Col) =
+      if (sample.isEmpty) (lit(null).cast("long"), lit(null).cast("long"))
+      else { val (g1, g2) = tercilesOf(sample.toSeq); (lit(g1), lit(g2)) }
+    val spark2 = spark
+    import spark2.implicits._
+    val cuts = sample.toSeq.groupBy(_._1).map { case (lang, rows) =>
+      val (c1, c2) = tercilesOf(rows)
+      (lang, c1, c2)
+    }.toSeq.toDF("lang", "c1", "c2")
     withLang.join(broadcast(cuts), Seq("lang"), "left")
-      .crossJoin(broadcast(gcuts))
       .select(col("doc_id"), col("lang"), col("mean_nll_unat"),
-        when(col("mean_nll_unat") <= coalesce(col("c1"), col("g1")), lit("head"))
-          .when(col("mean_nll_unat") <= coalesce(col("c2"), col("g2")), lit("middle"))
+        when(col("mean_nll_unat") <= coalesce(col("c1"), g1Col), lit("head"))
+          .when(col("mean_nll_unat") <= coalesce(col("c2"), g2Col), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
       .orderBy("doc_id")
   }
