@@ -151,6 +151,8 @@ object SparkEntry {
     "embed_pca_power"     -> (graft.similarity.SimilarityOps.qEmbedPcaPower _),
     "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
     "ann_knn_join"        -> (graft.similarity.SimilarityOps.qAnnKnnJoin _),
+    "embed_knn_density"   -> (graft.similarity.SimilarityOps.qEmbedKnnDensity _),
+    "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
@@ -176,6 +178,7 @@ object SparkEntry {
     "text_dsir_weights"   -> (graft.text.TextOps.qDsirWeights _),
     "text_ccnet_bucket"   -> (graft.text.TextOps.qCcnetBucket _),
     "text_substring_dedup" -> (graft.text.TextOps.qSubstringDedup _),
+    "text_sentence_dedup" -> (graft.text.TextOps.qSentenceDedup _),
     "text_train_split"    -> (graft.text.TextOps.qTrainSplit _),
     "text_lang_source_mi" -> (graft.text.TextOps.qLangSourceMi _),
     // §2.E multimodal
@@ -1466,6 +1469,34 @@ object SparkEntry {
     // is computed in-plan; the sampled twins' booleans (vs the GRAPH
     // brute truth, self excluded) are what the oracle asserts
     "ann_knn_join" -> AnnGateOracle,
+    // kNN-graph density: same sampled-twin contract; n_scored is the
+    // exact corpus+twins row count (proves the pass covered the graph),
+    // the booleans are the discriminative property (twin density above
+    // the corpus median; best neighbor near-unit)
+    "embed_knn_density" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q),
+        |ns AS (SELECT count(*) + (SELECT count(*) FROM q) AS n_scored FROM embeddings)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k, ns.n_scored,
+        |  TRUE AS above_median_ok, TRUE AS src_near_ok
+        |FROM q, st, ns WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
+    // market-basket lift: literal 2-itemset counting over per-order
+    // distinct part sets, integer-DIV ppm lift, support >= 3
+    "q_market_basket" ->
+      """WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(*) AS n_orders FROM orders),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM lines a JOIN lines b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |pc AS (SELECT l_partkey, count(*) AS n_p FROM lines GROUP BY 1)
+        |SELECT p.part_a, p.part_b, p.n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+        |  p.n_ab * no.n_orders * 1000000 // (ca.n_p * cb.n_p) AS lift_ppm
+        |FROM pairs p
+        |JOIN pc ca ON p.part_a = ca.l_partkey
+        |JOIN pc cb ON p.part_b = cb.l_partkey, no
+        |ORDER BY lift_ppm DESC, p.part_a, p.part_b LIMIT 20""".stripMargin,
     "q_cards_text_trgm" ->
       """WITH cards AS (
         |  SELECT 'card-' || CAST(i AS VARCHAR) AS id,
@@ -1917,6 +1948,23 @@ object SparkEntry {
         |  CAST(sum(run_len) AS BIGINT) AS n_shared_grams
         |FROM rl GROUP BY doc_a, doc_b HAVING max(run_len) + 7 >= 9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // span dedup + reconstruction: strided 10-word chunks on the SAME
+    // 63-bit md5 keys as the implementation; corpus-wide first
+    // occurrence by (doc_id, chunk_no) survives, text reassembled
+    "text_sentence_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c0 AS (SELECT doc_id, unnest(range(0, (len(w) - 1) // 10 + 1)) AS chunk_no, w FROM d),
+        |ch AS (SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |         array_to_string(w[chunk_no*10+1 : chunk_no*10+10], ' ') AS chunk
+        |       FROM c0),
+        |h AS (SELECT *, CAST((('0x' || substr(md5(chunk), 1, 16))::UBIGINT >> 1) AS BIGINT) AS gram_h
+        |      FROM ch),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY gram_h ORDER BY doc_id, chunk_no) = 1 AS kept
+        |      FROM h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  coalesce(array_to_string(list(chunk ORDER BY chunk_no) FILTER (WHERE kept), ' '), '') AS kept_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition_ratio" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
         |b AS (SELECT doc_id, words,

@@ -1167,6 +1167,42 @@ object SimilarityOps {
       KnnMinMeanRecallPct)
   }
 
+  /** kNN-graph DENSITY scores — the density-based filtering primitive on
+    * top of the graph join (SemDeDup prototype selection, outlier /
+    * low-quality-region pruning, curriculum ordering all consume exactly
+    * this statistic): every graph vector's density = mean cosine to its
+    * top-10 graph neighbors. A vector in a crowded semantic region (or
+    * with a planted near-duplicate) scores high; an isolated outlier
+    * scores low — the signal a density filter thresholds on.
+    *
+    * The priced operator is the FULL corpus pass ([[annKnnJoinRanked]]
+    * recomputed standalone — this entry prices a density pass, not a
+    * cache probe) plus one map-side-combined groupBy(query_id) and one
+    * exact-median aggregate over the n density rows (one slim row per
+    * vector). The gate rides the bounded twin sample: a twin has a
+    * cos≈1 neighbor by construction, so its density must land ABOVE the
+    * corpus-wide median (`above_median_ok` — the discriminative property
+    * the filter exists for; margin ≈ (1e6 − cos@rank10)/10 ppm, far
+    * above approximation noise) and its best neighbor must be near-unit
+    * (`src_near_ok`). `n_scored` proves the pass covered the whole
+    * graph — the oracle recomputes the expected corpus+twins count. */
+  def qEmbedKnnDensity(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    val dens = annKnnJoinRanked(spark, dir)
+      .groupBy("query_id")
+      .agg(avg(col("cos_ppm")).as("density"), max(col("cos_ppm")).as("max_cos_ppm"))
+    val stats = dens.agg(
+      expr("percentile(density, 0.5)").as("med"),
+      count(lit(1)).as("n_scored"))
+    dens.filter(col("query_id") >= PlantedIdOffset)
+      .filter(inGateSample(col("query_id"), st))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), lit(10L).as("k"), col("n_scored"),
+        (col("density") > col("med")).as("above_median_ok"),
+        (col("max_cos_ppm") >= 985000L).as("src_near_ok"))
+      .orderBy("query_id")
+  }
+
   /** Random-projection dimensionality reduction (64 → 8), the standard
     * pre-ANN / visualization step of an embedding pipeline, composed with
     * the int8 quantizer so the whole computation is INTEGER arithmetic:

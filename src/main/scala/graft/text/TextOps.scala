@@ -989,6 +989,54 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-level span dedup WITH reconstruction — the C4 / RefinedWeb
+    * "remove repeated three-sentence spans, keep one occurrence"
+    * transform ([[qBoilerplateSpans]] only SCORES the sharing; this
+    * entry actually REWRITES the corpus). The synthetic docs carry no
+    * newlines, so the span unit is the deterministic 10-word chunk
+    * (strided, not sliding — each word belongs to exactly ONE span, the
+    * property that makes removal well-defined): a chunk occurrence
+    * survives iff it is the corpus-wide FIRST occurrence of that chunk
+    * text, ordered by (doc_id, chunk_no) — later occurrences, including
+    * repeats inside the same document, are dropped, and each document's
+    * surviving text is reassembled in order. Chunks travel as the
+    * engine-portable 63-bit md5 keys (the [[qSubstringDedup]]
+    * convention — identical collisions on both engines).
+    *
+    * Scale shape: one posexplode at the scan, ONE shuffle on the chunk
+    * hash (min-struct over an unordered hash window — no per-group sort;
+    * same single-branch rationale as [[qBoilerplateSpans]]: a
+    * groupBy+join-back would re-evaluate the interpreted chunk transform
+    * in two plan branches), one shuffle back on doc_id for reassembly.
+    * Linear in corpus size; a corpus-hot chunk (ubiquitous boilerplate)
+    * concentrates its occurrences in one window partition, but the
+    * buffered rows are slim (id, pos, hash) and WindowExec spills — the
+    * same bounded exposure [[qBoilerplateSpans]]'s count-over-window
+    * carries, adjudicated acceptable there. */
+  def qSentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("w"))
+    val chunks = docs
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(w) - 1) div 10), i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"), col("col").as("chunk"))
+      .withColumn("gram_h", shiftrightunsigned(graft.functions.GraftFunctions
+        .md5Hash64Array(array(col("chunk"))).getItem(0), 1))
+    val flagged = chunks
+      .withColumn("first",
+        min(struct(col("doc_id"), col("chunk_no"))).over(Window.partitionBy("gram_h")))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.chunk_no") === col("chunk_no"))
+    flagged.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(chunk_no, chunk) END)), s -> s.chunk)"))
+          .as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup-aware train/val/test splitting: every doc gets a deterministic
     * 80/10/10 split from the engine-portable md5 id hash (the
     * [[qStratifiedSample]] contract — re-runs and other engines assign

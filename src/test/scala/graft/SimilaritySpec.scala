@@ -263,6 +263,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kNN-graph density: gate booleans true, coverage count exact, twins genuinely separated") {
+    val rows = SimilarityOps.qEmbedKnnDensity(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    val n = Tables.embeddings(spark, SfDir).count()
+    val nTwins = Tables.embeddings(spark, SfDir).filter(col("vec_id") % 25 === 0).count()
+    assert(rows.nonEmpty && rows.length <= 64, s"gate sample size ${rows.length}")
+    rows.foreach { case (q, k, scored, aboveMed, srcNear) =>
+      assert(k == 10L)
+      assert(scored == n + nTwins, s"query $q: n_scored $scored for graph of ${n + nTwins}")
+      assert(aboveMed, s"twin $q density not above corpus median — separation lost")
+      assert(srcNear, s"twin $q best neighbor below 0.985")
+    }
+    // the separation is not a threshold artifact: recompute densities from
+    // the ranked graph and check the twin/corpus margin is wide (a twin
+    // carries one cos≈1 edge its base twin-free neighbors lack)
+    val dens = SimilarityOps.annKnnJoinRanked(spark, SfDir)
+      .groupBy("query_id").agg(avg("cos_ppm").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val twinD = dens.filter(_._1 >= SimilarityOps.PlantedIdOffset).map(_._2)
+    val med = dens.map(_._2).sorted.apply(dens.length / 2)
+    val margin = twinD.min - med
+    assert(margin > 10000.0,
+      f"twin-vs-median margin $margin%.0f ppm too thin for a robust gate")
+  }
+
   test("LSH-routed near-dup pairs equal the all-pairs brute oracle exactly") {
     val fast = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
     val brute = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)

@@ -610,6 +610,56 @@ class TextOpsSpec extends SparkSpec {
     // uniform synthetic metadata would make every pmi identical)
     assert(rows.map(_._4).distinct.length > 1)
   }
+
+  test("sentence dedup: planted cross-doc and within-doc repeats resolve first-occurrence-wins") {
+    import spark.implicits._
+    val A = (1 to 10).map(i => s"aa$i").mkString(" ") // one full chunk
+    val B = (1 to 10).map(i => s"bb$i").mkString(" ")
+    val C = (1 to 10).map(i => s"cc$i").mkString(" ")
+    val D = (1 to 10).map(i => s"dd$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$A $B"),      // both chunks first occurrences — fully kept
+      (2L, s"$A $C"),      // chunk A already owned by doc 1 — dropped here
+      (3L, s"$D $D"),      // WITHIN-doc repeat: first D kept, second dropped
+      (4L, "one two three")) // short doc, single partial chunk
+    val dir = java.nio.file.Files.createTempDirectory("graft_sentdedup").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qSentenceDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 0L, s"$A $B")), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, C)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 1L, D)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((1L, 0L, "one two three")), s"doc 4: ${got(4L)}")
+  }
+
+  test("sentence dedup: corpus drop mass equals occurrences minus distinct chunks; untouched docs round-trip") {
+    val rows = TextOps.qSentenceDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = Tables.documents(spark, SfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one row per document")
+    // independent recomputation of the global accounting identity:
+    // exactly one occurrence of each distinct chunk text survives
+    val chunks = texts.values.flatMap(_.trim.split("\\s+").grouped(10).map(_.mkString(" ")))
+    val dropped = rows.map(_._3).sum
+    assert(dropped == chunks.size - chunks.toSet.size,
+      s"drop mass $dropped vs ${chunks.size} occurrences / ${chunks.toSet.size} distinct")
+    assert(dropped > 0, "corpus has no repeated chunk — the dedup path is unexercised")
+    // a document that lost nothing must reconstruct to its exact text
+    val untouched = rows.filter(_._3 == 0L)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, kept) =>
+      assert(kept == texts(id).trim, s"doc $id: reconstruction drifted")
+    }
+    // and every document's chunk count is the strided-chunking count
+    rows.foreach { case (id, nChunks, _, _) =>
+      val nw = texts(id).trim.split("\\s+").length
+      assert(nChunks == (nw - 1) / 10 + 1, s"doc $id chunk count")
+    }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
