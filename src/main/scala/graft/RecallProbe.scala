@@ -72,6 +72,23 @@ object RecallProbe {
         report(s"ivfpq 1/$denom", SimilarityOps.annTopkIvfPqRanked(spark, dir))
       }
     } finally sys.props.remove("graft.ivf.probe.denom")
+
+    // Range search (cos >= tau ball): found is a SUBSET of true (exact
+    // verification), so recall is a count ratio — report per-query and
+    // the micro-average the registered gate floors on.
+    {
+      val nf = SimilarityOps.rangeScoredForProbe(spark, dir)
+        .groupBy("query_id").agg(count(lit(1)).as("nf"))
+      val nt = SimilarityOps.rangeTruthForProbe(spark, dir)
+        .groupBy("query_id").agg(count(lit(1)).as("nt"))
+      val rows = nf.join(nt, "query_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val per = rows.map { case (f, t) => f * 100 / t }
+      val micro = rows.map(_._1).sum * 100 / rows.map(_._2).sum
+      println(f"[       range] queries=${rows.length} " +
+        f"true_sizes: min=${rows.map(_._2).min} max=${rows.map(_._2).max} " +
+        f"recall%%: min=${per.min} mean=${per.sum / per.length} micro=$micro")
+    }
     spark.stop()
   }
 }

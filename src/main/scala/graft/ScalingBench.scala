@@ -96,7 +96,14 @@ object ScalingBench {
     // MI audit = one map-side groupBy + metadata-sized re-aggs
     "mm_audio_vad", "text_train_split", "text_lang_source_mi",
     // decision frame: hash groupBy + cached pairs + CC + two key joins
-    "dedup_decision")
+    "dedup_decision",
+    // round-10 additions: the span-dedup rewrite (one explode + one hash
+    // window + one doc groupBy — should track the substring miner's
+    // scan-bound shape, minus its pair join), the kNN-density pass
+    // (rides the graph join's n^1.5 candidate stream + two slim aggs),
+    // and the radius search (bounded sample × probed fraction — gate
+    // truth included, so linear with sample-capped constants)
+    "text_sentence_dedup", "embed_knn_density", "ann_range_search")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -153,6 +160,11 @@ object ScalingBench {
     // supplier DIMENSION (fixed under fact amplification), so a slope
     // row would measure constant work and flatter the suite.
     "q_dq_rules", "q_incremental_agg_merge",
+    // round-10: 2-itemset mining — baskets replicate exactly under the
+    // orderkey block offset (pair supports grow k-fold, support
+    // threshold keeps the qualifying set bounded), so the slope prices
+    // the basket fold + pair explode against the k-fold fact scan
+    "q_market_basket",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

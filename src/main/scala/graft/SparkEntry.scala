@@ -152,6 +152,7 @@ object SparkEntry {
     "ann_topk_ivfpq"      -> (graft.similarity.SimilarityOps.qAnnTopkIvfPq _),
     "ann_knn_join"        -> (graft.similarity.SimilarityOps.qAnnKnnJoin _),
     "embed_knn_density"   -> (graft.similarity.SimilarityOps.qEmbedKnnDensity _),
+    "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -1480,6 +1481,15 @@ object SparkEntry {
         |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k, ns.n_scored,
         |  TRUE AS above_median_ok, TRUE AS src_near_ok
         |FROM q, st, ns WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
+    // radius search: same sampled-twin id arithmetic; precision is exact
+    // by construction (candidates are exact-cosine verified), so the
+    // booleans carry the source-hit and micro-averaged recall contracts
+    "ann_range_search" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(350000 AS BIGINT) AS tau_ppm,
+        |  TRUE AS src_found_ok, TRUE AS recall_floor_ok
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     // market-basket lift: literal 2-itemset counting over per-order
     // distinct part sets, integer-DIV ppm lift, support >= 3
     "q_market_basket" ->

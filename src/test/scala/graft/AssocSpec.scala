@@ -34,17 +34,21 @@ class AssocSpec extends SparkSpec {
     assert(lift > 1000000L, "top pair not positively associated — ranking broken")
   }
 
-  test("market basket plan: equi-join pair generation, global top-20 as TakeOrdered") {
+  test("market basket plan: in-plan pair expansion, no fact self-join, top-20 as TakeOrdered") {
     val plan = AssocOps.qMarketBasket(spark, SfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
-      s"pair generation fell off the equi-join:\n${plan.linesIterator.take(40).mkString("\n")}")
+      s"cartesian leaked into the plan:\n${plan.linesIterator.take(40).mkString("\n")}")
     // the ONE nested-loop join is the sanctioned broadcast-scalar cross
-    // (n_orders, 1 row); the pair self-join itself must stay an equi-join
+    // (n_orders, 1 row)
     val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
       s"unexpected nested-loop join:\n${bnlj.mkString("\n")}")
-    assert(plan.contains("Join [l_orderkey"),
-      s"pair generation is not an order-key equi-join:\n${plan.linesIterator.take(40).mkString("\n")}")
+    // pairs come from exploding the basket arrays, not from re-joining
+    // the fact table against itself (that formulation scans lineitem 3x)
+    assert(plan.contains("Generate explode"),
+      s"pair generation lost the basket explode:\n${plan.linesIterator.take(40).mkString("\n")}")
+    assert(!plan.contains("Join [l_orderkey"),
+      s"fact-table self-join reappeared:\n${plan.linesIterator.take(40).mkString("\n")}")
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-20 is a full sort:\n${plan.linesIterator.take(40).mkString("\n")}")
   }

@@ -288,6 +288,27 @@ class SimilaritySpec extends SparkSpec {
       f"twin-vs-median margin $margin%.0f ppm too thin for a robust gate")
   }
 
+  test("range search: found is a verified subset of the true ball, gate booleans true") {
+    val rows = SimilarityOps.qAnnRangeSearch(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val nTwins = Tables.embeddings(spark, SfDir).filter(col("vec_id") % 25 === 0).count()
+    assert(rows.length == nTwins, s"${rows.length} gate rows for $nTwins sampled queries")
+    rows.foreach { case (q, tau, srcOk, recallOk) =>
+      assert(tau == 350000L)
+      assert(srcOk, s"twin $q: cos≈1 source missing from its range set")
+      assert(recallOk, s"twin $q: micro recall floor broken")
+    }
+    // precision-1 contract: every (query, vec) the index path returns is
+    // genuinely inside the τ-ball of the exact truth
+    val found = SimilarityOps.rangeScoredForProbe(spark, SfDir)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = SimilarityOps.rangeTruthForProbe(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty)
+    val fps = found.filterNot(truth)
+    assert(fps.isEmpty, s"range search returned out-of-ball pairs: ${fps.take(5).toSeq}")
+  }
+
   test("LSH-routed near-dup pairs equal the all-pairs brute oracle exactly") {
     val fast = SimilarityOps.qEmbedNeardupCosine(spark, SfDir)
     val brute = SimilarityOps.embedNeardupCosineBrute(spark, SfDir)
