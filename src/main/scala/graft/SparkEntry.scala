@@ -113,6 +113,7 @@ object SparkEntry {
     "ingest_orc_cards"    -> (graft.ingest.IngestOps.qIngestOrcCards _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
+    "ingest_parquet_evolve" -> (graft.operators.Bucketing.qIngestParquetEvolve _),
     "q_sql_adhoc"         -> (graft.ingest.IngestOps.qSqlAdhoc _),
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
@@ -1130,6 +1131,20 @@ object SparkEntry {
         |  CASE WHEN i % 4 = 0 THEN i % 7 END AS power_level,
         |  CASE WHEN i % 4 = 0 THEN 't' || CAST(i % 3 AS VARCHAR) END AS first_tag
         |FROM range(0, 500) t(i) ORDER BY id""".stripMargin,
+    // parquet schema evolution: the raw table replayed through the same
+    // parity split — early-generation rows must aggregate as a NULL
+    // group for the late-added columns, money in exact cents
+    "ingest_parquet_evolve" ->
+      """WITH ev AS (
+        |  SELECT l_orderkey % 2 AS gen,
+        |    CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END AS l_returnflag,
+        |    l_quantity,
+        |    CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END AS l_extendedprice
+        |  FROM lineitem)
+        |SELECT CAST(gen AS BIGINT) AS gen, l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the README's ad-hoc SQL example: layout='split' cards joined to sets.
     // layout cycles over the 24 allowed values except every 11th card
     // ('weird'); 'split' is index 1 -> i % 24 = 1, minus the %11 overlap

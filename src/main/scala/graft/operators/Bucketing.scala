@@ -254,4 +254,58 @@ object Bucketing {
         col("o_orderdate"), col("order_month"))
       .orderBy("o_orderkey")
   }
+
+  /** Build-once two-generation parquet layout of lineitem: gen=0 files
+    * carry the EARLY four-column schema, gen=1 files the evolved schema
+    * with two later-added columns — the universal lake-table history
+    * (files written before a column existed are never rewritten; the
+    * reader is expected to see nulls for them). Split = l_orderkey
+    * parity, so the oracle can replay generation membership with pure
+    * arithmetic. */
+  private[graft] def evolvedLineitemPath(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val path = sys.props("java.io.tmpdir") +
+      "/graft_evolve_" + graft.SessionCache.dirKey(dir)
+    val lock = zorderLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(path + "/gen=1", "_SUCCESS").exists()) {
+        val li = graft.Tables.lineitem(spark, dir)
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .write.mode("overwrite").parquet(path + "/gen=0")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+          .write.mode("overwrite").parquet(path + "/gen=1")
+      }
+    }
+    path
+  }
+
+  /** Parquet schema-evolution read — the mergeSchema path every lake
+    * table needs once a column is added mid-history (the reference's
+    * JSONB columns absorb drift at WRITE time, `ingest_schema_drift`;
+    * this is the columnar-file twin where drift is absorbed at READ
+    * time): the footer union makes early-generation rows surface NULL
+    * for late columns, and the aggregation must keep those rows as a
+    * first-class NULL group — dropping them (or failing the read) is
+    * how evolution bugs eat history. The oracle recomputes from the RAW
+    * table with the same parity split, so a row lost to either
+    * generation, a null materialized wrongly, or a partition-column
+    * mixup breaks the hash. Scale shape: the merged read is still one
+    * pruned columnar scan + one map-side-combined groupBy; mergeSchema
+    * costs one footer read per FILE at planning (at 100 TB: keep
+    * per-generation schemas in the table catalog instead of re-deriving
+    * them per query — the read path itself is unchanged). */
+  def qIngestParquetEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, round => fround, sum, when}
+    spark.read.option("mergeSchema", "true").parquet(evolvedLineitemPath(spark, dir))
+      .groupBy(col("gen"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        sum(fround(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"))
+      .select(col("gen").cast("long").as("gen"), col("l_returnflag"),
+        col("n_rows"), col("sum_qty"), col("sum_price_cents"))
+      .orderBy("gen", "l_returnflag")
+  }
 }
