@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's contract is that its compact summary JSON is the LAST stdout
+// line (the driver parses the tail of captured stdout). Two things broke
+// that under sbt: the logger's "[info] " prefix on every forked-output
+// line, and the "[success] Total time ..." trailer printed after main
+// returns. StdoutOutput lets the forked JVM inherit raw stdout (no
+// prefix); showSuccess drops the trailer.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

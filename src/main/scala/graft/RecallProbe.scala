@@ -81,13 +81,20 @@ object RecallProbe {
         .groupBy("query_id").agg(count(lit(1)).as("nf"))
       val nt = SimilarityOps.rangeTruthForProbe(spark, dir)
         .groupBy("query_id").agg(count(lit(1)).as("nt"))
-      val rows = nf.join(nt, "query_id").collect()
-        .map(r => (r.getLong(1), r.getLong(2)))
-      val per = rows.map { case (f, t) => f * 100 / t }
-      val micro = rows.map(_._1).sum * 100 / rows.map(_._2).sum
-      println(f"[       range] queries=${rows.length} " +
-        f"true_sizes: min=${rows.map(_._2).min} max=${rows.map(_._2).max} " +
-        f"recall%%: min=${per.min} mean=${per.sum / per.length} micro=$micro")
+      // LEFT from truth, found coalesced to 0 (ADVICE r10 #2): a query
+      // whose search returns nothing must report recall 0 here, not drop
+      // out of the min/mean/micro the registered floor is set from
+      val rows = nt.join(nf, Seq("query_id"), "left")
+        .select(col("nt"), coalesce(col("nf"), lit(0L)).as("nf")).collect()
+        .map(r => (r.getLong(1), r.getLong(0)))
+      if (rows.isEmpty) println("[       range] queries=0 (no sampled queries)")
+      else {
+        val per = rows.map { case (f, t) => f * 100 / t }
+        val micro = rows.map(_._1).sum * 100 / rows.map(_._2).sum
+        println(f"[       range] queries=${rows.length} " +
+          f"true_sizes: min=${rows.map(_._2).min} max=${rows.map(_._2).max} " +
+          f"recall%%: min=${per.min} mean=${per.sum / per.length} micro=$micro")
+      }
     }
     spark.stop()
   }

@@ -610,12 +610,22 @@ object SimilarityOps {
     val st = gateStride(spark, dir)
     val found = annRangeScored(spark, dir, st)
       .groupBy("query_id")
-      .agg(count(lit(1)).as("__nf"),
+      .agg(count(lit(1)).as("__nf0"),
         max(when(col("vec_id") === col("query_id") - PlantedIdOffset, 1L)
-          .otherwise(0L)).as("__src"))
+          .otherwise(0L)).as("__src0"))
     val truth = rangeBruteTruth(spark, dir, st)
       .groupBy("query_id").agg(count(lit(1)).as("__nt"))
-    val perQuery = found.join(truth, "query_id")
+    // LEFT join from TRUTH (every sampled query has >= 1 true neighbor —
+    // its planted source), found counts coalesced to 0: a query whose
+    // index search returns NOTHING must still emit a row (src_found_ok =
+    // false) and drag the micro-recall numerator down, not vanish from
+    // both sides of the ratio (ADVICE r10 #1 — the inner join biased
+    // recall_floor_ok upward and demoted a total search miss from a FALSE
+    // boolean to a missing row)
+    val perQuery = truth.join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("__nt"),
+        coalesce(col("__nf0"), lit(0L)).as("__nf"),
+        coalesce(col("__src0"), lit(0L)).as("__src"))
     val microOk = perQuery.agg(
       (sum(col("__nf")) * 100 >= lit(RangeMinMicroRecallPct.toLong) * sum(col("__nt")))
         .as("recall_floor_ok"))
@@ -1273,28 +1283,43 @@ object SimilarityOps {
     *
     * The priced operator is the FULL corpus pass ([[annKnnJoinRanked]]
     * recomputed standalone — this entry prices a density pass, not a
-    * cache probe) plus one map-side-combined groupBy(query_id) and one
-    * exact-median aggregate over the n density rows (one slim row per
+    * cache probe) plus one map-side-combined groupBy(query_id) and a
+    * corpus-wide median over the n density rows (one slim row per
     * vector). The gate rides the bounded twin sample: a twin has a
     * cos≈1 neighbor by construction, so its density must land ABOVE the
     * corpus-wide median (`above_median_ok` — the discriminative property
     * the filter exists for; margin ≈ (1e6 − cos@rank10)/10 ppm, far
     * above approximation noise) and its best neighbor must be near-unit
     * (`src_near_ok`). `n_scored` proves the pass covered the whole
-    * graph — the oracle recomputes the expected corpus+twins count. */
+    * graph — the oracle recomputes the expected corpus+twins count.
+    *
+    * The median rides the SAME two-pass histogram-refinement kernel as
+    * `q_percentiles` ([[graft.operators.Relational.exactQuantilesByRank]]
+    * over one global group) — never the single-buffer exact `percentile`
+    * aggregate, which would pull all n density rows into one task's
+    * buffer at fleet scale (VERDICT r10 ask #1; SimilaritySpec asserts
+    * the plan carries no Percentile aggregate). Density rides as
+    * `sum(cos_ppm)` (exact long; every graph vector has exactly k=10
+    * neighbor rows, so sum-above-median ⟺ mean-above-median — integer
+    * buckets are the kernel's documented-safe input, raw double means
+    * are not) and the slim n-row density frame is localCheckpointed so
+    * the graph join is priced ONCE, not once per kernel pass. */
   def qEmbedKnnDensity(spark: SparkSession, dir: String): DataFrame = {
     val st = gateStride(spark, dir)
     val dens = annKnnJoinRanked(spark, dir)
       .groupBy("query_id")
-      .agg(avg(col("cos_ppm")).as("density"), max(col("cos_ppm")).as("max_cos_ppm"))
-    val stats = dens.agg(
-      expr("percentile(density, 0.5)").as("med"),
-      count(lit(1)).as("n_scored"))
+      .agg(sum(col("cos_ppm")).as("density_sum"), max(col("cos_ppm")).as("max_cos_ppm"))
+      .localCheckpoint()
+    val med = graft.operators.Relational.exactQuantilesByRank(
+      dens.withColumn("__g", lit(1)), "__g",
+      Seq((col("density_sum").cast("double"), Seq("med" -> 0.5))))
+      .select(col("med"))
+    val stats = med.crossJoin(dens.agg(count(lit(1)).as("n_scored")))
     dens.filter(col("query_id") >= PlantedIdOffset)
       .filter(inGateSample(col("query_id"), st))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), lit(10L).as("k"), col("n_scored"),
-        (col("density") > col("med")).as("above_median_ok"),
+        (col("density_sum").cast("double") > col("med")).as("above_median_ok"),
         (col("max_cos_ppm") >= 985000L).as("src_near_ok"))
       .orderBy("query_id")
   }

@@ -35,21 +35,44 @@ class AssocSpec extends SparkSpec {
   }
 
   test("market basket plan: in-plan pair expansion, no fact self-join, top-20 as TakeOrdered") {
-    val plan = AssocOps.qMarketBasket(spark, SfDir).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      s"cartesian leaked into the plan:\n${plan.linesIterator.take(40).mkString("\n")}")
+    // assert on plan NODE CLASSES, not rendered-string substrings (ADVICE
+    // r10 #3): the string form changes across Spark versions; the exec
+    // node types are the actual contract being pinned
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val root: SparkPlan = AssocOps.qMarketBasket(spark, SfDir).queryExecution.executedPlan
+    // collect() does not descend through AQE wrappers (their inner plan is
+    // not a `children` entry), so walk those explicitly
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(root)
+    assert(nodes.collect { case c: CartesianProductExec => c }.isEmpty,
+      "cartesian leaked into the plan")
     // the ONE nested-loop join is the sanctioned broadcast-scalar cross
     // (n_orders, 1 row)
-    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
-      s"unexpected nested-loop join:\n${bnlj.mkString("\n")}")
+    val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1 &&
+        bnlj.forall(_.joinType == org.apache.spark.sql.catalyst.plans.Cross),
+      s"unexpected nested-loop join: ${bnlj.map(_.joinType).mkString(",")}")
     // pairs come from exploding the basket arrays, not from re-joining
     // the fact table against itself (that formulation scans lineitem 3x)
-    assert(plan.contains("Generate explode"),
-      s"pair generation lost the basket explode:\n${plan.linesIterator.take(40).mkString("\n")}")
-    assert(!plan.contains("Join [l_orderkey"),
-      s"fact-table self-join reappeared:\n${plan.linesIterator.take(40).mkString("\n")}")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"global top-20 is a full sort:\n${plan.linesIterator.take(40).mkString("\n")}")
+    val gens = nodes.collect { case g: GenerateExec => g }
+    assert(gens.exists(_.boundGenerator.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ExplodeBase]),
+      "pair generation lost the basket explode")
+    val equiJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(!equiJoins.exists(_.exists(_.references.exists(_.name == "l_orderkey"))),
+      "fact-table self-join on l_orderkey reappeared")
+    assert(nodes.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "global top-20 is a full sort")
   }
 }

@@ -264,7 +264,16 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("kNN-graph density: gate booleans true, coverage count exact, twins genuinely separated") {
-    val rows = SimilarityOps.qEmbedKnnDensity(spark, SfDir).collect()
+    val df = SimilarityOps.qEmbedKnnDensity(spark, SfDir)
+    // the corpus median must ride the two-pass histogram-refinement
+    // kernel, never the single-buffer exact percentile aggregate (which
+    // buffers all n density rows in one task — VERDICT r10 ask #1)
+    val percAggs = df.queryExecution.executedPlan.flatMap(_.expressions.flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+    }))
+    assert(percAggs.isEmpty,
+      "single-buffer exact Percentile aggregate back in the density plan")
+    val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
     val n = Tables.embeddings(spark, SfDir).count()
     val nTwins = Tables.embeddings(spark, SfDir).filter(col("vec_id") % 25 === 0).count()
