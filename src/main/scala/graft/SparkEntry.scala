@@ -154,6 +154,7 @@ object SparkEntry {
     "ann_knn_join"        -> (graft.similarity.SimilarityOps.qAnnKnnJoin _),
     "embed_knn_density"   -> (graft.similarity.SimilarityOps.qEmbedKnnDensity _),
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
+    "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -1485,6 +1486,15 @@ object SparkEntry {
     // is computed in-plan; the sampled twins' booleans (vs the GRAPH
     // brute truth, self excluded) are what the oracle asserts
     "ann_knn_join" -> AnnGateOracle,
+    // persisted-index lifecycle (write → append → reload → serve): same
+    // gate contract as the session-built path (AnnIndexStoreSpec proves
+    // serve parity), plus the appended exact-copy twin pinned at rank 2
+    "ann_index_serve" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok, TRUE AS append_rank2_ok
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     // kNN-graph density: same sampled-twin contract; n_scored is the
     // exact corpus+twins row count (proves the pass covered the graph),
     // the booleans are the discriminative property (twin density above

@@ -205,12 +205,14 @@ object SimilarityOps {
     * silently reintroduce the quadratic the sample exists to remove
     * (caught by review; toy bench sizes masked it). */
   private def bruteTruthTop10(spark: SparkSession, dir: String,
-      queryStride: Long = 1L): DataFrame = {
+      queryStride: Long = 1L, extraCorpus: Option[DataFrame] = None): DataFrame = {
     val base = withPlanted(vectors(spark, dir))
     val queries = base.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val corpus = base.filter(col("vec_id") < PlantedIdOffset)
+    val baseCorpus = base.filter(col("vec_id") < PlantedIdOffset)
+    val corpus = extraCorpus.fold(baseCorpus)(
+      ev => baseCorpus.unionByName(ev.select(col("vec_id"), col("vec"))))
     rankedTop10(corpus.join(broadcast(queries), lit(true))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
@@ -1078,6 +1080,75 @@ object SimilarityOps {
   def qAnnTopkIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val st = gateStride(spark, dir)
     recallGate(spark, dir, annTopkIvfPqRanked(spark, dir, st), IvfPqMinMeanRecallPct, st)
+  }
+
+  /** Id offset for the deterministic append batch of [[qAnnIndexServe]]:
+    * exact copies of the planted-query source vectors, re-keyed above
+    * the planted-twin band ([2e6, 3e6) vs twins at [1e6, 2e6)). An exact
+    * copy encodes to the IDENTICAL cell+codes under the frozen quantizer
+    * and ties its source on exact cosine, so the (cos desc, vec_id)
+    * tie-break pins it at rank 2 behind the source — a deterministic,
+    * oracle-assertable witness that appended vectors are genuinely
+    * ADC-ranked AND exact-reranked by the serving path. */
+  private[graft] val AppendIdOffset = 2000000L
+
+  private[graft] def appendBatch(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + AppendIdOffset).as("vec_id"), col("vec"))
+
+  /** Driver-contract entry for the PERSISTED index lifecycle (VERDICT
+    * r10 ask #2) — the real deployment shape a serving fleet runs, end
+    * to end in one entry: build + persist the IVF+PQ index
+    * ([[graft.sources.AnnIndexStore.write]] — parquet tables + meta
+    * snapshot), APPEND a batch with the frozen quantizer (FAISS `add()`
+    * semantics — no retrain), then reload from disk and serve top-k from
+    * the STORE (codes/cells/codebook all read back from parquet, never
+    * from session state; reference analogue: the incremental re-import
+    * path, import_cards.py:287-336).
+    *
+    * Gate: the served ranking is compared against the exact brute truth
+    * over the POST-APPEND corpus (base ∪ batch — the appended twin IS
+    * the genuine #2 neighbor of its query, so truth must include it) at
+    * the same [[IvfPqMinMeanRecallPct]] floor, plus `append_rank2_ok`:
+    * the appended exact copy of each gated query's source must be served
+    * at rank 2 (identical codes → identical ADC → shortlisted; identical
+    * vector → tied exact cosine → id tie-break behind the source). A
+    * stale store, a dropped appended vector (the orphan-codes failure
+    * [[graft.sources.AnnIndexStore.serve]]'s union guards), or a
+    * round-trip precision loss each flip a boolean and break the hash
+    * gate. */
+  def qAnnIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ann_store_${graft.SessionCache.dirKey(dir)}").toString
+    // eager lifecycle: write() rebuilds (clearing any prior invocation's
+    // appends — idempotent per invocation), append() encodes the batch
+    // with the frozen quantizer; both complete before the lazy serve
+    // below ever reads the store
+    graft.sources.AnnIndexStore.write(spark, dir, path)
+    graft.sources.AnnIndexStore.append(spark, dir, path, appendBatch(spark, dir))
+    val ranked = graft.sources.AnnIndexStore.serve(spark, dir, path, st)
+    val truth = bruteTruthTop10(spark, dir, st, Some(appendBatch(spark, dir)))
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+    val perQuery = ranked
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("in_brute"), 1).otherwise(0)).as("__hits"),
+        max(when(col("rank") === 1, col("vec_id"))).as("__top1"),
+        max(when(col("rank") === 2, col("vec_id"))).as("__rank2"))
+    val meanOk = perQuery.agg(
+      (sum(col("__hits")) * 10 >= lit(IvfPqMinMeanRecallPct.toLong) * count(lit(1)))
+        .as("mean_recall_ok"))
+    perQuery.join(broadcast(meanOk), lit(true))
+      .select(col("query_id"),
+        lit(10L).as("k"),
+        col("mean_recall_ok"),
+        (col("__top1") === col("query_id") - PlantedIdOffset).as("top1_ok"),
+        (col("__rank2") === col("query_id") - PlantedIdOffset + AppendIdOffset)
+          .as("append_rank2_ok"))
+      .orderBy("query_id")
   }
 
   // ---- corpus-scale kNN-graph join (VERDICT r9 ask #1) ----

@@ -127,4 +127,18 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(served2.toSeq == served0.toSeq,
       "post-rebuild serve must equal the pre-append results")
   }
+
+  test("ann_index_serve entry: full lifecycle booleans hold for every gated query") {
+    val rows = SimilarityOps.qAnnIndexServe(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    val nTwins = Tables.embeddings(spark, SfDir).filter(col("vec_id") % 25 === 0).count()
+    assert(rows.length.toLong == nTwins && rows.length <= 64,
+      s"${rows.length} gate rows for $nTwins sampled queries")
+    rows.foreach { case (q, k, meanOk, top1Ok, appendOk) =>
+      assert(k == 10L)
+      assert(meanOk, s"query $q: post-append mean recall floor broken")
+      assert(top1Ok, s"query $q: source not served at rank 1 from the store")
+      assert(appendOk, s"query $q: appended exact-copy twin not served at rank 2")
+    }
+  }
 }
