@@ -378,8 +378,20 @@ object DedupOps {
     * pair mine plus trivially-derived copy edges for components
     * (the [[qDedupClusters]] budget), and two key joins to attach the
     * verdicts. Decision precedence is spec-pinned. */
-  def qDedupDecision(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def qDedupDecision(spark: SparkSession, dir: String): DataFrame =
+    decisionFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      cachedJaccardPairs(spark, dir))
+
+  /** [[qDedupDecision]]'s kernel over an explicit (doc_id, text) corpus
+    * and a mined near-dup pair list — factored so erasure propagation
+    * ([[graft.operators.GovernanceOps.qGdprForgetKeys]]) can rebuild the
+    * decision frame over the post-delete corpus. `minedPairs` must cover
+    * (at least) the supplied corpus; pairs touching absent docs are
+    * harmless only if the CALLER drops them — Jaccard is pairwise, so the
+    * surviving corpus's pair list is exactly the full list minus edges
+    * touching erased docs (no re-mine needed). */
+  private[graft] def decisionFrame(base0: DataFrame, minedPairs: DataFrame): DataFrame = {
+    val base = base0.select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val docs = base.unionByName(planted)
@@ -389,7 +401,7 @@ object DedupOps {
       shiftrightunsigned(graft.functions.GraftFunctions
         .md5Hash64Array(array(col("text"))).getItem(0), 1).as("th"))
     val exactRep = hashed.groupBy("th").agg(min("doc_id").as("exact_rep"))
-    val pairs = cachedJaccardPairs(spark, dir)
+    val pairs = minedPairs
       .unionByName(base.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1000000L).as("doc_b")))
     val clusters = dedupClusters(docs.select("doc_id"), pairs)

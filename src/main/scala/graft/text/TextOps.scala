@@ -519,13 +519,22 @@ object TextOps {
     * offset. Window partition size is corpus/P, so the plan survives a
     * 100× scale-up by raising P, where the naive global window serializes
     * the entire corpus through one task. */
-  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark, Tables.spread(spark, Tables.documents(spark, dir)))
+
+  /** [[qPackSequences]]'s kernel over an explicit (doc_id, text) corpus —
+    * factored so erasure propagation
+    * ([[graft.operators.GovernanceOps.qGdprForgetKeys]]) can re-pack the
+    * post-delete corpus (token starts shift for every survivor after the
+    * first erased doc; packing is a prefix sum, so a row-delete on the
+    * packed table would leave holes in the training sequences). */
+  private[graft] def packSequences(spark: SparkSession, corpus: DataFrame): DataFrame = {
     val B = 2048L
-    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val docs = corpus
       .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tokens"))
     // id-range buckets preserve global order across buckets; max(doc_id)
-    // is a pruned-scan metadata aggregate (parquet column stats)
-    val maxId = Tables.documents(spark, dir).agg(max("doc_id")).head().getLong(0)
+    // is a metadata aggregate (parquet column stats on a raw scan)
+    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
     val p = spark.sparkContext.defaultParallelism
     val width = math.max(1L, (maxId + p) / p)
     val bucketed = docs.withColumn("__b", expr(s"doc_id DIV $width"))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GovernanceOps
+
+/** Right-to-be-forgotten propagation: the audit must prove the key is
+  * gone from every derived frame AND price the survivor rows whose
+  * derived values the erasure changed (the part a naive row-delete on
+  * derived tables silently skips). */
+class GovernanceSpec extends SparkSpec {
+
+  test("forget audit: residuals zero, purge counts exact, pack shift priced") {
+    val audit = GovernanceOps.qGdprForgetKeys(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(audit.keySet == Set("documents", "dedup_decision", "pack_sequences"))
+    val docs = Tables.documents(spark, SfDir)
+    val n = docs.count()
+    val forgotten = docs.filter(col("doc_id") % 97 === 13)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    audit.values.foreach { case (_, _, _, residual, _) =>
+      assert(residual == 0L, "a forgotten key survived in a derived frame")
+    }
+    val (db, da, dp, _, dc) = audit("documents")
+    assert(db == n && dp == forgotten.length && da == n - forgotten.length && dc == 0)
+    // decision frame: each forgotten doc also takes its planted copy with it
+    val plantedForgotten = forgotten.count(_ % 10 == 0)
+    val (eb, ea, ep, _, _) = audit("dedup_decision")
+    assert(eb == n + docs.filter(col("doc_id") % 10 === 0).count())
+    assert(ep == forgotten.length + plantedForgotten && ea == eb - ep)
+    // packing is a prefix sum: EVERY survivor after the first erased doc
+    // moves — the audit must price exactly that set
+    val (pb, pa, pp, _, pc) = audit("pack_sequences")
+    assert(pb == n && pp == forgotten.length && pa == n - forgotten.length)
+    val shifted = docs.filter(col("doc_id") > forgotten.head)
+      .filter(col("doc_id") % 97 =!= 13).count()
+    assert(pc == shifted,
+      s"pack n_changed $pc != survivors after first erased doc $shifted")
+  }
+
+  test("decision rebuild re-elects a representative when the rep is erased") {
+    import spark.implicits._
+    // doc 1 is the cluster rep of the (1, 2) near-dup pair; erasing it
+    // must flip 2 from near_dup to keep in the rebuilt frame — the
+    // cluster-semantics reason erasure is a rebuild, not a row filter
+    val base = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val before = graft.dedup.DedupOps.decisionFrame(base, pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before(2L) == "near_dup")
+    val after = graft.dedup.DedupOps.decisionFrame(
+      base.filter(col("doc_id") =!= 1L),
+      pairs.filter(col("doc_a") =!= 1L && col("doc_b") =!= 1L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(after == Map(2L -> "keep"))
+  }
+}
