@@ -174,6 +174,7 @@ object SparkEntry {
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
+    "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
@@ -1319,6 +1320,51 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.label
         |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
         |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // domain/URL rollup: the oracle regenerates the derived URLs with the
+    // same (doc_id, source) arithmetic, re-parses them with its own string
+    // functions (canonicalization rules stated literally), and rolls up
+    // with the same 63-bit content-hash dup convention
+    "text_domain_stats" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 10 = 0),
+        |u AS (
+        |  SELECT doc_id, text,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 1 THEN 'cdn.' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN upper(source) ELSE source END || '.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'co.uk' WHEN doc_id % 3 = 1 THEN 'com' ELSE 'org' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST(doc_id % 20 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url
+        |  FROM d0),
+        |p AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+        |    list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT starts_with(x, 'utm_')) AS kept
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id,
+        |    'https://' || host || path ||
+        |      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon,
+        |    CASE WHEN host LIKE '%.co.uk'
+        |      THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |      ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th
+        |  FROM p),
+        |m AS (SELECT *, count(*) OVER (PARTITION BY th) AS copies FROM c)
+        |SELECT domain,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT canon) AS n_distinct_urls,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+        |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS dup_share_ppm
+        |FROM m GROUP BY domain ORDER BY domain""".stripMargin,
     // GDPR delete propagation: the oracle replays BOTH generations of
     // each derived frame (decision components + prefix-sum packing, the
     // dedup_decision / text_pack_sequences oracle bodies verbatim, once

@@ -118,6 +118,80 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Domain/URL-level corpus statistics — the CommonCrawl-shape rollup a
+    * web-scale pipeline computes before domain weighting (`text_domain_mix`
+    * consumes the mass shares; `q_pagerank` ranks the domain graph): URL
+    * canonicalization (case-fold scheme+host, strip `www.`, drop the
+    * https default port, drop fragments, drop `utm_*` tracking params)
+    * and registrable-domain extraction (last two host labels, or three
+    * under a multi-label public suffix like `co.uk`), then one rollup of
+    * doc count, distinct canonical URLs, token mass, and exact-duplicate
+    * share per domain.
+    *
+    * The documents table carries no URL column, so each doc's raw URL is
+    * DERIVED deterministically from (doc_id, source) — the planted-twin
+    * convention: mixed case, www/cdn subdomains, an explicit `:443`,
+    * utm params and fragments all appear on arithmetic schedules, so the
+    * canonicalizer's every rule is exercised and the DuckDB oracle
+    * regenerates and re-parses the identical strings. Dup share counts
+    * docs whose 63-bit content hash appears more than once corpus-wide
+    * (the `dedup_decision` key convention), as integer ppm.
+    *
+    * Scale shape: URL derivation+parsing is per-row codegen'd string
+    * algebra on the scan; dup marking is one count-over-window on the
+    * 8-byte hash; the rollup is one map-side-combined groupBy(domain).
+    * Nothing driver-side, no joins wider than the corpus. */
+  def qDomainStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"), col("source"))
+    // the corpus ships dup-free, so the dup-share path would be
+    // vacuously zero: plant the dedup family's exact copies (every 10th
+    // doc republished at +1e6 — same text, its own URL), the syndicated-
+    // article shape domain dup-share exists to measure
+    val docs = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    val url = concat(lit("HTTPS://"),
+      when(col("doc_id") % 4 === 0, lit("WWW."))
+        .when(col("doc_id") % 4 === 1, lit("cdn.")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, upper(col("source"))).otherwise(col("source")),
+      lit("."),
+      when(col("doc_id") % 3 === 0, lit("co.uk"))
+        .when(col("doc_id") % 3 === 1, lit("com")).otherwise(lit("org")),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+        lit("&id="), (col("doc_id") % 20).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit("")))
+    val host = regexp_replace(
+      lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
+    val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]*(/[^?#]*)", 1)
+    val kept = filter(split(regexp_extract(col("url"), "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val canon = concat(lit("https://"), col("host"), path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+    val labels = split(col("host"), "\\.")
+    val domain = when(col("host").endsWith(".co.uk"),
+        concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+    val perDoc = docs.withColumn("url", url)
+      .withColumn("host", host)
+      .select(col("doc_id"), col("text"), canon.as("canon"), domain.as("domain"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        shiftrightunsigned(graft.functions.GraftFunctions
+          .md5Hash64Array(array(col("text"))).getItem(0), 1).as("th"))
+    val marked = perDoc.withColumn("__copies",
+      count(lit(1)).over(Window.partitionBy("th")))
+    marked.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_distinct_urls"),
+        sum("n_tokens").as("token_mass"),
+        sum(when(col("__copies") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_share_ppm", expr("dup_docs * 1000000 div n_docs"))
+      .orderBy("domain")
+  }
+
   /** Budget-constrained data selection — pick the highest-quality docs
     * until a token budget (10% of corpus tokens) is exhausted, the data-
     * mixing step that turns quality scores into an actual training set.

@@ -93,6 +93,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("domain stats: canonicalization clean, registrable domains, dup share only where planted") {
+    val rows = TextOps.qDomainStats(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // registrable-domain extraction survived the raw URLs' case noise,
+    // www/cdn subdomains, explicit :443, utm params, and fragments
+    rows.foreach { case (d, nDocs, nUrls, mass, dups, share) =>
+      assert(d.matches("^src\\d+\\.(co\\.uk|com|org)$"), s"malformed domain $d")
+      assert(nUrls >= 1 && nUrls <= nDocs, s"$d: $nUrls urls for $nDocs docs")
+      assert(mass > 0 && dups >= 0 && dups <= nDocs)
+      assert(share == dups * 1000000L / nDocs, s"$d dup-share arithmetic")
+    }
+    // token mass conservation: rollup total == corpus + planted copies
+    val docs = Tables.documents(spark, SfDir)
+    val baseMass = docs
+      .select(org.apache.spark.sql.functions.size(
+        TextOps.wsTokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val plantedMass = docs.filter(col("doc_id") % 10 === 0)
+      .select(org.apache.spark.sql.functions.size(
+        TextOps.wsTokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_._4).sum == baseMass + plantedMass, "token mass not conserved")
+    // dups exist exactly where the planted copies land (src0/src10
+    // families: every doc_id there is divisible by 10)
+    assert(rows.exists(_._5 > 0), "planted dup share never materialized")
+  }
+
   test("domain mix: rates bounded, under-share sources kept whole, math exact") {
     val rows = TextOps.qDomainMix(spark, SfDir).collect()
     assert(rows.length >= 2, "corpus has a single source — mixture test vacuous")
