@@ -166,6 +166,7 @@ object SparkEntry {
     "text_stratified_sample" -> (graft.text.TextOps.qStratifiedSample _),
     "text_weighted_sample" -> ((s: SparkSession, d: String) => graft.text.TextOps.qWeightedSample(s, d)),
     "text_bpe_pairs"      -> (graft.text.TextOps.qBpePairs _),
+    "text_bpe_encode"     -> (graft.text.TextOps.qBpeEncode _),
     "text_lm_perplexity"  -> (graft.text.TextOps.qLmPerplexity _),
     "text_pii_scrub"      -> (graft.text.TextOps.qPiiScrub _),
     "text_repetition_ratio" -> (graft.text.TextOps.qRepetitionRatio _),
@@ -1953,6 +1954,40 @@ object SparkEntry {
         |p AS (SELECT unnest([substr(word, i, 2) FOR i IN range(1, len(word))]) AS pair, f FROM wf)
         |SELECT pair, CAST(sum(f) AS BIGINT) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // BPE encode: the oracle replays the PLANTED merge table (the chain
+    // below is generated from the same TextOps.BpeMerges literal) with
+    // the identical doubled-delimiter replace semantics, then re-derives
+    // subword ids, the position-weighted checksum, and the round-trip
+    "text_bpe_encode" -> {
+      val chain = graft.text.TextOps.BpeMerges.foldLeft(
+        "regexp_replace(word, '(.)', ' \\1', 'g') || ' '") {
+        case (s, (l, r)) =>
+          s"replace(replace(replace($s, ' ', '  '), ' $l  $r ', ' $l$r '), '  ', ' ')"
+      }
+      """WITH w AS (
+        |  SELECT word, count(*) AS f
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |enc AS (
+        |  SELECT word, f, string_split(trim(""".stripMargin + chain +
+        """), ' ') AS subwords FROM w),
+        |ids AS (
+        |  SELECT sub, CAST(row_number() OVER (ORDER BY sub) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT unnest(subwords) AS sub FROM enc)),
+        |ex AS (
+        |  SELECT word, f, CAST(length(word) AS BIGINT) AS n_chars,
+        |    CAST(len(subwords) AS BIGINT) AS n_subwords,
+        |    array_to_string(subwords, '') = word AS roundtrip_ok,
+        |    CAST(generate_subscripts(subwords, 1) AS BIGINT) AS pos,
+        |    unnest(subwords) AS sub
+        |  FROM enc)
+        |SELECT e.word, min(e.f) AS f, min(e.n_chars) AS n_chars,
+        |  min(e.n_subwords) AS n_subwords,
+        |  CAST(sum(e.pos * i.id) AS BIGINT) AS ids_checksum,
+        |  bool_and(e.roundtrip_ok) AS roundtrip_ok
+        |FROM ex e JOIN ids i USING (sub)
+        |GROUP BY e.word ORDER BY e.word""".stripMargin
+    },
     // per-bigram integer micronat quantization BEFORE the sum: a sum of
     // doubles is partition-order-dependent and engine-divergent; a sum
     // of per-row-rounded longs is exact on both sides

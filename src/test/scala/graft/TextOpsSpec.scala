@@ -93,6 +93,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: cascading merges land, every word round-trips, ids positive") {
+    val rows = TextOps.qBpeEncode(spark, SfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, (f, nc, ns, ck, rt)) =>
+      assert(rt, s"'$w' did not round-trip through its subwords")
+      assert(f > 0 && ns >= 1 && ns <= nc, s"'$w' counts")
+      assert(ck > 0, s"'$w' checksum")
+    }
+    // hand-derived applications of the planted table pin the semantics:
+    // 'the' exercises the CASCADE (t+h -> th, then th+e -> the -> one
+    // subword); 'customer' takes two independent merges (st, er);
+    // 'batch' takes one (at); 'stream' must NOT merge (e,r) backwards
+    // (its adjacency is r-e, not e-r)
+    for ((w, expected) <- Seq("the" -> 1L, "customer" -> 6L,
+        "batch" -> 4L, "stream" -> 5L) if rows.contains(w))
+      assert(rows(w)._3 == expected,
+        s"'$w' encoded to ${rows(w)._3} subwords, expected $expected")
+    assert(rows.contains("the"), "corpus lost its cascade witness word")
+  }
+
   test("domain stats: canonicalization clean, registrable domains, dup share only where planted") {
     val rows = TextOps.qDomainStats(spark, SfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
