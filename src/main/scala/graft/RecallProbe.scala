@@ -12,14 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // sections: comma list of lsh/knn/ivf/range (default all). The x30
+    // floor check (VERDICT r10 ask #4) runs `knn` alone — the full 3x3
+    // dial sweep at x30 would pay ~9 graph joins for dials already
+    // rejected at x10.
+    val sections = args.lift(1).map(_.split(",").toSet)
+      .getOrElse(Set("lsh", "knn", "ivf", "range"))
+    def on(s: String) = sections.contains(s)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROBE_AMPLIFY=k: probe the k-fold amplified corpus (the
+    // ScalingBench amplifier — within-replica similarity preserved,
+    // cross-replica destroyed) instead of the raw dir
+    val dir = sys.env.get("GRAFT_PROBE_AMPLIFY").map(_.toInt) match {
+      case Some(k) if k > 1 =>
+        val out = s"${sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_probe")}/x$k"
+        ScalingBench.amplify(spark, baseDir, out, k)
+        out
+      case _ => baseDir
+    }
     import graft.similarity.SimilarityOps
     val truth = SimilarityOps.bruteTruthForProbe(spark, dir)
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
@@ -41,22 +59,40 @@ object RecallProbe {
         f"top1_fails=${hits.count(!_.getBoolean(2))}")
     }
 
-    report("lsh", SimilarityOps.annTopkLshRanked(spark, dir))
+    if (on("lsh")) report("lsh", SimilarityOps.annTopkLshRanked(spark, dir))
     // kNN-graph join: its truth is the GRAPH (self excluded, twins are
     // legitimate neighbors), not the base-corpus serve truth above.
     // Sweep the probe-cell count — the candidate stream is linear in it,
-    // so each step prices its recall directly.
-    try {
-      for (p <- Seq(3, 4, 6); div <- Seq(50, 20, 10)) {
-        sys.props("graft.knn.probe.cells") = p.toString
-        sys.props("graft.knn.shortlist.div") = div.toString
-        report(s"knn p$p d$div", SimilarityOps.knnRankedForProbe(spark, dir),
+    // so each step prices its recall directly. GRAFT_PROBE_KNN_DIALS
+    // ("p:div,p:div") narrows the sweep — the x30 floor check probes the
+    // adopted dials only.
+    if (on("knn")) try {
+      // each dial is "probe:div:cap"; an empty field (or a bare "::")
+      // leaves that prop unset, i.e. probes the ADAPTIVE default
+      val dials = sys.env.get("GRAFT_PROBE_KNN_DIALS")
+        .map(_.split(",").toSeq.map { s =>
+          val parts = s.split(":", -1).map(_.trim).toSeq
+          def f(i: Int) = parts.lift(i).filter(_.nonEmpty).map(_.toInt)
+          (f(0), f(1), f(2))
+        })
+        .getOrElse(for (p <- Seq(3, 4, 6); div <- Seq(50, 20, 10))
+          yield (Some(p), Some(div), None: Option[Int]))
+      for ((p, div, cap) <- dials) {
+        def setOrClear(k: String, v: Option[Int]): Unit =
+          v.fold[Unit] { sys.props.remove(k); () } (x => sys.props(k) = x.toString)
+        setOrClear("graft.knn.probe.cells", p)
+        setOrClear("graft.knn.shortlist.div", div)
+        setOrClear("graft.knn.shortlist.cap", cap)
+        def show(o: Option[Int]) = o.map(_.toString).getOrElse("auto")
+        report(s"knn p${show(p)} d${show(div)} c${show(cap)}",
+          SimilarityOps.knnRankedForProbe(spark, dir),
           SimilarityOps.knnTruthForProbe(spark, dir)
             .select(col("query_id"), col("vec_id"), lit(true).as("in_brute")))
       }
     } finally {
       sys.props.remove("graft.knn.probe.cells")
       sys.props.remove("graft.knn.shortlist.div")
+      sys.props.remove("graft.knn.shortlist.cap")
     }
     // Sweep the IVF probe fraction (1/4 default, 1/8, 1/16): per-query
     // serve cost is ~n/denom, so every doubling of denom that HOLDS the
@@ -65,7 +101,7 @@ object RecallProbe {
     // try/finally: the property steers the REGISTERED gated queries too,
     // so an exception mid-sweep must not leave the rest of the JVM
     // serving at 1/16 probes (recall floors were measured at 1/4)
-    try {
+    if (on("ivf")) try {
       for (denom <- Seq(4, 8, 16)) {
         sys.props("graft.ivf.probe.denom") = denom.toString
         report(s"ivf 1/$denom", SimilarityOps.annTopkIvfRanked(spark, dir))
@@ -76,7 +112,7 @@ object RecallProbe {
     // Range search (cos >= tau ball): found is a SUBSET of true (exact
     // verification), so recall is a count ratio — report per-query and
     // the micro-average the registered gate floors on.
-    {
+    if (on("range")) {
       val nf = SimilarityOps.rangeScoredForProbe(spark, dir)
         .groupBy("query_id").agg(count(lit(1)).as("nf"))
       val nt = SimilarityOps.rangeTruthForProbe(spark, dir)

@@ -156,6 +156,7 @@ object SparkEntry {
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
+    "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -1321,6 +1322,16 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.label
         |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
         |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // events JSONL round-trip: the oracle states the invariants — every
+    // parquet row survives the JSONL export/import (n_parsed = n_rows),
+    // exactly the one planted junk line goes corrupt, and the multiset
+    // compare found zero drift
+    "ingest_events_jsonl" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_parsed,
+        |  CAST(1 AS BIGINT) AS n_corrupt,
+        |  TRUE AS parity_ok
+        |FROM events""".stripMargin,
     // domain/URL rollup: the oracle regenerates the derived URLs with the
     // same (doc_id, source) arithmetic, re-parses them with its own string
     // functions (canonicalization rules stated literally), and rolls up

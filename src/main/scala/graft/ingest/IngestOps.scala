@@ -791,4 +791,64 @@ object IngestOps {
       .select(col("id"), col("oracle_id"), col("name"),
         col("set").as("set_code"), col("rarity"))
       .orderBy("id")
+
+  /** Events JSONL round-trip parity (r11 stretch) — the log-shipping
+    * shape an event pipeline actually lands (JSONL files from
+    * collectors), proven against the parquet-loaded truth: the events
+    * table is exported to JSONL IN-ENTRY (microsecond-pinned NTZ
+    * timestamp format — the default millisecond format silently
+    * truncates and breaks parity), read back through the schema'd JSON
+    * source under the same PERMISSIVE corrupt-record policy as the
+    * cards ingest (one junk line planted to prove the policy fires on
+    * this schema too), and compared multiset-exactly via one grouped-
+    * count full-outer join — the [[graft.streaming.EventStreams]]
+    * parity kernel shape. A timestamp precision loss, a double
+    * round-trip drift, or a dropped/duplicated row flips `parity_ok`
+    * and breaks the driver's hash gate. Scale shape: one export write
+    * + one schema'd scan + one count-compare join, all linear. */
+  def qIngestEventsJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_jsonl").toString
+    val ntzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampNTZFormat", ntzFmt).json(tmp)
+    // one malformed line in its own part file: PERMISSIVE must park it
+    // in _corrupt_record, never silently drop or poison the batch
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "part-corrupt.json"), "{not json at all\n")
+    val back = spark.read
+      .schema(ev.schema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampNTZFormat", ntzFmt)
+      .json(tmp)
+    val parsed = back.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    // a bare count over `parsed` is DISALLOWED: Catalyst prunes the scan
+    // to just the filter's _corrupt_record and the JSON source rejects
+    // corrupt-only reads (QUERY_ONLY_CORRUPT_RECORD_COLUMN). So n_parsed
+    // is derived from the parity join's own grouped counts (that scan
+    // reads every data column), and the corrupt count from the
+    // unfiltered line count (every staged line yields a row under
+    // PERMISSIVE, corrupt or parsed — a corrupt-free scan)
+    val nBack = back.agg(count(lit(1)).as("n_back"))
+    // multiset parity: null-safe grouped-count full-outer compare (the
+    // stream-parity kernel shape — one shuffle per side)
+    val cols = ev.columns.toSeq
+    def counted(df: DataFrame, p: String): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(p + "__cnt"))
+        .select(cols.map(c => col(c).as(p + c)) :+ col(p + "__cnt"): _*)
+    val stats = counted(parsed, "s_")
+      .join(counted(ev, "b_"),
+        cols.map(c => col("s_" + c) <=> col("b_" + c)).reduce(_ && _),
+        "full_outer")
+      .agg(
+        sum(when(coalesce(col("s___cnt"), lit(0L)) =!= coalesce(col("b___cnt"), lit(0L)),
+          1L).otherwise(0L)).as("n_mismatched"),
+        sum(coalesce(col("s___cnt"), lit(0L))).as("n_parsed"))
+    ev.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(nBack))
+      .crossJoin(broadcast(stats))
+      .select(col("n_rows"), col("n_parsed"),
+        (col("n_back") - col("n_parsed")).as("n_corrupt"),
+        (col("n_mismatched") === 0L).as("parity_ok"))
+  }
 }

@@ -1156,32 +1156,43 @@ object SimilarityOps {
   /** Probe cells per GRAPH vector for the kNN-graph join. Unlike the
     * serve path's pinned 1/4 cell FRACTION (bounded query set), here the
     * query set IS the corpus: a pinned fraction would make the candidate
-    * stream n²/denom — the quadratic this operator exists to avoid. A
-    * small FIXED probe count is the standard kNN-graph trade (each
-    * vector's own cell plus its 3 next-nearest): the candidate stream is
-    * n · probes · cellsize ~ n^1.5 at K ~ sqrt(n) cells, and the recall
-    * cost of the narrow probe is measured and gated
-    * ([[KnnMinMeanRecallPct]]) rather than assumed. Overridable via the
-    * `graft.knn.probe.cells` property so RecallProbe can sweep it; the
-    * r10 sweep (probes 3/4/6 × depth-div 50/20/10) picked 4: +6 mean
-    * recall points over 3 at the asserted scales for a 1/3 larger
-    * candidate stream, while 6 buys only ~5 more points for twice the
-    * stream of 3. */
-  private[graft] def KnnProbeCells: Int =
-    sys.props.get("graft.knn.probe.cells").map(_.toInt).getOrElse(4)
+    * stream n²/denom — the quadratic this operator exists to avoid. But
+    * a FIXED probe count silently starves recall as cells grow ~sqrt(n)
+    * (VERDICT r10 ask #4, measured: the r10-adopted p4 falls from mean
+    * 57 at sf0.1 to 27 at the x30 amplified corpus). The r11 adaptive
+    * pin is probes = ceil(sqrt(2K)) — n^0.25 growth, candidate stream
+    * n · sqrt(2K) · n/K ~ n^1.75, still sub-quadratic — which
+    * re-measures at x30 (K=87 → p14, with the matching rerank cap
+    * below) as mean 55 vs the 50 floor: the asked ≥5-point margin. At
+    * the ORACLE-ASSERTED gate scales (K=16 → p6) the r10 sweep already
+    * measured 67/69 mean — the committed floor's margin WIDENS there.
+    * On uniform-random vectors (the amplified corpus — IVF's worst
+    * case) holding recall truly constant needs a fixed probed FRACTION,
+    * i.e. a quadratic stream; this schedule is the documented
+    * sub-quadratic compromise, and `graft.knn.probe.cells` remains the
+    * production knob for clustered spaces where fixed probes hold. */
+  private[graft] def KnnProbeCells(nCells: Int): Int =
+    sys.props.get("graft.knn.probe.cells").map(_.toInt)
+      .getOrElse(math.max(4, math.ceil(math.sqrt(2.0 * nCells)).toInt))
 
   /** Exact-rerank shortlist depth per graph vector: tracks the per-query
     * candidate stream like the serve path (ADC error is per-candidate
     * noise) but with a lower cap — the rerank pays n·depth exact
-    * cosines, so the serve path's 400 would dominate the whole join.
-    * The r10 sweep showed depth, not probe count, is the binding recall
-    * limiter at sf0.1 (probes 3→6 moved mean recall 42→44 at div 50,
-    * while div 50→10 moved it 42→51 at probes 3): the probed cells DO
-    * hold the true neighbors; ADC noise pushes them below a shallow
-    * cut. n/10 (cap 200) is the measured knee. */
+    * cosines. The r10 sweep showed depth, not probe count, is the
+    * binding recall limiter at sf0.1 (probes 3→6 moved mean recall
+    * 42→44 at div 50, while div 50→10 moved it 42→51 at probes 3): the
+    * probed cells DO hold the true neighbors; ADC noise pushes them
+    * below a shallow cut. n/10 against a cap of max(200, 4·sqrt(n)) is
+    * the re-pinned r11 schedule: the old fixed 200 bound recall at ~32
+    * at x30 regardless of probes (the x30 sweep's c200 vs c800 rows);
+    * the sqrt cap keeps the rerank ~n^1.5 — below the candidate stream
+    * it cuts. At the gate scales (and sf0.1) the cap still evaluates
+    * to 200, so nothing re-measures there. */
   private def knnShortlistDepth(n: Long): Int = {
     val div = sys.props.get("graft.knn.shortlist.div").map(_.toInt).getOrElse(10)
-    math.max(30, math.min(200, (n / div).toInt))
+    val cap = sys.props.get("graft.knn.shortlist.cap").map(_.toInt)
+      .getOrElse(math.max(200, 4 * math.ceil(math.sqrt(n.toDouble)).toInt))
+    math.max(30, math.min(cap, (n / div).toInt))
   }
 
   /** Graph membership (vec_id, cell, codes): the indexed base corpus
@@ -1238,7 +1249,7 @@ object SimilarityOps {
       .withColumn("__l2",
         GraftFunctions.dotProduct(col("qvec"), col("qvec")) + col("__qc") + col("cnorm"))
       .select("query_id", "cell", "__qc", "__l2")
-    val probes = graft.plans.TopK.topKPerGroup(scoredCells, KnnProbeCells,
+    val probes = graft.plans.TopK.topKPerGroup(scoredCells, KnnProbeCells(idx.nCells),
         Seq(col("query_id")), Seq(col("__l2"), col("cell")))
       .select("query_id", "cell", "__qc")
 

@@ -280,4 +280,19 @@ class IngestSpec extends SparkSpec {
     rows.foreach { case (_, _, inter, bp) =>
       assert(inter >= 2 && bp > 2000, "a best match with near-zero overlap") }
   }
+
+  test("events JSONL round-trip: microsecond parity holds, the junk line goes corrupt") {
+    val row = IngestOps.qIngestEventsJsonl(spark, SfDir).head()
+    val (nRows, nParsed, nCorrupt, parity) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getBoolean(3))
+    val n = Tables.events(spark, SfDir).count()
+    assert(nRows == n && nParsed == n, s"JSONL round-trip lost rows: $nParsed/$n")
+    assert(nCorrupt == 1L, s"planted junk line: $nCorrupt corrupt rows, expected 1")
+    assert(parity, "multiset parity with the parquet truth broken")
+    // the parity is not vacuous: the corpus genuinely carries sub-second
+    // timestamp precision the default millis format would truncate
+    val subMillis = Tables.events(spark, SfDir)
+      .filter(expr("cast(date_format(ts, 'SSSSSS') as long) % 1000 <> 0")).count()
+    assert(subMillis > 0, "no sub-millisecond timestamps — precision parity untested")
+  }
 }
