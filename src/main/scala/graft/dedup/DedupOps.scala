@@ -382,6 +382,15 @@ object DedupOps {
     decisionFrame(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       cachedJaccardPairs(spark, dir))
 
+  /** The CURRENT decision frame served from the session cache — for
+    * consumers that need the materialized artifact a dedup pipeline
+    * keeps (erasure propagation's BEFORE generation), not a re-derivation
+    * of it. [[qDedupDecision]] stays uncached: the registered entry IS
+    * the derivation operator and must price its own work. */
+  def cachedDecisionFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cachedDirView(spark, "graft_dedup_decision", dir)(
+      qDedupDecision(spark, dir))
+
   /** [[qDedupDecision]]'s kernel over an explicit (doc_id, text) corpus
     * and a mined near-dup pair list — factored so erasure propagation
     * ([[graft.operators.GovernanceOps.qGdprForgetKeys]]) can rebuild the

@@ -75,7 +75,10 @@ object GovernanceOps {
     val pairsAll = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
     val pairsErased = pairsAll
       .filter(!isForgotten(col("doc_a")) && !isForgotten(col("doc_b")))
-    val decBefore = graft.dedup.DedupOps.decisionFrame(docs, pairsAll)
+    // BEFORE = the session-cached materialized artifact (a pipeline holds
+    // its decision table; erasure does not re-derive it) — only the AFTER
+    // rebuild is this entry's own priced propagation work
+    val decBefore = graft.dedup.DedupOps.cachedDecisionFrame(spark, dir)
     val decAfter = graft.dedup.DedupOps.decisionFrame(erased, pairsErased)
     // planted copies live at doc_id + 1e6; map back before the key test
     def srcId(id: org.apache.spark.sql.Column) =
