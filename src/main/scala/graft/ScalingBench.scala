@@ -103,7 +103,18 @@ object ScalingBench {
     // (rides the graph join's n^1.5 candidate stream + two slim aggs),
     // and the radius search (bounded sample × probed fraction — gate
     // truth included, so linear with sample-capped constants)
-    "text_sentence_dedup", "embed_knn_density", "ann_range_search")
+    "text_sentence_dedup", "embed_knn_density", "ann_range_search",
+    // round-11 additions: the domain rollup (per-row string algebra +
+    // one hash window + one groupBy — scan-bound), BPE encode (corpus
+    // collapses to its vocab, which the rotation amplifier GROWS
+    // ~k-fold — the slope prices the vocab-sized tail), the erasure
+    // audit (one cached BEFORE read + one decision rebuild + two packs
+    // — should track dedup_decision), the JSONL round-trip (write +
+    // schema'd scan + count-compare join), and the persisted-index
+    // lifecycle (build/write/append/reload/serve — the serve term
+    // dominates, same shape as ann_topk_ivfpq_full's)
+    "text_domain_stats", "text_bpe_encode", "gdpr_forget_keys",
+    "ingest_events_jsonl", "ann_index_serve")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
