@@ -157,6 +157,7 @@ object SparkEntry {
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
     "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
+    "upsert_jdbc_protocol" -> (graft.operators.MergeOps.qUpsertJdbcProtocol _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
@@ -211,7 +212,8 @@ object SparkEntry {
     "stream_top_users"    -> (graft.streaming.EventStreams.qStreamTopUsers _),
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _),
-    "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _)
+    "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _),
+    "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _)
   )
 
   /** Shared oracle bodies — one string, referenced per entry, so a
@@ -1322,6 +1324,32 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.label
         |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
         |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // streaming upsert sink: the oracle replays keyed last-write-wins
+    // over events — the state the multi-batch stage-then-swap merges
+    // must converge to regardless of how files split across batches
+    "stream_upsert_sink" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // JDBC upsert protocol: the oracle replays the versioned input with
+    // last-per-key-by-seq semantics and aggregates the same final state
+    "upsert_jdbc_protocol" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, CAST(0 AS BIGINT) AS seq, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', CAST(round(o_totalprice * 100) AS BIGINT) + 100
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |last AS (
+        |  SELECT * FROM v
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+        |SELECT status, count(*) AS n_rows,
+        |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+        |  CAST(sum(seq) AS BIGINT) AS n_upserted
+        |FROM last GROUP BY status ORDER BY status""".stripMargin,
     // events JSONL round-trip: the oracle states the invariants — every
     // parquet row survives the JSONL export/import (n_parsed = n_rows),
     // exactly the one planted junk line goes corrupt, and the multiset

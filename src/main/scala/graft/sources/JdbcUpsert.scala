@@ -68,3 +68,99 @@ object JdbcUpsert {
     }
   }
 }
+
+/** An APPLYING in-memory implementation of the upsert contract — the
+  * stand-in for the external Postgres the reference writes to
+  * (import_cards.py:214-225). Unlike the recording stub in
+  * JdbcUpsertSpec (which only counts calls), this one PARSES the
+  * prepared `INSERT ... ON CONFLICT` statement and executes its
+  * semantics against a JVM-shared table map, so the driver-contract
+  * entry [[graft.operators.MergeOps.qUpsertJdbcProtocol]] can
+  * hash-gate the whole foreachPartition + batched-statement protocol
+  * end to end: statement text, positional binding, batch cadence, and
+  * conflict resolution all have to be right for the final table state
+  * to match the oracle.
+  *
+  * The JVM-static map models the EXTERNAL shared store: in production
+  * every executor's connection reaches the same database; under
+  * local[n] every executor thread reaches this map. Rows within a
+  * partition apply in addBatch order (a list buffer per statement),
+  * which is exactly the sequential-replay guarantee a single JDBC
+  * connection gives the reference. */
+object InMemoryUpsertDb {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  import scala.jdk.CollectionConverters._
+
+  /** table -> key-tuple -> row values (in statement column order). */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.ConcurrentHashMap[Seq[Any], Array[Any]]]()
+
+  def drop(table: String): Unit = { tables.remove(table); () }
+
+  def tableRows(table: String): Seq[Seq[Any]] =
+    Option(tables.get(table)).fold(Seq.empty[Seq[Any]])(
+      _.values.asScala.map(_.toSeq).toSeq)
+
+  private val upsertRe =
+    ("""INSERT INTO (\S+) \(([^)]*)\) VALUES \([?, ]*\) """ +
+      """ON CONFLICT \(([^)]*)\) (DO NOTHING|DO UPDATE SET (.*))""").r
+
+  private def applyBatch(sql: String, batch: Seq[Array[Any]]): Unit = sql match {
+    case upsertRe(table, colsCsv, keysCsv, action, setList) =>
+      val cols = colsCsv.split(", ").toSeq
+      val keyIdx = keysCsv.split(", ").toSeq.map(cols.indexOf)
+      require(keyIdx.forall(_ >= 0), s"conflict keys not in column list: $sql")
+      val updIdx =
+        if (action == "DO NOTHING") Seq.empty
+        else setList.split(", ").toSeq.map { a =>
+          val Array(l, r) = a.split(" = ")
+          require(r == s"EXCLUDED.$l", s"non-EXCLUDED update in: $sql")
+          cols.indexOf(l)
+        }
+      val t = tables.computeIfAbsent(table,
+        _ => new java.util.concurrent.ConcurrentHashMap[Seq[Any], Array[Any]]())
+      batch.foreach { vals =>
+        val key = keyIdx.map(vals(_)).toSeq
+        t.merge(key, vals, (old, nw) => {
+          if (updIdx.isEmpty) old
+          else { val out = old.clone(); updIdx.foreach(i => out(i) = nw(i)); out }
+        })
+        ()
+      }
+    case _ => throw new IllegalArgumentException(s"unparseable upsert statement: $sql")
+  }
+
+  private def statement(sql: String): java.sql.PreparedStatement = {
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+    var current = scala.collection.mutable.HashMap.empty[Int, Any]
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.PreparedStatement]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "setObject" =>
+              current(args(0).asInstanceOf[Integer].intValue) = args(1); null
+            case "addBatch" =>
+              val n = if (current.isEmpty) 0 else current.keys.max
+              pending += Array.tabulate(n)(i => current.getOrElse(i + 1, null))
+              current = scala.collection.mutable.HashMap.empty[Int, Any]
+              null
+            case "executeBatch" =>
+              applyBatch(sql, pending.toSeq); pending.clear()
+              Array.empty[Int]
+            case _ => null
+          }
+      }).asInstanceOf[java.sql.PreparedStatement]
+  }
+
+  def connection(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "prepareStatement" => statement(args(0).asInstanceOf[String])
+            case _ => null
+          }
+      }).asInstanceOf[Connection]
+}

@@ -297,8 +297,11 @@ object EventStreams {
     * (/root/reference/import_cards.py:214-225) as a streaming sink.
     *
     * Each micro-batch is first collapsed last-write-wins WITHIN the batch
-    * (orderCol desc), then merged into the target with
-    * [[graft.operators.MergeOps.upsert]].
+    * (orderCol desc), then merged into the target ORDER-authoritatively:
+    * base ∪ batch re-resolved by (orderCol, tiebreak) — so the final
+    * state converges to the same per-key maximum regardless of how rows
+    * split across micro-batches or which order batches arrive in
+    * (arrival order is NOT the authority; the declared orderCol is).
     *
     * Filesystem handling goes through the Hadoop FileSystem API (so the
     * same code is correct on HDFS; java.io.File would silently report
@@ -333,12 +336,19 @@ object EventStreams {
         val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
         recoverCommitState(fs, target, staging, old)
         val latest = graft.operators.MergeOps.latestByKey(batch, keys, orderCol, tiebreak)
+        // ORDER-authoritative cross-batch merge: union base + batch and
+        // let (orderCol, tiebreak) pick the survivor. The earlier
+        // anti-join upsert form silently meant NEWEST-BATCH-wins for a
+        // conflicted key — correct only when micro-batches happen to
+        // arrive in orderCol order; a late batch carrying an OLDER
+        // version would clobber newer state (r11, caught by the
+        // multi-batch shuffled-arrival entry stream_upsert_sink).
+        // orderCol is the declared authority; arrival order is not.
         val merged =
           if (fs.exists(target)) {
             val base = spark.read.parquet(targetPath)
             graft.operators.MergeOps.latestByKey(
-              graft.operators.MergeOps.upsert(base, latest, keys),
-              keys, orderCol, tiebreak)
+              base.unionByName(latest), keys, orderCol, tiebreak)
           } else latest
         // stage-then-swap via rename: never overwrite the path still being
         // read, never collect the merge to the driver
@@ -389,6 +399,38 @@ object EventStreams {
       dst: org.apache.hadoop.fs.Path): Unit =
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"upsertSink commit: rename $src -> $dst failed")
+
+  /** Driver-contract entry for the STREAMING upsert sink (r11 — the
+    * last spec-only deployment path under the hash gate): the events
+    * table is staged as 8 parquet files, streamed back through a real
+    * file-source with `maxFilesPerTrigger=2` — so the keyed merge runs
+    * across MULTIPLE micro-batches, and convergence of the
+    * stage-then-swap parquet merges is exactly the claim under test —
+    * into [[upsertSink]] keyed by user_id (latest by (ts, event_id)),
+    * then the FINAL target table is read back and emitted. A dropped
+    * batch, a merge that loses the base generation, a crash-recovery
+    * bug that installs a partial staging dir, or wrong last-write-wins
+    * precedence all change the final state and break the oracle hash.
+    * One row per user; the oracle replays last-per-key over events. */
+  def qStreamUpsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsTs(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val stage = java.nio.file.Files.createTempDirectory("graft_upsink_src").toString
+    ev.repartition(8).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsink").toString
+    val target = s"$root/table"
+    val q = upsertSink(src, target, s"$root/ckpt",
+      Seq("user_id"), "ts", "event_id")
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(target)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
 
   // ---- stateful streaming sessionization ----
 

@@ -258,6 +258,45 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedState.exceptAll(batchState).count() == 0)
   }
 
+  test("upsert sink: a LATE batch carrying an older version must not clobber newer state") {
+    // adversarial arrival order: the NEWER version's file gets the older
+    // mod-time, so the file source delivers it in batch 1 and the OLDER
+    // version arrives afterwards — orderCol must win over arrival order
+    // (the r11 order-authoritative merge; the anti-join form failed this)
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = Files.createTempDirectory("graft_upsert_ooo").toString
+    def stageFile(name: String, rows: Seq[(Long, Long, java.sql.Timestamp, String, Double)],
+        modTime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ooo_part").toString
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(in, name)
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modTime))
+    }
+    val base = System.currentTimeMillis() - 100000
+    stageFile("newer.parquet",
+      Seq((2L, 7L, t("2026-01-02 00:00:00"), "v2", 2.0)), base)
+    stageFile("older.parquet",
+      Seq((1L, 7L, t("2026-01-01 00:00:00"), "v1", 1.0)), base + 50000)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val target = Files.createTempDirectory("graft_upsert_ooo_out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_upsert_ooo_ckpt").toString
+    val q = EventStreams.upsertSink(stream, target, ckpt,
+      Seq("user_id"), "ts", "event_id")
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.read.parquet(target)
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(state.toSeq == Seq((7L, 2L, "v2")),
+      s"late-arriving older version clobbered newer state: ${state.toSeq}")
+  }
+
   test("commit recovery restores the table from _old or _staging instead of deleting it") {
     import org.apache.hadoop.fs.Path
     def mkTable(p: Path, fs: org.apache.hadoop.fs.FileSystem,

@@ -96,4 +96,41 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(Freshness.select("all_prints", catalog.filterNot(_.tpe == "all_cards")) ==
       Left("all_prints bulk data not found"))
   }
+
+  test("applying stub executes ON CONFLICT semantics from the statement text") {
+    import graft.sources.InMemoryUpsertDb
+    import spark.implicits._
+    InMemoryUpsertDb.drop("t_apply")
+    // two versions of key 1 IN ORDER in one partition; key 2 single
+    val df = Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "c", 30L))
+      .toDF("id", "name", "v").coalesce(1)
+    JdbcUpsert.upsertInto(df, "t_apply", Seq("id"),
+      () => InMemoryUpsertDb.connection(), batchSize = 2)
+    val state = InMemoryUpsertDb.tableRows("t_apply")
+      .map(r => (r(0), r(1), r(2))).toSet
+    assert(state == Set((1L, "b", 20L), (2L, "c", 30L)),
+      s"DO UPDATE must overwrite non-key cols in replay order: $state")
+    // DO NOTHING (all columns are keys): first write wins
+    InMemoryUpsertDb.drop("t_nothing")
+    JdbcUpsert.upsertInto(
+      Seq((1L, "x"), (1L, "y")).toDF("k1", "k2").coalesce(1),
+      "t_nothing", Seq("k1", "k2"),
+      () => InMemoryUpsertDb.connection(), batchSize = 10)
+    assert(InMemoryUpsertDb.tableRows("t_nothing").size == 2,
+      "composite-key DO NOTHING: distinct tuples both insert")
+  }
+
+  test("upsert_jdbc_protocol entry: final table state equals last-per-key replay") {
+    import graft.operators.MergeOps
+    val got = MergeOps.qUpsertJdbcProtocol(spark, SfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orders = Tables.orders(spark, SfDir)
+    val nU = orders.filter(col("o_orderkey") % 3 === 0).count()
+    val n = orders.count()
+    assert(got("U")._1 == nU && got("U")._3 == nU,
+      "every third order must end upserted at seq 1 with status U")
+    assert(got.values.map(_._1).sum == n, "one final row per order key")
+    assert(got.filterKeys(_ != "U").values.forall(_._3 == 0L),
+      "non-conflicted keys must never count as upserted")
+  }
 }
