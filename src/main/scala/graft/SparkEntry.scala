@@ -106,6 +106,7 @@ object SparkEntry {
     "q_zorder3_prune"     -> (Bucketing.qZorder3Prune _),
     "q_compact_read"      -> (Bucketing.qCompactRead _),
     "q_partition_prune"   -> (Bucketing.qPartitionPrune _),
+    "q_bucketed_join"     -> (Bucketing.qBucketedJoin _),
     // §2.A JSON ingest (rows-only: synthesized Scryfall-shaped input)
     "ingest_json_cards"   -> (graft.ingest.IngestOps.qIngestJsonCards _),
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
@@ -1100,6 +1101,15 @@ object SparkEntry {
         |  strftime(o_orderdate, '%Y-%m') AS order_month
         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
         |ORDER BY o_orderkey""".stripMargin,
+    // bucketed co-located join: the oracle computes the same join +
+    // per-priority aggregates from the raw tables — a bucket misroute or
+    // sort violation on the Spark side joins partially and breaks the hash
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the synthesized card/set corpus is a pure function of the row index,
     // so the oracles regenerate it from range() — no fixture tables needed
     "ingest_json_cards" -> CardsIngestOracle,

