@@ -157,6 +157,7 @@ object SparkEntry {
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
+    "gdpr_k_anonymity"    -> (graft.operators.GovernanceOps.qKAnonymity _),
     "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
     "upsert_jdbc_protocol" -> (graft.operators.MergeOps.qUpsertJdbcProtocol _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
@@ -1334,6 +1335,14 @@ object SparkEntry {
         |  SELECT e.src AS doc_id, w.label
         |  FROM walk w JOIN edges e ON w.doc_id = e.dst)
         |SELECT doc_id, min(label) AS cluster FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // k-anonymity: the oracle states the quasi-identifier grouping and
+    // the k=5 release rule literally
+    "gdpr_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  count(*) AS group_n, count(*) < 5 AS violates_k,
+        |  CASE WHEN count(*) < 5 THEN 'suppress' ELSE 'release' END AS action
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // streaming upsert sink: the oracle replays keyed last-write-wins
     // over events — the state the multi-batch stage-then-swap merges
     // must converge to regardless of how files split across batches

@@ -101,6 +101,32 @@ object GovernanceOps {
     baseAudit.unionByName(decAudit).unionByName(packAudit).orderBy("frame")
   }
 
+  /** k-anonymity audit over a quasi-identifier set — the re-identification
+    * check a training-data governance pass runs before release (PII
+    * scrubbing removes DIRECT identifiers, `text_pii_scrub`; this guards
+    * the INDIRECT ones): group the population by the quasi-identifiers
+    * (nation, market segment, account-balance band) and flag every group
+    * smaller than k=5 — each of its members is re-identifiable to within
+    * fewer than k candidates, so the release action is `suppress` (the
+    * standard remedy; generalizing the band is the other).
+    *
+    * The balance band is floor(acctbal/2000) — one IEEE divide + floor on
+    * identical doubles in both engines, the established exact-replay
+    * convention. One map-side-combined groupBy, QI-cardinality output:
+    * scan-bound at any population size. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("group_n"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("group_n"),
+        (col("group_n") < k).as("violates_k"),
+        when(col("group_n") < k, "suppress").otherwise("release").as("action"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
   /** One audit row for a derived frame generation pair: counts both
     * generations, counts post-erasure residual key references, and
     * counts surviving rows whose derived columns changed. Each input is

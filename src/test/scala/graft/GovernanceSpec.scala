@@ -39,6 +39,29 @@ class GovernanceSpec extends SparkSpec {
       s"pack n_changed $pc != survivors after first erased doc $shifted")
   }
 
+  test("k-anonymity: group arithmetic exact, violations genuinely present, actions consistent") {
+    val rows = GovernanceOps.qKAnonymity(spark, SfDir).collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4), r.getString(5))))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length,
+      "one row per quasi-identifier group")
+    rows.foreach { case (qi, (n, violates, action)) =>
+      assert(n >= 1)
+      assert(violates == (n < 5), s"$qi: flag vs count")
+      assert(action == (if (violates) "suppress" else "release"), s"$qi: action")
+    }
+    // group sizes conserve the population
+    val n = Tables.customer(spark, SfDir).count()
+    assert(rows.map(_._2._1).sum == n, "group sizes do not sum to the population")
+    // the audit is not vacuous: violations always exist at test scales,
+    // and once the population can fill groups past k (sf0.01+: 15k
+    // customers over ~600 QI cells) BOTH outcome classes must appear
+    assert(rows.exists(_._2._2), "no k-violations — the audit has nothing to flag")
+    if (n >= 1000)
+      assert(rows.exists(!_._2._2),
+        "quasi-identifier fragmentation suppressed the whole population")
+  }
+
   test("decision rebuild re-elects a representative when the rep is erased") {
     import spark.implicits._
     // doc 1 is the cluster rep of the (1, 2) near-dup pair; erasing it
