@@ -93,6 +93,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("r11 plan contracts: domain stats prunes to 3 columns, windows on the hash; bpe reads only text") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    def docScanCols(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] =
+      walk(df.queryExecution.executedPlan).collect {
+        case s: FileSourceScanExec
+            if s.relation.location.inputFiles.exists(_.contains("documents")) =>
+          s.requiredSchema.fieldNames.toSet
+      }
+    // domain stats: the scan must carry ONLY the three consumed columns —
+    // a scan dragging all columns through the string pipeline is wrong
+    val dom = graft.text.TextOps.qDomainStats(spark, SfDir)
+    assert(docScanCols(dom).forall(_ == Set("doc_id", "text", "source")),
+      s"domain-stats scan over-reads: ${docScanCols(dom)}")
+    // and its one window partitions by the content hash (distributed),
+    // never unpartitioned over the corpus
+    val domWins = walk(dom.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    assert(domWins.nonEmpty && domWins.forall(_.partitionSpec.nonEmpty),
+      "domain-stats window lost its hash partitioning")
+    // bpe encode: the corpus scan reads ONLY text (vocab collapse first);
+    // its id-ranking window is unpartitioned BY DESIGN but runs over the
+    // vocabulary-sized frame, never the corpus
+    val bpe = graft.text.TextOps.qBpeEncode(spark, SfDir)
+    assert(docScanCols(bpe).forall(_ == Set("text")),
+      s"bpe-encode scan over-reads: ${docScanCols(bpe)}")
+  }
+
   test("bpe encode: cascading merges land, every word round-trips, ids positive") {
     val rows = TextOps.qBpeEncode(spark, SfDir).collect()
       .map(r => r.getString(0) ->
