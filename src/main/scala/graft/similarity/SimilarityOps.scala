@@ -1059,10 +1059,17 @@ object SimilarityOps {
     // ADC error is per-candidate noise, so at a FIXED depth a 10x larger
     // probed set pushes true neighbors below the cut with growing
     // probability (measured: ivfpq mean recall 26 vs ivf 48 at the x10
-    // amplified corpus with depth 50). n/20 (capped at 400 — the
-    // measured knee where deeper re-rank buys ~1 recall point per 100
-    // rows) keeps the re-rank bounded while tracking the stream.
-    val shortlistDepth = math.max(50, math.min(400, (corpusSize(spark, dir) / 20).toInt))
+    // amplified corpus with depth 50). n/20 against a cap of
+    // max(400, 4·sqrt(n)) keeps the re-rank bounded while tracking the
+    // stream: the r9-measured 400 knee still rules every bench scale
+    // (the sqrt term stays under it until n ≈ 10k), but a FIXED 400
+    // starved the x30 corpus one point below the 50 floor (mean 49 —
+    // the kNN-join cap disease, r11); at 4·sqrt(n) the rerank term is
+    // ~n^0.5 per query, noise next to the n/4 ADC candidate stream it
+    // cuts, and x30 re-measures above the floor.
+    val nCorpus = corpusSize(spark, dir)
+    val serveCap = math.max(400, 4 * math.ceil(math.sqrt(nCorpus.toDouble)).toInt)
+    val shortlistDepth = math.max(50, math.min(serveCap, (nCorpus / 20).toInt))
     val shortlist = graft.plans.TopK.topKPerGroup(approx, shortlistDepth,
       Seq(col("query_id")), Seq(col("__adc"), col("vec_id")))
     val corpusBase = withPlanted(vectors(spark, dir)).filter(col("vec_id") < PlantedIdOffset)
