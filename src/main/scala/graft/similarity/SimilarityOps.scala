@@ -307,21 +307,28 @@ object SimilarityOps {
     val bits = lshBits(corpusSize(spark, dir))
     val base = withPlanted(vectors(spark, dir))
     val bucketed = signBucketed(base, bits)
-    // QUERY-SIDE multiprobe (hamming radius 1): each query probes its own
-    // bucket plus the `bits` single-bit-flip neighbors per table. Bits
-    // grow as log2(n) to pin bucket occupancy, which starves single-
-    // bucket recall at scale (each added bit multiplies a theta-angle
-    // pair's per-table collision odds by (1 - theta/pi)); probing the
-    // radius-1 ball recovers the neighbors that miss by exactly one
-    // plane — the standard multiprobe-LSH trade of a few more probes for
-    // tables/bits. Query-side only: the corpus still materializes ONE
-    // row per (vector, table), so the index cost is unchanged and the
-    // probe fan-out (1 + bits, ~log n) rides the bounded query sample.
+    // QUERY-SIDE multiprobe: each query probes its own bucket plus the
+    // hamming-ball neighbors per table. Bits grow as log2(n) to pin
+    // bucket occupancy, which starves single-bucket recall at scale
+    // (each added bit multiplies a theta-angle pair's per-table
+    // collision odds by (1 - theta/pi)); probing the ball recovers the
+    // neighbors that miss by a plane or two — the standard
+    // multiprobe-LSH trade of more probes for tables/bits. The RADIUS
+    // is scheduled like every other r11 dial: 1 at bench scales, 2 once
+    // bits >= 10 (n >= ~32k, where radius-1 measured mean 47 vs the
+    // x10 52 at the x30 amplified corpus) — fan-out 1 + bits + C(bits,2)
+    // ~ log²n, still query-side only: the corpus materializes ONE row
+    // per (vector, table) regardless, so the index cost is unchanged.
+    val flipMasks: Seq[Int] = Seq(0) ++
+      (0 until bits).map(1 << _) ++
+      (if (bits >= 10)
+        for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j)
+      else Seq.empty)
     val queries = bucketed.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"),
-        explode(expr(s"concat(array(bucket), transform(sequence(0, ${bits - 1})," +
-          s" i -> int(bucket ^ shiftleft(1, i))))")).as("bucket"))
+        explode(array(flipMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m)).cast("int")): _*)).as("bucket"))
     val cands = bucketed.filter(col("vec_id") < PlantedIdOffset)
       .join(queries, Seq("table", "bucket"))
       .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"))
