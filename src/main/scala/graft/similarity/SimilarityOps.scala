@@ -324,17 +324,31 @@ object SimilarityOps {
       (if (bits >= 10)
         for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j)
       else Seq.empty)
-    val queries = bucketed.filter(col("vec_id") >= PlantedIdOffset)
+    // candidates travel as BARE ID PAIRS through the bucket join and the
+    // cross-table distinct — the multiprobe fan-out multiplies this
+    // stream, and carrying the 64-double vectors through it (the pre-r11
+    // form) made the join+distinct shuffle ~64x wider than needed (the
+    // dominant term of the measured x30 wall). Vectors join back AFTER
+    // dedup, once per side, on slim id keys.
+    val queryIds = bucketed.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("table"),
+      .select(col("vec_id").as("query_id"), col("table"),
         explode(array(flipMasks.map(m =>
           col("bucket").bitwiseXOR(lit(m)).cast("int")): _*)).as("bucket"))
     val cands = bucketed.filter(col("vec_id") < PlantedIdOffset)
-      .join(queries, Seq("table", "bucket"))
-      .select(col("query_id"), col("vec_id"), col("qvec"), col("vec"))
+      .select(col("table"), col("bucket"), col("vec_id"))
+      .join(queryIds, Seq("table", "bucket"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    rankedTop10(cands.select(col("query_id"), col("vec_id"),
-      GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos")))
+    val queryVecs = base.filter(col("vec_id") >= PlantedIdOffset)
+      .filter(inGateSample(col("vec_id"), queryStride))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = cands
+      .join(base.select(col("vec_id"), col("vec")), "vec_id")
+      .join(queryVecs, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("qvec"), col("vec")).as("__cos"))
+    rankedTop10(scored)
   }
 
   /** Driver-contract LSH entry: the ranked search through the
