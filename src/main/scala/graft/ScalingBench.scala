@@ -176,6 +176,17 @@ object ScalingBench {
     // threshold keeps the qualifying set bounded), so the slope prices
     // the basket fold + pair explode against the k-fold fact scan
     "q_market_basket",
+    // round-11: the bucketed co-located join (first rep pays the
+    // per-scratch-dir layout write; min-of-reps measures the
+    // exchange-free read — the amortization claim made literal), the
+    // JDBC upsert protocol (foreachPartition batched replay — pure
+    // per-row work + the stand-in store's map merges), the
+    // multi-batch streaming upsert sink (per-batch stage-then-swap
+    // merges over a growing target). gdpr_k_anonymity is deliberately
+    // absent for the q_pagerank reason: customer is a DIMENSION, fixed
+    // under fact amplification — its slope row would measure constant
+    // work and flatter the suite.
+    "q_bucketed_join", "upsert_jdbc_protocol", "stream_upsert_sink",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so
