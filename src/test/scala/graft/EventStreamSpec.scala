@@ -252,7 +252,7 @@ class EventStreamSpec extends SparkSpec {
       Seq("user_id"), "ts", "event_id")
     try q.processAllAvailable() finally q.stop()
 
-    val streamedState = spark.read.parquet(target)
+    val streamedState = spark.read.parquet(target).drop("_bkt")
     val batchState = MergeOps.latestByKey(events, Seq("user_id"), "ts", "event_id")
     assert(streamedState.count() == batchState.count())
     assert(streamedState.exceptAll(batchState).count() == 0)
@@ -297,51 +297,112 @@ class EventStreamSpec extends SparkSpec {
       s"late-arriving older version clobbered newer state: ${state.toSeq}")
   }
 
-  test("commit recovery restores the table from _old or _staging instead of deleting it") {
+  test("commit recovery restores buckets from _old or _staging instead of deleting them") {
     import org.apache.hadoop.fs.Path
-    def mkTable(p: Path, fs: org.apache.hadoop.fs.FileSystem,
-                committed: Boolean = true): Unit = {
-      fs.mkdirs(p); fs.create(new Path(p, "part-0.parquet")).close()
-      if (committed) fs.create(new Path(p, "_SUCCESS")).close()
+    // bucket-layout fixtures: a "table" is a dir of _bkt=N subdirs; the
+    // staging write job's _SUCCESS lives at the staging ROOT
+    def mkBucket(p: Path, fs: org.apache.hadoop.fs.FileSystem, part: String): Unit = {
+      val b = new Path(p, "_bkt=0")
+      fs.mkdirs(b); fs.create(new Path(b, part)).close()
     }
+    def commit(p: Path, fs: org.apache.hadoop.fs.FileSystem): Unit =
+      fs.create(new Path(p, "_SUCCESS")).close()
     val root = Files.createTempDirectory("graft_recover").toString
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-    // crash window A: target renamed aside, staging never swapped in —
-    // the table exists only as _old; recovery must restore, not delete
+    // crash window A: bucket renamed aside, staged replacement never
+    // swapped in, staging already cleared — the bucket exists only in
+    // _old; recovery must restore it, not delete it
     val t1 = new Path(root, "t1"); val s1 = new Path(root, "t1_staging"); val o1 = new Path(root, "t1_old")
-    mkTable(o1, fs)
+    mkBucket(o1, fs, "part-old.parquet")
     EventStreams.recoverCommitState(fs, t1, s1, o1)
-    assert(fs.exists(t1) && !fs.exists(o1) && !fs.exists(s1))
+    assert(fs.exists(new Path(t1, "_bkt=0/part-old.parquet")) && !fs.exists(o1) && !fs.exists(s1))
 
-    // crash window B: staging fully written (it holds the merge) and _old
-    // also present — staging is the richer copy and must win
+    // crash window B: staging fully committed (it holds the merge) and the
+    // bucket also sits in _old — the staged merge is the richer copy and
+    // must win
     val t2 = new Path(root, "t2"); val s2 = new Path(root, "t2_staging"); val o2 = new Path(root, "t2_old")
-    mkTable(s2, fs); mkTable(o2, fs)
+    mkBucket(s2, fs, "part-staged.parquet"); commit(s2, fs)
+    mkBucket(o2, fs, "part-old.parquet")
     EventStreams.recoverCommitState(fs, t2, s2, o2)
-    assert(fs.exists(t2) && fs.exists(new Path(t2, "part-0.parquet")))
+    assert(fs.exists(new Path(t2, "_bkt=0/part-staged.parquet")))
+    assert(!fs.exists(new Path(t2, "_bkt=0/part-old.parquet")))
     assert(!fs.exists(s2) && !fs.exists(o2))
 
-    // normal path: target intact, stale leftovers just get cleared
+    // normal path: target bucket intact, stale leftovers just get cleared
     val t3 = new Path(root, "t3"); val s3 = new Path(root, "t3_staging"); val o3 = new Path(root, "t3_old")
-    mkTable(t3, fs); mkTable(s3, fs)
+    mkBucket(t3, fs, "part-live.parquet"); mkBucket(s3, fs, "part-stale.parquet"); commit(s3, fs)
     EventStreams.recoverCommitState(fs, t3, s3, o3)
-    assert(fs.exists(new Path(t3, "part-0.parquet")) && !fs.exists(s3))
+    assert(fs.exists(new Path(t3, "_bkt=0/part-live.parquet")) && !fs.exists(s3))
+    assert(!fs.exists(new Path(t3, "_bkt=0/part-stale.parquet")))
 
     // crash window C: first batch died MID-staging-write — partial staging
     // (no _SUCCESS), no target, no _old. The partial dir must be deleted,
     // NOT installed as the merge base; the sink then rebuilds from scratch
     val t4 = new Path(root, "t4"); val s4 = new Path(root, "t4_staging"); val o4 = new Path(root, "t4_old")
-    mkTable(s4, fs, committed = false)
+    mkBucket(s4, fs, "part-partial.parquet")
     EventStreams.recoverCommitState(fs, t4, s4, o4)
     assert(!fs.exists(t4) && !fs.exists(s4))
 
-    // crash window D: partial staging AND an intact _old — _old must win
-    // over the uncommitted merge attempt
+    // crash window D: partial staging AND an intact _old bucket — _old must
+    // win over the uncommitted merge attempt
     val t5 = new Path(root, "t5"); val s5 = new Path(root, "t5_staging"); val o5 = new Path(root, "t5_old")
-    mkTable(s5, fs, committed = false); mkTable(o5, fs)
+    mkBucket(s5, fs, "part-partial.parquet"); mkBucket(o5, fs, "part-old.parquet")
     EventStreams.recoverCommitState(fs, t5, s5, o5)
-    assert(fs.exists(new Path(t5, "part-0.parquet")) && !fs.exists(s5) && !fs.exists(o5))
+    assert(fs.exists(new Path(t5, "_bkt=0/part-old.parquet")) && !fs.exists(s5) && !fs.exists(o5))
+  }
+
+  test("a single-key micro-batch rewrites ONLY its own bucket directory") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Tables.events(spark, SfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    val in = Files.createTempDirectory("graft_bktprune_in").toString
+    events.repartition(4).write.mode("overwrite").parquet(in)
+    val target = Files.createTempDirectory("graft_bktprune_out").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_bktprune_ckpt").toString
+    val nBuckets = 8
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val q = EventStreams.upsertSink(stream, target, ckpt,
+      Seq("user_id"), "ts", "event_id", nBuckets)
+    try {
+      q.processAllAvailable()
+
+      // per-bucket listing fingerprint of the loaded table
+      def listing(): Map[String, Set[(String, Long, Long)]] = {
+        val dirs = new java.io.File(target).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("_bkt="))
+        dirs.map(d => d.getName ->
+          d.listFiles().map(f => (f.getName, f.lastModified, f.length)).toSet).toMap
+      }
+      val before = listing()
+      assert(before.size > 1, s"expected multiple bucket dirs, got ${before.keySet}")
+
+      // one new row for ONE key, strictly newer than anything in the table
+      val singleKey = 7L
+      Seq((999999L, singleKey, t("2099-01-01 00:00:00"), "probe", 1.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+
+      val after = listing()
+      val expectedBucket = spark.range(1)
+        .select(pmod(hash(lit(singleKey)), lit(nBuckets)).as("b"))
+        .head().getInt(0)
+      val changed = (before.keySet ++ after.keySet)
+        .filter(k => before.get(k) != after.get(k))
+      assert(changed == Set(s"_bkt=$expectedBucket"),
+        s"single-key batch touched buckets $changed, expected only _bkt=$expectedBucket " +
+          s"of ${before.size} — the merge is not bucket-pruned")
+
+      // and the merge inside the touched bucket is still right
+      val row = spark.read.parquet(target).filter(col("user_id") === singleKey)
+        .select("event_id", "event_type").head()
+      assert((row.getLong(0), row.getString(1)) == (999999L, "probe"))
+    } finally q.stop()
   }
 
   test("sub-second timestamps use the batch path's second-floored gap predicate") {
