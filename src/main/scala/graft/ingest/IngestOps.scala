@@ -25,6 +25,9 @@ import graft.operators.EtlOps
   */
 object IngestOps {
 
+  private val jsonlLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The reference's complete closed layout domain (import_cards.py:29-34,
     * init.sql ENUM layout_type — all 24 values). */
   val AllowedLayouts: Seq[String] = Seq(
@@ -808,13 +811,35 @@ object IngestOps {
     * + one schema'd scan + one count-compare join, all linear. */
   def qIngestEventsJsonl(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_events_jsonl").toString
     val ntzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
-    ev.write.mode("overwrite").option("timestampNTZFormat", ntzFmt).json(tmp)
-    // one malformed line in its own part file: PERMISSIVE must park it
-    // in _corrupt_record, never silently drop or poison the batch
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tmp, "part-corrupt.json"), "{not json at all\n")
+    // the exported JSONL copy is memoized by the dir SNAPSHOT (ADVICE
+    // r11: a fresh temp copy of the whole events table per invocation
+    // accumulates unbounded scratch across bench reps) — the returned
+    // plan reads the export lazily, so it must outlive this call; one
+    // copy per snapshot is the bound. A done-marker gates reuse so a
+    // crashed half-export is wiped and rewritten, never served.
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_events_jsonl_" + graft.SessionCache.dirKey(dir)
+    val tmp = s"$root/export"
+    val done = java.nio.file.Paths.get(root, "_graft_done")
+    val lock = jsonlLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(done)) {
+        def rm(f: java.io.File): Unit = if (f.exists) {
+          if (f.isDirectory)
+            Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+        ev.write.mode("overwrite").option("timestampNTZFormat", ntzFmt).json(tmp)
+        // one malformed line in its own part file: PERMISSIVE must park it
+        // in _corrupt_record, never silently drop or poison the batch
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "part-corrupt.json"), "{not json at all\n")
+        java.nio.file.Files.createFile(done)
+        ()
+      }
+    }
     val back = spark.read
       .schema(ev.schema.add(StructField("_corrupt_record", StringType)))
       .option("mode", "PERMISSIVE")

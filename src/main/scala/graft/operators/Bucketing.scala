@@ -268,12 +268,26 @@ object Bucketing {
     * amortized write the bucketed layout exists to buy). Both sides use
     * the SAME bucket count and the join key renamed to one name, the
     * co-location contract. */
+  /** Last built snapshot-suffix per (session, dir path): when a dir is
+    * REWRITTEN mid-session (amplify-into-scratch across scale steps) the
+    * fresh snapshot gets new table names — drop the superseded
+    * generation's managed tables instead of stranding them in the
+    * warehouse (ADVICE r11). */
+  private val lastBktSfx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def bucketedFactTables(
       spark: SparkSession, dir: String): (String, String) = {
     val sfx = graft.SessionCache.dirKey(dir)
     val (ot, lt) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
-    val lock = zorderLocks.computeIfAbsent("bkt_" + sfx, _ => new Object)
+    val genKey =
+      s"${System.identityHashCode(spark)}|${graft.SessionCache.viewKey(dir)}"
+    val lock = zorderLocks.computeIfAbsent("bkt_" + genKey, _ => new Object)
     lock.synchronized {
+      val prev = lastBktSfx.put(genKey, sfx)
+      if (prev != null && prev != sfx)
+        Seq(s"graft_bkt_orders_$prev", s"graft_bkt_lineitem_$prev")
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       import org.apache.spark.sql.functions.col
       // a managed table's DATA outlives the in-memory catalog (the
       // warehouse dir persists across JVMs while the registration does

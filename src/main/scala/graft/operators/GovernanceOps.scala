@@ -58,15 +58,21 @@ object GovernanceOps {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val erased = docs.filter(!isForgotten(col("doc_id")))
 
-    // base-table audit
-    val baseAudit = docs
-      .agg(count(lit(1)).as("rows_before"),
-        sum(when(isForgotten(col("doc_id")), 1L).otherwise(0L)).as("purged"))
+    // base-table audit: rows_after and residual_refs are aggregated from
+    // the ACTUAL erased frame, exactly as frameAudit does for the derived
+    // frames — deriving rows_after as before−purged from the PRE-erasure
+    // scan (the r11 form) could never witness a bug in the erased filter
+    // itself, the thing this row's audit exists to check (ADVICE r11)
+    val baseAudit = docs.agg(count(lit(1)).as("rows_before"))
+      .crossJoin(broadcast(erased.agg(
+        count(lit(1)).as("rows_after"),
+        coalesce(sum(when(isForgotten(col("doc_id")), 1L).otherwise(0L)), lit(0L))
+          .as("residual_refs"))))
       .select(lit("documents").as("frame"),
         col("rows_before"),
-        (col("rows_before") - col("purged")).as("rows_after"),
-        col("purged"),
-        lit(0L).as("residual_refs"),
+        col("rows_after"),
+        (col("rows_before") - col("rows_after")).as("purged"),
+        col("residual_refs"),
         lit(0L).as("n_changed"))
 
     // dedup-decision audit: rebuild over survivors; pair evidence is the

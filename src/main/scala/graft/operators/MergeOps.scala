@@ -194,6 +194,16 @@ object MergeOps {
     * read-back for `spark.read.jdbc`; nothing else changes. */
   def qUpsertJdbcProtocol(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{InMemoryUpsertDb, JdbcUpsert}
+    // InMemoryUpsertDb is a JVM-static stand-in for the EXTERNAL shared
+    // database: correct only when executors share the driver JVM. On a
+    // distributed master each executor would write its own process-local
+    // map and the driver would read back an empty/partial table —
+    // silently. Fail loudly instead; production points upsertInto at a
+    // real JDBC connection factory and has no such restriction.
+    require(spark.sparkContext.isLocal,
+      "upsert_jdbc_protocol uses the in-memory upsert stand-in, which is " +
+        "only correct under a local[n] master — on a cluster, supply a " +
+        "real JDBC connection factory to JdbcUpsert.upsertInto instead")
     val cents = expr("cast(round(o_totalprice * 100) as bigint)")
     val orders = Tables.orders(spark, dir)
     val versions = orders

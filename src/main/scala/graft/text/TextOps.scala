@@ -755,7 +755,18 @@ object TextOps {
     * apply a FROZEN table), so it is a literal both engines share. The
     * list deliberately exercises cascading merges (t+h → th, th+e →
     * the), merges whose left side is itself a merged symbol, and pairs
-    * that interact on real corpus words (or/ro, at/an). */
+    * that interact on real corpus words (or/ro, at/an).
+    *
+    * TABLE CONTRACT (ADVICE r11, spec-pinned in TextOpsSpec):
+    * [[qBpeEncode]] applies each rank exactly ONCE, in rank order — that
+    * single pass equals full iterative BPE only while no merge's OUTPUT
+    * symbol is a component of an earlier-or-equal-rank pair (applying
+    * rank i could otherwise re-create instances of a pair whose pass has
+    * already run, which true BPE would merge and the single pass would
+    * not). Any edit to this table must preserve the property; the spec
+    * validates it mechanically so a violating edit fails CI instead of
+    * silently diverging from real-tokenizer semantics while both engines
+    * still agree. */
   private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "e" -> "r", "a" -> "t", "s" -> "t",
     "a" -> "n", "o" -> "r", "r" -> "o", "i" -> "n", "l" -> "o")

@@ -267,12 +267,32 @@ class SimilaritySpec extends SparkSpec {
     val df = SimilarityOps.qEmbedKnnDensity(spark, SfDir)
     // the corpus median must ride the two-pass histogram-refinement
     // kernel, never the single-buffer exact percentile aggregate (which
-    // buffers all n density rows in one task — VERDICT r10 ask #1)
-    val percAggs = df.queryExecution.executedPlan.flatMap(_.expressions.flatMap(_.collect {
-      case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
-    }))
+    // buffers all n density rows in one task — VERDICT r10 ask #1).
+    // Walk through AQE wrappers explicitly (ADVICE r11: with AQE on, the
+    // root is an AdaptiveSparkPlanExec LEAF for flatMap, so the bare
+    // collect saw no aggregates and the assertion was vacuous)
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    val percAggs = walk(df.queryExecution.executedPlan)
+      .flatMap(_.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+      }))
     assert(percAggs.isEmpty,
       "single-buffer exact Percentile aggregate back in the density plan")
+    // positive control: the detector must FIRE on a plan that does carry
+    // the aggregate, or the assertion above proves nothing
+    val ctrl = spark.range(100).agg(expr("percentile(id, 0.5)"))
+    assert(walk(ctrl.queryExecution.executedPlan)
+        .flatMap(_.expressions.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+        })).nonEmpty,
+      "Percentile detector is blind — walk() no longer reaches the real plan")
     val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
     val n = Tables.embeddings(spark, SfDir).count()

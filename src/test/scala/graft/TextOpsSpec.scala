@@ -147,6 +147,34 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.contains("the"), "corpus lost its cascade witness word")
   }
 
+  test("BpeMerges satisfies the single-pass-per-rank table contract") {
+    // qBpeEncode applies each rank exactly once in order; that equals
+    // full iterative BPE only while no merge's OUTPUT is a component of
+    // an earlier-or-equal-rank pair (its application could re-create a
+    // pair whose pass already ran). A violating edit to the planted
+    // table must fail HERE, not silently diverge from real-tokenizer
+    // semantics while both engines still agree (ADVICE r11).
+    def violations(t: Seq[(String, String)]): Seq[String] =
+      t.zipWithIndex.flatMap { case ((l, r), i) =>
+        val out = l + r
+        t.take(i + 1).zipWithIndex.collect {
+          case ((pl, pr), j) if out == pl || out == pr =>
+            s"merge #$i ($l+$r -> '$out') re-creates pair #$j ($pl,$pr) " +
+              "after that rank's single pass has already run"
+        }
+      }
+    assert(violations(TextOps.BpeMerges).isEmpty,
+      s"BpeMerges violates the single-pass contract: ${violations(TextOps.BpeMerges)}")
+    // controls: the legitimate cascade (earlier output feeding a LATER
+    // pair, th->the in the real table) must pass; a later output that
+    // equals an EARLIER pair's component must fire
+    assert(violations(Seq("a" -> "b", "ab" -> "c")).isEmpty,
+      "checker wrongly flags the legitimate cascade shape")
+    assert(violations(Seq("ab" -> "c", "a" -> "b")).nonEmpty,
+      "checker is blind: rank-1 output 'ab' enables rank-0's pair only " +
+        "after rank-0's pass already ran — it must be flagged")
+  }
+
   test("domain stats: canonicalization clean, registrable domains, dup share only where planted") {
     val rows = TextOps.qDomainStats(spark, SfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
