@@ -159,6 +159,7 @@ object SparkEntry {
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
     "gdpr_k_anonymity"    -> (graft.operators.GovernanceOps.qKAnonymity _),
     "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
+    "ingest_freshness_refresh" -> (graft.ingest.IngestOps.qIngestFreshness _),
     "upsert_jdbc_protocol" -> (graft.operators.MergeOps.qUpsertJdbcProtocol _),
     "q_market_basket"     -> (graft.operators.AssocOps.qMarketBasket _),
     // §2.D text analysis
@@ -1379,6 +1380,38 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_corrupt,
         |  TRUE AS parity_ok
         |FROM events""".stripMargin,
+    // freshness refresh lifecycle: the oracle regenerates both payload
+    // generations from dense-id arithmetic (row_number over orders,
+    // capped — the range() convention) and states the protocol's
+    // decision/counter sequence literally: one download for the first
+    // fetch, NONE for the fresh hit, one more for the stale refresh
+    "ingest_freshness_refresh" ->
+      """WITH ids AS (
+        |  SELECT id FROM (
+        |    SELECT row_number() OVER () - 1 AS id FROM orders) WHERE id < 250000),
+        |v1 AS (
+        |  SELECT id, (id*7919)%1000000 AS pc, 1 AS v FROM ids WHERE id%7 <> 0),
+        |v2 AS (
+        |  SELECT id,
+        |    (id*7919)%1000000 + CASE WHEN id%7 = 0 THEN 250 ELSE 0 END AS pc,
+        |    CASE WHEN id%7 = 0 THEN 2 ELSE 1 END AS v
+        |  FROM ids),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(id*1000 + pc + v) AS BIGINT) AS c FROM v1),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(id*1000 + pc + v) AS BIGINT) AS c FROM v2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'first_fetch' AS scenario,
+        |    'initial_load' AS decision, TRUE AS downloaded,
+        |    CAST(1 AS BIGINT) AS n_catalog_gets, CAST(1 AS BIGINT) AS n_downloads,
+        |    n AS local_rows, c AS local_checksum FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'fresh_hit', 'up_to_date', FALSE,
+        |    CAST(2 AS BIGINT), CAST(1 AS BIGINT), n, c FROM s1
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'stale_refresh', 'refresh', TRUE,
+        |    CAST(3 AS BIGINT), CAST(2 AS BIGINT), n, c FROM s3)
+        |ORDER BY step""".stripMargin,
     // domain/URL rollup: the oracle regenerates the derived URLs with the
     // same (doc_id, source) arithmetic, re-parses them with its own string
     // functions (canonicalization rules stated literally), and rolls up

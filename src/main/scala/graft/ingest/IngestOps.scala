@@ -876,4 +876,115 @@ object IngestOps {
         (col("n_back") - col("n_parsed")).as("n_corrupt"),
         (col("n_mismatched") === 0L).as("parity_ok"))
   }
+
+  /** Freshness-gated bulk refresh lifecycle (VERDICT r11 ask #4 —
+    * retires the last spec-only component): the reference's
+    * `download_latest_json` protocol (import_cards.py:287-336 — query
+    * the bulk-data catalog, select the desired type, compare the
+    * server's `updated_at` against the local file mtime, download only
+    * when stale, pin the landed file's mtime to the server watermark)
+    * hash-gated END TO END through [[graft.sources.InMemoryBulkServer]],
+    * an APPLYING stand-in for the HTTP endpoint (the
+    * `InMemoryUpsertDb` convention on the read side: same client code,
+    * sandboxed transport).
+    *
+    * Three protocol steps run in order, each a full
+    * catalog→select→decide→conditional-download pass:
+    *   1. `first_fetch`   — no local file → InitialLoad, downloads v1;
+    *   2. `fresh_hit`     — local mtime == server updated_at → UpToDate,
+    *                        must NOT download (the request counter pins
+    *                        it — a spurious re-download breaks the hash);
+    *   3. `stale_refresh` — server publishes v2 (new updated_at + URI)
+    *                        → Refresh, downloads and replaces.
+    * After each step the landed JSONL is re-read through a schema'd scan
+    * and reduced to (rows, integer checksum) — so a skipped download, a
+    * download on a fresh hit, a wrong selection ("all_prints" must map
+    * to the catalog's `all_cards`), or an mtime not pinned to
+    * `updated_at` all change the audit and break the oracle.
+    *
+    * The payload is regenerated from id arithmetic (the cards-corpus
+    * range() convention) sized by the orders rowcount (capped at 250k),
+    * so the oracle replays it without fixtures. Driver-side material:
+    * the payload bodies (the SERVER's file — in production they live
+    * behind the endpoint and stream to disk, never through the driver;
+    * at the capped size they are a few MB of stand-in state) and one
+    * 1-row aggregate per step (bounded metadata). The landing scratch
+    * is deleted before returning — the audit rows are scalars, nothing
+    * lazy reads the scratch. */
+  def qIngestFreshness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Freshness, InMemoryBulkServer}
+    val n = math.min(graft.Tables.tableCount(spark, dir, "orders"), 250000L)
+    def price(id: Long) = (id * 7919L) % 1000000L
+    def status(id: Long) = (id % 3) match {
+      case 0 => "O"; case 1 => "F"; case _ => "P"
+    }
+    def body(version: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var id = 0L
+      while (id < n) {
+        val (pc, v) =
+          if (id % 7 != 0) (price(id), 1L)
+          else (price(id) + 250L, 2L)
+        if (id % 7 != 0 || version == 2)
+          sb.append(s"""{"id":$id,"status":"${status(id)}","price_cents":$pc,"v":$v}""")
+            .append('\n')
+        id += 1
+      }
+      sb.toString
+    }
+    def catalogJson(updatedAt: String, uri: String) =
+      s"""{"data":[{"type":"oracle_cards","updated_at":"2026-01-01T00:00:00Z",""" +
+        s""""download_uri":"mem://bulk/oracle"},""" +
+        s"""{"type":"all_cards","updated_at":"$updatedAt","download_uri":"$uri"}]}"""
+
+    val root = java.nio.file.Files.createTempDirectory("graft_freshness").toFile
+    try {
+      val server = new InMemoryBulkServer
+      server.publishPayload("mem://bulk/all_v1", body(1))
+      server.publishCatalog(catalogJson("2026-02-01T00:00:00Z", "mem://bulk/all_v1"))
+      val landing = new java.io.File(root, "bulk.jsonl")
+      val payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("status", StringType),
+        StructField("price_cents", LongType), StructField("v", LongType)))
+      def landedStats(): (Long, Long) = {
+        val r = spark.read.schema(payloadSchema).json(landing.getPath)
+          .agg(count(lit(1)),
+            sum(col("id") * 1000L + col("price_cents") + col("v"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      def decisionName(d: Freshness.Decision): String = d match {
+        case Freshness.InitialLoad => "initial_load"
+        case Freshness.Refresh     => "refresh"
+        case Freshness.UpToDate    => "up_to_date"
+      }
+      val steps: Seq[(Long, String, () => Unit)] = Seq(
+        (1L, "first_fetch", () => ()),
+        (2L, "fresh_hit", () => ()),
+        (3L, "stale_refresh", () => {
+          server.publishPayload("mem://bulk/all_v2", body(2))
+          server.publishCatalog(
+            catalogJson("2026-02-02T00:00:00Z", "mem://bulk/all_v2"))
+        }))
+      val audit = steps.map { case (step, scenario, mutateServer) =>
+        mutateServer()
+        val (d, downloaded) =
+          Freshness.refreshIfStale(spark, server, "all_prints", landing)
+        val (rows, ck) = landedStats()
+        (step, scenario, decisionName(d), downloaded,
+          server.nCatalogGets, server.nDownloads, rows, ck)
+      }
+      val spark2 = spark
+      import spark2.implicits._
+      audit.toDF("step", "scenario", "decision", "downloaded",
+        "n_catalog_gets", "n_downloads", "local_rows", "local_checksum")
+        .orderBy("step")
+    } finally {
+      def rm(f: java.io.File): Unit = if (f.exists) {
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
+  }
 }

@@ -133,4 +133,49 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(got.filterKeys(_ != "U").values.forall(_._3 == 0L),
       "non-conflicted keys must never count as upserted")
   }
+
+  test("freshness refresh protocol: first fetch, fresh hit, stale refresh, 404, miss") {
+    import graft.sources.InMemoryBulkServer
+    def cat(updatedAt: String, uri: String) =
+      s"""{"data":[{"type":"oracle_cards","updated_at":"2026-01-01T00:00:00Z",""" +
+        s""""download_uri":"mem://p/oracle"},""" +
+        s"""{"type":"all_cards","updated_at":"$updatedAt","download_uri":"$uri"}]}"""
+    val server = new InMemoryBulkServer
+    server.publishPayload("mem://p/v1", "{\"id\":1}\n")
+    server.publishCatalog(cat("2026-01-01T00:00:00Z", "mem://p/v1"))
+    val f = java.nio.file.Files.createTempDirectory("graft_fresh")
+      .resolve("bulk.jsonl").toFile
+
+    // first fetch: no local file -> InitialLoad, one download, mtime
+    // pinned to the server watermark (the reference's os.utime)
+    val (d1, dl1) = Freshness.refreshIfStale(spark, server, "all_prints", f)
+    assert(d1 == Freshness.InitialLoad && dl1 && server.nDownloads == 1)
+    assert(f.lastModified == Instant.parse("2026-01-01T00:00:00Z").toEpochMilli)
+    assert(java.nio.file.Files.readString(f.toPath).contains("\"id\":1"))
+
+    // fresh hit: mtime == updated_at -> UpToDate, download counter frozen
+    val (d2, dl2) = Freshness.refreshIfStale(spark, server, "all_prints", f)
+    assert(d2 == Freshness.UpToDate && !dl2 && server.nDownloads == 1)
+
+    // stale refresh: server bumps updated_at + URI -> Refresh, replaced
+    server.publishPayload("mem://p/v2", "{\"id\":2}\n")
+    server.publishCatalog(cat("2026-01-02T00:00:00Z", "mem://p/v2"))
+    val (d3, dl3) = Freshness.refreshIfStale(spark, server, "all_prints", f)
+    assert(d3 == Freshness.Refresh && dl3 && server.nDownloads == 2)
+    assert(java.nio.file.Files.readString(f.toPath).contains("\"id\":2"))
+    assert(f.lastModified == Instant.parse("2026-01-02T00:00:00Z").toEpochMilli)
+
+    // a catalog entry pointing at an unpublished URI is a loud 404
+    server.publishCatalog(cat("2026-01-03T00:00:00Z", "mem://p/missing"))
+    intercept[java.io.IOException] {
+      Freshness.refreshIfStale(spark, server, "all_prints", f)
+    }
+
+    // a desired type absent from the catalog errors with the USER-FACING
+    // name (select's contract, through the full protocol path)
+    val err = intercept[RuntimeException] {
+      Freshness.refreshIfStale(spark, server, "default_cards", f)
+    }
+    assert(err.getMessage == "default_cards bulk data not found")
+  }
 }
