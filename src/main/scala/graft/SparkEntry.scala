@@ -165,6 +165,7 @@ object SparkEntry {
     // §2.D text analysis
     "text_token_count"    -> (graft.text.TextOps.qTokenCount _),
     "text_quality_score"  -> (graft.text.TextOps.qQualityScore _),
+    "text_quality_classifier" -> (graft.text.TextOps.qQualityClassifier _),
     "text_lang_id"        -> (graft.text.TextOps.qLangId _),
     "doc_fingerprint"     -> (graft.text.TextOps.qDocFingerprint _),
     "text_ngram_freq"     -> (graft.text.TextOps.qNgramFreq _),
@@ -1973,6 +1974,40 @@ object SparkEntry {
         |  CAST(round(length(regexp_replace(text, '[\w\s]', '', 'g')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
         |  CAST(round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 10000.0 / len(toks)) AS BIGINT) AS stopword_ratio_bp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // fastText-style hashed linear scorer: the oracle rebuilds the SAME
+    // 2^21-bucket weight table from the literal model (md5-64 bucket,
+    // colliding weights sum), regenerates the planted suffixes from
+    // doc_id arithmetic, and replays unigram+bigram hashing and the
+    // keep/drop rule integer-exactly
+    "text_quality_classifier" ->
+      """WITH w(term, wt) AS (VALUES
+        |  ('click', -1000000), ('buy', -900000), ('free', -950000),
+        |  ('offer', -850000), ('subscribe', -800000),
+        |  ('click here', -1500000), ('buy now', -1400000),
+        |  ('because', 900000), ('therefore', 950000), ('with', 750000),
+        |  ('of', 700000), ('and', 650000),
+        |  ('because therefore', 1100000), ('of the', 800000), ('the', 1000)),
+        |wb AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT % 2097152 AS b,
+        |         CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1),
+        |d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
+        |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
+        |         ELSE '' END AS t FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
+        |feats AS (SELECT doc_id,
+        |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS f FROM toks),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(f), 1, 16))::UBIGINT % 2097152 AS b FROM feats),
+        |sc AS (SELECT doc_id, count(*) AS n_features,
+        |         sum(CASE WHEN wt IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+        |         sum(coalesce(wt, 0)) AS logit_sum
+        |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(logit_sum AS BIGINT) AS logit_sum,
+        |  CASE WHEN logit_sum > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // the oracle states the selection CONTRACT literally (global ordered
     // window cumsum); the spark side implements it by histogram cutoff —
     // a hash mismatch means the phased selection diverged from the greedy

@@ -78,6 +78,98 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The frozen quality-classifier model artifact (VERDICT r11 ask #5 —
+    * the fastText-style linear scorer of GPT-3/LLaMA-lineage pipelines;
+    * DSIR covers distribution matching, this is the SUPERVISED quality
+    * stage): integer weights over word unigrams AND word bigrams
+    * (fastText `wordNgrams=2`), applied through the hashing trick — a
+    * feature scores by its md5-64 bucket, never by a vocabulary lookup.
+    * A planted literal (the [[BpeMerges]] convention: encode applies a
+    * TRAIN-time artifact, so both engines share it verbatim). Spam
+    * markers carry large negative weight, prose connectives large
+    * positive, and `the` a small positive so BASE-corpus text
+    * participates in scoring (not only the planted suffixes). */
+  private[graft] val QualityModel: Seq[(String, Long)] = Seq(
+    "click" -> -1000000L, "buy" -> -900000L, "free" -> -950000L,
+    "offer" -> -850000L, "subscribe" -> -800000L,
+    "click here" -> -1500000L, "buy now" -> -1400000L,
+    "because" -> 900000L, "therefore" -> 950000L, "with" -> 750000L,
+    "of" -> 700000L, "and" -> 650000L,
+    "because therefore" -> 1100000L, "of the" -> 800000L,
+    "the" -> 1000L)
+
+  /** Hashed-feature bucket count — fastText's own 2M-bucket default
+    * (2^21; power of two, so unsigned `mod` equals `& (B-1)` on the
+    * signed md5-64 long — the exact bit identity the DuckDB oracle's
+    * `::UBIGINT % 2097152` replays). At 2^21 buckets a ~1k-type corpus
+    * vocabulary has near-zero planted-bucket collisions, so the planted
+    * class margins stay model-scale; colliding weights would still SUM
+    * per bucket (fastText's shared-bucket behavior), identically in
+    * both engines. */
+  private[graft] val QualityBuckets = 2097152L
+
+  /** fastText-style quality-classifier scoring — the canonical
+    * supervised quality-filter stage: every document scores as the sum
+    * of planted integer weights over its hashed unigram+bigram
+    * features, and `label` is the keep/drop release decision
+    * (`logit_sum > 0`). High/low-quality spans are PLANTED by doc_id
+    * arithmetic (the text_domain_stats convention — the synthetic
+    * corpus carries no natural quality signal): docs ≡0 (mod 5) gain a
+    * spam-marker suffix, ≡1 a prose-connective suffix, the rest score
+    * on base text alone (where only `the` carries weight).
+    *
+    * The HASHING TRICK is the load-bearing scale property (Joulin et
+    * al. 2016): scoring needs no vocabulary build and no corpus-sized
+    * model join — features map to a FIXED 2^21-bucket weight table
+    * (weights of colliding planted terms SUM per bucket, exactly
+    * fastText's shared-bucket behavior), the table broadcasts, and the
+    * plan is one narrow codegen'd map (tokens → md5-64 → `& 4095`,
+    * the [[graft.functions.Md5Hash64Array]] kernel) + one broadcast
+    * left join + one map-side-combined groupBy — scan-bound at any
+    * corpus size, the fastText inference shape. Bigrams build inside
+    * the row via zip_with on the token array (no shuffle, no window).
+    * TextOpsSpec proves the planted classes separate with a wide
+    * margin; the oracle replays weights, hashing, and labels
+    * integer-exactly. */
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val weightRows = QualityModel
+      .map { case (t, w) =>
+        (graft.functions.Md5Hash64Array.hash64(UTF8String.fromString(t))
+          & (QualityBuckets - 1L), w)
+      }
+      .groupBy(_._1).map { case (b, ws) => (b, ws.map(_._2).sum) }.toSeq
+    val spark2 = spark
+    import spark2.implicits._
+    val weights = weightRows.toDF("b", "wt")
+    val suffixed = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" click here buy now subscribe free offer"))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            lit(" because therefore of the and with"))
+          .otherwise(lit(""))).as("t"))
+    val feats = suffixed.select(col("doc_id"),
+      wsTokens(col("t")).as("ws"))
+      .select(col("doc_id"), concat(col("ws"),
+        zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("fs"))
+    feats
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.md5Hash64Array(col("fs"))).as("h"))
+      .withColumn("b", col("h").bitwiseAND(lit(QualityBuckets - 1L)))
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(when(col("wt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(col("wt"), lit(0L))).as("logit_sum"))
+      .select(col("doc_id"), col("n_features"), col("n_hits"), col("logit_sum"),
+        when(col("logit_sum") > 0, "keep").otherwise("drop").as("label"))
+      .orderBy("doc_id")
+  }
+
   /** Data-mixture reweighting — the domain-balancing step of a training
     * pipeline (keep one crawl from dominating the mix): per-source token
     * mass vs the uniform target share, emitting the keep-rate each

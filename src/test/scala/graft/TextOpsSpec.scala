@@ -147,6 +147,48 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.contains("the"), "corpus lost its cascade witness word")
   }
 
+  test("quality classifier: planted classes separate; hashing-trick bookkeeping exact") {
+    val rows = TextOps.qQualityClassifier(spark, SfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(rows.nonEmpty)
+    val spam = rows.filter(_._1 % 5 == 0).values
+    val prose = rows.filter(_._1 % 5 == 1).values
+    assert(spam.nonEmpty && prose.nonEmpty)
+    // every planted spam doc drops, every planted prose doc keeps, and
+    // the margin between the classes is model-scale wide (≥ 13M: spam
+    // suffix sums to -7.4M, prose to +5.85M; base text can only add the
+    // small `the` weight on both sides)
+    spam.foreach { case (_, hits, logit, label) =>
+      assert(label == "drop" && logit < -7000000L, s"spam doc scored $logit")
+      assert(hits >= 7, "spam suffix features missed the weight table") // 5 uni + 2 bi
+    }
+    prose.foreach { case (_, hits, logit, label) =>
+      assert(label == "keep" && logit > 5000000L, s"prose doc scored $logit")
+      assert(hits >= 8, "prose suffix features missed the weight table")
+    }
+    assert(prose.map(_._3).min - spam.map(_._3).max > 12000000L,
+      "planted class margin collapsed")
+    // feature bookkeeping: unigrams + bigrams of an n-token doc = 2n-1
+    // features; recompute one doc's count from its raw text
+    val probe = rows.keys.min
+    val text = Tables.documents(spark, SfDir)
+      .filter(col("doc_id") === probe).select("text").head().getString(0)
+    val nTok = text.trim.split("\\s+").length +
+      (if (probe % 5 == 0 || probe % 5 == 1) 7 else 0) // planted suffixes add 7 words
+    assert(rows(probe)._1 == 2L * nTok - 1L,
+      s"doc $probe: ${rows(probe)._1} features for $nTok tokens")
+    // base-text participation: a neutral doc containing `the` must score
+    // positive (the base weight), one without must score exactly 0
+    val neutral = rows.filter(_._1 % 5 >= 2)
+    assert(neutral.values.exists(_._3 > 0) ,
+      "no neutral doc picked up the base-text weight — base scoring dead")
+    neutral.foreach { case (id, (_, hits, logit, label)) =>
+      if (hits == 0) assert(logit == 0L && label == "drop",
+        s"neutral doc $id with zero hits scored $logit")
+    }
+  }
+
   test("BpeMerges satisfies the single-pass-per-rank table contract") {
     // qBpeEncode applies each rank exactly once in order; that equals
     // full iterative BPE only while no merge's OUTPUT is a component of
