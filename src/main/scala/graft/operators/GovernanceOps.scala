@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -16,29 +16,58 @@ import graft.Tables
   */
 object GovernanceOps {
 
-  /** The deterministic forget set: every doc whose id ≡ 13 (mod 97) —
-    * pure id arithmetic so the DuckDB oracle reproduces it exactly
-    * (the planted-twin convention). A real deployment feeds a keyed
-    * erasure-request table here; everything downstream is unchanged. */
+  /** The deterministic forget set for the GATED instance: every doc whose
+    * id ≡ 13 (mod 97) — pure id arithmetic so the DuckDB oracle reproduces
+    * it exactly (the planted-twin convention). The kernel itself is keyed:
+    * `forgetAudit` takes an erasure-request TABLE (the production shape —
+    * many requests amortize ONE rebuild); this modulus set only derives
+    * that table for the hash gate. */
   private val ForgetMod = 97L
   private val ForgetRem = 13L
-  private def isForgotten(id: org.apache.spark.sql.Column) =
-    pmod(id, lit(ForgetMod)) === ForgetRem
+
+  /** Production erasure kernel: given a corpus, its mined pair evidence,
+    * and a keyed erasure-request table (one `doc_id` per requested key),
+    * return (survivors, surviving pair evidence). The request table is
+    * erasure-request-sized — small against any corpus — so membership is
+    * a broadcast anti-join, never a collect or a corpus shuffle; Jaccard
+    * is pairwise, so survivor-survivor similarity is unaffected by
+    * deletes and the survivors' pair list is exactly the cached full
+    * list minus edges touching a requested key (edge filter, no corpus
+    * re-shingle). Batching is associative by construction: applying
+    * R1 ∪ R2 at once ≡ applying R1 then R2 (spec-pinned), so a
+    * compliance queue drains N requests with one derived-frame rebuild. */
+  private[graft] def applyErasure(corpus: DataFrame, pairs: DataFrame,
+      requests: DataFrame): (DataFrame, DataFrame) = {
+    val req = broadcast(requests.select(col("doc_id").as("__req_id")).distinct())
+    val survivors = corpus.join(req, col("doc_id") === col("__req_id"), "left_anti")
+    val survivingPairs = pairs
+      .join(req, col("doc_a") === col("__req_id"), "left_anti")
+      .join(req, col("doc_b") === col("__req_id"), "left_anti")
+    (survivors, survivingPairs)
+  }
 
   /** GDPR / right-to-be-forgotten delete propagation across the fact
     * table and its derived frames, with a per-frame audit row — one
     * entry proving the key is GONE everywhere and pricing what that
-    * costs:
+    * costs. The registered instance feeds the deterministic modulus
+    * request table into the keyed kernel; a real deployment feeds its
+    * erasure-request queue and everything downstream is unchanged. */
+  def qGdprForgetKeys(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val requests = docs
+      .filter(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRem)
+      .select(col("doc_id"))
+    forgetAudit(spark, dir, requests)
+  }
+
+  /** The keyed erasure-propagation audit:
     *
-    *   - `documents` (base): plain keyed anti-filter.
+    *   - `documents` (base): broadcast anti-join on the request keys.
     *   - `dedup_decision`: decisions are NOT row-local — erasing a doc
     *     erases its planted exact copy, can re-elect a cluster
     *     representative, and can split a component the erased doc
     *     bridged — so the frame is REBUILT over the surviving corpus.
-    *     The expensive pair mine is NOT re-run: Jaccard is pairwise, so
-    *     the survivors' pair list is exactly the session-cached full
-    *     list minus edges touching a forgotten key (edge filter, no
-    *     corpus re-shingle).
+    *     The expensive pair mine is NOT re-run (see `applyErasure`).
     *   - `pack_sequences`: token starts are a global prefix sum, so
     *     every survivor after the first erased doc moves — re-packed
     *     over the surviving corpus via the distributed prefix-sum
@@ -46,17 +75,23 @@ object GovernanceOps {
     *
     * Audit columns per frame: rows_before / rows_after (both from real
     * frame computations), purged (their difference), residual_refs
-    * (post-erasure rows still referencing a forgotten key — the
+    * (post-erasure rows still referencing a requested key — the
     * compliance boolean, must be 0; planted copies map back through the
     * +1e6 id band), and n_changed (SURVIVING rows whose derived values
     * changed — the propagation cost a naive row-delete would silently
     * skip). Everything is integer-exact; the oracle replays both frame
     * generations in SQL. Scale shape: the base scans, one decision
     * rebuild, and one re-pack — all the linear pipelines this suite
-    * already prices — plus metadata-sized audit aggregates. */
-  def qGdprForgetKeys(spark: SparkSession, dir: String): DataFrame = {
+    * already prices — plus metadata-sized audit aggregates; every
+    * request-key test is a broadcast (anti-)join against the
+    * request-sized key set. */
+  def forgetAudit(spark: SparkSession, dir: String,
+      requests: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val erased = docs.filter(!isForgotten(col("doc_id")))
+    val reqKeys = broadcast(
+      requests.select(col("doc_id").as("__req_id")).distinct())
+    val pairsAll = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
+    val (erased, pairsErased) = applyErasure(docs, pairsAll, requests)
 
     // base-table audit: rows_after and residual_refs are aggregated from
     // the ACTUAL erased frame, exactly as frameAudit does for the derived
@@ -64,10 +99,7 @@ object GovernanceOps {
     // scan (the r11 form) could never witness a bug in the erased filter
     // itself, the thing this row's audit exists to check (ADVICE r11)
     val baseAudit = docs.agg(count(lit(1)).as("rows_before"))
-      .crossJoin(broadcast(erased.agg(
-        count(lit(1)).as("rows_after"),
-        coalesce(sum(when(isForgotten(col("doc_id")), 1L).otherwise(0L)), lit(0L))
-          .as("residual_refs"))))
+      .crossJoin(broadcast(residualAgg(erased, col("doc_id"), reqKeys)))
       .select(lit("documents").as("frame"),
         col("rows_before"),
         col("rows_after"),
@@ -75,22 +107,16 @@ object GovernanceOps {
         col("residual_refs"),
         lit(0L).as("n_changed"))
 
-    // dedup-decision audit: rebuild over survivors; pair evidence is the
-    // cached full mine minus edges touching a forgotten key (Jaccard is
-    // pairwise — survivor-survivor similarity is unaffected by deletes)
-    val pairsAll = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
-    val pairsErased = pairsAll
-      .filter(!isForgotten(col("doc_a")) && !isForgotten(col("doc_b")))
     // BEFORE = the session-cached materialized artifact (a pipeline holds
     // its decision table; erasure does not re-derive it) — only the AFTER
     // rebuild is this entry's own priced propagation work
     val decBefore = graft.dedup.DedupOps.cachedDecisionFrame(spark, dir)
     val decAfter = graft.dedup.DedupOps.decisionFrame(erased, pairsErased)
     // planted copies live at doc_id + 1e6; map back before the key test
-    def srcId(id: org.apache.spark.sql.Column) =
+    def srcId(id: Column) =
       when(id >= 1000000L, id - 1000000L).otherwise(id)
     val decAudit = frameAudit("dedup_decision", decBefore, decAfter,
-      residual = isForgotten(srcId(col("doc_id"))),
+      residualKey = srcId(col("doc_id")), reqKeys = reqKeys,
       changed = (b, a) =>
         b("decision") =!= a("decision") || b("cluster") =!= a("cluster"))
 
@@ -100,7 +126,7 @@ object GovernanceOps {
     val packAfter = graft.text.TextOps.packSequences(
       spark, Tables.spread(spark, erased))
     val packAudit = frameAudit("pack_sequences", packBefore, packAfter,
-      residual = isForgotten(col("doc_id")),
+      residualKey = col("doc_id"), reqKeys = reqKeys,
       changed = (b, a) =>
         b("token_start") =!= a("token_start") || b("seq_first") =!= a("seq_first"))
 
@@ -133,18 +159,26 @@ object GovernanceOps {
       .orderBy("c_nationkey", "c_mktsegment", "bal_band")
   }
 
+  /** rows_after + residual_refs for a post-erasure frame: one aggregate
+    * over the frame with request membership resolved by a broadcast left
+    * join on `key` (request-sized build side, never a collect). */
+  private def residualAgg(after: DataFrame, key: Column,
+      reqKeys: DataFrame): DataFrame =
+    after.join(reqKeys, key === col("__req_id"), "left")
+      .agg(count(lit(1)).as("rows_after"),
+        coalesce(sum(when(col("__req_id").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("residual_refs"))
+
   /** One audit row for a derived frame generation pair: counts both
-    * generations, counts post-erasure residual key references, and
-    * counts surviving rows whose derived columns changed. Each input is
+    * generations, counts post-erasure residual key references (request
+    * membership of `residualKey` via broadcast join), and counts
+    * surviving rows whose derived columns changed. Each input is
     * aggregated once; the change count is one doc_id-keyed join. */
   private def frameAudit(name: String, before: DataFrame, after: DataFrame,
-      residual: org.apache.spark.sql.Column,
-      changed: (String => org.apache.spark.sql.Column,
-                String => org.apache.spark.sql.Column)
-        => org.apache.spark.sql.Column): DataFrame = {
+      residualKey: Column, reqKeys: DataFrame,
+      changed: (String => Column, String => Column) => Column): DataFrame = {
     val nBefore = before.agg(count(lit(1)).as("rows_before"))
-    val nAfter = after.agg(count(lit(1)).as("rows_after"),
-      sum(when(residual, 1L).otherwise(0L)).as("residual_refs"))
+    val nAfter = residualAgg(after, residualKey, reqKeys)
     val b = before.select(before.columns.map(c => col(c).as(s"__b_$c")): _*)
     val a = after.select(after.columns.map(c => col(c).as(s"__a_$c")): _*)
     val nChanged = b

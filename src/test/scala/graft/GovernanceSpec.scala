@@ -62,6 +62,58 @@ class GovernanceSpec extends SparkSpec {
         "quasi-identifier fragmentation suppressed the whole population")
   }
 
+  test("batched erasure requests ≡ sequential application") {
+    // the production shape: a keyed request TABLE; a compliance queue
+    // drains N requests with ONE rebuild, so the kernel must make
+    // batch(R1 ∪ R2) indistinguishable from apply(R1) then apply(R2)
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, SfDir)
+    val r1 = docs.filter(col("doc_id") % 97 === 13).select("doc_id")
+    val r2 = docs.filter(col("doc_id") % 101 === 7).select("doc_id")
+    assert(r1.count() > 0 && r2.count() > 0, "vacuous request sets")
+
+    val (batchSurv, batchPairs) =
+      GovernanceOps.applyErasure(docs, pairs, r1.unionByName(r2))
+    val (s1, p1) = GovernanceOps.applyErasure(docs, pairs, r1)
+    val (seqSurv, seqPairs) = GovernanceOps.applyErasure(s1, p1, r2)
+
+    def frameEq(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: batched and sequential application diverge")
+    }
+    frameEq(batchSurv, seqSurv, "survivors")
+    frameEq(batchPairs, seqPairs, "surviving pairs")
+    // and the derived frame REBUILT from each agrees — the thing the
+    // audit actually ships
+    frameEq(graft.dedup.DedupOps.decisionFrame(batchSurv, batchPairs),
+      graft.dedup.DedupOps.decisionFrame(seqSurv, seqPairs),
+      "rebuilt decision frame")
+    // batching genuinely erased both sets
+    assert(batchSurv.count() == docs.count() - r1.count() - r2.count())
+  }
+
+  test("erasure request membership executes as a broadcast join, not a shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, SfDir)
+    val req = docs.filter(col("doc_id") % 97 === 13).select("doc_id")
+    val (surv, _) = GovernanceOps.applyErasure(docs, pairs, req)
+    surv.count() // materialize so AQE finalizes the plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val joins = walk(surv.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty,
+      "request-key anti-join did not execute as a broadcast hash join")
+  }
+
   test("decision rebuild re-elects a representative when the rep is erased") {
     import spark.implicits._
     // doc 1 is the cluster rep of the (1, 2) near-dup pair; erasing it
