@@ -30,13 +30,25 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     // GRAFT_PROBE_AMPLIFY=k: probe the k-fold amplified corpus (the
     // ScalingBench amplifier — within-replica similarity preserved,
-    // cross-replica destroyed) instead of the raw dir
-    val dir = sys.env.get("GRAFT_PROBE_AMPLIFY").map(_.toInt) match {
-      case Some(k) if k > 1 =>
-        val out = s"${sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_probe")}/x$k"
-        ScalingBench.amplify(spark, baseDir, out, k)
+    // cross-replica destroyed) instead of the raw dir.
+    // GRAFT_PROBE_CLUSTERED="cells:n": probe the deterministic CLUSTERED
+    // fixture instead (ScalingBench.clusteredEmbeddings) — the
+    // production-geometry counterpoint to the amplifier's uniform
+    // worst case; takes precedence over AMPLIFY.
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_probe")
+    val dir = sys.env.get("GRAFT_PROBE_CLUSTERED") match {
+      case Some(spec) =>
+        val Array(cells, n) = spec.split(":").map(_.trim.toLong)
+        val out = s"$scratch/clustered_c${cells}_n$n"
+        ScalingBench.clusteredEmbeddings(spark, out, n, cells.toInt)
         out
-      case _ => baseDir
+      case None => sys.env.get("GRAFT_PROBE_AMPLIFY").map(_.toInt) match {
+        case Some(k) if k > 1 =>
+          val out = s"$scratch/x$k"
+          ScalingBench.amplify(spark, baseDir, out, k)
+          out
+        case _ => baseDir
+      }
     }
     import graft.similarity.SimilarityOps
     val truth = SimilarityOps.bruteTruthForProbe(spark, dir)

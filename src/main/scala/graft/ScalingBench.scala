@@ -299,6 +299,44 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** Deterministic CLUSTERED embedding fixture (VERDICT r11 ask #3): the
+    * ANN dial schedules and recall floors were all measured on
+    * uniform-random vectors — IVF's documented worst case, where holding
+    * recall costs a constant probed fraction. Production embedding spaces
+    * are clustered; this fixture measures that regime so the
+    * clustered-vs-uniform response surfaces sit side by side in
+    * BASELINE.md (the uniform floors stay the conservative gates).
+    *
+    * Geometry is pure integer/hash arithmetic (the planted-twin
+    * convention — no RNG state, byte-identical across runs): each of n
+    * ids hashes to one of `cells` planted cell centers; center
+    * components are uniform in [-1,1] from xxhash64(cell,dim), and each
+    * vector is its center plus sigma=0.3 per-component hash noise from
+    * xxhash64(id,dim). Expected geometry: intra-cell cosine ~0.95,
+    * cross-cell ~0 (random 64-dim directions) — tight planted clusters a
+    * coarse quantizer can align with. Every-25th planted-query structure
+    * arrives for free: SimilarityOps derives queries from `vec_id % 25`
+    * over ANY corpus. Writes only embeddings.parquet — the ANN probe
+    * paths touch nothing else. */
+  def clusteredEmbeddings(spark: SparkSession, outDir: String,
+      n: Long, cells: Int): Unit = {
+    require(n < 1000000L,
+      s"clustered fixture n=$n would cross the 1e6 planted-query id offset")
+    val dim = 64
+    val sigma = 0.3
+    spark.range(0L, n, 1L, 32)
+      .select(col("id").as("vec_id"))
+      .withColumn("cell",
+        pmod(xxhash64(concat(lit("cell:"), col("vec_id"))), lit(cells.toLong)))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${dim - 1}), d -> cast(
+              (pmod(xxhash64(concat('c:', cell, ':', d)), 2001) - 1000) / 1000.0
+            + $sigma * (pmod(xxhash64(concat('n:', vec_id, ':', d)), 2001) - 1000) / 1000.0
+            as float))"""))
+      .select(col("vec_id"), col("embedding"), col("cell").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scale")

@@ -581,6 +581,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("clustered fixture: deterministic, tight intra-cell and orthogonal cross-cell geometry") {
+    // VERDICT r11 ask #3: the production-geometry counterpoint to the
+    // amplifier's uniform-random worst case. The fixture must be
+    // replayable (pure hash arithmetic) and genuinely clustered —
+    // otherwise the clustered-vs-uniform dial sweep measures nothing.
+    val out = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_clustered2").toString
+    ScalingBench.clusteredEmbeddings(spark, out, 2000L, 16)
+    val emb = Tables.embeddings(spark, out)
+    assert(emb.count() == 2000)
+    // determinism: a second generation is row-identical
+    ScalingBench.clusteredEmbeddings(spark, out2, 2000L, 16)
+    assert(emb.exceptAll(Tables.embeddings(spark, out2)).count() == 0)
+    // every planted cell is populated (multinomial over 2000 draws)
+    assert(emb.select("label").distinct().count() == 16)
+    // geometry: mean cosine within a cell is near 1, across cells near 0
+    val a = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("ida"), col("label").as("la"), col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select(col("vec_id").as("idb"), col("label").as("lb"), col("embedding").as("vb"))
+    val cos = expr(
+      """aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * y), 0D, (s, x) -> s + x)
+         / sqrt(aggregate(va, 0D, (s, x) -> s + cast(x as double) * x))
+         / sqrt(aggregate(vb, 0D, (s, x) -> s + cast(x as double) * x))""")
+    val stats = a.crossJoin(b)
+      .groupBy((col("la") === col("lb")).as("same_cell"))
+      .agg(avg(cos).as("mean_cos"), count(lit(1)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val (intra, nIntra) = stats(true)
+    val (cross, nCross) = stats(false)
+    assert(nIntra > 100 && nCross > 1000, s"degenerate pair sample $nIntra/$nCross")
+    assert(intra > 0.85, s"intra-cell mean cosine $intra — clusters not tight")
+    assert(math.abs(cross) < 0.2, s"cross-cell mean cosine $cross — cells not separated")
+  }
+
   test("a corpus whose ids reach the planted offset fails loudly instead of aliasing") {
     // VERDICT r9 "what's wrong" #2: with ids at/above PlantedIdOffset the
     // corpus/query splits would silently misclassify corpus vectors as
