@@ -112,6 +112,7 @@ object SparkEntry {
     "ingest_json_cards_file" -> (graft.ingest.IngestOps.qIngestJsonCardsFile _),
     "ingest_csv_cards"    -> (graft.ingest.IngestOps.qIngestCsvCards _),
     "ingest_orc_cards"    -> (graft.ingest.IngestOps.qIngestOrcCards _),
+    "ingest_avro_cards"   -> (graft.ingest.IngestOps.qIngestAvroCards _),
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
     "ingest_parquet_evolve" -> (graft.operators.Bucketing.qIngestParquetEvolve _),
@@ -1125,8 +1126,13 @@ object SparkEntry {
     // columns as JSON strings, 5 malformed lines dropped by PERMISSIVE)
     // and from ORC (full nested schema native) — same oracle as the
     // JSON file path, so a mismatch isolates the source implementation
+    // and from Avro container files (full nested schema as generic
+    // records through the Hadoop AvroKeyInputFormat — the environment
+    // has no spark-avro DataSource, so graft.sources.AvroTable maps
+    // records<->rows in the scan/write tasks)
     "ingest_csv_cards" -> CardsIngestOracle,
     "ingest_orc_cards" -> CardsIngestOracle,
+    "ingest_avro_cards" -> CardsIngestOracle,
     "ingest_json_sets" ->
       """SELECT
         |  'setid-' || CAST(i AS VARCHAR) AS id,

@@ -714,6 +714,35 @@ object IngestOps {
     ingestProjection(ingestParsedCards(
       spark.read.schema(CardSchema).orc(rawCardsOrcDir(spark))))
 
+  private val avroDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Once-per-JVM Avro materialization: the FULL nested 68-column schema
+    * round-trips through Avro container files (records/arrays/maps
+    * native, [null, T] unions for nullability), several part files with
+    * sync markers for real scan splits — the reference's streamed bulk
+    * dump (import_cards.py:351-366) in its canonical row format. */
+  def rawCardsAvroDir(spark: SparkSession): String =
+    avroDirMemo.computeIfAbsent(
+      Integer.valueOf(System.identityHashCode(spark)), _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_raw_cards_avro_${System.identityHashCode(spark)}")
+          .getAbsolutePath
+        graft.sources.AvroTable.write(
+          parsedCardsRaw(spark).repartition(4), dir, "card")
+        dir
+      })
+
+  /** Driver-contract query over the Avro ingest path: a distributed
+    * splittable read through the Hadoop `AvroKeyInputFormat` (the
+    * environment has no spark-avro DataSource — [[graft.sources.AvroTable]]
+    * maps generic records to typed rows in the scan tasks), then the same
+    * pipeline + projection and the same oracle as the JSON/CSV/ORC paths,
+    * so a hash mismatch isolates the SOURCE round-trip. */
+  def qIngestAvroCards(spark: SparkSession, dir: String): DataFrame =
+    ingestProjection(ingestParsedCards(
+      graft.sources.AvroTable.read(spark, rawCardsAvroDir(spark), CardSchema, "card")))
+
   /** Ad-hoc SQL surface end-to-end: the reference README's own example
     * query (`SELECT * FROM cards WHERE layout = 'split'`, README.md:18)
     * joined to its set, executed as RAW SQL through
