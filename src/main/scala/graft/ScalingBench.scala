@@ -114,7 +114,11 @@ object ScalingBench {
     // lifecycle (build/write/append/reload/serve — the serve term
     // dominates, same shape as ann_topk_ivfpq_full's)
     "text_domain_stats", "text_bpe_encode", "gdpr_forget_keys",
-    "ingest_events_jsonl", "ann_index_serve")
+    "ingest_events_jsonl", "ann_index_serve",
+    // round-12 addition: the fastText-style quality scorer — per-row
+    // ngram hashing + one broadcast weight join + map-side groupBy;
+    // must measure scan-bound (the weight table is fixed-size)
+    "text_quality_classifier")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

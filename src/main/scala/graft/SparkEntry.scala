@@ -158,6 +158,7 @@ object SparkEntry {
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
+    "gdpr_forget_batch"   -> (graft.operators.GovernanceOps.qGdprForgetBatch _),
     "gdpr_k_anonymity"    -> (graft.operators.GovernanceOps.qKAnonymity _),
     "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
     "ingest_freshness_refresh" -> (graft.ingest.IngestOps.qIngestFreshness _),
@@ -233,6 +234,97 @@ object SparkEntry {
   /** The synthesized cards corpus regenerated from range(): shared by the
     * in-memory ingest and the JSON-file / CSV / ORC source-parity entries
     * (identical pipeline + projection — a mismatch isolates the source). */
+  /** The forget-propagation oracle, parameterized by the erasure
+    * predicate (as a function of an id-expression string) so the
+    * single-set and batched-queue entries replay the SAME two-generation
+    * SQL with only the request membership swapped. */
+  private def gdprForgetOracle(p: String => String): String =
+    raw"""WITH RECURSIVE
+      |bB AS (SELECT doc_id, text FROM documents),
+      |bA AS (SELECT doc_id, text FROM documents WHERE NOT ${p("doc_id")}),
+      |dB AS (SELECT doc_id, text FROM bB
+      |  UNION ALL SELECT doc_id + 1000000, text FROM bB WHERE doc_id % 10 = 0),
+      |hB AS (SELECT doc_id,
+      |  CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th FROM dB),
+      |eB AS (SELECT th, min(doc_id) AS exact_rep FROM hB GROUP BY th),
+      |sB AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM bB)),
+      |mined AS MATERIALIZED (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sB a JOIN sB b ON a.doc_id < b.doc_id
+      |  WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |prB AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM mined
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1000000 FROM bB WHERE doc_id % 10 = 0),
+      |gB AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prB
+      |  UNION ALL SELECT doc_b, doc_a FROM prB),
+      |wB AS (
+      |  SELECT doc_id, doc_id AS label FROM dB
+      |  UNION
+      |  SELECT e.src AS doc_id, w.label FROM wB w JOIN gB e ON w.doc_id = e.dst),
+      |lB AS (SELECT doc_id, min(label) AS cluster FROM wB GROUP BY doc_id),
+      |decB AS (SELECT h.doc_id, l.cluster,
+      |  CASE WHEN h.doc_id <> e.exact_rep THEN 'exact_dup'
+      |       WHEN h.doc_id <> l.cluster THEN 'near_dup' ELSE 'keep' END AS decision
+      |  FROM hB h JOIN eB e USING (th) JOIN lB l USING (doc_id)),
+      |dA AS (SELECT doc_id, text FROM bA
+      |  UNION ALL SELECT doc_id + 1000000, text FROM bA WHERE doc_id % 10 = 0),
+      |hA AS (SELECT doc_id,
+      |  CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th FROM dA),
+      |eA AS (SELECT th, min(doc_id) AS exact_rep FROM hA GROUP BY th),
+      |prA AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM mined
+      |  WHERE NOT ${p("doc_a")} AND NOT ${p("doc_b")}
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 1000000 FROM bA WHERE doc_id % 10 = 0),
+      |gA AS MATERIALIZED (
+      |  SELECT doc_a AS src, doc_b AS dst FROM prA
+      |  UNION ALL SELECT doc_b, doc_a FROM prA),
+      |wA AS (
+      |  SELECT doc_id, doc_id AS label FROM dA
+      |  UNION
+      |  SELECT e.src AS doc_id, w.label FROM wA w JOIN gA e ON w.doc_id = e.dst),
+      |lA AS (SELECT doc_id, min(label) AS cluster FROM wA GROUP BY doc_id),
+      |decA AS (SELECT h.doc_id, l.cluster,
+      |  CASE WHEN h.doc_id <> e.exact_rep THEN 'exact_dup'
+      |       WHEN h.doc_id <> l.cluster THEN 'near_dup' ELSE 'keep' END AS decision
+      |  FROM hA h JOIN eA e USING (th) JOIN lA l USING (doc_id)),
+      |tkB AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM bB),
+      |pkB AS (SELECT doc_id,
+      |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+      |  FROM tkB),
+      |tkA AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM bA),
+      |pkA AS (SELECT doc_id,
+      |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+      |  FROM tkA)
+      |SELECT 'documents' AS frame,
+      |  (SELECT count(*) FROM bB) AS rows_before,
+      |  (SELECT count(*) FROM bA) AS rows_after,
+      |  (SELECT count(*) FROM bB) - (SELECT count(*) FROM bA) AS purged,
+      |  (SELECT count(*) FROM bA WHERE ${p("doc_id")}) AS residual_refs,
+      |  CAST(0 AS BIGINT) AS n_changed
+      |UNION ALL
+      |SELECT 'dedup_decision',
+      |  (SELECT count(*) FROM decB),
+      |  (SELECT count(*) FROM decA),
+      |  (SELECT count(*) FROM decB) - (SELECT count(*) FROM decA),
+      |  (SELECT count(*) FROM decA WHERE ${p("(doc_id % 1000000)")}),
+      |  (SELECT count(*) FROM decB b JOIN decA a USING (doc_id)
+      |   WHERE b.decision <> a.decision OR b.cluster <> a.cluster)
+      |UNION ALL
+      |SELECT 'pack_sequences',
+      |  (SELECT count(*) FROM pkB),
+      |  (SELECT count(*) FROM pkA),
+      |  (SELECT count(*) FROM pkB) - (SELECT count(*) FROM pkA),
+      |  (SELECT count(*) FROM pkA WHERE ${p("doc_id")}),
+      |  (SELECT count(*) FROM pkB b JOIN pkA a USING (doc_id)
+      |   WHERE b.token_start <> a.token_start OR b.token_start // 2048 <> a.token_start // 2048)
+      |ORDER BY frame""".stripMargin
+
   private val CardsIngestOracle =
     """SELECT
         |  'card-' || CAST(i AS VARCHAR) AS id,
@@ -1469,92 +1561,13 @@ object SparkEntry {
     // dedup_decision / text_pack_sequences oracle bodies verbatim, once
     // over the full corpus and once over the erased corpus) and derives
     // the same integer audit counts
-    "gdpr_forget_keys" ->
-      """WITH RECURSIVE
-        |bB AS (SELECT doc_id, text FROM documents),
-        |bA AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 13),
-        |dB AS (SELECT doc_id, text FROM bB
-        |  UNION ALL SELECT doc_id + 1000000, text FROM bB WHERE doc_id % 10 = 0),
-        |hB AS (SELECT doc_id,
-        |  CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th FROM dB),
-        |eB AS (SELECT th, min(doc_id) AS exact_rep FROM hB GROUP BY th),
-        |sB AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM bB)),
-        |mined AS MATERIALIZED (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sB a JOIN sB b ON a.doc_id < b.doc_id
-        |  WHERE 2 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-        |prB AS MATERIALIZED (
-        |  SELECT doc_a, doc_b FROM mined
-        |  UNION ALL
-        |  SELECT doc_id, doc_id + 1000000 FROM bB WHERE doc_id % 10 = 0),
-        |gB AS MATERIALIZED (
-        |  SELECT doc_a AS src, doc_b AS dst FROM prB
-        |  UNION ALL SELECT doc_b, doc_a FROM prB),
-        |wB AS (
-        |  SELECT doc_id, doc_id AS label FROM dB
-        |  UNION
-        |  SELECT e.src AS doc_id, w.label FROM wB w JOIN gB e ON w.doc_id = e.dst),
-        |lB AS (SELECT doc_id, min(label) AS cluster FROM wB GROUP BY doc_id),
-        |decB AS (SELECT h.doc_id, l.cluster,
-        |  CASE WHEN h.doc_id <> e.exact_rep THEN 'exact_dup'
-        |       WHEN h.doc_id <> l.cluster THEN 'near_dup' ELSE 'keep' END AS decision
-        |  FROM hB h JOIN eB e USING (th) JOIN lB l USING (doc_id)),
-        |dA AS (SELECT doc_id, text FROM bA
-        |  UNION ALL SELECT doc_id + 1000000, text FROM bA WHERE doc_id % 10 = 0),
-        |hA AS (SELECT doc_id,
-        |  CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th FROM dA),
-        |eA AS (SELECT th, min(doc_id) AS exact_rep FROM hA GROUP BY th),
-        |prA AS MATERIALIZED (
-        |  SELECT doc_a, doc_b FROM mined
-        |  WHERE doc_a % 97 <> 13 AND doc_b % 97 <> 13
-        |  UNION ALL
-        |  SELECT doc_id, doc_id + 1000000 FROM bA WHERE doc_id % 10 = 0),
-        |gA AS MATERIALIZED (
-        |  SELECT doc_a AS src, doc_b AS dst FROM prA
-        |  UNION ALL SELECT doc_b, doc_a FROM prA),
-        |wA AS (
-        |  SELECT doc_id, doc_id AS label FROM dA
-        |  UNION
-        |  SELECT e.src AS doc_id, w.label FROM wA w JOIN gA e ON w.doc_id = e.dst),
-        |lA AS (SELECT doc_id, min(label) AS cluster FROM wA GROUP BY doc_id),
-        |decA AS (SELECT h.doc_id, l.cluster,
-        |  CASE WHEN h.doc_id <> e.exact_rep THEN 'exact_dup'
-        |       WHEN h.doc_id <> l.cluster THEN 'near_dup' ELSE 'keep' END AS decision
-        |  FROM hA h JOIN eA e USING (th) JOIN lA l USING (doc_id)),
-        |tkB AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM bB),
-        |pkB AS (SELECT doc_id,
-        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
-        |  FROM tkB),
-        |tkA AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n FROM bA),
-        |pkA AS (SELECT doc_id,
-        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
-        |  FROM tkA)
-        |SELECT 'documents' AS frame,
-        |  (SELECT count(*) FROM bB) AS rows_before,
-        |  (SELECT count(*) FROM bA) AS rows_after,
-        |  (SELECT count(*) FROM bB) - (SELECT count(*) FROM bA) AS purged,
-        |  (SELECT count(*) FROM bA WHERE doc_id % 97 = 13) AS residual_refs,
-        |  CAST(0 AS BIGINT) AS n_changed
-        |UNION ALL
-        |SELECT 'dedup_decision',
-        |  (SELECT count(*) FROM decB),
-        |  (SELECT count(*) FROM decA),
-        |  (SELECT count(*) FROM decB) - (SELECT count(*) FROM decA),
-        |  (SELECT count(*) FROM decA WHERE (doc_id % 1000000) % 97 = 13),
-        |  (SELECT count(*) FROM decB b JOIN decA a USING (doc_id)
-        |   WHERE b.decision <> a.decision OR b.cluster <> a.cluster)
-        |UNION ALL
-        |SELECT 'pack_sequences',
-        |  (SELECT count(*) FROM pkB),
-        |  (SELECT count(*) FROM pkA),
-        |  (SELECT count(*) FROM pkB) - (SELECT count(*) FROM pkA),
-        |  (SELECT count(*) FROM pkA WHERE doc_id % 97 = 13),
-        |  (SELECT count(*) FROM pkB b JOIN pkA a USING (doc_id)
-        |   WHERE b.token_start <> a.token_start OR b.token_start // 2048 <> a.token_start // 2048)
-        |ORDER BY frame""".stripMargin,
+    "gdpr_forget_keys" -> gdprForgetOracle(id => s"$id % 97 = 13"),
+    // the BATCHED erasure-queue shape (r12, VERDICT r11 ask #6 made
+    // gated): two independent request sets - mod-97 and mod-101 -
+    // drained by ONE derived-frame rebuild through the keyed kernel,
+    // same audit contract
+    "gdpr_forget_batch" ->
+      gdprForgetOracle(id => s"($id % 97 = 13 OR $id % 101 = 7)"),
     // dedup decision: exact groups on the SAME md5-64 keys as the
     // implementation, components via literal recursive reachability over
     // the jaccard pairs + planted copy edges, precedence stated as CASE

@@ -133,6 +133,20 @@ object GovernanceOps {
     baseAudit.unionByName(decAudit).unionByName(packAudit).orderBy("frame")
   }
 
+  /** The BATCHED erasure-queue instance (VERDICT r11 ask #6 made gated):
+    * two independent request sets — id ≡ 13 (mod 97) and id ≡ 7
+    * (mod 101), the shape of a compliance queue drained periodically —
+    * feed ONE `forgetAudit` call, so both amortize a single
+    * derived-frame rebuild. The spec pins batch ≡ sequential; this entry
+    * hash-gates the batched path end to end. */
+  def qGdprForgetBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val requests = docs
+      .filter(pmod(col("doc_id"), lit(ForgetMod)) === ForgetRem ||
+        pmod(col("doc_id"), lit(101L)) === 7L)
+    forgetAudit(spark, dir, requests)
+  }
+
   /** k-anonymity audit over a quasi-identifier set — the re-identification
     * check a training-data governance pass runs before release (PII
     * scrubbing removes DIRECT identifiers, `text_pii_scrub`; this guards
