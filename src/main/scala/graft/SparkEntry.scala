@@ -116,6 +116,7 @@ object SparkEntry {
     "ingest_json_sets"    -> (graft.ingest.IngestOps.qIngestJsonSets _),
     "ingest_schema_drift" -> (graft.ingest.IngestOps.qIngestSchemaDrift _),
     "ingest_parquet_evolve" -> (graft.operators.Bucketing.qIngestParquetEvolve _),
+    "ingest_avro_evolve"  -> (graft.ingest.IngestOps.qIngestAvroEvolve _),
     "q_sql_adhoc"         -> (graft.ingest.IngestOps.qSqlAdhoc _),
     "q_cards_per_set"     -> (graft.ingest.IngestOps.qCardsPerSet _),
     "q_cards_keyword_filter" -> (graft.ingest.IngestOps.qCardsKeywordFilter _),
@@ -1253,6 +1254,21 @@ object SparkEntry {
     // parity split — early-generation rows must aggregate as a NULL
     // group for the late-added columns, money in exact cents
     "ingest_parquet_evolve" ->
+      """WITH ev AS (
+        |  SELECT l_orderkey % 2 AS gen,
+        |    CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END AS l_returnflag,
+        |    l_quantity,
+        |    CASE WHEN l_orderkey % 2 = 1 THEN l_extendedprice END AS l_extendedprice
+        |  FROM lineitem)
+        |SELECT CAST(gen AS BIGINT) AS gen, l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Avro reader-schema evolution: same parity split and aggregate as
+    // the parquet footer-merge twin — the mechanism under test differs
+    // (per-file writer-vs-reader resolution with [null,T] defaults),
+    // the truth does not
+    "ingest_avro_evolve" ->
       """WITH ev AS (
         |  SELECT l_orderkey % 2 AS gen,
         |    CASE WHEN l_orderkey % 2 = 1 THEN l_returnflag END AS l_returnflag,

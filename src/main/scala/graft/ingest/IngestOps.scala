@@ -743,6 +743,62 @@ object IngestOps {
     ingestProjection(ingestParsedCards(
       graft.sources.AvroTable.read(spark, rawCardsAvroDir(spark), CardSchema, "card")))
 
+  private val avroEvolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Two Avro generations of the lineitem split (the
+    * `ingest_parquet_evolve` convention): gen-0 holds even orderkeys
+    * under the NARROW v1 writer schema (no l_extendedprice /
+    * l_returnflag), gen-1 holds odd orderkeys under the full v2 schema.
+    * Memoized per dir snapshot. */
+  private def evolvedAvroPath(spark: SparkSession, dir: String): String =
+    avroEvolveMemo.computeIfAbsent(graft.SessionCache.dirKey(dir), _ => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_avro_evolve_${graft.SessionCache.dirKey(dir)}").getAbsolutePath
+      val li = graft.Tables.lineitem(spark, dir)
+      graft.sources.AvroTable.write(
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        s"$root/gen-0", "lineitem")
+      graft.sources.AvroTable.write(
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag"),
+        s"$root/gen-1", "lineitem")
+      root
+    })
+
+  /** Avro schema-evolution read — the READER-SCHEMA resolution path
+    * (`ingest_parquet_evolve` is the footer-union twin; Avro instead
+    * resolves each file's embedded WRITER schema against the reader
+    * schema at scan time, the container format's own evolution
+    * contract): both generations scan under the v2 reader schema in one
+    * splittable read, and v1 rows surface NULL for the late columns via
+    * the [null,T] union null-defaults — rows that must stay first-class
+    * NULL groups in the aggregate, because dropping them is how
+    * evolution bugs eat history. The oracle recomputes from the RAW
+    * table with the same parity split. Scale shape: one splittable scan
+    * + one map-side-combined groupBy; resolution is per-file metadata
+    * work at open time, no replan or rewrite of old generations. */
+  def qIngestAvroEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val readerSchema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_returnflag", StringType)))
+    graft.sources.AvroTable.read(spark,
+        s"${evolvedAvroPath(spark, dir)}/gen-*", readerSchema, "lineitem")
+      .groupBy(pmod(col("l_orderkey"), lit(2L)).as("gen"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("sum_price_cents"))
+      .select(col("gen").cast("long").as("gen"), col("l_returnflag"),
+        col("n_rows"), col("sum_qty"), col("sum_price_cents"))
+      .orderBy("gen", "l_returnflag")
+  }
+
   /** Ad-hoc SQL surface end-to-end: the reference README's own example
     * query (`SELECT * FROM cards WHERE layout = 'split'`, README.md:18)
     * joined to its set, executed as RAW SQL through

@@ -71,6 +71,27 @@ class AvroTableSpec extends SparkSpec {
     assert(back.agg(sum("id")).head().getLong(0) == 499500L)
   }
 
+  test("reader-schema resolution fills fields the writer schema lacks with nulls") {
+    // the evolution seam: v1 files read under the v2 reader schema must
+    // surface NULL for the late column, not fail or drop rows
+    val v1 = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType)))
+    val v2 = v1.add(StructField("b", DoubleType))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "x"), Row(2L, "y")), 1), v1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_evolve").toString
+    AvroTable.write(df, s"$dir/gen-0", "r")
+    val v2rows = Seq(Row(3L, "z", 1.5))
+    AvroTable.write(spark.createDataFrame(
+      spark.sparkContext.parallelize(v2rows, 1), v2), s"$dir/gen-1", "r")
+    // glob read across both generations under the v2 reader schema
+    val back = AvroTable.read(spark, s"$dir/gen-*", v2, "r")
+      .orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0) == Row(1L, "x", null) && back(1) == Row(2L, "y", null))
+    assert(back(2) == Row(3L, "z", 1.5))
+  }
+
   test("avro ingest entry ≡ orc ingest entry (same corpus, source isolated)") {
     val avro = graft.ingest.IngestOps.qIngestAvroCards(spark, SfDir)
     val orc = graft.ingest.IngestOps.qIngestOrcCards(spark, SfDir)
