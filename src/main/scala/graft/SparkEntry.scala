@@ -220,7 +220,8 @@ object SparkEntry {
     "q_array_funcs"       -> (graft.operators.Relational.qArrayFuncs _),
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _),
     "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _),
-    "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _)
+    "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _),
+    "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _)
   )
 
   /** Shared oracle bodies — one string, referenced per entry, so a
@@ -2043,6 +2044,35 @@ object SparkEntry {
         |  CAST(logit_sum AS BIGINT) AS logit_sum,
         |  CASE WHEN logit_sum > 0 THEN 'keep' ELSE 'drop' END AS label
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // the streaming filter scores the IDENTICAL feature stream through
+    // the shuffle-free per-row form and keeps logit>0 docs — the oracle
+    // is the classifier's replay restricted to the kept set
+    "stream_quality_filter" ->
+      """WITH w(term, wt) AS (VALUES
+        |  ('click', -1000000), ('buy', -900000), ('free', -950000),
+        |  ('offer', -850000), ('subscribe', -800000),
+        |  ('click here', -1500000), ('buy now', -1400000),
+        |  ('because', 900000), ('therefore', 950000), ('with', 750000),
+        |  ('of', 700000), ('and', 650000),
+        |  ('because therefore', 1100000), ('of the', 800000), ('the', 1000)),
+        |wb AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT % 2097152 AS b,
+        |         CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1),
+        |d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
+        |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
+        |         ELSE '' END AS t FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
+        |feats AS (SELECT doc_id,
+        |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS f FROM toks),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(f), 1, 16))::UBIGINT % 2097152 AS b FROM feats),
+        |sc AS (SELECT doc_id, count(*) AS n_features,
+        |         sum(coalesce(wt, 0)) AS logit_sum
+        |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+        |  CAST(logit_sum AS BIGINT) AS logit_sum
+        |FROM sc WHERE logit_sum > 0 ORDER BY doc_id""".stripMargin,
     // the oracle states the selection CONTRACT literally (global ordered
     // window cumsum); the spark side implements it by histogram cutoff —
     // a hash mismatch means the phased selection diverged from the greedy

@@ -560,6 +560,28 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Streaming quality filter — the LLM-pipeline selection stage run AS
+    * a stream (the other seven entries stream events; this one streams
+    * the DOCUMENT corpus, the landing-zone shape where quality gating
+    * happens before training data is committed). The scorer is the
+    * shuffle-free per-row form ([[graft.text.TextOps.qualityFilterScored]]):
+    * hashed unigram+bigram features summed against the literal bucketed
+    * weight map inside the row — stateless, so it appends through a
+    * file stream with no watermark or state store, and each micro-batch
+    * scores its documents independently (filesPerTrigger=2 makes the
+    * multi-batch independence part of the parity claim). */
+  def qStreamQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    val batch = graft.text.TextOps.qualityFilterScored(docs).orderBy("doc_id")
+    if (streamExecuteEnabled) {
+      val streamed = runAvailableNow(docs, "append", filesPerTrigger = Some(2))(
+        graft.text.TextOps.qualityFilterScored)
+      assertStreamParity("stream_quality_filter", streamed, batch)
+    }
+    batch
+  }
+
   // ---- stateful streaming sessionization ----
 
   case class SessionEvent(user_id: Long, ts: java.time.Instant, value: Double)

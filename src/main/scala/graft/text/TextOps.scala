@@ -131,31 +131,45 @@ object TextOps {
     * TextOpsSpec proves the planted classes separate with a wide
     * margin; the oracle replays weights, hashing, and labels
     * integer-exactly. */
-  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The model's bucketed weight rows: md5-64 bucket → summed weight
+    * (colliding planted terms SUM per bucket, fastText's shared-bucket
+    * behavior). */
+  private def qualityWeightRows: Seq[(Long, Long)] = {
     import org.apache.spark.unsafe.types.UTF8String
-    val weightRows = QualityModel
+    QualityModel
       .map { case (t, w) =>
         (graft.functions.Md5Hash64Array.hash64(UTF8String.fromString(t))
           & (QualityBuckets - 1L), w)
       }
       .groupBy(_._1).map { case (b, ws) => (b, ws.map(_._2).sum) }.toSeq
-    val spark2 = spark
-    import spark2.implicits._
-    val weights = weightRows.toDF("b", "wt")
-    val suffixed = Tables.spread(spark, Tables.documents(spark, dir))
+  }
+
+  /** Planted-quality text + hashed unigram/bigram feature array for a
+    * (doc_id, text) frame — shared by the batch classifier and the
+    * streaming filter so both score the IDENTICAL feature stream. */
+  private def qualityFeatures(docs: DataFrame): DataFrame = {
+    val suffixed = docs
       .select(col("doc_id"), concat(col("text"),
         when(pmod(col("doc_id"), lit(5)) === 0,
           lit(" click here buy now subscribe free offer"))
           .when(pmod(col("doc_id"), lit(5)) === 1,
             lit(" because therefore of the and with"))
           .otherwise(lit(""))).as("t"))
-    val feats = suffixed.select(col("doc_id"),
+    suffixed.select(col("doc_id"),
       wsTokens(col("t")).as("ws"))
       .select(col("doc_id"), concat(col("ws"),
         zip_with(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1),
           (a, b) => concat_ws(" ", a, b))).as("fs"))
+  }
+
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val weights = qualityWeightRows.toDF("b", "wt")
+    val feats = qualityFeatures(
+      Tables.spread(spark, Tables.documents(spark, dir)))
     feats
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.md5Hash64Array(col("fs"))).as("h"))
@@ -168,6 +182,34 @@ object TextOps {
       .select(col("doc_id"), col("n_features"), col("n_hits"), col("logit_sum"),
         when(col("logit_sum") > 0, "keep").otherwise("drop").as("label"))
       .orderBy("doc_id")
+  }
+
+  /** The SHUFFLE-FREE form of the quality scorer — streaming inference
+    * shape: the bucketed weight table rides the plan as a LITERAL map
+    * (viable for the planted 15-term model; a production 2M-bucket
+    * table takes the batch entry's broadcast-join form instead, which is
+    * ALSO stream-legal as a stream-static join — what is not is the
+    * explode+groupBy re-aggregation, so here the per-doc sum happens
+    * INSIDE the row via codegen'd higher-order functions over the
+    * feature array: no explode, no shuffle, no state). Stateless per-row
+    * ⇒ appends through a file stream with no watermark; each
+    * micro-batch scores its documents independently. Emits only the
+    * kept documents — the filter stage a streaming ingestion pipeline
+    * runs before landing training data. */
+  private[graft] def qualityFilterScored(docs: DataFrame): DataFrame = {
+    val wmap = map(qualityWeightRows
+      .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+    qualityFeatures(docs)
+      .select(col("doc_id"),
+        transform(graft.functions.GraftFunctions.md5Hash64Array(col("fs")),
+          h => h.bitwiseAND(lit(QualityBuckets - 1L))).as("bs"))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_features"),
+        aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(wmap, b), lit(0L)))
+          .as("logit_sum"))
+      .filter(col("logit_sum") > 0)
+      .select(col("doc_id"), col("n_features"), col("logit_sum"))
   }
 
   /** Data-mixture reweighting — the domain-balancing step of a training
