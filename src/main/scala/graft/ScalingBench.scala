@@ -115,10 +115,12 @@ object ScalingBench {
     // dominates, same shape as ann_topk_ivfpq_full's)
     "text_domain_stats", "text_bpe_encode", "gdpr_forget_keys",
     "ingest_events_jsonl", "ann_index_serve",
-    // round-12 addition: the fastText-style quality scorer — per-row
+    // round-12 additions: the fastText-style quality scorer — per-row
     // ngram hashing + one broadcast weight join + map-side groupBy;
-    // must measure scan-bound (the weight table is fixed-size)
-    "text_quality_classifier")
+    // must measure scan-bound (the weight table is fixed-size) — and
+    // its shuffle-free streaming-filter form (batch plan priced; the
+    // flag-on stream path is spec-territory)
+    "text_quality_classifier", "stream_quality_filter")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
