@@ -318,9 +318,10 @@ object ScalingBench {
     * ids hashes to one of `cells` planted cell centers; center
     * components are uniform in [-1,1] from xxhash64(cell,dim), and each
     * vector is its center plus sigma=0.3 per-component hash noise from
-    * xxhash64(id,dim). Expected geometry: intra-cell cosine ~0.95,
-    * cross-cell ~0 (random 64-dim directions) — tight planted clusters a
-    * coarse quantizer can align with. Every-25th planted-query structure
+    * xxhash64(id,dim). Expected geometry: intra-cell cosine ~0.92
+    * (variance ratio (1/3)/(1/3 + 0.09/3); spec floor 0.85), cross-cell
+    * ~0 (random 64-dim directions) — tight planted clusters a coarse
+    * quantizer can align with. Every-25th planted-query structure
     * arrives for free: SimilarityOps derives queries from `vec_id % 25`
     * over ANY corpus. Writes only embeddings.parquet — the ANN probe
     * paths touch nothing else. */
@@ -328,6 +329,8 @@ object ScalingBench {
       n: Long, cells: Int): Unit = {
     require(n < 1000000L,
       s"clustered fixture n=$n would cross the 1e6 planted-query id offset")
+    require(cells > 0, s"clustered fixture needs cells > 0, got $cells " +
+      "(pmod by 0 would silently null every cell under non-ANSI SQL)")
     val dim = 64
     val sigma = 0.3
     spark.range(0L, n, 1L, 32)

@@ -233,9 +233,37 @@ object SparkEntry {
         |  TRUE AS mean_recall_ok, TRUE AS top1_ok
         |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin
 
-  /** The synthesized cards corpus regenerated from range(): shared by the
-    * in-memory ingest and the JSON-file / CSV / ORC source-parity entries
-    * (identical pipeline + projection — a mismatch isolates the source). */
+  /** The fastText-quality scoring replay (weight table → md5 bucket →
+    * per-doc logit sum over unigram+bigram features), shared by the
+    * batch classifier and the streaming filter so the model literal and
+    * feature construction live in ONE SQL body; `finalSelect` supplies
+    * each entry's projection / keep-filter over the `sc` CTE. */
+  private def qualityScoreOracle(finalSelect: String): String =
+    ("""WITH w(term, wt) AS (VALUES
+      |  ('click', -1000000), ('buy', -900000), ('free', -950000),
+      |  ('offer', -850000), ('subscribe', -800000),
+      |  ('click here', -1500000), ('buy now', -1400000),
+      |  ('because', 900000), ('therefore', 950000), ('with', 750000),
+      |  ('of', 700000), ('and', 650000),
+      |  ('because therefore', 1100000), ('of the', 800000), ('the', 1000)),
+      |wb AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT % 2097152 AS b,
+      |         CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1),
+      |d AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
+      |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
+      |         ELSE '' END AS t FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
+      |feats AS (SELECT doc_id,
+      |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i + 1])) AS f FROM toks),
+      |h AS (SELECT doc_id,
+      |    ('0x' || substr(md5(f), 1, 16))::UBIGINT % 2097152 AS b FROM feats),
+      |sc AS (SELECT doc_id, count(*) AS n_features,
+      |         sum(CASE WHEN wt IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+      |         sum(coalesce(wt, 0)) AS logit_sum
+      |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
+      |""" + finalSelect).stripMargin
+
   /** The forget-propagation oracle, parameterized by the erasure
     * predicate (as a function of an id-expression string) so the
     * single-set and batched-queue entries replay the SAME two-generation
@@ -327,6 +355,10 @@ object SparkEntry {
       |   WHERE b.token_start <> a.token_start OR b.token_start // 2048 <> a.token_start // 2048)
       |ORDER BY frame""".stripMargin
 
+  /** The synthesized cards corpus regenerated from range(): shared by the
+    * in-memory ingest and the JSON-file / CSV / ORC / Avro source-parity
+    * entries (identical pipeline + projection — a mismatch isolates the
+    * source). */
   private val CardsIngestOracle =
     """SELECT
         |  'card-' || CAST(i AS VARCHAR) AS id,
@@ -2015,64 +2047,19 @@ object SparkEntry {
     // colliding weights sum), regenerates the planted suffixes from
     // doc_id arithmetic, and replays unigram+bigram hashing and the
     // keep/drop rule integer-exactly
-    "text_quality_classifier" ->
-      """WITH w(term, wt) AS (VALUES
-        |  ('click', -1000000), ('buy', -900000), ('free', -950000),
-        |  ('offer', -850000), ('subscribe', -800000),
-        |  ('click here', -1500000), ('buy now', -1400000),
-        |  ('because', 900000), ('therefore', 950000), ('with', 750000),
-        |  ('of', 700000), ('and', 650000),
-        |  ('because therefore', 1100000), ('of the', 800000), ('the', 1000)),
-        |wb AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT % 2097152 AS b,
-        |         CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1),
-        |d AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
-        |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
-        |         ELSE '' END AS t FROM documents),
-        |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
-        |feats AS (SELECT doc_id,
-        |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i + 1])) AS f FROM toks),
-        |h AS (SELECT doc_id,
-        |    ('0x' || substr(md5(f), 1, 16))::UBIGINT % 2097152 AS b FROM feats),
-        |sc AS (SELECT doc_id, count(*) AS n_features,
-        |         sum(CASE WHEN wt IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
-        |         sum(coalesce(wt, 0)) AS logit_sum
-        |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+    "text_quality_classifier" -> qualityScoreOracle(
+      """SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
         |  CAST(n_hits AS BIGINT) AS n_hits,
         |  CAST(logit_sum AS BIGINT) AS logit_sum,
         |  CASE WHEN logit_sum > 0 THEN 'keep' ELSE 'drop' END AS label
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |FROM sc ORDER BY doc_id"""),
     // the streaming filter scores the IDENTICAL feature stream through
     // the shuffle-free per-row form and keeps logit>0 docs — the oracle
     // is the classifier's replay restricted to the kept set
-    "stream_quality_filter" ->
-      """WITH w(term, wt) AS (VALUES
-        |  ('click', -1000000), ('buy', -900000), ('free', -950000),
-        |  ('offer', -850000), ('subscribe', -800000),
-        |  ('click here', -1500000), ('buy now', -1400000),
-        |  ('because', 900000), ('therefore', 950000), ('with', 750000),
-        |  ('of', 700000), ('and', 650000),
-        |  ('because therefore', 1100000), ('of the', 800000), ('the', 1000)),
-        |wb AS (SELECT ('0x' || substr(md5(term), 1, 16))::UBIGINT % 2097152 AS b,
-        |         CAST(sum(wt) AS BIGINT) AS wt FROM w GROUP BY 1),
-        |d AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
-        |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
-        |         ELSE '' END AS t FROM documents),
-        |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
-        |feats AS (SELECT doc_id,
-        |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
-        |      i -> ws[i] || ' ' || ws[i + 1])) AS f FROM toks),
-        |h AS (SELECT doc_id,
-        |    ('0x' || substr(md5(f), 1, 16))::UBIGINT % 2097152 AS b FROM feats),
-        |sc AS (SELECT doc_id, count(*) AS n_features,
-        |         sum(coalesce(wt, 0)) AS logit_sum
-        |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+    "stream_quality_filter" -> qualityScoreOracle(
+      """SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
         |  CAST(logit_sum AS BIGINT) AS logit_sum
-        |FROM sc WHERE logit_sum > 0 ORDER BY doc_id""".stripMargin,
+        |FROM sc WHERE logit_sum > 0 ORDER BY doc_id"""),
     // the oracle states the selection CONTRACT literally (global ordered
     // window cumsum); the spark side implements it by histogram cutoff —
     // a hash mismatch means the phased selection diverged from the greedy

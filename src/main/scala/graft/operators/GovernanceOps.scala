@@ -37,12 +37,21 @@ object GovernanceOps {
     * R1 ∪ R2 at once ≡ applying R1 then R2 (spec-pinned), so a
     * compliance queue drains N requests with one derived-frame rebuild. */
   private[graft] def applyErasure(corpus: DataFrame, pairs: DataFrame,
-      requests: DataFrame): (DataFrame, DataFrame) = {
-    val req = broadcast(requests.select(col("doc_id").as("__req_id")).distinct())
-    val survivors = corpus.join(req, col("doc_id") === col("__req_id"), "left_anti")
+      requests: DataFrame): (DataFrame, DataFrame) =
+    applyErasureKeyed(corpus, pairs, requestKeys(requests))
+
+  /** The normalized broadcast key frame (one `__req_id` per requested
+    * key) — built in exactly ONE place so the anti-join side and the
+    * residual-audit side can never drift apart. */
+  private def requestKeys(requests: DataFrame): DataFrame =
+    broadcast(requests.select(col("doc_id").as("__req_id")).distinct())
+
+  private def applyErasureKeyed(corpus: DataFrame, pairs: DataFrame,
+      reqKeys: DataFrame): (DataFrame, DataFrame) = {
+    val survivors = corpus.join(reqKeys, col("doc_id") === col("__req_id"), "left_anti")
     val survivingPairs = pairs
-      .join(req, col("doc_a") === col("__req_id"), "left_anti")
-      .join(req, col("doc_b") === col("__req_id"), "left_anti")
+      .join(reqKeys, col("doc_a") === col("__req_id"), "left_anti")
+      .join(reqKeys, col("doc_b") === col("__req_id"), "left_anti")
     (survivors, survivingPairs)
   }
 
@@ -88,10 +97,9 @@ object GovernanceOps {
   def forgetAudit(spark: SparkSession, dir: String,
       requests: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val reqKeys = broadcast(
-      requests.select(col("doc_id").as("__req_id")).distinct())
+    val reqKeys = requestKeys(requests)
     val pairsAll = graft.dedup.DedupOps.cachedJaccardPairs(spark, dir)
-    val (erased, pairsErased) = applyErasure(docs, pairsAll, requests)
+    val (erased, pairsErased) = applyErasureKeyed(docs, pairsAll, reqKeys)
 
     // base-table audit: rows_after and residual_refs are aggregated from
     // the ACTUAL erased frame, exactly as frameAudit does for the derived

@@ -25,7 +25,8 @@ object EventStreams {
     * stream/batch divergence fails the driver's correctness gate loudly
     * instead of living only in EventStreamSpec. Default OFF: the driver
     * contract stays batch-priced; CI keeps the flag exercised
-    * (EventStreamSpec runs all seven entries with it on). */
+    * (EventStreamSpec runs the registered stream entries with it on —
+    * see its flag-on test for the current list). */
   private[graft] def streamExecuteEnabled: Boolean =
     sys.props.get("graft.stream.execute")
       .orElse(sys.env.get("SPARK_GRAFT_STREAM_EXECUTE"))

@@ -108,29 +108,6 @@ object TextOps {
     * both engines. */
   private[graft] val QualityBuckets = 2097152L
 
-  /** fastText-style quality-classifier scoring — the canonical
-    * supervised quality-filter stage: every document scores as the sum
-    * of planted integer weights over its hashed unigram+bigram
-    * features, and `label` is the keep/drop release decision
-    * (`logit_sum > 0`). High/low-quality spans are PLANTED by doc_id
-    * arithmetic (the text_domain_stats convention — the synthetic
-    * corpus carries no natural quality signal): docs ≡0 (mod 5) gain a
-    * spam-marker suffix, ≡1 a prose-connective suffix, the rest score
-    * on base text alone (where only `the` carries weight).
-    *
-    * The HASHING TRICK is the load-bearing scale property (Joulin et
-    * al. 2016): scoring needs no vocabulary build and no corpus-sized
-    * model join — features map to a FIXED 2^21-bucket weight table
-    * (weights of colliding planted terms SUM per bucket, exactly
-    * fastText's shared-bucket behavior), the table broadcasts, and the
-    * plan is one narrow codegen'd map (tokens → md5-64 → `& 4095`,
-    * the [[graft.functions.Md5Hash64Array]] kernel) + one broadcast
-    * left join + one map-side-combined groupBy — scan-bound at any
-    * corpus size, the fastText inference shape. Bigrams build inside
-    * the row via zip_with on the token array (no shuffle, no window).
-    * TextOpsSpec proves the planted classes separate with a wide
-    * margin; the oracle replays weights, hashing, and labels
-    * integer-exactly. */
   /** The model's bucketed weight rows: md5-64 bucket → summed weight
     * (colliding planted terms SUM per bucket, fastText's shared-bucket
     * behavior). */
@@ -164,6 +141,29 @@ object TextOps {
           (a, b) => concat_ws(" ", a, b))).as("fs"))
   }
 
+  /** fastText-style quality-classifier scoring — the canonical
+    * supervised quality-filter stage: every document scores as the sum
+    * of planted integer weights over its hashed unigram+bigram
+    * features, and `label` is the keep/drop release decision
+    * (`logit_sum > 0`). High/low-quality spans are PLANTED by doc_id
+    * arithmetic (the text_domain_stats convention — the synthetic
+    * corpus carries no natural quality signal): docs ≡0 (mod 5) gain a
+    * spam-marker suffix, ≡1 a prose-connective suffix, the rest score
+    * on base text alone (where only `the` carries weight).
+    *
+    * The HASHING TRICK is the load-bearing scale property (Joulin et
+    * al. 2016): scoring needs no vocabulary build and no corpus-sized
+    * model join — features map to a FIXED 2^21-bucket weight table
+    * (weights of colliding planted terms SUM per bucket, exactly
+    * fastText's shared-bucket behavior), the table broadcasts, and the
+    * plan is one narrow codegen'd map (tokens → md5-64 → `& 4095`,
+    * the [[graft.functions.Md5Hash64Array]] kernel) + one broadcast
+    * left join + one map-side-combined groupBy — scan-bound at any
+    * corpus size, the fastText inference shape. Bigrams build inside
+    * the row via zip_with on the token array (no shuffle, no window).
+    * TextOpsSpec proves the planted classes separate with a wide
+    * margin; the oracle replays weights, hashing, and labels
+    * integer-exactly. */
   def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._

@@ -89,8 +89,10 @@ class GovernanceSpec extends SparkSpec {
     frameEq(graft.dedup.DedupOps.decisionFrame(batchSurv, batchPairs),
       graft.dedup.DedupOps.decisionFrame(seqSurv, seqPairs),
       "rebuilt decision frame")
-    // batching genuinely erased both sets
-    assert(batchSurv.count() == docs.count() - r1.count() - r2.count())
+    // batching genuinely erased both sets (|r1 ∪ r2|, not |r1|+|r2| —
+    // the sets intersect for any corpus reaching doc_id ≡ 5057 mod 9797)
+    assert(batchSurv.count() ==
+      docs.count() - r1.unionByName(r2).distinct().count())
   }
 
   test("erasure request membership executes as a broadcast join, not a shuffle") {
@@ -99,8 +101,11 @@ class GovernanceSpec extends SparkSpec {
     val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
     val pairs = graft.dedup.DedupOps.cachedJaccardPairs(spark, SfDir)
     val req = docs.filter(col("doc_id") % 97 === 13).select("doc_id")
+    // the broadcast() hint in applyErasure forces BroadcastHashJoinExec
+    // at static planning, so the initial physical plan is sufficient
+    // evidence — no execution needed (AQE could only KEEP a broadcast
+    // join it already has; it never demotes a hinted one)
     val (surv, _) = GovernanceOps.applyErasure(docs, pairs, req)
-    surv.count() // materialize so AQE finalizes the plan
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         p +: walk(a.executedPlan)
