@@ -186,6 +186,7 @@ object SparkEntry {
     "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
     "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
+    "text_chunk_windows"  -> (graft.text.TextOps.qTextChunkWindows _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
@@ -1919,6 +1920,26 @@ object SparkEntry {
         |  SELECT e.src AS vec_id, w.label FROM walk w JOIN edges e ON w.vec_id = e.dst)
         |SELECT vec_id, min(label) AS cluster, vec_id = min(label) AS is_rep
         |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // sliding-window chunking: W=32 / stride 24, chunk count
+    // 1 + ceil(max(n-W,0)/S); the fingerprint is the sum of per-token
+    // md5-64 >> 20 over the chunk slice (unsigned shift keeps every
+    // term < 2^44, so 128-term sums sit far inside BIGINT both engines)
+    "text_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |f AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+        |        least(32, n - chunk_idx * 24) AS n_tokens, ws FROM e)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(list_reduce(list_transform(
+        |      ws[CAST(start_tok + 1 AS BIGINT):CAST(start_tok + n_tokens AS BIGINT)],
+        |      x -> CAST(('0x' || substr(md5(x), 1, 16))::UBIGINT >> 20 AS BIGINT)),
+        |    (a, b) -> a + b), 0) AS BIGINT) AS fingerprint
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

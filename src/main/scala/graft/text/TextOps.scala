@@ -222,6 +222,47 @@ object TextOps {
     scored.as[(Long, Long, Long)].filter(_._3 > 0L).toDF()
   }
 
+  /** Sliding-window document chunking — the stage that turns variable-
+    * length documents into model-sized pieces (pretraining context
+    * windows, RAG passage stores): W=32-token windows at stride S=24
+    * (8-token overlap so no boundary sentence is lost to a cut; the
+    * synthetic docs cap at ~100 tokens, so these dials make every doc
+    * genuinely multi-chunk — production dials are one constant away), a
+    * final short window flush at the tail, and an integer fingerprint
+    * per chunk (sum of the tokens' md5-64 >>> 20 — chunk-level identity
+    * for downstream chunk dedup, replayed exactly by the oracle).
+    * Chunk count = 1 + ceil(max(n−W, 0)/S), so every token is covered
+    * and the last window is the one containing the end.
+    *
+    * Scale shape: pure per-row arithmetic — tokens hash once per doc,
+    * the chunk index list is a cheap `sequence`, and each chunk row
+    * slices the carried hash array (worst-case ~W/S× row blowup, no
+    * shuffle, no window function). At 100 TB this is exactly the
+    * embarrassingly parallel map a chunker must be. */
+  def qTextChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32L
+    val S = 24L
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        transform(graft.functions.GraftFunctions.md5Hash64Array(col("ws")),
+          h => shiftrightunsigned(h, 20)).as("hs"),
+        size(col("ws")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - W, lit(0L)) / S.toDouble).cast("long"))
+    base
+      .select(col("doc_id"), col("hs"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * S).as("start_tok"),
+        least(lit(W), col("n") - col("chunk_idx") * S).as("n_tokens"),
+        aggregate(
+          slice(col("hs"), (col("chunk_idx") * S + 1L).cast("int"),
+            least(lit(W), col("n") - col("chunk_idx") * S).cast("int")),
+          lit(0L), (acc, h) => acc + h).as("fingerprint"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Data-mixture reweighting — the domain-balancing step of a training
     * pipeline (keep one crawl from dominating the mix): per-source token
     * mass vs the uniform target share, emitting the keep-rate each

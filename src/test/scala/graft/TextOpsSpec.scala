@@ -813,10 +813,55 @@ class TextOpsSpec extends SparkSpec {
       assert(nChunks == (nw - 1) / 10 + 1, s"doc $id chunk count")
     }
   }
+  test("chunk windows: full coverage, exact stride overlap, fingerprints match a direct slice") {
+    val W = 32L; val S = 24L
+    val out = TextOps.qTextChunkWindows(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, SfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet, "every doc chunks, no doc invented")
+    // the corpus must actually exercise multi-chunk docs or the stride
+    // logic is untested
+    assert(byDoc.values.exists(_.length > 1), "no multi-chunk doc at this SF")
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id).trim.split("\\s+").length.toLong
+      val expChunks = 1L + math.ceil(math.max(n - W, 0L) / S.toDouble).toLong
+      assert(chunks.length == expChunks, s"doc $id chunk count")
+      val sorted = chunks.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, ci, st, len, _), i) =>
+        assert(ci == i && st == i * S, s"doc $id chunk $i start")
+        assert(len == math.min(W, n - st), s"doc $id chunk $i length")
+        assert(len >= 1, s"doc $id empty chunk")
+      }
+      // coverage: the last chunk reaches the final token; overlap: each
+      // non-first chunk re-covers exactly W - S tokens of its
+      // predecessor (when the predecessor is full-width)
+      val (_, _, lastSt, lastLen, _) = sorted.last
+      assert(lastSt + lastLen == n, s"doc $id tail not covered")
+      sorted.sliding(2).foreach {
+        case Array((_, _, st1, len1, _), (_, _, st2, _, _)) =>
+          if (len1 == W) assert(st1 + len1 - st2 == W - S, s"doc $id overlap")
+        case _ =>
+      }
+    }
+    // fingerprint: replay one multi-chunk doc directly from its tokens
+    val (mid, mchunks) = byDoc.filter(_._2.length > 1).head
+    val toks = docs(mid).trim.split("\\s+")
+    import org.apache.spark.unsafe.types.UTF8String
+    val hs = toks.map(t =>
+      graft.functions.Md5Hash64Array.hash64(UTF8String.fromString(t)) >>> 20)
+    mchunks.foreach { case (_, _, st, len, fp) =>
+      assert(fp == hs.slice(st.toInt, (st + len).toInt).sum, s"doc $mid fingerprint @$st")
+    }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
 object TextOpsSpecHelper {
   def rerun(spark: org.apache.spark.sql.SparkSession, dir: String) =
     TextOps.qStratifiedSample(spark, dir).collect()
+
 }
