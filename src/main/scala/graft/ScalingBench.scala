@@ -120,7 +120,10 @@ object ScalingBench {
     // must measure scan-bound (the weight table is fixed-size) — and
     // its shuffle-free streaming-filter form (batch plan priced; the
     // flag-on stream path is spec-territory)
-    "text_quality_classifier", "stream_quality_filter")
+    "text_quality_classifier", "stream_quality_filter",
+    // sliding-window chunker: per-doc hash-once + per-chunk slice — the
+    // ~W/S x row blowup is the only cost term, must stay scan-bound
+    "text_chunk_windows")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
