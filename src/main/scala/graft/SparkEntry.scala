@@ -187,6 +187,7 @@ object SparkEntry {
     "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_chunk_windows"  -> (graft.text.TextOps.qTextChunkWindows _),
+    "text_chunk_dedup"    -> (graft.text.TextOps.qTextChunkDedup _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
@@ -1940,6 +1941,29 @@ object SparkEntry {
         |      x -> CAST(('0x' || substr(md5(x), 1, 16))::UBIGINT >> 20 AS BIGINT)),
         |    (a, b) -> a + b), 0) AS BIGINT) AS fingerprint
         |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chunk-level exact dedup: positional md5-64 of each window's token
+    // string (>>1 keeps it in signed-BIGINT space, the dedup_exact
+    // convention); first (doc_id, chunk_idx) per key is the rep
+    "text_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |g AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        CAST((('0x' || substr(md5(array_to_string(
+        |          ws[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)],
+        |          ' ')), 1, 16))::UBIGINT >> 1) AS BIGINT) AS chunk_key
+        |      FROM e),
+        |r AS (SELECT doc_id, chunk_idx, chunk_key,
+        |        first_value(doc_id) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_doc,
+        |        first_value(chunk_idx) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_chunk
+        |      FROM g)
+        |SELECT doc_id, chunk_idx, chunk_key,
+        |  CASE WHEN doc_id = rep_doc AND chunk_idx = rep_chunk THEN 'keep'
+        |       ELSE 'drop_dup' END AS decision,
+        |  rep_doc, rep_chunk
+        |FROM r ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

@@ -263,6 +263,47 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Chunk-level exact dedup — the passage-dedup stage run AFTER
+    * chunking (RefinedWeb-lineage pipelines dedupe at passage
+    * granularity precisely because document-level dedup misses the
+    * boilerplate spans repeated ACROSS distinct documents; the sf
+    * corpus carries ~3% naturally repeated windows, so this gate is
+    * non-vacuous with no planting): each W=32/S=24 window keys by the
+    * md5-64 of its token string (positional — the chunker's sum
+    * fingerprint is order-insensitive and deliberately NOT the dedup
+    * key), first occurrence in (doc_id, chunk_idx) order is the
+    * representative, later occurrences mark `drop_dup` with their rep
+    * identity. One shuffle by content key (the canonical dedup
+    * shuffle), bounded per-key state — linear at any corpus size. */
+  def qTextChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32L
+    val S = 24L
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - W, lit(0L)) / S.toDouble).cast("long"))
+    val keyed = base
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        shiftrightunsigned(graft.dedup.DedupOps.md5Hash64(
+          concat_ws(" ", slice(col("ws"),
+            (col("chunk_idx") * S + 1L).cast("int"),
+            least(lit(W), col("n") - col("chunk_idx") * S).cast("int")))), 1)
+          .as("chunk_key"))
+    val w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
+    keyed
+      .withColumn("rep_doc", first(col("doc_id")).over(w))
+      .withColumn("rep_chunk", first(col("chunk_idx")).over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_key"),
+        when(col("doc_id") === col("rep_doc") &&
+          col("chunk_idx") === col("rep_chunk"), "keep")
+          .otherwise("drop_dup").as("decision"),
+        col("rep_doc"), col("rep_chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Data-mixture reweighting — the domain-balancing step of a training
     * pipeline (keep one crawl from dominating the mix): per-source token
     * mass vs the uniform target share, emitting the keep-rate each
