@@ -122,8 +122,9 @@ object ScalingBench {
     // flag-on stream path is spec-territory)
     "text_quality_classifier", "stream_quality_filter",
     // sliding-window chunker: per-doc hash-once + per-chunk slice — the
-    // ~W/S x row blowup is the only cost term, must stay scan-bound
-    "text_chunk_windows")
+    // ~W/S x row blowup is the only cost term, must stay scan-bound —
+    // and the chunk-key dedup over it (one content-key shuffle)
+    "text_chunk_windows", "text_chunk_dedup")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

@@ -857,6 +857,35 @@ class TextOpsSpec extends SparkSpec {
       assert(fp == hs.slice(st.toInt, (st + len).toInt).sum, s"doc $mid fingerprint @$st")
     }
   }
+
+  test("chunk dedup: natural drops exist, reps are first occurrences, keys collide only on identical text") {
+    val rows = TextOps.qTextChunkDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val drops = rows.filter(_._4 == "drop_dup")
+    assert(drops.nonEmpty, "no natural chunk repeats — the dedup gate is vacuous")
+    val byKey = rows.groupBy(_._3)
+    byKey.values.foreach { g =>
+      val first = g.minBy(r => (r._1, r._2))
+      g.foreach { r =>
+        assert(r._5 == first._1 && r._6 == first._2, "rep is not the first occurrence")
+        assert((r._4 == "keep") == (r._1 == first._1 && r._2 == first._2), "decision/rep mismatch")
+      }
+    }
+    // the 63-bit key must separate distinct texts: replay every colliding
+    // group's chunk strings from the raw corpus
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunkText(d: Long, ci: Long): String = {
+      val ws = docs(d).trim.split("\\s+")
+      val st = (ci * 24).toInt
+      ws.slice(st, st + math.min(32, ws.length - st)).mkString(" ")
+    }
+    byKey.values.filter(_.length > 1).foreach { g =>
+      val texts = g.map(r => chunkText(r._1, r._2)).distinct
+      assert(texts.length == 1, s"hash collision across distinct chunk texts: $texts")
+    }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
