@@ -188,6 +188,8 @@ object SparkEntry {
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_chunk_windows"  -> (graft.text.TextOps.qTextChunkWindows _),
     "text_chunk_dedup"    -> (graft.text.TextOps.qTextChunkDedup _),
+    "text_chunk_doc_purge" -> (graft.text.TextOps.qTextChunkDocPurge _),
+    "text_chunk_minhash"  -> (graft.text.TextOps.qTextChunkMinhash _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
@@ -1964,6 +1966,62 @@ object SparkEntry {
         |       ELSE 'drop_dup' END AS decision,
         |  rep_doc, rep_chunk
         |FROM r ORDER BY doc_id, chunk_idx""".stripMargin,
+    // doc purge over chunk-dup mass: majority-duplicated docs drop whole
+    // (2*dup > total in integers), minority-dup docs flag partial; same
+    // chunk-key/rep-election pipeline as text_chunk_dedup
+    "text_chunk_doc_purge" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |g AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        CAST((('0x' || substr(md5(array_to_string(
+        |          ws[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)],
+        |          ' ')), 1, 16))::UBIGINT >> 1) AS BIGINT) AS chunk_key
+        |      FROM e),
+        |r AS (SELECT doc_id, chunk_idx,
+        |        first_value(doc_id) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_doc,
+        |        first_value(chunk_idx) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_chunk
+        |      FROM g),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |        CAST(sum(CASE WHEN NOT (doc_id = rep_doc AND chunk_idx = rep_chunk)
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |      FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  CASE WHEN n_dup_chunks * 2 > n_chunks THEN 'drop_doc'
+        |       WHEN n_dup_chunks > 0 THEN 'partial_dup'
+        |       ELSE 'keep_clean' END AS decision
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // chunk near-dup: the oracle computes the EXACT J>=0.8 chunk-pair
+    // list (string shingles, shared-shingle equi-join — never all-pairs),
+    // so an LSH recall miss on the Spark side is a hash mismatch, the
+    // dedup_minhash_lsh convention; <3-token tails have no 3-gram and
+    // sit out on both engines
+    "text_chunk_minhash" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |         ws[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)] AS cw
+        |       FROM e),
+        |sh AS (SELECT doc_id, chunk_idx,
+        |         list_distinct(list_transform(range(1, len(cw) - 1),
+        |           i -> array_to_string(cw[i:i+2], ' '))) AS shingles
+        |       FROM ch WHERE len(cw) >= 3),
+        |ex AS (SELECT doc_id, chunk_idx, unnest(shingles) AS s, len(shingles) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+        |        b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+        |        CAST(count(*) AS BIGINT) AS inter_n,
+        |        CAST(any_value(a.sz) + any_value(b.sz) - count(*) AS BIGINT) AS union_n
+        |      FROM ex a JOIN ex b ON a.s = b.s
+        |        AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.chunk_idx < b.chunk_idx))
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, chunk_a, doc_b, chunk_b, inter_n, union_n
+        |FROM p WHERE inter_n * 5 >= union_n * 4
+        |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

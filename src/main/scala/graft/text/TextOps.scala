@@ -275,10 +275,18 @@ object TextOps {
     * representative, later occurrences mark `drop_dup` with their rep
     * identity. One shuffle by content key (the canonical dedup
     * shuffle), bounded per-key state — linear at any corpus size. */
-  def qTextChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qTextChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDecisions(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The unsorted chunk-decision frame shared by [[qTextChunkDedup]] (which
+    * presents it ordered) and [[qTextChunkDocPurge]] (which aggregates it —
+    * factored so the purge groupBy doesn't ride a pointless global sort).
+    * Takes the docs frame directly so specs can plant corpora. */
+  def chunkDecisions(docs: DataFrame): DataFrame = {
     val W = 32L
     val S = 24L
-    val base = Tables.spread(spark, Tables.documents(spark, dir))
+    val base = docs
       .select(col("doc_id"), wsTokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n"))
       .withColumn("n_chunks",
@@ -301,7 +309,89 @@ object TextOps {
           col("chunk_idx") === col("rep_chunk"), "keep")
           .otherwise("drop_dup").as("decision"),
         col("rep_doc"), col("rep_chunk"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Document purge over chunk-dup mass — the RefinedWeb-lineage removal
+    * criterion at DOC granularity: after passage dedup elects corpus-wide
+    * representatives, a document whose content is MOSTLY chunks owned
+    * elsewhere carries almost no novel text and is purged whole (keeping
+    * it would re-train on the duplicated mass the chunk pass already
+    * charged to its representatives). Tiers: `drop_doc` when duplicated
+    * chunks are a strict majority (2·dup > total — integer arithmetic,
+    * no float ratio to round), `partial_dup` when some-but-minority
+    * chunks are duplicated (the doc survives but its dup mass is
+    * reportable), `keep_clean` otherwise. All three tiers carry natural
+    * traffic at every test SF (~13 drop / ~5 partial / ~480 clean — no
+    * planting; measured via the oracle replay). Scale shape: the chunk
+    * shuffle [[chunkDecisions]] already pays, plus ONE doc_id groupBy —
+    * map-side combinable, linear at any corpus size. */
+  def qTextChunkDocPurge(spark: SparkSession, dir: String): DataFrame =
+    chunkDecisions(Tables.spread(spark, Tables.documents(spark, dir)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("decision") === "drop_dup", 1L).otherwise(0L))
+          .cast("long").as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        when(col("n_dup_chunks") * 2 > col("n_chunks"), "drop_doc")
+          .when(col("n_dup_chunks") > 0, "partial_dup")
+          .otherwise("keep_clean").as("decision"))
+      .orderBy("doc_id")
+
+  /** Chunk-level NEAR-dup pairs — the approximate twin of
+    * [[qTextChunkDedup]] (exact keys miss a one-word edit; RefinedWeb-
+    * lineage pipelines near-dedup passages for exactly that): each
+    * W=32/S=24 window shingles into distinct 3-gram hashes, takes a
+    * 64-wide MinHash signature, and routes through 16×4 banded LSH
+    * (the [[graft.dedup.DedupOps]] kernels — one fused codegen pass
+    * each); candidates verify with the exact sorted-merge Jaccard at
+    * J ≥ 0.8 (5·inter ≥ 4·union, integer arithmetic). The corpus's
+    * chunk-pair Jaccard distribution has an empty moat between <0.3
+    * (stride-overlap siblings of the SAME doc, J≈0.11) and ≥0.8, and
+    * 16×4 banding recall at J=0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998 — so the
+    * oracle (the full EXACT J≥0.8 pair list) doubles as an LSH recall
+    * gate, the dedup_minhash_lsh convention. Sub-shingle-width tails
+    * (<3 tokens) carry no 3-gram signal and sit out on both engines.
+    * Chunk identity packs as doc_id·2²⁰+chunk_idx so the pair kernels
+    * key on one long; unpacked by shift/mask on output. Scale shape:
+    * the LSH bucket join is the only shuffle that grows with the
+    * corpus — linear, never all-pairs. */
+  def qTextChunkMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val W = 32L
+    val S = 24L
+    val CB = 20 // chunk_idx bits in the packed chunk id
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - W, lit(0L)) / S.toDouble).cast("long"))
+    val chunks = base
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        (shiftleft(col("doc_id"), CB) + col("chunk_idx")).as("cid"),
+        graft.dedup.DedupOps.shingleHashes(
+          slice(col("ws"), (col("chunk_idx") * S + 1L).cast("int"),
+            least(lit(W), col("n") - col("chunk_idx") * S).cast("int")), 3)
+          .as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .withColumn("sig", graft.dedup.DedupOps.minhashSignature(col("sh"), 64))
+    val cands = graft.dedup.DedupOps.lshCandidates(chunks, "cid", "sig", 4)
+    val a = chunks.select(col("cid").as("doc_a"), col("sh").as("sh_a"))
+    val b = chunks.select(col("cid").as("doc_b"), col("sh").as("sh_b"))
+    val (inter, union) = graft.dedup.DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
+    cands
+      .join(a, "doc_a").join(b, "doc_b")
+      .filter(inter * 5 >= union * 4)
+      .withColumn("inter_n", inter.cast("long"))
+      .withColumn("union_n", union.cast("long"))
+      .select(
+        shiftrightunsigned(col("doc_a"), CB).as("doc_a2"),
+        col("doc_a").bitwiseAND((1L << CB) - 1).as("chunk_a"),
+        shiftrightunsigned(col("doc_b"), CB).as("doc_b2"),
+        col("doc_b").bitwiseAND((1L << CB) - 1).as("chunk_b"),
+        col("inter_n"), col("union_n"))
+      .withColumnRenamed("doc_a2", "doc_a").withColumnRenamed("doc_b2", "doc_b")
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
   }
 
   /** Data-mixture reweighting — the domain-balancing step of a training

@@ -886,6 +886,71 @@ class TextOpsSpec extends SparkSpec {
       assert(texts.length == 1, s"hash collision across distinct chunk texts: $texts")
     }
   }
+
+  test("chunk doc purge: tiers agree with a direct dedup-frame rollup and all fire naturally") {
+    val out = TextOps.qTextChunkDocPurge(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // independent rollup of the dedup frame the purge is defined over
+    val dedup = TextOps.qTextChunkDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val byDoc = dedup.groupBy(_._1)
+    assert(out.map(_._1).toSet == byDoc.keySet, "purge must cover every chunked doc")
+    out.foreach { case (id, n, dup, tier) =>
+      val g = byDoc(id)
+      assert(n == g.length, s"doc $id chunk count")
+      assert(dup == g.count(_._2 == "drop_dup"), s"doc $id dup count")
+      val exp = if (dup * 2 > n) "drop_doc" else if (dup > 0) "partial_dup" else "keep_clean"
+      assert(tier == exp, s"doc $id tier")
+    }
+    // every tier must carry natural traffic or a branch is untested
+    val tiers = out.map(_._4).toSet
+    assert(tiers == Set("drop_doc", "partial_dup", "keep_clean"),
+      s"tier(s) with no natural traffic at this SF: ${Set("drop_doc", "partial_dup", "keep_clean") -- tiers}")
+    // a purged doc's duplicated mass should be (at least partly) owned by
+    // OTHER documents — a purge driven purely by within-doc repetition
+    // would be the wrong criterion (that's text_repetition_ratio's job)
+    val dropped = out.filter(_._4 == "drop_doc").map(_._1).toSet
+    val repRows = TextOps.qTextChunkDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    dropped.foreach { id =>
+      val foreignReps = repRows.filter(r => r._1 == id && r._2 == "drop_dup").map(_._3)
+      assert(foreignReps.exists(_ != id),
+        s"doc $id dropped with no foreign-owned dup chunk")
+    }
+  }
+
+  test("chunk minhash: pairs are ordered, above threshold, and never stride-overlap siblings") {
+    val rows = TextOps.qTextChunkMinhash(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "no near-dup chunk pair at this SF — the path is unexercised")
+    rows.foreach { case (da, ca, db, cb, inter, union) =>
+      assert(da < db || (da == db && ca < cb), s"pair not lexicographically ordered")
+      assert(inter >= 1 && inter <= union, s"degenerate counts ($inter, $union)")
+      assert(inter * 5 >= union * 4, s"pair below the J>=0.8 threshold: $inter/$union")
+      // adjacent windows of one doc share only the 8-token stride overlap
+      // (J~0.11) — if one ever surfaces here the moat claim is dead and
+      // the threshold needs re-measuring
+      assert(!(da == db && cb == ca + 1), s"stride-sibling pair emitted: doc $da chunks $ca/$cb")
+    }
+    // exact-dup windows (chunk_dedup's drop_dup rows whose texts are >=3
+    // tokens) must all surface here at J=1 — near-dup is a superset of
+    // exact-dup at passage granularity
+    val exact = TextOps.qTextChunkDedup(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunkLen(d: Long, ci: Long): Int = {
+      val ws = docs(d).trim.split("\\s+")
+      math.min(32, ws.length - (ci * 24).toInt)
+    }
+    val pairKeys = rows.map(r => (r._1, r._2, r._3, r._4)).toSet
+    exact.filter(r => r._3 == "drop_dup" && chunkLen(r._1, r._2) >= 3).foreach {
+      case (d, ci, _, rd, rc) =>
+        assert(pairKeys.contains((rd, rc, d, ci)) || pairKeys.contains((d, ci, rd, rc)),
+          s"exact-dup window ($d,$ci) rep ($rd,$rc) missing from the near-dup pairs")
+    }
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
