@@ -124,7 +124,14 @@ object ScalingBench {
     // sliding-window chunker: per-doc hash-once + per-chunk slice — the
     // ~W/S x row blowup is the only cost term, must stay scan-bound —
     // and the chunk-key dedup over it (one content-key shuffle)
-    "text_chunk_windows", "text_chunk_dedup")
+    "text_chunk_windows", "text_chunk_dedup",
+    // chunk-family closers: the doc purge (chunk shuffle + one doc_id
+    // groupBy — must track text_chunk_dedup) and the passage near-dup
+    // miner (shingle→minhash→banded LSH at chunk granularity; the
+    // rotation bijection preserves within-replica chunk Jaccard and
+    // destroys cross-replica shingles, the dedup_minhash_lsh honesty
+    // argument — slope must stay linear, never all-pairs)
+    "text_chunk_doc_purge", "text_chunk_minhash")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

@@ -158,6 +158,8 @@ object SparkEntry {
     "embed_knn_density"   -> (graft.similarity.SimilarityOps.qEmbedKnnDensity _),
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
+    "embed_mips"          -> (graft.similarity.SimilarityOps.qEmbedMips _),
+    "ann_mips_lsh"        -> (graft.similarity.SimilarityOps.qAnnMipsLsh _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
     "gdpr_forget_batch"   -> (graft.operators.GovernanceOps.qGdprForgetBatch _),
     "gdpr_k_anonymity"    -> (graft.operators.GovernanceOps.qKAnonymity _),
@@ -1789,6 +1791,27 @@ object SparkEntry {
     // is computed in-plan; the sampled twins' booleans (vs the GRAPH
     // brute truth, self excluded) are what the oracle asserts
     "ann_knn_join" -> AnnGateOracle,
+    // brute MIPS: the corpus ships unit-norm (MIPS would be hollow
+    // cosine), so both engines re-scale by f(id) = 1 + (id%7)/4 — pure
+    // id arithmetic in doubles — and rank by exact inner product
+    "embed_mips" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |sc AS (SELECT vec_id,
+        |         list_transform(vec, x -> x * (1 + (vec_id % 7) / 4.0)) AS vec FROM v),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id, list_inner_product(qvec, vec) AS c
+        |      FROM q, sc WHERE vec_id <> query_id)
+        |SELECT query_id, rank, vec_id, ip_ppm FROM (
+        |  SELECT query_id, vec_id, CAST(round(c * 1000000.0) AS BIGINT) AS ip_ppm,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+        |  FROM s) t WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // MIPS-LSH gate: booleans vs in-plan brute MIPS truth over the
+    // fixed 10-query set (the AnnGateOracle contract, non-planted
+    // query ids)
+    "ann_mips_lsh" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     // persisted-index lifecycle (write → append → reload → serve): same
     // gate contract as the session-built path (AnnIndexStoreSpec proves
     // serve parity), plus the appended exact-copy twin pinned at rank 2

@@ -294,6 +294,34 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** Query-side multiprobe candidate generation shared by the cosine and
+    * MIPS LSH paths: each query probes its own bucket plus the hamming
+    * ball per table (radius 1; radius 2 once bits >= 10 — the scheduled
+    * dial, see [[annTopkLshRanked]]'s rationale), candidates dedup as
+    * bare id pairs. `corpusBucketed` is (table, bucket, vec_id, ...),
+    * `queryBucketed` is (query_id, table, bucket). `radius2` widens the
+    * ball to hamming 2 below the bits>=10 schedule point — the MIPS
+    * route forces it at every width because norm augmentation
+    * compresses the whole corpus toward the equator of the augmented
+    * sphere (every |v⁺| = M), shrinking the angular gaps the planes
+    * must preserve. */
+  private def multiprobeCandidates(corpusBucketed: DataFrame,
+      queryBucketed: DataFrame, bits: Int, radius2: Boolean = false): DataFrame = {
+    val flipMasks: Seq[Int] = Seq(0) ++
+      (0 until bits).map(1 << _) ++
+      (if (radius2 || bits >= 10)
+        for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j)
+      else Seq.empty)
+    val probes = queryBucketed.select(col("query_id"), col("table"),
+      explode(array(flipMasks.map(m =>
+        col("bucket").bitwiseXOR(lit(m)).cast("int")): _*)).as("bucket"))
+    corpusBucketed
+      .select(col("table"), col("bucket"), col("vec_id"))
+      .join(probes, Seq("table", "bucket"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+  }
+
   /** LSH-bucketed ANN over the planted corpus: per table, bucket =
     * sign-bit pattern of `BitsPerTable` hyperplane dots; candidates = pairs
     * sharing a bucket in any table; rank candidates by exact cosine.
@@ -319,27 +347,17 @@ object SimilarityOps {
     // x10 52 at the x30 amplified corpus) — fan-out 1 + bits + C(bits,2)
     // ~ log²n, still query-side only: the corpus materializes ONE row
     // per (vector, table) regardless, so the index cost is unchanged.
-    val flipMasks: Seq[Int] = Seq(0) ++
-      (0 until bits).map(1 << _) ++
-      (if (bits >= 10)
-        for { i <- 0 until bits; j <- (i + 1) until bits } yield (1 << i) | (1 << j)
-      else Seq.empty)
     // candidates travel as BARE ID PAIRS through the bucket join and the
     // cross-table distinct — the multiprobe fan-out multiplies this
     // stream, and carrying the 64-double vectors through it (the pre-r11
     // form) made the join+distinct shuffle ~64x wider than needed (the
     // dominant term of the measured x30 wall). Vectors join back AFTER
     // dedup, once per side, on slim id keys.
-    val queryIds = bucketed.filter(col("vec_id") >= PlantedIdOffset)
+    val queryB = bucketed.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
-      .select(col("vec_id").as("query_id"), col("table"),
-        explode(array(flipMasks.map(m =>
-          col("bucket").bitwiseXOR(lit(m)).cast("int")): _*)).as("bucket"))
-    val cands = bucketed.filter(col("vec_id") < PlantedIdOffset)
-      .select(col("table"), col("bucket"), col("vec_id"))
-      .join(queryIds, Seq("table", "bucket"))
-      .select(col("query_id"), col("vec_id"))
-      .distinct()
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val cands = multiprobeCandidates(
+      bucketed.filter(col("vec_id") < PlantedIdOffset), queryB, bits)
     val queryVecs = base.filter(col("vec_id") >= PlantedIdOffset)
       .filter(inGateSample(col("vec_id"), queryStride))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
@@ -386,6 +404,117 @@ object SimilarityOps {
     * oracle-asserted scales while catching a residual/codebook/ADC
     * regression that the old floor would have slept through. */
   private[graft] val IvfPqMinMeanRecallPct = 50
+
+  // ---- MIPS: maximum-inner-product search over a non-unit corpus ----
+
+  /** Deterministic per-id norm plant for the MIPS family. The synthetic
+    * embeddings ship unit-normalized, where inner-product ranking
+    * degenerates to cosine and a MIPS operator would be hollow — so the
+    * corpus is re-scaled by f(id) = 1 + (id mod 7)/4 (norms 1.0 .. 2.5),
+    * pure id arithmetic both engines replay in doubles. Under varied
+    * norms argmax <q,v> genuinely disagrees with argmax cos(q,v)
+    * (asserted non-vacuously in SimilaritySpec). */
+  private def mipsScaled(base: DataFrame): DataFrame =
+    base.select(col("vec_id"),
+      transform(col("vec"),
+        x => x * (lit(1.0) + (col("vec_id") % 7).cast("double") / 4.0)).as("vec"))
+
+  /** Brute-force MIPS top-10 — the exact baseline (ann_topk_brute's
+    * shape: queries broadcast, corpus scanned once, bounded-heap
+    * ranking): score = <q, v> over the norm-planted corpus, queries the
+    * raw unit vectors with vec_id < 10. Integer-exact oracle: DuckDB
+    * replays the scale plant and list_inner_product on the same
+    * doubles. */
+  def qEmbedMips(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val corpus = mipsScaled(base)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.dotProduct(col("qvec"), col("vec")).as("__cos"))
+    rankedTop10(scored).withColumnRenamed("cos_ppm", "ip_ppm")
+  }
+
+  /** MIPS through sign-LSH via the norm-augmentation reduction
+    * (Bachrach et al. 2014, "Speeding up the Xbox recommender"): append
+    * sqrt(M² − |v|²) to each corpus vector (M = max corpus norm, a
+    * broadcast scalar frame — no driver collect) and 0 to each query;
+    * then cos(q⁺, v⁺) = <q,v>/(|q|·M) is MONOTONE in <q,v> per query,
+    * so cosine ANN machinery — 65-dim hyperplane sign buckets, 8
+    * tables, scheduled bits, query-side multiprobe — serves
+    * inner-product search unchanged. Candidates rerank by EXACT <q,v>.
+    * Scale shape: identical to [[annTopkLshRanked]] — one (vector,
+    * table) row per corpus vector, bucket equi-join, id-pair candidate
+    * stream, never all-pairs. */
+  def annMipsLshRanked(spark: SparkSession, dir: String): DataFrame = {
+    val base = vectors(spark, dir)
+    val corpus = mipsScaled(base)
+      .withColumn("__n2", GraftFunctions.dotProduct(col("vec"), col("vec")))
+    val m2 = corpus.agg(max(col("__n2")).as("__m2"))
+    val aug = corpus.join(broadcast(m2), lit(true))
+      .select(col("vec_id"),
+        concat(col("vec"),
+          array(sqrt(greatest(col("__m2") - col("__n2"), lit(0.0))))).as("vec"))
+    val bits = lshBits(corpusSize(spark, dir))
+    val corpusB = signBucketed(aug, bits, dim = 65)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val queryB = signBucketed(
+      queries.select(col("query_id").as("vec_id"),
+        concat(col("qvec"), array(lit(0.0))).as("vec")), bits, dim = 65)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val cands = multiprobeCandidates(corpusB, queryB, bits, radius2 = true)
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = cands
+      .join(mipsScaled(base).select(col("vec_id"), col("vec")), "vec_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.dotProduct(col("qvec"), col("vec")).as("__cos"))
+    rankedTop10(scored).withColumnRenamed("cos_ppm", "ip_ppm")
+  }
+
+  /** Driver-contract MIPS-LSH entry: the augmented-space search gated
+    * in-plan against brute MIPS truth over the same 10 queries (bounded
+    * — the query set is FIXED, not corpus-growing, so the gate is
+    * linear). Booleans the oracle asserts literally: per-corpus
+    * mean_recall_ok (mean recall@10 >= floor) and per-query top1_ok
+    * (the augmented route surfaces the true inner-product argmax —
+    * the reduction's monotonicity contract, end to end). */
+  def qAnnMipsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = annMipsLshRanked(spark, dir)
+    val truthRanked = qEmbedMips(spark, dir)
+    val truth = truthRanked
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+    val truthTop1 = truthRanked.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id").as("__btop1"))
+    val perQuery = ranked
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("in_brute"), 1).otherwise(0)).as("__hits"),
+        max(when(col("rank") === 1, col("vec_id"))).as("__top1"))
+    val meanOk = perQuery.agg(
+      (sum(col("__hits")) * 10 >= lit(MipsMinMeanRecallPct.toLong) * count(lit(1)))
+        .as("mean_recall_ok"))
+    perQuery.join(broadcast(truthTop1), "query_id")
+      .join(broadcast(meanOk), lit(true))
+      .select(col("query_id"), lit(10L).as("k"),
+        col("mean_recall_ok"),
+        (col("__top1") === col("__btop1")).as("top1_ok"))
+      .orderBy("query_id")
+  }
+
+  /** Measured floor for the MIPS-LSH mean recall@10 (vs brute MIPS
+    * truth). With radius-2 probing the measured mean is 99 at sf0.001
+    * (SimilaritySpec prints it each run) and the gate booleans hold at
+    * sf0.01 and sf0.1; 50 keeps wide drift margin while catching an
+    * augmentation/bucketing/rerank regression. Radius 2 is forced at
+    * every bit width here (unlike the cosine path's bits>=10 schedule)
+    * because the augmented space compresses angles — every |v⁺| = M —
+    * which measurably starves radius-1 recall (one top1 miss in 10 at
+    * sf0.001 before the widening). */
+  private[graft] val MipsMinMeanRecallPct = 50
 
   /** Centroids as a broadcastable frame (cell id, vector, ||c||^2).
     * Embedding centroids as literal arrays costs seconds of codegen

@@ -629,4 +629,50 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("planted-id offset"), e.getMessage)
   }
+
+  test("MIPS: the norm plant separates inner-product from cosine ranking; the LSH route holds recall and top1") {
+    // brute MIPS truth (the registered exact entry)
+    val brute = SimilarityOps.qEmbedMips(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bruteTop1 = brute.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    assert(bruteTop1.size == 10, "expected the fixed 10-query set")
+    // non-hollowness: over the SAME norm-planted corpus, cosine ranking
+    // (scale-invariant => the raw corpus cosine) must disagree with
+    // inner-product ranking for at least one query — otherwise the plant
+    // failed and MIPS degenerated back to cosine
+    val vecs = Tables.embeddings(spark, SfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def cosTop1(q: Long): Long = vecs.collect {
+      case (id, v) if id != q =>
+        (dot(vecs(q), v) / math.sqrt(dot(v, v) * dot(vecs(q), vecs(q))), -id)
+    }.max match { case (_, negId) => -negId }
+    def scale(id: Long): Double = 1.0 + (id % 7) / 4.0
+    def mipsTop1(q: Long): Long = vecs.collect {
+      case (id, v) if id != q => (dot(vecs(q), v) * scale(id), -id)
+    }.max match { case (_, negId) => -negId }
+    val queries = (0L until 10L)
+    queries.foreach { q =>
+      assert(bruteTop1(q) == mipsTop1(q), s"query $q brute-MIPS top1 vs direct replay")
+    }
+    assert(queries.exists(q => cosTop1(q) != mipsTop1(q)),
+      "MIPS and cosine top-1 agree on every query — the norm plant is hollow")
+    // the gate entry's booleans must all hold (the driver asserts the same)
+    val gate = SimilarityOps.qAnnMipsLsh(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    assert(gate.length == 10 && gate.forall(g => g._2 && g._3),
+      s"gate booleans: ${gate.mkString(", ")}")
+    // measured mean recall@10 of the augmented-LSH route vs brute truth —
+    // printed so the floor stays pinned to evidence
+    val truthSets = brute.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+    val ranked = SimilarityOps.annMipsLshRanked(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val hits = ranked.count { case (q, v) => truthSets(q).contains(v) }
+    val meanPct = hits * 10 / queries.size
+    info(s"mips-lsh mean recall@10 = $meanPct% (floor ${SimilarityOps.MipsMinMeanRecallPct})")
+    assert(meanPct >= SimilarityOps.MipsMinMeanRecallPct,
+      s"measured mean recall $meanPct below the pinned floor")
+  }
 }
