@@ -192,6 +192,8 @@ object SparkEntry {
     "text_chunk_dedup"    -> (graft.text.TextOps.qTextChunkDedup _),
     "text_chunk_doc_purge" -> (graft.text.TextOps.qTextChunkDocPurge _),
     "text_chunk_minhash"  -> (graft.text.TextOps.qTextChunkMinhash _),
+    "pipeline_e2e"        -> (graft.text.TextOps.qPipelineE2e _),
+    "pipeline_funnel"     -> (graft.text.TextOps.qPipelineFunnel _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
     "text_vocab_encode"   -> (graft.text.TextOps.qVocabEncode _),
     "text_tfidf_topterms" -> (graft.text.TextOps.qTfidfTopTerms _),
@@ -243,9 +245,14 @@ object SparkEntry {
     * per-doc logit sum over unigram+bigram features), shared by the
     * batch classifier and the streaming filter so the model literal and
     * feature construction live in ONE SQL body; `finalSelect` supplies
-    * each entry's projection / keep-filter over the `sc` CTE. */
-  private def qualityScoreOracle(finalSelect: String): String =
-    ("""WITH w(term, wt) AS (VALUES
+    * each entry's projection / keep-filter over the `sc` CTE and
+    * `source` the corpus relation (the pipeline entries score an
+    * amplified ingest). */
+  private def qualityScoreOracle(finalSelect: String,
+      source: String = "documents"): String =
+    (s"""WITH src AS (SELECT doc_id, text FROM $source),
+      |""".stripMargin +
+     """w(term, wt) AS (VALUES
       |  ('click', -1000000), ('buy', -900000), ('free', -950000),
       |  ('offer', -850000), ('subscribe', -800000),
       |  ('click here', -1500000), ('buy now', -1400000),
@@ -257,7 +264,7 @@ object SparkEntry {
       |d AS (SELECT doc_id, text ||
       |    CASE WHEN doc_id % 5 = 0 THEN ' click here buy now subscribe free offer'
       |         WHEN doc_id % 5 = 1 THEN ' because therefore of the and with'
-      |         ELSE '' END AS t FROM documents),
+      |         ELSE '' END AS t FROM src),
       |toks AS (SELECT doc_id, string_split_regex(trim(t), '\s+') AS ws FROM d),
       |feats AS (SELECT doc_id,
       |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
@@ -269,6 +276,41 @@ object SparkEntry {
       |         sum(coalesce(wt, 0)) AS logit_sum
       |       FROM h LEFT JOIN wb USING (b) GROUP BY doc_id)
       |""" + finalSelect).stripMargin
+
+  /** The end-to-end pipeline ledger replay: extends the quality-scoring
+    * CTE chain with the lang-ID argmax, the cumulative stage flags, and
+    * the among-survivors exact-dedup rep election; `finalSelect`
+    * projects either the packed manifest (pipeline_e2e) or the funnel
+    * counts (pipeline_funnel) off the `fin` CTE. `en` wins stopword-hit
+    * ties because it is first in the Spark fold order, so lang_keep is
+    * exactly `hits_en = greatest(...) AND greatest(...) > 0`. The
+    * ingest is the twin-amplified corpus (prose-class docs duplicated
+    * at +1,000,000 — see [[graft.text.TextOps.pipelineLedger]]). */
+  private def pipelineLedgerOracle(finalSelect: String): String =
+    qualityScoreOracle(
+      """, t2 AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS lt,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM src),
+        |lp AS (SELECT doc_id, text, n_tokens,
+        |    len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS he,
+        |    greatest(
+        |      len(list_filter(lt, x -> list_contains(['the','a','of','and','to','in','is'], x))),
+        |      len(list_filter(lt, x -> list_contains(['der','die','und','das','ist','nicht'], x))),
+        |      len(list_filter(lt, x -> list_contains(['le','les','et','est','une','dans'], x))),
+        |      len(list_filter(lt, x -> list_contains(['el','los','que','una','por','con'], x))),
+        |      len(list_filter(lt, x -> list_contains(['的','是','了','在','我','有'], x)))) AS hb
+        |  FROM t2),
+        |led AS (SELECT lp.doc_id, lp.text, lp.n_tokens,
+        |    (he = hb AND hb > 0) AS lang_keep,
+        |    (he = hb AND hb > 0 AND sc.logit_sum > 0) AS q_keep
+        |  FROM lp JOIN sc USING (doc_id)),
+        |rep AS (SELECT *, min(CASE WHEN q_keep THEN doc_id END)
+        |    OVER (PARTITION BY text) AS rep_id FROM led),
+        |fin AS (SELECT *, (q_keep AND doc_id = rep_id) AS dedup_keep FROM rep)
+        |""".stripMargin + finalSelect,
+      source = """documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 1""".stripMargin)
 
   /** The forget-propagation oracle, parameterized by the erasure
     * predicate (as a function of an id-expression string) so the
@@ -2186,6 +2228,33 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
         |  CAST(logit_sum AS BIGINT) AS logit_sum
         |FROM sc WHERE logit_sum > 0 ORDER BY doc_id"""),
+    // the composed pipeline: each stage is the standalone entry's SQL
+    // replayed in CTE composition, then the pack cumsum over survivors
+    "pipeline_e2e" -> pipelineLedgerOracle(
+      """SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_first,
+        |  CAST((coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens - 1) // 2048 AS BIGINT) AS seq_last,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048 AS BIGINT) AS seq_offset
+        |FROM fin WHERE dedup_keep ORDER BY doc_id"""),
+    "pipeline_funnel" -> pipelineLedgerOracle(
+      """SELECT stage, n_docs, n_tokens FROM (
+        |  SELECT '0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM fin
+        |  UNION ALL SELECT '1_lang_en',
+        |    CAST(sum(CASE WHEN lang_keep THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN lang_keep THEN n_tokens ELSE 0 END) AS BIGINT) FROM fin
+        |  UNION ALL SELECT '2_quality',
+        |    CAST(sum(CASE WHEN q_keep THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN q_keep THEN n_tokens ELSE 0 END) AS BIGINT) FROM fin
+        |  UNION ALL SELECT '3_dedup',
+        |    CAST(sum(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN dedup_keep THEN n_tokens ELSE 0 END) AS BIGINT) FROM fin)
+        |ORDER BY stage"""),
     // the oracle states the selection CONTRACT literally (global ordered
     // window cumsum); the spark side implements it by histogram cutoff —
     // a hash mismatch means the phased selection diverged from the greedy

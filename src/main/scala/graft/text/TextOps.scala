@@ -164,13 +164,22 @@ object TextOps {
     * TextOpsSpec proves the planted classes separate with a wide
     * margin; the oracle replays weights, hashing, and labels
     * integer-exactly. */
-  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityLogits(spark,
+      Tables.spread(spark, Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("n_features"), col("n_hits"), col("logit_sum"),
+        when(col("logit_sum") > 0, "keep").otherwise("drop").as("label"))
+      .orderBy("doc_id")
+
+  /** [[qQualityClassifier]]'s scoring kernel over an explicit (doc_id,
+    * text) frame — factored so the end-to-end pipeline ledger
+    * ([[pipelineLedger]]) scores the same feature stream on a filtered
+    * corpus. Returns (doc_id, n_features, n_hits, logit_sum). */
+  private[graft] def qualityLogits(spark: SparkSession, docs: DataFrame): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val weights = qualityWeightRows.toDF("b", "wt")
-    val feats = qualityFeatures(
-      Tables.spread(spark, Tables.documents(spark, dir)))
-    feats
+    qualityFeatures(docs.select("doc_id", "text"))
       .select(col("doc_id"),
         explode(graft.functions.GraftFunctions.md5Hash64Array(col("fs"))).as("h"))
       .withColumn("b", col("h").bitwiseAND(lit(QualityBuckets - 1L)))
@@ -179,9 +188,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_features"),
         sum(when(col("wt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
         sum(coalesce(col("wt"), lit(0L))).as("logit_sum"))
-      .select(col("doc_id"), col("n_features"), col("n_hits"), col("logit_sum"),
-        when(col("logit_sum") > 0, "keep").otherwise("drop").as("label"))
-      .orderBy("doc_id")
   }
 
   /** The SHUFFLE-FREE form of the quality scorer — streaming inference
@@ -570,20 +576,29 @@ object TextOps {
   /** Heuristic language ID: argmax of per-language stopword hits, ties and
     * zero-hit docs → "und". Deterministic tie policy: highest count wins,
     * first language in (en, de, fr, es, zh) order on equal counts. */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    withLangPred(Tables.spread(spark, Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("top_hits"))
+      .orderBy("doc_id")
+
+  /** [[qLangId]]'s prediction kernel: appends (pred_lang, top_hits) to
+    * any frame carrying `text` — per-row stopword argmax, no shuffle.
+    * Factored so the end-to-end pipeline's language gate
+    * ([[pipelineLedger]]) is the registered lang-ID entry verbatim. */
+  private[graft] def withLangPred(docs: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val langs = Seq("en", "de", "fr", "es", "zh")
-    val hits = langs.map(l => hitCount(toks, Stopwords(l)).as(s"hits_$l"))
-    val withHits = Tables.spread(spark, Tables.documents(spark, dir)).select((col("doc_id") +: col("lang") +: hits): _*)
-    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val hits = langs.map(l => hitCount(toks, Stopwords(l)).as(s"__hits_$l"))
+    val withHits = docs.select(col("*") +: hits: _*)
+    val best = langs.map(l => col(s"__hits_$l")).reduce((a, b) => greatest(a, b))
     val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
-      when(col(s"hits_$l") === col("__best") && col("__best") > 0, lit(l)).otherwise(acc)
+      when(col(s"__hits_$l") === col("__best") && col("__best") > 0, lit(l)).otherwise(acc)
     }
     withHits
       .withColumn("__best", best)
-      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-        col("__best").cast("long").as("top_hits"))
-      .orderBy("doc_id")
+      .withColumn("pred_lang", pred)
+      .withColumn("top_hits", col("__best").cast("long"))
+      .drop(langs.map(l => s"__hits_$l") :+ "__best": _*)
   }
 
   /** Rolling-hash document fingerprint: polynomial hash over the
@@ -947,6 +962,91 @@ object TextOps {
         (col("token_start") % B).as("seq_offset"))
       .orderBy("doc_id")
   }
+
+  // ---- end-to-end pipeline: lang gate → quality gate → dedup → pack ----
+
+  /** Per-document decision ledger for the composed training-data
+    * pipeline — each doc carries its predicted language, classifier
+    * logit, and the three CUMULATIVE stage-keep flags (`lang_keep` ⊇
+    * `q_keep` ⊇ `dedup_keep`), so both pipeline entries read one frame
+    * instead of re-running upstream stages per stage.
+    *
+    * Stage semantics are the registered standalone entries VERBATIM
+    * (same kernels, not re-implementations): language gate =
+    * [[withLangPred]] (text_lang_id) keeping predicted `en`; quality
+    * gate = [[qualityLogits]] (text_quality_classifier) keeping
+    * logit > 0; exact dedup elects min(doc_id) per full-text key AMONG
+    * quality survivors (the dedup_exact rep rule — a `min(when(...))`
+    * window over the text partition, so dropped docs still carry their
+    * flags for the funnel).
+    *
+    * The synthetic corpus has no natural full-text duplicates among
+    * gate survivors, so the ingest plants exact twins of the
+    * prose-class docs (doc_id ≡ 1 mod 5, offset +1,000,000 — the
+    * dedup_exact convention; the offset preserves doc_id mod 5, so a
+    * twin rides through the language and quality gates WITH its base
+    * and the dedup stage carries real traffic at every SF).
+    *
+    * Scale shape: one narrow scan computes tokens/langid per row, the
+    * classifier adds its broadcast weight join + one doc_id groupBy,
+    * the ledger join re-uses that doc_id partitioning, and the dedup
+    * election is ONE text-key shuffle. Nothing here is corpus-quadratic
+    * and no stage re-reads the corpus — the flags compose in-plan. */
+  private[graft] def pipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+    val scored = withLangPred(docs)
+      .join(qualityLogits(spark, docs).select("doc_id", "logit_sum"), Seq("doc_id"))
+    scored
+      .withColumn("lang_keep", col("pred_lang") === "en")
+      .withColumn("q_keep", col("lang_keep") && col("logit_sum") > 0)
+      .withColumn("__rep",
+        min(when(col("q_keep"), col("doc_id"))).over(Window.partitionBy("text")))
+      .withColumn("dedup_keep", col("q_keep") && col("doc_id") === col("__rep"))
+  }
+
+  /** End-to-end pipeline — the run a training-data corpus actually
+    * ships through: language gate → quality-classifier gate → exact
+    * dedup → sequence packing, emitting the final packed manifest
+    * (doc_id → token_start/seq_first/seq_offset) over the surviving
+    * corpus. Every stage is the registered standalone operator applied
+    * in composition (see [[pipelineLedger]]); packing re-uses the
+    * distributed prefix sum ([[packSequences]]), so the composed plan
+    * inherits each stage's scale contract. The oracle replays the whole
+    * chain as one SQL body — a hash mismatch localizes to composition,
+    * since each stage is separately gated. */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark,
+      pipelineLedger(spark, dir).filter(col("dedup_keep"))
+        .select("doc_id", "text"))
+
+  /** Pipeline funnel — the observability twin of [[qPipelineE2e]]: doc
+    * and token counts surviving each stage (the first dashboard anyone
+    * builds over a filtering pipeline). One ledger pass, one global
+    * aggregate, `stack` to (stage, n_docs, n_tokens) rows — the
+    * four-row output is metadata-sized at any corpus size. */
+  def qPipelineFunnel(spark: SparkSession, dir: String): DataFrame =
+    pipelineLedger(spark, dir)
+      .agg(
+        count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
+        sum(when(col("lang_keep"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("lang_keep"), col("n_tokens")).otherwise(0L)).as("t1"),
+        sum(when(col("q_keep"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("q_keep"), col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("dedup_keep"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("dedup_keep"), col("n_tokens")).otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+          |  '0_ingest',  d0, t0,
+          |  '1_lang_en', d1, t1,
+          |  '2_quality', d2, t2,
+          |  '3_dedup',   d3, t3) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy("stage")
 
   /** Bigram novelty — the n-gram LM cousin of [[qRareWordRatio]]'s
     * unigram cut and a cheap perplexity proxy: how much of a document's

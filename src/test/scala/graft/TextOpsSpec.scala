@@ -951,6 +951,55 @@ class TextOpsSpec extends SparkSpec {
           s"exact-dup window ($d,$ci) rep ($rd,$rc) missing from the near-dup pairs")
     }
   }
+  test("pipeline: funnel is monotone, stages compose the standalone entries, e2e packs exactly the survivors") {
+    val funnel = TextOps.qPipelineFunnel(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(funnel.map(_._1).toSeq ==
+      Seq("0_ingest", "1_lang_en", "2_quality", "3_dedup"))
+    // each stage can only shed docs/tokens, and every stage sheds SOMETHING
+    // on this corpus (vacuous gates would hide composition bugs)
+    funnel.sliding(2).foreach { case Array((sa, da, ta), (sb, db, tb)) =>
+      assert(db < da, s"$sb kept all $da docs of $sa — gate vacuous")
+      assert(tb < ta, s"$sb kept all tokens of $sa")
+    }
+    // stage composition = the registered standalone entries applied in
+    // sequence over the twin-amplified ingest (prose-class docs get an
+    // exact twin at +1,000,000; %5 is preserved, so a twin's lang and
+    // quality verdicts EQUAL its base's — the standalone entries on the
+    // raw corpus extend to the amplified one by that identity)
+    def amp(ids: Set[Long]): Set[Long] =
+      ids ++ ids.filter(_ % 5 == 1).map(_ + 1000000L)
+    val baseIds = Tables.documents(spark, SfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(funnel.head._2 == amp(baseIds).size)
+    val langKeep = amp(TextOps.qLangId(spark, SfDir)
+      .filter(col("pred_lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet)
+    val qKeep = amp(TextOps.qQualityClassifier(spark, SfDir)
+      .filter(col("label") === "keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet).intersect(langKeep)
+    assert(funnel(1)._2 == langKeep.size)
+    assert(funnel(2)._2 == qKeep.size)
+    val baseTexts = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = baseTexts ++
+      baseTexts.collect { case (id, t) if id % 5 == 1 => (id + 1000000L, t) }
+    val expectSurv = qKeep.groupBy(id => texts(id)).values.map(_.min).toSet
+    assert(funnel(3)._2 == expectSurv.size)
+    // the dedup stage must be carrying the planted-twin traffic
+    assert(funnel(3)._2 < funnel(2)._2)
+
+    // the packed manifest covers exactly the survivor set, in doc_id
+    // order, with gap-free token starts (the pack contract)
+    val packed = TextOps.qPipelineE2e(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.map(_._1).toSet == expectSurv)
+    packed.foldLeft(0L) { case (expectStart, (id, n, start)) =>
+      assert(start == expectStart, s"doc $id token_start $start != $expectStart")
+      expectStart + n
+    }
+    assert(packed.map(_._2).sum == funnel(3)._3)
+  }
 }
 
 /** Fresh invocation for the determinism check (no shared plan objects). */
