@@ -131,7 +131,17 @@ object ScalingBench {
     // rotation bijection preserves within-replica chunk Jaccard and
     // destroys cross-replica shingles, the dedup_minhash_lsh honesty
     // argument — slope must stay linear, never all-pairs)
-    "text_chunk_doc_purge", "text_chunk_minhash")
+    "text_chunk_doc_purge", "text_chunk_minhash",
+    // MIPS family: brute = bounded 10-query scan (linear by
+    // construction — the slope row documents the constant); the LSH
+    // route prices the augmented-space bucket join + hamming-ball
+    // probing, which must stay linear like ann_topk_lsh
+    "embed_mips", "ann_mips_lsh",
+    // composed pipeline: lang/quality gates are scan-bound maps, the
+    // ledger join keys doc_id, dedup election keys text, pack is the
+    // distributed prefix sum — the slope must track its most expensive
+    // stage (the classifier), not multiply stages
+    "pipeline_e2e", "pipeline_funnel")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
