@@ -229,7 +229,8 @@ object SparkEntry {
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _),
     "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _),
     "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _),
-    "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _)
+    "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _),
+    "stream_chunk_dedup"  -> (graft.streaming.EventStreams.qStreamChunkDedup _)
   )
 
   /** Shared oracle bodies — one string, referenced per entry, so a
@@ -2228,6 +2229,22 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
         |  CAST(logit_sum AS BIGINT) AS logit_sum
         |FROM sc WHERE logit_sum > 0 ORDER BY doc_id"""),
+    // streaming passage-identity dedup: the distinct chunk-key set (the
+    // text_chunk_dedup chunker SQL, projected to identity — n_tokens is
+    // a function of the key, so DISTINCT over the pair is key-distinct)
+    "stream_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |g AS (SELECT
+        |        CAST((('0x' || substr(md5(array_to_string(
+        |          ws[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)],
+        |          ' ')), 1, 16))::UBIGINT >> 1) AS BIGINT) AS chunk_key,
+        |        CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens
+        |      FROM e)
+        |SELECT DISTINCT chunk_key, n_tokens FROM g ORDER BY chunk_key""".stripMargin,
     // the composed pipeline: each stage is the standalone entry's SQL
     // replayed in CTE composition, then the pack cumsum over survivors
     "pipeline_e2e" -> pipelineLedgerOracle(

@@ -583,6 +583,43 @@ object EventStreams {
     batch
   }
 
+  /** Streaming passage-identity dedup — the chunk-granularity ingest
+    * idempotency op (land only NOVEL passages): documents stream through
+    * the stateless chunker ([[graft.text.TextOps.chunkKeys]] — per-row
+    * explode, no shuffle), then `dropDuplicates(chunk_key)` keeps one
+    * occurrence per distinct passage ACROSS micro-batches. The output is
+    * deliberately the (chunk_key, n_tokens) identity set, not
+    * (doc_id, chunk_idx) attribution: n_tokens is a pure function of
+    * the key, so whichever occurrence arrival order hands the state
+    * store, the emitted VALUES are identical — the same argument
+    * [[qStreamDedup]] makes for bit-identical event rows, which is what
+    * lets a file stream with arbitrary batch splits hash-match the
+    * batch plan (rep ATTRIBUTION stays the batch `text_chunk_dedup`
+    * entry's job, where (doc_id, chunk_idx) order is defined).
+    *
+    * State: one row per distinct passage, unbounded by design —
+    * documents carry no event time, and passage identity never expires
+    * (a passage seen a month ago is still a duplicate today). The
+    * 100 TB posture: the state store scales out per chunk_key hash
+    * partition, and the probabilistic escape hatch is the registered
+    * `dedup_bloom_probe` (accept ~0 false-positive drops to cap state).
+    * No watermark ⇒ no late-data semantics to reason about. */
+  def qStreamChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select("doc_id", "text")
+    def distinctChunks(d: DataFrame): DataFrame =
+      graft.text.TextOps.chunkKeys(d)
+        .select("chunk_key", "n_tokens")
+        .dropDuplicates("chunk_key")
+    val batch = distinctChunks(docs).orderBy("chunk_key")
+    if (streamExecuteEnabled) {
+      val streamed = runAvailableNow(docs, "append", filesPerTrigger = Some(2))(
+        distinctChunks)
+      assertStreamParity("stream_chunk_dedup", streamed, batch)
+    }
+    batch
+  }
+
   // ---- stateful streaming sessionization ----
 
   case class SessionEvent(user_id: Long, ts: java.time.Instant, value: Double)

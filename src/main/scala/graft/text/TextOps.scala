@@ -290,22 +290,7 @@ object TextOps {
     * factored so the purge groupBy doesn't ride a pointless global sort).
     * Takes the docs frame directly so specs can plant corpora. */
   def chunkDecisions(docs: DataFrame): DataFrame = {
-    val W = 32L
-    val S = 24L
-    val base = docs
-      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n"))
-      .withColumn("n_chunks",
-        lit(1L) + ceil(greatest(col("n") - W, lit(0L)) / S.toDouble).cast("long"))
-    val keyed = base
-      .select(col("doc_id"), col("ws"), col("n"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        shiftrightunsigned(graft.dedup.DedupOps.md5Hash64(
-          concat_ws(" ", slice(col("ws"),
-            (col("chunk_idx") * S + 1L).cast("int"),
-            least(lit(W), col("n") - col("chunk_idx") * S).cast("int")))), 1)
-          .as("chunk_key"))
+    val keyed = chunkKeys(docs).drop("n_tokens")
     val w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
     keyed
       .withColumn("rep_doc", first(col("doc_id")).over(w))
@@ -315,6 +300,34 @@ object TextOps {
           col("chunk_idx") === col("rep_chunk"), "keep")
           .otherwise("drop_dup").as("decision"),
         col("rep_doc"), col("rep_chunk"))
+  }
+
+  /** The stateless chunker → content-key map shared by the batch dedup
+    * family ([[chunkDecisions]]) and the STREAMING passage-identity
+    * filter ([[graft.streaming.EventStreams.qStreamChunkDedup]]):
+    * per doc, W=32/S=24 windows keyed by the positional md5-64 of the
+    * window's token string, plus the window's token count (a pure
+    * function of the key — equal keys imply equal texts imply equal
+    * counts, which is what makes the streamed distinct-key output
+    * value-identical no matter which occurrence survives). Per-row
+    * explode, no shuffle — stream-legal with no state. */
+  private[graft] def chunkKeys(docs: DataFrame): DataFrame = {
+    val W = 32L
+    val S = 24L
+    docs
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - W, lit(0L)) / S.toDouble).cast("long"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        shiftrightunsigned(graft.dedup.DedupOps.md5Hash64(
+          concat_ws(" ", slice(col("ws"),
+            (col("chunk_idx") * S + 1L).cast("int"),
+            least(lit(W), col("n") - col("chunk_idx") * S).cast("int")))), 1)
+          .as("chunk_key"),
+        least(lit(W), col("n") - col("chunk_idx") * S).as("n_tokens"))
   }
 
   /** Document purge over chunk-dup mass — the RefinedWeb-lineage removal

@@ -205,7 +205,8 @@ class EventStreamSpec extends SparkSpec {
         "stream_top_users" -> (EventStreams.qStreamTopUsers _),
         "stream_sessionize" -> (EventStreams.qStreamSessionize _),
         "stream_late_data" -> (EventStreams.qStreamLateData _),
-        "stream_quality_filter" -> (EventStreams.qStreamQualityFilter _))
+        "stream_quality_filter" -> (EventStreams.qStreamQualityFilter _),
+        "stream_chunk_dedup" -> (EventStreams.qStreamChunkDedup _))
       entries.foreach { case (name, fn) =>
         // the parity requires() fire inside the call; a non-empty result
         // guards against a vacuously-green identity on zero rows
