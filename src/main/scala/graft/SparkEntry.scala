@@ -163,6 +163,7 @@ object SparkEntry {
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
     "gdpr_forget_batch"   -> (graft.operators.GovernanceOps.qGdprForgetBatch _),
     "gdpr_k_anonymity"    -> (graft.operators.GovernanceOps.qKAnonymity _),
+    "gdpr_access_report"  -> (graft.operators.GovernanceOps.qGdprAccessReport _),
     "ingest_events_jsonl" -> (graft.ingest.IngestOps.qIngestEventsJsonl _),
     "ingest_freshness_refresh" -> (graft.ingest.IngestOps.qIngestFreshness _),
     "upsert_jdbc_protocol" -> (graft.operators.MergeOps.qUpsertJdbcProtocol _),
@@ -1666,6 +1667,41 @@ object SparkEntry {
     // same audit contract
     "gdpr_forget_batch" ->
       gdprForgetOracle(id => s"($id % 97 = 13 OR $id % 101 = 7)"),
+    // the READ twin (DSAR / Article 15): per requested key, presence,
+    // chunk inventory, classifier verdict, exact-dup status, and packed
+    // position; the quality CTE chain supplies the verdict, the rest
+    // replay the chunk-count formula, the text-hash rep election, and
+    // the pack cumsum; two planted never-held keys gate the absent path
+    "gdpr_access_report" -> qualityScoreOracle(
+      """, req AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 29
+        |    UNION ALL SELECT CAST(x AS BIGINT) FROM (VALUES (9999991), (9999997)) v(x)),
+        |ch AS (SELECT doc_id,
+        |    CAST(1 + ceil(greatest(len(string_split_regex(trim(text), '\s+')) - 32, 0) / 24.0) AS BIGINT) AS n_chunks
+        |  FROM documents),
+        |hh AS (SELECT doc_id,
+        |    CAST((('0x' || substr(md5(text), 1, 16))::UBIGINT >> 1) AS BIGINT) AS th
+        |  FROM documents),
+        |reps AS (SELECT th, min(doc_id) AS rep FROM hh GROUP BY th),
+        |st AS (SELECT h.doc_id,
+        |    CASE WHEN h.doc_id = r.rep THEN 'rep' ELSE 'exact_dup' END AS dedup_status
+        |  FROM hh h JOIN reps r USING (th)),
+        |pk AS (SELECT doc_id,
+        |    CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM documents)
+        |SELECT r.doc_id,
+        |  CAST(CASE WHEN ch.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS held,
+        |  CAST(coalesce(ch.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  CASE WHEN sc.doc_id IS NULL THEN 'not_held'
+        |       WHEN sc.logit_sum > 0 THEN 'keep' ELSE 'drop' END AS quality_label,
+        |  coalesce(st.dedup_status, 'not_held') AS dedup_status,
+        |  CAST(coalesce(pk.token_start, -1) AS BIGINT) AS token_start
+        |FROM req r
+        |LEFT JOIN ch USING (doc_id)
+        |LEFT JOIN sc USING (doc_id)
+        |LEFT JOIN st USING (doc_id)
+        |LEFT JOIN pk USING (doc_id)
+        |ORDER BY r.doc_id"""),
     // dedup decision: exact groups on the SAME md5-64 keys as the
     // implementation, components via literal recursive reachability over
     // the jaccard pairs + planted copy edges, precedence stated as CASE

@@ -155,6 +155,83 @@ object GovernanceOps {
     forgetAudit(spark, dir, requests)
   }
 
+  /** Subject-access report — the READ twin of the forget kernel (GDPR
+    * Article 15: "everything we hold derived from your data"): for each
+    * requested key, one row inventorying the subject's footprint across
+    * the base corpus and its derived artifacts —
+    *
+    *   - `held`: whether the corpus holds the doc at all (the request
+    *     table deliberately includes keys the lake has never seen — a
+    *     DSAR queue is full of them — and the report must answer those
+    *     with an explicit not-held row, not silence),
+    *   - `n_chunks`: how many chunker windows the doc contributes,
+    *   - `quality_label`: the classifier's release verdict
+    *     ([[graft.text.TextOps.qualityLogits]]),
+    *   - `dedup_status`: whether the doc is the canonical copy (`rep`)
+    *     or held as an exact duplicate of another record (`exact_dup` —
+    *     min-doc_id rep election over the full-text hash, the
+    *     dedup_exact rule),
+    *   - `token_start`: the doc's position in the packed training
+    *     manifest (the prefix sum needs the FULL corpus — a subject's
+    *     position depends on every predecessor — so this is the one
+    *     corpus-priced column; the rest compute on the request-sized
+    *     slice).
+    *
+    * Scale shape: requests broadcast; the chunker and classifier run on
+    * the SEMI-JOINED (request-sized) slice only; the dedup election and
+    * the pack are one linear corpus pass each; the final assembly is
+    * request-sized left joins. */
+  def qGdprAccessReport(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(ForgetMod)) === 29L)
+      .select(col("doc_id"))
+    // keys the lake holds nothing for — the report must say so
+    val requests = ids.unionByName(
+      Seq(9999991L, 9999997L).toDF("doc_id"))
+    accessReport(spark, dir, requests)
+  }
+
+  /** [[qGdprAccessReport]]'s kernel over an explicit request table. */
+  private[graft] def accessReport(spark: SparkSession, dir: String,
+      requests: DataFrame): DataFrame = {
+    val docs = Tables.spread(spark,
+      Tables.documents(spark, dir)).select(col("doc_id"), col("text"))
+    val reqKeys = requestKeys(requests)
+    val held = docs.join(reqKeys, col("doc_id") === col("__req_id"), "left_semi")
+    val chunks = graft.text.TextOps.chunkKeys(held)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val quality = graft.text.TextOps.qualityLogits(spark, held)
+      .select(col("doc_id"),
+        when(col("logit_sum") > 0, "keep").otherwise("drop").as("quality_label"))
+    val hashed = docs.select(col("doc_id"),
+      shiftrightunsigned(graft.dedup.DedupOps.md5Hash64(col("text")), 1).as("th"))
+    val status = hashed
+      .withColumn("rep", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("th")))
+      .join(reqKeys, col("doc_id") === col("__req_id"), "left_semi")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("rep"), "rep")
+          .otherwise("exact_dup").as("dedup_status"))
+    val pack = graft.text.TextOps.packSequences(spark, docs)
+      .join(reqKeys, col("doc_id") === col("__req_id"), "left_semi")
+      .select(col("doc_id"), col("token_start"))
+    requests.select(col("doc_id")).distinct()
+      .join(held.select(col("doc_id"), lit(1L).as("held")), Seq("doc_id"), "left")
+      .join(chunks, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(status, Seq("doc_id"), "left")
+      .join(pack, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("held"), lit(0L)).as("held"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("quality_label"), lit("not_held")).as("quality_label"),
+        coalesce(col("dedup_status"), lit("not_held")).as("dedup_status"),
+        coalesce(col("token_start"), lit(-1L)).as("token_start"))
+      .orderBy("doc_id")
+  }
+
   /** k-anonymity audit over a quasi-identifier set — the re-identification
     * check a training-data governance pass runs before release (PII
     * scrubbing removes DIRECT identifiers, `text_pii_scrub`; this guards

@@ -135,4 +135,34 @@ class GovernanceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(after == Map(2L -> "keep"))
   }
+
+  test("access report: absent keys answered explicitly, dup status and pack position exact") {
+    val report = GovernanceOps.qGdprAccessReport(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    // the two planted never-held keys must be PRESENT rows, not silence
+    val absent = report.filter(r => r._1 == 9999991L || r._1 == 9999997L)
+    assert(absent.length == 2)
+    absent.foreach { case (_, held, nChunks, q, d, ts) =>
+      assert(held == 0L && nChunks == 0L && q == "not_held" &&
+        d == "not_held" && ts == -1L)
+    }
+    // every held row's inventory matches an independent recomputation
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val packStarts = graft.text.TextOps
+      .qPackSequences(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val repOf = docs.groupBy(_._2).values
+      .flatMap { g => val rep = g.map(_._1).min; g.map(t => t._1 -> rep) }.toMap
+    report.filter(_._2 == 1L).foreach { case (id, _, nChunks, q, d, ts) =>
+      val n = docs(id).trim.split("\\s+").length.toLong
+      val expectChunks = 1L + math.ceil(math.max(n - 32L, 0L) / 24.0).toLong
+      assert(nChunks == expectChunks, s"doc $id chunks $nChunks != $expectChunks")
+      assert(d == (if (repOf(id) == id) "rep" else "exact_dup"))
+      assert(ts == packStarts(id), s"doc $id token_start $ts != ${packStarts(id)}")
+      assert(q == "keep" || q == "drop")
+    }
+    assert(report.count(_._2 == 1L) == docs.keySet.count(_ % 97 == 29))
+  }
 }
