@@ -137,6 +137,10 @@ object ScalingBench {
     // route prices the augmented-space bucket join + hamming-ball
     // probing, which must stay linear like ann_topk_lsh
     "embed_mips", "ann_mips_lsh",
+    // chunk-granularity packing: the chunk-key election shuffle + the
+    // distributed prefix sum over surviving chunks — must track
+    // text_chunk_dedup plus a pack constant
+    "text_chunk_pack",
     // composed pipeline: lang/quality gates are scan-bound maps, the
     // ledger join keys doc_id, dedup election keys text, pack is the
     // distributed prefix sum — the slope must track its most expensive

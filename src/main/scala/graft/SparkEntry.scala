@@ -193,6 +193,7 @@ object SparkEntry {
     "text_chunk_dedup"    -> (graft.text.TextOps.qTextChunkDedup _),
     "text_chunk_doc_purge" -> (graft.text.TextOps.qTextChunkDocPurge _),
     "text_chunk_minhash"  -> (graft.text.TextOps.qTextChunkMinhash _),
+    "text_chunk_pack"     -> (graft.text.TextOps.qTextChunkPack _),
     "pipeline_e2e"        -> (graft.text.TextOps.qPipelineE2e _),
     "pipeline_funnel"     -> (graft.text.TextOps.qPipelineFunnel _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
@@ -2124,6 +2125,36 @@ object SparkEntry {
         |SELECT doc_a, chunk_a, doc_b, chunk_b, inter_n, union_n
         |FROM p WHERE inter_n * 5 >= union_n * 4
         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
+    // chunk-granularity packing: rep election (the text_chunk_dedup
+    // CTEs), keep only representatives, cumsum in (doc_id, chunk_idx)
+    // order — the passage-level twin of text_pack_sequences
+    "text_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, ws, n,
+        |        1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS n_chunks FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+        |g AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |        CAST((('0x' || substr(md5(array_to_string(
+        |          ws[CAST(chunk_idx * 24 + 1 AS BIGINT):CAST(chunk_idx * 24 + least(32, n - chunk_idx * 24) AS BIGINT)],
+        |          ' ')), 1, 16))::UBIGINT >> 1) AS BIGINT) AS chunk_key,
+        |        CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens
+        |      FROM e),
+        |r AS (SELECT *,
+        |        first_value(doc_id) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_doc,
+        |        first_value(chunk_idx) OVER (PARTITION BY chunk_key ORDER BY doc_id, chunk_idx) AS rep_chunk
+        |      FROM g),
+        |k AS (SELECT doc_id, chunk_idx, n_tokens FROM r
+        |      WHERE doc_id = rep_doc AND chunk_idx = rep_chunk),
+        |cs AS (SELECT doc_id, chunk_idx, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |      FROM k)
+        |SELECT doc_id, chunk_idx, n_tokens, token_start,
+        |  token_start // 2048 AS seq_first,
+        |  (token_start + n_tokens - 1) // 2048 AS seq_last,
+        |  token_start % 2048 AS seq_offset
+        |FROM cs ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

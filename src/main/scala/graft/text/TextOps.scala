@@ -330,6 +330,33 @@ object TextOps {
         least(lit(W), col("n") - col("chunk_idx") * S).as("n_tokens"))
   }
 
+  /** Chunk-granularity sequence packing — the stage RefinedWeb-lineage
+    * pipelines actually run after passage dedup (documents were chunked
+    * precisely so the SURVIVING passages, not whole documents, fill the
+    * training context windows): elect each chunk-key's representative
+    * (the [[chunkDecisions]] rule), keep only representatives, and pack
+    * them into 2048-token sequences in global (doc_id, chunk_idx) order
+    * via the distributed prefix sum ([[packUnits]] — id-range buckets
+    * preserve the order because chunk_idx nests inside doc_id). Emits
+    * the same manifest columns as `text_pack_sequences`, keyed at chunk
+    * granularity. Scale: the chunker's explode + ONE chunk-key shuffle
+    * (the dedup election) + the prefix-sum pack — all linear; no global
+    * single-partition window. */
+  def qTextChunkPack(spark: SparkSession, dir: String): DataFrame = {
+    val keys = chunkKeys(Tables.spread(spark, Tables.documents(spark, dir)))
+    val w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
+    val kept = keys
+      .withColumn("rep_doc", first(col("doc_id")).over(w))
+      .withColumn("rep_chunk", first(col("chunk_idx")).over(w))
+      .filter(col("doc_id") === col("rep_doc") &&
+        col("chunk_idx") === col("rep_chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
+    packUnits(spark, kept, orderCols = Seq("doc_id", "chunk_idx"))
+      .select("doc_id", "chunk_idx", "n_tokens", "token_start",
+        "seq_first", "seq_last", "seq_offset")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Document purge over chunk-dup mass — the RefinedWeb-lineage removal
     * criterion at DOC granularity: after passage dedup elects corpus-wide
     * representatives, a document whose content is MOSTLY chunks owned
@@ -946,16 +973,34 @@ object TextOps {
     * post-delete corpus (token starts shift for every survivor after the
     * first erased doc; packing is a prefix sum, so a row-delete on the
     * packed table would leave holes in the training sequences). */
-  private[graft] def packSequences(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  private[graft] def packSequences(spark: SparkSession, corpus: DataFrame): DataFrame =
+    packUnits(spark,
+      corpus.select(col("doc_id"),
+        size(wsTokens(col("text"))).cast("long").as("n_tokens")),
+      orderCols = Seq("doc_id"))
+      .select("doc_id", "n_tokens", "token_start",
+        "seq_first", "seq_last", "seq_offset")
+      .orderBy("doc_id")
+
+  /** The distributed prefix-sum packing kernel over arbitrary units —
+    * any frame carrying `doc_id` (the range-bucket key), `n_tokens`,
+    * and a global unit order given by `orderCols` (which must start
+    * with doc_id so id-range buckets preserve the global order across
+    * buckets). Shared by the doc-granularity [[packSequences]] and the
+    * chunk-granularity [[qTextChunkPack]]; appends token_start /
+    * seq_first / seq_last / seq_offset. Same scale contract as before
+    * the factoring: per-range partials (≤P-row metadata collect),
+    * driver offsets broadcast back, within-range cumsum windows in
+    * parallel — never a global single-partition window. */
+  private[graft] def packUnits(spark: SparkSession, units: DataFrame,
+      orderCols: Seq[String]): DataFrame = {
     val B = 2048L
-    val docs = corpus
-      .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tokens"))
     // id-range buckets preserve global order across buckets; max(doc_id)
     // is a metadata aggregate (parquet column stats on a raw scan)
-    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    val maxId = units.agg(max("doc_id")).head().getLong(0)
     val p = spark.sparkContext.defaultParallelism
     val width = math.max(1L, (maxId + p) / p)
-    val bucketed = docs.withColumn("__b", expr(s"doc_id DIV $width"))
+    val bucketed = units.withColumn("__b", expr(s"doc_id DIV $width"))
     val partials = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -963,17 +1008,16 @@ object TextOps {
     val spark2 = spark
     import spark2.implicits._
     val offDf = offsets.toSeq.toDF("__b", "__off")
-    val w = Window.partitionBy("__b").orderBy("doc_id")
+    val w = Window.partitionBy("__b").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offDf), "__b")
       .withColumn("__local_end", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("__off") + col("__local_end") - col("n_tokens")).as("token_start"))
-      .select(col("doc_id"), col("n_tokens"), col("token_start"),
-        expr(s"token_start DIV $B").as("seq_first"),
-        expr(s"(token_start + n_tokens - 1) DIV $B").as("seq_last"),
-        (col("token_start") % B).as("seq_offset"))
-      .orderBy("doc_id")
+      .withColumn("token_start",
+        col("__off") + col("__local_end") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"token_start DIV $B"))
+      .withColumn("seq_last", expr(s"(token_start + n_tokens - 1) DIV $B"))
+      .withColumn("seq_offset", col("token_start") % B)
+      .drop("__b", "__off", "__local_end")
   }
 
   // ---- end-to-end pipeline: lang gate → quality gate → dedup → pack ----

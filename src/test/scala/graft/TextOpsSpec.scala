@@ -951,6 +951,23 @@ class TextOpsSpec extends SparkSpec {
           s"exact-dup window ($d,$ci) rep ($rd,$rc) missing from the near-dup pairs")
     }
   }
+  test("chunk pack: packs exactly the dedup representatives, gap-free in (doc, chunk) order") {
+    val packed = TextOps.qTextChunkPack(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val reps = TextOps.qTextChunkDedup(spark, SfDir)
+      .filter(col("decision") === "keep")
+      .select("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(packed.map(t => (t._1, t._2)).toSet == reps)
+    assert(packed.length < TextOps.qTextChunkWindows(spark, SfDir).count(),
+      "no duplicate chunk was dropped — the dedup stage was vacuous")
+    // gap-free: each unit starts where the previous one ended
+    packed.foldLeft(0L) { case (expectStart, (d, ci, n, start)) =>
+      assert(start == expectStart, s"chunk ($d,$ci) start $start != $expectStart")
+      expectStart + n
+    }
+  }
+
   test("pipeline: funnel is monotone, stages compose the standalone entries, e2e packs exactly the survivors") {
     val funnel = TextOps.qPipelineFunnel(spark, SfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
