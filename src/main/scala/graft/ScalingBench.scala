@@ -141,6 +141,9 @@ object ScalingBench {
     // distributed prefix sum over surviving chunks — must track
     // text_chunk_dedup plus a pack constant
     "text_chunk_pack",
+    // distributed global rank: one slim key scan + metadata collect +
+    // banded row_number — must measure scan-bound
+    "text_global_shuffle",
     // composed pipeline: lang/quality gates are scan-bound maps, the
     // ledger join keys doc_id, dedup election keys text, pack is the
     // distributed prefix sum — the slope must track its most expensive

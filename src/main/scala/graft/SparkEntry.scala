@@ -194,6 +194,7 @@ object SparkEntry {
     "text_chunk_doc_purge" -> (graft.text.TextOps.qTextChunkDocPurge _),
     "text_chunk_minhash"  -> (graft.text.TextOps.qTextChunkMinhash _),
     "text_chunk_pack"     -> (graft.text.TextOps.qTextChunkPack _),
+    "text_global_shuffle" -> (graft.text.TextOps.qTextGlobalShuffle _),
     "pipeline_e2e"        -> (graft.text.TextOps.qPipelineE2e _),
     "pipeline_funnel"     -> (graft.text.TextOps.qPipelineFunnel _),
     "text_bigram_novelty" -> (graft.text.TextOps.qBigramNovelty _),
@@ -2125,6 +2126,16 @@ object SparkEntry {
         |SELECT doc_a, chunk_a, doc_b, chunk_b, inter_n, union_n
         |FROM p WHERE inter_n * 5 >= union_n * 4
         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
+    // deterministic global shuffle: the contract is ONE global
+    // row_number over the hashed-key order (the engine side computes it
+    // as a distributed rank — range bands + driver offsets)
+    "text_global_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT >> 1) AS BIGINT) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
+        |FROM k ORDER BY doc_id""".stripMargin,
     // chunk-granularity packing: rep election (the text_chunk_dedup
     // CTEs), keep only representatives, cumsum in (doc_id, chunk_idx)
     // order — the passage-level twin of text_pack_sequences

@@ -1020,6 +1020,48 @@ object TextOps {
       .drop("__b", "__off", "__local_end")
   }
 
+  /** Deterministic global corpus shuffle — the training-order
+    * randomization run before sequence packing (documents land in
+    * source/crawl order, which is heavily clustered by domain and time;
+    * packing in that order bakes locality into every context window):
+    * each doc draws `shuffle_key` = md5-64 of its id (a fixed
+    * pseudorandom permutation both engines replay bit-exactly — and
+    * reshuffling epoch e is one seed-concat away) and `shuffle_rank` =
+    * its 0-based global position in (shuffle_key, doc_id) order.
+    *
+    * CONTRACT: one global row_number over the key order (the oracle
+    * states it literally). IMPLEMENTATION: the same trick as
+    * [[packUnits]] but for COUNTS — never a global single-partition
+    * window: key-RANGE buckets (order-preserving across buckets), a
+    * ≤P-row metadata collect of per-bucket counts, driver prefix
+    * offsets broadcast back, within-bucket row_number in parallel.
+    * Survives a 100× scale-up by raising P; the naive global
+    * row_number serializes the corpus through one task. */
+  def qTextGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        shiftrightunsigned(
+          graft.dedup.DedupOps.md5Hash64(col("doc_id").cast("string")), 1)
+          .as("shuffle_key"))
+    // key range is [0, 2^63): split into P order-preserving bands
+    val p = spark.sparkContext.defaultParallelism
+    val width = Long.MaxValue / p + 1L
+    val bucketed = keyed.withColumn("__b", expr(s"shuffle_key DIV $width"))
+    val partials = bucketed.groupBy("__b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partials.map { case (b, c) => val row = (b, acc); acc += c; row }
+    val spark2 = spark
+    import spark2.implicits._
+    val offDf = offsets.toSeq.toDF("__b", "__off")
+    val w = Window.partitionBy("__b").orderBy("shuffle_key", "doc_id")
+    bucketed.join(broadcast(offDf), "__b")
+      .withColumn("shuffle_rank",
+        col("__off") + row_number().over(w) - 1L)
+      .select(col("doc_id"), col("shuffle_key"), col("shuffle_rank"))
+      .orderBy("doc_id")
+  }
+
   // ---- end-to-end pipeline: lang gate → quality gate → dedup → pack ----
 
   /** Per-document decision ledger for the composed training-data

@@ -951,6 +951,27 @@ class TextOpsSpec extends SparkSpec {
           s"exact-dup window ($d,$ci) rep ($rd,$rc) missing from the near-dup pairs")
     }
   }
+  test("global shuffle: rank is a 0..n-1 permutation matching a driver-side replay, and actually shuffles") {
+    val rows = TextOps.qTextGlobalShuffle(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n.toLong))
+    // driver replay of the exact same hash + (key, id) order
+    val expect = rows.map { case (id, _, _) =>
+      val h = graft.functions.Md5Hash64Array.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString)) >>> 1
+      (id, h)
+    }.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, h), r) => (id, h, r.toLong) }
+      .sortBy(_._1).toSeq
+    assert(rows.sortBy(_._1).toSeq == expect)
+    // it must actually SHUFFLE: the permutation cannot be close to the
+    // identity order (mean displacement of a random permutation is ~n/3)
+    val meanDisp = rows.sortBy(_._1).zipWithIndex
+      .map { case ((_, _, r), i) => math.abs(r - i.toLong) }.sum.toDouble / n
+    assert(meanDisp > n / 10.0, s"mean displacement $meanDisp too small for n=$n")
+  }
+
   test("chunk pack: packs exactly the dedup representatives, gap-free in (doc, chunk) order") {
     val packed = TextOps.qTextChunkPack(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
