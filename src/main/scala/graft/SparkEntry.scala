@@ -187,6 +187,7 @@ object SparkEntry {
     "text_contamination"  -> (graft.text.TextOps.qContamination _),
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
+    "text_temperature_mix" -> (graft.text.TextOps.qTemperatureMix _),
     "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_chunk_windows"  -> (graft.text.TextOps.qTextChunkWindows _),
@@ -2276,6 +2277,29 @@ object SparkEntry {
         |           + ((t * 1000 % n_tokens) * 1000) // n_tokens) AS rate
         |       FROM tg)
         |SELECT source, n_docs, n_tokens, t AS target_tokens,
+        |  CAST(rate AS BIGINT) AS keep_rate_ppm,
+        |  CAST((n_tokens // 1000000) * rate
+        |    + ((n_tokens % 1000000) * rate) // 1000000 AS BIGINT) AS expected_tokens
+        |FROM rt ORDER BY source""".stripMargin,
+    // temperature mixing at τ=1/2: integer sqrt weights (IEEE sqrt is
+    // correctly rounded in both engines), then the same overflow-split
+    // integer arithmetic as text_domain_mix
+    "text_temperature_mix" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT ps.*, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sqrt_w FROM ps),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               CAST(SUM(sqrt_w) AS BIGINT) AS w_sum FROM w),
+        |tg AS (SELECT w.*, (total_tokens // w_sum) * sqrt_w
+        |         + ((total_tokens % w_sum) * sqrt_w) // w_sum AS t
+        |       FROM w, tot),
+        |rt AS (SELECT tg.*, least(1000000,
+        |         (t * 1000 // n_tokens) * 1000
+        |           + ((t * 1000 % n_tokens) * 1000) // n_tokens) AS rate
+        |       FROM tg)
+        |SELECT source, n_docs, n_tokens, sqrt_w, CAST(t AS BIGINT) AS target_tokens,
         |  CAST(rate AS BIGINT) AS keep_rate_ppm,
         |  CAST((n_tokens // 1000000) * rate
         |    + ((n_tokens % 1000000) * rate) // 1000000 AS BIGINT) AS expected_tokens

@@ -480,6 +480,45 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture — the OTHER canonical mixing rule
+    * ([[qDomainMix]] targets uniform shares; GPT/XLM-lineage pipelines
+    * target shares ∝ mass^τ, flattening the head without erasing it).
+    * τ = 1/2, deliberately: `sqrt` is IEEE-correctly-rounded in BOTH
+    * engines and an integer's root is never within half-an-ulp of a
+    * wrong integer at these magnitudes, so `floor(sqrt(n_tokens))`
+    * gives a cross-engine-exact INTEGER weight and every downstream
+    * value stays in exact long arithmetic (a general-τ `pow` is libm-
+    * dependent and not replayable). Per source: weight w = isqrt(mass),
+    * target = floor(total·w/Σw) (overflow-split: total = q·Σw + r ⇒
+    * q·w + floor(r·w/Σw), exact past 100 TB), keep-rate capped at 1.0 —
+    * single-epoch projection; true temperature sampling UPSAMPLES small
+    * sources across epochs, which is a repeat count, not a filter rate.
+    * Same scale shape as [[qDomainMix]]: one map-side groupBy(source) +
+    * a broadcast totals scalar. */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .withColumn("sqrt_w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"), sum("sqrt_w").as("w_sum"))
+    perSource.join(broadcast(totals), lit(true))
+      .withColumn("target_tokens", expr(
+        "(total_tokens div w_sum) * sqrt_w" +
+          " + ((total_tokens % w_sum) * sqrt_w) div w_sum"))
+      .withColumn("keep_rate_ppm",
+        least(lit(1000000L), expr(
+          "(target_tokens * 1000 div n_tokens) * 1000" +
+            " + ((target_tokens * 1000 % n_tokens) * 1000) div n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sqrt_w"),
+        col("target_tokens"), col("keep_rate_ppm"),
+        expr("(n_tokens div 1000000) * keep_rate_ppm" +
+          " + ((n_tokens % 1000000) * keep_rate_ppm) div 1000000")
+          .as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Domain/URL-level corpus statistics — the CommonCrawl-shape rollup a
     * web-scale pipeline computes before domain weighting (`text_domain_mix`
     * consumes the mass shares; `q_pagerank` ranks the domain graph): URL

@@ -951,6 +951,37 @@ class TextOpsSpec extends SparkSpec {
           s"exact-dup window ($d,$ci) rep ($rd,$rc) missing from the near-dup pairs")
     }
   }
+  test("temperature mix: order preserved, extreme ratio compressed, arithmetic exact") {
+    val rows = TextOps.qTemperatureMix(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = rows.map(_._2).sum
+    val wSum = rows.map(_._3).sum
+    val k = rows.length
+    rows.foreach { case (s, mass, w, target, rate) =>
+      assert(w == math.floor(math.sqrt(mass.toDouble)).toLong)
+      // exact overflow-split identity: target = floor(total * w / wSum)
+      val expect = (total / wSum) * w + ((total % wSum) * w) / wSum
+      assert(target == expect, s"source $s target $target != $expect")
+      assert(rate <= 1000000L)
+    }
+    // flattening = order preserved, ratios COMPRESSED (target ratio ~
+    // sqrt of the mass ratio). NOTE a per-source "target between mass
+    // and uniform" band is NOT the invariant: normalization is over
+    // Σ√mass, whose squared mean sits below the arithmetic mean
+    // (Jensen), so sources between the two legitimately cross uniform.
+    val byMass = rows.sortBy(_._2)
+    byMass.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1, s"order inversion: ${a._1} vs ${b._1}")
+    }
+    val (lo, hi) = (byMass.head, byMass.last)
+    assert(hi._2 > lo._2, "corpus has no head to flatten — spec vacuous")
+    // tmax/tmin < mmax/mmin (strict compression of the extreme ratio)
+    assert(hi._4 * lo._2 < hi._2 * lo._4,
+      s"extreme ratio not compressed: targets ${hi._4}/${lo._4} vs masses ${hi._2}/${lo._2}")
+    // mass conservation: targets sum to ~total (floor slack < k)
+    assert(math.abs(rows.map(_._4).sum - total) < k.toLong + 1)
+  }
+
   test("global shuffle: rank is a 0..n-1 permutation matching a driver-side replay, and actually shuffles") {
     val rows = TextOps.qTextGlobalShuffle(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
