@@ -144,9 +144,10 @@ object ScalingBench {
     // distributed global rank: one slim key scan + metadata collect +
     // banded row_number — must measure scan-bound
     "text_global_shuffle",
-    // temperature mixing: same groupBy + broadcast-scalar shape as
-    // text_domain_mix — must measure flat-to-linear
-    "text_temperature_mix",
+    // temperature mixing + its epoch-repeat realization: same groupBy +
+    // broadcast-scalar shape as text_domain_mix — must measure
+    // flat-to-linear
+    "text_temperature_mix", "text_epoch_plan",
     // composed pipeline: lang/quality gates are scan-bound maps, the
     // ledger join keys doc_id, dedup election keys text, pack is the
     // distributed prefix sum — the slope must track its most expensive

@@ -188,6 +188,7 @@ object SparkEntry {
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
     "text_temperature_mix" -> (graft.text.TextOps.qTemperatureMix _),
+    "text_epoch_plan"     -> (graft.text.TextOps.qEpochPlan _),
     "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
     "text_chunk_windows"  -> (graft.text.TextOps.qTextChunkWindows _),
@@ -2304,6 +2305,29 @@ object SparkEntry {
         |  CAST((n_tokens // 1000000) * rate
         |    + ((n_tokens % 1000000) * rate) // 1000000 AS BIGINT) AS expected_tokens
         |FROM rt ORDER BY source""".stripMargin,
+    // the upsampling half of temperature mixing: whole-source epoch
+    // repeats + a ppm remainder pass; same integer conventions
+    "text_epoch_plan" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT ps.*, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS sqrt_w FROM ps),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               CAST(SUM(sqrt_w) AS BIGINT) AS w_sum FROM w),
+        |tg AS (SELECT w.*, (total_tokens // w_sum) * sqrt_w
+        |         + ((total_tokens % w_sum) * sqrt_w) // w_sum AS t
+        |       FROM w, tot),
+        |ep AS (SELECT tg.*, t // n_tokens AS fe,
+        |         ((t % n_tokens) * 1000 // n_tokens) * 1000
+        |           + (((t % n_tokens) * 1000 % n_tokens) * 1000) // n_tokens AS rr
+        |       FROM tg)
+        |SELECT source, n_tokens, CAST(t AS BIGINT) AS target_tokens,
+        |  CAST(fe AS BIGINT) AS full_epochs,
+        |  CAST(rr AS BIGINT) AS rem_rate_ppm,
+        |  CAST(fe * n_tokens + (n_tokens // 1000000) * rr
+        |    + ((n_tokens % 1000000) * rr) // 1000000 AS BIGINT) AS expected_tokens
+        |FROM ep ORDER BY source""".stripMargin,
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
         |SELECT doc_id,

@@ -519,6 +519,42 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Epoch repeat plan — the UPSAMPLING half of temperature mixing that
+    * [[qTemperatureMix]]'s capped keep-rate deliberately cannot express
+    * (a filter rate can only shed): for each source, how to hit the
+    * τ=1/2 target when it EXCEEDS the source's mass — repeat the whole
+    * source `full_epochs = target div mass` times, then sample the
+    * remainder at `rem_rate_ppm` on one more pass (the Dolma/LLaMA-
+    * lineage epoch-mixing recipe). Identity: expected tokens =
+    * full_epochs·mass + floor(mass·rem_rate/1e6) ≈ target (ppm floor
+    * slack only), which the oracle replays exactly. Same
+    * groupBy(source) + broadcast-scalar shape; the plan frame is
+    * source-cardinality metadata at any corpus size. */
+  def qEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(sum("ntok").as("n_tokens"))
+      .withColumn("sqrt_w", floor(sqrt(col("n_tokens"))).cast("long"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"), sum("sqrt_w").as("w_sum"))
+    perSource.join(broadcast(totals), lit(true))
+      .withColumn("target_tokens", expr(
+        "(total_tokens div w_sum) * sqrt_w" +
+          " + ((total_tokens % w_sum) * sqrt_w) div w_sum"))
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      // remainder rate in ppm, overflow-split like the mix entries
+      .withColumn("rem_rate_ppm", expr(
+        "((target_tokens % n_tokens) * 1000 div n_tokens) * 1000" +
+          " + (((target_tokens % n_tokens) * 1000 % n_tokens) * 1000) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("full_epochs"), col("rem_rate_ppm"),
+        expr("full_epochs * n_tokens + (n_tokens div 1000000) * rem_rate_ppm" +
+          " + ((n_tokens % 1000000) * rem_rate_ppm) div 1000000")
+          .as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Domain/URL-level corpus statistics — the CommonCrawl-shape rollup a
     * web-scale pipeline computes before domain weighting (`text_domain_mix`
     * consumes the mass shares; `q_pagerank` ranks the domain graph): URL

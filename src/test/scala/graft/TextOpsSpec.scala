@@ -982,6 +982,26 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - total) < k.toLong + 1)
   }
 
+  test("epoch plan: realizes the temperature target via whole-epoch repeats plus a remainder pass") {
+    val plan = TextOps.qEpochPlan(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // targets agree with the mix entry (same τ=1/2 rule, uncapped here)
+    val mixTargets = TextOps.qTemperatureMix(spark, SfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    plan.foreach { case (s, mass, target, epochs, rate, expected) =>
+      assert(target == mixTargets(s))
+      assert(epochs == target / mass)
+      assert(rate < 1000000L, s"source $s remainder rate $rate is a full epoch")
+      // the plan realizes the target up to ppm floor slack
+      assert(expected <= target && target - expected <= mass / 100000L + 2L,
+        s"source $s expected $expected misses target $target")
+    }
+    // the corpus must exercise BOTH halves: some source genuinely
+    // upsamples (≥1 full repeat) and some only downsamples (0 repeats)
+    assert(plan.exists(_._4 >= 1L), "no source upsampled — plan vacuous")
+    assert(plan.exists(_._4 == 0L), "no source downsampled")
+  }
+
   test("global shuffle: rank is a 0..n-1 permutation matching a driver-side replay, and actually shuffles") {
     val rows = TextOps.qTextGlobalShuffle(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
