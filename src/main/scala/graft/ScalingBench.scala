@@ -148,6 +148,12 @@ object ScalingBench {
     // broadcast-scalar shape as text_domain_mix — must measure
     // flat-to-linear
     "text_temperature_mix", "text_epoch_plan",
+    // streaming passage dedup's batch plan: the chunker explode + one
+    // content-key dropDuplicates shuffle — must track text_chunk_dedup
+    "stream_chunk_dedup",
+    // subject-access report: request-sized slices + one dedup election
+    // pass + one pack pass — must stay linear with small constants
+    "gdpr_access_report",
     // composed pipeline: lang/quality gates are scan-bound maps, the
     // ledger join keys doc_id, dedup election keys text, pack is the
     // distributed prefix sum — the slope must track its most expensive
