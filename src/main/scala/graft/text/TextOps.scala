@@ -289,8 +289,15 @@ object TextOps {
     * presents it ordered) and [[qTextChunkDocPurge]] (which aggregates it —
     * factored so the purge groupBy doesn't ride a pointless global sort).
     * Takes the docs frame directly so specs can plant corpora. */
-  def chunkDecisions(docs: DataFrame): DataFrame = {
-    val keyed = chunkKeys(docs).drop("n_tokens")
+  def chunkDecisions(docs: DataFrame): DataFrame =
+    chunkDecisionsFull(docs).drop("n_tokens")
+
+  /** [[chunkDecisions]] plus the window's token count — the ONE site of
+    * the rep-election rule (first (doc_id, chunk_idx) per chunk_key),
+    * so the dedup entry, the doc purge, and the chunk pack can never
+    * drift apart on it. */
+  private[graft] def chunkDecisionsFull(docs: DataFrame): DataFrame = {
+    val keyed = chunkKeys(docs)
     val w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
     keyed
       .withColumn("rep_doc", first(col("doc_id")).over(w))
@@ -299,7 +306,7 @@ object TextOps {
         when(col("doc_id") === col("rep_doc") &&
           col("chunk_idx") === col("rep_chunk"), "keep")
           .otherwise("drop_dup").as("decision"),
-        col("rep_doc"), col("rep_chunk"))
+        col("rep_doc"), col("rep_chunk"), col("n_tokens"))
   }
 
   /** The stateless chunker → content-key map shared by the batch dedup
@@ -343,15 +350,15 @@ object TextOps {
     * (the dedup election) + the prefix-sum pack — all linear; no global
     * single-partition window. */
   def qTextChunkPack(spark: SparkSession, dir: String): DataFrame = {
-    val keys = chunkKeys(Tables.spread(spark, Tables.documents(spark, dir)))
-    val w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_idx")
-    val kept = keys
-      .withColumn("rep_doc", first(col("doc_id")).over(w))
-      .withColumn("rep_chunk", first(col("chunk_idx")).over(w))
-      .filter(col("doc_id") === col("rep_doc") &&
-        col("chunk_idx") === col("rep_chunk"))
+    val docs = Tables.documents(spark, dir)
+    val kept = chunkDecisionsFull(Tables.spread(spark, docs))
+      .filter(col("decision") === "keep")
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
-    packUnits(spark, kept, orderCols = Seq("doc_id", "chunk_idx"))
+    // range-bucket bound from the raw scan (metadata), so the chunker +
+    // election plan executes once, not twice (see packUnits)
+    val maxRawId = docs.agg(max("doc_id")).head().getLong(0)
+    packUnits(spark, kept, orderCols = Seq("doc_id", "chunk_idx"),
+      maxIdHint = Some(maxRawId))
       .select("doc_id", "chunk_idx", "n_tokens", "token_start",
         "seq_first", "seq_last", "seq_offset")
       .orderBy("doc_id", "chunk_idx")
@@ -1066,13 +1073,26 @@ object TextOps {
     * seq_first / seq_last / seq_offset. Same scale contract as before
     * the factoring: per-range partials (≤P-row metadata collect),
     * driver offsets broadcast back, within-range cumsum windows in
-    * parallel — never a global single-partition window. */
+    * parallel — never a global single-partition window.
+    *
+    * `maxIdHint`: an UPPER BOUND on doc_id, for callers whose `units`
+    * frame is an expensive computed plan (the pipeline ledger, the
+    * chunk election) — without it the kernel would EXECUTE that whole
+    * plan once just to read max(doc_id) and again for the pack. Any
+    * overestimate is fine: range width only grows, empty buckets get
+    * no partial and no offset row. When absent, max(doc_id) is read
+    * from `units` itself (cheap only when units is a near-raw scan —
+    * parquet column stats). An empty units frame yields an empty
+    * manifest (no NPE): the null max falls back to 0 and the empty
+    * offsets join produces zero rows. */
   private[graft] def packUnits(spark: SparkSession, units: DataFrame,
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String], maxIdHint: Option[Long] = None): DataFrame = {
     val B = 2048L
-    // id-range buckets preserve global order across buckets; max(doc_id)
-    // is a metadata aggregate (parquet column stats on a raw scan)
-    val maxId = units.agg(max("doc_id")).head().getLong(0)
+    // id-range buckets preserve global order across buckets
+    val maxId = maxIdHint.getOrElse {
+      val row = units.agg(max("doc_id")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     val p = spark.sparkContext.defaultParallelism
     val width = math.max(1L, (maxId + p) / p)
     val bucketed = units.withColumn("__b", expr(s"doc_id DIV $width"))
@@ -1190,14 +1210,26 @@ object TextOps {
     * (doc_id → token_start/seq_first/seq_offset) over the surviving
     * corpus. Every stage is the registered standalone operator applied
     * in composition (see [[pipelineLedger]]); packing re-uses the
-    * distributed prefix sum ([[packSequences]]), so the composed plan
+    * distributed prefix sum ([[packUnits]]), so the composed plan
     * inherits each stage's scale contract. The oracle replays the whole
     * chain as one SQL body — a hash mismatch localizes to composition,
-    * since each stage is separately gated. */
-  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame =
-    packSequences(spark,
+    * since each stage is separately gated.
+    *
+    * The pack reuses the ledger's n_tokens (no re-tokenization pass,
+    * no wide text column through the pack exchange) and bounds the
+    * range buckets from the RAW documents scan (+ the twin band) so
+    * the expensive ledger plan executes once, not twice. */
+  def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val maxRawId = Tables.documents(spark, dir)
+      .agg(max("doc_id")).head().getLong(0)
+    packUnits(spark,
       pipelineLedger(spark, dir).filter(col("dedup_keep"))
-        .select("doc_id", "text"))
+        .select("doc_id", "n_tokens"),
+      orderCols = Seq("doc_id"), maxIdHint = Some(maxRawId + 1000000L))
+      .select("doc_id", "n_tokens", "token_start",
+        "seq_first", "seq_last", "seq_offset")
+      .orderBy("doc_id")
+  }
 
   /** Pipeline funnel — the observability twin of [[qPipelineE2e]]: doc
     * and token counts surviving each stage (the first dashboard anyone
