@@ -1023,6 +1023,22 @@ class TextOpsSpec extends SparkSpec {
     assert(meanDisp > n / 10.0, s"mean displacement $meanDisp too small for n=$n")
   }
 
+  test("pack kernel: empty units yield an empty manifest, and a hint overestimate changes nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(TextOps.packUnits(spark, empty, Seq("doc_id")).count() == 0)
+    val units = Seq((1L, 10L), (5L, 20L), (9L, 2040L), (12L, 30L))
+      .toDF("doc_id", "n_tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5))).toSeq
+    val base = rows(TextOps.packUnits(spark, units, Seq("doc_id")))
+    // starts are the running sum; the straddling doc lands in two seqs
+    assert(base.map(_._2) == Seq(0L, 10L, 30L, 2070L))
+    assert(base == rows(
+      TextOps.packUnits(spark, units, Seq("doc_id"), maxIdHint = Some(1000000L))))
+  }
+
   test("chunk pack: packs exactly the dedup representatives, gap-free in (doc, chunk) order") {
     val packed = TextOps.qTextChunkPack(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
