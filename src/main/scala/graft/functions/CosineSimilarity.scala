@@ -184,6 +184,8 @@ object GraftFunctions {
     toCol(RollingHashFp(toExpr(text)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    toCol(StopwordHits(toExpr(tokens), words))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -39,8 +39,17 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "我", "有")
   )
 
-  /** Count of tokens that fall in `words`. */
-  private def hitCount(tokens: Column, words: Seq[String]): Column = {
+  /** Count of tokens that fall in `words` — the native codegen'd
+    * [[graft.functions.StopwordHits]] kernel (an interpreted HOF
+    * `filter(tokens, array_contains)` breaks whole-stage codegen;
+    * [[hitCountAlgebra]] keeps that form as the differential oracle). */
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    graft.functions.GraftFunctions.stopwordHits(tokens, words)
+
+  /** Column-algebra reference form of [[hitCount]] — the differential
+    * oracle TextOpsSpec asserts bit-identical against the native
+    * expression. */
+  private[graft] def hitCountAlgebra(tokens: Column, words: Seq[String]): Column = {
     val arr = array(words.map(lit): _*)
     size(filter(tokens, t => array_contains(arr, t)))
   }

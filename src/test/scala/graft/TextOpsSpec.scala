@@ -1023,6 +1023,33 @@ class TextOpsSpec extends SparkSpec {
     assert(meanDisp > n / 10.0, s"mean displacement $meanDisp too small for n=$n")
   }
 
+  test("stopword hits: native expression bit-identical to the HOF form, nulls and empties included") {
+    import graft.functions.GraftFunctions
+    val toks = TextOps.wsTokens(lower(col("text")))
+    val cmp = Tables.documents(spark, SfDir).select(
+      (col("doc_id") +:
+        TextOps.Stopwords.keys.toSeq.sorted.flatMap { l =>
+          Seq(GraftFunctions.stopwordHits(toks, TextOps.Stopwords(l)).as(s"n_$l"),
+            TextOps.hitCountAlgebra(toks, TextOps.Stopwords(l)).as(s"h_$l"))
+        }): _*)
+    TextOps.Stopwords.keys.toSeq.sorted.foreach { l =>
+      assert(cmp.filter(col(s"n_$l") =!= col(s"h_$l")).count() == 0,
+        s"native/HOF divergence for $l")
+    }
+    // nulls are misses (array_contains → null → filter-false) and the
+    // empty array counts zero — pinned on a planted frame
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Seq("the", null, "of", "x")),
+      (2L, Seq.empty[String]),
+      (3L, Seq[String](null, null))
+    ).toDF("id", "ws")
+    val got = planted.select(col("id"),
+      GraftFunctions.stopwordHits(col("ws"), TextOps.Stopwords("en")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 0))
+  }
+
   test("pack kernel: empty units yield an empty manifest, and a hint overestimate changes nothing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
