@@ -27,7 +27,7 @@ object DedupOps {
 
   /** Word-shingle column: distinct n-word shingles of `text`. */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromWords(split(trim(text), "\\s+"), n)
+    shinglesFromWords(graft.text.TextOps.wsTokens(text), n)
 
   /** 64-bit hashes of a shingle set. All downstream set operations
     * (minhash, intersection counts) run on 8-byte longs instead of strings
@@ -159,7 +159,7 @@ object DedupOps {
     * block store. */
   def qDedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("words"))
       .select(col("doc_id"), shingleHashes(col("words"), 3).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), 64))
     val cands = lshCandidates(docs, "doc_id", "sig", 4)
@@ -203,7 +203,7 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.md5Hash64Array(
-          split(trim(lower(col("text"))), "\\s+")).as("hs"))
+          graft.text.TextOps.wsTokens(lower(col("text")))).as("hs"))
       .select(col("doc_id"), simhashFromHashes(col("hs")).as("sh"))
     // outer generate: otherwise the inferred size(...)>0 filter re-inlines
     // sh = the full 64-fold simhash through the projection
@@ -428,7 +428,7 @@ object DedupOps {
     // partitions at bench SFs and the interpreted HOF pipeline is the
     // cost — see Tables.spread
     Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("words"))
       .select(col("doc_id"), shingleHashes(col("words"), 3).as("sh"))
 
   /** N-gram (3-word shingle) Jaccard pairs >= 0.5 — the DEFAULT pair
@@ -487,7 +487,7 @@ object DedupOps {
     * batch split but no organic exact dups). */
   def incrementalDedup(batchDocs: DataFrame, baseDocs: DataFrame): DataFrame = {
     def prep(df: DataFrame) = df
-      .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), col("text"), graft.text.TextOps.wsTokens(col("text")).as("words"))
       .select(col("doc_id"), col("text"), xxhash64(col("text")).as("th"),
         shingleHashes(col("words"), 3).as("sh"))
     val batch = prep(batchDocs)
@@ -549,7 +549,7 @@ object DedupOps {
     * over literally the same input. */
   private def containmentShingleDocs(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), graft.text.TextOps.wsTokens(col("text")).as("words"))
     val planted = raw.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         slice(col("words"), lit(1),

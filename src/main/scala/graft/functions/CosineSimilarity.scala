@@ -150,18 +150,84 @@ object GraftFunctions {
     SignBuckets(Cast(exprs.head, ArrayType(DoubleType)), planes)
   }
 
+  /** Plan-time int-literal extractor for kernels whose buffer sizes are
+    * expression state (minhash k, adc cells, shingle n). */
+  private def intLit(name: String, e: Expression): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val wsTokenizeBuilder: Seq[Expression] => Expression = exprs => WsTokenizeExpr(exprs.head)
+
+  val wsTokenCountBuilder: Seq[Expression] => Expression = exprs => WsTokenCountExpr(exprs.head)
+
+  /** stopword_hits(tokens, array('the','a',…)): the word set is plan-time
+    * expression state, so the second argument must fold to an
+    * array<string> literal. */
+  val stopwordHitsBuilder: Seq[Expression] => Expression = exprs => {
+    val cast = Cast(exprs(1), ArrayType(org.apache.spark.sql.types.StringType))
+    if (!cast.foldable) throw new IllegalArgumentException(
+      "stopword_hits words must be a foldable array<string> literal (plan-time state)")
+    val words = cast.eval() match {
+      case null => throw new IllegalArgumentException("stopword_hits: words must not be NULL")
+      case ad: ArrayData => ad.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
+        case null => throw new IllegalArgumentException("stopword_hits: a word is NULL")
+        case u => u.toString
+      }
+    }
+    StopwordHits(exprs.head, words)
+  }
+
+  val shingleHash64Builder: Seq[Expression] => Expression = exprs =>
+    ShingleHash64(exprs.head, intLit("shingle_hash64 n", exprs(1)))
+
+  val adcLookupBuilder: Seq[Expression] => Expression = exprs =>
+    AdcLookup(exprs.head, exprs(1), intLit("adc_lookup cells", exprs(2)))
+
+  val randProject8Builder: Seq[Expression] => Expression = exprs =>
+    RandProject8(Cast(exprs.head, ArrayType(DoubleType)))
+
+  val rollingHashFpBuilder: Seq[Expression] => Expression = exprs =>
+    RollingHashFp(exprs.head)
+
+  val sortedIntersectCountBuilder: Seq[Expression] => Expression = exprs =>
+    SortedIntersectCount(exprs.head, exprs(1))
+
+  /** Name → builder for every graft kernel — ONE table drives both the
+    * runtime [[register]] path and the [[GraftExtensions]] injection, so
+    * the two surfaces cannot drift (every native expression is
+    * SQL-callable on either path). */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity].getName, cosineSimBuilder),
+    ("dot_product", classOf[ArrayDotProduct].getName, dotProductBuilder),
+    ("simhash64", classOf[SimHash64].getName, simHash64Builder),
+    ("minhash_sig", classOf[MinHashSignature].getName, minHashSigBuilder),
+    ("md5_hash64_array", classOf[Md5Hash64Array].getName, md5Hash64Builder),
+    ("sign_buckets", classOf[SignBuckets].getName, signBucketsBuilder),
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      bloomAggBuilder),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      bloomMightContainBuilder),
+    ("ws_tokenize", classOf[WsTokenizeExpr].getName, wsTokenizeBuilder),
+    ("ws_token_count", classOf[WsTokenCountExpr].getName, wsTokenCountBuilder),
+    ("stopword_hits", classOf[StopwordHits].getName, stopwordHitsBuilder),
+    ("shingle_hash64", classOf[ShingleHash64].getName, shingleHash64Builder),
+    ("adc_lookup", classOf[AdcLookup].getName, adcLookupBuilder),
+    ("rand_project8", classOf[RandProject8].getName, randProject8Builder),
+    ("rolling_hash_fp", classOf[RollingHashFp].getName, rollingHashFpBuilder),
+    ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      sortedIntersectCountBuilder))
+
   /** Idempotent runtime SQL registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim", cosineSimBuilder, "built-in")
-    reg.createOrReplaceTempFunction("dot_product", dotProductBuilder, "built-in")
-    reg.createOrReplaceTempFunction("simhash64", simHash64Builder, "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig", minHashSigBuilder, "built-in")
-    reg.createOrReplaceTempFunction("md5_hash64_array", md5Hash64Builder, "built-in")
-    reg.createOrReplaceTempFunction("sign_buckets", signBucketsBuilder, "built-in")
-    reg.createOrReplaceTempFunction("bloom_filter_agg", bloomAggBuilder, "built-in")
-    reg.createOrReplaceTempFunction("bloom_might_contain", bloomMightContainBuilder, "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
@@ -186,47 +252,16 @@ object GraftFunctions {
     toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     toCol(StopwordHits(toExpr(tokens), words))
+  def wsTokenize(text: Column): Column = toCol(WsTokenizeExpr(toExpr(text)))
+  def wsTokenCount(text: Column): Column = toCol(WsTokenCountExpr(toExpr(text)))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or
   * spark.sql.extensions=graft.functions.GraftExtensions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (FunctionIdentifier("cosine_sim"),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-        GraftFunctions.cosineSimBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier("dot_product"),
-        new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
-        GraftFunctions.dotProductBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier("simhash64"),
-        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        GraftFunctions.simHash64Builder))
-    ext.injectFunction(
-      (FunctionIdentifier("minhash_sig"),
-        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-        GraftFunctions.minHashSigBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier("md5_hash64_array"),
-        new ExpressionInfo(classOf[Md5Hash64Array].getName, "md5_hash64_array"),
-        GraftFunctions.md5Hash64Builder))
-    ext.injectFunction(
-      (FunctionIdentifier("sign_buckets"),
-        new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
-        GraftFunctions.signBucketsBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier("bloom_filter_agg"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-          "bloom_filter_agg"),
-        GraftFunctions.bloomAggBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier("bloom_might_contain"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-          "bloom_might_contain"),
-        GraftFunctions.bloomMightContainBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, className, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
 }

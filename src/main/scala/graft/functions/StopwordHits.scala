@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of array<string> elements that belong to a fixed word set —
@@ -25,6 +26,15 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "stopword_hits"
+
+  // analysis-time gate: a non-array<string> child would otherwise fail
+  // at EXECUTION time with a ClassCastException (or worse, compare raw
+  // bytes of a non-string type against the UTF8String set)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)

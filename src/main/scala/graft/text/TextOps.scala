@@ -23,8 +23,23 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Whitespace tokens of a text column. */
-  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokens of a text column — the native codegen'd
+    * [[graft.functions.WsTokenizeExpr]] byte-scan kernel (the regex
+    * `split(trim(c), "\\s+")` pays the java.util.regex engine plus a
+    * String round-trip per row across ~15 text entries, and its
+    * JIT-sensitivity was the suite's main bench-variance source;
+    * [[wsTokensAlgebra]] keeps the regex form as the differential
+    * oracle TextOpsSpec pins bit-identical). */
+  def wsTokens(c: Column): Column = graft.functions.GraftFunctions.wsTokenize(c)
+
+  /** Regex reference form of [[wsTokens]] — the differential oracle. */
+  private[graft] def wsTokensAlgebra(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace-token COUNT — `size(wsTokens(c)).cast("long")` as one
+    * zero-allocation codegen'd byte scan ([[graft.functions.WsTokenCountExpr]]);
+    * for the entries that only need `n_tokens`, the token array itself
+    * is pure GC pressure. */
+  def wsTokenCount(c: Column): Column = graft.functions.GraftFunctions.wsTokenCount(c)
 
   /** BPE-ish lexical tokens: word runs or single non-space symbols. */
   val BpePattern = "\\w+|[^\\w\\s]"
@@ -61,7 +76,7 @@ object TextOps {
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(
         col("doc_id"),
-        size(wsTokens(col("text"))).cast("long").as("n_ws_tokens"),
+        wsTokenCount(col("text")).as("n_ws_tokens"),
         size(expr(s"regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}', 0)"))
           .cast("long").as("n_bpe_tokens")
       )
@@ -470,7 +485,7 @@ object TextOps {
     * window over the corpus and no driver collect. */
   def qDomainMix(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .select(col("source"), wsTokenCount(col("text")).as("ntok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
     val totals = perSource.agg(
@@ -513,7 +528,7 @@ object TextOps {
     * a broadcast totals scalar. */
   def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .select(col("source"), wsTokenCount(col("text")).as("ntok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
       .withColumn("sqrt_w", floor(sqrt(col("n_tokens"))).cast("long"))
@@ -548,7 +563,7 @@ object TextOps {
     * source-cardinality metadata at any corpus size. */
   def qEpochPlan(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("ntok"))
+      .select(col("source"), wsTokenCount(col("text")).as("ntok"))
       .groupBy("source")
       .agg(sum("ntok").as("n_tokens"))
       .withColumn("sqrt_w", floor(sqrt(col("n_tokens"))).cast("long"))
@@ -631,7 +646,7 @@ object TextOps {
     val perDoc = docs.withColumn("url", url)
       .withColumn("host", host)
       .select(col("doc_id"), col("text"), canon.as("canon"), domain.as("domain"),
-        size(wsTokens(col("text"))).cast("long").as("n_tokens"),
+        wsTokenCount(col("text")).as("n_tokens"),
         shiftrightunsigned(graft.functions.GraftFunctions
           .md5Hash64Array(array(col("text"))).getItem(0), 1).as("th"))
     val marked = perDoc.withColumn("__copies",
@@ -1067,7 +1082,7 @@ object TextOps {
   private[graft] def packSequences(spark: SparkSession, corpus: DataFrame): DataFrame =
     packUnits(spark,
       corpus.select(col("doc_id"),
-        size(wsTokens(col("text"))).cast("long").as("n_tokens")),
+        wsTokenCount(col("text")).as("n_tokens")),
       orderCols = Seq("doc_id"))
       .select("doc_id", "n_tokens", "token_start",
         "seq_first", "seq_last", "seq_offset")
@@ -1180,8 +1195,8 @@ object TextOps {
     * gate = [[qualityLogits]] (text_quality_classifier) keeping
     * logit > 0; exact dedup elects min(doc_id) per full-text key AMONG
     * quality survivors (the dedup_exact rep rule — a `min(when(...))`
-    * window over the text partition, so dropped docs still carry their
-    * flags for the funnel).
+    * window KEYED ON `xxhash64(text)`, the dedup_exact key convention,
+    * so dropped docs still carry their flags for the funnel).
     *
     * The synthetic corpus has no natural full-text duplicates among
     * gate survivors, so the ingest plants exact twins of the
@@ -1193,25 +1208,54 @@ object TextOps {
     * Scale shape: one narrow scan computes tokens/langid per row, the
     * classifier adds its broadcast weight join + one doc_id groupBy,
     * the ledger join re-uses that doc_id partitioning, and the dedup
-    * election is ONE text-key shuffle. Nothing here is corpus-quadratic
-    * and no stage re-reads the corpus — the flags compose in-plan. */
-  private[graft] def pipelineLedger(spark: SparkSession, dir: String): DataFrame = {
+    * election is ONE shuffle keyed on the 8-byte `xxhash64(text)` —
+    * NOT on the raw text: `text` is projected away below the election
+    * window, so the only corpus-wide exchange in the composed plan
+    * ships (doc_id, hash, flags) rows, not document bodies (at 100 TB
+    * that is the difference between shuffling ~1 TB of keys and the
+    * whole corpus; TextOpsSpec pins the exchange as text-free). Nothing
+    * here is corpus-quadratic and no stage re-reads the corpus — the
+    * flags compose in-plan. */
+  private[graft] def pipelineLedger(spark: SparkSession, dir: String,
+      maxRawId: Long): DataFrame = {
+    // the planted-twin offset must clear the raw id space, or twins
+    // collide with real doc_ids and the dedup semantics silently
+    // degrade (the oracle replays the same arithmetic, so the gate
+    // would stay green) — same guard as ScalingBench's replica path
+    require(maxRawId < PipelineTwinOffset,
+      s"pipeline twin offset $PipelineTwinOffset must exceed max raw doc_id $maxRawId")
     val base = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
     val docs = base
       .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + PipelineTwinOffset).as("doc_id"), col("text")))
       .select(col("doc_id"), col("text"),
-        size(wsTokens(col("text"))).cast("long").as("n_tokens"))
+        wsTokenCount(col("text")).as("n_tokens"))
+    // everything that reads the document body happens in THIS per-row
+    // projection (token count, lang-ID hits, the 8-byte dedup key);
+    // `text` is dropped before any exchange, so neither the doc_id
+    // join shuffle nor the election shuffle ships document bodies
     val scored = withLangPred(docs)
+      .withColumn("__h", xxhash64(col("text")))
+      .select(col("doc_id"), col("__h"), col("n_tokens"), col("pred_lang"))
       .join(qualityLogits(spark, docs).select("doc_id", "logit_sum"), Seq("doc_id"))
     scored
       .withColumn("lang_keep", col("pred_lang") === "en")
       .withColumn("q_keep", col("lang_keep") && col("logit_sum") > 0)
       .withColumn("__rep",
-        min(when(col("q_keep"), col("doc_id"))).over(Window.partitionBy("text")))
+        min(when(col("q_keep"), col("doc_id"))).over(Window.partitionBy("__h")))
       .withColumn("dedup_keep", col("q_keep") && col("doc_id") === col("__rep"))
   }
+
+  /** Planted-twin doc_id offset for the composed pipeline (the
+    * dedup_exact convention); [[pipelineLedger]] `require`s the raw id
+    * space stays below it. */
+  private[graft] val PipelineTwinOffset = 1000000L
+
+  /** Max raw doc_id — shared by both pipeline entries so the guard and
+    * the pack's range-bucket hint read the same scan. */
+  private[graft] def pipelineMaxRawId(spark: SparkSession, dir: String): Long =
+    Tables.documents(spark, dir).agg(max("doc_id")).head().getLong(0)
 
   /** End-to-end pipeline — the run a training-data corpus actually
     * ships through: language gate → quality-classifier gate → exact
@@ -1229,12 +1273,11 @@ object TextOps {
     * range buckets from the RAW documents scan (+ the twin band) so
     * the expensive ledger plan executes once, not twice. */
   def qPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    val maxRawId = Tables.documents(spark, dir)
-      .agg(max("doc_id")).head().getLong(0)
+    val maxRawId = pipelineMaxRawId(spark, dir)
     packUnits(spark,
-      pipelineLedger(spark, dir).filter(col("dedup_keep"))
+      pipelineLedger(spark, dir, maxRawId).filter(col("dedup_keep"))
         .select("doc_id", "n_tokens"),
-      orderCols = Seq("doc_id"), maxIdHint = Some(maxRawId + 1000000L))
+      orderCols = Seq("doc_id"), maxIdHint = Some(maxRawId + PipelineTwinOffset))
       .select("doc_id", "n_tokens", "token_start",
         "seq_first", "seq_last", "seq_offset")
       .orderBy("doc_id")
@@ -1246,7 +1289,7 @@ object TextOps {
     * aggregate, `stack` to (stage, n_docs, n_tokens) rows — the
     * four-row output is metadata-sized at any corpus size. */
   def qPipelineFunnel(spark: SparkSession, dir: String): DataFrame =
-    pipelineLedger(spark, dir)
+    pipelineLedger(spark, dir, pipelineMaxRawId(spark, dir))
       .agg(
         count(lit(1)).as("d0"), sum("n_tokens").as("t0"),
         sum(when(col("lang_keep"), 1L).otherwise(0L)).as("d1"),

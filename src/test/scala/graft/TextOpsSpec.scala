@@ -1050,6 +1050,68 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 0, 3L -> 0))
   }
 
+  test("ws tokenizer: native kernels bit-identical to the regex form, codegen'd, SQL-callable") {
+    import graft.functions.GraftFunctions
+    // corpus-wide differential: tokens AND count vs split(trim, "\\s+")
+    val cmp = Tables.documents(spark, SfDir).select(
+      TextOps.wsTokens(col("text")).as("nat"),
+      TextOps.wsTokensAlgebra(col("text")).as("ref"),
+      TextOps.wsTokenCount(col("text")).as("nc"))
+    assert(cmp.filter(col("nat") =!= col("ref")).count() == 0,
+      "native tokenizer diverges from the regex form on the corpus")
+    assert(cmp.filter(col("nc") =!= size(col("ref")).cast("long")).count() == 0,
+      "native count diverges from size(regex form)")
+    // adversarial edges the regex semantics are DEFINED by: empty string
+    // → [""], trim strips only 0x20 so edge tabs/newlines yield empty
+    // lead/tail elements, \s is ASCII-only so NBSP (U+00A0) and CJK text
+    // do not split, \x0B is in class, multi-byte UTF-8 passes through
+    import spark.implicits._
+    val edges = Seq("", " ", "   ", "\t", "a", " a ", "\ta\t", "a  b",
+      " a\tb\nc ", "héllo  wörld", "的 是 了", "ab", "x\r\n y",
+      "\n\n", "word", " \t ", "a ", " a", " ").toDF("t")
+    val got = edges.select(
+      TextOps.wsTokens(col("t")).as("nat"),
+      TextOps.wsTokensAlgebra(col("t")).as("ref"),
+      TextOps.wsTokenCount(col("t")).as("nc"))
+    assert(got.filter(col("nat") =!= col("ref")).count() == 0,
+      "native tokenizer diverges on edge inputs")
+    assert(got.filter(col("nc") =!= size(col("ref")).cast("long")).count() == 0,
+      "native count diverges on edge inputs")
+    // null in → null out, both kernels
+    val nulls = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextOps.wsTokens(col("t")).as("a"), TextOps.wsTokenCount(col("t")).as("c"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // codegen pin (the SURVEY no-CodegenFallback claim): the tokenizing
+    // projection must sit INSIDE a WholeStageCodegen subtree
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = Tables.documents(spark, SfDir)
+      .select(TextOps.wsTokens(col("text")).as("w"),
+        TextOps.wsTokenCount(col("text")).as("c"))
+    df.collect()
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w.toString }
+    assert(wsc.exists(s => s.contains("ws_tokenize") && s.contains("ws_token_count")),
+      "tokenizer projection fell out of whole-stage codegen")
+    // SQL surface: runtime registration and the extension injection share
+    // one builder table; probe the runtime path end-to-end
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT ws_token_count(' a  b\tc ')").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT ws_tokenize('a  b')").head().getSeq[String](0) == Seq("a", "b"))
+    assert(spark.sql(
+      "SELECT stopword_hits(ws_tokenize('the cat of x'), array('the','of','is'))")
+      .head().getInt(0) == 2)
+    // analysis-time type gate (not an execution-time ClassCastException)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT stopword_hits(array(1, 2), array('a'))").collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+    val err2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT ws_tokenize(42)").collect()
+    }
+    assert(err2.getMessage.contains("string"))
+  }
+
   test("pack kernel: empty units yield an empty manifest, and a hint overestimate changes nothing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
@@ -1131,6 +1193,53 @@ class TextOpsSpec extends SparkSpec {
       expectStart + n
     }
     assert(packed.map(_._2).sum == funnel(3)._3)
+  }
+
+  test("pipeline: no exchange in the ledger plan ships the document body") {
+    // the composed pipeline's scale contract: every shuffle below the
+    // dedup election carries the 8-byte xxhash64 key + flags, never the
+    // raw `text` column (at 100 TB the text-keyed variant shuffles the
+    // whole corpus; this pin keeps the regression out)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val ledger = TextOps.pipelineLedger(spark, SfDir,
+      TextOps.pipelineMaxRawId(spark, SfDir))
+    ledger.collect() // finalize AQE so the adaptive plan exposes its stages
+    // flatten through the AQE wrappers (AdaptiveSparkPlanExec /
+    // QueryStageExec hold their subplans outside `children`)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val plan = ledger.queryExecution.executedPlan
+    val nodes = flatten(plan)
+    // scope: the SEMANTIC (hash-keyed) shuffles — the doc_id join and
+    // the __h election. Tables.spread's RoundRobin repartition of the
+    // raw (doc_id, text) scan is exempt: it is the documented
+    // test-scale parallelism crutch for single-file parquet inputs and
+    // disappears at real file counts (SURVEY §5), whereas a hash
+    // exchange keyed through text would ship the corpus at ANY scale.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val exchanges = nodes.collect {
+      case e: ShuffleExchangeLike
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(exchanges.nonEmpty, "expected at least one hash shuffle in the ledger plan")
+    exchanges.foreach { e =>
+      val outCols = e.output.map(_.name)
+      assert(!outCols.contains("text"),
+        s"exchange ships the document body: ${outCols.mkString(",")}")
+    }
+    // and the election window itself is keyed on the hash, not the text
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the election window in the ledger plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.flatMap(_.references.map(_.name)).forall(_ != "text"),
+        "election window partitions on raw text")
+    }
   }
 }
 
