@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.A reference ETL semantics
     "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
+    "lake_merge_asof"          -> (MergeOps.qLakeMergeAsof _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -470,6 +471,29 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    // replays BOTH committed table states: version 1 = the raw base,
+    // version 2 = latest-wins merge of the update+insert batch — the
+    // engine side reads v1 via the as-of manifest AFTER v2 committed
+    "lake_merge_asof" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0),
+        |v2 AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey))
+        |SELECT 1 AS version, o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice FROM base
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_orderstatus, round(o_totalprice, 2) FROM v2
+        |ORDER BY version, o_orderkey""".stripMargin,
     "upsert_scd2_history" ->
       """WITH versions AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderdate AS change_ts FROM orders

@@ -230,4 +230,54 @@ object MergeOps {
         sum("seq").as("n_upserted"))
       .orderBy("status")
   }
+
+  /** Inserted keys in the lake-merge entry are offset by this; the entry
+    * `require`s the raw key space stays below it. */
+  private[graft] val LakeInsertOffset = 100000000L
+
+  /** Snapshot-versioned MERGE with time travel — the transactional lake
+    * story ([[graft.sources.LakeTable]]): create the orders table as
+    * version 1, commit a copy-on-write MERGE (updates: every key ≡ 3
+    * mod 7 gets a price bump + status 'U'; inserts: every key ≡ 0 mod
+    * 97 re-keyed past [[LakeInsertOffset]]) as version 2, then read
+    * version 1 AS-OF — AFTER version 2 committed — alongside the
+    * latest snapshot. The oracle replays both table states in SQL, so
+    * the gate proves the as-of read is bit-exactly the pre-merge
+    * snapshot (a torn or leaking reader shifts the v1 half) AND the
+    * merge is a correct latest-wins upsert (the v2 half).
+    *
+    * LakeTableSpec additionally pins the isolation mechanics this
+    * query can't express in rows: a reader RESOLVED before the commit
+    * collects identical rows after it, untouched files carry between
+    * manifests by reference (file-granular CoW, O(touched) merge
+    * cost), and racing commits of the same version fail loudly. */
+  def qLakeMergeAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lake_${graft.SessionCache.dirKey(dir)}").toString
+    // idempotent per invocation: the entry rebuilds both generations
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxKey = base.agg(max("o_orderkey")).head().getLong(0)
+    require(maxKey < LakeInsertOffset,
+      s"lake insert offset $LakeInsertOffset must exceed max o_orderkey $maxKey")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    val updates = base.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      // exact decimal arithmetic — see qUpsertLatestWins's float policy
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") + lit(BigDecimal(1000)))
+          .cast("double"))
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + LakeInsertOffset).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"))
+    LakeTable.merge(spark, path, updates.unionByName(inserts), Seq("o_orderkey"))
+    val v1 = LakeTable.read(spark, path, Some(1)).withColumn("version", lit(1L))
+    val v2 = LakeTable.read(spark, path, Some(2)).withColumn("version", lit(2L))
+    v1.unionByName(v2)
+      .select(col("version"), col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("version", "o_orderkey")
+  }
 }

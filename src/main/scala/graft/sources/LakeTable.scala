@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned lake table with copy-on-write MERGE and as-of
+  * reads — the transactional story a 100 TB lake runs on (the
+  * manifest-file pattern of Delta/Iceberg, reduced to its load-bearing
+  * core; cf. reference import_cards.py:214-225, whose operational loop
+  * is an idempotent re-runnable upsert — this is that upsert with
+  * snapshot isolation instead of an in-place table).
+  *
+  * Layout under `path`:
+  *   - `data/<batch-dirs>/part-*.parquet` — immutable data files
+  *   - `_log/v00001.json`, `_log/v00002.json`, … — one manifest per
+  *     committed version, each holding the COMPLETE leaf-file list of
+  *     its snapshot (metadata-scale: O(#files), never O(rows))
+  *
+  * Invariants:
+  *   - Data files are never mutated or deleted by a commit; a new
+  *     version publishes a new manifest that REFERENCES files. A reader
+  *     resolved to version N therefore sees exactly N's file set for
+  *     the life of its query — no torn reads during concurrent commits
+  *     (the stage-and-swap window `stream_upsert_sink` documents is
+  *     closed).
+  *   - Manifest publish is atomic: written to a temp name, then
+  *     ATOMIC_MOVE'd to `v%05d.json`. A crash mid-commit leaves orphan
+  *     data files (harmless — unreferenced) and no manifest; the table
+  *     stays at its previous version.
+  *   - Optimistic concurrency: the move refuses to replace an existing
+  *     manifest, so two writers racing to commit the same version fail
+  *     loudly instead of silently last-wins-ing a snapshot away.
+  *
+  * MERGE is file-granular copy-on-write (the Delta CoW shape): the
+  * update batch's keys are broadcast against the snapshot scan tagged
+  * with `input_file_name()` to find the TOUCHED files; only those are
+  * rewritten (their unmatched rows + the whole batch), and every
+  * untouched file carries into the new manifest by reference. At scale
+  * the merge cost is O(batch + touched files), not O(table) — the
+  * property that makes a daily upsert into a 100 TB table affordable.
+  */
+object LakeTable {
+
+  private def logDir(path: String) = java.nio.file.Paths.get(path, "_log")
+  private def manifestPath(path: String, v: Int) =
+    logDir(path).resolve(f"v$v%05d.json")
+
+  /** Leaf parquet part-files under a just-written batch directory
+    * (recursive — partitionBy writes nest one level of key dirs). */
+  private def leafFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+  }
+
+  private[graft] def writeManifest(path: String, version: Int, files: Seq[String],
+      op: String): Unit = {
+    java.nio.file.Files.createDirectories(logDir(path))
+    val json =
+      s"""{"version":$version,"op":"$op","files":[""" +
+        files.map(f => "\"" + f + "\"").mkString(",") + "]}"
+    val tmp = logDir(path).resolve(s".tmp-v$version-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.writeString(tmp, json)
+    // publish = hard-link the fully-written temp to the version name:
+    // link creation is atomic AND fails on an existing target (rename
+    // would silently REPLACE on POSIX — last-wins, the exact lost-commit
+    // a versioned log must refuse)
+    try java.nio.file.Files.createLink(manifestPath(path, version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.delete(tmp)
+        throw new IllegalStateException(
+          s"LakeTable: concurrent commit conflict — version $version at $path " +
+            "already exists; re-read the latest snapshot and retry the merge")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Latest committed version (0 if the table does not exist yet). */
+  def latestVersion(path: String): Int = {
+    val d = logDir(path).toFile
+    val vs = Option(d.listFiles).getOrElse(Array.empty).toSeq
+      .map(_.getName).collect { case s if s.matches("v\\d{5}\\.json") =>
+        s.substring(1, 6).toInt }
+    if (vs.isEmpty) 0 else vs.max
+  }
+
+  /** The file list of a committed version. */
+  def manifestFiles(path: String, version: Int): Seq[String] = {
+    val p = manifestPath(path, version)
+    require(java.nio.file.Files.exists(p),
+      s"LakeTable: no committed version $version at $path (latest is ${latestVersion(path)})")
+    val json = java.nio.file.Files.readString(p)
+    """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json) match {
+      case Some(m) if m.group(1).trim.isEmpty => Seq.empty
+      case Some(m) => m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      case None => throw new IllegalStateException(s"LakeTable: corrupt manifest $p")
+    }
+  }
+
+  /** Snapshot read. `asOf = None` resolves the latest version AT CALL
+    * TIME and pins it: the returned frame keeps reading that version's
+    * file set even if later versions commit before the query runs —
+    * snapshot isolation, not read-latest-eventually. */
+  def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(path))
+    val files = manifestFiles(path, v)
+    require(files.nonEmpty, s"LakeTable: version $v at $path references no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Create the table as version 1 from `df`. The data lands in
+    * `nBuckets` separate batch directories split by key hash, so the
+    * table starts with enough file granularity for copy-on-write merges
+    * to show their O(touched) cost even on small test tables (a real
+    * table gets granularity for free from its ingest parallelism). */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      keyCols: Seq[String], nBuckets: Int = 8): Int = {
+    require(latestVersion(path) == 0,
+      s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
+    val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
+    val dir = s"$path/data/create"
+    // ONE pass: repartition on the key-hash EXPRESSION (no synthetic
+    // column lands in the schema, no partition-dir inference on read) —
+    // each shuffle partition writes one flat part file, so the table
+    // starts with key-clustered file granularity
+    df.repartition(nBuckets, bucket)
+      .write.mode("overwrite").parquet(dir)
+    writeManifest(path, 1, leafFiles(dir), "create")
+    1
+  }
+
+  /** Copy-on-write MERGE (latest-wins keyed upsert): rows of `updates`
+    * replace snapshot rows with equal keys; unmatched update rows
+    * insert. Only data files that CONTAIN a matched key are rewritten;
+    * all others carry into the new manifest by reference. Returns the
+    * committed version. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot merge into missing table at $path")
+    val files = manifestFiles(path, current)
+    val snap = spark.read.parquet(files: _*)
+    val keys = updates.select(keyCols.map(col): _*)
+    // touched-file discovery: ONE scan of the snapshot with a broadcast
+    // semi-join on the (small) batch keys — no shuffle of the table
+    val touched = snap.withColumn("__file", input_file_name())
+      .join(broadcast(keys), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath) // input_file_name
+      .toSet // is a file:// URI; manifests store plain paths. Bounded: ≤ #files.
+    // rewrite = surviving rows of touched files + the whole batch
+    val touchedSeq = touched.toSeq.sorted
+    val rewriteDir = s"$path/data/merge-v${current + 1}"
+    val survivors =
+      if (touchedSeq.isEmpty) updates
+      else spark.read.parquet(touchedSeq: _*)
+        .join(broadcast(keys), keyCols, "left_anti")
+        .unionByName(updates)
+    survivors.write.mode("overwrite").parquet(rewriteDir)
+    val newFiles = files.filterNot(touched) ++ leafFiles(rewriteDir)
+    writeManifest(path, current + 1, newFiles, "merge")
+    current + 1
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists) {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+      if (!f.delete())
+        throw new IllegalStateException(s"LakeTable: cannot delete ${f.getPath}")
+    }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.LakeTable
+
+/** Transactional contracts of the snapshot-versioned lake table that the
+  * lake_merge_asof oracle can't express in rows: snapshot isolation for
+  * a reader resolved before a concurrent commit, file-granular
+  * copy-on-write (untouched files carry by reference), atomic-publish
+  * conflict detection, and as-of resolution. */
+class LakeTableSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lake_spec_$tag").toString
+    LakeTable.deleteRecursively(new java.io.File(p))
+    p
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("merge is a latest-wins upsert: updates replace, inserts add, the rest carries") {
+    import spark.implicits._
+    val p = freshPath("merge")
+    val base = (1L to 100L).map(k => (k, "base", k * 10L)).toDF("k", "s", "v")
+    assert(LakeTable.create(spark, p, base, Seq("k")) == 1)
+    val batch = Seq((7L, "upd", 777L), (8L, "upd", 888L), (200L, "ins", 2000L))
+      .toDF("k", "s", "v")
+    assert(LakeTable.merge(spark, p, batch, Seq("k")) == 2)
+    val got = rows(LakeTable.read(spark, p).select("k", "s", "v"))
+    val expect = (1L to 100L).filterNot(k => k == 7L || k == 8L)
+      .map(k => (k, "base", k * 10L)).toSet ++
+      Set((7L, "upd", 777L), (8L, "upd", 888L), (200L, "ins", 2000L))
+    assert(got == expect)
+    // as-of(1) is the pre-merge state, read AFTER v2 committed
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")) ==
+      (1L to 100L).map(k => (k, "base", k * 10L)).toSet)
+  }
+
+  test("a reader resolved before a commit is unaffected by it (snapshot isolation)") {
+    import spark.implicits._
+    val p = freshPath("isolation")
+    val base = (1L to 50L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"))
+    // resolve the reader FIRST (latest-at-call-time = v1)...
+    val pinned = LakeTable.read(spark, p).select("k", "s", "v")
+    // ...then commit v2 changing every row's payload
+    LakeTable.merge(spark, p,
+      (1L to 50L).map(k => (k, "V2", k + 1000L)).toDF("k", "s", "v"), Seq("k"))
+    assert(LakeTable.latestVersion(p) == 2)
+    // the pinned reader still collects exactly the v1 rows — no torn
+    // read, no silent upgrade to the new snapshot
+    assert(rows(pinned) == (1L to 50L).map(k => (k, "base", k)).toSet)
+    // while a fresh resolution sees v2
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) ==
+      (1L to 50L).map(k => (k, "V2", k + 1000L)).toSet)
+  }
+
+  test("merge is file-granular copy-on-write: untouched files carry by reference") {
+    import spark.implicits._
+    val p = freshPath("cow")
+    val base = (1L to 400L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    val v1Files = LakeTable.manifestFiles(p, 1).toSet
+    assert(v1Files.size >= 4, s"want file granularity, got ${v1Files.size} files")
+    // a single-key batch touches only the file(s) holding that key
+    LakeTable.merge(spark, p, Seq((5L, "upd", 55L)).toDF("k", "s", "v"), Seq("k"))
+    val v2Files = LakeTable.manifestFiles(p, 2).toSet
+    val carried = v1Files.intersect(v2Files)
+    val rewritten = v1Files.diff(v2Files)
+    assert(carried.nonEmpty, "no file carried by reference — merge rewrote the table")
+    assert(rewritten.nonEmpty, "no file was rewritten — the update went nowhere")
+    assert(rewritten.size < v1Files.size / 2,
+      s"merge of 1 key rewrote ${rewritten.size}/${v1Files.size} files — not O(touched)")
+    // and the data files themselves are immutable: v1 is still intact
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")) ==
+      (1L to 400L).map(k => (k, "base", k)).toSet)
+  }
+
+  test("commit publish is atomic and conflicts fail loudly") {
+    import spark.implicits._
+    val p = freshPath("conflict")
+    LakeTable.create(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
+    // two writers race to publish version 2: the winner commits, the
+    // loser's ATOMIC_MOVE hits the existing manifest and fails loudly
+    // instead of last-wins-ing the winner's snapshot away (merge()
+    // itself re-resolves the version per call, so the publish step is
+    // where the race lands)
+    LakeTable.writeManifest(p, 2, LakeTable.manifestFiles(p, 1), "merge")
+    val err = intercept[IllegalStateException] {
+      LakeTable.writeManifest(p, 2, LakeTable.manifestFiles(p, 1), "merge")
+    }
+    assert(err.getMessage.contains("conflict"))
+    assert(LakeTable.latestVersion(p) == 2)
+    // create() refuses to clobber an existing table
+    intercept[IllegalArgumentException] {
+      LakeTable.create(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
+    }
+    // no temp files left behind in the log
+    val logs = new java.io.File(s"$p/_log").listFiles.map(_.getName)
+    assert(logs.forall(_.matches("v\\d{5}\\.json")), s"stray log files: ${logs.mkString(",")}")
+  }
+
+  test("as-of reads resolve any committed generation; missing versions fail loudly") {
+    import spark.implicits._
+    val p = freshPath("asof")
+    LakeTable.create(spark, p, Seq((1L, "g1", 1L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((1L, "g2", 2L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((2L, "g3", 3L)).toDF("k", "s", "v"), Seq("k"))
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")) == Set((1L, "g1", 1L)))
+    assert(rows(LakeTable.read(spark, p, Some(2)).select("k", "s", "v")) == Set((1L, "g2", 2L)))
+    assert(rows(LakeTable.read(spark, p, Some(3)).select("k", "s", "v")) ==
+      Set((1L, "g2", 2L), (2L, "g3", 3L)))
+    intercept[IllegalArgumentException] { LakeTable.read(spark, p, Some(9)) }
+  }
+
+  test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
+    val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val v1 = out.filter(_._1 == 1L)
+    val v2 = out.filter(_._1 == 2L)
+    assert(v1.nonEmpty && v2.nonEmpty)
+    // inserts exist only in v2; updated statuses only in v2
+    assert(v2.count(_._2 >= graft.operators.MergeOps.LakeInsertOffset) > 0)
+    assert(v2.count(_._3 == "U") > 0 && v1.count(_._3 == "U") == 0)
+    // same key count plus inserts
+    assert(v2.length == v1.length + v2.count(_._2 >= graft.operators.MergeOps.LakeInsertOffset))
+  }
+}
