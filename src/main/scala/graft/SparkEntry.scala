@@ -132,6 +132,7 @@ object SparkEntry {
     // §2.C dedup & similarity
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_incremental"   -> (graft.dedup.DedupOps.qDedupIncremental _),
+    "dedup_index_serve"   -> (graft.dedup.DedupOps.qDedupIndexServe _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
     "dedup_clusters"      -> (graft.dedup.DedupOps.qDedupClusters _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
@@ -1471,6 +1472,30 @@ object SparkEntry {
         |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
         |FROM cards c JOIN sets s ON c.code = s.code
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // the oracle recomputes the probe decisions FROM SCRATCH (exact
+    // Jaccard of probe class vs base ∪ appended) — a hash match
+    // certifies that probing the persisted postings+shingles index is
+    // decision-identical to full recomputation, including the appended
+    // generation (n_from_append would zero out if the append never
+    // landed in the store)
+    "dedup_index_serve" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |probe AS (SELECT * FROM sh WHERE doc_id % 7 = 3),
+        |idx AS (SELECT * FROM sh WHERE doc_id % 7 <> 3),
+        |near AS (
+        |  SELECT p.doc_id, count(*) AS n_near_dups,
+        |    sum(CASE WHEN i.doc_id % 7 = 5 THEN 1 ELSE 0 END) AS n_from_append
+        |  FROM probe p JOIN idx i
+        |    ON 2 * len(list_intersect(p.s, i.s)) >= len(p.s) + len(i.s) - len(list_intersect(p.s, i.s))
+        |  GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(coalesce(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(n.n_from_append, 0) AS BIGINT) AS n_from_append,
+        |  CAST(CASE WHEN coalesce(n.n_near_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_novel
+        |FROM probe p LEFT JOIN near n USING (doc_id) ORDER BY p.doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, text,

@@ -58,7 +58,12 @@ object DedupOps {
     * (`size(sig) / rowsPerBand`), so any k that is a multiple of
     * rowsPerBand banding-covers the whole signature — no silent short
     * slices from a hard-coded band count. */
-  def lshCandidates(docs: DataFrame, idCol: String, sigCol: String, rowsPerBand: Int): DataFrame = {
+  /** (id, band, bucket) rows of a signature frame — the banded-LSH
+    * posting list. Factored from [[lshCandidates]] so the persisted
+    * dedup index ([[graft.sources.DedupIndexStore]]) materializes the
+    * IDENTICAL postings the in-session candidate join derives. */
+  def bandedBuckets(docs: DataFrame, idCol: String, sigCol: String,
+      rowsPerBand: Int): DataFrame = {
     require(rowsPerBand > 0, s"rowsPerBand must be positive, got $rowsPerBand")
     // posexplode_outer: the plain generate would get an inferred
     // size(...)>0 pre-filter that re-evaluates the whole band transform.
@@ -66,7 +71,7 @@ object DedupOps {
     // yields a DESCENDING [0, -1] (not an empty array), which would emit a
     // bogus band that buckets every short-signature doc together — instead
     // emit no bands (posexplode_outer's null band never equi-joins).
-    val banded = docs.select(
+    docs.select(
       col(idCol),
       posexplode_outer(expr(
         s"""case when size($sigCol) >= $rowsPerBand
@@ -75,6 +80,10 @@ object DedupOps {
            |else cast(array() as array<int>) end""".stripMargin))
         .as(Seq("band", "bucket"))
     )
+  }
+
+  def lshCandidates(docs: DataFrame, idCol: String, sigCol: String, rowsPerBand: Int): DataFrame = {
+    val banded = bandedBuckets(docs, idCol, sigCol, rowsPerBand)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "bucket"))
@@ -526,6 +535,44 @@ object DedupOps {
       .select(col("doc_id"), col("text"))
     val isBatch = col("doc_id") % 7 === 3
     incrementalDedup(docs.filter(isBatch), docs.filter(!isBatch))
+  }
+
+  /** Persisted dedup-index lifecycle — the production shape of
+    * [[qDedupIncremental]] (which must re-mine the base per call by
+    * virtue of being a single query): build the MinHash/LSH index over
+    * the base corpus and PERSIST it
+    * ([[graft.sources.DedupIndexStore]]), APPEND a first ingest batch
+    * under the frozen banding (class ≡ 5 mod 7 — the index grows
+    * without re-mining the base), then PROBE the next batch (class ≡ 3
+    * mod 7) against the stored postings + shingle sets. Emits the
+    * ingest-gate frame per probe doc: near-dup count against the whole
+    * grown corpus, how many of those live in the APPENDED generation
+    * (non-vacuous — proving the append is actually probed), and the
+    * novelty verdict. The oracle replays the decisions from scratch
+    * with exact Jaccard over base ∪ appended, so the gate certifies
+    * stored-index probing ≡ full recomputation; DedupIndexSpec
+    * additionally pins append-built ≡ rebuild-from-scratch postings and
+    * the corpus-snapshot staleness gate. */
+  def qDedupIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DedupIndexStore
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_dedup_idx_${graft.SessionCache.dirKey(dir)}").toString
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val cls = col("doc_id") % 7
+    DedupIndexStore.write(spark, dir, path, docs.filter(cls =!= 3 && cls =!= 5))
+    DedupIndexStore.append(spark, dir, path, docs.filter(cls === 5))
+    val pairs = DedupIndexStore.probe(spark, dir, path, docs.filter(cls === 3))
+    val counts = pairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_near_dups"),
+      sum(when(col("base_id") % 7 === 5, 1L).otherwise(0L)).as("n_from_append"))
+    docs.filter(cls === 3).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        coalesce(col("n_from_append"), lit(0L)).as("n_from_append"),
+        (coalesce(col("n_near_dups"), lit(0L)) === 0).cast("long").as("is_novel"))
+      .orderBy("doc_id")
   }
 
   /** Containment dedup — the asymmetric near-dup cut symmetric Jaccard
