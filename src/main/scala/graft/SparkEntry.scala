@@ -190,6 +190,7 @@ object SparkEntry {
     "text_budget_select"  -> (graft.text.TextOps.qBudgetSelect _),
     "text_domain_mix"     -> (graft.text.TextOps.qDomainMix _),
     "text_temperature_mix" -> (graft.text.TextOps.qTemperatureMix _),
+    "text_temperature_mix_tau" -> (graft.text.TextOps.qTemperatureMixTau _),
     "text_epoch_plan"     -> (graft.text.TextOps.qEpochPlan _),
     "text_domain_stats"   -> (graft.text.TextOps.qDomainStats _),
     "text_pack_sequences" -> (graft.text.TextOps.qPackSequences _),
@@ -2354,6 +2355,47 @@ object SparkEntry {
         |  CAST((n_tokens // 1000000) * rate
         |    + ((n_tokens % 1000000) * rate) // 1000000 AS BIGINT) AS expected_tokens
         |FROM rt ORDER BY source""".stripMargin,
+    // general-τ weights replayed EXACTLY: a double-pow seed window
+    // [w0-2, w0+2] plus a 128-bit integer certificate (w^q <= mass^3)
+    // picks floor(mass^(3/10)) and floor(mass^(3/4)) — the engine side
+    // computes the same floors in BigInteger with no floats at all
+    "text_temperature_mix_tau" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |seed AS (
+        |  SELECT *, greatest(CAST(floor(pow(n_tokens, 0.3)) AS BIGINT), 2) - 2 AS s310,
+        |            greatest(CAST(floor(pow(n_tokens, 0.75)) AS BIGINT), 2) - 2 AS s34
+        |  FROM ps),
+        |w AS (
+        |  SELECT source, any_value(n_docs) AS n_docs, any_value(n_tokens) AS n_tokens,
+        |    max(CASE WHEN
+        |      CAST(s310+k AS HUGEINT)*(s310+k)*(s310+k)*(s310+k)*(s310+k)
+        |        *(s310+k)*(s310+k)*(s310+k)*(s310+k)*(s310+k)
+        |      <= CAST(n_tokens AS HUGEINT)*n_tokens*n_tokens
+        |      THEN s310+k END) AS w310,
+        |    max(CASE WHEN
+        |      CAST(s34+k AS HUGEINT)*(s34+k)*(s34+k)*(s34+k)
+        |      <= CAST(n_tokens AS HUGEINT)*n_tokens*n_tokens
+        |      THEN s34+k END) AS w34
+        |  FROM seed, range(0, 5) t(k) GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |               CAST(SUM(w310) AS BIGINT) AS ws310,
+        |               CAST(SUM(w34) AS BIGINT) AS ws34 FROM w),
+        |st AS (
+        |  SELECT CAST(300000 AS BIGINT) AS tau_ppm, source, n_docs, n_tokens,
+        |    w310 AS w, total_tokens, ws310 AS w_sum FROM w, tot
+        |  UNION ALL
+        |  SELECT CAST(750000 AS BIGINT), source, n_docs, n_tokens,
+        |    w34, total_tokens, ws34 FROM w, tot),
+        |tg AS (SELECT st.*, (total_tokens // w_sum) * w
+        |         + ((total_tokens % w_sum) * w) // w_sum AS t FROM st)
+        |SELECT tau_ppm, source, n_docs, n_tokens, CAST(w AS BIGINT) AS w,
+        |  CAST(t AS BIGINT) AS target_tokens,
+        |  CAST(least(1000000, (t * 1000 // n_tokens) * 1000
+        |    + ((t * 1000 % n_tokens) * 1000) // n_tokens) AS BIGINT) AS keep_rate_ppm
+        |FROM tg ORDER BY tau_ppm, source""".stripMargin,
     // the upsampling half of temperature mixing: whole-source epoch
     // repeats + a ppm remainder pass; same integer conventions
     "text_epoch_plan" ->

@@ -194,6 +194,12 @@ object GraftFunctions {
   val sortedIntersectCountBuilder: Seq[Expression] => Expression = exprs =>
     SortedIntersectCount(exprs.head, exprs(1))
 
+  /** int_pow_root(x, p, q): floor(x^(p/q)) exact; p and q are plan-time
+    * integer literals. */
+  val intPowRootBuilder: Seq[Expression] => Expression = exprs =>
+    IntegerPowRoot(exprs.head,
+      intLit("int_pow_root p", exprs(1)), intLit("int_pow_root q", exprs(2)))
+
   /** Name → builder for every graft kernel — ONE table drives both the
     * runtime [[register]] path and the [[GraftExtensions]] injection, so
     * the two surfaces cannot drift (every native expression is
@@ -219,7 +225,8 @@ object GraftFunctions {
     ("rand_project8", classOf[RandProject8].getName, randProject8Builder),
     ("rolling_hash_fp", classOf[RollingHashFp].getName, rollingHashFpBuilder),
     ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
-      sortedIntersectCountBuilder))
+      sortedIntersectCountBuilder),
+    ("int_pow_root", classOf[IntegerPowRoot].getName, intPowRootBuilder))
 
   /** Idempotent runtime SQL registration on an existing session (the driver
     * owns session construction, so extensions alone aren't enough). */
@@ -254,6 +261,7 @@ object GraftFunctions {
     toCol(StopwordHits(toExpr(tokens), words))
   def wsTokenize(text: Column): Column = toCol(WsTokenizeExpr(toExpr(text)))
   def wsTokenCount(text: Column): Column = toCol(WsTokenCountExpr(toExpr(text)))
+  def intPowRoot(x: Column, p: Int, q: Int): Column = toCol(IntegerPowRoot(toExpr(x), p, q))
 }
 
 /** SparkSessionExtensions hook: `.withExtensions(new GraftExtensions)` or

@@ -550,6 +550,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** General-τ temperature mixing — [[qTemperatureMix]] is the τ = 1/2
+    * special case (integer sqrt); this entry weights sources by
+    * EXACT `floor(mass^τ)` for non-half τ via the rational-exponent
+    * integer-root kernel [[graft.functions.IntegerPowRoot]]
+    * (`w = floor((mass^p)^(1/q))` in BigInteger — no libm `pow`, no
+    * platform-dependent floor boundaries, valid at any corpus
+    * magnitude). Gated at τ = 3/10 and τ = 3/4: the DuckDB oracle
+    * certifies each weight EXACTLY with a double-pow seed plus a
+    * 128-bit integer power check (w^q ≤ mass^p < (w+1)^q), which fits
+    * DuckDB's hugeint for p = 3 up to ~4.6e12 tokens per source —
+    * τ = 7/10's certificate needs mass^7 (past 128 bits at any real
+    * mass), so it is pinned in TextOpsSpec against an independent
+    * BigInt replay instead of the SQL oracle; the ENGINE kernel is
+    * exact for every rational τ either way. Downstream target/rate
+    * arithmetic is the overflow-split integer convention shared with
+    * [[qTemperatureMix]]. Same scale shape: one map-side
+    * groupBy(source) + a broadcast totals scalar; the τ dimension is a
+    * 2-row stack over metadata-cardinality rows. */
+  def qTemperatureMixTau(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.intPowRoot
+    val perSource = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), wsTokenCount(col("text")).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .withColumn("w310", intPowRoot(col("n_tokens"), 3, 10))
+      .withColumn("w34", intPowRoot(col("n_tokens"), 3, 4))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"),
+      sum("w310").as("ws310"), sum("w34").as("ws34"))
+    perSource.join(broadcast(totals), lit(true))
+      .selectExpr("source", "n_docs", "n_tokens", "total_tokens",
+        """stack(2,
+          |  cast(300000 as bigint), w310, ws310,
+          |  cast(750000 as bigint), w34,  ws34) AS (tau_ppm, w, w_sum)""".stripMargin)
+      .withColumn("target_tokens", expr(
+        "(total_tokens div w_sum) * w + ((total_tokens % w_sum) * w) div w_sum"))
+      .withColumn("keep_rate_ppm",
+        least(lit(1000000L), expr(
+          "(target_tokens * 1000 div n_tokens) * 1000" +
+            " + ((target_tokens * 1000 % n_tokens) * 1000) div n_tokens")))
+      .select(col("tau_ppm"), col("source"), col("n_docs"), col("n_tokens"),
+        col("w"), col("target_tokens"), col("keep_rate_ppm"))
+      .orderBy("tau_ppm", "source")
+  }
+
   /** Epoch repeat plan — the UPSAMPLING half of temperature mixing that
     * [[qTemperatureMix]]'s capped keep-rate deliberately cannot express
     * (a filter rate can only shed): for each source, how to hit the

@@ -1112,6 +1112,64 @@ class TextOpsSpec extends SparkSpec {
     assert(err2.getMessage.contains("string"))
   }
 
+  test("int_pow_root: exact floors for any rational tau, pinned against BigInt replays") {
+    import graft.functions.IntegerPowRoot.powRoot
+    // independent replay: bisection on w with BigInt pow-compare (no
+    // Newton, no floats — shares nothing with the kernel's algorithm)
+    def slow(x: Long, p: Int, q: Int): Long = {
+      val xp = BigInt(x).pow(p)
+      var lo = BigInt(0); var hi = BigInt(x) + 1 // p <= q, so root <= x
+      while (hi - lo > 1) {
+        val mid = (lo + hi) / 2
+        if (mid.pow(q) <= xp) lo = mid else hi = mid
+      }
+      lo.toLong
+    }
+    val probes = Seq(0L, 1L, 2L, 9L, 10L, 31L, 32L, 1023L, 1024L, 1025L,
+      999999L, 1000000L, 123456789L, 999999999999L, 1000000000000L)
+    for (x <- probes; (p, q) <- Seq((1, 2), (3, 10), (7, 10), (3, 4), (1, 5)))
+      assert(powRoot(x, p, q) == slow(x, p, q), s"x=$x tau=$p/$q")
+    // tau = 1/2 agrees with the shipped isqrt convention on the corpus masses
+    val masses = Tables.documents(spark, SfDir)
+      .groupBy("source").agg(sum(TextOps.wsTokenCount(col("text"))).as("m"))
+      .collect().map(_.getLong(1))
+    masses.foreach { m =>
+      assert(powRoot(m, 1, 2) == math.floor(math.sqrt(m.toDouble)).toLong)
+    }
+    // boundary exactness where double pow is least trustworthy: perfect powers
+    for (w <- Seq(7L, 100L, 12345L)) {
+      val x = w * w * w // x^(1/3) boundary... via p/q = 1/3? p must be <= q
+      assert(powRoot(x, 1, 3) == w)
+      assert(powRoot(x - 1, 1, 3) == w - 1)
+    }
+    // domain: negative input fails loudly, null propagates
+    intercept[IllegalArgumentException] { powRoot(-1L, 1, 2) }
+    // the tau entry: weights are the exact kernel values and targets
+    // conserve mass (sum of targets <= total, within w_sum floor slack)
+    val out = TextOps.qTemperatureMixTau(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val taus = out.map(_._1).distinct.sorted
+    assert(taus.toSeq == Seq(300000L, 750000L))
+    out.foreach { case (tau, _, m, w, _) =>
+      val (p, q) = if (tau == 300000L) (3, 10) else (3, 4)
+      assert(w == powRoot(m, p, q), s"weight mismatch at tau=$tau m=$m")
+    }
+    val total = out.filter(_._1 == 300000L).map(_._3).sum
+    taus.foreach { t =>
+      val targets = out.filter(_._1 == t).map(_._5).sum
+      assert(targets <= total && targets > total - out.length,
+        s"tau=$t targets $targets do not conserve total $total")
+    }
+    // tau ordering: smaller tau flattens harder — the small-source share
+    // of the target mass is LARGER at tau=0.3 than at tau=0.75
+    val smallSrc = out.filter(_._1 == 300000L).minBy(_._3)._2
+    def share(t: Long) = {
+      val rows = out.filter(_._1 == t)
+      rows.find(_._2 == smallSrc).get._5.toDouble / rows.map(_._5).sum
+    }
+    assert(share(300000L) > share(750000L))
+  }
+
   test("pack kernel: empty units yield an empty manifest, and a hint overestimate changes nothing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
