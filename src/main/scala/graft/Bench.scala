@@ -35,7 +35,14 @@ object Bench {
     "q_count_distinct", "text_boilerplate_spans", "text_contamination",
     "text_repetition_ratio", "text_lang_id", "text_quality_score",
     "text_token_count", "text_rare_word_ratio", "dedup_simhash",
-    "ngram_jaccard", "ngram_jaccard_countagg")
+    "ngram_jaccard", "ngram_jaccard_countagg",
+    // r12 adjudication: these drifted >1.3x on identical plans (the
+    // interpreted-token JIT band BASELINE.md documents); min-of-4 sits
+    // their published minima at steady state so rounds stop
+    // re-adjudicating the same environment noise
+    "gdpr_forget_keys", "text_ccnet_bucket", "dedup_containment",
+    "embed_knn_density", "text_unigram_entropy", "text_dsir_weights",
+    "dedup_decision")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -155,10 +155,17 @@ object ScalingBench {
     // pass + one pack pass — must stay linear with small constants
     "gdpr_access_report",
     // composed pipeline: lang/quality gates are scan-bound maps, the
-    // ledger join keys doc_id, dedup election keys text, pack is the
-    // distributed prefix sum — the slope must track its most expensive
-    // stage (the classifier), not multiply stages
-    "pipeline_e2e", "pipeline_funnel")
+    // ledger join keys doc_id, dedup election keys xxhash64(text) (r13
+    // re-key — the election exchange ships 8-byte keys, not bodies),
+    // pack is the distributed prefix sum — the slope must track its
+    // most expensive stage (the classifier), not multiply stages
+    "pipeline_e2e", "pipeline_funnel",
+    // r13 additions: the persisted dedup-index lifecycle (build/persist
+    // postings+shingles, frozen-banding append, routed probe — must
+    // track dedup_minhash_lsh's banded-join shape plus the store I/O)
+    // and general-τ mixing (groupBy(source) + broadcast scalar + a
+    // per-source BigInteger root — flat like text_temperature_mix)
+    "dedup_index_serve", "text_temperature_mix_tau")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -231,6 +238,10 @@ object ScalingBench {
     // under fact amplification — its slope row would measure constant
     // work and flatter the suite.
     "q_bucketed_join", "upsert_jdbc_protocol", "stream_upsert_sink",
+    // r13: snapshot-versioned CoW MERGE — create pays a k-fold write,
+    // the merge term must stay O(batch + touched files), and both
+    // as-of reads are k-fold scans: expect ~linear with write constants
+    "lake_merge_asof",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so
@@ -265,8 +276,21 @@ object ScalingBench {
     require(maxDocId < 100000000L,
       s"base doc_id range too large for amplification: $maxDocId >= 1e8")
     val docReps = (0 until k).map { i =>
-      val t = if (i == 0) col("text")
-              else translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i))
+      val rotT = if (i == 0) col("text")
+                 else translate(col("text"), lower + upper, rot(lower, i) + rot(upper, i))
+      // the 26-letter rotation WRAPS: replicas i ≡ j (mod 26) would carry
+      // IDENTICAL text, and past x26 the clone groups grow with k — so
+      // clone-pair candidates in the pair miners grow ~k·g² (the r13 x100
+      // sweep measured ngram_jaccard superlinear purely from this), an
+      // amplifier artifact of the same class as the documented
+      // mm_phash_neardup raster-clone exclusion. Fix at the source: tag
+      // every word with the rotation GROUP index (i div 26) so replicas
+      // stay pairwise shingle-disjoint at any k — a bijection on words,
+      // so within-replica Jaccard/chunk/dedup structure is preserved
+      // exactly; group 0 is byte-identical to the historical amplifier,
+      // keeping every x<=26 number comparable.
+      val t = if (i < 26) rotT
+              else regexp_replace(rotT, "(\\S+)", "$1q" + (i / 26))
       docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
         t.as("text"), col("lang"), col("source"), col("n_chars"))

@@ -231,9 +231,18 @@ object MergeOps {
       .orderBy("status")
   }
 
-  /** Inserted keys in the lake-merge entry are offset by this; the entry
-    * `require`s the raw key space stays below it. */
+  /** Inserted keys in the lake-merge entry are offset by this at
+    * oracle-gated corpora (the oracle replays the constant). */
   private[graft] val LakeInsertOffset = 100000000L
+
+  /** Collision-free insert offset: the oracle's 1e8 whenever the raw
+    * key space fits under it (every gated SF), else the next multiple
+    * above max(o_orderkey) — so ScalingBench's amplified orders
+    * (replica keys at i·1e7) keep collision-free inserts. Inserts are
+    * NEW keys; the only contract is disjointness from the raw space. */
+  private[graft] def lakeInsertOffset(maxKey: Long): Long =
+    if (maxKey < LakeInsertOffset) LakeInsertOffset
+    else (maxKey / LakeInsertOffset + 1L) * LakeInsertOffset
 
   /** Snapshot-versioned MERGE with time travel — the transactional lake
     * story ([[graft.sources.LakeTable]]): create the orders table as
@@ -260,8 +269,7 @@ object MergeOps {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val maxKey = base.agg(max("o_orderkey")).head().getLong(0)
-    require(maxKey < LakeInsertOffset,
-      s"lake insert offset $LakeInsertOffset must exceed max o_orderkey $maxKey")
+    val insertOff = lakeInsertOffset(maxKey)
     LakeTable.create(spark, path, base, Seq("o_orderkey"))
     val updates = base.filter(col("o_orderkey") % 7 === 3)
       .withColumn("o_orderstatus", lit("U"))
@@ -270,7 +278,7 @@ object MergeOps {
         (col("o_totalprice").cast("decimal(18,2)") + lit(BigDecimal(1000)))
           .cast("double"))
     val inserts = base.filter(col("o_orderkey") % 97 === 0)
-      .select((col("o_orderkey") + LakeInsertOffset).as("o_orderkey"),
+      .select((col("o_orderkey") + insertOff).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"))
     LakeTable.merge(spark, path, updates.unionByName(inserts), Seq("o_orderkey"))
     val v1 = LakeTable.read(spark, path, Some(1)).withColumn("version", lit(1L))

@@ -1266,14 +1266,14 @@ object TextOps {
     // the planted-twin offset must clear the raw id space, or twins
     // collide with real doc_ids and the dedup semantics silently
     // degrade (the oracle replays the same arithmetic, so the gate
-    // would stay green) — same guard as ScalingBench's replica path
-    require(maxRawId < PipelineTwinOffset,
-      s"pipeline twin offset $PipelineTwinOffset must exceed max raw doc_id $maxRawId")
+    // would stay green) — derived from max(doc_id), same spirit as
+    // ScalingBench's replica guard
+    val off = pipelineTwinOffset(maxRawId)
     val base = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
     val docs = base
       .unionByName(base.filter(pmod(col("doc_id"), lit(5)) === 1)
-        .select((col("doc_id") + PipelineTwinOffset).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
       .select(col("doc_id"), col("text"),
         wsTokenCount(col("text")).as("n_tokens"))
     // everything that reads the document body happens in THIS per-row
@@ -1293,9 +1293,18 @@ object TextOps {
   }
 
   /** Planted-twin doc_id offset for the composed pipeline (the
-    * dedup_exact convention); [[pipelineLedger]] `require`s the raw id
-    * space stays below it. */
+    * dedup_exact convention) at oracle-gated corpora. */
   private[graft] val PipelineTwinOffset = 1000000L
+
+  /** Collision-free twin offset: the oracle's 1,000,000 whenever the
+    * raw id space fits under it (every gated SF — the oracle replays
+    * that constant), else the next multiple above max(doc_id) — so the
+    * ScalingBench amplified corpora (replica ids at i·1e8) keep
+    * collision-free twins WITH their doc-class (any multiple of 1e6 is
+    * ≡ 0 mod 5, preserving the mod-5 gate class the twin rides on). */
+  private[graft] def pipelineTwinOffset(maxRawId: Long): Long =
+    if (maxRawId < PipelineTwinOffset) PipelineTwinOffset
+    else (maxRawId / PipelineTwinOffset + 1L) * PipelineTwinOffset
 
   /** Max raw doc_id — shared by both pipeline entries so the guard and
     * the pack's range-bucket hint read the same scan. */
@@ -1322,7 +1331,8 @@ object TextOps {
     packUnits(spark,
       pipelineLedger(spark, dir, maxRawId).filter(col("dedup_keep"))
         .select("doc_id", "n_tokens"),
-      orderCols = Seq("doc_id"), maxIdHint = Some(maxRawId + PipelineTwinOffset))
+      orderCols = Seq("doc_id"),
+      maxIdHint = Some(maxRawId + pipelineTwinOffset(maxRawId)))
       .select("doc_id", "n_tokens", "token_start",
         "seq_first", "seq_last", "seq_offset")
       .orderBy("doc_id")
