@@ -17,6 +17,7 @@ object SparkEntry {
     // §2.A reference ETL semantics
     "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
     "lake_merge_asof"          -> (MergeOps.qLakeMergeAsof _),
+    "lake_delete_asof"         -> (MergeOps.qLakeDeleteAsof _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -237,6 +238,7 @@ object SparkEntry {
     "stream_sessionize"   -> (graft.streaming.EventStreams.qStreamSessionize _),
     "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _),
     "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _),
+    "stream_lake_sink"    -> (graft.streaming.EventStreams.qStreamLakeSink _),
     "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _),
     "stream_chunk_dedup"  -> (graft.streaming.EventStreams.qStreamChunkDedup _)
   )
@@ -1497,6 +1499,20 @@ object SparkEntry {
         |  CAST(coalesce(n.n_from_append, 0) AS BIGINT) AS n_from_append,
         |  CAST(CASE WHEN coalesce(n.n_near_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_novel
         |FROM probe p LEFT JOIN near n USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    // v2 = the post-merge state read AS-OF (after v3 committed); v3 = the
+    // live post-delete state — erased keys must be readable in v2 and
+    // gone from v3, exactly the time-travel/erasure split the manifest
+    // format promises (vacuum, the physical-erasure half, is spec-pinned)
+    "lake_delete_asof" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderkey % 53 <> 0)
+        |SELECT 2 AS version, o_orderkey, o_orderstatus FROM v2
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_orderstatus FROM v3
+        |ORDER BY version, o_orderkey""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, text,
@@ -1600,6 +1616,16 @@ object SparkEntry {
     // over events — the state the multi-batch stage-then-swap merges
     // must converge to regardless of how files split across batches
     "stream_upsert_sink" ->
+      """SELECT user_id, event_id, ts, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    // same final-state contract as stream_upsert_sink, but each
+    // micro-batch lands as ONE atomic lake version (conditional-merge
+    // recency election composed from LakeTable.merge) — a wrong
+    // cross-batch precedence or a lost commit changes the final state
+    "stream_lake_sink" ->
       """SELECT user_id, event_id, ts, event_type, value
         |FROM events
         |QUALIFY row_number() OVER (

@@ -288,4 +288,38 @@ object MergeOps {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy("version", "o_orderkey")
   }
+
+  /** Copy-on-write DELETE with time travel — the GDPR erasure shape on
+    * the transactional store (the operational sequence a lake actually
+    * runs: upsert, then an erasure request lands): create the orders
+    * table (v1), MERGE a status flip for keys ≡ 1 mod 11 (v2), then
+    * DELETE keys ≡ 0 mod 53 (v3). Emits the as-of(v2) read — taken
+    * AFTER v3 committed, so erased rows are still time-travel-readable
+    * exactly as the manifest contract says — alongside the live v3
+    * state, where they are gone. The oracle replays both states; a
+    * delete that leaks into v2's file set (CoW mutating a shared file)
+    * or survives into v3 breaks the hash. The erasure-completion half
+    * (vacuum expiring v1/v2 and physically deleting the orphan files)
+    * is FS semantics the oracle can't see — LakeTableSpec pins it. */
+  def qLakeDeleteAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakedel_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderkey") % 11 === 1)
+        .withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    LakeTable.delete(spark, path,
+      base.filter(col("o_orderkey") % 53 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val v2 = LakeTable.read(spark, path, Some(2)).withColumn("version", lit(2L))
+    val v3 = LakeTable.read(spark, path, Some(3)).withColumn("version", lit(3L))
+    v2.unionByName(v3)
+      .select(col("version"), col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("version", "o_orderkey")
+  }
 }

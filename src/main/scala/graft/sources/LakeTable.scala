@@ -165,6 +165,74 @@ object LakeTable {
     current + 1
   }
 
+  /** Copy-on-write DELETE: snapshot rows whose keys appear in `keys`
+    * vanish from the NEW version; only files containing a matched key
+    * are rewritten. Note the time-travel/erasure distinction a real
+    * lake must manage: older versions still reference the untouched
+    * pre-delete files, so the rows remain READABLE via as-of until
+    * [[vacuum]] expires those versions — the Delta GDPR recipe is
+    * exactly DELETE + VACUUM, and LakeTableSpec pins both halves. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot delete from missing table at $path")
+    val files = manifestFiles(path, current)
+    val snap = spark.read.parquet(files: _*)
+    val keyRows = keys.select(keyCols.map(col): _*)
+    val touched = snap.withColumn("__file", input_file_name())
+      .join(broadcast(keyRows), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val touchedSeq = touched.toSeq.sorted
+    val newFiles =
+      if (touchedSeq.isEmpty) files // no-op delete still commits (idempotent replays)
+      else {
+        val rewriteDir = s"$path/data/delete-v${current + 1}"
+        spark.read.parquet(touchedSeq: _*)
+          .join(broadcast(keyRows), keyCols, "left_anti")
+          .write.mode("overwrite").parquet(rewriteDir)
+        files.filterNot(touched) ++ leafFiles(rewriteDir)
+      }
+    writeManifest(path, current + 1, newFiles, "delete")
+    current + 1
+  }
+
+  /** Expire history: keep the newest `keepLast` versions, drop older
+    * manifests, and physically delete every data file no kept manifest
+    * references. This is what turns a logical [[delete]] into erasure —
+    * and what bounds a long-lived table's storage at ~keepLast
+    * snapshots of churned files (carried-by-reference files are shared
+    * across manifests and survive). Readers pinned to an expired
+    * version fail loudly on their next resolution ([[manifestFiles]]'s
+    * missing-version error), never silently read surviving files.
+    * Returns (manifests dropped, data files deleted). */
+  def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, s"LakeTable: vacuum must keep >= 1 version, got $keepLast")
+    val latest = latestVersion(path)
+    require(latest > 0, s"LakeTable: cannot vacuum missing table at $path")
+    val keepFrom = math.max(1, latest - keepLast + 1)
+    val kept = (keepFrom to latest).flatMap(v => manifestFiles(path, v)).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    // delete order matters for crash safety: orphan DATA files first,
+    // manifests second — a crash mid-vacuum leaves expired manifests
+    // pointing at missing files (loud read failure on an already-expired
+    // version), never a live manifest with missing files
+    val orphans = walk(new java.io.File(s"$path/data"))
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .filterNot(f => kept(f.getAbsolutePath))
+    orphans.foreach { f =>
+      if (!f.delete()) throw new IllegalStateException(
+        s"LakeTable: vacuum cannot delete ${f.getPath}")
+    }
+    var dropped = 0
+    (1 until keepFrom).foreach { v =>
+      if (java.nio.file.Files.deleteIfExists(manifestPath(path, v))) dropped += 1
+    }
+    (dropped, orphans.size)
+  }
+
   private[graft] def deleteRecursively(f: java.io.File): Unit =
     if (f.exists) {
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)

@@ -583,6 +583,89 @@ object EventStreams {
     batch
   }
 
+  private val lakeSinkLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Streaming upsert into the SNAPSHOT-VERSIONED lake table — closing
+    * the loop between the streaming merge ([[qStreamUpsertSink]]'s
+    * stage-then-swap, which leaves a torn-read window between swap
+    * renames) and the transactional store (`lake_merge_asof`): each
+    * micro-batch commits ONE atomic lake version via
+    * [[graft.sources.LakeTable.merge]], so a concurrent reader resolved
+    * against version N reads a consistent snapshot no matter how many
+    * batches land mid-query — the exact guarantee stage-and-swap
+    * cannot give.
+    *
+    * Recency across batches: the file source hands batches in file
+    * order, not event-time order, so a later batch can carry an OLDER
+    * row for a key an earlier batch already upserted. Plain
+    * latest-wins-by-arrival would regress that key; instead each batch
+    * elects winners over (its own rows ∪ the CURRENT snapshot's rows
+    * for its keys) by (ts, event_id) — the conditional-MERGE
+    * (`WHEN MATCHED AND s.ts > t.ts`) semantics, composed from the
+    * lake's primitive. Replayed batches (crash/retry) commit an extra
+    * version but converge to the same state — the election is
+    * idempotent; versions are history, not state.
+    *
+    * Gate: final table state = last event per user by (ts, event_id),
+    * replayed by the oracle over raw events. EventStreamSpec pins the
+    * lake-specific halves the oracle can't see: >1 committed version
+    * (the merge really ran per batch) and a mid-stream version's as-of
+    * read staying consistent after later commits. Scratch hygiene: the
+    * build is dir-snapshot memoized with a done-marker, sources +
+    * checkpoint deleted after the stream completes. */
+  def qStreamLakeSink(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_lakesink_" + graft.SessionCache.dirKey(dir)
+    val table = s"$root/table"
+    val done = java.nio.file.Paths.get(root, "_graft_done")
+    val keys = Seq("user_id")
+    val lock = lakeSinkLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(root)
+        val ev = eventsTs(spark, dir)
+          .select("event_id", "user_id", "ts", "event_type", "value")
+        val stage = s"$root/src"
+        ev.repartition(8).write.mode("overwrite").parquet(stage)
+        val schema = spark.read.parquet(stage).schema
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(stage)
+        val q = src.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val s = batch.sparkSession
+            val b = graft.operators.MergeOps.latestByKey(
+              batch, keys, "ts", "event_id")
+            if (LakeTable.latestVersion(table) == 0) {
+              LakeTable.create(s, table, b, keys)
+              ()
+            } else {
+              val cur = LakeTable.read(s, table)
+                .join(broadcast(b.select(keys.map(col): _*)), keys, "left_semi")
+              val winners = graft.operators.MergeOps.latestByKey(
+                cur.unionByName(b), keys, "ts", "event_id")
+              LakeTable.merge(s, table, winners, keys)
+              ()
+            }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        deleteRecursively(stage)
+        deleteRecursively(s"$root/ckpt")
+        java.nio.file.Files.createFile(done)
+        ()
+      }
+    }
+    LakeTable.read(spark, table)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming passage-identity dedup — the chunk-granularity ingest
     * idempotency op (land only NOVEL passages): documents stream through
     * the stateless chunker ([[graft.text.TextOps.chunkKeys]] — per-row

@@ -260,6 +260,50 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedState.exceptAll(batchState).count() == 0)
   }
 
+  test("stream lake sink: per-batch atomic versions, recency survives batch order, as-of stays consistent") {
+    import graft.sources.LakeTable
+    import graft.operators.MergeOps
+    // the entry itself (memoized build): final state = batch last-write-wins
+    val got = EventStreams.qStreamLakeSink(spark, SfDir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val expect = MergeOps.latestByKey(
+      Tables.events(spark, SfDir)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select("event_id", "user_id", "ts", "event_type", "value"),
+      Seq("user_id"), "ts", "event_id")
+      .select("user_id", "event_id", "ts", "event_type", "value") // positional compare
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0)
+    // the lake halves the oracle can't see: multiple committed versions
+    // (one per micro-batch — 8 files / 2 per trigger), and a mid-stream
+    // version still readable + internally consistent after later commits
+    val table = sys.props("java.io.tmpdir") +
+      "/graft_lakesink_" + graft.SessionCache.dirKey(SfDir) + "/table"
+    val latest = LakeTable.latestVersion(table)
+    assert(latest >= 3, s"expected one version per micro-batch, got $latest")
+    val mid = LakeTable.read(spark, table, Some(2))
+    // a snapshot is a valid upsert state: at most one row per user
+    assert(mid.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // recency: adversarial arrival order — the NEWER version lands in
+    // batch 1, the OLDER in batch 2; the conditional-merge election must
+    // keep the newer row (plain arrival-order merge would regress it)
+    val p = Files.createTempDirectory("graft_lakesink_late").toString
+    import spark.implicits._
+    val newer = Seq((2L, 77L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "b", 2.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val older = Seq((1L, 77L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "a", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    LakeTable.create(spark, s"$p/t", newer, Seq("user_id"))
+    val cur = LakeTable.read(spark, s"$p/t")
+      .join(org.apache.spark.sql.functions.broadcast(older.select("user_id")),
+        Seq("user_id"), "left_semi")
+    val winners = MergeOps.latestByKey(cur.unionByName(older), Seq("user_id"), "ts", "event_id")
+    LakeTable.merge(spark, s"$p/t", winners, Seq("user_id"))
+    val fin = LakeTable.read(spark, s"$p/t").collect()
+    assert(fin.length == 1 && fin.head.getLong(0) == 2L,
+      "older late batch clobbered newer lake state")
+  }
+
   test("upsert sink: a LATE batch carrying an older version must not clobber newer state") {
     // adversarial arrival order: the NEWER version's file gets the older
     // mod-time, so the file source delivers it in batch 1 and the OLDER

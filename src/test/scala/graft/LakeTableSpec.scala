@@ -115,6 +115,45 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { LakeTable.read(spark, p, Some(9)) }
   }
 
+  test("delete is copy-on-write; vacuum turns it into erasure and expires history") {
+    import spark.implicits._
+    val p = freshPath("delete")
+    val base = (1L to 400L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    val gone = Seq(Tuple1(5L), Tuple1(6L)).toDF("k")
+    assert(LakeTable.delete(spark, p, gone, Seq("k")) == 2)
+    // live state lost exactly the requested keys; v1 still has them
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) ==
+      (1L to 400L).filterNot(k => k == 5L || k == 6L).map(k => (k, "base", k)).toSet)
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")) ==
+      (1L to 400L).map(k => (k, "base", k)).toSet)
+    // CoW: at most one file per deleted key rewrote; the rest carried
+    val v1f = LakeTable.manifestFiles(p, 1).toSet
+    val v2f = LakeTable.manifestFiles(p, 2).toSet
+    assert(v1f.intersect(v2f).nonEmpty && v1f.diff(v2f).size <= 2,
+      s"delete of 2 keys rewrote ${v1f.diff(v2f).size}/${v1f.size} files")
+    // vacuum(keep 1): v1's manifest drops, its orphaned pre-delete file
+    // is PHYSICALLY deleted (erasure), shared files survive
+    val (droppedManifests, deletedFiles) = LakeTable.vacuum(p, keepLast = 1)
+    assert(droppedManifests == 1 && deletedFiles == v1f.diff(v2f).size)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")).size == 398)
+    intercept[IllegalArgumentException] { LakeTable.read(spark, p, Some(1)) }
+    v1f.diff(v2f).foreach(f => assert(!new java.io.File(f).exists, s"orphan $f survived vacuum"))
+    v2f.foreach(f => assert(new java.io.File(f).exists, s"live file $f vacuumed"))
+  }
+
+  test("lake_delete_asof entry: erased keys readable as-of v2, gone from live v3") {
+    val out = graft.operators.MergeOps.qLakeDeleteAsof(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val v2 = out.filter(_._1 == 2L)
+    val v3 = out.filter(_._1 == 3L)
+    val erased = v2.map(_._2).filter(_ % 53 == 0).toSet
+    assert(erased.nonEmpty, "no erase traffic — gate vacuous")
+    assert(v3.map(_._2).toSet.intersect(erased).isEmpty)
+    assert(v2.count(_._3 == "U") > 0, "merge stage vacuous")
+    assert(v2.length == v3.length + erased.size)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
