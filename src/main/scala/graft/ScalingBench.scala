@@ -242,6 +242,11 @@ object ScalingBench {
     // the merge term must stay O(batch + touched files), and both
     // as-of reads are k-fold scans: expect ~linear with write constants
     "lake_merge_asof",
+    // r13: CoW DELETE + time travel (same shape, delete rewrite term)
+    // and the per-batch-atomic lake sink (dir-snapshot memoized like
+    // stream_upsert_sink: min-of-reps measures the final read-back;
+    // the per-batch merge cost is pinned by EventStreamSpec)
+    "lake_delete_asof", "stream_lake_sink",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

@@ -18,6 +18,7 @@ object SparkEntry {
     "upsert_latest_wins"       -> (MergeOps.qUpsertLatestWins _),
     "lake_merge_asof"          -> (MergeOps.qLakeMergeAsof _),
     "lake_delete_asof"         -> (MergeOps.qLakeDeleteAsof _),
+    "lake_change_feed"         -> (MergeOps.qLakeChangeFeed _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1513,6 +1514,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, o_orderkey, o_orderstatus FROM v3
         |ORDER BY version, o_orderkey""".stripMargin,
+    // v1->v3 diff = updates for the merged class (minus erased keys),
+    // deletes for the erased class, after-image NULL on deletes;
+    // v2->v3 must contain ONLY the deletes (the merge landed before v2)
+    "lake_change_feed" ->
+      """SELECT 1 AS from_v, 3 AS to_v, o_orderkey,
+        |  CASE WHEN o_orderkey % 53 = 0 THEN 'delete' ELSE 'update' END AS _change_type,
+        |  CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE 'U' END AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 53 = 0 OR o_orderkey % 11 = 1
+        |UNION ALL
+        |SELECT 2, 3, o_orderkey, 'delete', CAST(NULL AS VARCHAR)
+        |FROM orders WHERE o_orderkey % 53 = 0
+        |ORDER BY from_v, o_orderkey""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, text,

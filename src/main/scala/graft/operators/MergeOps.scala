@@ -301,25 +301,70 @@ object MergeOps {
     * or survives into v3 breaks the hash. The erasure-completion half
     * (vacuum expiring v1/v2 and physically deleting the orphan files)
     * is FS semantics the oracle can't see — LakeTableSpec pins it. */
-  def qLakeDeleteAsof(spark: SparkSession, dir: String): DataFrame = {
+  private val lakeDelLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build-once helper for the shared create→merge→delete table behind
+    * [[qLakeDeleteAsof]] and [[qLakeChangeFeed]] — the two entries run
+    * CONCURRENTLY under the verify harness's thread pool, so the build
+    * is locked and memoized per dir SNAPSHOT (the path key embeds it, so
+    * a rewritten testdata dir gets a fresh table — the stream-sink
+    * scratch-hygiene convention); a built table is immutable for the
+    * life of the dir content and is never wiped mid-session. */
+  private def lakeDelTable(spark: SparkSession, dir: String): String = {
     import graft.sources.LakeTable
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakedel_${graft.SessionCache.dirKey(dir)}").toString
-    LakeTable.deleteRecursively(new java.io.File(path))
-    val base = Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderstatus")
-    LakeTable.create(spark, path, base, Seq("o_orderkey"))
-    LakeTable.merge(spark, path,
-      base.filter(col("o_orderkey") % 11 === 1)
-        .withColumn("o_orderstatus", lit("U")),
-      Seq("o_orderkey"))
-    LakeTable.delete(spark, path,
-      base.filter(col("o_orderkey") % 53 === 0).select("o_orderkey"),
-      Seq("o_orderkey"))
+    val lock = lakeDelLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (LakeTable.latestVersion(path) != 3) {
+        LakeTable.deleteRecursively(new java.io.File(path))
+        val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+        LakeTable.create(spark, path, base, Seq("o_orderkey"))
+        LakeTable.merge(spark, path,
+          base.filter(col("o_orderkey") % 11 === 1)
+            .withColumn("o_orderstatus", lit("U")),
+          Seq("o_orderkey"))
+        LakeTable.delete(spark, path,
+          base.filter(col("o_orderkey") % 53 === 0).select("o_orderkey"),
+          Seq("o_orderkey"))
+        ()
+      }
+    }
+    path
+  }
+
+  def qLakeDeleteAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = lakeDelTable(spark, dir)
     val v2 = LakeTable.read(spark, path, Some(2)).withColumn("version", lit(2L))
     val v3 = LakeTable.read(spark, path, Some(3)).withColumn("version", lit(3L))
     v2.unionByName(v3)
       .select(col("version"), col("o_orderkey"), col("o_orderstatus"))
       .orderBy("version", "o_orderkey")
+  }
+
+  /** Change feed over the lake's version history (the Delta-CDF shape,
+    * [[graft.sources.LakeTable.changes]]): replays the SAME three
+    * generations as [[qLakeDeleteAsof]] (create → status merge →
+    * erasure delete; idempotent rebuild if this entry runs first) and
+    * emits the v1→v3 diff — updates for the merged class, deletes for
+    * the erased class, nothing for untouched keys — plus the v2→v3
+    * slice, which must contain ONLY the deletes (the merge landed
+    * before v2). A downstream consumer (cache invalidation, index
+    * maintenance, the dedup-index append feed) reads exactly this
+    * instead of re-scanning snapshots. The oracle recomputes both
+    * diffs from the base table with the generation arithmetic. */
+  def qLakeChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = lakeDelTable(spark, dir)
+    val full = LakeTable.changes(spark, path, 1, 3, Seq("o_orderkey"))
+      .withColumn("from_v", lit(1L)).withColumn("to_v", lit(3L))
+    val tail = LakeTable.changes(spark, path, 2, 3, Seq("o_orderkey"))
+      .withColumn("from_v", lit(2L)).withColumn("to_v", lit(3L))
+    full.unionByName(tail)
+      .select(col("from_v"), col("to_v"), col("o_orderkey"),
+        col("_change_type"), col("o_orderstatus"))
+      .orderBy("from_v", "o_orderkey")
   }
 }

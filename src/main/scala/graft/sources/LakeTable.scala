@@ -197,6 +197,35 @@ object LakeTable {
     current + 1
   }
 
+  /** Change feed between two committed versions — the CDC read the
+    * manifest format gives for free (Delta's CDF shape, computed as a
+    * snapshot diff): one keyed full-outer join of the two as-of reads
+    * classifies every key as insert (absent before), delete (absent
+    * after), or update (present in both with any non-key column
+    * changed); unchanged keys are not emitted. Returns the key columns
+    * + `_change_type` + the after-image non-key columns (null for
+    * deletes). Scale shape: two snapshot scans + ONE keyed shuffle —
+    * and file-granular CoW makes a smarter diff possible (skip files
+    * carried by reference between the versions); at test file counts
+    * the straight diff is the honest baseline. */
+  def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(fromV < toV, s"LakeTable.changes: fromV $fromV must precede toV $toV")
+    val before = read(spark, path, Some(fromV))
+    val after = read(spark, path, Some(toV))
+    val rest = before.columns.filterNot(keyCols.contains).toSeq
+    def tag(df: DataFrame, t: String) = df.select(
+      keyCols.map(col) ++ rest.map(c => col(c).as(s"${t}_$c")) :+ lit(true).as(s"__in_$t"): _*)
+    tag(before, "b").join(tag(after, "a"), keyCols, "full_outer")
+      .withColumn("_change_type",
+        when(col("__in_b").isNull, "insert")
+          .when(col("__in_a").isNull, "delete")
+          .when(rest.map(c => !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _), "update"))
+      .filter(col("_change_type").isNotNull)
+      .select(keyCols.map(col) ++ (col("_change_type") +:
+        rest.map(c => col(s"a_$c").as(c))): _*)
+  }
+
   /** Expire history: keep the newest `keepLast` versions, drop older
     * manifests, and physically delete every data file no kept manifest
     * references. This is what turns a logical [[delete]] into erasure —

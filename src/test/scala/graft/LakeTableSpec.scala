@@ -154,6 +154,27 @@ class LakeTableSpec extends SparkSpec {
     assert(v2.length == v3.length + erased.size)
   }
 
+  test("change feed classifies inserts, deletes, and updates; unchanged keys stay silent") {
+    import spark.implicits._
+    val p = freshPath("cdf")
+    LakeTable.create(spark, p,
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.merge(spark, p,
+      Seq((2L, "B", 2L), (4L, "d", 4L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.delete(spark, p, Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    val feed = LakeTable.changes(spark, p, 1, 3, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    assert(feed == Set(
+      (2L, "update", Some("B"), Some(2L)),
+      (3L, "delete", None, None),
+      (4L, "insert", Some("d"), Some(4L))), s"got $feed")
+    // a same-value re-merge is NOT a change
+    LakeTable.merge(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
+    assert(LakeTable.changes(spark, p, 3, 4, Seq("k")).count() == 0)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
