@@ -17,6 +17,21 @@ import graft.Tables
   */
 object DedupOps {
 
+  /** The candidate-pair side of the prefix miners' verify joins, hinted
+    * per `graft.dedup.broadcastCands` (default true): the pair list is
+    * o(corpus) by construction — near-dup mining whose output
+    * approaches its input is a corpus-quality incident — and the
+    * broadcast verify measured 1.8x faster than the shuffle-join form
+    * at sf0.1. At a corpus whose dup density makes the pair list
+    * driver-hostile (a 100 TB web crawl at ~30% dups), set the conf to
+    * false and BOTH verifies degrade to shuffle joins, exact result
+    * unchanged (DedupSpec pins the equality) — the graceful-degradation
+    * story as an actual switch instead of a code change. */
+  private def candsHinted(spark: SparkSession, cands: DataFrame): DataFrame =
+    if (spark.conf.getOption("graft.dedup.broadcastCands").forall(_.toBoolean))
+      broadcast(cands)
+    else cands
+
   /** Distinct n-word shingles from a pre-split words array. Callers project
     * the words column FIRST (one split per row); building shingles straight
     * off `split(text)` re-evaluates the split per sequence index. */
@@ -652,7 +667,7 @@ object DedupOps {
     // [[ngramJaccardPrefix]]'s verify)
     val a = st.docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = st.docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(broadcast(st.cands), Seq("doc_a"))
+    a.join(candsHinted(spark, st.cands), Seq("doc_a"))
       .join(b, Seq("doc_b"))
       .withColumn("inter_n",
         graft.functions.GraftFunctions.sortedIntersectCount(
@@ -726,13 +741,15 @@ object DedupOps {
     * |A| and |B| within 2x of each other — before the distinct.
     *
     * Verification joins the (output-scale) candidate list back to the full
-    * shingle sets with the candidates BROADCAST: neither docs scan is
-    * exchanged or sorted, which measured 1.8x faster end-to-end than the
-    * shuffle-join verify at sf0.1 (the pair list is o(corpus) by
-    * construction — near-dup mining whose output approaches its input is
-    * already a corpus-quality incident; if that ever happens, dropping the
-    * two hints degrades gracefully to shuffle joins, exact result
-    * unchanged). On small flat-df corpora [[ngramJaccardCountAgg]] is
+    * shingle sets with the candidates BROADCAST by default: neither docs
+    * scan is exchanged or sorted, which measured 1.8x faster end-to-end
+    * than the shuffle-join verify at sf0.1 (the pair list is o(corpus)
+    * by construction — near-dup mining whose output approaches its
+    * input is already a corpus-quality incident; for a corpus whose dup
+    * density makes the pair list driver-hostile anyway, set
+    * `graft.dedup.broadcastCands=false` and the verify degrades
+    * gracefully to a shuffle join, exact result unchanged — see
+    * [[candsHinted]]). On small flat-df corpora [[ngramJaccardCountAgg]] is
     * faster (both measured — see DedupSpec for the equality contract). */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
@@ -769,7 +786,7 @@ object DedupOps {
     // filter lands in the verify join's condition — right place, runs
     // per candidate — and this form carries ONE merge-kernel occurrence
     // instead of two; the (inter, union) projection only prices survivors
-    a.join(broadcast(cands), Seq("doc_a"))
+    a.join(candsHinted(spark, cands), Seq("doc_a"))
       .join(b, Seq("doc_b"))
       .filter(inter * 3 >= size(col("sh_a")) + size(col("sh_b")))
       .withColumn("inter_n", inter.cast("long"))

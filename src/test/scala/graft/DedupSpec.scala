@@ -349,6 +349,37 @@ class DedupSpec extends SparkSpec {
     assert(pref.exceptAll(fast).count() == 0, "prefix path produced extra pairs")
   }
 
+  test("graft.dedup.broadcastCands=false degrades both verifies to shuffle joins, same pairs") {
+    // the documented 100 TB escape hatch for driver-hostile pair lists:
+    // flipping the conf must change ONLY the physical join strategy
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val on = DedupOps.qNgramJaccard(spark, SfDir).collect().toSeq
+    val onC = DedupOps.qDedupContainment(spark, SfDir).collect().toSeq
+    try {
+      spark.conf.set("graft.dedup.broadcastCands", "false")
+      val offDf = DedupOps.qNgramJaccard(spark, SfDir)
+      val off = offDf.collect().toSeq
+      assert(off == on, "shuffle-join verify changed the jaccard pair list")
+      assert(DedupOps.qDedupContainment(spark, SfDir).collect().toSeq == onC,
+        "shuffle-join verify changed the containment pair list")
+      // and the hint is really gone: no broadcast exchange feeds the
+      // verify join's candidate side (AQE may still SMALL-side broadcast
+      // the df table elsewhere; assert on the cands schema width instead
+      // — the pair frame is exactly (doc_a, doc_b))
+      val bcasts = flatten(offDf.queryExecution.executedPlan)
+        .collect { case b: BroadcastExchangeLike => b.output.map(_.name).toSet }
+      assert(!bcasts.contains(Set("doc_a", "doc_b")),
+        "candidate pair frame still broadcast with the conf off")
+    } finally spark.conf.unset("graft.dedup.broadcastCands")
+  }
+
   test("exact dedup collapses planted copies to one keeper each") {
     val out = DedupOps.qDedupExact(spark, SfDir)
     val copies = out.filter(col("n_copies") === 2).count()
