@@ -116,7 +116,14 @@ object DedupIndexStore {
     val q = signed(queries)
     val postings = spark.read.parquet(s"$path/postings.parquet")
       .withColumnRenamed("doc_id", "base_id")
+    // every batch-derived side is broadcast BY CONTRACT (an ingest
+    // batch is bounded; the index is the corpus): the band probe
+    // streams the postings scan with zero corpus shuffle, and the
+    // verify streams the shingle store the same way — the plan a
+    // maintained-index gate must have at 100 TB, made explicit rather
+    // than left to AQE's runtime stats
     val cands = DedupOps.bandedBuckets(q, "doc_id", "sig", RowsPerBand)
+      .hint("broadcast")
       .join(postings, Seq("band", "bucket"))
       .select("doc_id", "base_id").distinct()
     val baseSh = spark.read.parquet(s"$path/shingles.parquet")
@@ -124,6 +131,7 @@ object DedupIndexStore {
     val (inter, union) = DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
     cands
       .join(q.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .hint("broadcast")
       .join(baseSh, "base_id")
       .filter(inter * 3 >= size(col("sh_a")) + size(col("sh_b")))
       .select(col("doc_id"), col("base_id"),
