@@ -247,6 +247,12 @@ object ScalingBench {
     // stream_upsert_sink: min-of-reps measures the final read-back;
     // the per-batch merge cost is pinned by EventStreamSpec)
     "lake_delete_asof", "stream_lake_sink",
+    // r13: the snapshot-diff CDC read (two as-of scans + one keyed
+    // full-outer join — must track the fact scan; the shared
+    // three-generation table builds once per scratch snapshot)
+    "lake_change_feed",
+    // r13: compaction — a k-fold read + targetFiles rewrite, ~linear
+    "lake_compact_read",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

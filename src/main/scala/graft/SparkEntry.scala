@@ -19,6 +19,7 @@ object SparkEntry {
     "lake_merge_asof"          -> (MergeOps.qLakeMergeAsof _),
     "lake_delete_asof"         -> (MergeOps.qLakeDeleteAsof _),
     "lake_change_feed"         -> (MergeOps.qLakeChangeFeed _),
+    "lake_compact_read"        -> (MergeOps.qLakeCompactRead _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1526,6 +1527,13 @@ object SparkEntry {
         |SELECT 2, 3, o_orderkey, 'delete', CAST(NULL AS VARCHAR)
         |FROM orders WHERE o_orderkey % 53 = 0
         |ORDER BY from_v, o_orderkey""".stripMargin,
+    // compaction must be state-preserving: the post-compaction read is
+    // bit-identical to the plain post-merge state (file-layout halves
+    // are spec-pinned — SQL cannot see them)
+    "lake_compact_read" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 1013 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, text,

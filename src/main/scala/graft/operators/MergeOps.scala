@@ -367,4 +367,31 @@ object MergeOps {
         col("_change_type"), col("o_orderstatus"))
       .orderBy("from_v", "o_orderkey")
   }
+
+  /** Compaction round-trip — the OPTIMIZE table service hash-gated:
+    * create the orders table deliberately FRAGMENTED (32 key-hash
+    * files — the layout a month of CoW merges leaves), commit a
+    * single-key merge on top (so compaction runs over a multi-version
+    * table, not a fresh one), COMPACT to 4 files as v3, and emit the
+    * v3 state — which the oracle replays as the plain post-merge
+    * state, so a compaction that drops, duplicates, or mutates ANY row
+    * breaks the hash. The layout halves (file counts shrink to target,
+    * pre-compaction versions untouched, vacuum reclaims the fragments)
+    * are FS semantics LakeTableSpec pins. */
+  def qLakeCompactRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakecmp_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 32)
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderkey") % 1013 === 1)
+        .withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    LakeTable.compact(spark, path, targetFiles = 4)
+    LakeTable.read(spark, path, Some(3))
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
 }

@@ -197,6 +197,27 @@ object LakeTable {
     current + 1
   }
 
+  /** Compaction (the OPTIMIZE table service): rewrite the CURRENT
+    * snapshot's rows as `targetFiles` files and commit the result as a
+    * new version — the maintenance pass that heals the small-file
+    * accumulation CoW merges/deletes leave behind (every touched-file
+    * rewrite plus carried singles fragments the layout; scan task count
+    * eventually tracks commit count instead of data size). State is
+    * bit-identical by construction — the commit only re-binds the same
+    * rows to fewer files — and readers pinned to pre-compaction
+    * versions keep their file sets (nothing is deleted until
+    * [[vacuum]]). Returns the committed version. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Int = {
+    require(targetFiles > 0, s"LakeTable: compact needs targetFiles > 0, got $targetFiles")
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot compact missing table at $path")
+    val dir = s"$path/data/compact-v${current + 1}"
+    read(spark, path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(dir)
+    writeManifest(path, current + 1, leafFiles(dir), "compact")
+    current + 1
+  }
+
   /** Change feed between two committed versions — the CDC read the
     * manifest format gives for free (Delta's CDF shape, computed as a
     * snapshot diff): one keyed full-outer join of the two as-of reads

@@ -175,6 +175,30 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.changes(spark, p, 3, 4, Seq("k")).count() == 0)
   }
 
+  test("compact shrinks the layout to target, preserves rows and history, vacuum reclaims") {
+    import spark.implicits._
+    val p = freshPath("compact")
+    val base = (1L to 500L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 16)
+    LakeTable.merge(spark, p, Seq((7L, "upd", 77L)).toDF("k", "s", "v"), Seq("k"))
+    val preFiles = LakeTable.manifestFiles(p, 2)
+    assert(preFiles.size > 8, s"fixture not fragmented: ${preFiles.size} files")
+    assert(LakeTable.compact(spark, p, targetFiles = 4) == 3)
+    assert(LakeTable.manifestFiles(p, 3).size <= 4)
+    val expect = (1L to 500L).map(k =>
+      if (k == 7L) (k, "upd", 77L) else (k, "base", k)).toSet
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect)
+    // pre-compaction versions untouched
+    assert(rows(LakeTable.read(spark, p, Some(2)).select("k", "s", "v")) == expect)
+    assert(LakeTable.manifestFiles(p, 2) == preFiles)
+    // vacuum reclaims every fragment: v1 ∪ v2 files all orphaned by the
+    // full-rewrite compaction (deleted = |v1 ∪ v2| ≥ |v2|)
+    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1)
+    assert(dropped == 2 && deleted >= preFiles.size)
+    preFiles.foreach(f => assert(!new java.io.File(f).exists, s"fragment $f survived"))
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
