@@ -251,8 +251,9 @@ object ScalingBench {
     // full-outer join — must track the fact scan; the shared
     // three-generation table builds once per scratch snapshot)
     "lake_change_feed",
-    // r13: compaction — a k-fold read + targetFiles rewrite, ~linear
-    "lake_compact_read",
+    // r13: compaction — a k-fold read + targetFiles rewrite, ~linear —
+    // and the schema-evolving merge (same CoW shape + a mergeSchema read)
+    "lake_compact_read", "lake_schema_evolve",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

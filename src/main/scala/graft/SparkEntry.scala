@@ -20,6 +20,7 @@ object SparkEntry {
     "lake_delete_asof"         -> (MergeOps.qLakeDeleteAsof _),
     "lake_change_feed"         -> (MergeOps.qLakeChangeFeed _),
     "lake_compact_read"        -> (MergeOps.qLakeCompactRead _),
+    "lake_schema_evolve"       -> (MergeOps.qLakeSchemaEvolve _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1533,6 +1534,14 @@ object SparkEntry {
     "lake_compact_read" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 1013 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the evolved snapshot: merged rows carry the new column, every
+    // surviving old row reads NULL in it (old files keep their on-disk
+    // schema; the table schema is the union)
+    "lake_schema_evolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 2 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 13 = 2 THEN o_orderpriority END AS o_priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (

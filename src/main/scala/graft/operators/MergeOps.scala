@@ -394,4 +394,31 @@ object MergeOps {
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
   }
+
+  /** Schema-evolving MERGE — the ALTER-free column addition every
+    * long-lived lake table eventually needs: the update batch (keys ≡ 2
+    * mod 13, status flip) carries a NEW `o_priority` column; the CoW
+    * rewrite unions it in with nulls for surviving old rows, untouched
+    * files keep their old on-disk schema, and the snapshot read
+    * presents the union (old rows null in the new column). The oracle
+    * replays the final state — a merge that drops the new column,
+    * nulls the wrong rows, or fails on the width mismatch breaks the
+    * hash; the spec pins that as-of(v1) still reads the ORIGINAL
+    * schema and that untouched files carried by reference. */
+  def qLakeSchemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakesev_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    val evolved = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 2)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        col("o_orderpriority").as("o_priority"))
+    LakeTable.merge(spark, path, evolved, Seq("o_orderkey"))
+    LakeTable.read(spark, path)
+      .select("o_orderkey", "o_orderstatus", "o_priority")
+      .orderBy("o_orderkey")
+  }
 }

@@ -108,7 +108,11 @@ object LakeTable {
     val v = asOf.getOrElse(latestVersion(path))
     val files = manifestFiles(path, v)
     require(files.nonEmpty, s"LakeTable: version $v at $path references no files")
-    spark.read.parquet(files: _*)
+    // mergeSchema: a schema-evolving merge leaves a snapshot whose
+    // carried files lack the new column(s) — the union schema is the
+    // table's schema, old rows null in new columns (a version whose
+    // files are homogeneous pays one footer merge and reads the same)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Create the table as version 1 from `df`. The data lands in
@@ -136,7 +140,15 @@ object LakeTable {
     * replace snapshot rows with equal keys; unmatched update rows
     * insert. Only data files that CONTAIN a matched key are rewritten;
     * all others carry into the new manifest by reference. Returns the
-    * committed version. */
+    * committed version.
+    *
+    * Schema evolution: an update batch may carry NEW columns — the
+    * rewrite unions by name with missing columns allowed, so surviving
+    * old rows get nulls, untouched files keep their old schema on disk,
+    * and [[read]]'s mergeSchema presents the union. Duplicate keys
+    * WITHIN one batch are the caller's contract (pre-collapse with a
+    * latest-by-key election — see `stream_lake_sink` — or both rows
+    * land). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String]): Int = {
     val current = latestVersion(path)
@@ -156,9 +168,9 @@ object LakeTable {
     val rewriteDir = s"$path/data/merge-v${current + 1}"
     val survivors =
       if (touchedSeq.isEmpty) updates
-      else spark.read.parquet(touchedSeq: _*)
+      else spark.read.option("mergeSchema", "true").parquet(touchedSeq: _*)
         .join(broadcast(keys), keyCols, "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     survivors.write.mode("overwrite").parquet(rewriteDir)
     val newFiles = files.filterNot(touched) ++ leafFiles(rewriteDir)
     writeManifest(path, current + 1, newFiles, "merge")
@@ -234,6 +246,11 @@ object LakeTable {
     require(fromV < toV, s"LakeTable.changes: fromV $fromV must precede toV $toV")
     val before = read(spark, path, Some(fromV))
     val after = read(spark, path, Some(toV))
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "LakeTable.changes: versions differ in schema " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}) — " +
+        "diff across a schema-evolving commit needs an explicit column policy; " +
+        "project both sides to a shared schema first")
     val rest = before.columns.filterNot(keyCols.contains).toSeq
     def tag(df: DataFrame, t: String) = df.select(
       keyCols.map(col) ++ rest.map(c => col(c).as(s"${t}_$c")) :+ lit(true).as(s"__in_$t"): _*)

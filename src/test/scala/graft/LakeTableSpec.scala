@@ -199,6 +199,34 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect)
   }
 
+  test("schema evolution: new column unions in, old versions keep the original schema") {
+    import spark.implicits._
+    val p = freshPath("evolve")
+    val base = (1L to 100L).map(k => (k, "base")).toDF("k", "s")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    val v1Files = LakeTable.manifestFiles(p, 1).toSet
+    // the batch carries a NEW column `extra`
+    LakeTable.merge(spark, p,
+      Seq((7L, "upd", 77L), (200L, "ins", 200L)).toDF("k", "s", "extra"), Seq("k"))
+    val latest = LakeTable.read(spark, p)
+    assert(latest.columns.sorted.toSeq == Seq("extra", "k", "s"))
+    val got = latest.collect()
+      .map(r => (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("s")),
+        if (r.isNullAt(r.fieldIndex("extra"))) None else Some(r.getLong(r.fieldIndex("extra")))))
+      .toSet
+    val expect = (1L to 100L).filterNot(_ == 7L).map(k => (k, "base", None)).toSet ++
+      Set((7L, "upd", Some(77L)), (200L, "ins", Some(200L)))
+    assert(got == expect)
+    // untouched files carried by reference; as-of(v1) keeps the ORIGINAL schema
+    assert(v1Files.intersect(LakeTable.manifestFiles(p, 2).toSet).nonEmpty)
+    assert(LakeTable.read(spark, p, Some(1)).columns.sorted.toSeq == Seq("k", "s"))
+    // changes across an evolving commit refuses with the column-policy error
+    val err = intercept[IllegalArgumentException] {
+      LakeTable.changes(spark, p, 1, 2, Seq("k"))
+    }
+    assert(err.getMessage.contains("schema"))
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
