@@ -254,6 +254,9 @@ object ScalingBench {
     // r13: compaction — a k-fold read + targetFiles rewrite, ~linear —
     // and the schema-evolving merge (same CoW shape + a mergeSchema read)
     "lake_compact_read", "lake_schema_evolve",
+    // r13: incremental MV maintenance — v1-agg + delta application,
+    // must cost O(agg + delta) on top of the shared table build
+    "lake_incremental_mv",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

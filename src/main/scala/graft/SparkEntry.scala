@@ -21,6 +21,7 @@ object SparkEntry {
     "lake_change_feed"         -> (MergeOps.qLakeChangeFeed _),
     "lake_compact_read"        -> (MergeOps.qLakeCompactRead _),
     "lake_schema_evolve"       -> (MergeOps.qLakeSchemaEvolve _),
+    "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1543,6 +1544,16 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 13 = 2 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 13 = 2 THEN o_orderpriority END AS o_priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the oracle computes the v3 per-status counts DIRECTLY; the engine
+    // maintains them incrementally from the v1 aggregate + the change
+    // feed's before/after images — any retraction error shifts a count
+    "lake_incremental_mv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 1 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 53 <> 0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id, text,

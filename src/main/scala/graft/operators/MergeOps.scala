@@ -421,4 +421,37 @@ object MergeOps {
       .select("o_orderkey", "o_orderstatus", "o_priority")
       .orderBy("o_orderkey")
   }
+
+  /** Incremental materialized-view maintenance off the change feed —
+    * WHAT the CDC read exists for: a per-status count aggregate over
+    * the lake table is maintained from v1 to v3 by applying the
+    * before/after images of `LakeTable.changes` (retract the pre-image
+    * contribution, add the post-image contribution) to the v1
+    * aggregate — ONE pass over the delta instead of re-aggregating the
+    * table, the lakehouse incremental-MV recipe. The oracle computes
+    * the v3 aggregate DIRECTLY from the generation arithmetic, so any
+    * maintenance error — a missed retraction, an insert double-count, a
+    * delete applied to the wrong group — shifts a count and breaks the
+    * hash. Scale shape: the maintained side costs
+    * O(v1-agg cardinality + |delta|); the full re-aggregation it
+    * replaces costs O(table). */
+  def qLakeIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = lakeDelTable(spark, dir)
+    val v1Agg = LakeTable.read(spark, path, Some(1))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("delta"))
+    val feed = LakeTable.changes(spark, path, 1, 3, Seq("o_orderkey"),
+      includeBefore = true)
+    // retractions: every update/delete removes one row of its BEFORE
+    // status; additions: every update/insert adds one row of its AFTER
+    val retract = feed.filter(col("_change_type").isin("update", "delete"))
+      .groupBy(col("_before_o_orderstatus").as("o_orderstatus"))
+      .agg((-count(lit(1))).as("delta"))
+    val add = feed.filter(col("_change_type").isin("update", "insert"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("delta"))
+    v1Agg.unionByName(retract).unionByName(add)
+      .groupBy("o_orderstatus").agg(sum("delta").as("n_orders"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderstatus")
+  }
 }

@@ -237,12 +237,16 @@ object LakeTable {
     * after), or update (present in both with any non-key column
     * changed); unchanged keys are not emitted. Returns the key columns
     * + `_change_type` + the after-image non-key columns (null for
-    * deletes). Scale shape: two snapshot scans + ONE keyed shuffle —
-    * and file-granular CoW makes a smarter diff possible (skip files
-    * carried by reference between the versions); at test file counts
-    * the straight diff is the honest baseline. */
+    * deletes); with `includeBefore` also `_before_<col>` pre-images
+    * (null for inserts) — what an incremental consumer needs to RETRACT
+    * the old contribution before applying the new one (Delta CDF's
+    * preimage/postimage, folded into one row per key). Scale shape: two
+    * snapshot scans + ONE keyed shuffle — and file-granular CoW makes a
+    * smarter diff possible (skip files carried by reference between the
+    * versions); at test file counts the straight diff is the honest
+    * baseline. */
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], includeBefore: Boolean = false): DataFrame = {
     require(fromV < toV, s"LakeTable.changes: fromV $fromV must precede toV $toV")
     val before = read(spark, path, Some(fromV))
     val after = read(spark, path, Some(toV))
@@ -261,7 +265,9 @@ object LakeTable {
           .when(rest.map(c => !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _), "update"))
       .filter(col("_change_type").isNotNull)
       .select(keyCols.map(col) ++ (col("_change_type") +:
-        rest.map(c => col(s"a_$c").as(c))): _*)
+        rest.map(c => col(s"a_$c").as(c))) ++
+        (if (includeBefore) rest.map(c => col(s"b_$c").as(s"_before_$c"))
+         else Seq.empty): _*)
   }
 
   /** Expire history: keep the newest `keepLast` versions, drop older

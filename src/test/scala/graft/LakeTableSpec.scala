@@ -227,6 +227,33 @@ class LakeTableSpec extends SparkSpec {
     assert(err.getMessage.contains("schema"))
   }
 
+  test("change feed before-images enable exact retraction; MV entry matches direct agg") {
+    import spark.implicits._
+    val p = freshPath("preimage")
+    LakeTable.create(spark, p,
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((2L, "B", 20L), (4L, "d", 4L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.delete(spark, p, Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    val feed = LakeTable.changes(spark, p, 1, 3, Seq("k"), includeBefore = true)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(4)))).toSet
+    // (key, type, after_s, before_s): inserts null-before, deletes null-after
+    assert(feed == Set(
+      (2L, "update", Some("B"), Some("b")),
+      (3L, "delete", None, Some("c")),
+      (4L, "insert", Some("d"), None)), s"got $feed")
+    // the maintained aggregate equals the direct one on the shared table
+    val maintained = graft.operators.MergeOps.qLakeIncrementalMv(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = LakeTable.read(spark,
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_lakedel_${graft.SessionCache.dirKey(SfDir)}").toString, Some(3))
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(maintained == direct)
+    assert(maintained.exists(_._1 == "U"), "merge class absent — maintenance vacuous")
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
