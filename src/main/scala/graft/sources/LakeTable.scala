@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Snapshot-versioned lake table with copy-on-write MERGE and as-of
   * reads — the transactional story a 100 TB lake runs on (the
@@ -12,24 +13,48 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *   - `data/<batch-dirs>/part-*.parquet` — immutable data files
+  *   - `data/dv-<commit>/part-*.parquet` — equality-delete sidecars
   *   - `_log/v00001.json`, `_log/v00002.json`, … — one manifest per
-  *     committed version, each holding the COMPLETE leaf-file list of
+  *     committed version, each holding the COMPLETE file-level state of
   *     its snapshot (metadata-scale: O(#files), never O(rows))
+  *
+  * The manifest (format 2) is the single source of truth for a version:
+  *   - `schema` — the table schema as DDL, recorded at commit time. A
+  *     reader never opens a footer to discover the schema (no
+  *     mergeSchema pass over 100k files), and files written before a
+  *     schema-evolving commit read their missing columns as null.
+  *   - `files[*].stats` — per-file min/max for the key columns, lifted
+  *     from the parquet FOOTERS at commit time (O(#new files) metadata
+  *     reads, zero data scan — the Delta/Iceberg data-skipping stats).
+  *     [[scan]] prunes manifest entries against a predicate before any
+  *     file is opened; a key/time range query over a range-clustered
+  *     table touches O(matching files), not O(table).
+  *   - `files[*].dvs` — equality-delete sidecars attached to the file
+  *     (merge-on-read DELETE, the Iceberg v2 equality-delete shape):
+  *     [[deleteDV]] commits a scattered erasure as one O(keys) sidecar
+  *     write + a manifest flip — no data file is rewritten; readers
+  *     anti-join the sidecar keys; [[compact]] materializes them away.
   *
   * Invariants:
   *   - Data files are never mutated or deleted by a commit; a new
   *     version publishes a new manifest that REFERENCES files. A reader
   *     resolved to version N therefore sees exactly N's file set for
-  *     the life of its query — no torn reads during concurrent commits
-  *     (the stage-and-swap window `stream_upsert_sink` documents is
-  *     closed).
+  *     the life of its query — no torn reads during concurrent commits.
   *   - Manifest publish is atomic: written to a temp name, then
-  *     ATOMIC_MOVE'd to `v%05d.json`. A crash mid-commit leaves orphan
+  *     hard-linked to `v%05d.json`. A crash mid-commit leaves orphan
   *     data files (harmless — unreferenced) and no manifest; the table
   *     stays at its previous version.
-  *   - Optimistic concurrency: the move refuses to replace an existing
-  *     manifest, so two writers racing to commit the same version fail
-  *     loudly instead of silently last-wins-ing a snapshot away.
+  *   - Optimistic concurrency: the link refuses to replace an existing
+  *     manifest, so two writers racing to commit the same version
+  *     CANNOT silently last-wins a snapshot away. [[merge]] resolves
+  *     the race the way Delta's protocol does: the loser re-reads the
+  *     winner's commits, and if the key sets are DISJOINT it rebases
+  *     and lands as the next version; overlapping writers still fail
+  *     loudly ([[java.util.ConcurrentModificationException]]).
+  *   - Keys are unique per snapshot (merge is a latest-wins upsert by
+  *     key; create's input is the caller's contract). This is what lets
+  *     equality-delete sidecars apply as ONE broadcast anti-join
+  *     instead of per-file application.
   *
   * MERGE is file-granular copy-on-write (the Delta CoW shape): the
   * update batch's keys are broadcast against the snapshot scan tagged
@@ -38,15 +63,42 @@ import org.apache.spark.sql.functions._
   * untouched file carries into the new manifest by reference. At scale
   * the merge cost is O(batch + touched files), not O(table) — the
   * property that makes a daily upsert into a 100 TB table affordable.
+  *
+  * CHANGES (the CDC read) is an O(delta) manifest diff: copy-on-write
+  * guarantees every unchanged row lives in a file carried BY REFERENCE
+  * between the two manifests, so the diff scans only the files that
+  * differ (added, removed, or deletion-vector-churned) and classifies
+  * their rows with one keyed join — never the full snapshots.
   */
 object LakeTable {
+
+  // ---- manifest model (format 2) ----
+
+  /** Per-file, per-column min/max lifted from the parquet footer.
+    * `t` ∈ {"long","double","string"} — the three comparable families
+    * the stats cover; columns of other types simply carry no stats and
+    * their files are never pruned (safe, not optimal). */
+  final case class ColStats(t: String, min: Any, max: Any)
+
+  /** One data file of a snapshot: its path, its data-skipping stats,
+    * and the equality-delete sidecars that apply to it. */
+  final case class FileEntry(path: String,
+      stats: Map[String, ColStats] = Map.empty,
+      dvs: Seq[String] = Seq.empty)
+
+  /** The complete committed state of one version. */
+  final case class Manifest(version: Int, op: String, keys: Seq[String],
+      schemaDdl: String, files: Seq[FileEntry]) {
+    def schema: StructType = StructType.fromDDL(schemaDdl)
+    def filePaths: Seq[String] = files.map(_.path)
+    def dvPaths: Seq[String] = files.flatMap(_.dvs).distinct
+  }
 
   private def logDir(path: String) = java.nio.file.Paths.get(path, "_log")
   private def manifestPath(path: String, v: Int) =
     logDir(path).resolve(f"v$v%05d.json")
 
-  /** Leaf parquet part-files under a just-written batch directory
-    * (recursive — partitionBy writes nest one level of key dirs). */
+  /** Leaf parquet part-files under a just-written batch directory. */
   private def leafFiles(dir: String): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
@@ -56,24 +108,87 @@ object LakeTable {
       .map(_.getAbsolutePath).sorted
   }
 
-  private[graft] def writeManifest(path: String, version: Int, files: Seq[String],
-      op: String): Unit = {
+  // ---- manifest JSON (Jackson — a real writer, so paths containing
+  // quotes/commas and DDL strings survive the round trip; ADVICE r13) ----
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def manifestJson(m: Manifest): String = {
+    val root = jsonMapper.createObjectNode()
+    root.put("format", 2)
+    root.put("version", m.version)
+    root.put("op", m.op)
+    val keysArr = root.putArray("keys")
+    m.keys.foreach(keysArr.add)
+    root.put("schema", m.schemaDdl)
+    val filesArr = root.putArray("files")
+    m.files.foreach { fe =>
+      val fn = filesArr.addObject()
+      fn.put("path", fe.path)
+      if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
+      if (fe.stats.nonEmpty) {
+        val sn = fn.putObject("stats")
+        fe.stats.foreach { case (c, st) =>
+          val cn = sn.putObject(c)
+          cn.put("t", st.t)
+          st.t match {
+            case "long" =>
+              cn.put("min", st.min.asInstanceOf[Long]); cn.put("max", st.max.asInstanceOf[Long])
+            case "double" =>
+              cn.put("min", st.min.asInstanceOf[Double]); cn.put("max", st.max.asInstanceOf[Double])
+            case _ =>
+              cn.put("min", st.min.toString); cn.put("max", st.max.toString)
+          }
+          ()
+        }
+      }
+    }
+    jsonMapper.writeValueAsString(root)
+  }
+
+  private def parseManifest(json: String, p: java.nio.file.Path): Manifest = {
+    val root = jsonMapper.readTree(json)
+    require(root.path("format").asInt(1) == 2,
+      s"LakeTable: manifest $p is not format 2 — written by an older build; " +
+        "drop the table directory and rebuild")
+    import scala.jdk.CollectionConverters._
+    val files = root.path("files").elements().asScala.map { fn =>
+      val stats = Option(fn.get("stats")).map { sn =>
+        sn.fields().asScala.map { e =>
+          val t = e.getValue.path("t").asText()
+          val (mn, mx): (Any, Any) = t match {
+            case "long" => (e.getValue.path("min").asLong(), e.getValue.path("max").asLong())
+            case "double" => (e.getValue.path("min").asDouble(), e.getValue.path("max").asDouble())
+            case _ => (e.getValue.path("min").asText(), e.getValue.path("max").asText())
+          }
+          e.getKey -> ColStats(t, mn, mx)
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStats])
+      val dvs = Option(fn.get("dvs"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+      FileEntry(fn.path("path").asText(), stats, dvs)
+    }.toSeq
+    Manifest(root.path("version").asInt(),
+      root.path("op").asText(),
+      root.path("keys").elements().asScala.map(_.asText()).toSeq,
+      root.path("schema").asText(),
+      files)
+  }
+
+  private[graft] def commit(path: String, m: Manifest): Unit = {
     java.nio.file.Files.createDirectories(logDir(path))
-    val json =
-      s"""{"version":$version,"op":"$op","files":[""" +
-        files.map(f => "\"" + f + "\"").mkString(",") + "]}"
-    val tmp = logDir(path).resolve(s".tmp-v$version-${java.util.UUID.randomUUID()}.json")
-    java.nio.file.Files.writeString(tmp, json)
+    val tmp = logDir(path).resolve(s".tmp-v${m.version}-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.writeString(tmp, manifestJson(m))
     // publish = hard-link the fully-written temp to the version name:
     // link creation is atomic AND fails on an existing target (rename
     // would silently REPLACE on POSIX — last-wins, the exact lost-commit
     // a versioned log must refuse)
-    try java.nio.file.Files.createLink(manifestPath(path, version), tmp)
+    try java.nio.file.Files.createLink(manifestPath(path, m.version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         java.nio.file.Files.delete(tmp)
         throw new IllegalStateException(
-          s"LakeTable: concurrent commit conflict — version $version at $path " +
+          s"LakeTable: concurrent commit conflict — version ${m.version} at $path " +
             "already exists; re-read the latest snapshot and retry the merge")
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
@@ -81,23 +196,126 @@ object LakeTable {
   /** Latest committed version (0 if the table does not exist yet). */
   def latestVersion(path: String): Int = {
     val d = logDir(path).toFile
+    val pat = "v(\\d{5,})\\.json".r
     val vs = Option(d.listFiles).getOrElse(Array.empty).toSeq
-      .map(_.getName).collect { case s if s.matches("v\\d{5}\\.json") =>
-        s.substring(1, 6).toInt }
+      .map(_.getName).collect { case pat(n) => n.toInt }
     if (vs.isEmpty) 0 else vs.max
   }
 
-  /** The file list of a committed version. */
-  def manifestFiles(path: String, version: Int): Seq[String] = {
+  /** The full manifest of a committed version. */
+  def manifest(path: String, version: Int): Manifest = {
     val p = manifestPath(path, version)
     require(java.nio.file.Files.exists(p),
       s"LakeTable: no committed version $version at $path (latest is ${latestVersion(path)})")
-    val json = java.nio.file.Files.readString(p)
-    """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json) match {
-      case Some(m) if m.group(1).trim.isEmpty => Seq.empty
-      case Some(m) => m.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      case None => throw new IllegalStateException(s"LakeTable: corrupt manifest $p")
-    }
+    parseManifest(java.nio.file.Files.readString(p), p)
+  }
+
+  /** The data-file list of a committed version. */
+  def manifestFiles(path: String, version: Int): Seq[String] =
+    manifest(path, version).filePaths
+
+  // ---- footer stats (data skipping) ----
+
+  /** Spark type → stats family, for the columns worth collecting. */
+  private def statsFamily(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  /** Lift per-file min/max for `cols` from the parquet FOOTERS of
+    * `files` — O(#files) metadata reads, no data scan (how Delta and
+    * Iceberg writers record skipping stats without re-reading what they
+    * just wrote). A file whose footer lacks usable stats for a column
+    * simply omits that column (it is then never pruned — safe). */
+  private def footerStats(spark: SparkSession, files: Seq[String],
+      cols: Seq[(String, String)]): Map[String, Map[String, ColStats]] = {
+    if (cols.isEmpty) return files.map(_ -> Map.empty[String, ColStats]).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        val perCol = cols.flatMap { case (name, fam) =>
+          // one column chunk per block; the file's range is the union
+          val chunkStats = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == name).map(_.getStatistics))
+          val ok = chunkStats.forall(_.exists(s =>
+            s != null && !s.isEmpty && s.hasNonNullValue))
+          if (!ok || blocks.isEmpty) None
+          else {
+            val ss = chunkStats.map(_.get)
+            fam match {
+              case "long" =>
+                val mins = ss.map(s => s.genericGetMin match {
+                  case n: Number => n.longValue })
+                val maxs = ss.map(s => s.genericGetMax match {
+                  case n: Number => n.longValue })
+                Some(name -> ColStats("long", mins.min, maxs.max))
+              case "double" =>
+                val mins = ss.map(s => s.genericGetMin match {
+                  case n: Number => n.doubleValue })
+                val maxs = ss.map(s => s.genericGetMax match {
+                  case n: Number => n.doubleValue })
+                Some(name -> ColStats("double", mins.min, maxs.max))
+              case _ =>
+                val asStr: Any => String = {
+                  case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                  case o => o.toString
+                }
+                val mins = ss.map(s => asStr(s.genericGetMin))
+                val maxs = ss.map(s => asStr(s.genericGetMax))
+                Some(name -> ColStats("string", mins.min, maxs.max))
+            }
+          }
+        }.toMap
+        f -> perCol
+      } finally reader.close()
+    }.toMap
+  }
+
+  /** Build the FileEntries for a freshly written batch dir: leaf files
+    * + footer stats on the stat-worthy key columns. */
+  private def entriesFor(spark: SparkSession, dir: String,
+      keyCols: Seq[String], schema: StructType): Seq[FileEntry] = {
+    val statCols = keyCols.flatMap(k =>
+      schema.find(_.name == k).flatMap(f => statsFamily(f.dataType)).map(k -> _))
+    val files = leafFiles(dir)
+    val stats = footerStats(spark, files, statCols)
+    files.map(f => FileEntry(f, stats.getOrElse(f, Map.empty)))
+  }
+
+  // ---- reads ----
+
+  /** Raw file read with the MANIFEST's schema — no footer/mergeSchema
+    * pass (files written before a schema-evolving commit read their
+    * missing columns as null), then the version's equality-delete
+    * sidecars anti-joined out. `entries` defaults to the whole
+    * manifest; [[scan]] passes the pruned subset. */
+  private def readEntries(spark: SparkSession, m: Manifest,
+      entries: Seq[FileEntry]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    // Sidecars apply PER FILE GROUP, not globally: a merge after a DV
+    // delete can re-insert a deleted key into a NEW file, and that row
+    // must not be anti-joined away by the sidecar still attached to the
+    // old file. Entries sharing a sidecar set read as one scan with one
+    // broadcast anti-join (sidecar keys are erasure/update batches —
+    // bounded by contract); the distinct sidecar sets are bounded by DV
+    // commits since the last compaction, so the union stays narrow.
+    val groups = entries.groupBy(_.dvs).toSeq
+    groups.map { case (dvs, es) =>
+      val base = spark.read.schema(m.schema).parquet(es.map(_.path): _*)
+      if (dvs.isEmpty) base
+      else {
+        val dvKeys = spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
+        base.join(broadcast(dvKeys), m.keys, "left_anti")
+      }
+    }.reduce(_ unionByName _)
   }
 
   /** Snapshot read. `asOf = None` resolves the latest version AT CALL
@@ -105,56 +323,115 @@ object LakeTable {
     * file set even if later versions commit before the query runs —
     * snapshot isolation, not read-latest-eventually. */
   def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
-    val v = asOf.getOrElse(latestVersion(path))
-    val files = manifestFiles(path, v)
-    require(files.nonEmpty, s"LakeTable: version $v at $path references no files")
-    // mergeSchema: a schema-evolving merge leaves a snapshot whose
-    // carried files lack the new column(s) — the union schema is the
-    // table's schema, old rows null in new columns (a version whose
-    // files are homogeneous pays one footer merge and reads the same)
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val m = manifest(path, asOf.getOrElse(latestVersion(path)))
+    require(m.files.nonEmpty, s"LakeTable: version ${m.version} at $path references no files")
+    readEntries(spark, m, m.files)
   }
 
+  /** Manifest entries of version `v` whose [min,max] stats range for
+    * `colName` intersects [lo,hi], plus files carrying no stats for the
+    * column (never pruned — safe). Returns (kept, total). */
+  def prunedEntries(path: String, v: Int, colName: String,
+      lo: Any, hi: Any): (Seq[FileEntry], Int) = {
+    val m = manifest(path, v)
+    val kept = m.files.filter { fe =>
+      fe.stats.get(colName) match {
+        case None => true
+        case Some(ColStats("long", mn, mx)) =>
+          val (l, h) = (toLong(lo), toLong(hi))
+          !(mx.asInstanceOf[Long] < l || mn.asInstanceOf[Long] > h)
+        case Some(ColStats("double", mn, mx)) =>
+          val (l, h) = (toDouble(lo), toDouble(hi))
+          !(mx.asInstanceOf[Double] < l || mn.asInstanceOf[Double] > h)
+        case Some(ColStats(_, mn, mx)) =>
+          val (l, h) = (lo.toString, hi.toString)
+          !(mx.asInstanceOf[String] < l || mn.asInstanceOf[String] > h)
+      }
+    }
+    (kept, m.files.size)
+  }
+
+  private def toLong(a: Any): Long = a match {
+    case n: Number => n.longValue
+    case o => o.toString.toLong
+  }
+  private def toDouble(a: Any): Double = a match {
+    case n: Number => n.doubleValue
+    case o => o.toString.toDouble
+  }
+
+  /** Stats-pruned range scan: `colName BETWEEN lo AND hi`, resolving
+    * which files can hold matches from the MANIFEST alone (no footer is
+    * opened for a pruned file), then applying the residual filter to
+    * the survivors — the lake twin of hive-partition pruning, except
+    * the pruning key needs no directory layout, only write-time
+    * clustering (create's range layout, Z-order, or natural ingest
+    * time-ordering). */
+  def scan(spark: SparkSession, path: String, colName: String,
+      lo: Any, hi: Any, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(path))
+    val m = manifest(path, v)
+    val (kept, _) = prunedEntries(path, v, colName, lo, hi)
+    readEntries(spark, m, kept)
+      .filter(col(colName).between(lit(lo), lit(hi)))
+  }
+
+  // ---- writes ----
+
   /** Create the table as version 1 from `df`. The data lands in
-    * `nBuckets` separate batch directories split by key hash, so the
-    * table starts with enough file granularity for copy-on-write merges
-    * to show their O(touched) cost even on small test tables (a real
-    * table gets granularity for free from its ingest parallelism). */
+    * `nBuckets` separate files split by key hash (`layout = "hash"`,
+    * the default — co-locates each key for point-y CoW merges) or by
+    * key RANGE (`layout = "range"` — clusters the key space so
+    * [[scan]]'s stats pruning has ranges to cut; the Z-order/ingest-
+    * time analog). A real table gets granularity for free from its
+    * ingest parallelism. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      keyCols: Seq[String], nBuckets: Int = 8): Int = {
+      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash"): Int = {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
-    val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets))
     val dir = s"$path/data/create"
-    // ONE pass: repartition on the key-hash EXPRESSION (no synthetic
-    // column lands in the schema, no partition-dir inference on read) —
-    // each shuffle partition writes one flat part file, so the table
-    // starts with key-clustered file granularity
-    df.repartition(nBuckets, bucket)
-      .write.mode("overwrite").parquet(dir)
-    writeManifest(path, 1, leafFiles(dir), "create")
+    // hash layout partitions on the KEY COLUMNS directly (one shuffle,
+    // uniform over all nBuckets partitions — hashing a precomputed
+    // bucket value would re-hash 8 small values into ~half the
+    // partitions and undershoot the file granularity CoW tests price)
+    val out = layout match {
+      case "range" => df.repartitionByRange(nBuckets, keyCols.map(col): _*)
+      case _ => df.repartition(nBuckets, keyCols.map(col): _*)
+    }
+    out.write.mode("overwrite").parquet(dir)
+    commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
+      entriesFor(spark, dir, keyCols, df.schema)))
     1
   }
 
-  /** Copy-on-write MERGE (latest-wins keyed upsert): rows of `updates`
-    * replace snapshot rows with equal keys; unmatched update rows
-    * insert. Only data files that CONTAIN a matched key are rewritten;
-    * all others carry into the new manifest by reference. Returns the
-    * committed version.
-    *
-    * Schema evolution: an update batch may carry NEW columns — the
-    * rewrite unions by name with missing columns allowed, so surviving
-    * old rows get nulls, untouched files keep their old schema on disk,
-    * and [[read]]'s mergeSchema presents the union. Duplicate keys
-    * WITHIN one batch are the caller's contract (pre-collapse with a
-    * latest-by-key election — see `stream_lake_sink` — or both rows
-    * land). */
-  def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCols: Seq[String]): Int = {
-    val current = latestVersion(path)
-    require(current > 0, s"LakeTable: cannot merge into missing table at $path")
-    val files = manifestFiles(path, current)
-    val snap = spark.read.parquet(files: _*)
+  /** The table schema after unioning in a batch's columns (merge-side
+    * schema evolution): existing fields keep their place, new fields
+    * append. Type conflicts on a shared name fail loudly. */
+  private def evolveSchema(prior: StructType, batch: StructType): StructType = {
+    val priorByName = prior.map(f => f.name -> f).toMap
+    batch.foreach { f =>
+      priorByName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"LakeTable: column ${f.name} type conflict (${p.dataType} vs ${f.dataType})")
+      }
+    }
+    StructType(prior.fields ++ batch.filterNot(f => priorByName.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** Test-only interleave point, invoked between touched-file discovery
+    * and manifest publish inside [[attemptMerge]] — lets LakeTableSpec
+    * land a competing commit in the window deterministically instead of
+    * racing threads. No-op in production. */
+  private[graft] var testInterleave: () => Unit = () => ()
+
+  /** One optimistic merge attempt against the snapshot read as
+    * `readVersion`; commits `readVersion + 1` or throws the loud
+    * conflict if another writer got there first. */
+  private[graft] def attemptMerge(spark: SparkSession, path: String,
+      updates: DataFrame, keyCols: Seq[String], readVersion: Int): Int = {
+    val m = manifest(path, readVersion)
+    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
     val keys = updates.select(keyCols.map(col): _*)
     // touched-file discovery: ONE scan of the snapshot with a broadcast
     // semi-join on the (small) batch keys — no shuffle of the table
@@ -163,18 +440,74 @@ object LakeTable {
       .select("__file").distinct()
       .collect().map(r => new java.net.URI(r.getString(0)).getPath) // input_file_name
       .toSet // is a file:// URI; manifests store plain paths. Bounded: ≤ #files.
-    // rewrite = surviving rows of touched files + the whole batch
-    val touchedSeq = touched.toSeq.sorted
-    val rewriteDir = s"$path/data/merge-v${current + 1}"
+    val (touchedEntries, carried) = m.files.partition(e => touched(e.path))
+    // rewrite = surviving rows of touched files (minus their equality-
+    // delete sidecars — a deleted row must not resurrect into the
+    // rewrite) + the whole batch
+    val rewriteDir = s"$path/data/merge-v${readVersion + 1}-${java.util.UUID.randomUUID()}"
     val survivors =
-      if (touchedSeq.isEmpty) updates
-      else spark.read.option("mergeSchema", "true").parquet(touchedSeq: _*)
+      if (touchedEntries.isEmpty) updates
+      else readEntries(spark, m, touchedEntries)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     survivors.write.mode("overwrite").parquet(rewriteDir)
-    val newFiles = files.filterNot(touched) ++ leafFiles(rewriteDir)
-    writeManifest(path, current + 1, newFiles, "merge")
-    current + 1
+    val newSchema = evolveSchema(m.schema, updates.schema)
+    testInterleave()
+    commit(path, Manifest(readVersion + 1, "merge", m.keys, newSchema.toDDL,
+      carried ++ entriesFor(spark, rewriteDir, m.keys, newSchema)))
+    readVersion + 1
+  }
+
+  /** Copy-on-write MERGE (latest-wins keyed upsert): rows of `updates`
+    * replace snapshot rows with equal keys; unmatched update rows
+    * insert. Only data files that CONTAIN a matched key are rewritten;
+    * all others carry into the new manifest by reference. Returns the
+    * committed version.
+    *
+    * Concurrency (the Delta optimistic-concurrency protocol): a commit
+    * that loses the publish race re-reads the winners' delta — via the
+    * O(delta) [[changes]] feed, never a snapshot scan — and, if the
+    * winners touched a DISJOINT key set, rebases and retries against
+    * the new latest (both writers land, serialized); if any key
+    * overlaps, throws [[java.util.ConcurrentModificationException]]
+    * (latest-wins order between concurrent same-key writers would be
+    * arbitrary — the caller must decide, not the race).
+    *
+    * Schema evolution: an update batch may carry NEW columns — the
+    * rewrite unions by name with missing columns allowed, the manifest
+    * schema evolves to the union, surviving old rows read null, and
+    * untouched files keep their old on-disk schema. Duplicate keys
+    * WITHIN one batch are the caller's contract (pre-collapse with a
+    * latest-by-key election — see `stream_lake_sink`). */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], maxRetries: Int = 3): Int = {
+    require(latestVersion(path) > 0, s"LakeTable: cannot merge into missing table at $path")
+    var attempt = 0
+    while (true) {
+      val readV = latestVersion(path)
+      try return attemptMerge(spark, path, updates, keyCols, readV)
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("conflict") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val nowV = latestVersion(path)
+          // conflict classification: the winners' churned keys, read from
+          // the O(delta) change feed (only non-carried files), vs ours
+          val overlapping =
+            try changes(spark, path, readV, nowV, keyCols)
+              .select(keyCols.map(col): _*)
+              .join(broadcast(updates.select(keyCols.map(col): _*)), keyCols, "left_semi")
+              .limit(1).count() > 0
+            catch { case _: Exception => true } // e.g. winner evolved the schema
+          if (overlapping)
+            throw new java.util.ConcurrentModificationException(
+              s"LakeTable: concurrent merge at $path touched overlapping keys " +
+                s"(our read version $readV, theirs landed through $nowV) — " +
+                "latest-wins order between racing same-key writers is arbitrary; " +
+                "re-invoke merge against the new snapshot to decide")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Copy-on-write DELETE: snapshot rows whose keys appear in `keys`
@@ -188,73 +521,123 @@ object LakeTable {
       keyCols: Seq[String]): Int = {
     val current = latestVersion(path)
     require(current > 0, s"LakeTable: cannot delete from missing table at $path")
-    val files = manifestFiles(path, current)
-    val snap = spark.read.parquet(files: _*)
+    val m = manifest(path, current)
+    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
     val keyRows = keys.select(keyCols.map(col): _*)
     val touched = snap.withColumn("__file", input_file_name())
       .join(broadcast(keyRows), keyCols, "left_semi")
       .select("__file").distinct()
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val touchedSeq = touched.toSeq.sorted
+    val (touchedEntries, carried) = m.files.partition(e => touched(e.path))
     val newFiles =
-      if (touchedSeq.isEmpty) files // no-op delete still commits (idempotent replays)
+      if (touchedEntries.isEmpty) m.files // no-op delete still commits (idempotent replays)
       else {
         val rewriteDir = s"$path/data/delete-v${current + 1}"
-        spark.read.parquet(touchedSeq: _*)
+        // survivors read with the MANIFEST schema (a schema-evolving
+        // merge leaves heterogeneous files; footer-inferred reads would
+        // nondeterministically drop the evolved column — ADVICE r13),
+        // minus the files' sidecars, minus the erased keys
+        readEntries(spark, m, touchedEntries)
           .join(broadcast(keyRows), keyCols, "left_anti")
           .write.mode("overwrite").parquet(rewriteDir)
-        files.filterNot(touched) ++ leafFiles(rewriteDir)
+        carried ++ entriesFor(spark, rewriteDir, m.keys, m.schema)
       }
-    writeManifest(path, current + 1, newFiles, "delete")
+    commit(path, Manifest(current + 1, "delete", m.keys, m.schemaDdl, newFiles))
+    current + 1
+  }
+
+  /** Merge-on-read DELETE (the Iceberg v2 equality-delete / Delta
+    * deletion-vector shape): the erased keys are written ONCE as a
+    * sidecar parquet — O(keys), no data file rewritten — and attached
+    * in the manifest to every file that physically holds one of them.
+    * Readers anti-join the sidecar ([[readEntries]]); [[compact]]
+    * materializes sidecars away. The discovery semi-join scan still
+    * runs (to know WHICH entries to attach the sidecar to — what keeps
+    * [[changes]] O(delta) for DV commits), but the write path is a few
+    * KB regardless of how scattered the keys are: a GDPR erasure over a
+    * hash-clustered 100 TB table flips from "rewrite every touched
+    * file" to one sidecar + a manifest. */
+  def deleteDV(spark: SparkSession, path: String, keys: DataFrame,
+      keyCols: Seq[String]): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot delete from missing table at $path")
+    val m = manifest(path, current)
+    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
+    val keyRows = keys.select(keyCols.map(col): _*)
+    val touched = snap.withColumn("__file", input_file_name())
+      .join(broadcast(keyRows), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val newFiles =
+      if (touched.isEmpty) m.files
+      else {
+        val dvDir = s"$path/data/dv-v${current + 1}-${java.util.UUID.randomUUID()}"
+        keyRows.coalesce(1).write.mode("overwrite").parquet(dvDir)
+        m.files.map(e => if (touched(e.path)) e.copy(dvs = e.dvs :+ dvDir) else e)
+      }
+    commit(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl, newFiles))
     current + 1
   }
 
   /** Compaction (the OPTIMIZE table service): rewrite the CURRENT
     * snapshot's rows as `targetFiles` files and commit the result as a
     * new version — the maintenance pass that heals the small-file
-    * accumulation CoW merges/deletes leave behind (every touched-file
-    * rewrite plus carried singles fragments the layout; scan task count
-    * eventually tracks commit count instead of data size). State is
-    * bit-identical by construction — the commit only re-binds the same
-    * rows to fewer files — and readers pinned to pre-compaction
-    * versions keep their file sets (nothing is deleted until
-    * [[vacuum]]). Returns the committed version. */
+    * accumulation CoW merges/deletes leave behind AND materializes
+    * equality-delete sidecars away (the new files carry none). State is
+    * row-identical by construction, and readers pinned to
+    * pre-compaction versions keep their file sets (nothing is deleted
+    * until [[vacuum]]). Returns the committed version. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Int = {
     require(targetFiles > 0, s"LakeTable: compact needs targetFiles > 0, got $targetFiles")
     val current = latestVersion(path)
     require(current > 0, s"LakeTable: cannot compact missing table at $path")
+    val m = manifest(path, current)
     val dir = s"$path/data/compact-v${current + 1}"
-    read(spark, path).repartition(targetFiles)
+    read(spark, path, Some(current)).repartition(targetFiles)
       .write.mode("overwrite").parquet(dir)
-    writeManifest(path, current + 1, leafFiles(dir), "compact")
+    commit(path, Manifest(current + 1, "compact", m.keys, m.schemaDdl,
+      entriesFor(spark, dir, m.keys, m.schema)))
     current + 1
   }
 
   /** Change feed between two committed versions — the CDC read the
-    * manifest format gives for free (Delta's CDF shape, computed as a
-    * snapshot diff): one keyed full-outer join of the two as-of reads
-    * classifies every key as insert (absent before), delete (absent
-    * after), or update (present in both with any non-key column
-    * changed); unchanged keys are not emitted. Returns the key columns
-    * + `_change_type` + the after-image non-key columns (null for
-    * deletes); with `includeBefore` also `_before_<col>` pre-images
-    * (null for inserts) — what an incremental consumer needs to RETRACT
-    * the old contribution before applying the new one (Delta CDF's
-    * preimage/postimage, folded into one row per key). Scale shape: two
-    * snapshot scans + ONE keyed shuffle — and file-granular CoW makes a
-    * smarter diff possible (skip files carried by reference between the
-    * versions); at test file counts the straight diff is the honest
-    * baseline. */
+    * manifest format gives for O(delta), not O(table) (Delta's CDF
+    * shape): copy-on-write guarantees every unchanged row lives in a
+    * file carried BY REFERENCE between the two manifests, so the diff
+    * scans ONLY the churned files — added, removed, or with a changed
+    * equality-delete sidecar set — and classifies their rows with one
+    * keyed full-outer join: insert (absent before), delete (absent
+    * after), update (present in both with any non-key column changed).
+    * Rows rewritten verbatim by CoW (a touched file's unmatched
+    * survivors) appear identical on both sides and stay silent.
+    *
+    * Returns the key columns + `_change_type` + the after-image non-key
+    * columns (null for deletes); with `includeBefore` also
+    * `_before_<col>` pre-images (null for inserts) — what an
+    * incremental consumer needs to RETRACT the old contribution before
+    * applying the new one. Cost: O(churned files + one keyed shuffle of
+    * their rows); a CDC read of a quiet day on a 100 TB table reads
+    * that day's churn, never the lake. */
   def changes(spark: SparkSession, path: String, fromV: Int, toV: Int,
       keyCols: Seq[String], includeBefore: Boolean = false): DataFrame = {
     require(fromV < toV, s"LakeTable.changes: fromV $fromV must precede toV $toV")
-    val before = read(spark, path, Some(fromV))
-    val after = read(spark, path, Some(toV))
-    require(before.columns.sorted.sameElements(after.columns.sorted),
+    val mf = manifest(path, fromV)
+    val mt = manifest(path, toV)
+    val (fromSchema, toSchema) = (mf.schema, mt.schema)
+    require(fromSchema.map(f => (f.name, f.dataType)).toSet ==
+      toSchema.map(f => (f.name, f.dataType)).toSet,
       "LakeTable.changes: versions differ in schema " +
-        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}) — " +
+        s"(${fromSchema.map(_.name).mkString(",")} vs ${toSchema.map(_.name).mkString(",")}) — " +
         "diff across a schema-evolving commit needs an explicit column policy; " +
         "project both sides to a shared schema first")
+    // churn = entries NOT carried identically (path + sidecar set) —
+    // the manifest diff that bounds the scan
+    val fromByPath = mf.files.map(e => e.path -> e).toMap
+    val toByPath = mt.files.map(e => e.path -> e).toMap
+    val beforeEntries = mf.files.filterNot(e => toByPath.get(e.path).exists(_.dvs == e.dvs))
+    val afterEntries = mt.files.filterNot(e => fromByPath.get(e.path).exists(_.dvs == e.dvs))
+    val before = readEntries(spark, mf, beforeEntries)
+    val after = readEntries(spark, mt, afterEntries)
     val rest = before.columns.filterNot(keyCols.contains).toSeq
     def tag(df: DataFrame, t: String) = df.select(
       keyCols.map(col) ++ rest.map(c => col(c).as(s"${t}_$c")) :+ lit(true).as(s"__in_$t"): _*)
@@ -262,7 +645,10 @@ object LakeTable {
       .withColumn("_change_type",
         when(col("__in_b").isNull, "insert")
           .when(col("__in_a").isNull, "delete")
-          .when(rest.map(c => !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _), "update"))
+          // key-only tables diff as inserts/deletes only (ADVICE r13:
+          // reduce on an empty rest threw instead)
+          .when(rest.map(c => !(col(s"b_$c") <=> col(s"a_$c")))
+            .reduceOption(_ || _).getOrElse(lit(false)), "update"))
       .filter(col("_change_type").isNotNull)
       .select(keyCols.map(col) ++ (col("_change_type") +:
         rest.map(c => col(s"a_$c").as(c))) ++
@@ -271,20 +657,23 @@ object LakeTable {
   }
 
   /** Expire history: keep the newest `keepLast` versions, drop older
-    * manifests, and physically delete every data file no kept manifest
-    * references. This is what turns a logical [[delete]] into erasure —
-    * and what bounds a long-lived table's storage at ~keepLast
-    * snapshots of churned files (carried-by-reference files are shared
-    * across manifests and survive). Readers pinned to an expired
-    * version fail loudly on their next resolution ([[manifestFiles]]'s
-    * missing-version error), never silently read surviving files.
-    * Returns (manifests dropped, data files deleted). */
+    * manifests, and physically delete every data or sidecar file no
+    * kept manifest references. This is what turns a logical [[delete]]
+    * into erasure — and what bounds a long-lived table's storage at
+    * ~keepLast snapshots of churned files (carried-by-reference files
+    * are shared across manifests and survive). Readers pinned to an
+    * expired version fail loudly on their next resolution, never
+    * silently read surviving files. Returns (manifests dropped, data
+    * files deleted). */
   def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
     require(keepLast >= 1, s"LakeTable: vacuum must keep >= 1 version, got $keepLast")
     val latest = latestVersion(path)
     require(latest > 0, s"LakeTable: cannot vacuum missing table at $path")
     val keepFrom = math.max(1, latest - keepLast + 1)
-    val kept = (keepFrom to latest).flatMap(v => manifestFiles(path, v)).toSet
+    val kept = (keepFrom to latest).flatMap { v =>
+      val m = manifest(path, v)
+      m.filePaths ++ m.dvPaths.flatMap(leafFiles)
+    }.toSet
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)

@@ -83,13 +83,12 @@ class LakeTableSpec extends SparkSpec {
     val p = freshPath("conflict")
     LakeTable.create(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
     // two writers race to publish version 2: the winner commits, the
-    // loser's ATOMIC_MOVE hits the existing manifest and fails loudly
-    // instead of last-wins-ing the winner's snapshot away (merge()
-    // itself re-resolves the version per call, so the publish step is
-    // where the race lands)
-    LakeTable.writeManifest(p, 2, LakeTable.manifestFiles(p, 1), "merge")
+    // loser's hard-link publish hits the existing manifest and fails
+    // loudly instead of last-wins-ing the winner's snapshot away
+    val m1 = LakeTable.manifest(p, 1)
+    LakeTable.commit(p, m1.copy(version = 2, op = "merge"))
     val err = intercept[IllegalStateException] {
-      LakeTable.writeManifest(p, 2, LakeTable.manifestFiles(p, 1), "merge")
+      LakeTable.commit(p, m1.copy(version = 2, op = "merge"))
     }
     assert(err.getMessage.contains("conflict"))
     assert(LakeTable.latestVersion(p) == 2)
@@ -252,6 +251,157 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(maintained == direct)
     assert(maintained.exists(_._1 == "U"), "merge class absent — maintenance vacuous")
+  }
+
+  test("change feed is O(delta): carried-by-reference files are never opened by the diff") {
+    import spark.implicits._
+    val p = freshPath("odelta")
+    val base = (1L to 400L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    LakeTable.merge(spark, p, Seq((5L, "upd", 55L), (401L, "ins", 4010L)).toDF("k", "s", "v"), Seq("k"))
+    val carried = LakeTable.manifestFiles(p, 1).toSet
+      .intersect(LakeTable.manifestFiles(p, 2).toSet)
+    assert(carried.size >= 5, s"fixture not file-granular: ${carried.size} carried")
+    // physically corrupt every carried file: a diff that regressed to
+    // snapshot scans would open one and die; the manifest diff reads
+    // only churned files and never notices
+    carried.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), Array[Byte](0, 1, 2, 3))
+    }
+    val feed = LakeTable.changes(spark, p, 1, 2, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((5L, "update"), (401L, "insert")), s"got $feed")
+  }
+
+  test("stats pruning: a range scan opens only files whose min/max intersect") {
+    import spark.implicits._
+    val p = freshPath("prune")
+    val base = (1L to 1000L).map(k => (k, s"s$k", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 10, layout = "range")
+    val (kept, total) = LakeTable.prunedEntries(p, 1, "k", 101L, 150L)
+    assert(total == 10, s"want 10 range files, got $total")
+    assert(kept.size <= 2, s"50/1000 keys should prune to <=2/10 files, kept ${kept.size}")
+    val got = LakeTable.scan(spark, p, "k", 101L, 150L).select("k", "s", "v")
+    assert(rows(got) == (101L to 150L).map(k => (k, s"s$k", k)).toSet)
+    // stats survive a CoW merge: the rewritten file gets fresh footer
+    // stats and the scan stays correct
+    LakeTable.merge(spark, p, Seq((120L, "UPD", 0L)).toDF("k", "s", "v"), Seq("k"))
+    val got2 = rows(LakeTable.scan(spark, p, "k", 101L, 150L).select("k", "s", "v"))
+    assert(got2.contains((120L, "UPD", 0L)) && got2.size == 50)
+    // hash layout spreads every range across every file: nothing prunes,
+    // nothing breaks (safety of stats-less / wide-stats files)
+    val ph = freshPath("prune_hash")
+    LakeTable.create(spark, ph, base, Seq("k"), nBuckets = 10)
+    assert(rows(LakeTable.scan(spark, ph, "k", 101L, 150L).select("k", "s", "v"))
+      == (101L to 150L).map(k => (k, s"s$k", k)).toSet)
+  }
+
+  test("deleteDV: scattered erasure rewrites NO data file; compact materializes; vacuum reclaims") {
+    import spark.implicits._
+    val p = freshPath("dv")
+    val base = (1L to 400L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    // keys scattered across every hash bucket — the CoW worst case
+    val erased = (1L to 400L).filter(_ % 50 == 3)
+    LakeTable.deleteDV(spark, p, erased.map(Tuple1(_)).toDF("k"), Seq("k"))
+    // zero data files rewritten: the file list is IDENTICAL, only
+    // sidecar references changed
+    assert(LakeTable.manifestFiles(p, 2) == LakeTable.manifestFiles(p, 1))
+    assert(LakeTable.manifest(p, 2).dvPaths.size == 1)
+    val expect2 = (1L to 400L).filterNot(erased.contains).map(k => (k, "base", k)).toSet
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect2)
+    // time travel still sees the erased rows
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")).size == 400)
+    // the change feed sees the DV commit as deletes, O(delta)
+    val feed = LakeTable.changes(spark, p, 1, 2, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == erased.map(k => (k, "delete")).toSet, s"got $feed")
+    // a merge can re-insert a DV-deleted key (and must not resurrect others)
+    LakeTable.merge(spark, p, Seq((3L, "back", 33L)).toDF("k", "s", "v"), Seq("k"))
+    val got3 = rows(LakeTable.read(spark, p).select("k", "s", "v"))
+    assert(got3 == expect2 + ((3L, "back", 33L)))
+    // compact materializes the sidecars away: no dvs, same rows
+    LakeTable.compact(spark, p, targetFiles = 4)
+    assert(LakeTable.manifest(p, 4).dvPaths.isEmpty)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got3)
+    // vacuum reclaims the sidecar parquet along with orphaned data files
+    val dvLeaf = new java.io.File(LakeTable.manifest(p, 2).dvPaths.head)
+    assert(dvLeaf.exists)
+    LakeTable.vacuum(p, keepLast = 1)
+    assert(Option(dvLeaf.listFiles).getOrElse(Array.empty)
+      .forall(f => !f.getName.endsWith(".parquet")), "dv sidecar survived vacuum")
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got3)
+  }
+
+  test("optimistic concurrency: disjoint racing writers both land; overlapping fails loudly") {
+    import spark.implicits._
+    val p = freshPath("occ")
+    LakeTable.create(spark, p,
+      (1L to 100L).map(k => (k, "base", k)).toDF("k", "s", "v"), Seq("k"))
+    // writer B lands v2 in A's read-to-commit window (deterministic via
+    // the test interleave hook); A's publish conflicts, classifies B's
+    // churn as DISJOINT via the O(delta) feed, rebases, and lands v3
+    var fired = false
+    LakeTable.testInterleave = () => if (!fired) {
+      fired = true
+      LakeTable.merge(spark, p,
+        (200L to 210L).map(k => (k, "B", k)).toDF("k", "s", "v"), Seq("k"))
+      ()
+    }
+    try {
+      val v = LakeTable.merge(spark, p,
+        (50L to 60L).map(k => (k, "A", k)).toDF("k", "s", "v"), Seq("k"))
+      assert(v == 3, s"rebased writer should land as v3, got v$v")
+    } finally LakeTable.testInterleave = () => ()
+    val got = rows(LakeTable.read(spark, p).select("k", "s", "v"))
+    assert((200L to 210L).forall(k => got.contains((k, "B", k))), "winner's rows lost")
+    assert((50L to 60L).forall(k => got.contains((k, "A", k))), "rebased writer's rows lost")
+    assert(got.size == 111)
+    // overlapping keys: the loser must NOT silently decide latest-wins
+    // order for a key both writers touched
+    var fired2 = false
+    LakeTable.testInterleave = () => if (!fired2) {
+      fired2 = true
+      LakeTable.merge(spark, p, Seq((70L, "C", 1L)).toDF("k", "s", "v"), Seq("k"))
+      ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        LakeTable.merge(spark, p, Seq((70L, "D", 2L)).toDF("k", "s", "v"), Seq("k"))
+      }
+    } finally LakeTable.testInterleave = () => ()
+    // the winner's commit stands
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")).contains((70L, "C", 1L)))
+  }
+
+  test("delete after a schema-evolving merge keeps the evolved column (ADVICE r13)") {
+    import spark.implicits._
+    val p = freshPath("del_evolve")
+    LakeTable.create(spark, p, (1L to 100L).map(k => (k, "base")).toDF("k", "s"),
+      Seq("k"), nBuckets = 8)
+    LakeTable.merge(spark, p,
+      Seq((7L, "upd", 77L), (8L, "upd", 88L)).toDF("k", "s", "extra"), Seq("k"))
+    // the delete touches the rewrite file holding BOTH evolved rows;
+    // survivors must keep `extra` (manifest-schema read, not
+    // footer-inferred from whichever heterogeneous file lists first)
+    LakeTable.delete(spark, p, Seq(Tuple1(7L)).toDF("k"), Seq("k"))
+    val live = LakeTable.read(spark, p)
+    assert(live.columns.sorted.toSeq == Seq("extra", "k", "s"))
+    val r8 = live.filter(col("k") === 8L).collect()
+    assert(r8.length == 1 && r8.head.getLong(r8.head.fieldIndex("extra")) == 88L,
+      "evolved column lost through the delete rewrite")
+    assert(live.count() == 99)
+  }
+
+  test("key-only table: change feed classifies inserts/deletes without update predicate") {
+    import spark.implicits._
+    val p = freshPath("keyonly")
+    LakeTable.create(spark, p, Seq(1L, 2L, 3L).toDF("k"), Seq("k"))
+    LakeTable.merge(spark, p, Seq(3L, 4L).toDF("k"), Seq("k"))
+    LakeTable.delete(spark, p, Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    val feed = LakeTable.changes(spark, p, 1, 3, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "delete"), (4L, "insert")), s"got $feed")
   }
 
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
