@@ -22,6 +22,9 @@ object SparkEntry {
     "lake_compact_read"        -> (MergeOps.qLakeCompactRead _),
     "lake_schema_evolve"       -> (MergeOps.qLakeSchemaEvolve _),
     "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
+    "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
+    "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
+    "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -243,6 +246,7 @@ object SparkEntry {
     "stream_late_data"    -> (graft.streaming.EventStreams.qStreamLateData _),
     "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _),
     "stream_lake_sink"    -> (graft.streaming.EventStreams.qStreamLakeSink _),
+    "stream_lake_cdf"     -> (graft.streaming.EventStreams.qStreamLakeCdf _),
     "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _),
     "stream_chunk_dedup"  -> (graft.streaming.EventStreams.qStreamChunkDedup _)
   )
@@ -1544,6 +1548,31 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 13 = 2 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 13 = 2 THEN o_orderpriority END AS o_priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the engine answers this interval from a manifest-stats-pruned
+    // file subset (the entry REQUIRES pruning bit); the oracle scans the
+    // raw table — a wrongly-skipped file loses rows and breaks the hash
+    "lake_prune_read" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderdate
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    // v1 = pre-delete (time travel must still see the erased keys);
+    // v2 = the live merge-on-read state, where the equality-delete
+    // sidecar — committed WITHOUT rewriting any data file, which the
+    // entry requires — anti-joins them out
+    "lake_delete_dv" ->
+      """SELECT 1 AS version, o_orderkey, o_orderstatus FROM orders
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 59 <> 0
+        |ORDER BY version, o_orderkey""".stripMargin,
+    // two racing disjoint-key writers both land (v2, v3) under the
+    // optimistic-concurrency retry; the final state is order-independent
+    // because the key classes are disjoint
+    "lake_concurrent_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN 'A'
+        |       WHEN o_orderkey % 7 = 2 THEN 'B'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the oracle computes the v3 per-status counts DIRECTLY; the engine
     // maintains them incrementally from the v1 aggregate + the change
     // feed's before/after images — any retraction error shifts a count
@@ -1672,6 +1701,26 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    // the MV maintenance TRAJECTORY across four lake commits: the oracle
+    // computes each version's per-status counts directly; the engine
+    // maintains them from the O(delta) change feed only — a missed
+    // retraction at any step shifts that step's counts and breaks the
+    // hash (flag-on, the same fold runs as a real stream tailing the
+    // manifest log with in-entry parity)
+    "stream_lake_cdf" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 1 THEN 'U' ELSE o_orderstatus END AS s
+        |  FROM orders),
+        |v3 AS (
+        |  SELECT o_orderkey, CASE WHEN o_orderkey % 17 = 2 THEN 'X' ELSE s END AS s
+        |  FROM v2),
+        |v4 AS (SELECT * FROM v3 WHERE o_orderkey % 53 <> 0)
+        |SELECT 2 AS version, s AS o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM v2 GROUP BY 2
+        |UNION ALL SELECT 3, s, CAST(count(*) AS BIGINT) FROM v3 GROUP BY 2
+        |UNION ALL SELECT 4, s, CAST(count(*) AS BIGINT) FROM v4 GROUP BY 2
+        |ORDER BY version, o_orderstatus""".stripMargin,
     // JDBC upsert protocol: the oracle replays the versioned input with
     // last-per-key-by-seq semantics and aggregates the same final state
     "upsert_jdbc_protocol" ->

@@ -454,4 +454,105 @@ object MergeOps {
       .filter(col("n_orders") > 0)
       .orderBy("o_orderstatus")
   }
+
+  /** Manifest-stats file skipping — the lake twin of `q_partition_prune`
+    * (VERDICT r13 missing #2): the orders table lands RANGE-clustered on
+    * its key across 32 files (what ingest-time ordering or Z-order gives
+    * a real table), each manifest entry carrying footer-lifted min/max;
+    * a key-interval scan then prunes files from the MANIFEST alone — no
+    * footer, no file open for the ~29/32 files whose range cannot match.
+    * The entry REQUIRES the pruning to have bitten (a stats regression
+    * fails the gate loudly instead of quietly scanning everything), and
+    * the oracle replays the interval over the raw table — so pruning
+    * must also be sound: a file wrongly skipped loses rows and breaks
+    * the hash. LakeTableSpec pins the quantitative file counts. */
+  def qLakePruneRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakeprune_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"),
+      nBuckets = 32, layout = "range")
+    val (kept, total) = LakeTable.prunedEntries(path, 1, "o_orderkey", 1000L, 3000L)
+    require(kept.size < total,
+      s"lake_prune_read: stats pruning had no effect ($total files, kept ${kept.size})")
+    LakeTable.scan(spark, path, "o_orderkey", 1000L, 3000L)
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** Merge-on-read DELETE (deletion-vector shape, VERDICT r13 missing
+    * #4): erase keys ≡ 0 mod 59 — scattered across every hash-clustered
+    * file, the copy-on-write worst case (CoW would rewrite the whole
+    * table) — as ONE O(keys) equality-delete sidecar plus a manifest
+    * flip. The entry REQUIRES that no data file was rewritten (the
+    * file list of v2 is bit-identical to v1's), then emits the as-of(v1)
+    * read alongside the live v2 state: erased keys must still be
+    * time-travel-readable and gone from the sidecar-applied live read.
+    * The oracle replays both states; compaction materializing the
+    * sidecars away and vacuum reclaiming them are spec-pinned. */
+  def qLakeDeleteDV(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakedv_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    LakeTable.deleteDV(spark, path,
+      base.filter(col("o_orderkey") % 59 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    require(LakeTable.manifestFiles(path, 2) == LakeTable.manifestFiles(path, 1),
+      "lake_delete_dv: the merge-on-read delete rewrote data files")
+    val v1 = LakeTable.read(spark, path, Some(1)).withColumn("version", lit(1L))
+    val v2 = LakeTable.read(spark, path, Some(2)).withColumn("version", lit(2L))
+    v1.unionByName(v2)
+      .select(col("version"), col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("version", "o_orderkey")
+  }
+
+  /** Optimistic-concurrency MERGE (VERDICT r13 missing #3): two writers
+    * with DISJOINT key classes (status 'A' for keys ≡ 1 mod 7, 'B' for
+    * ≡ 2 mod 7) merge CONCURRENTLY from two threads against the same v1
+    * snapshot. Whichever loses the publish race classifies the winner's
+    * churn — via the O(delta) change feed, never a snapshot scan — as
+    * disjoint, rebases, and lands as the next version: both commits
+    * serialize (v2, v3) instead of one failing, the Delta
+    * optimistic-concurrency protocol. The entry REQUIRES both versions
+    * landed; the oracle replays the merged final state, which is
+    * order-independent because the key classes are disjoint.
+    * Overlapping-key refusal and the deterministic forced-conflict
+    * window are LakeTableSpec's half. */
+  def qLakeConcurrentMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakeocc_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    def writer(mod: Int, status: String): Thread = {
+      val t = new Thread(() => {
+        LakeTable.merge(spark, path,
+          base.filter(col("o_orderkey") % 7 === mod)
+            .withColumn("o_orderstatus", lit(status)),
+          Seq("o_orderkey"))
+        ()
+      })
+      t.setDaemon(true)
+      t
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(writer(1, "A"), writer(2, "B"))
+    ts.foreach(_.setUncaughtExceptionHandler((_, e) => { errs.add(e); () }))
+    ts.foreach(_.start())
+    ts.foreach(_.join(300000))
+    if (!errs.isEmpty) throw new IllegalStateException(
+      s"lake_concurrent_merge: a writer failed: ${errs.peek().getMessage}", errs.peek())
+    require(LakeTable.latestVersion(path) == 3,
+      s"lake_concurrent_merge: both writers must land (latest is ${LakeTable.latestVersion(path)})")
+    LakeTable.read(spark, path)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
 }

@@ -206,7 +206,10 @@ class EventStreamSpec extends SparkSpec {
         "stream_sessionize" -> (EventStreams.qStreamSessionize _),
         "stream_late_data" -> (EventStreams.qStreamLateData _),
         "stream_quality_filter" -> (EventStreams.qStreamQualityFilter _),
-        "stream_chunk_dedup" -> (EventStreams.qStreamChunkDedup _))
+        "stream_chunk_dedup" -> (EventStreams.qStreamChunkDedup _),
+        // maintains the MV across 4 lake commits by tailing the manifest
+        // log as a real stream; in-entry parity vs the batch fold
+        "stream_lake_cdf" -> (EventStreams.qStreamLakeCdf _))
       entries.foreach { case (name, fn) =>
         // the parity requires() fire inside the call; a non-empty result
         // guards against a vacuously-green identity on zero rows
