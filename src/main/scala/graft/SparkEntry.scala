@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_exact"         -> (graft.dedup.DedupOps.qDedupExact _),
     "dedup_incremental"   -> (graft.dedup.DedupOps.qDedupIncremental _),
     "dedup_index_serve"   -> (graft.dedup.DedupOps.qDedupIndexServe _),
+    "dedup_index_maintain" -> (graft.dedup.DedupOps.qDedupIndexMaintain _),
     "dedup_normalized"    -> (graft.dedup.DedupOps.qDedupNormalized _),
     "dedup_clusters"      -> (graft.dedup.DedupOps.qDedupClusters _),
     "dedup_minhash_lsh"   -> (graft.dedup.DedupOps.qDedupMinhashLsh _),
@@ -1496,6 +1497,28 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
         |probe AS (SELECT * FROM sh WHERE doc_id % 7 = 3),
         |idx AS (SELECT * FROM sh WHERE doc_id % 7 <> 3),
+        |near AS (
+        |  SELECT p.doc_id, count(*) AS n_near_dups,
+        |    sum(CASE WHEN i.doc_id % 7 = 5 THEN 1 ELSE 0 END) AS n_from_append
+        |  FROM probe p JOIN idx i
+        |    ON 2 * len(list_intersect(p.s, i.s)) >= len(p.s) + len(i.s) - len(list_intersect(p.s, i.s))
+        |  GROUP BY 1)
+        |SELECT p.doc_id,
+        |  CAST(coalesce(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  CAST(coalesce(n.n_from_append, 0) AS BIGINT) AS n_from_append,
+        |  CAST(CASE WHEN coalesce(n.n_near_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_novel
+        |FROM probe p LEFT JOIN near n USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    // maintenance replay: the oracle recomputes probe decisions over the
+    // SURVIVOR set (base ∪ appended minus the retracted ≡ 5 mod 14
+    // class) — a retraction leaking a dropped doc's postings or losing a
+    // survivor's shifts a count; compaction must be row-invisible
+    "dedup_index_maintain" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-2, 1)+1)]) AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)),
+        |probe AS (SELECT * FROM sh WHERE doc_id % 7 = 3),
+        |idx AS (SELECT * FROM sh WHERE doc_id % 7 <> 3 AND doc_id % 14 <> 5),
         |near AS (
         |  SELECT p.doc_id, count(*) AS n_near_dups,
         |    sum(CASE WHEN i.doc_id % 7 = 5 THEN 1 ELSE 0 END) AS n_from_append

@@ -590,6 +590,55 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Dedup-index MAINTENANCE lifecycle (VERDICT r13 ask #7 — the two
+    * passes a long-lived ingest-gate index needs that
+    * [[qDedupIndexServe]]'s build/append/probe does not exercise):
+    * build the base index, APPEND the ≡ 5 mod 7 class (fragmenting the
+    * postings store, one parquet fragment per batch), COMPACT the live
+    * generation (the entry REQUIRES the fragment count actually
+    * shrank), then RETRACT the odd half of the appended class
+    * (doc_id ≡ 5 mod 14) — the GDPR path: a filtered O(index) rewrite
+    * under the frozen banding, not the O(corpus) re-mine a
+    * staleness-forced rebuild pays. The probe of the ≡ 3 mod 7 class
+    * then runs against the maintained store, and the oracle replays the
+    * decisions from scratch over the SURVIVOR set — a retraction that
+    * leaks a dropped doc's postings (phantom candidate) or drops a
+    * survivor's (lost near-dup) shifts a count and breaks the hash;
+    * compaction must be row-invisible for the same reason.
+    * DedupIndexSpec pins retract ≡ rebuild-over-survivors row identity
+    * and the generation-flip atomicity. */
+  def qDedupIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DedupIndexStore
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_dedup_idxm_${graft.SessionCache.dirKey(dir)}").toString
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val cls = col("doc_id") % 7
+    DedupIndexStore.write(spark, dir, path, docs.filter(cls =!= 3 && cls =!= 5))
+    // two ingest batches (the even and odd halves of the ≡ 5 mod 7
+    // class) so the fragment accumulation is real at every test SF
+    DedupIndexStore.append(spark, dir, path, docs.filter(col("doc_id") % 14 === 12))
+    DedupIndexStore.append(spark, dir, path, docs.filter(col("doc_id") % 14 === 5))
+    val fragsBefore = DedupIndexStore.postingsFragments(path)
+    DedupIndexStore.compactIndex(spark, dir, path, targetFiles = 2)
+    val fragsAfter = DedupIndexStore.postingsFragments(path)
+    require(fragsAfter <= 2 && fragsAfter < fragsBefore,
+      s"dedup_index_maintain: compaction had no effect ($fragsBefore -> $fragsAfter fragments)")
+    DedupIndexStore.retract(spark, dir, path,
+      docs.filter(col("doc_id") % 14 === 5).select("doc_id"))
+    val pairs = DedupIndexStore.probe(spark, dir, path, docs.filter(cls === 3))
+    val counts = pairs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_near_dups"),
+      sum(when(col("base_id") % 7 === 5, 1L).otherwise(0L)).as("n_from_append"))
+    docs.filter(cls === 3).select("doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        coalesce(col("n_from_append"), lit(0L)).as("n_from_append"),
+        (coalesce(col("n_near_dups"), lit(0L)) === 0).cast("long").as("is_novel"))
+      .orderBy("doc_id")
+  }
+
   /** Containment dedup — the asymmetric near-dup cut symmetric Jaccard
     * misses: a short doc embedded in a longer one (truncated re-crawl,
     * quote expansion) has containment |A∩B| / min(|A|,|B|) ≈ 1 while its

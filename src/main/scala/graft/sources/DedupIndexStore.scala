@@ -12,23 +12,36 @@ import graft.dedup.DedupOps
   * `dedup_incremental` does by necessity of being a single query) is a
   * full-corpus pass a 100 TB ingest cannot afford per batch.
   *
-  * Layout under `path`:
-  *   - `shingles.parquet` (doc_id, sh)          — hashed shingle sets,
-  *     the exact-verification side (the `appended_vectors` analog: an
-  *     LSH-routed candidate the verifier cannot resolve would be
-  *     dropped silently)
-  *   - `postings.parquet` (band, bucket, doc_id) — the banded-LSH
+  * Layout under `path` (generational — the store's own OPTIMIZE story):
+  *   - `shingles-g<gen>.parquet` (doc_id, sh)   — hashed shingle sets,
+  *     the exact-verification side (an LSH-routed candidate the
+  *     verifier cannot resolve would be dropped silently)
+  *   - `postings-g<gen>.parquet` (band, bucket, doc_id) — the banded-LSH
   *     posting lists candidates are routed through
-  *   - `meta.json` — corpus snapshot + frozen banding constants
+  *   - `meta.json` — corpus snapshot + frozen banding constants + the
+  *     LIVE generation pointer
+  *
+  * `meta.json` is the store's manifest: it names the generation readers
+  * resolve, and every rewrite publishes via temp-file + ATOMIC_MOVE
+  * (the LakeTable discipline — a crash mid-maintenance leaves the old
+  * meta pointing at the old intact generation plus orphan new-gen
+  * files, never a meta that disagrees with its stores). Maintenance:
+  *   - [[append]] accretes parquet fragments per batch (cheap, O(batch));
+  *   - [[compactIndex]] rewrites the live generation as few files
+  *     (heals the small-file accumulation, postings' `lake_compact_read`);
+  *   - [[retract]] drops named doc_ids from postings AND shingles under
+  *     the frozen banding — the GDPR path: O(index) parquet filter, not
+  *     the O(corpus) re-tokenize+minhash a full rebuild pays.
   *
   * The banding configuration (shingle width, signature k, rows per
-  * band) is frozen at build time and recorded in `meta.json`; append
-  * and probe banding always read it from there — the MinHash analog of
-  * FAISS's frozen quantizer, except nothing retrains: signatures are
-  * deterministic in the text, so an append-built index is ROW-IDENTICAL
-  * to a from-scratch rebuild over the grown corpus (DedupIndexSpec pins
-  * that identity; for ANN the same claim is only approximate, which is
-  * why [[AnnIndexStore]] documents quantizer drift instead).
+  * band) is frozen at build time and recorded in `meta.json`; append,
+  * retract, and probe banding always read from there — the MinHash
+  * analog of FAISS's frozen quantizer, except nothing retrains:
+  * signatures are deterministic in the text, so an append-built (or
+  * retracted) index is ROW-IDENTICAL to a from-scratch rebuild over the
+  * same doc set (DedupIndexSpec pins both identities; for ANN the same
+  * claim is only approximate, which is why [[AnnIndexStore]] documents
+  * quantizer drift instead).
   *
   * Staleness: `meta.json` records [[graft.Tables.snapshot]] of the
   * documents table at WRITE time; [[probe]] and [[append]] recompute
@@ -45,6 +58,38 @@ object DedupIndexStore {
   val RowsPerBand = 4
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "meta.json")
+  private def shinglesDir(path: String, gen: Int) = s"$path/shingles-g$gen.parquet"
+  private def postingsDir(path: String, gen: Int) = s"$path/postings-g$gen.parquet"
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private final case class Meta(snapshot: String, gen: Int, appended: Long)
+
+  private def readMeta(path: String): Meta = {
+    val n = jsonMapper.readTree(java.nio.file.Files.readString(metaPath(path)))
+    Meta(n.path("snapshot").asText(), n.path("gen").asInt(0), n.path("appended").asLong(0))
+  }
+
+  /** Atomic meta publish: temp file + ATOMIC_MOVE, so a crash anywhere
+    * in a maintenance pass leaves the PREVIOUS meta intact and pointing
+    * at its intact generation (ADVICE r13: the old in-place
+    * read-modify-write could strand a half-updated count). Writers are
+    * single-per-index-path by contract (an ingest gate owns its index);
+    * the atomicity here is crash-safety, not multi-writer arbitration. */
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val json = jsonMapper.createObjectNode()
+    json.put("snapshot", m.snapshot)
+    json.put("shingleN", ShingleN); json.put("sigK", SigK)
+    json.put("rowsPerBand", RowsPerBand)
+    json.put("gen", m.gen); json.put("appended", m.appended)
+    val tmp = java.nio.file.Paths.get(path,
+      s".tmp-meta-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.writeString(tmp, jsonMapper.writeValueAsString(json))
+    java.nio.file.Files.move(tmp, metaPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** (doc_id, sh, sig) projection under the FIXED banding config. */
   private def signed(docs: DataFrame): DataFrame =
@@ -53,10 +98,7 @@ object DedupIndexStore {
       .withColumn("sig", DedupOps.minhashSignature(col("sh"), SigK))
 
   private def checkFresh(dataDir: String, path: String, op: String): Unit = {
-    val meta = java.nio.file.Files.readString(metaPath(path))
-    val stored = """"snapshot":"([^"]+)"""".r.findFirstMatchIn(meta)
-      .getOrElse(throw new IllegalStateException(
-        s"DedupIndexStore: meta.json at $path missing snapshot")).group(1)
+    val stored = readMeta(path).snapshot
     val live = graft.Tables.snapshot(s"$dataDir/documents.parquet")
     if (stored != live)
       throw new IllegalStateException(
@@ -71,14 +113,11 @@ object DedupIndexStore {
       docs: DataFrame): Unit = {
     LakeTable.deleteRecursively(new java.io.File(path))
     val s = signed(docs)
-    s.select("doc_id", "sh").write.mode("overwrite").parquet(s"$path/shingles.parquet")
+    s.select("doc_id", "sh").write.mode("overwrite").parquet(shinglesDir(path, 0))
     DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
       .select("band", "bucket", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings.parquet")
-    val meta =
-      s"""{"snapshot":"${graft.Tables.snapshot(s"$dataDir/documents.parquet")}",""" +
-        s""""shingleN":$ShingleN,"sigK":$SigK,"rowsPerBand":$RowsPerBand,"appended":0}"""
-    java.nio.file.Files.writeString(metaPath(path), meta)
+      .write.mode("overwrite").parquet(postingsDir(path, 0))
+    writeMeta(path, Meta(graft.Tables.snapshot(s"$dataDir/documents.parquet"), 0, 0))
   }
 
   /** Incrementally index a batch (doc_id, text) — signatures and
@@ -91,16 +130,87 @@ object DedupIndexStore {
   def append(spark: SparkSession, dataDir: String, path: String,
       batch: DataFrame): Unit = {
     checkFresh(dataDir, path, "append")
+    val meta = readMeta(path)
     val s = signed(batch)
-    s.select("doc_id", "sh").write.mode("append").parquet(s"$path/shingles.parquet")
+    s.select("doc_id", "sh").write.mode("append").parquet(shinglesDir(path, meta.gen))
     DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
       .select("band", "bucket", "doc_id")
-      .write.mode("append").parquet(s"$path/postings.parquet")
-    val meta = java.nio.file.Files.readString(metaPath(path))
-    val n = batch.count()
-    java.nio.file.Files.writeString(metaPath(path),
-      """"appended":(\d+)""".r.replaceAllIn(meta,
-        m => s""""appended":${m.group(1).toLong + n}"""))
+      .write.mode("append").parquet(postingsDir(path, meta.gen))
+    writeMeta(path, meta.copy(appended = meta.appended + batch.count()))
+  }
+
+  /** Publish generation `gen+1` from the given frames, then drop the
+    * old generation's directories (crash before the meta move keeps the
+    * old generation live and leaves new-gen orphans; crash after keeps
+    * the new generation live and leaves old-gen orphans — both read
+    * consistently, neither loses data). */
+  private def publishGeneration(path: String, meta: Meta,
+      shingles: DataFrame, postings: DataFrame, targetFiles: Int): Unit = {
+    val next = meta.gen + 1
+    shingles.coalesce(targetFiles).write.mode("overwrite")
+      .parquet(shinglesDir(path, next))
+    postings.coalesce(targetFiles).write.mode("overwrite")
+      .parquet(postingsDir(path, next))
+    writeMeta(path, meta.copy(gen = next))
+    LakeTable.deleteRecursively(new java.io.File(shinglesDir(path, meta.gen)))
+    LakeTable.deleteRecursively(new java.io.File(postingsDir(path, meta.gen)))
+  }
+
+  /** OPTIMIZE for the index: rewrite the live generation's postings and
+    * shingles as `targetFiles` files each — heals the one-fragment-per-
+    * append accumulation (probe scan task count otherwise tracks append
+    * count instead of index size, the small-file story
+    * `lake_compact_read` fixes for the lake). Row-identical by
+    * construction; the generation flip is the atomic publish. */
+  def compactIndex(spark: SparkSession, dataDir: String, path: String,
+      targetFiles: Int = 4): Unit = {
+    checkFresh(dataDir, path, "compact")
+    val meta = readMeta(path)
+    publishGeneration(path, meta,
+      spark.read.parquet(shinglesDir(path, meta.gen)),
+      spark.read.parquet(postingsDir(path, meta.gen)), targetFiles)
+  }
+
+  /** GDPR retraction: drop `docIds` (a one-column doc_id frame) from
+    * postings AND shingles under the frozen banding — after this, no
+    * probe can route to or verify against a retracted doc, and the
+    * index equals a from-scratch rebuild over the survivors
+    * (DedupIndexSpec pins the row identity). Cost: one filtered rewrite
+    * of the index stores — O(index), NOT the O(corpus)
+    * re-tokenize+minhash a staleness-forced rebuild pays; the retracted
+    * keys broadcast (erasure batches are bounded by contract). The new
+    * generation re-stamps the live corpus snapshot, so an erasure that
+    * also rewrote the documents table re-freshens the gate. */
+  def retract(spark: SparkSession, dataDir: String, path: String,
+      docIds: DataFrame): Unit = {
+    val meta = readMeta(path)
+    val ids = docIds.select("doc_id")
+    publishGeneration(path,
+      meta.copy(snapshot = graft.Tables.snapshot(s"$dataDir/documents.parquet")),
+      spark.read.parquet(shinglesDir(path, meta.gen))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select("doc_id", "sh"), // the anti-join key-fronts columns; keep the store layout canonical
+      spark.read.parquet(postingsDir(path, meta.gen))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select("band", "bucket", "doc_id"),
+      targetFiles = 4)
+  }
+
+  /** Live-generation store directories — spec hooks (readers go through
+    * [[probe]]; these exist so DedupIndexSpec can compare raw postings
+    * across maintenance passes). */
+  private[graft] def livePostings(path: String): String =
+    postingsDir(path, readMeta(path).gen)
+  private[graft] def liveShingles(path: String): String =
+    shinglesDir(path, readMeta(path).gen)
+
+  /** Parquet fragment count of the live generation's postings store —
+    * the maintenance health metric [[compactIndex]] exists to bound. */
+  def postingsFragments(path: String): Int = {
+    val gen = readMeta(path).gen
+    Option(new java.io.File(postingsDir(path, gen)).listFiles)
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
   }
 
   /** Probe a query batch (doc_id, text) against the stored corpus:
@@ -113,8 +223,9 @@ object DedupIndexStore {
   def probe(spark: SparkSession, dataDir: String, path: String,
       queries: DataFrame): DataFrame = {
     checkFresh(dataDir, path, "probe")
+    val gen = readMeta(path).gen
     val q = signed(queries)
-    val postings = spark.read.parquet(s"$path/postings.parquet")
+    val postings = spark.read.parquet(postingsDir(path, gen))
       .withColumnRenamed("doc_id", "base_id")
     // every batch-derived side is broadcast BY CONTRACT (an ingest
     // batch is bounded; the index is the corpus): the band probe
@@ -126,7 +237,7 @@ object DedupIndexStore {
       .hint("broadcast")
       .join(postings, Seq("band", "bucket"))
       .select("doc_id", "base_id").distinct()
-    val baseSh = spark.read.parquet(s"$path/shingles.parquet")
+    val baseSh = spark.read.parquet(shinglesDir(path, gen))
       .select(col("doc_id").as("base_id"), col("sh").as("sh_b"))
     val (inter, union) = DedupOps.jaccardCounts(col("sh_a"), col("sh_b"))
     cands

@@ -29,7 +29,7 @@ class DedupIndexSpec extends SparkSpec {
     val scratch = freshPath("scratch")
     DedupIndexStore.write(spark, SfDir, scratch, base.unionByName(batchA))
 
-    def postings(p: String) = spark.read.parquet(s"$p/postings.parquet")
+    def postings(p: String) = spark.read.parquet(DedupIndexStore.livePostings(p))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
     assert(postings(grown) == postings(scratch),
       "append produced different postings than a rebuild — banding not frozen")
@@ -39,6 +39,55 @@ class DedupIndexSpec extends SparkSpec {
     val d = decisions(grown)
     assert(d == decisions(scratch))
     assert(d.nonEmpty, "no verified near-dup pair — probe vacuous at this SF")
+  }
+
+  test("compaction is row-invisible and heals fragments; retract ≡ rebuild over survivors") {
+    val docs = Tables.documents(spark, SfDir).select("doc_id", "text")
+    val cls = col("doc_id") % 7
+    val base = docs.filter(cls =!= 3 && cls =!= 5)
+    val batchA = docs.filter(cls === 5)
+    val probes = docs.filter(cls === 3)
+
+    val p = freshPath("maint")
+    DedupIndexStore.write(spark, SfDir, p, base)
+    DedupIndexStore.append(spark, SfDir, p, batchA.filter(col("doc_id") % 14 === 12))
+    DedupIndexStore.append(spark, SfDir, p, batchA.filter(col("doc_id") % 14 === 5))
+    def postings(path: String) = spark.read.parquet(DedupIndexStore.livePostings(path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // compaction: the fragment count shrinks, the postings SET does not
+    val pre = postings(p)
+    val fragsBefore = DedupIndexStore.postingsFragments(p)
+    assert(fragsBefore > 1, s"fixture not fragmented ($fragsBefore fragments)")
+    DedupIndexStore.compactIndex(spark, SfDir, p, targetFiles = 1)
+    assert(DedupIndexStore.postingsFragments(p) == 1)
+    assert(postings(p) == pre, "compaction changed the postings set")
+    // retraction under the frozen banding equals a from-scratch rebuild
+    // over the survivor set — postings AND probe decisions
+    val retracted = docs.filter(col("doc_id") % 14 === 5)
+    DedupIndexStore.retract(spark, SfDir, p, retracted.select("doc_id"))
+    val survivors = freshPath("maint_scratch")
+    DedupIndexStore.write(spark, SfDir, survivors,
+      base.unionByName(batchA.filter(col("doc_id") % 14 =!= 5)))
+    assert(postings(p) == postings(survivors),
+      "retract left different postings than a rebuild over the survivors")
+    def shingleIds(path: String) = spark.read.parquet(DedupIndexStore.liveShingles(path))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(shingleIds(p) == shingleIds(survivors),
+      "retract stranded (or lost) verification shingles")
+    def decisions(path: String) = DedupIndexStore.probe(spark, SfDir, path, probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(decisions(p) == decisions(survivors))
+    // generation hygiene: old generations and meta temp files are gone
+    val left = Option(new java.io.File(p).listFiles).getOrElse(Array.empty).map(_.getName)
+    assert(!left.exists(_.startsWith(".tmp-meta")), s"stray meta temp: ${left.mkString(",")}")
+    assert(left.count(_.startsWith("postings-g")) == 1 &&
+      left.count(_.startsWith("shingles-g")) == 1,
+      s"old generations survived: ${left.mkString(",")}")
+    // the probe still refuses a different corpus after maintenance
+    val err = intercept[IllegalStateException] {
+      DedupIndexStore.probe(spark, "/root/testdata/sf0.01", p, probes.limit(1))
+    }
+    assert(err.getMessage.contains("DIFFERENT corpus"))
   }
 
   test("entry emits append-generation hits and novelty; probing a stale index fails loudly") {
