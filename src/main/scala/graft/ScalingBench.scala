@@ -165,7 +165,11 @@ object ScalingBench {
     // track dedup_minhash_lsh's banded-join shape plus the store I/O)
     // and general-τ mixing (groupBy(source) + broadcast scalar + a
     // per-source BigInteger root — flat like text_temperature_mix)
-    "dedup_index_serve", "text_temperature_mix_tau")
+    "dedup_index_serve", "text_temperature_mix_tau",
+    // r14: the maintained index lifecycle (build + 2 appends + compact +
+    // retract + probe) — compact/retract are O(index) rewrites, so the
+    // whole entry should track corpus size like dedup_index_serve
+    "dedup_index_maintain")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),
@@ -257,6 +261,18 @@ object ScalingBench {
     // r13: incremental MV maintenance — v1-agg + delta application,
     // must cost O(agg + delta) on top of the shared table build
     "lake_incremental_mv",
+    // r14: the CDC read is now a manifest diff (churned files only), so
+    // lake_change_feed / lake_incremental_mv above should flatten vs
+    // their r13 O(table) slopes. New entries: stats-pruned range scan
+    // (create pays the k-fold range write; the SCAN term must track the
+    // fixed interval, not the table), merge-on-read DV delete (O(keys)
+    // sidecar + discovery scan), two-writer OCC (two CoW merges + the
+    // O(delta) conflict classification), the CDF-streamed MV trajectory
+    // (three O(delta) steps on top of the four-commit build), and the
+    // maintained dedup index (build + 2 appends + compact + retract +
+    // probe — the compact/retract terms are O(index))
+    "lake_prune_read", "lake_delete_dv", "lake_concurrent_merge",
+    "stream_lake_cdf",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

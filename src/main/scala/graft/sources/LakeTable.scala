@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Snapshot-versioned lake table with copy-on-write MERGE and as-of
   * reads — the transactional story a 100 TB lake runs on (the
@@ -216,9 +216,14 @@ object LakeTable {
 
   // ---- footer stats (data skipping) ----
 
-  /** Spark type → stats family, for the columns worth collecting. */
+  /** Spark type → stats family, for the columns worth collecting.
+    * Dates (int32 days) and timestamps (int64 micros) ride the long
+    * family — their parquet footer stats are already integers on the
+    * comparable axis, so time-range pruning (the most common lake scan
+    * predicate) costs nothing extra. */
   private def statsFamily(dt: DataType): Option[String] = dt match {
-    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | TimestampNTZType => Some("long")
     case FloatType | DoubleType => Some("double")
     case StringType => Some("string")
     case _ => None
@@ -353,6 +358,17 @@ object LakeTable {
 
   private def toLong(a: Any): Long = a match {
     case n: Number => n.longValue
+    // the long-family temporal axes, converted to the parquet footer's
+    // physical units (days / micros)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp =>
+      java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime) + t.getNanos / 1000 % 1000
+    case t: java.time.Instant =>
+      java.util.concurrent.TimeUnit.SECONDS.toMicros(t.getEpochSecond) + t.getNano / 1000
+    case t: java.time.LocalDateTime =>
+      java.util.concurrent.TimeUnit.SECONDS.toMicros(
+        t.toEpochSecond(java.time.ZoneOffset.UTC)) + t.getNano / 1000
     case o => o.toString.toLong
   }
   private def toDouble(a: Any): Double = a match {

@@ -296,6 +296,27 @@ class LakeTableSpec extends SparkSpec {
       == (101L to 150L).map(k => (k, s"s$k", k)).toSet)
   }
 
+  test("stats pruning on a DATE key: time-range scan prunes on footer day stats") {
+    import spark.implicits._
+    val p = freshPath("prune_date")
+    val base = (0 until 365).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2025, 1, 1).plusDays(i)), i.toLong)
+    }.toDF("day", "v")
+    LakeTable.create(spark, p, base, Seq("day"), nBuckets = 12, layout = "range")
+    val lo = java.sql.Date.valueOf("2025-06-01")
+    val hi = java.sql.Date.valueOf("2025-06-30")
+    val (kept, total) = LakeTable.prunedEntries(p, 1, "day", lo, hi)
+    assert(total == 12 && kept.size <= 2,
+      s"a 30/365-day interval should prune to <=2/12 range files, kept ${kept.size}/$total")
+    val got = LakeTable.scan(spark, p, "day", lo, hi).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val expect = (0 until 365).map(i =>
+        (java.time.LocalDate.of(2025, 1, 1).plusDays(i), i.toLong))
+      .filter { case (d, _) => !d.isBefore(lo.toLocalDate) && !d.isAfter(hi.toLocalDate) }
+      .map { case (d, v) => (d.toString, v) }.toSet
+    assert(got == expect)
+  }
+
   test("deleteDV: scattered erasure rewrites NO data file; compact materializes; vacuum reclaims") {
     import spark.implicits._
     val p = freshPath("dv")
