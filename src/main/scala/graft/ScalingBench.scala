@@ -166,10 +166,10 @@ object ScalingBench {
     // and general-τ mixing (groupBy(source) + broadcast scalar + a
     // per-source BigInteger root — flat like text_temperature_mix)
     "dedup_index_serve", "text_temperature_mix_tau",
-    // r14: the maintained index lifecycle (build + 2 appends + compact +
-    // retract + probe) — compact/retract are O(index) rewrites, so the
-    // whole entry should track corpus size like dedup_index_serve
-    "dedup_index_maintain")
+    // r14: the maintained index lifecycles (build + 2 appends + compact +
+    // retract + probe/serve) — compact/retract are O(index) rewrites, so
+    // both entries should track corpus size like their *_serve twins
+    "dedup_index_maintain", "ann_index_maintain")
 
   /** Relational/TPC-H family (VERDICT r4 ask #4): the shapes where a
     * surprise quadratic would hide — grouped countDistinct (q21, q16),

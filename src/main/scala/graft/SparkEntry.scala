@@ -169,6 +169,7 @@ object SparkEntry {
     "embed_knn_density"   -> (graft.similarity.SimilarityOps.qEmbedKnnDensity _),
     "ann_range_search"    -> (graft.similarity.SimilarityOps.qAnnRangeSearch _),
     "ann_index_serve"     -> (graft.similarity.SimilarityOps.qAnnIndexServe _),
+    "ann_index_maintain"  -> (graft.similarity.SimilarityOps.qAnnIndexMaintain _),
     "embed_mips"          -> (graft.similarity.SimilarityOps.qEmbedMips _),
     "ann_mips_lsh"        -> (graft.similarity.SimilarityOps.qAnnMipsLsh _),
     "gdpr_forget_keys"    -> (graft.operators.GovernanceOps.qGdprForgetKeys _),
@@ -2092,6 +2093,17 @@ object SparkEntry {
         |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
         |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
         |  TRUE AS mean_recall_ok, TRUE AS top1_ok, TRUE AS append_rank2_ok
+        |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
+    // the maintained index (append x2, compact, retract the odd-half
+    // twins) must keep every lifecycle boolean TRUE: the recall floor
+    // over the SURVIVOR corpus, top1 = planted base twin, surviving
+    // twins at rank 2, retracted twins NEVER served (a stranded code or
+    // rerank vector flips append_ok)
+    "ann_index_maintain" ->
+      """WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0),
+        |st AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS stride FROM q)
+        |SELECT vec_id + 1000000 AS query_id, CAST(10 AS BIGINT) AS k,
+        |  TRUE AS mean_recall_ok, TRUE AS top1_ok, TRUE AS append_ok
         |FROM q, st WHERE (vec_id // 25) % stride = 0 ORDER BY query_id""".stripMargin,
     // kNN-graph density: same sampled-twin contract; n_scored is the
     // exact corpus+twins row count (proves the pass covered the graph),

@@ -1308,6 +1308,65 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** ANN-index MAINTENANCE lifecycle (r14 — the [[graft.sources.DedupIndexStore]]
+    * maintenance story mirrored onto the serving index, closing the
+    * compliance hole where a GDPR erasure of documents strands their
+    * EMBEDDINGS rankable in the index): build + persist, APPEND the
+    * planted batch in TWO halves (fragmenting the codes store one
+    * parquet file per batch), COMPACT the live generation (the entry
+    * REQUIRES the fragment count shrank; row-invisible), then RETRACT
+    * the odd half (source ids ≡ 25 mod 50) — a filtered O(index)
+    * rewrite under the frozen quantizer, no k-means / PQ re-encode —
+    * and serve. Gates per query: the recall floor against brute truth
+    * over the SURVIVOR corpus, top1 = the planted base twin, and
+    * `append_ok` split by class — surviving-twin queries must serve the
+    * twin at rank 2 (compaction + retraction didn't disturb neighbors),
+    * retracted-twin queries must NEVER see the twin in their top-10 (a
+    * stranded code or rerank vector resurfaces it and flips the
+    * boolean). */
+  def qAnnIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val st = gateStride(spark, dir)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ann_maint_${graft.SessionCache.dirKey(dir)}").toString
+    val batch = appendBatch(spark, dir)
+    val srcId = col("vec_id") - AppendIdOffset
+    val surviving = batch.filter(srcId % 50 === 0)
+    val retracted = batch.filter(srcId % 50 === 25)
+    graft.sources.AnnIndexStore.write(spark, dir, path)
+    graft.sources.AnnIndexStore.append(spark, dir, path, surviving)
+    graft.sources.AnnIndexStore.append(spark, dir, path, retracted)
+    val fragsBefore = graft.sources.AnnIndexStore.codesFragments(path)
+    graft.sources.AnnIndexStore.compactIndexFiles(spark, dir, path, targetFiles = 2)
+    val fragsAfter = graft.sources.AnnIndexStore.codesFragments(path)
+    require(fragsAfter <= 2 && fragsAfter < fragsBefore,
+      s"ann_index_maintain: compaction had no effect ($fragsBefore -> $fragsAfter fragments)")
+    graft.sources.AnnIndexStore.retract(spark, dir, path, retracted.select("vec_id"))
+    val ranked = graft.sources.AnnIndexStore.serve(spark, dir, path, st)
+    val truth = bruteTruthTop10(spark, dir, st, Some(surviving))
+      .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
+    val twinId = col("query_id") - PlantedIdOffset + AppendIdOffset
+    val perQuery = ranked
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("in_brute"), 1).otherwise(0)).as("__hits"),
+        max(when(col("rank") === 1, col("vec_id"))).as("__top1"),
+        max(when(col("rank") === 2, col("vec_id"))).as("__rank2"),
+        max(when(col("vec_id") === twinId, 1L).otherwise(0L)).as("__twin_seen"))
+    val meanOk = perQuery.agg(
+      (sum(col("__hits")) * 10 >= lit(IvfPqMinMeanRecallPct.toLong) * count(lit(1)))
+        .as("mean_recall_ok"))
+    perQuery.join(broadcast(meanOk), lit(true))
+      .select(col("query_id"),
+        lit(10L).as("k"),
+        col("mean_recall_ok"),
+        (col("__top1") === col("query_id") - PlantedIdOffset).as("top1_ok"),
+        when((col("query_id") - PlantedIdOffset) % 50 === 0, col("__rank2") === twinId)
+          .otherwise(col("__twin_seen") === 0L).as("append_ok"))
+      .orderBy("query_id")
+  }
+
   // ---- corpus-scale kNN-graph join (VERDICT r9 ask #1) ----
 
   /** Probe cells per GRAPH vector for the kNN-graph join. Unlike the

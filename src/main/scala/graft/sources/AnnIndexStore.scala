@@ -15,11 +15,23 @@ import graft.similarity.SimilarityOps.IvfPqIndex
   * TABLES — this store does the latter, so the index is itself
   * queryable, partition-prunable parquet).
   *
-  * Layout under `path`:
-  *   - `cells.parquet`    (cell, cvec, cnorm)         — probe-able quantizer
-  *   - `codes.parquet`    (vec_id, cell, codes)       — the 8-byte/vector corpus
-  *   - `codebook.parquet` (block, code, cvec)         — residual PQ codebook
-  *   - `meta.json`        snapshot + capacity constants
+  * Layout under `path` (generational where maintenance mutates —
+  * the [[DedupIndexStore]] convention):
+  *   - `cells.parquet`    (cell, cvec, cnorm)     — probe-able quantizer
+  *   - `codes-g<gen>.parquet` (vec_id, cell, codes) — the 8-byte/vector corpus
+  *   - `appended_vectors-g<gen>.parquet` (vec_id, vec) — full vectors of
+  *     appended batches (the exact-rerank side for ids the live corpus
+  *     doesn't hold)
+  *   - `codebook.parquet` (block, code, cvec)     — residual PQ codebook
+  *   - `meta.json`        snapshot + capacity constants + live generation
+  *
+  * `meta.json` is the store's manifest: it names the generation readers
+  * resolve and publishes every maintenance pass via temp-file +
+  * ATOMIC_MOVE — a crash mid-[[compactIndexFiles]]/mid-[[retract]]
+  * leaves the old meta pointing at the old intact generation plus
+  * orphan new-generation files, never a meta disagreeing with its
+  * stores. cells/codebook are immutable after [[write]] (the frozen
+  * quantizer) and stay flat files.
   *
   * Staleness: `meta.json` records [[graft.Tables.snapshot]] of the
   * embeddings table at WRITE time; [[read]] recomputes it and fails
@@ -30,6 +42,8 @@ import graft.similarity.SimilarityOps.IvfPqIndex
 object AnnIndexStore {
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "meta.json")
+  private def codesDir(path: String, gen: Int) = s"$path/codes-g$gen.parquet"
+  private def appendedDir(path: String, gen: Int) = s"$path/appended_vectors-g$gen.parquet"
 
   private def deleteRecursively(f: java.io.File): Unit =
     if (f.exists) {
@@ -38,65 +52,82 @@ object AnnIndexStore {
         throw new IllegalStateException(s"AnnIndexStore: cannot delete ${f.getPath}")
     }
 
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private final case class Meta(snapshot: String, nCells: Int, blocks: Int,
+      codes: Int, gen: Int, appended: Long)
+
+  private def readMeta(path: String): Meta = {
+    val n = jsonMapper.readTree(java.nio.file.Files.readString(metaPath(path)))
+    def miss(k: String) = throw new IllegalStateException(
+      s"AnnIndexStore: meta.json at $path missing field $k")
+    def req(k: String) = { val v = n.get(k); if (v == null) miss(k) else v }
+    Meta(req("snapshot").asText(), req("nCells").asInt(), req("blocks").asInt(),
+      req("codes").asInt(), n.path("gen").asInt(0), n.path("appended").asLong(0))
+  }
+
+  /** Atomic meta publish — the crash-safety half of every maintenance
+    * pass (same discipline as [[DedupIndexStore]]; single writer per
+    * index path by contract). */
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val json = jsonMapper.createObjectNode()
+    json.put("snapshot", m.snapshot)
+    json.put("nCells", m.nCells); json.put("blocks", m.blocks)
+    json.put("codes", m.codes)
+    json.put("gen", m.gen); json.put("appended", m.appended)
+    val tmp = java.nio.file.Paths.get(path,
+      s".tmp-meta-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.writeString(tmp, jsonMapper.writeValueAsString(json))
+    java.nio.file.Files.move(tmp, metaPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Build (via the session cache — free if already built) and persist
-    * the serving index for the corpus at `dataDir`. */
+    * the serving index for the corpus at `dataDir`. A REBUILD starts a
+    * fresh generation 0 with a clean appended set (left behind, serve()
+    * would silently union stale vectors into the rerank base). */
   def write(spark: SparkSession, dataDir: String, path: String): Unit = {
-    // a REBUILD invalidates any prior generation's appended vectors:
-    // left behind, serve() would silently union them into the rerank
-    // base (and an id that joined the new corpus would produce duplicate
-    // candidate rows in the top-10) — the rebuild-when-recall-sags
-    // lifecycle starts from a clean appended set, and the fresh
-    // meta.json below drops the stale "appended" count with it
-    deleteRecursively(new java.io.File(s"$path/appended_vectors.parquet"))
+    deleteRecursively(new java.io.File(path))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     val idx = SimilarityOps.buildIvfPqIndex(spark, dataDir)
     idx.cells.write.mode("overwrite").parquet(s"$path/cells.parquet")
-    idx.withCodes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+    idx.withCodes.write.mode("overwrite").parquet(codesDir(path, 0))
     val spark2 = spark
     import spark2.implicits._
     idx.codebook.zipWithIndex.flatMap { case (cells, b) =>
       cells.zipWithIndex.map { case (c, k) => (b, k, c.toSeq) }
     }.toSeq.toDF("block", "code", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook.parquet")
-    val meta =
-      s"""{"snapshot":"${graft.Tables.snapshot(s"$dataDir/embeddings.parquet")}",""" +
-        s""""nCells":${idx.nCells},"blocks":${idx.codebook.length},""" +
-        s""""codes":${idx.codebook.head.length}}"""
-    java.nio.file.Files.writeString(metaPath(path), meta)
+    writeMeta(path, Meta(graft.Tables.snapshot(s"$dataDir/embeddings.parquet"),
+      idx.nCells, idx.codebook.length, idx.codebook.head.length, 0, 0))
   }
 
   /** Load a persisted index for serving against `dataDir`. */
   def read(spark: SparkSession, dataDir: String, path: String,
       allowStale: Boolean = false): IvfPqIndex = {
-    val meta = java.nio.file.Files.readString(metaPath(path))
-    def field(k: String): String =
-      s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(meta)
-        .getOrElse(throw new IllegalStateException(
-          s"AnnIndexStore: meta.json at $path missing field $k"))
-        .group(1)
-    val storedSnap = field("snapshot")
+    val meta = readMeta(path)
     val liveSnap = graft.Tables.snapshot(s"$dataDir/embeddings.parquet")
-    if (storedSnap != liveSnap && !allowStale)
+    if (meta.snapshot != liveSnap && !allowStale)
       throw new IllegalStateException(
         s"AnnIndexStore: index at $path was built over a DIFFERENT corpus " +
-          s"(stored snapshot $storedSnap, live $liveSnap) — serving it would " +
+          s"(stored snapshot ${meta.snapshot}, live $liveSnap) — serving it would " +
           "return wrong neighbors; rebuild with write(), or pass " +
           "allowStale=true for forensics only")
-    val nCells = field("nCells").toInt
-    val blocks = field("blocks").toInt
-    val codes = field("codes").toInt
     val cbRows = spark.read.parquet(s"$path/codebook.parquet")
       .select("block", "code", "cvec").collect()
-    require(cbRows.length == blocks * codes,
-      s"AnnIndexStore: codebook has ${cbRows.length} rows, expected ${blocks * codes}")
-    val codebook = Array.ofDim[Array[Double]](blocks, codes)
+    require(cbRows.length == meta.blocks * meta.codes,
+      s"AnnIndexStore: codebook has ${cbRows.length} rows, expected ${meta.blocks * meta.codes}")
+    val codebook = Array.ofDim[Array[Double]](meta.blocks, meta.codes)
     cbRows.foreach { r =>
       codebook(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
     IvfPqIndex(
       spark.read.parquet(s"$path/cells.parquet"),
-      spark.read.parquet(s"$path/codes.parquet"),
+      spark.read.parquet(codesDir(path, meta.gen)),
       codebook,
-      nCells)
+      meta.nCells)
   }
 
   /** Serve top-k from a LOADED index (queries + exact-rerank vectors
@@ -106,9 +137,10 @@ object AnnIndexStore {
     * rerank cannot resolve would otherwise be dropped silently). */
   def serve(spark: SparkSession, dataDir: String, path: String,
       queryStride: Long = 1L): DataFrame = {
-    val appendedDir = new java.io.File(s"$path/appended_vectors.parquet")
+    val gen = readMeta(path).gen
+    val appended = new java.io.File(appendedDir(path, gen))
     val extra =
-      if (appendedDir.exists) Some(spark.read.parquet(appendedDir.getPath))
+      if (appended.exists) Some(spark.read.parquet(appended.getPath))
       else None
     SimilarityOps.ivfPqServe(spark, dataDir, queryStride,
       read(spark, dataDir, path), extra)
@@ -119,15 +151,17 @@ object AnnIndexStore {
     * cell and PQ-encode its residual with the STORED codebook (no
     * retrain — the quantizer is frozen at build time, which is what
     * makes the operation an append instead of a rebuild), then append
-    * the (vec_id, cell, codes) rows to `codes.parquet`. One broadcast
-    * join pass over the batch; the base corpus is never touched. The
-    * quantizer drifts from the data distribution as appends accumulate
-    * — production systems rebuild when recall sags; [[read]]'s snapshot
-    * gate is deliberately left on the BUILD corpus so a rebuild-vs-
-    * append decision stays visible in `meta.json` (`appended` count). */
+    * the (vec_id, cell, codes) rows to the live codes generation. One
+    * broadcast join pass over the batch; the base corpus is never
+    * touched. The quantizer drifts from the data distribution as
+    * appends accumulate — production systems rebuild when recall sags;
+    * [[read]]'s snapshot gate is deliberately left on the BUILD corpus
+    * so a rebuild-vs-append decision stays visible in `meta.json`
+    * (`appended` count). */
   def append(spark: SparkSession, dataDir: String, path: String,
       batch: DataFrame): Unit = {
     val idx = read(spark, dataDir, path)
+    val meta = readMeta(path)
     val encoded = SimilarityOps.encodeWithIndex(spark, batch, idx)
     // Write order is a crash-safety invariant: the FULL vectors land
     // FIRST, the ADC-rankable codes second. Codes serve the ranking, but
@@ -137,15 +171,83 @@ object AnnIndexStore {
     // dropped silently — the exact failure [[serve]]'s union exists to
     // prevent).
     batch.select(col("vec_id"), col("vec"))
-      .write.mode("append").parquet(s"$path/appended_vectors.parquet")
-    encoded.write.mode("append").parquet(s"$path/codes.parquet")
-    val meta = java.nio.file.Files.readString(metaPath(path))
-    val n = batch.count()
-    val updated =
-      if (meta.contains("\"appended\":"))
-        """"appended":(\d+)""".r.replaceAllIn(meta,
-          m => s""""appended":${m.group(1).toLong + n}""")
-      else meta.patch(meta.lastIndexOf('}'), s""","appended":$n""", 0)
-    java.nio.file.Files.writeString(metaPath(path), updated)
+      .write.mode("append").parquet(appendedDir(path, meta.gen))
+    encoded.write.mode("append").parquet(codesDir(path, meta.gen))
+    writeMeta(path, meta.copy(appended = meta.appended + batch.count()))
+  }
+
+  /** Publish generation gen+1 from the given frames (appended may be
+    * None when the store has no appended set), then drop the old
+    * generation's directories — crash on either side of the meta move
+    * leaves one intact generation live plus harmless orphans. */
+  private def publishGeneration(path: String, meta: Meta,
+      codes: DataFrame, appended: Option[DataFrame], targetFiles: Int): Unit = {
+    val next = meta.gen + 1
+    codes.coalesce(targetFiles).write.mode("overwrite")
+      .parquet(codesDir(path, next))
+    appended.foreach(_.coalesce(targetFiles).write.mode("overwrite")
+      .parquet(appendedDir(path, next)))
+    writeMeta(path, meta.copy(gen = next))
+    deleteRecursively(new java.io.File(codesDir(path, meta.gen)))
+    deleteRecursively(new java.io.File(appendedDir(path, meta.gen)))
+  }
+
+  private def liveAppended(spark: SparkSession, path: String,
+      gen: Int): Option[DataFrame] = {
+    val d = new java.io.File(appendedDir(path, gen))
+    if (d.exists) Some(spark.read.parquet(d.getPath)) else None
+  }
+
+  /** OPTIMIZE for the index: rewrite the live codes (and appended
+    * vectors) generation as `targetFiles` files each — heals the
+    * one-fragment-per-append accumulation so serving scan tasks track
+    * index size, not append count. Row-identical by construction. */
+  def compactIndexFiles(spark: SparkSession, dataDir: String, path: String,
+      targetFiles: Int = 4): Unit = {
+    val meta = readMeta(path)
+    publishGeneration(path, meta,
+      spark.read.parquet(codesDir(path, meta.gen)),
+      liveAppended(spark, path, meta.gen), targetFiles)
+  }
+
+  /** GDPR retraction: drop `vecIds` (a one-column vec_id frame) from
+    * the codes AND the appended-vector store — after this, no ADC scan
+    * ranks a retracted vector and no rerank can return it, without the
+    * O(corpus) k-means + PQ re-encode a rebuild pays (the quantizer is
+    * frozen; removing rows does not perturb other rows' codes, so the
+    * maintained index is row-identical to one built WITHOUT the
+    * retracted ids under the same quantizer — AnnIndexSpec pins the
+    * serve-level consequence). Retracting a LIVE-corpus id also works
+    * (its codes row goes away; the corpus row stays until the corpus
+    * itself is erased — at which point the snapshot gate forces the
+    * rebuild decision). */
+  def retract(spark: SparkSession, dataDir: String, path: String,
+      vecIds: DataFrame): Unit = {
+    val meta = readMeta(path)
+    val ids = vecIds.select("vec_id")
+    publishGeneration(path, meta,
+      spark.read.parquet(codesDir(path, meta.gen))
+        .join(broadcast(ids), Seq("vec_id"), "left_anti")
+        .select("vec_id", "cell", "codes"),
+      liveAppended(spark, path, meta.gen).map(
+        _.join(broadcast(ids), Seq("vec_id"), "left_anti")
+          .select("vec_id", "vec")),
+      targetFiles = 4)
+  }
+
+  /** Live-generation store directories — spec hooks (readers go through
+    * [[read]]/[[serve]]). */
+  private[graft] def liveCodes(path: String): String =
+    codesDir(path, readMeta(path).gen)
+  private[graft] def liveAppendedVectors(path: String): String =
+    appendedDir(path, readMeta(path).gen)
+
+  /** Parquet fragment count of the live codes store — the maintenance
+    * health metric [[compactIndexFiles]] exists to bound. */
+  def codesFragments(path: String): Int = {
+    val gen = readMeta(path).gen
+    Option(new java.io.File(codesDir(path, gen)).listFiles)
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
   }
 }

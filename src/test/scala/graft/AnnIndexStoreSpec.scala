@@ -119,13 +119,55 @@ class AnnIndexStoreSpec extends SparkSpec {
     // a REBUILD starts a fresh generation: the appended vectors are gone
     // and serving returns to the pre-append results
     AnnIndexStore.write(spark, SfDir, dir)
-    assert(!new java.io.File(s"$dir/appended_vectors.parquet").exists,
+    assert(Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .forall(f => !f.getName.startsWith("appended_vectors")),
       "rebuild left a stale appended-vectors generation behind")
     val served2 = AnnIndexStore.serve(spark, SfDir, dir)
       .select("query_id", "rank", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(served2.toSeq == served0.toSeq,
       "post-rebuild serve must equal the pre-append results")
+  }
+
+  test("maintenance: compaction is row-invisible, retract drops codes AND rerank vectors") {
+    val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ann_store_spec_maint").toString
+    graft.sources.LakeTable.deleteRecursively(new java.io.File(dir))
+    AnnIndexStore.write(spark, SfDir, dir)
+    val batch = SimilarityOps.appendBatch(spark, SfDir)
+    AnnIndexStore.append(spark, SfDir, dir, batch.filter((col("vec_id") - 2000000L) % 50 === 0))
+    AnnIndexStore.append(spark, SfDir, dir, batch.filter((col("vec_id") - 2000000L) % 50 === 25))
+    def codes(p: String) = spark.read.parquet(AnnIndexStore.liveCodes(p))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).mkString(","))).toSet
+    // compaction: fragments shrink, the codes SET does not
+    val pre = codes(dir)
+    val fragsBefore = AnnIndexStore.codesFragments(dir)
+    assert(fragsBefore > 1, s"fixture not fragmented ($fragsBefore)")
+    AnnIndexStore.compactIndexFiles(spark, SfDir, dir, targetFiles = 1)
+    assert(AnnIndexStore.codesFragments(dir) == 1)
+    assert(codes(dir) == pre, "compaction changed the codes set")
+    // retract: the odd twins vanish from codes AND the rerank store,
+    // surviving rows are untouched (frozen quantizer: no re-encode)
+    val retractedIds = batch.filter((col("vec_id") - 2000000L) % 50 === 25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(retractedIds.nonEmpty)
+    AnnIndexStore.retract(spark, SfDir, dir,
+      batch.filter((col("vec_id") - 2000000L) % 50 === 25).select("vec_id"))
+    val post = codes(dir)
+    assert(post == pre.filterNot(c => retractedIds(c._1)),
+      "retract did not leave exactly the survivor codes")
+    val rerankIds = spark.read.parquet(AnnIndexStore.liveAppendedVectors(dir))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rerankIds.intersect(retractedIds).isEmpty, "retracted rerank vectors stranded")
+    // no retracted id is ever served; hygiene: one live generation, no meta temps
+    val served = AnnIndexStore.serve(spark, SfDir, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(retractedIds).isEmpty, "a retracted vector was served")
+    val left = Option(new java.io.File(dir).listFiles).getOrElse(Array.empty).map(_.getName)
+    assert(!left.exists(_.startsWith(".tmp-meta")), s"stray meta temp: ${left.mkString(",")}")
+    assert(left.count(_.startsWith("codes-g")) == 1 &&
+      left.count(_.startsWith("appended_vectors-g")) == 1,
+      s"old generations survived: ${left.mkString(",")}")
   }
 
   test("ann_index_serve entry: full lifecycle booleans hold for every gated query") {
