@@ -278,7 +278,8 @@ object LakeTable {
                 }
                 val mins = ss.map(s => asStr(s.genericGetMin))
                 val maxs = ss.map(s => asStr(s.genericGetMax))
-                Some(name -> ColStats("string", mins.min, maxs.max))
+                Some(name -> ColStats("string",
+                  mins.min(utf8Ordering), maxs.max(utf8Ordering)))
             }
           }
         }.toMap
@@ -354,11 +355,31 @@ object LakeTable {
           !(mx.asInstanceOf[Double] < l || mn.asInstanceOf[Double] > h)
         case Some(ColStats(_, mn, mx)) =>
           val (l, h) = (lo.toString, hi.toString)
-          !(mx.asInstanceOf[String] < l || mn.asInstanceOf[String] > h)
+          !(utf8Compare(mx.asInstanceOf[String], l) < 0 ||
+            utf8Compare(mn.asInstanceOf[String], h) > 0)
       }
     }
     (kept, m.files.size)
   }
+
+  /** Unsigned lexicographic comparison on UTF-8 BYTES — parquet's
+    * binary-stats order. Java String compareTo orders by UTF-16 code
+    * unit, which disagrees beyond the BMP (surrogates sort below the
+    * bytes of 4-byte UTF-8 sequences); pruning with the wrong order
+    * would silently skip files that hold matches. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
 
   private def toLong(a: Any): Long = a match {
     case n: Number => n.longValue

@@ -296,6 +296,27 @@ class LakeTableSpec extends SparkSpec {
       == (101L to 150L).map(k => (k, s"s$k", k)).toSet)
   }
 
+  test("string stats prune in unsigned UTF-8 order, not UTF-16 code-unit order") {
+    import spark.implicits._
+    // U+E000 (UTF-8 EE 80 80) sorts BELOW U+10000 (UTF-8 F0 90 80 80)
+    // in byte order, but its UTF-16 code unit (E000) sorts ABOVE the
+    // surrogate pair's lead (D800): a Java-String comparison would see
+    // the file's max as U+E000 and wrongly prune the interval below
+    val low = ""
+    val high = new String(Character.toChars(0x10000))
+    val p = freshPath("prune_utf8")
+    LakeTable.create(spark, p, Seq((low, 1L), (high, 2L)).toDF("s", "v"),
+      Seq("s"), nBuckets = 1)
+    // interval strictly between the two values in UTF-8 order, extended
+    // to include the supplementary-plane row
+    val (kept, total) = LakeTable.prunedEntries(p, 1, "s", "", high)
+    assert(total == 1 && kept.size == 1,
+      s"file holding U+10000 wrongly pruned (kept ${kept.size}/$total)")
+    val got = LakeTable.scan(spark, p, "s", "", high).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set((high, 2L)), s"got $got")
+  }
+
   test("stats pruning on a DATE key: time-range scan prunes on footer day stats") {
     import spark.implicits._
     val p = freshPath("prune_date")
