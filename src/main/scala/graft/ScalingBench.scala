@@ -273,6 +273,10 @@ object ScalingBench {
     // probe — the compact/retract terms are O(index))
     "lake_prune_read", "lake_delete_dv", "lake_concurrent_merge",
     "stream_lake_cdf",
+    // r14 late additions: the Morton-layout box scan (create pays the
+    // k-fold z-write + one bounds agg; the scan term tracks the box)
+    // and the evolving-commit diff (CoW merge + one O(delta) feed read)
+    "lake_zorder_scan", "lake_evolve_feed",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

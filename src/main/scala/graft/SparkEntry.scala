@@ -23,6 +23,8 @@ object SparkEntry {
     "lake_schema_evolve"       -> (MergeOps.qLakeSchemaEvolve _),
     "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
+    "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
+    "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
@@ -1572,6 +1574,25 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 13 = 2 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 13 = 2 THEN o_orderpriority END AS o_priority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the Z-order layout serves a 2-D box from manifest stats: the
+    // entry REQUIRES the box pruned >= half the files; the oracle scans
+    // the raw table under the same box
+    "lake_zorder_scan" ->
+      """WITH b AS (
+        |  SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
+        |         CAST(max(l_suppkey) AS BIGINT) AS ms FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
+        |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the evolving commit's diff in the TARGET schema: updates carry the
+    // new column, pre-images read null in it, rewritten-verbatim
+    // survivors stay silent
+    "lake_evolve_feed" ->
+      """SELECT o_orderkey, 'update' AS _change_type, 'U' AS o_orderstatus,
+        |  o_orderpriority AS o_priority, o_orderstatus AS _before_o_orderstatus
+        |FROM orders WHERE o_orderkey % 13 = 2 ORDER BY o_orderkey""".stripMargin,
     // the engine answers this interval from a manifest-stats-pruned
     // file subset (the entry REQUIRES pruning bit); the oracle scans the
     // raw table — a wrongly-skipped file loses rows and breaks the hash

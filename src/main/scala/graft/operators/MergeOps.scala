@@ -512,6 +512,69 @@ object MergeOps {
       .orderBy("version", "o_orderkey")
   }
 
+  /** Change feed ACROSS a schema-evolving commit (r14 — upgrades the
+    * former loud refusal to the Delta-CDF column policy): the diff
+    * speaks the TARGET version's schema, so the evolved batch's rows
+    * classify as updates whose pre-image reads NULL in the added
+    * column, and survivors rewritten verbatim (null on both sides)
+    * stay silent. The oracle recomputes the update class with its new
+    * column directly from the base table — a feed that drops the new
+    * column, mis-nulls the pre-image, or leaks rewritten-verbatim
+    * survivors shifts rows and breaks the hash. */
+  def qLakeEvolveFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakeevf_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    val evolved = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 13 === 2)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        col("o_orderpriority").as("o_priority"))
+    LakeTable.merge(spark, path, evolved, Seq("o_orderkey"))
+    LakeTable.changes(spark, path, 1, 2, Seq("o_orderkey"), includeBefore = true)
+      .select(col("o_orderkey"), col("_change_type"), col("o_orderstatus"),
+        col("o_priority"), col("_before_o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Z-order lake layout + multi-column box scan (r14 — the lake twin
+    * of `q_zorder_prune`, with the pruning driven by MANIFEST stats
+    * instead of parquet row-group stats alone): `create` Morton-
+    * interleaves the two key columns so every file's stats envelope is
+    * narrow on BOTH dimensions, and `scanBox` prunes files whose
+    * envelope misses EITHER box side before any file opens. The entry
+    * REQUIRES the box pruned at least half the files; the oracle scans
+    * the raw table under the same box — a wrongly-skipped file loses
+    * rows. LakeTableSpec pins the quantitative counts and the
+    * single-dimension-layout contrast. */
+  def qLakeZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakez_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    LakeTable.create(spark, path, base, Seq("l_partkey", "l_suppkey"),
+      nBuckets = 32, layout = "zorder")
+    // box derived from the observed key space (integer arithmetic,
+    // replayed identically by the oracle): a ~5% partkey slice x a
+    // ~20% suppkey slice — the SF-proportional selectivity a fixed
+    // literal box can't give at every test scale
+    val mrow = base.agg(max("l_partkey"), max("l_suppkey")).head()
+    val (mp, ms) = (mrow.getLong(0), mrow.getLong(1))
+    val box = Seq[(String, Any, Any)](
+      ("l_partkey", mp / 10, mp / 10 + math.max(mp / 20, 1L)),
+      ("l_suppkey", ms / 5, ms / 5 + math.max(ms / 5, 1L)))
+    val (kept, total) = LakeTable.prunedEntriesBox(path, 1, box)
+    require(kept.size <= total / 2,
+      s"lake_zorder_scan: box pruning too weak (kept ${kept.size}/$total)")
+    LakeTable.scanBox(spark, path, box)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Optimistic-concurrency MERGE (VERDICT r13 missing #3): two writers
     * with DISJOINT key classes (status 'A' for keys ≡ 1 mod 7, 'B' for
     * ≡ 2 mod 7) merge CONCURRENTLY from two threads against the same v1

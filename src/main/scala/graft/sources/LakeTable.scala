@@ -191,15 +191,47 @@ object LakeTable {
           s"LakeTable: concurrent commit conflict — version ${m.version} at $path " +
             "already exists; re-read the latest snapshot and retry the merge")
     } finally java.nio.file.Files.deleteIfExists(tmp)
+    // advisory latest hint (the Delta `_last_checkpoint` shape): a
+    // lagging or missing hint is corrected by the probe-forward in
+    // [[latestVersion]]; it can never LEAD, because it is written only
+    // after its manifest is durably published. Best-effort: a failure
+    // here must not fail the already-committed version.
+    try {
+      val htmp = logDir(path).resolve(s".tmp-latest-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(htmp, m.version.toString)
+      java.nio.file.Files.move(htmp, latestHint(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } catch { case _: Exception => () }
   }
 
-  /** Latest committed version (0 if the table does not exist yet). */
+  private def latestHint(path: String) = logDir(path).resolve("_latest")
+
+  /** Latest committed version (0 if the table does not exist yet).
+    * Resolution is O(1) amortized: the advisory `_latest` hint names a
+    * committed version and the probe walks forward from it (racing
+    * commits can leave the hint lagging by a few versions, never
+    * leading); a missing/corrupt hint falls back to the O(#versions)
+    * directory listing — at 100k commits the listing is the cost a
+    * long-lived table must not pay per query. */
   def latestVersion(path: String): Int = {
-    val d = logDir(path).toFile
-    val pat = "v(\\d{5,})\\.json".r
-    val vs = Option(d.listFiles).getOrElse(Array.empty).toSeq
-      .map(_.getName).collect { case pat(n) => n.toInt }
-    if (vs.isEmpty) 0 else vs.max
+    val hinted =
+      try {
+        val h = java.nio.file.Files.readString(latestHint(path)).trim.toInt
+        if (h > 0 && java.nio.file.Files.exists(manifestPath(path, h))) h else 0
+      } catch { case _: Exception => 0 }
+    if (hinted > 0) {
+      var v = hinted
+      while (java.nio.file.Files.exists(manifestPath(path, v + 1))) v += 1
+      v
+    } else {
+      val d = logDir(path).toFile
+      val pat = "v(\\d{5,})\\.json".r
+      val vs = Option(d.listFiles).getOrElse(Array.empty).toSeq
+        .map(_.getName).collect { case pat(n) => n.toInt }
+      if (vs.isEmpty) 0 else vs.max
+    }
   }
 
   /** The full manifest of a committed version. */
@@ -338,29 +370,39 @@ object LakeTable {
     readEntries(spark, m, m.files)
   }
 
-  /** Manifest entries of version `v` whose [min,max] stats range for
-    * `colName` intersects [lo,hi], plus files carrying no stats for the
-    * column (never pruned — safe). Returns (kept, total). */
-  def prunedEntries(path: String, v: Int, colName: String,
-      lo: Any, hi: Any): (Seq[FileEntry], Int) = {
+  /** Manifest entries of version `v` whose [min,max] stats ranges
+    * intersect EVERY `(col, lo, hi)` box side, plus files carrying no
+    * stats for a column (never pruned on that side — safe). Returns
+    * (kept, total). Multi-column boxes are what the Z-order create
+    * layout exists to serve: the Morton clustering keeps every file's
+    * envelope narrow on ALL interleaved dimensions at once. */
+  def prunedEntriesBox(path: String, v: Int,
+      preds: Seq[(String, Any, Any)]): (Seq[FileEntry], Int) = {
     val m = manifest(path, v)
     val kept = m.files.filter { fe =>
-      fe.stats.get(colName) match {
-        case None => true
-        case Some(ColStats("long", mn, mx)) =>
-          val (l, h) = (toLong(lo), toLong(hi))
-          !(mx.asInstanceOf[Long] < l || mn.asInstanceOf[Long] > h)
-        case Some(ColStats("double", mn, mx)) =>
-          val (l, h) = (toDouble(lo), toDouble(hi))
-          !(mx.asInstanceOf[Double] < l || mn.asInstanceOf[Double] > h)
-        case Some(ColStats(_, mn, mx)) =>
-          val (l, h) = (lo.toString, hi.toString)
-          !(utf8Compare(mx.asInstanceOf[String], l) < 0 ||
-            utf8Compare(mn.asInstanceOf[String], h) > 0)
+      preds.forall { case (colName, lo, hi) =>
+        fe.stats.get(colName) match {
+          case None => true
+          case Some(ColStats("long", mn, mx)) =>
+            val (l, h) = (toLong(lo), toLong(hi))
+            !(mx.asInstanceOf[Long] < l || mn.asInstanceOf[Long] > h)
+          case Some(ColStats("double", mn, mx)) =>
+            val (l, h) = (toDouble(lo), toDouble(hi))
+            !(mx.asInstanceOf[Double] < l || mn.asInstanceOf[Double] > h)
+          case Some(ColStats(_, mn, mx)) =>
+            val (l, h) = (lo.toString, hi.toString)
+            !(utf8Compare(mx.asInstanceOf[String], l) < 0 ||
+              utf8Compare(mn.asInstanceOf[String], h) > 0)
+        }
       }
     }
     (kept, m.files.size)
   }
+
+  /** Single-interval form of [[prunedEntriesBox]]. */
+  def prunedEntries(path: String, v: Int, colName: String,
+      lo: Any, hi: Any): (Seq[FileEntry], Int) =
+    prunedEntriesBox(path, v, Seq((colName, lo, hi)))
 
   /** Unsigned lexicographic comparison on UTF-8 BYTES — parquet's
     * binary-stats order. Java String compareTo orders by UTF-16 code
@@ -409,12 +451,21 @@ object LakeTable {
     * clustering (create's range layout, Z-order, or natural ingest
     * time-ordering). */
   def scan(spark: SparkSession, path: String, colName: String,
-      lo: Any, hi: Any, asOf: Option[Int] = None): DataFrame = {
+      lo: Any, hi: Any, asOf: Option[Int] = None): DataFrame =
+    scanBox(spark, path, Seq((colName, lo, hi)), asOf)
+
+  /** Multi-column box scan: every `(col, lo, hi)` side prunes files
+    * from the manifest, then the conjunction applies as the residual
+    * filter — the query shape the Z-order layout clusters for. */
+  def scanBox(spark: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)], asOf: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "LakeTable.scanBox: need at least one predicate")
     val v = asOf.getOrElse(latestVersion(path))
     val m = manifest(path, v)
-    val (kept, _) = prunedEntries(path, v, colName, lo, hi)
+    val (kept, _) = prunedEntriesBox(path, v, preds)
     readEntries(spark, m, kept)
-      .filter(col(colName).between(lit(lo), lit(hi)))
+      .filter(preds.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+        .reduce(_ && _))
   }
 
   // ---- writes ----
@@ -434,9 +485,28 @@ object LakeTable {
     // hash layout partitions on the KEY COLUMNS directly (one shuffle,
     // uniform over all nBuckets partitions — hashing a precomputed
     // bucket value would re-hash 8 small values into ~half the
-    // partitions and undershoot the file granularity CoW tests price)
+    // partitions and undershoot the file granularity CoW tests price);
+    // range clusters one dimension; zorder Morton-interleaves ALL key
+    // columns so every file's stats envelope stays narrow on each
+    // dimension at once (multi-column boxes prune via [[scanBox]])
     val out = layout match {
       case "range" => df.repartitionByRange(nBuckets, keyCols.map(col): _*)
+      case "zorder" =>
+        require(keyCols.size >= 2, "zorder layout needs >= 2 key columns")
+        val bits = math.min(16, 62 / keyCols.size)
+        val w = 1L << bits
+        val aggs = keyCols.flatMap(k =>
+          Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val scaled = keyCols.zipWithIndex.map { case (k, i) =>
+          require(!row.isNullAt(2 * i) && row.getLong(2 * i) >= 0,
+            s"LakeTable: zorder layout needs non-negative non-null keys ($k)")
+          col(k).cast("long") * w / lit(row.getLong(2 * i + 1) + 1)
+        }
+        df.withColumn("__z", graft.operators.Bucketing.zValueN(scaled, bits))
+          .repartitionByRange(nBuckets, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
       case _ => df.repartition(nBuckets, keyCols.map(col): _*)
     }
     out.write.mode("overwrite").parquet(dir)
@@ -665,19 +735,33 @@ object LakeTable {
     val mf = manifest(path, fromV)
     val mt = manifest(path, toV)
     val (fromSchema, toSchema) = (mf.schema, mt.schema)
-    require(fromSchema.map(f => (f.name, f.dataType)).toSet ==
-      toSchema.map(f => (f.name, f.dataType)).toSet,
-      "LakeTable.changes: versions differ in schema " +
-        s"(${fromSchema.map(_.name).mkString(",")} vs ${toSchema.map(_.name).mkString(",")}) — " +
-        "diff across a schema-evolving commit needs an explicit column policy; " +
-        "project both sides to a shared schema first")
+    // Column policy across schema evolution (the Delta-CDF shape): the
+    // diff speaks the TARGET version's schema — pre-evolution rows read
+    // null in added columns, so a row whose only change is gaining a
+    // value in a new column classifies as an update with a null
+    // pre-image. Type conflicts and column REMOVAL stay loud: a
+    // retyped/retired column has no honest one-schema diff.
+    val fromTypes = fromSchema.map(f => f.name -> f.dataType).toMap
+    toSchema.foreach { f =>
+      fromTypes.get(f.name).foreach(dt => require(dt == f.dataType,
+        s"LakeTable.changes: schema type conflict on column ${f.name} " +
+          s"($dt at v$fromV vs ${f.dataType} at v$toV)"))
+    }
+    fromSchema.foreach { f =>
+      require(toSchema.exists(_.name == f.name),
+        s"LakeTable.changes: column ${f.name} present at v$fromV is missing " +
+          s"at v$toV — schema diff across a column REMOVAL has no single-" +
+          "schema reading; project the earlier version first")
+    }
+    // before-slice rows read with the target schema (missing → null)
+    val mfAtTarget = mf.copy(schemaDdl = mt.schemaDdl)
     // churn = entries NOT carried identically (path + sidecar set) —
     // the manifest diff that bounds the scan
     val fromByPath = mf.files.map(e => e.path -> e).toMap
     val toByPath = mt.files.map(e => e.path -> e).toMap
     val beforeEntries = mf.files.filterNot(e => toByPath.get(e.path).exists(_.dvs == e.dvs))
     val afterEntries = mt.files.filterNot(e => fromByPath.get(e.path).exists(_.dvs == e.dvs))
-    val before = readEntries(spark, mf, beforeEntries)
+    val before = readEntries(spark, mfAtTarget, beforeEntries)
     val after = readEntries(spark, mt, afterEntries)
     val rest = before.columns.filterNot(keyCols.contains).toSeq
     def tag(df: DataFrame, t: String) = df.select(

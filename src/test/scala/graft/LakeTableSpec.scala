@@ -96,9 +96,17 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LakeTable.create(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
     }
-    // no temp files left behind in the log
+    // no temp files left behind in the log (the advisory `_latest`
+    // hint is the one non-manifest resident)
     val logs = new java.io.File(s"$p/_log").listFiles.map(_.getName)
-    assert(logs.forall(_.matches("v\\d{5}\\.json")), s"stray log files: ${logs.mkString(",")}")
+    assert(logs.forall(n => n.matches("v\\d{5}\\.json") || n == "_latest"),
+      s"stray log files: ${logs.mkString(",")}")
+    // a stale or missing hint never wins: probe-forward / listing
+    // fallback both resolve the true latest
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$p/_log/_latest"), "1")
+    assert(LakeTable.latestVersion(p) == 2, "stale hint leaked into resolution")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$p/_log/_latest"))
+    assert(LakeTable.latestVersion(p) == 2, "listing fallback broken")
   }
 
   test("as-of reads resolve any committed generation; missing versions fail loudly") {
@@ -219,11 +227,20 @@ class LakeTableSpec extends SparkSpec {
     // untouched files carried by reference; as-of(v1) keeps the ORIGINAL schema
     assert(v1Files.intersect(LakeTable.manifestFiles(p, 2).toSet).nonEmpty)
     assert(LakeTable.read(spark, p, Some(1)).columns.sorted.toSeq == Seq("k", "s"))
-    // changes across an evolving commit refuses with the column-policy error
-    val err = intercept[IllegalArgumentException] {
-      LakeTable.changes(spark, p, 1, 2, Seq("k"))
-    }
-    assert(err.getMessage.contains("schema"))
+    // the change feed speaks the TARGET schema across the evolving
+    // commit (r14 — the former loud refusal upgraded to the Delta-CDF
+    // column policy): the merged row is an update whose pre-image reads
+    // null in the added column; survivors rewritten verbatim (extra
+    // null on both sides) stay silent
+    val feed = LakeTable.changes(spark, p, 1, 2, Seq("k"), includeBefore = true)
+      .collect().map(r => (r.getLong(r.fieldIndex("k")),
+        r.getString(r.fieldIndex("_change_type")),
+        if (r.isNullAt(r.fieldIndex("extra"))) None else Some(r.getLong(r.fieldIndex("extra"))),
+        if (r.isNullAt(r.fieldIndex("_before_extra"))) None
+        else Some(r.getLong(r.fieldIndex("_before_extra"))))).toSet
+    assert(feed == Set(
+      (7L, "update", Some(77L), None),
+      (200L, "insert", Some(200L), None)), s"got $feed")
   }
 
   test("change feed before-images enable exact retraction; MV entry matches direct agg") {
@@ -315,6 +332,33 @@ class LakeTableSpec extends SparkSpec {
     val got = LakeTable.scan(spark, p, "s", "", high).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set((high, 2L)), s"got $got")
+  }
+
+  test("zorder layout: a 2-D box prunes on BOTH dimensions; range layout can't serve the trailing one") {
+    import spark.implicits._
+    val grid = (for (a <- 0L until 100L; b <- 0L until 100L) yield (a, b, a * 1000 + b))
+      .toDF("a", "b", "v")
+    val pz = freshPath("zorder")
+    LakeTable.create(spark, pz, grid, Seq("a", "b"), nBuckets = 16, layout = "zorder")
+    val box = Seq[(String, Any, Any)](("a", 10L, 19L), ("b", 10L, 19L))
+    val (keptZ, totalZ) = LakeTable.prunedEntriesBox(pz, 1, box)
+    assert(totalZ == 16 && keptZ.size <= 8,
+      s"1% 2-D box should prune most Morton files, kept ${keptZ.size}/$totalZ")
+    val got = LakeTable.scanBox(spark, pz, box).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (for (a <- 10L to 19L; b <- 10L to 19L) yield (a, b, a * 1000 + b)).toSet
+    assert(got == expect)
+    // the contrast: a lexicographic range layout clusters only the
+    // leading column — a trailing-column slab intersects EVERY file,
+    // while the Morton layout still prunes some
+    val pr = freshPath("zorder_range")
+    LakeTable.create(spark, pr, grid, Seq("a", "b"), nBuckets = 16, layout = "range")
+    val bOnly = Seq[(String, Any, Any)](("b", 10L, 19L))
+    val (keptR, _) = LakeTable.prunedEntriesBox(pr, 1, bOnly)
+    val (keptZb, _) = LakeTable.prunedEntriesBox(pz, 1, bOnly)
+    assert(keptZb.size < keptR.size,
+      s"Morton should beat lexicographic on the trailing dimension " +
+        s"(${keptZb.size} vs ${keptR.size} files kept)")
   }
 
   test("stats pruning on a DATE key: time-range scan prunes on footer day stats") {
