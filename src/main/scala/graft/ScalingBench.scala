@@ -277,6 +277,10 @@ object ScalingBench {
     // k-fold z-write + one bounds agg; the scan term tracks the box)
     // and the evolving-commit diff (CoW merge + one O(delta) feed read)
     "lake_zorder_scan", "lake_evolve_feed",
+    // zero-copy clone (a k-fold create + one metadata commit + a CoW
+    // merge on the clone) and restore (create + 2 merges + a metadata
+    // re-reference commit) — both dominated by their table builds
+    "lake_clone_merge", "lake_restore_read",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

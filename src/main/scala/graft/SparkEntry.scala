@@ -24,6 +24,8 @@ object SparkEntry {
     "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
+    "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
+    "lake_restore_read"        -> (MergeOps.qLakeRestoreRead _),
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
@@ -1586,6 +1588,21 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
         |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // two branches of one zero-copy clone: the clone's merge applies to
+    // its branch only; the source must read bit-unchanged
+    "lake_clone_merge" ->
+      """SELECT 'clone' AS branch, o_orderkey,
+        |  CASE WHEN o_orderkey % 19 = 4 THEN 'C' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT 'src', o_orderkey, o_orderstatus FROM orders
+        |ORDER BY branch, o_orderkey""".stripMargin,
+    // restore rolls the BAD merge (%23=3 -> 'B') out of the live state;
+    // only the post-restore GOOD merge survives
+    "lake_restore_read" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 29 = 5 THEN 'G' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the evolving commit's diff in the TARGET schema: updates carry the
     // new column, pre-images read null in it, rewritten-verbatim
     // survivors stay silent

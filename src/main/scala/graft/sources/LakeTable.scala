@@ -781,6 +781,77 @@ object LakeTable {
          else Seq.empty): _*)
   }
 
+  /** Version history — one row per commit (version, op, file count,
+    * sidecar count): the DESCRIBE HISTORY surface, read from manifests
+    * alone (O(#versions) metadata, no data I/O). Vacuumed versions are
+    * absent. */
+  def history(path: String): Seq[(Int, String, Int, Int)] = {
+    val latest = latestVersion(path)
+    (1 to latest).flatMap { v =>
+      if (java.nio.file.Files.exists(manifestPath(path, v))) {
+        val m = manifest(path, v)
+        Some((v, m.op, m.files.size, m.dvPaths.size))
+      } else None
+    }
+  }
+
+  /** Commit wall-clock of a version (epoch millis, from the manifest
+    * file's own mtime — no clock field to keep manifests deterministic
+    * for a given state). Basis for [[versionAsOf]]. */
+  def commitTimestamp(path: String, version: Int): Long =
+    java.nio.file.Files.getLastModifiedTime(manifestPath(path, version)).toMillis
+
+  /** TIMESTAMP AS OF resolution: the newest version committed at or
+    * before `epochMillis` (the Delta semantics). Loud if the earliest
+    * retained commit is already later — a pre-history read has no
+    * honest answer. */
+  def versionAsOf(path: String, epochMillis: Long): Int = {
+    val latest = latestVersion(path)
+    require(latest > 0, s"LakeTable: no table at $path")
+    val vs = (1 to latest).filter(v =>
+      java.nio.file.Files.exists(manifestPath(path, v)) &&
+        commitTimestamp(path, v) <= epochMillis)
+    require(vs.nonEmpty,
+      s"LakeTable: no version at $path committed at or before $epochMillis " +
+        "(earliest retained commit is later — history may have been vacuumed)")
+    vs.max
+  }
+
+  /** RESTORE: commit a NEW version whose state is exactly version `v`'s
+    * (the Delta RESTORE shape — rollback as a forward commit, so the
+    * bad interval stays in history for audit until vacuum). Zero data
+    * I/O: the new manifest re-references v's files and sidecars. */
+  def restore(spark: SparkSession, path: String, v: Int): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot restore missing table at $path")
+    val target = manifest(path, v)
+    commit(path, target.copy(version = current + 1, op = s"restore-v$v"))
+    current + 1
+  }
+
+  /** SHALLOW CLONE: create `dstPath` as a new table whose version 1
+    * references `srcPath`'s as-of file set BY REFERENCE — zero data
+    * copied, the branch-a-corpus-for-an-experiment primitive. The clone
+    * then evolves independently: merges/deletes rewrite only its own
+    * touched files into its own data dir; unmodified files keep
+    * pointing into the source.
+    *
+    * The Delta caveat carries over verbatim: a clone PINS NOTHING in
+    * the source — `vacuum(srcPath)` deletes source files that only the
+    * clone still references, after which the clone's reads fail loudly
+    * (missing file), never silently. Vacuum the source only below the
+    * clone point, or compact the clone first (compaction rewrites every
+    * row into the clone's own files, cutting the dependency). */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String,
+      asOf: Option[Int] = None): Int = {
+    require(latestVersion(dstPath) == 0,
+      s"LakeTable: clone target $dstPath already exists")
+    val src = manifest(srcPath, asOf.getOrElse(latestVersion(srcPath)))
+    commit(dstPath, src.copy(version = 1,
+      op = s"clone:$srcPath@v${src.version}"))
+    1
+  }
+
   /** Expire history: keep the newest `keepLast` versions, drop older
     * manifests, and physically delete every data or sidecar file no
     * kept manifest references. This is what turns a logical [[delete]]

@@ -490,6 +490,63 @@ class LakeTableSpec extends SparkSpec {
     assert(feed == Set((2L, "delete"), (4L, "insert")), s"got $feed")
   }
 
+  test("shallow clone: zero-copy branch, independent evolution, compact cuts the dependency") {
+    import spark.implicits._
+    val src = freshPath("clone_src")
+    val dst = freshPath("clone_dst")
+    val base = (1L to 200L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, src, base, Seq("k"), nBuckets = 8)
+    LakeTable.shallowClone(spark, src, dst)
+    // zero copy: the clone's manifest points at the SOURCE's files and
+    // nothing landed under the clone's own data dir
+    assert(LakeTable.manifestFiles(dst, 1) == LakeTable.manifestFiles(src, 1))
+    assert(!new java.io.File(s"$dst/data").exists)
+    // independent evolution: the clone's merge rewrites into ITS dir,
+    // the source stays at v1 bit-unchanged
+    LakeTable.merge(spark, dst, Seq((5L, "upd", 55L)).toDF("k", "s", "v"), Seq("k"))
+    assert(LakeTable.latestVersion(src) == 1)
+    assert(rows(LakeTable.read(spark, src).select("k", "s", "v")) ==
+      (1L to 200L).map(k => (k, "base", k)).toSet)
+    val got = rows(LakeTable.read(spark, dst).select("k", "s", "v"))
+    assert(got == (1L to 200L).filterNot(_ == 5L).map(k => (k, "base", k)).toSet
+      + ((5L, "upd", 55L)))
+    // a second clone cannot clobber an existing table
+    intercept[IllegalArgumentException] { LakeTable.shallowClone(spark, src, dst) }
+    // the vacuum caveat, and its documented cure: compact the clone
+    // (every row lands in the clone's own files), then destroying the
+    // source leaves the clone fully readable
+    LakeTable.compact(spark, dst, targetFiles = 4)
+    LakeTable.deleteRecursively(new java.io.File(src))
+    assert(rows(LakeTable.read(spark, dst).select("k", "s", "v")) == got)
+  }
+
+  test("restore re-references a past state as a forward commit; history records the ops") {
+    import spark.implicits._
+    val p = freshPath("restore")
+    val base = (1L to 100L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"))
+    Thread.sleep(15)
+    LakeTable.merge(spark, p, Seq((7L, "bad", 0L)).toDF("k", "s", "v"), Seq("k"))
+    Thread.sleep(15)
+    LakeTable.restore(spark, p, 1)
+    // restore is zero data I/O: v3's file list IS v1's
+    assert(LakeTable.manifestFiles(p, 3) == LakeTable.manifestFiles(p, 1))
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) ==
+      (1L to 100L).map(k => (k, "base", k)).toSet)
+    // the bad interval stays auditable until vacuum
+    assert(rows(LakeTable.read(spark, p, Some(2)).select("k", "s", "v"))
+      .contains((7L, "bad", 0L)))
+    assert(LakeTable.history(p).map(h => (h._1, h._2)) ==
+      Seq((1, "create"), (2, "merge"), (3, "restore-v1")))
+    // timestamp travel: the newest version committed at or before t
+    assert(LakeTable.versionAsOf(p, System.currentTimeMillis()) == 3)
+    assert(LakeTable.versionAsOf(p, LakeTable.commitTimestamp(p, 1)) == 1)
+    assert(LakeTable.versionAsOf(p, LakeTable.commitTimestamp(p, 2)) == 2)
+    intercept[IllegalArgumentException] {
+      LakeTable.versionAsOf(p, LakeTable.commitTimestamp(p, 1) - 10000)
+    }
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
