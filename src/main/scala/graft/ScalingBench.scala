@@ -281,6 +281,9 @@ object ScalingBench {
     // merge on the clone) and restore (create + 2 merges + a metadata
     // re-reference commit) — both dominated by their table builds
     "lake_clone_merge", "lake_restore_read",
+    // SQL over the registered source: k-fold create + low-band merge;
+    // the predicate's scan term must track the fixed interval
+    "lake_sql_source",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

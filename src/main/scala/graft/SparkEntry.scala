@@ -25,6 +25,7 @@ object SparkEntry {
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
+    "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
     "lake_restore_read"        -> (MergeOps.qLakeRestoreRead _),
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
@@ -1588,6 +1589,14 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
         |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // plain SQL over the registered graftlake source at versionAsOf=2:
+    // the low-band merge ('Q' for keys < 400) is visible, the predicate
+    // pushes down to manifest pruning, the residual re-applies
+    "lake_sql_source" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 400 THEN 'Q' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin,
     // two branches of one zero-copy clone: the clone's merge applies to
     // its branch only; the source must read bit-unchanged
     "lake_clone_merge" ->

@@ -641,6 +641,38 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** The lake through Spark's data-source SPI (r14 —
+    * [[graft.sources.GraftLakeSource]], registered as `graftlake`): the
+    * whole SQL surface runs over a pinned lake snapshot with no manifest
+    * API in sight — `spark.read.format("graftlake")
+    * .option("versionAsOf", 2).load(path)` registered as a temp view,
+    * then plain SQL with a range predicate. Catalyst pushes the
+    * predicate into the relation, which prunes MANIFEST entries before
+    * any file opens (spec-asserted quantitatively via the source's
+    * observability hook) and re-applies the residual above the scan.
+    * The oracle replays the as-of state under the same predicate. */
+  def qLakeSqlSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakesql_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"),
+      nBuckets = 32, layout = "range")
+    // a key-local update batch: CoW touches only the low-band files, so
+    // the range predicate below still has carried files to prune
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderkey") < 400)
+        .withColumn("o_orderstatus", lit("Q")),
+      Seq("o_orderkey"))
+    spark.read.format("graftlake").option("versionAsOf", "2").load(path)
+      .createOrReplaceTempView("graft_lake_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus FROM graft_lake_orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Optimistic-concurrency MERGE (VERDICT r13 missing #3): two writers
     * with DISJOINT key classes (status 'A' for keys ≡ 1 mod 7, 'B' for
     * ≡ 2 mod 7) merge CONCURRENTLY from two threads against the same v1

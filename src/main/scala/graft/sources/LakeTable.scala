@@ -338,7 +338,7 @@ object LakeTable {
     * missing columns as null), then the version's equality-delete
     * sidecars anti-joined out. `entries` defaults to the whole
     * manifest; [[scan]] passes the pruned subset. */
-  private def readEntries(spark: SparkSession, m: Manifest,
+  private[graft] def readEntries(spark: SparkSession, m: Manifest,
       entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
@@ -379,25 +379,31 @@ object LakeTable {
   def prunedEntriesBox(path: String, v: Int,
       preds: Seq[(String, Any, Any)]): (Seq[FileEntry], Int) = {
     val m = manifest(path, v)
-    val kept = m.files.filter { fe =>
-      preds.forall { case (colName, lo, hi) =>
-        fe.stats.get(colName) match {
-          case None => true
-          case Some(ColStats("long", mn, mx)) =>
-            val (l, h) = (toLong(lo), toLong(hi))
-            !(mx.asInstanceOf[Long] < l || mn.asInstanceOf[Long] > h)
-          case Some(ColStats("double", mn, mx)) =>
-            val (l, h) = (toDouble(lo), toDouble(hi))
-            !(mx.asInstanceOf[Double] < l || mn.asInstanceOf[Double] > h)
-          case Some(ColStats(_, mn, mx)) =>
-            val (l, h) = (lo.toString, hi.toString)
-            !(utf8Compare(mx.asInstanceOf[String], l) < 0 ||
-              utf8Compare(mn.asInstanceOf[String], h) > 0)
-        }
-      }
-    }
+    val kept = m.files.filter(entryMatches(_,
+      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }))
     (kept, m.files.size)
   }
+
+  /** Does a file's stats envelope intersect every (col, lo?, hi?)
+    * interval? Open sides (None) never prune; columns without stats
+    * never prune. The shared kernel behind [[prunedEntriesBox]] and the
+    * SQL source's filter-pushdown pruning ([[GraftLakeSource]]). */
+  private[graft] def entryMatches(fe: FileEntry,
+      preds: Seq[(String, Option[Any], Option[Any])]): Boolean =
+    preds.forall { case (colName, lo, hi) =>
+      fe.stats.get(colName) match {
+        case None => true
+        case Some(ColStats("long", mn, mx)) =>
+          lo.forall(l => mx.asInstanceOf[Long] >= toLong(l)) &&
+            hi.forall(h => mn.asInstanceOf[Long] <= toLong(h))
+        case Some(ColStats("double", mn, mx)) =>
+          lo.forall(l => mx.asInstanceOf[Double] >= toDouble(l)) &&
+            hi.forall(h => mn.asInstanceOf[Double] <= toDouble(h))
+        case Some(ColStats(_, mn, mx)) =>
+          lo.forall(l => utf8Compare(mx.asInstanceOf[String], l.toString) >= 0) &&
+            hi.forall(h => utf8Compare(mn.asInstanceOf[String], h.toString) <= 0)
+      }
+    }
 
   /** Single-interval form of [[prunedEntriesBox]]. */
   def prunedEntries(path: String, v: Int, colName: String,

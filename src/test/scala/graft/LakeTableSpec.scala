@@ -547,6 +547,42 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("graftlake SQL source: pinned snapshot, pushdown prunes manifest files, DVs apply") {
+    import spark.implicits._
+    import graft.sources.GraftLakeSource
+    val p = freshPath("sqlsource")
+    val base = (1L to 1000L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 10, layout = "range")
+    Thread.sleep(15)
+    LakeTable.deleteDV(spark, p, Seq(Tuple1(150L)).toDF("k"), Seq("k"))
+    // latest resolution sees v2; the DV applies through the SQL path
+    spark.read.format("graftlake").load(p).createOrReplaceTempView("lt")
+    val got = spark.sql("SELECT k, s, v FROM lt WHERE k BETWEEN 101 AND 200 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == (101L to 200L).filterNot(_ == 150L).map(k => (k, "base", k)).toSet)
+    // the range predicate pruned the manifest (10 range files, a 10% slice)
+    val (kept, total) = GraftLakeSource.lastPrune
+    assert(total == 10 && kept <= 2, s"pushdown pruning missing: kept $kept/$total")
+    // column pruning reaches the scan: a single-column projection works
+    assert(spark.sql("SELECT count(s) FROM lt WHERE k > 900").head().getLong(0) == 100)
+    // versionAsOf pins the pre-DV snapshot
+    val v1 = spark.read.format("graftlake").option("versionAsOf", "1").load(p)
+    assert(v1.filter(col("k") === 150L).count() == 1)
+    // timestampAsOf resolves through commit mtimes
+    val t1 = LakeTable.commitTimestamp(p, 1)
+    val byTs = spark.read.format("graftlake").option("timestampAsOf", t1.toString).load(p)
+    assert(byTs.count() == 1000)
+    // loud errors: missing path, conflicting travel options
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftlake").options(Map.empty[String, String])
+        .load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graftlake").option("versionAsOf", "1")
+        .option("timestampAsOf", "0").load(p)
+    }
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
