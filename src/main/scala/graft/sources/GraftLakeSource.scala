@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -34,8 +34,43 @@ import org.apache.spark.sql.types.StructType
   * scan ([[LakeTable.readEntries]]), so a DV table reads correctly
   * through SQL too.
   */
-class GraftLakeSource extends RelationProvider with DataSourceRegister {
+class GraftLakeSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
+
+  /** `df.write.format("graftlake").option("keys", "k1,k2").mode(...)`:
+    *   - Overwrite      — (re)create the table as a fresh version 1
+    *   - Append         — keyed latest-wins MERGE (create if missing) —
+    *                      the transactional upsert, not a blind file add
+    *   - ErrorIfExists  — create, loud if the table exists
+    *   - Ignore         — create only if missing
+    * `keys` is required (the table's merge/DV identity); `nBuckets` and
+    * `layout` (hash|range|zorder) pass through to [[LakeTable.create]]. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftlake: 'path' is required — df.write.format(\"graftlake\").save(<table dir>)"))
+    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "graftlake: 'keys' is required — the comma-separated merge identity columns"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val nBuckets = parameters.get("nBuckets").map(_.trim.toInt).getOrElse(8)
+    val layout = parameters.getOrElse("layout", "hash")
+    val spark = sqlContext.sparkSession
+    val exists = LakeTable.latestVersion(path) > 0
+    mode match {
+      case SaveMode.Overwrite =>
+        LakeTable.deleteRecursively(new java.io.File(path))
+        LakeTable.create(spark, path, data, keys, nBuckets, layout)
+      case SaveMode.Append =>
+        if (exists) LakeTable.merge(spark, path, data, keys)
+        else LakeTable.create(spark, path, data, keys, nBuckets, layout)
+      case SaveMode.ErrorIfExists =>
+        LakeTable.create(spark, path, data, keys, nBuckets, layout) // refuses if present
+      case SaveMode.Ignore =>
+        if (!exists) LakeTable.create(spark, path, data, keys, nBuckets, layout)
+    }
+    new GraftLakeRelation(sqlContext, path, LakeTable.latestVersion(path))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

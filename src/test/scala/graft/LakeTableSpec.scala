@@ -583,6 +583,30 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("graftlake write path: overwrite creates, append is a keyed MERGE, modes behave") {
+    import spark.implicits._
+    val p = freshPath("sqlwrite")
+    val base = (1L to 100L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    base.write.format("graftlake").option("keys", "k").mode("overwrite").save(p)
+    assert(LakeTable.latestVersion(p) == 1)
+    // append = transactional latest-wins upsert, not a blind file add
+    Seq((7L, "upd", 77L), (200L, "ins", 2000L)).toDF("k", "s", "v")
+      .write.format("graftlake").option("keys", "k").mode("append").save(p)
+    assert(LakeTable.latestVersion(p) == 2)
+    val got = rows(spark.read.format("graftlake").load(p).select("k", "s", "v"))
+    assert(got == (1L to 100L).filterNot(_ == 7L).map(k => (k, "base", k)).toSet
+      ++ Set((7L, "upd", 77L), (200L, "ins", 2000L)))
+    // errorIfExists refuses; ignore no-ops; keys option is mandatory
+    intercept[IllegalArgumentException] {
+      base.write.format("graftlake").option("keys", "k").mode("errorifexists").save(p)
+    }
+    base.write.format("graftlake").option("keys", "k").mode("ignore").save(p)
+    assert(LakeTable.latestVersion(p) == 2)
+    intercept[IllegalArgumentException] {
+      base.write.format("graftlake").mode("overwrite").save(freshPath("sqlwrite2"))
+    }
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
