@@ -43,6 +43,10 @@ object Bench {
     "gdpr_forget_keys", "text_ccnet_bucket", "dedup_containment",
     "embed_knn_density", "text_unigram_entropy", "text_dsir_weights",
     "dedup_decision",
+    // r14: the image-decode row swung 1.22 / 5.11 / 3.65 across three
+    // same-session full runs and adjudicated 2.30 isolated reps-4 —
+    // the widest JIT/contention band in the suite; floor it
+    "mm_jpeg_decode",
     // r14 adjudication of the r13 open item: reproduces at 1.51 s
     // isolated min-of-6 on an UNCHANGED plan (UnionLoop + two
     // exchanges; code untouched since r12, verify hash green) vs the
