@@ -284,6 +284,9 @@ object ScalingBench {
     // SQL over the registered source: k-fold create + low-band merge;
     // the predicate's scan term must track the fixed interval
     "lake_sql_source",
+    // the registered streaming source's full feed: four-commit build +
+    // three O(delta) diffs — the build dominates, the feed tracks churn
+    "stream_lake_source",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

@@ -254,6 +254,7 @@ object SparkEntry {
     "stream_upsert_sink"  -> (graft.streaming.EventStreams.qStreamUpsertSink _),
     "stream_lake_sink"    -> (graft.streaming.EventStreams.qStreamLakeSink _),
     "stream_lake_cdf"     -> (graft.streaming.EventStreams.qStreamLakeCdf _),
+    "stream_lake_source"  -> (graft.streaming.EventStreams.qStreamLakeSource _),
     "stream_quality_filter" -> (graft.streaming.EventStreams.qStreamQualityFilter _),
     "stream_chunk_dedup"  -> (graft.streaming.EventStreams.qStreamChunkDedup _)
   )
@@ -1778,6 +1779,30 @@ object SparkEntry {
     // retraction at any step shifts that step's counts and breaks the
     // hash (flag-on, the same fold runs as a real stream tailing the
     // manifest log with in-entry parity)
+    // the registered streaming source's full CDC feed across the four
+    // commits: every version's events replayed from generation
+    // arithmetic — a wrong pre-image, a mis-sequenced version, or a
+    // leaked rewritten-verbatim row breaks the hash
+    "stream_lake_source" ->
+      """WITH v2s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 1 THEN 'U' ELSE o_orderstatus END AS s,
+        |    o_orderstatus AS s0
+        |  FROM orders),
+        |v3s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 2 THEN 'X' ELSE s END AS s,
+        |    s AS s2
+        |  FROM v2s)
+        |SELECT o_orderkey, 'update' AS _change_type, 'U' AS o_orderstatus,
+        |  s0 AS _before_o_orderstatus, CAST(2 AS BIGINT) AS _commit_version
+        |FROM v2s WHERE o_orderkey % 11 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'update', 'X', s2, 3 FROM v3s WHERE o_orderkey % 17 = 2
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', CAST(NULL AS VARCHAR), s, 4
+        |FROM v3s WHERE o_orderkey % 53 = 0
+        |ORDER BY _commit_version, o_orderkey""".stripMargin,
     "stream_lake_cdf" ->
       """WITH v2 AS (
         |  SELECT o_orderkey,

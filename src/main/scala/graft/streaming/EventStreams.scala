@@ -770,6 +770,64 @@ object EventStreams {
       .orderBy("version", "o_orderstatus")
   }
 
+  /** The lake change feed as a REGISTERED streaming source (r14 — the
+    * `readStream.format("graftlake")` SPI, the Delta streaming-source
+    * shape proper; [[qStreamLakeCdf]]'s log-tailing fold is the consumer
+    * view, THIS is the engine view): four commits (create → 'U' merge →
+    * 'X' merge → delete) produce three CDC micro-batches — each version
+    * an offset, each row carrying `_change_type`, pre-images, and
+    * `_commit_version`, computed from the O(delta) manifest diff. The
+    * entry emits the full feed; the oracle replays every version's
+    * events from generation arithmetic, so a mis-sequenced offset, a
+    * wrong pre-image, or a leaked rewritten-verbatim row breaks the
+    * hash. Flag-on, the SAME feed is consumed through a real
+    * Trigger.AvailableNow streaming query over the registered source
+    * with in-entry row identity. */
+  def qStreamLakeSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = sys.props("java.io.tmpdir") +
+      "/graft_lakesrcq_" + graft.SessionCache.dirKey(dir)
+    deleteRecursively(root)
+    val table = s"$root/table"
+    val keys = Seq("o_orderkey")
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, table, base, keys)
+    LakeTable.merge(spark, table,
+      base.filter(col("o_orderkey") % 11 === 1).withColumn("o_orderstatus", lit("U")), keys)
+    LakeTable.merge(spark, table,
+      base.filter(col("o_orderkey") % 17 === 2).withColumn("o_orderstatus", lit("X")), keys)
+    LakeTable.delete(spark, table,
+      base.filter(col("o_orderkey") % 53 === 0).select("o_orderkey"), keys)
+    val cols = Seq("o_orderkey", "_change_type", "o_orderstatus",
+      "_before_o_orderstatus", "_commit_version")
+    val batch = (2 to 4).map { v =>
+      LakeTable.changes(spark, table, v - 1, v, keys, includeBefore = true)
+        .withColumn("_commit_version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+      .select(cols.map(col): _*)
+      .orderBy("_commit_version", "o_orderkey")
+
+    if (streamExecuteEnabled) {
+      val name = s"graft_lake_src_exec_${sinkSeq.incrementAndGet()}"
+      val q = spark.readStream.format("graftlake")
+        .option("startingVersion", "1").load(table)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(name).select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val direct = batch.collect().map(_.toSeq).sortBy(_.mkString("|"))
+      require(streamed.nonEmpty && streamed.sameElements(direct),
+        s"stream_lake_source: registered-source stream diverged from the " +
+          s"batch feed (${streamed.length} vs ${direct.length} rows)")
+      deleteRecursively(s"$root/ckpt")
+    }
+    batch
+  }
+
   /** Streaming passage-identity dedup — the chunk-granularity ingest
     * idempotency op (land only NOVEL passages): documents stream through
     * the stateless chunker ([[graft.text.TextOps.chunkKeys]] — per-row

@@ -26,6 +26,28 @@ object ColumnBridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** DataFrame over an InternalRow RDD with the streaming bit set — what
+    * a V1 streaming Source's getBatch must return (MicroBatchExecution
+    * asserts isStreaming on the returned frame; cf. FileStreamSource,
+    * which builds its batches through the same internal factory). */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Batch DataFrame over an InternalRow RDD — the inverse direction a
+    * V1 streaming Sink needs: `addBatch`'s incoming frame is bound to
+    * the micro-batch's IncrementalExecution and cannot be re-planned by
+    * ordinary writers; rebinding its materialized rows to a plain batch
+    * frame is the sanctioned escape (cf. the built-in console/foreach
+    * sinks doing the same collect-or-rebind). */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** EAGER Column → catalyst Expression conversion. `expression(c)` above
     * returns a lazy ColumnNodeExpression placeholder that only standard
     * Dataset operators convert during construction; expressions embedded

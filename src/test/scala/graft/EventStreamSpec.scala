@@ -209,7 +209,10 @@ class EventStreamSpec extends SparkSpec {
         "stream_chunk_dedup" -> (EventStreams.qStreamChunkDedup _),
         // maintains the MV across 4 lake commits by tailing the manifest
         // log as a real stream; in-entry parity vs the batch fold
-        "stream_lake_cdf" -> (EventStreams.qStreamLakeCdf _))
+        "stream_lake_cdf" -> (EventStreams.qStreamLakeCdf _),
+        // the registered readStream.format("graftlake") CDC source,
+        // in-entry parity vs the direct per-version feed union
+        "stream_lake_source" -> (EventStreams.qStreamLakeSource _))
       entries.foreach { case (name, fn) =>
         // the parity requires() fire inside the call; a non-empty result
         // guards against a vacuously-green identity on zero rows

@@ -607,6 +607,65 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("graftlake streaming source and sink: commits stream as CDC batches; batches commit as versions") {
+    import spark.implicits._
+    // ---- source: readStream over the manifest log ----
+    val p = freshPath("streamsrc")
+    LakeTable.create(spark, p,
+      (1L to 100L).map(k => (k, "base", k)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((7L, "upd", 77L), (200L, "ins", 2000L)).toDF("k", "s", "v"), Seq("k"))
+    LakeTable.delete(spark, p, Seq(Tuple1(9L)).toDF("k"), Seq("k"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lakesrc_ckpt").toString
+    val q = spark.readStream.format("graftlake")
+      .option("startingVersion", "1").load(p)
+      .writeStream.format("memory").queryName("graft_lake_cdc_spec")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_lake_cdc_spec").collect().map(r =>
+      (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("_change_type")),
+        Option(r.getString(r.fieldIndex("s"))),
+        Option(r.getString(r.fieldIndex("_before_s"))),
+        r.getLong(r.fieldIndex("_commit_version")))).toSet
+    assert(got == Set(
+      (7L, "update", Some("upd"), Some("base"), 2L),
+      (200L, "insert", Some("ins"), None, 2L),
+      (9L, "delete", None, Some("base"), 3L)), s"got $got")
+    // tail-the-log default: a source started WITHOUT startingVersion
+    // sees only commits after stream start
+    val q2 = spark.readStream.format("graftlake").load(p)
+      .writeStream.format("memory").queryName("graft_lake_cdc_tail")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_lakesrc_ckpt2").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("graft_lake_cdc_tail").isEmpty, "tail source replayed history")
+
+    // ---- sink: writeStream commits one version per micro-batch ----
+    val p2 = freshPath("streamsink")
+    val stage = java.nio.file.Files.createTempDirectory("graft_lakesink_src").toString
+    (1L to 80L).map(k => (k, s"s$k", k)).toDF("k", "s", "v")
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q3 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+      .writeStream.format("graftlake")
+      .option("path", p2).option("keys", "k")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_lakesink_ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(LakeTable.latestVersion(p2) >= 2, "sink did not commit per micro-batch")
+    assert(rows(LakeTable.read(spark, p2).select("k", "s", "v")) ==
+      (1L to 80L).map(k => (k, s"s$k", k)).toSet)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
