@@ -68,7 +68,28 @@ class GraftLakeSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, startingVersion) = streamParams(parameters)
-    new GraftLakeStreamSource(sqlContext.sparkSession, path, startingVersion)
+    // pin the resolved starting version in the query's OWN metadata dir
+    // (code-review r14 F1): the tail-the-log default resolves "latest"
+    // at FIRST start; a checkpoint restart must reuse that resolution,
+    // not re-resolve against whatever is latest after the downtime —
+    // re-resolving forward would silently re-scope (or empty out) a
+    // WAL-committed batch the recovery is about to replay
+    val pinFile = new org.apache.hadoop.fs.Path(metadataPath, "graftlake-start")
+    val fs = pinFile.getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+    val pinned =
+      if (fs.exists(pinFile)) {
+        val in = fs.open(pinFile)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      } else {
+        val out = fs.create(pinFile, false)
+        try out.write(startingVersion.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        startingVersion
+      }
+    new GraftLakeStreamSource(sqlContext.sparkSession, path, pinned)
   }
 
   // ---- streaming sink: each micro-batch commits ONE atomic lake
@@ -77,51 +98,46 @@ class GraftLakeSource extends RelationProvider
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graftlake: 'path' is required"))
-    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "graftlake: 'keys' is required — the comma-separated merge identity columns"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val w = GraftLakeSource.writeOptions(parameters)
     require(outputMode != OutputMode.Complete(),
       "graftlake sink: Complete mode would rewrite the table per batch — " +
         "use append/update (each micro-batch merges as one version)")
-    val nBuckets = parameters.get("nBuckets").map(_.trim.toInt).getOrElse(8)
-    val layout = parameters.getOrElse("layout", "hash")
-    new GraftLakeSink(path, keys, nBuckets, layout)
+    new GraftLakeSink(w.path, w.keys, w.nBuckets, w.layout)
   }
 
   /** `df.write.format("graftlake").option("keys", "k1,k2").mode(...)`:
-    *   - Overwrite      — (re)create the table as a fresh version 1
+    *   - Overwrite      — replace the table's state as a FORWARD commit
+    *                      (new files/schema/keys; history and pinned
+    *                      readers survive until vacuum — never a
+    *                      physical delete-and-recreate)
     *   - Append         — keyed latest-wins MERGE (create if missing) —
     *                      the transactional upsert, not a blind file add
     *   - ErrorIfExists  — create, loud if the table exists
     *   - Ignore         — create only if missing
-    * `keys` is required (the table's merge/DV identity); `nBuckets` and
-    * `layout` (hash|range|zorder) pass through to [[LakeTable.create]]. */
+    * `keys` is required (the table's merge/DV identity) and, when the
+    * table already exists and the mode merges into it, must MATCH the
+    * manifest's keys — a mismatched identity would silently corrupt the
+    * upsert; `nBuckets` and `layout` (hash|range|zorder) pass through
+    * to [[LakeTable.create]]/[[LakeTable.overwrite]]. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graftlake: 'path' is required — df.write.format(\"graftlake\").save(<table dir>)"))
-    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "graftlake: 'keys' is required — the comma-separated merge identity columns"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val nBuckets = parameters.get("nBuckets").map(_.trim.toInt).getOrElse(8)
-    val layout = parameters.getOrElse("layout", "hash")
+    val w = GraftLakeSource.writeOptions(parameters)
     val spark = sqlContext.sparkSession
-    val exists = LakeTable.latestVersion(path) > 0
+    val exists = LakeTable.latestVersion(w.path) > 0
     mode match {
       case SaveMode.Overwrite =>
-        LakeTable.deleteRecursively(new java.io.File(path))
-        LakeTable.create(spark, path, data, keys, nBuckets, layout)
+        LakeTable.overwrite(spark, w.path, data, w.keys, w.nBuckets, w.layout)
       case SaveMode.Append =>
-        if (exists) LakeTable.merge(spark, path, data, keys)
-        else LakeTable.create(spark, path, data, keys, nBuckets, layout)
+        if (exists) {
+          GraftLakeSource.requireManifestKeys(w.path, w.keys)
+          LakeTable.merge(spark, w.path, data, w.keys)
+        } else LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout)
       case SaveMode.ErrorIfExists =>
-        LakeTable.create(spark, path, data, keys, nBuckets, layout) // refuses if present
+        LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout) // refuses if present
       case SaveMode.Ignore =>
-        if (!exists) LakeTable.create(spark, path, data, keys, nBuckets, layout)
+        if (!exists) LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout)
     }
-    new GraftLakeRelation(sqlContext, path, LakeTable.latestVersion(path))
+    new GraftLakeRelation(sqlContext, w.path, LakeTable.latestVersion(w.path))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -143,6 +159,33 @@ object GraftLakeSource {
     * for specs asserting the pushdown actually cut the file list (the
     * BucketingSpec quantitative-skip convention). */
   @volatile private[graft] var lastPrune: (Int, Int) = (0, 0)
+
+  /** Shared write-side option parsing (batch write path + streaming
+    * sink — one place for the required-option contracts). */
+  private[graft] final case class WriteOptions(path: String,
+      keys: Seq[String], nBuckets: Int, layout: String)
+
+  private[graft] def writeOptions(parameters: Map[String, String]): WriteOptions = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftlake: 'path' is required — .save(<table dir>) / option(\"path\", ...)"))
+    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "graftlake: 'keys' is required — the comma-separated merge identity columns"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graftlake: 'keys' must name at least one column")
+    WriteOptions(path, keys,
+      parameters.get("nBuckets").map(_.trim.toInt).getOrElse(8),
+      parameters.getOrElse("layout", "hash"))
+  }
+
+  /** A merge into an EXISTING table must use the table's own identity:
+    * joining on different columns than the manifest's keys silently
+    * corrupts the upsert (and the DV anti-joins keyed by the manifest). */
+  private[graft] def requireManifestKeys(path: String, keys: Seq[String]): Unit = {
+    val tableKeys = LakeTable.manifest(path, LakeTable.latestVersion(path)).keys
+    require(keys == tableKeys,
+      s"graftlake: 'keys' option (${keys.mkString(",")}) does not match the " +
+        s"table's merge identity (${tableKeys.mkString(",")}) at $path")
+  }
 }
 
 private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
@@ -168,13 +211,24 @@ private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
     case LessThanOrEqual(c, v) => Seq((c, None, Some(v)))
     case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
       // the IN set's envelope — sound (a superset interval), and enough
-      // to prune point-lookup batches on a clustered key
+      // to prune point-lookup batches on a clustered key. Bound
+      // selection must use the SAME ordering the stats comparison uses:
+      // exact Long for integral values (doubleValue loses precision
+      // past 2^53 and can crown the wrong element) and unsigned UTF-8
+      // bytes for strings (Java's UTF-16 order inverts beyond the BMP)
+      // — either mistake prunes a file that holds a match.
       (vs.head match {
+        case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+             _: java.lang.Byte =>
+          val ls = vs.map(_.asInstanceOf[Number].longValue())
+          Seq((c, Some(ls.min), Some(ls.max)))
         case _: Number =>
-          Seq((c, Some(vs.minBy(v => v.asInstanceOf[Number].doubleValue())),
-            Some(vs.maxBy(v => v.asInstanceOf[Number].doubleValue()))))
+          Seq((c, Some(vs.minBy(_.asInstanceOf[Number].doubleValue())),
+            Some(vs.maxBy(_.asInstanceOf[Number].doubleValue()))))
         case _: String =>
-          Seq((c, Some(vs.map(_.toString).min), Some(vs.map(_.toString).max)))
+          val ss = vs.map(_.toString)
+          Seq((c, Some(ss.min(LakeTable.utf8Ordering)),
+            Some(ss.max(LakeTable.utf8Ordering))))
         case _ => Seq.empty
       })
     case And(l, r) => toIntervals(l) ++ toIntervals(r)
@@ -207,9 +261,10 @@ private[graft] object GraftLakeStreamSource {
     * commit mid-stream changes the feed's shape and fails the running
     * query loudly (restart resolves the new schema) — the Delta
     * streaming-source contract. */
-  def cdcSchema(path: String): StructType = {
-    val m = LakeTable.manifest(path,
-      math.max(1, LakeTable.latestVersion(path)))
+  def cdcSchema(path: String): StructType =
+    cdcSchema(LakeTable.manifest(path, math.max(1, LakeTable.latestVersion(path))))
+
+  def cdcSchema(m: LakeTable.Manifest): StructType = {
     val keySet = m.keys.toSet
     val keyFields = m.schema.filter(f => keySet(f.name))
     val rest = m.schema.filterNot(f => keySet(f.name))
@@ -230,9 +285,12 @@ private[graft] class GraftLakeStreamSource(spark: SparkSession,
     path: String, startingVersion: Int)
     extends org.apache.spark.sql.execution.streaming.Source {
 
-  private val declared = GraftLakeStreamSource.cdcSchema(path)
-  private val keys = LakeTable.manifest(path,
-    math.max(1, LakeTable.latestVersion(path))).keys
+  // one manifest resolution at stream start: schema AND keys derive
+  // from the same pinned snapshot of the table's shape
+  private val startManifest = LakeTable.manifest(path,
+    math.max(1, LakeTable.latestVersion(path)))
+  private val declared = GraftLakeStreamSource.cdcSchema(startManifest)
+  private val keys = startManifest.keys
 
   override def schema: StructType = declared
 
@@ -249,17 +307,25 @@ private[graft] class GraftLakeStreamSource(spark: SparkSession,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val from = start.map(parse).getOrElse(startingVersion)
     val to = parse(end)
+    // recovery can replay a range the source has already seen; an empty
+    // range (offsets equal) is a valid no-op batch, not an empty.reduce
+    if (from >= to)
+      return org.apache.spark.sql.graft.ColumnBridge.streamingDataFrame(
+        spark, spark.sparkContext.emptyRDD, declared)
     val feed = (from + 1 to to).map { v =>
       LakeTable.changes(spark, path, v - 1, v, keys, includeBefore = true)
         .withColumn("_commit_version", lit(v.toLong))
     }.reduce(_ unionByName _)
-    val aligned = feed.select(declared.map(f => col(f.name)).toSeq: _*)
-    require(aligned.schema.map(f => (f.name, f.dataType)) ==
-      declared.map(f => (f.name, f.dataType)),
+    // evolution check BEFORE the projection (the select would silently
+    // drop a mid-stream-added column and the promised loud failure
+    // would never fire — code-review r14 F4)
+    require(feed.schema.map(f => (f.name, f.dataType)).toSet ==
+      declared.map(f => (f.name, f.dataType)).toSet,
       s"graftlake stream: the table's schema evolved mid-stream " +
-        s"(${aligned.schema.map(_.name).mkString(",")} vs declared " +
+        s"(feed: ${feed.schema.map(_.name).mkString(",")} vs declared: " +
         s"${declared.map(_.name).mkString(",")}) — restart the query to " +
         "pick up the new CDC shape")
+    val aligned = feed.select(declared.map(f => col(f.name)).toSeq: _*)
     org.apache.spark.sql.graft.ColumnBridge.streamingDataFrame(
       spark, aligned.queryExecution.toRdd, declared)
   }
@@ -288,6 +354,7 @@ private[graft] class GraftLakeSink(path: String, keys: Seq[String],
       LakeTable.create(spark, path, batch, keys, nBuckets, layout)
       ()
     } else {
+      GraftLakeSource.requireManifestKeys(path, keys)
       LakeTable.merge(spark, path, batch, keys)
       ()
     }

@@ -427,7 +427,7 @@ object LakeTable {
     }
     x.length - y.length
   }
-  private val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
+  private[graft] val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
 
   private def toLong(a: Any): Long = a match {
     case n: Number => n.longValue
@@ -488,13 +488,22 @@ object LakeTable {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
     val dir = s"$path/data/create"
-    // hash layout partitions on the KEY COLUMNS directly (one shuffle,
-    // uniform over all nBuckets partitions — hashing a precomputed
-    // bucket value would re-hash 8 small values into ~half the
-    // partitions and undershoot the file granularity CoW tests price);
-    // range clusters one dimension; zorder Morton-interleaves ALL key
-    // columns so every file's stats envelope stays narrow on each
-    // dimension at once (multi-column boxes prune via [[scanBox]])
+    writeLayout(df, keyCols, nBuckets, layout, dir)
+    commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
+      entriesFor(spark, dir, keyCols, df.schema)))
+    1
+  }
+
+  /** The physical clustering behind [[create]] and [[overwrite]]: hash
+    * layout partitions on the KEY COLUMNS directly (one shuffle,
+    * uniform over all nBuckets partitions — hashing a precomputed
+    * bucket value would re-hash 8 small values into ~half the
+    * partitions and undershoot the file granularity CoW tests price);
+    * range clusters one dimension; zorder Morton-interleaves ALL key
+    * columns so every file's stats envelope stays narrow on each
+    * dimension at once (multi-column boxes prune via [[scanBox]]). */
+  private def writeLayout(df: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      layout: String, dir: String): Unit = {
     val out = layout match {
       case "range" => df.repartitionByRange(nBuckets, keyCols.map(col): _*)
       case "zorder" =>
@@ -504,10 +513,18 @@ object LakeTable {
         val aggs = keyCols.flatMap(k =>
           Seq(min(col(k).cast("long")), max(col(k).cast("long"))))
         val row = df.agg(aggs.head, aggs.tail: _*).head()
+        // scale each key into [0, w) SHIFTED BY ITS MIN and without any
+        // long multiplication: `value * w` overflows past ~2^47 and an
+        // unshifted narrow high range (ids around 1e9) would collapse
+        // every row into one z-bucket — bucketize by integer step
+        // instead (exact when the range already fits in w)
         val scaled = keyCols.zipWithIndex.map { case (k, i) =>
           require(!row.isNullAt(2 * i) && row.getLong(2 * i) >= 0,
             s"LakeTable: zorder layout needs non-negative non-null keys ($k)")
-          col(k).cast("long") * w / lit(row.getLong(2 * i + 1) + 1)
+          val mn = row.getLong(2 * i)
+          val range = row.getLong(2 * i + 1) - mn + 1
+          val step = math.max(1L, (range + w - 1) / w)
+          expr(s"(cast(`$k` as bigint) - $mn) div $step")
         }
         df.withColumn("__z", graft.operators.Bucketing.zValueN(scaled, bits))
           .repartitionByRange(nBuckets, col("__z"))
@@ -516,9 +533,24 @@ object LakeTable {
       case _ => df.repartition(nBuckets, keyCols.map(col): _*)
     }
     out.write.mode("overwrite").parquet(dir)
-    commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
+  }
+
+  /** OVERWRITE as a forward commit (code-review r14 F3): the new state
+    * fully replaces the old — new files, new schema, new keys — but
+    * HISTORY survives: the commit's manifest references only the new
+    * files, pinned readers keep their resolved file sets, and old
+    * versions stay time-travel-readable until [[vacuum]] (the Delta
+    * overwrite shape; a physical delete-and-recreate would yank files
+    * out from under concurrent readers and destroy restore/as-of). */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash"): Int = {
+    val current = latestVersion(path)
+    if (current == 0) return create(spark, path, df, keyCols, nBuckets, layout)
+    val dir = s"$path/data/overwrite-v${current + 1}-${java.util.UUID.randomUUID()}"
+    writeLayout(df, keyCols, nBuckets, layout, dir)
+    commit(path, Manifest(current + 1, "overwrite", keyCols, df.schema.toDDL,
       entriesFor(spark, dir, keyCols, df.schema)))
-    1
+    current + 1
   }
 
   /** The table schema after unioning in a batch's columns (merge-side

@@ -605,6 +605,42 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       base.write.format("graftlake").mode("overwrite").save(freshPath("sqlwrite2"))
     }
+    // appending with the WRONG identity is refused, never silently
+    // merged on a different key (code-review r14 F5)
+    val e = intercept[IllegalArgumentException] {
+      Seq((1L, "x", 1L)).toDF("k", "s", "v")
+        .write.format("graftlake").option("keys", "s").mode("append").save(p)
+    }
+    assert(e.getMessage.contains("merge identity"))
+    // overwrite is a FORWARD commit: pinned readers and history survive
+    // (code-review r14 F3 — a delete-and-recreate would yank files from
+    // under the pinned frame)
+    val pinned = LakeTable.read(spark, p, Some(2))
+    Seq((999L, "new", 9L)).toDF("k", "s", "v")
+      .write.format("graftlake").option("keys", "k").mode("overwrite").save(p)
+    assert(LakeTable.latestVersion(p) == 3)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == Set((999L, "new", 9L)))
+    assert(pinned.count() == 101, "overwrite destroyed the pinned reader's files")
+    assert(LakeTable.history(p).last._2 == "overwrite")
+  }
+
+  test("zorder layout survives high-offset narrow key ranges (no long-mul overflow, min shift)") {
+    import spark.implicits._
+    val p = freshPath("zorder_hi")
+    // ids around 1e9 in a 1000-wide band: the unshifted value*w scaling
+    // collapsed every row into one z-bucket (one file); timestamps-micros
+    // magnitudes overflowed the multiply outright
+    val hi = (0L until 1000L).map(i => (1000000000L + i, 4000000000000000L + i * 1000, i))
+      .toDF("a", "b", "v")
+    LakeTable.create(spark, p, hi, Seq("a", "b"), nBuckets = 8, layout = "zorder")
+    assert(LakeTable.manifestFiles(p, 1).size == 8,
+      s"zorder collapsed to ${LakeTable.manifestFiles(p, 1).size} files")
+    val box = Seq[(String, Any, Any)](
+      ("a", 1000000100L, 1000000199L), ("b", 4000000000000000L, 4000000001000000L))
+    val (kept, total) = LakeTable.prunedEntriesBox(p, 1, box)
+    assert(kept.size < total, "no pruning on the shifted/bucketized layout")
+    val got = LakeTable.scanBox(spark, p, box).collect().map(_.getLong(2)).toSet
+    assert(got == (100L to 199L).toSet)
   }
 
   test("graftlake streaming source and sink: commits stream as CDC batches; batches commit as versions") {
@@ -635,15 +671,36 @@ class LakeTableSpec extends SparkSpec {
       (9L, "delete", None, Some("base"), 3L)), s"got $got")
     // tail-the-log default: a source started WITHOUT startingVersion
     // sees only commits after stream start
-    val q2 = spark.readStream.format("graftlake").load(p)
-      .writeStream.format("memory").queryName("graft_lake_cdc_tail")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_lakesrc_ckpt2").toString)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q2.processAllAvailable() finally q2.stop()
-    assert(spark.table("graft_lake_cdc_tail").isEmpty, "tail source replayed history")
+    // tail default + CHECKPOINT RESTART: run 1 with no startingVersion
+    // pins "latest at first start" (v3) in the query's metadata dir and
+    // sees nothing; a new commit lands; run 2 from the SAME checkpoint
+    // must reuse the pinned resolution (re-resolving against the new
+    // latest would swallow the commit — code-review r14 F1) and deliver
+    // exactly v4's rows. foreachBatch because the memory sink refuses
+    // checkpoint recovery.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_lakesrc_ckpt2").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def runTail(): Unit = {
+      val q = spark.readStream.format("graftlake").load(p)
+        .writeStream
+        .option("checkpointLocation", ckpt2)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add((r.getLong(r.fieldIndex("k")),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_version")))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runTail()
+    assert(seen.isEmpty, "tail source replayed history")
+    LakeTable.merge(spark, p, Seq((30L, "late", 303L)).toDF("k", "s", "v"), Seq("k"))
+    runTail()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((30L, "update", 4L)),
+      s"restart recovery broken: ${seen.asScala.toSet}")
 
     // ---- sink: writeStream commits one version per micro-batch ----
     val p2 = freshPath("streamsink")
