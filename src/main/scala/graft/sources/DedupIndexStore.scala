@@ -178,15 +178,18 @@ object DedupIndexStore {
     * (DedupIndexSpec pins the row identity). Cost: one filtered rewrite
     * of the index stores — O(index), NOT the O(corpus)
     * re-tokenize+minhash a staleness-forced rebuild pays; the retracted
-    * keys broadcast (erasure batches are bounded by contract). The new
-    * generation re-stamps the live corpus snapshot, so an erasure that
-    * also rewrote the documents table re-freshens the gate. */
+    * keys broadcast (erasure batches are bounded by contract). The
+    * BUILD snapshot is preserved (symmetric with AnnIndexStore.retract):
+    * a retract after an unrelated corpus rewrite must NOT silently
+    * re-freshen the staleness gate probe/append depend on — the index
+    * was built over a different corpus and only a rebuild can honestly
+    * re-stamp it (ADVICE r14 #3). */
   def retract(spark: SparkSession, dataDir: String, path: String,
       docIds: DataFrame): Unit = {
     val meta = readMeta(path)
     val ids = docIds.select("doc_id")
     publishGeneration(path,
-      meta.copy(snapshot = graft.Tables.snapshot(s"$dataDir/documents.parquet")),
+      meta,
       spark.read.parquet(shinglesDir(path, meta.gen))
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
         .select("doc_id", "sh"), // the anti-join key-fronts columns; keep the store layout canonical

@@ -318,14 +318,31 @@ private[graft] class GraftLakeStreamSource(spark: SparkSession,
     }.reduce(_ unionByName _)
     // evolution check BEFORE the projection (the select would silently
     // drop a mid-stream-added column and the promised loud failure
-    // would never fire — code-review r14 F4)
-    require(feed.schema.map(f => (f.name, f.dataType)).toSet ==
-      declared.map(f => (f.name, f.dataType)).toSet,
-      s"graftlake stream: the table's schema evolved mid-stream " +
-        s"(feed: ${feed.schema.map(_.name).mkString(",")} vs declared: " +
-        s"${declared.map(_.name).mkString(",")}) — restart the query to " +
-        "pick up the new CDC shape")
-    val aligned = feed.select(declared.map(f => col(f.name)).toSeq: _*)
+    // would never fire — code-review r14 F4). Two shapes:
+    //  - feed STRICTLY MISSING declared columns, no extras or type
+    //    conflicts: a checkpoint restart replaying a WAL range committed
+    //    BEFORE an additive evolution (the only evolution merge admits)
+    //    against a schema pinned at the new latest. Upcast the replayed
+    //    rows — the missing columns read null, exactly what a batch
+    //    changes() says about pre-evolution rows — instead of failing a
+    //    recovery that can never succeed by restarting (ADVICE r14 #2).
+    //  - feed carrying EXTRA/conflicting columns: a live mid-stream
+    //    evolution; stays loud, and a restart genuinely fixes it (the
+    //    new source resolves the new shape).
+    val feedCols = feed.schema.map(f => (f.name, f.dataType)).toSet
+    val declaredCols = declared.map(f => (f.name, f.dataType)).toSet
+    val aligned =
+      if (feedCols == declaredCols) feed.select(declared.map(f => col(f.name)).toSeq: _*)
+      else if (feedCols.subsetOf(declaredCols)) {
+        val present = feed.columns.toSet
+        feed.select(declared.map(f =>
+          if (present(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      } else throw new IllegalStateException(
+        s"graftlake stream: the table's schema evolved mid-stream " +
+          s"(feed: ${feed.schema.map(_.name).mkString(",")} vs declared: " +
+          s"${declared.map(_.name).mkString(",")}) — restart the query to " +
+          "pick up the new CDC shape")
     org.apache.spark.sql.graft.ColumnBridge.streamingDataFrame(
       spark, aligned.queryExecution.toRdd, declared)
   }

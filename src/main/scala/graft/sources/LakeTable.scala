@@ -281,21 +281,49 @@ object LakeTable {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
+        val msgType = reader.getFooter.getFileMetaData.getSchema
         val perCol = cols.flatMap { case (name, fam) =>
           // one column chunk per block; the file's range is the union
           val chunkStats = blocks.map(_.getColumns.asScala
             .find(_.getPath.toDotString == name).map(_.getStatistics))
           val ok = chunkStats.forall(_.exists(s =>
             s != null && !s.isEmpty && s.hasNonNullValue))
-          if (!ok || blocks.isEmpty) None
+          // Footer stats live in the column's PHYSICAL unit, which for
+          // timestamps follows the writer's outputTimestampType session
+          // config — TIMESTAMP_MILLIS stores millis while [[toLong]]
+          // converts predicate values to micros. Normalize from the
+          // parquet logical-type annotation: MILLIS lifts x1000 to the
+          // micros axis; any other non-MICROS unit (NANOS, or INT96
+          // with no annotation) skips stats for the column — the file
+          // is then never pruned on it (safe), instead of pruned on a
+          // mismatched axis (silent row loss; ADVICE r14 #1).
+          val tsScaleToMicros: Option[Long] =
+            msgType.getFields.asScala.find(_.getName == name)
+              .filter(_.isPrimitive).map(_.asPrimitiveType()) match {
+              case Some(pt) => pt.getLogicalTypeAnnotation match {
+                case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  ts.getUnit match {
+                    case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => Some(1L)
+                    case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1000L)
+                    case _ => None // NANOS: no honest integer lift
+                  }
+                case _ if pt.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 =>
+                  None // legacy INT96: annotation-less timestamp, no usable axis
+                case _ => Some(1L) // non-timestamp long family (ints, dates)
+              }
+              case None => Some(1L) // nested/missing: chunkStats find() already misses
+            }
+          if (!ok || blocks.isEmpty || (fam == "long" && tsScaleToMicros.isEmpty)) None
           else {
             val ss = chunkStats.map(_.get)
             fam match {
               case "long" =>
+                val scale = tsScaleToMicros.get
                 val mins = ss.map(s => s.genericGetMin match {
-                  case n: Number => n.longValue })
+                  case n: Number => n.longValue * scale })
                 val maxs = ss.map(s => s.genericGetMax match {
-                  case n: Number => n.longValue })
+                  case n: Number => n.longValue * scale })
                 Some(name -> ColStats("long", mins.min, maxs.max))
               case "double" =>
                 val mins = ss.map(s => s.genericGetMin match {
@@ -393,12 +421,16 @@ object LakeTable {
     preds.forall { case (colName, lo, hi) =>
       fe.stats.get(colName) match {
         case None => true
+        // a predicate value the stats family cannot convert (toLong/
+        // toDouble = None) never prunes — an unanticipated literal type
+        // reaching the SQL pushdown must degrade to a full scan, not
+        // fail the query at planning (ADVICE r14 #5)
         case Some(ColStats("long", mn, mx)) =>
-          lo.forall(l => mx.asInstanceOf[Long] >= toLong(l)) &&
-            hi.forall(h => mn.asInstanceOf[Long] <= toLong(h))
+          lo.forall(l => toLong(l).forall(mx.asInstanceOf[Long] >= _)) &&
+            hi.forall(h => toLong(h).forall(mn.asInstanceOf[Long] <= _))
         case Some(ColStats("double", mn, mx)) =>
-          lo.forall(l => mx.asInstanceOf[Double] >= toDouble(l)) &&
-            hi.forall(h => mn.asInstanceOf[Double] <= toDouble(h))
+          lo.forall(l => toDouble(l).forall(mx.asInstanceOf[Double] >= _)) &&
+            hi.forall(h => toDouble(h).forall(mn.asInstanceOf[Double] <= _))
         case Some(ColStats(_, mn, mx)) =>
           lo.forall(l => utf8Compare(mx.asInstanceOf[String], l.toString) >= 0) &&
             hi.forall(h => utf8Compare(mn.asInstanceOf[String], h.toString) <= 0)
@@ -429,24 +461,24 @@ object LakeTable {
   }
   private[graft] val utf8Ordering: Ordering[String] = (a, b) => utf8Compare(a, b)
 
-  private def toLong(a: Any): Long = a match {
-    case n: Number => n.longValue
+  private def toLong(a: Any): Option[Long] = a match {
+    case n: Number => Some(n.longValue)
     // the long-family temporal axes, converted to the parquet footer's
     // physical units (days / micros)
-    case d: java.sql.Date => d.toLocalDate.toEpochDay
-    case d: java.time.LocalDate => d.toEpochDay
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case t: java.sql.Timestamp =>
-      java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime) + t.getNanos / 1000 % 1000
+      Some(java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime) + t.getNanos / 1000 % 1000)
     case t: java.time.Instant =>
-      java.util.concurrent.TimeUnit.SECONDS.toMicros(t.getEpochSecond) + t.getNano / 1000
+      Some(java.util.concurrent.TimeUnit.SECONDS.toMicros(t.getEpochSecond) + t.getNano / 1000)
     case t: java.time.LocalDateTime =>
-      java.util.concurrent.TimeUnit.SECONDS.toMicros(
-        t.toEpochSecond(java.time.ZoneOffset.UTC)) + t.getNano / 1000
-    case o => o.toString.toLong
+      Some(java.util.concurrent.TimeUnit.SECONDS.toMicros(
+        t.toEpochSecond(java.time.ZoneOffset.UTC)) + t.getNano / 1000)
+    case _ => None // unrecognized literal type: conservative no-prune
   }
-  private def toDouble(a: Any): Double = a match {
-    case n: Number => n.doubleValue
-    case o => o.toString.toDouble
+  private def toDouble(a: Any): Option[Double] = a match {
+    case n: Number => Some(n.doubleValue)
+    case _ => None // unrecognized literal type: conservative no-prune
   }
 
   /** Stats-pruned range scan: `colName BETWEEN lo AND hi`, resolving
@@ -641,19 +673,32 @@ object LakeTable {
           if (attempt > maxRetries) throw e
           val nowV = latestVersion(path)
           // conflict classification: the winners' churned keys, read from
-          // the O(delta) change feed (only non-carried files), vs ours
-          val overlapping =
-            try changes(spark, path, readV, nowV, keyCols)
+          // the O(delta) change feed (only non-carried files), vs ours.
+          // Only the EXPECTED classification failures (the changes()
+          // schema-conflict/column-removal requires — a winner that
+          // evolved the schema has no key-diffable feed) degrade to
+          // "overlapping"; anything else (a vacuumed manifest, an I/O
+          // fault) is a real error and rethrows as itself — swallowing
+          // it would misdiagnose the failure as a key conflict and
+          // discard the cause (ADVICE r14 #4).
+          val classification =
+            try Right(changes(spark, path, readV, nowV, keyCols)
               .select(keyCols.map(col): _*)
               .join(broadcast(updates.select(keyCols.map(col): _*)), keyCols, "left_semi")
-              .limit(1).count() > 0
-            catch { case _: Exception => true } // e.g. winner evolved the schema
-          if (overlapping)
-            throw new java.util.ConcurrentModificationException(
-              s"LakeTable: concurrent merge at $path touched overlapping keys " +
-                s"(our read version $readV, theirs landed through $nowV) — " +
-                "latest-wins order between racing same-key writers is arbitrary; " +
-                "re-invoke merge against the new snapshot to decide")
+              .limit(1).count() > 0)
+            catch { case iae: IllegalArgumentException => Left(iae) }
+          classification match {
+            case Right(false) => // disjoint: rebase and retry
+            case conflicted =>
+              val cme = new java.util.ConcurrentModificationException(
+                s"LakeTable: concurrent merge at $path touched overlapping keys " +
+                  (if (conflicted.isLeft) "(or evolved the schema underneath us) " else "") +
+                  s"(our read version $readV, theirs landed through $nowV) — " +
+                  "latest-wins order between racing same-key writers is arbitrary; " +
+                  "re-invoke merge against the new snapshot to decide")
+              conflicted.left.foreach(cme.initCause)
+              throw cme
+          }
       }
     }
     -1 // unreachable
