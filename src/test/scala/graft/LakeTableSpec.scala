@@ -101,10 +101,10 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LakeTable.create(spark, p, Seq((1L, "a", 1L)).toDF("k", "s", "v"), Seq("k"))
     }
-    // no temp files left behind in the log (the advisory `_latest`
-    // hint is the one non-manifest resident)
+    // no temp files left behind in the log (the advisory `_latest` hint
+    // and checkpoint sidecars are the only non-record residents)
     val logs = new java.io.File(s"$p/_log").listFiles.map(_.getName)
-    assert(logs.forall(n => n.matches("v\\d{5}\\.json") || n == "_latest"),
+    assert(logs.forall(n => n.matches("(chk-)?v\\d{5}\\.json") || n == "_latest"),
       s"stray log files: ${logs.mkString(",")}")
     // a stale or missing hint never wins: probe-forward / listing
     // fallback both resolve the true latest
@@ -395,9 +395,11 @@ class LakeTableSpec extends SparkSpec {
     // keys scattered across every hash bucket — the CoW worst case
     val erased = (1L to 400L).filter(_ % 50 == 3)
     LakeTable.deleteDV(spark, p, erased.map(Tuple1(_)).toDF("k"), Seq("k"))
-    // zero data files rewritten: the file list is IDENTICAL, only
-    // sidecar references changed
-    assert(LakeTable.manifestFiles(p, 2) == LakeTable.manifestFiles(p, 1))
+    // zero data files rewritten: the file SET is identical, only
+    // sidecar references changed (the churn record re-adds flipped
+    // entries at the end, so compare as sets, not sequences)
+    assert(LakeTable.manifestFiles(p, 2).toSet == LakeTable.manifestFiles(p, 1).toSet)
+    assert(LakeTable.manifestFiles(p, 2).size == LakeTable.manifestFiles(p, 1).size)
     assert(LakeTable.manifest(p, 2).dvPaths.size == 1)
     val expect2 = (1L to 400L).filterNot(erased.contains).map(k => (k, "base", k)).toSet
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect2)
@@ -772,6 +774,58 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")).size == 410)
     LakeTable.deleteRecursively(p)
     assert(!new java.io.File(plain).exists)
+  }
+
+  test("commit metadata is bounded by churn, not table size; checkpoints bound reconstruction") {
+    import spark.implicits._
+    val p = freshPath("churnlog")
+    val base = (1L to 3200L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 32)
+    def recBytes(v: Int) = new java.io.File(f"$p/_log/v$v%05d.json").length
+    val fullBytes = recBytes(1)
+    // 12 single-key merges on the 32-file table → 12 churn records
+    (1 to 12).foreach { i =>
+      LakeTable.merge(spark, p, Seq((i * 37L, s"u$i", i.toLong)).toDF("k", "s", "v"), Seq("k"))
+    }
+    // each commit's metadata tracks its churn (~1 removed path + ~1
+    // added entry), NOT the 32-entry table state — the bound that makes
+    // a one-row commit on a 100k-file table affordable
+    (2 to 13).foreach { v =>
+      assert(recBytes(v) < fullBytes / 4,
+        s"delta record v$v is ${recBytes(v)} B vs full-state $fullBytes B — O(table) metadata")
+    }
+    // checkpoint anchors exist at the interval cadence, so reconstruction
+    // reads O(interval) records, not the whole log
+    assert(new java.io.File(f"$p/_log/chk-v${LakeTable.ChkInterval}%05d.json").exists,
+      "interval checkpoint missing")
+    // reconstruction is exact at every version: v1 pristine, latest has
+    // all 12 updates applied
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")) ==
+      (1L to 3200L).map(k => (k, "base", k)).toSet)
+    val expect13 = (1L to 3200L).map { k =>
+      val i = k / 37L
+      if (k % 37L == 0 && i >= 1 && i <= 12) (k, s"u$i", i) else (k, "base", k)
+    }.toSet
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect13)
+    // history replays forward — one record read per version, ops intact
+    assert(LakeTable.history(p).map(_._2) == "create" +: Seq.fill(12)("merge"))
+    // the latest hint keeps resolution O(1)-ish (no O(#versions) listing)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$p/_log/_latest")).trim.toInt == 13)
+    // vacuum to a floor whose record is a CHURN record (v11, not on the
+    // checkpoint cadence): vacuum must pin a floor checkpoint so the
+    // retained delta chain stays reconstructable after its ancestry drops
+    LakeTable.vacuum(p, keepLast = 3)
+    assert(new java.io.File(f"$p/_log/chk-v${11}%05d.json").exists,
+      "vacuum dropped the floor's ancestry without anchoring it")
+    assert(!new java.io.File(f"$p/_log/v${1}%05d.json").exists)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect13)
+    assert(rows(LakeTable.read(spark, p, Some(11)).select("k", "s", "v")) ==
+      (1L to 3200L).map { k =>
+        val i = k / 37L
+        if (k % 37L == 0 && i >= 1 && i <= 10) (k, s"u$i", i) else (k, "base", k)
+      }.toSet)
+    assert(LakeTable.history(p).map(_._1) == Seq(11, 12, 13))
   }
 
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
