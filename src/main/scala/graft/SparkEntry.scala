@@ -23,6 +23,7 @@ object SparkEntry {
     "lake_schema_evolve"       -> (MergeOps.qLakeSchemaEvolve _),
     "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
+    "lake_partition_prune"     -> (MergeOps.qLakePartitionPrune _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
@@ -1626,6 +1627,17 @@ object SparkEntry {
     "lake_prune_read" ->
       """SELECT o_orderkey, o_orderstatus, o_orderdate
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the engine answers the partition predicate from whole pruned
+    // `o_orderpriority=<v>` DIRECTORIES (the entry REQUIRES ≤ 1/3 of
+    // the files survived pruning at v1), with the partition-local
+    // merge's updates visible and the partition column reconstructed
+    // from manifest values — the oracle replays both over the raw table
+    "lake_partition_prune" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 97 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
     // v1 = pre-delete (time travel must still see the erased keys);
     // v2 = the live merge-on-read state, where the equality-delete

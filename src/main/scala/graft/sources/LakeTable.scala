@@ -90,17 +90,28 @@ object LakeTable {
   final case class ColStats(t: String, min: Any, max: Any)
 
   /** One data file of a snapshot: its path, its data-skipping stats,
-    * and the equality-delete sidecars that apply to it. */
+    * the equality-delete sidecars that apply to it, and — for tables
+    * with a partition-directory layout — the file's Hive-style
+    * partition values, lifted from its `col=value` path segments at
+    * commit time. Partition values also surface as EXACT (min==max)
+    * entries in `stats`, so the one [[entryMatches]] kernel prunes on
+    * partition predicates and data stats alike. */
   final case class FileEntry(path: String,
       stats: Map[String, ColStats] = Map.empty,
-      dvs: Seq[String] = Seq.empty)
+      dvs: Seq[String] = Seq.empty,
+      part: Map[String, String] = Map.empty)
 
-  /** The complete committed state of one version. */
+  /** The complete committed state of one version. `parts` names the
+    * table's partition columns (empty = no directory layout). */
   final case class Manifest(version: Int, op: String, keys: Seq[String],
-      schemaDdl: String, files: Seq[FileEntry]) {
+      schemaDdl: String, files: Seq[FileEntry], parts: Seq[String] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def filePaths: Seq[String] = files.map(_.path)
     def dvPaths: Seq[String] = files.flatMap(_.dvs).distinct
+    /** The schema physically stored in data files: partition columns
+      * live in the directory layout, not the parquet. */
+    def dataSchema: StructType =
+      if (parts.isEmpty) schema else StructType(schema.filterNot(f => parts.contains(f.name)))
   }
 
   // ALL log I/O goes through the LakeLogStore seam and all data-plane
@@ -128,14 +139,14 @@ object LakeTable {
     * BOTH lists — remove applies before add, so the re-added entry
     * replaces the old one. */
   private[graft] final case class DeltaRecord(version: Int, op: String,
-      keys: Seq[String], schemaDdl: String,
+      keys: Seq[String], schemaDdl: String, parts: Seq[String],
       removedPaths: Seq[String], addedEntries: Seq[FileEntry])
 
   /** Apply a churn record to its predecessor's reconstructed state. */
   private def applyDelta(prev: Manifest, d: DeltaRecord): Manifest = {
     val removed = d.removedPaths.toSet
     Manifest(d.version, d.op, d.keys, d.schemaDdl,
-      prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries)
+      prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries, d.parts)
   }
 
   // ---- commit-record JSON (Jackson — a real writer, so paths containing
@@ -149,6 +160,10 @@ object LakeTable {
       val fn = filesArr.addObject()
       fn.put("path", fe.path)
       if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
+      if (fe.part.nonEmpty) {
+        val pn = fn.putObject("part")
+        fe.part.foreach { case (c, v) => if (v == null) pn.putNull(c) else pn.put(c, v); () }
+      }
       if (fe.stats.nonEmpty) {
         val sn = fn.putObject("stats")
         fe.stats.foreach { case (c, st) =>
@@ -183,12 +198,17 @@ object LakeTable {
       }.getOrElse(Map.empty[String, ColStats])
       val dvs = Option(fn.get("dvs"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-      FileEntry(fn.path("path").asText(), stats, dvs)
+      val part = Option(fn.get("part")).map { pn =>
+        pn.fields().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+      }.getOrElse(Map.empty[String, String])
+      FileEntry(fn.path("path").asText(), stats, dvs, part)
     }.toSeq
   }
 
   private def headerJson(version: Int, op: String, keys: Seq[String],
-      schemaDdl: String, kind: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+      schemaDdl: String, parts: Seq[String],
+      kind: String): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = jsonMapper.createObjectNode()
     root.put("format", 3)
     root.put("kind", kind)
@@ -196,18 +216,19 @@ object LakeTable {
     root.put("op", op)
     val keysArr = root.putArray("keys")
     keys.foreach(keysArr.add)
+    if (parts.nonEmpty) { val pa = root.putArray("parts"); parts.foreach(pa.add) }
     root.put("schema", schemaDdl)
     root
   }
 
   private def manifestJson(m: Manifest): String = {
-    val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, "full")
+    val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, m.parts, "full")
     writeEntriesJson(root.putArray("files"), m.files)
     jsonMapper.writeValueAsString(root)
   }
 
   private def deltaJson(d: DeltaRecord): String = {
-    val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, "delta")
+    val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, d.parts, "delta")
     val rm = root.putArray("remove")
     d.removedPaths.foreach(rm.add)
     writeEntriesJson(root.putArray("add"), d.addedEntries)
@@ -225,14 +246,15 @@ object LakeTable {
     val version = root.path("version").asInt()
     val op = root.path("op").asText()
     val keys = root.path("keys").elements().asScala.map(_.asText()).toSeq
+    val parts = root.path("parts").elements().asScala.map(_.asText()).toSeq
     val schemaDdl = root.path("schema").asText()
     if (root.path("kind").asText() == "delta")
-      Left(DeltaRecord(version, op, keys, schemaDdl,
+      Left(DeltaRecord(version, op, keys, schemaDdl, parts,
         root.path("remove").elements().asScala.map(_.asText()).toSeq,
         parseEntriesJson(root.path("add"))))
     else
       Right(Manifest(version, op, keys, schemaDdl,
-        parseEntriesJson(root.path("files"))))
+        parseEntriesJson(root.path("files")), parts))
   }
 
   /** Commit a STATE-REPLACING version (create/overwrite/compact/restore/
@@ -248,7 +270,7 @@ object LakeTable {
   private[graft] def commitDelta(path: String, m: Manifest,
       removedPaths: Seq[String], addedEntries: Seq[FileEntry]): Unit = {
     publish(path, m, deltaJson(
-      DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, removedPaths, addedEntries)))
+      DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, m.parts, removedPaths, addedEntries)))
     // periodic full-state checkpoint: bounds reconstruction to at most
     // ChkInterval record reads (every interval-th version is an anchor —
     // this checkpoint when the record there is a delta; a full record is
@@ -455,22 +477,96 @@ object LakeTable {
   }
 
   /** Build the FileEntries for a freshly written batch dir: leaf files
-    * + footer stats on the stat-worthy key columns. */
+    * + footer stats on the stat-worthy key columns + (for partition
+    * layouts) the partition values lifted ONCE from each file's
+    * `col=value` path segments, surfaced both as the entry's `part` map
+    * (read-time reconstruction) and as exact min==max stats (pruning). */
   private def entriesFor(spark: SparkSession, dir: String,
-      keyCols: Seq[String], schema: StructType): Seq[FileEntry] = {
-    val statCols = keyCols.flatMap(k =>
+      keyCols: Seq[String], schema: StructType,
+      parts: Seq[String] = Seq.empty): Seq[FileEntry] = {
+    val statCols = keyCols.filterNot(parts.contains).flatMap(k =>
       schema.find(_.name == k).flatMap(f => statsFamily(f.dataType)).map(k -> _))
     val files = leafFiles(dir)
     val stats = footerStats(spark, files, statCols)
-    files.map(f => FileEntry(f, stats.getOrElse(f, Map.empty)))
+    files.map { f =>
+      val pv = liftPartValues(f, parts)
+      FileEntry(f, stats.getOrElse(f, Map.empty) ++ partStats(pv, schema), part = pv)
+    }
   }
+
+  /** The Hive-style `col=value` values of a leaf file's path, decoded
+    * the way Spark escaped them at write time. The null-partition
+    * sentinel maps to a real null (read back as a typed null literal,
+    * carrying no stats — such files are never pruned). */
+  private def liftPartValues(path: String, parts: Seq[String]): Map[String, String] = {
+    if (parts.isEmpty) return Map.empty
+    val kv = new org.apache.hadoop.fs.Path(path).toUri.getPath.split('/')
+      .iterator.flatMap { s =>
+        val i = s.indexOf('=')
+        if (i > 0) Some(s.substring(0, i) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.substring(i + 1)))
+        else None
+      }.toMap
+    parts.map { c =>
+      val v = kv.getOrElse(c, throw new IllegalStateException(
+        s"LakeTable: partition column $c missing from data path $path"))
+      c -> (if (v == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) null else v)
+    }.toMap
+  }
+
+  /** Partition values as exact-range stats on the shared pruning axis
+    * (dates ride the long family as epoch days — the same unit
+    * [[toLong]] converts Date predicates to). Unparseable or unsupported
+    * values carry no stats: conservative no-prune, never a wrong prune. */
+  private def partStats(pv: Map[String, String],
+      schema: StructType): Map[String, ColStats] =
+    pv.flatMap { case (c, v) =>
+      if (v == null) None
+      else schema.find(_.name == c).flatMap { f =>
+        try f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(c -> ColStats("long", v.toLong, v.toLong))
+          case DateType =>
+            val d = java.time.LocalDate.parse(v).toEpochDay
+            Some(c -> ColStats("long", d, d))
+          case FloatType | DoubleType =>
+            Some(c -> ColStats("double", v.toDouble, v.toDouble))
+          case StringType => Some(c -> ColStats("string", v, v))
+          case _ => None
+        } catch { case _: Exception => None }
+      }
+    }
 
   // ---- reads ----
 
-  /** Raw file read with the MANIFEST's schema — no footer/mergeSchema
-    * pass (files written before a schema-evolving commit read their
-    * missing columns as null), then the version's equality-delete
-    * sidecars anti-joined out. `entries` defaults to the whole
+  /** Raw per-group file read with the MANIFEST's schema — no footer/
+    * mergeSchema pass (files written before a schema-evolving commit
+    * read their missing columns as null). Partition-layout tables store
+    * their partition columns in the DIRECTORY, not the parquet: entries
+    * group by their (manifest-recorded) partition values, each group
+    * reads the data-only schema, and the partition columns come back as
+    * typed literals — the manifest is the single source of truth, no
+    * re-inference from paths at read time. NO deletion sidecars. */
+  private def readRaw(spark: SparkSession, m: Manifest,
+      entries: Seq[FileEntry]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    if (m.parts.isEmpty)
+      return spark.read.schema(m.schema).parquet(entries.map(_.path): _*)
+    val outCols = m.schema.map(f => col(f.name))
+    entries.groupBy(_.part).toSeq.map { case (part, es) =>
+      val base = spark.read.schema(m.dataSchema).parquet(es.map(_.path): _*)
+      m.parts.foldLeft(base) { (df, c) =>
+        val dt = m.schema(m.schema.fieldIndex(c)).dataType
+        df.withColumn(c, lit(part.getOrElse(c, null)).cast(dt))
+      }.select(outCols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[readRaw]] plus the version's equality-delete sidecars anti-joined
+    * out — the committed row state. `entries` defaults to the whole
     * manifest; [[scan]] passes the pruned subset. */
   private[graft] def readEntries(spark: SparkSession, m: Manifest,
       entries: Seq[FileEntry]): DataFrame = {
@@ -485,7 +581,7 @@ object LakeTable {
     // commits since the last compaction, so the union stays narrow.
     val groups = entries.groupBy(_.dvs).toSeq
     groups.map { case (dvs, es) =>
-      val base = spark.read.schema(m.schema).parquet(es.map(_.path): _*)
+      val base = readRaw(spark, m, es)
       if (dvs.isEmpty) base
       else {
         val dvKeys = spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
@@ -622,13 +718,16 @@ object LakeTable {
     * time analog). A real table gets granularity for free from its
     * ingest parallelism. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash"): Int = {
+      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash",
+      partitionBy: Seq[String] = Seq.empty): Int = {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"LakeTable: partition column $c is not in the data schema"))
     val dir = s"$path/data/create"
-    writeLayout(df, keyCols, nBuckets, layout, dir)
+    writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
     commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema)))
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy), partitionBy))
     1
   }
 
@@ -641,7 +740,7 @@ object LakeTable {
     * columns so every file's stats envelope stays narrow on each
     * dimension at once (multi-column boxes prune via [[scanBox]]). */
   private def writeLayout(df: DataFrame, keyCols: Seq[String], nBuckets: Int,
-      layout: String, dir: String): Unit = {
+      layout: String, dir: String, parts: Seq[String] = Seq.empty): Unit = {
     val out = layout match {
       case "range" => df.repartitionByRange(nBuckets, keyCols.map(col): _*)
       case "zorder" =>
@@ -670,7 +769,15 @@ object LakeTable {
           .drop("__z")
       case _ => df.repartition(nBuckets, keyCols.map(col): _*)
     }
-    out.write.mode("overwrite").parquet(dir)
+    writeData(out, dir, parts)
+  }
+
+  /** One write shape for every data-landing path: partition layouts
+    * split into Hive-style `col=value` directories, plain tables write
+    * flat part files. */
+  private def writeData(df: DataFrame, dir: String, parts: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
   }
 
   /** OVERWRITE as a forward commit (code-review r14 F3): the new state
@@ -681,13 +788,14 @@ object LakeTable {
     * overwrite shape; a physical delete-and-recreate would yank files
     * out from under concurrent readers and destroy restore/as-of). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash"): Int = {
+      keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash",
+      partitionBy: Seq[String] = Seq.empty): Int = {
     val current = latestVersion(path)
-    if (current == 0) return create(spark, path, df, keyCols, nBuckets, layout)
+    if (current == 0) return create(spark, path, df, keyCols, nBuckets, layout, partitionBy)
     val dir = s"$path/data/overwrite-v${current + 1}-${java.util.UUID.randomUUID()}"
-    writeLayout(df, keyCols, nBuckets, layout, dir)
+    writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
     commit(path, Manifest(current + 1, "overwrite", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema)))
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy), partitionBy))
     current + 1
   }
 
@@ -718,7 +826,12 @@ object LakeTable {
   private[graft] def attemptMerge(spark: SparkSession, path: String,
       updates: DataFrame, keyCols: Seq[String], readVersion: Int): Int = {
     val m = manifest(path, readVersion)
-    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
+    // a partition-layout table's rows must land in their directories —
+    // the batch has to SAY where (nulling them into the default
+    // partition would silently strand rows outside every prune)
+    m.parts.foreach(c => require(updates.schema.fieldNames.contains(c),
+      s"LakeTable: merge batch is missing partition column $c"))
+    val snap = readRaw(spark, m, m.files)
     val keys = updates.select(keyCols.map(col): _*)
     // touched-file discovery: ONE scan of the snapshot with a broadcast
     // semi-join on the (small) batch keys — no shuffle of the table
@@ -737,14 +850,14 @@ object LakeTable {
       else readEntries(spark, m, touchedEntries)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    survivors.write.mode("overwrite").parquet(rewriteDir)
+    writeData(survivors, rewriteDir, m.parts)
     val newSchema = evolveSchema(m.schema, updates.schema)
     testInterleave()
-    val added = entriesFor(spark, rewriteDir, m.keys, newSchema)
+    val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts)
     // churn record: removed = the touched files, added = the rewrite —
     // O(batch-touched files) metadata, never the carried 99.99%
     commitDelta(path, Manifest(readVersion + 1, "merge", m.keys, newSchema.toDDL,
-      carried ++ added), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts), touchedEntries.map(_.path), added)
     readVersion + 1
   }
 
@@ -825,7 +938,7 @@ object LakeTable {
     val current = latestVersion(path)
     require(current > 0, s"LakeTable: cannot delete from missing table at $path")
     val m = manifest(path, current)
-    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
+    val snap = readRaw(spark, m, m.files)
     val keyRows = keys.select(keyCols.map(col): _*)
     val touched = snap.withColumn("__file", input_file_name())
       .join(broadcast(keyRows), keyCols, "left_semi")
@@ -840,14 +953,13 @@ object LakeTable {
         // merge leaves heterogeneous files; footer-inferred reads would
         // nondeterministically drop the evolved column — ADVICE r13),
         // minus the files' sidecars, minus the erased keys
-        readEntries(spark, m, touchedEntries)
-          .join(broadcast(keyRows), keyCols, "left_anti")
-          .write.mode("overwrite").parquet(rewriteDir)
-        entriesFor(spark, rewriteDir, m.keys, m.schema)
+        writeData(readEntries(spark, m, touchedEntries)
+          .join(broadcast(keyRows), keyCols, "left_anti"), rewriteDir, m.parts)
+        entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts)
       }
     // a no-op delete still commits — an EMPTY churn record (idempotent replays)
     commitDelta(path, Manifest(current + 1, "delete", m.keys, m.schemaDdl,
-      carried ++ added), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts), touchedEntries.map(_.path), added)
     current + 1
   }
 
@@ -867,7 +979,7 @@ object LakeTable {
     val current = latestVersion(path)
     require(current > 0, s"LakeTable: cannot delete from missing table at $path")
     val m = manifest(path, current)
-    val snap = spark.read.schema(m.schema).parquet(m.filePaths: _*)
+    val snap = readRaw(spark, m, m.files)
     val keyRows = keys.select(keyCols.map(col): _*)
     val touched = snap.withColumn("__file", input_file_name())
       .join(broadcast(keyRows), keyCols, "left_semi")
@@ -886,7 +998,7 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl,
-      carried ++ flipped), flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts), flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -904,10 +1016,9 @@ object LakeTable {
     require(current > 0, s"LakeTable: cannot compact missing table at $path")
     val m = manifest(path, current)
     val dir = s"$path/data/compact-v${current + 1}"
-    read(spark, path, Some(current)).repartition(targetFiles)
-      .write.mode("overwrite").parquet(dir)
+    writeData(read(spark, path, Some(current)).repartition(targetFiles), dir, m.parts)
     commit(path, Manifest(current + 1, "compact", m.keys, m.schemaDdl,
-      entriesFor(spark, dir, m.keys, m.schema)))
+      entriesFor(spark, dir, m.keys, m.schema, m.parts), m.parts))
     current + 1
   }
 

@@ -838,6 +838,65 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.history(p).map(_._1) == Seq(11, 12, 13))
   }
 
+  test("partition-directory layout: col=value dirs, whole-directory pruning, lifecycle") {
+    import spark.implicits._
+    val p = freshPath("partlayout")
+    val day0 = java.time.LocalDate.of(2025, 1, 1)
+    val base = (0L until 600L).map { i =>
+      (i, java.sql.Date.valueOf(day0.plusDays(i % 6)), s"v$i")
+    }.toDF("k", "d", "s")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 4, partitionBy = Seq("d"))
+    val m1 = LakeTable.manifest(p, 1)
+    // files physically live in Hive-style d=<value> directories and
+    // their entries carry the lifted partition value
+    assert(m1.files.nonEmpty && m1.files.forall(_.path.contains("d=")),
+      s"no partition directories: ${m1.filePaths.take(2)}")
+    assert(m1.files.forall(e => e.part.get("d").exists(_.startsWith("2025-01-"))))
+    // a one-day predicate prunes five of six partition DIRECTORIES from
+    // the manifest alone (exact min==max stats on the partition axis)
+    val day2 = java.sql.Date.valueOf(day0.plusDays(2))
+    val (kept, total) = LakeTable.prunedEntries(p, 1, "d", day2, day2)
+    assert(kept.nonEmpty && kept.size * 6 <= total,
+      s"partition pruning missing: kept ${kept.size}/$total")
+    assert(kept.forall(_.part("d") == day2.toString))
+    // the scan reconstructs the partition column with its real TYPE
+    val got = LakeTable.scan(spark, p, "d", day2, day2).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2))).toSet
+    assert(got == (0L until 600L).filter(_ % 6 == 2)
+      .map(i => (i, day2.toString, s"v$i")).toSet)
+    // copy-on-write merge lands its rewrite back into the partition
+    // dirs; untouched partitions carry by reference
+    LakeTable.merge(spark, p,
+      Seq((2L, java.sql.Date.valueOf(day0.plusDays(2)), "UPD")).toDF("k", "d", "s"),
+      Seq("k"))
+    val m2 = LakeTable.manifest(p, 2)
+    assert(m2.files.forall(_.part.contains("d")), "rewrite lost partition values")
+    assert(m1.files.map(_.path).toSet.intersect(m2.files.map(_.path).toSet).nonEmpty)
+    val live = LakeTable.read(spark, p).filter(col("k") === 2L).collect()
+    assert(live.length == 1 && live(0).getString(2) == "UPD")
+    // a merge batch MISSING the partition column is refused loudly
+    intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, p, Seq((3L, "oops")).toDF("k", "s"), Seq("k"))
+    }
+    // the change feed classifies across partition reconstruction
+    val feed = LakeTable.changes(spark, p, 1, 2, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "update")), s"got $feed")
+    // merge-on-read DV delete (a day2 key) + SQL-source read both ride
+    // the layout: the sidecar anti-joins inside the partition read
+    LakeTable.deleteDV(spark, p, Seq(Tuple1(8L)).toDF("k"), Seq("k"))
+    spark.read.format("graftlake").load(p).createOrReplaceTempView("plt")
+    val sqlGot = spark.sql(s"SELECT k, s FROM plt WHERE d = DATE'${day2.toString}'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sqlGot == (0L until 600L).filter(i => i % 6 == 2 && i != 2L && i != 8L)
+      .map(i => (i, s"v$i")).toSet + ((2L, "UPD")))
+    // compaction preserves the directory layout and the rows
+    LakeTable.compact(spark, p, targetFiles = 2)
+    val m4 = LakeTable.manifest(p, 4)
+    assert(m4.files.forall(_.part.contains("d")), "compact lost the layout")
+    assert(LakeTable.read(spark, p).count() == 599)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
