@@ -24,6 +24,7 @@ object SparkEntry {
     "lake_incremental_mv"      -> (MergeOps.qLakeIncrementalMv _),
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
     "lake_partition_prune"     -> (MergeOps.qLakePartitionPrune _),
+    "lake_sql_ddl"             -> (MergeOps.qLakeSqlDdl _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
@@ -1627,6 +1628,17 @@ object SparkEntry {
     "lake_prune_read" ->
       """SELECT o_orderkey, o_orderstatus, o_orderdate
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the whole lifecycle ran through spark.sql only (CREATE TABLE /
+    // INSERT-as-merge / DELETE-as-DV-commit / SELECT); the oracle
+    // replays update-then-delete over the raw table
+    "lake_sql_ddl" ->
+      """WITH st AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 41 = 6 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus FROM st
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
         |ORDER BY o_orderkey""".stripMargin,
     // the engine answers the partition predicate from whole pruned
     // `o_orderpriority=<v>` DIRECTORIES (the entry REQUIRES ≤ 1/3 of

@@ -322,14 +322,7 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
   override def schema(): StructType = m.schema
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    // partition-layout tables reconstruct their partition columns from
-    // manifest values ([[LakeTable.readEntries]]); the V2 parquet
-    // delegate would read them as null — steer those to the V1 relation
-    // (manifest pruning still applies there) until the V2 scan carries a
-    // real PartitionSpec
-    if (m.parts.nonEmpty) java.util.Collections.emptySet()
-    else java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
@@ -373,6 +366,27 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
     required = requiredSchema
   }
 
+  /** A partition value string (manifest `part` map) to its Catalyst
+    * form for the PartitionSpec's InternalRow — the same conversion
+    * Spark's own partition inference would produce for the type. */
+  private def partCatalystValue(v: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case DateType => java.sql.Date.valueOf(v)
+      case _: DecimalType => new java.math.BigDecimal(v)
+      case BooleanType => v.toBoolean
+      case _ => v // strings and anything else: as written
+    })
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
@@ -382,35 +396,54 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
     // the DV anti-filter needs the key columns in the read schema even
     // when the query pruned them away; Spark's pushdown rule re-projects
     // the scan output down to the query's columns above the scan
-    val readSchema =
+    val wanted =
       if (!anyDv) required
       else StructType(required.fields ++
         m.keys.filterNot(k => required.fieldNames.contains(k))
           .map(k => m.schema(m.schema.fieldIndex(k))))
+    // partition-layout tables split the read schema: partition columns
+    // ride the file index's PartitionSpec (appended by the parquet
+    // reader as constant columns — still columnar), data columns read
+    // from the files
+    val readDataSchema = StructType(wanted.filterNot(f => m.parts.contains(f.name)))
+    val readPartSchema = StructType(wanted.filter(f => m.parts.contains(f.name)))
+    val partSchemaFull = StructType(m.parts.map(c => m.schema(m.schema.fieldIndex(c))))
 
     def parquetScan(files: Seq[LakeTable.FileEntry])
         : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
-      import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionSpec}
+      import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
+      // partitioned: one PartitionPath per (leaf dir, manifest-recorded
+      // values) — the values come from the MANIFEST, never re-inferred
+      // from paths at read time. Unpartitioned: the empty spec.
+      val spec =
+        if (m.parts.isEmpty) PartitionSpec.emptySpec
+        else PartitionSpec(partSchemaFull,
+          files.groupBy(f => new org.apache.hadoop.fs.Path(f.path).getParent)
+            .toSeq.map { case (dir, es) =>
+              val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                partSchemaFull.map(f => partCatalystValue(es.head.part(f.name), f.dataType)))
+              PartitionPath(row, dir)
+            })
       val index = new InMemoryFileIndex(spark,
         files.map(f => new org.apache.hadoop.fs.Path(f.path)),
-        Map.empty[String, String], Some(m.schema), NoopCache,
-        // files live in flat batch dirs — force empty partitioning so no
-        // directory-layout inference runs over the root FILE paths
-        Some(PartitionSpec.emptySpec))
+        Map.empty[String, String], Some(m.schema), NoopCache, Some(spec))
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
         spark, spark.sessionState.newHadoopConf(), index,
-        dataSchema = m.schema, readDataSchema = readSchema,
-        readPartitionSchema = new StructType(),
+        dataSchema = m.dataSchema, readDataSchema = readDataSchema,
+        readPartitionSchema = readPartSchema,
         pushedFilters = filters,
         options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
     }
 
     if (!anyDv) parquetScan(kept)
     else {
+      // the scan's output order is data columns then partition columns
+      // (the FileScan contract) — key ordinals resolve against that
+      val outSchema = StructType(readDataSchema ++ readPartSchema)
+      val keyTypes = m.keys.map(k => m.schema(m.schema.fieldIndex(k)).dataType)
+      val keyOrdinals = m.keys.map(k => outSchema.fieldIndex(k))
       // driver-collected erased keys per group: sidecars are erasure/
       // update batches — bounded by contract (the readEntries shape)
-      val keyTypes = m.keys.map(k => m.schema(m.schema.fieldIndex(k)).dataType)
-      val keyOrdinals = m.keys.map(k => readSchema.fieldIndex(k))
       val withDvKeys = groups.map { case (dvs, es) =>
         val keySet: Set[Seq[Any]] =
           if (dvs.isEmpty) Set.empty
@@ -418,7 +451,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
             .collect().map(r => Seq.range(0, m.keys.size).map(r.get)).toSet
         (parquetScan(es), keySet)
       }
-      new GraftLakeDvScan(withDvKeys, readSchema, keyOrdinals, keyTypes)
+      new GraftLakeDvScan(withDvKeys, outSchema, keyOrdinals, keyTypes)
     }
   }
 }
@@ -474,9 +507,13 @@ private[graft] case class GraftLakeGroupPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Reader factory routing each partition to its group's delegate;
-  * DV'd groups read row-based through the anti-filter, clean groups
-  * keep the delegate's columnar batches. */
+/** Reader factory routing each partition to its group's delegate. A
+  * scan's partitions must be UNIFORMLY row-based or columnar
+  * (BatchScanExec refuses a mix), so the presence of ANY sidecar group
+  * drops the whole snapshot's read to rows — the price of an
+  * uncompacted DV, paid until `compact` materializes the sidecars away
+  * (clean snapshots never construct this factory and keep the pure
+  * columnar ParquetScan). */
 private[graft] class GraftLakeDvReaderFactory(
     factories: Array[org.apache.spark.sql.connector.read.PartitionReaderFactory],
     dvKeys: Array[Set[Seq[Any]]], keyOrdinals: Array[Int],
@@ -487,18 +524,7 @@ private[graft] class GraftLakeDvReaderFactory(
     p.asInstanceOf[GraftLakeGroupPartition]
 
   override def supportColumnarReads(
-      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = {
-    val gp = unwrap(p)
-    dvKeys(gp.group).isEmpty && factories(gp.group).supportColumnarReads(gp.inner)
-  }
-
-  override def createColumnarReader(
-      p: org.apache.spark.sql.connector.read.InputPartition)
-      : org.apache.spark.sql.connector.read.PartitionReader[
-        org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val gp = unwrap(p)
-    factories(gp.group).createColumnarReader(gp.inner)
-  }
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
 
   override def createReader(
       p: org.apache.spark.sql.connector.read.InputPartition)

@@ -596,7 +596,9 @@ object LakeTable {
     * snapshot isolation, not read-latest-eventually. */
   def read(spark: SparkSession, path: String, asOf: Option[Int] = None): DataFrame = {
     val m = manifest(path, asOf.getOrElse(latestVersion(path)))
-    require(m.files.nonEmpty, s"LakeTable: version ${m.version} at $path references no files")
+    // a zero-file manifest is a legitimate state (CREATE TABLE via the
+    // SQL catalog commits schema-only; the first INSERT adds files):
+    // readEntries returns the typed empty frame
     readEntries(spark, m, m.files)
   }
 
@@ -728,6 +730,22 @@ object LakeTable {
     writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
     commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
       entriesFor(spark, dir, keyCols, df.schema, partitionBy), partitionBy))
+    1
+  }
+
+  /** Create the table as version 1 from its SCHEMA alone — zero data
+    * files (the SQL catalog's `CREATE TABLE` shape; the first INSERT
+    * lands data through [[merge]]). The manifest is the schema
+    * authority from the start, exactly as for a data-bearing create. */
+  def createEmpty(path: String, schema: StructType, keyCols: Seq[String],
+      partitionBy: Seq[String] = Seq.empty): Int = {
+    require(latestVersion(path) == 0,
+      s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"LakeTable: key column $c is not in the schema"))
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"LakeTable: partition column $c is not in the schema"))
+    commit(path, Manifest(1, "create", keyCols, schema.toDDL, Seq.empty, partitionBy))
     1
   }
 

@@ -897,6 +897,73 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, p).count() == 599)
   }
 
+  test("SQL catalog: CREATE/INSERT/DELETE/OVERWRITE/TRUNCATE/DROP lifecycle via spark.sql") {
+    import spark.implicits._
+    val root = freshPath("sqlcat")
+    spark.conf.set("spark.sql.catalog.graft_cat_spec",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat_spec.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_cat_spec.t")
+    spark.sql("CREATE TABLE graft_cat_spec.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    // schema-only v1: SELECT over the empty table typed, zero rows
+    assert(spark.sql("SELECT * FROM graft_cat_spec.t").count() == 0)
+    assert(LakeTable.latestVersion(s"$root/t") == 1)
+    // duplicate create and a create without the merge identity are loud
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CREATE TABLE graft_cat_spec.t (k BIGINT) TBLPROPERTIES ('keys'='k')")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE graft_cat_spec.nokeys (k BIGINT)")
+    }
+    // INSERT INTO is the keyed latest-wins MERGE, not a blind append
+    (1L to 100L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("catsrc")
+    spark.sql("INSERT INTO graft_cat_spec.t SELECT * FROM catsrc")
+    spark.sql("INSERT INTO graft_cat_spec.t VALUES (7, 'upd', 77), (200, 'ins', 2000)")
+    assert(rows(spark.sql("SELECT k, s, v FROM graft_cat_spec.t")) ==
+      (1L to 100L).filterNot(_ == 7L).map(k => (k, "base", k)).toSet
+        ++ Set((7L, "upd", 77L), (200L, "ins", 2000L)))
+    assert(LakeTable.latestVersion(s"$root/t") == 3)
+    // the catalog read is the columnar V2 BatchScan
+    val plan = spark.sql("SELECT k FROM graft_cat_spec.t WHERE k > 50")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"catalog read is not V2:\n$plan")
+    // DELETE FROM = merge-on-read DV commit: zero data files rewritten
+    val pre = LakeTable.manifestFiles(s"$root/t", 3).toSet
+    spark.sql("DELETE FROM graft_cat_spec.t WHERE k > 90 AND k <= 100")
+    assert(LakeTable.manifestFiles(s"$root/t", 4).toSet == pre,
+      "SQL DELETE rewrote data files instead of committing a sidecar")
+    assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 91)
+    // INSERT OVERWRITE replaces as a FORWARD commit (history survives)
+    spark.sql("INSERT OVERWRITE graft_cat_spec.t SELECT k, s, v FROM catsrc WHERE k <= 5")
+    assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 5)
+    assert(LakeTable.read(spark, s"$root/t", Some(4)).count() == 91)
+    // TRUNCATE rides the DV path with an always-true predicate
+    spark.sql("TRUNCATE TABLE graft_cat_spec.t")
+    assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 0)
+    // ALTER is refused (schema evolves through merge batches)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat_spec.t ADD COLUMN x BIGINT")
+    }
+    // SHOW TABLES sees it; DROP removes it and SELECT fails loudly
+    assert(spark.sql("SHOW TABLES IN graft_cat_spec").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE graft_cat_spec.t")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_cat_spec.t").collect()
+    }
+    // PARTITIONED BY maps onto the lake's directory layout end-to-end
+    spark.sql("CREATE TABLE graft_cat_spec.pt (k BIGINT, d DATE, s STRING) " +
+      "PARTITIONED BY (d) TBLPROPERTIES ('keys'='k')")
+    spark.sql("INSERT INTO graft_cat_spec.pt VALUES " +
+      "(1, DATE'2025-01-01', 'a'), (2, DATE'2025-01-02', 'b'), (3, DATE'2025-01-02', 'c')")
+    assert(LakeTable.manifest(s"$root/pt", 2).files.forall(_.path.contains("d=")),
+      "PARTITIONED BY did not produce a directory layout")
+    assert(spark.sql("SELECT k, s FROM graft_cat_spec.pt WHERE d = DATE'2025-01-02'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b"), (3L, "c")))
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
