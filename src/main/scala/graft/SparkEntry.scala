@@ -25,6 +25,7 @@ object SparkEntry {
     "lake_prune_read"          -> (MergeOps.qLakePruneRead _),
     "lake_partition_prune"     -> (MergeOps.qLakePartitionPrune _),
     "lake_sql_ddl"             -> (MergeOps.qLakeSqlDdl _),
+    "lake_merge_into"          -> (MergeOps.qLakeMergeInto _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
@@ -1639,6 +1640,26 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_orderkey, o_orderstatus FROM st
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+    // SQL MERGE INTO (upsert as ONE version) -> UPDATE (partial SET,
+    // target-row predicate) -> MERGE ... WHEN MATCHED DELETE, all
+    // through spark.sql over the catalog table; the oracle replays the
+    // three statements over the raw table in order
+    "lake_merge_into" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 37 = 5 THEN 'M' ELSE o_orderstatus END AS st
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'I' AS st
+        |  FROM orders WHERE o_orderkey % 37 = 5
+        |), u AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 71 = 9 THEN 'Z' ELSE st END AS o_orderstatus
+        |  FROM m
+        |)
+        |SELECT o_orderkey, o_orderstatus FROM u
+        |WHERE NOT (o_orderkey % 43 = 1 AND o_orderkey < 10000000)
         |ORDER BY o_orderkey""".stripMargin,
     // the engine answers the partition predicate from whole pruned
     // `o_orderpriority=<v>` DIRECTORIES (the entry REQUIRES ≤ 1/3 of

@@ -522,6 +522,54 @@ object MergeOps {
       "ORDER BY o_orderkey")
   }
 
+  /** SQL MERGE INTO / UPDATE over the lake ([[graft.plans.LakeDml]] —
+    * the planner extension lowering the RESOLVED MergeIntoTable /
+    * UpdateTable commands onto the lake's transactional keyed
+    * copy-on-write merge/delete; Spark's own rewrite refuses both for
+    * any table without the full row-level-operation stack): the
+    * lifecycle runs through `spark.sql` only — MERGE upserts a
+    * matched-update ∪ unmatched-insert batch as ONE version, UPDATE
+    * rewrites a partial column set with target-row expressions (no
+    * star), and a second MERGE's WHEN MATCHED DELETE erases a key
+    * class. The oracle replays upsert → update → delete over the raw
+    * table — a MERGE that appended instead of merging, an UPDATE that
+    * leaked outside its predicate, or a DELETE that over-matched
+    * breaks the hash. */
+  def qLakeMergeInto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakemi_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(root))
+    spark.conf.set("spark.sql.catalog.graft_lake_mi",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lake_mi.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_lake_mi.orders_t")
+    spark.sql("CREATE TABLE graft_lake_mi.orders_t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING) TBLPROPERTIES ('keys'='o_orderkey')")
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    base.createOrReplaceTempView("graft_mi_base")
+    spark.sql("INSERT INTO graft_lake_mi.orders_t SELECT * FROM graft_mi_base")
+    // source: status updates for one key class + brand-new offset keys
+    base.filter(col("o_orderkey") % 37 === 5)
+      .select(col("o_orderkey"), lit("M").as("o_orderstatus"))
+      .unionByName(base.filter(col("o_orderkey") % 37 === 5)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("o_orderstatus")))
+      .createOrReplaceTempView("graft_mi_src")
+    spark.sql("""MERGE INTO graft_lake_mi.orders_t AS tg
+      |USING graft_mi_src AS src ON tg.o_orderkey = src.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("UPDATE graft_lake_mi.orders_t SET o_orderstatus = 'Z' " +
+      "WHERE o_orderkey % 71 = 9")
+    spark.sql("""MERGE INTO graft_lake_mi.orders_t AS tg
+      |USING (SELECT o_orderkey FROM graft_mi_base WHERE o_orderkey % 43 = 1) AS d
+      |ON tg.o_orderkey = d.o_orderkey
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+    spark.sql("SELECT o_orderkey, o_orderstatus FROM graft_lake_mi.orders_t " +
+      "ORDER BY o_orderkey")
+  }
+
   /** Hive-style partition-DIRECTORY layout inside the lake (VERDICT r14
     * missing #5 — the first pruning lever a time/tenant-partitioned
     * 100 TB table starts from, composing with the manifest stats): the

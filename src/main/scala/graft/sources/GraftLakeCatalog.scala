@@ -51,6 +51,11 @@ class GraftLakeCatalog extends TableCatalog {
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(s"graftlake catalog '$name': set " +
         s"spark.sql.catalog.$name.warehouse=<directory>"))
+    // configuring the catalog IS enabling its SQL DML: MERGE INTO /
+    // UPDATE lower onto the lake's transactional merge/delete through
+    // the planner extension (graft.plans.LakeDml)
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.LakeDml.register)
   }
 
   override def name(): String = catalogName
@@ -66,6 +71,22 @@ class GraftLakeCatalog extends TableCatalog {
     val v = LakeTable.latestVersion(p)
     if (v == 0) throw new NoSuchTableException(ident)
     new GraftLakeCatalogTable(SparkSession.active, p, v)
+  }
+
+  /** SQL time travel — `SELECT ... FROM cat.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    if (LakeTable.latestVersion(p) == 0) throw new NoSuchTableException(ident)
+    new GraftLakeCatalogTable(SparkSession.active, p, version.trim.toInt)
+  }
+
+  /** SQL time travel — `... TIMESTAMP AS OF <ts>`; the contract hands
+    * MICROseconds since epoch, [[LakeTable.versionAsOf]] speaks millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (LakeTable.latestVersion(p) == 0) throw new NoSuchTableException(ident)
+    new GraftLakeCatalogTable(SparkSession.active, p,
+      LakeTable.versionAsOf(p, timestampMicros / 1000L))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -317,6 +317,7 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   private[graft] val m = LakeTable.manifest(path, version)
+  private[graft] def tablePath: String = path
 
   override def name(): String = s"graftlake `$path` @v$version"
   override def schema(): StructType = m.schema

@@ -939,6 +939,11 @@ class LakeTableSpec extends SparkSpec {
     spark.sql("INSERT OVERWRITE graft_cat_spec.t SELECT k, s, v FROM catsrc WHERE k <= 5")
     assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 5)
     assert(LakeTable.read(spark, s"$root/t", Some(4)).count() == 91)
+    // SQL time travel: VERSION AS OF resolves any retained commit
+    assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t VERSION AS OF 3")
+      .head().getLong(0) == 101)
+    assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t VERSION AS OF 4")
+      .head().getLong(0) == 91)
     // TRUNCATE rides the DV path with an always-true predicate
     spark.sql("TRUNCATE TABLE graft_cat_spec.t")
     assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 0)
