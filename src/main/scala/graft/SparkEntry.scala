@@ -26,6 +26,7 @@ object SparkEntry {
     "lake_partition_prune"     -> (MergeOps.qLakePartitionPrune _),
     "lake_sql_ddl"             -> (MergeOps.qLakeSqlDdl _),
     "lake_merge_into"          -> (MergeOps.qLakeMergeInto _),
+    "lake_partition_evolve"    -> (MergeOps.qLakePartitionEvolve _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
@@ -1641,6 +1642,16 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM st
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
         |ORDER BY o_orderkey""".stripMargin,
+    // a header-only commit evolved the layout (entry REQUIRES zero
+    // files rewritten and a genuinely MIXED snapshot after the merge);
+    // old files read the partition column from data, new from the
+    // directory — the oracle replays the merge over the raw table
+    "lake_partition_evolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 29 = 7 AND o_orderkey < 100 THEN 'E'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // SQL MERGE INTO (upsert as ONE version) -> UPDATE (partial SET,
     // target-row predicate) -> MERGE ... WHEN MATCHED DELETE, all
     // through spark.sql over the catalog table; the oracle replays the

@@ -605,6 +605,47 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** Partition evolution WITHOUT rewriting a byte (r15 — the
+    * "+ partition evolution" half of VERDICT r14 missing #5, the
+    * Iceberg spec-v2 shape): the orders table starts UNPARTITIONED, a
+    * header-only churn commit switches the layout to
+    * `o_orderpriority=<v>` directories (the entry REQUIRES the file
+    * list is bit-identical across the evolution commit), and a
+    * subsequent merge lands its copy-on-write rewrite in the NEW layout
+    * while untouched old-layout files carry — the entry REQUIRES the
+    * resulting snapshot is genuinely MIXED. Reads reconstruct each file
+    * under its own recorded layout (old files read the column from
+    * DATA, new files from the directory), so the oracle's replay over
+    * the raw table breaks if either side of the mix drops or mistypes
+    * the partition column. */
+  def qLakePartitionEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakepe_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 8)
+    val preFiles = LakeTable.manifestFiles(path, 1)
+    LakeTable.evolvePartitioning(path, Seq("o_orderpriority"))
+    require(LakeTable.manifestFiles(path, 2) == preFiles,
+      "lake_partition_evolve: the header-only evolution commit rewrote data")
+    // a FIXED small key set (same at every SF): the copy-on-write merge
+    // must leave untouched old-layout files carried, or the mixed-read
+    // contract below is vacuous
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderkey") % 29 === 7 && col("o_orderkey") < 100)
+        .withColumn("o_orderstatus", lit("E")),
+      Seq("o_orderkey"))
+    val m3 = graft.sources.LakeTable.manifest(path, 3)
+    require(m3.files.exists(_.part.contains("o_orderpriority")) &&
+      m3.files.exists(_.part.isEmpty),
+      "lake_partition_evolve: expected a MIXED-layout snapshot after the merge")
+    LakeTable.read(spark, path)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   /** Merge-on-read DELETE (deletion-vector shape, VERDICT r13 missing
     * #4): erase keys ≡ 0 mod 59 — scattered across every hash-clustered
     * file, the copy-on-write worst case (CoW would rewrite the whole

@@ -392,8 +392,11 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
     GraftLakeSource.lastPrune = (kept.size, m.files.size)
-    val groups = kept.groupBy(_.dvs).toSeq.sortBy(_._1.size)
-    val anyDv = groups.exists(_._1.nonEmpty)
+    // groups: entries sharing BOTH a sidecar set and a physical LAYOUT
+    // (which columns live in the directory vs the data — per entry, so
+    // a no-rewrite partition evolution leaves mixed layouts behind)
+    val groups = kept.groupBy(e => (e.dvs, e.part.keySet)).toSeq.sortBy(_._1._1.size)
+    val anyDv = groups.exists(_._1._1.nonEmpty)
     // the DV anti-filter needs the key columns in the read schema even
     // when the query pruned them away; Spark's pushdown rule re-projects
     // the scan output down to the query's columns above the scan
@@ -402,22 +405,21 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
       else StructType(required.fields ++
         m.keys.filterNot(k => required.fieldNames.contains(k))
           .map(k => m.schema(m.schema.fieldIndex(k))))
-    // partition-layout tables split the read schema: partition columns
-    // ride the file index's PartitionSpec (appended by the parquet
-    // reader as constant columns — still columnar), data columns read
-    // from the files
-    val readDataSchema = StructType(wanted.filterNot(f => m.parts.contains(f.name)))
-    val readPartSchema = StructType(wanted.filter(f => m.parts.contains(f.name)))
-    val partSchemaFull = StructType(m.parts.map(c => m.schema(m.schema.fieldIndex(c))))
 
-    def parquetScan(files: Seq[LakeTable.FileEntry])
-        : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    /** One delegate parquet scan per group: partition columns ride the
+      * file index's PartitionSpec (appended by the parquet reader as
+      * constant columns — still columnar), data columns read from the
+      * files; the values come from the MANIFEST, never re-inferred from
+      * paths at read time. Returns the scan and its OUTPUT schema
+      * (FileScan contract: data columns then partition columns). */
+    def parquetScan(files: Seq[LakeTable.FileEntry], partKeys: Set[String])
+        : (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, StructType) = {
       import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
-      // partitioned: one PartitionPath per (leaf dir, manifest-recorded
-      // values) — the values come from the MANIFEST, never re-inferred
-      // from paths at read time. Unpartitioned: the empty spec.
+      val readDataSchema = StructType(wanted.filterNot(f => partKeys.contains(f.name)))
+      val readPartSchema = StructType(wanted.filter(f => partKeys.contains(f.name)))
+      val partSchemaFull = StructType(m.schema.filter(f => partKeys.contains(f.name)))
       val spec =
-        if (m.parts.isEmpty) PartitionSpec.emptySpec
+        if (partKeys.isEmpty) PartitionSpec.emptySpec
         else PartitionSpec(partSchemaFull,
           files.groupBy(f => new org.apache.hadoop.fs.Path(f.path).getParent)
             .toSeq.map { case (dir, es) =>
@@ -428,43 +430,67 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
       val index = new InMemoryFileIndex(spark,
         files.map(f => new org.apache.hadoop.fs.Path(f.path)),
         Map.empty[String, String], Some(m.schema), NoopCache, Some(spec))
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
         spark, spark.sessionState.newHadoopConf(), index,
-        dataSchema = m.dataSchema, readDataSchema = readDataSchema,
+        dataSchema = StructType(m.schema.filterNot(f => partKeys.contains(f.name))),
+        readDataSchema = readDataSchema,
         readPartitionSchema = readPartSchema,
         pushedFilters = filters,
-        options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()),
+        StructType(readDataSchema ++ readPartSchema))
     }
 
-    if (!anyDv) parquetScan(kept)
-    else {
-      // the scan's output order is data columns then partition columns
-      // (the FileScan contract) — key ordinals resolve against that
-      val outSchema = StructType(readDataSchema ++ readPartSchema)
-      val keyTypes = m.keys.map(k => m.schema(m.schema.fieldIndex(k)).dataType)
-      val keyOrdinals = m.keys.map(k => outSchema.fieldIndex(k))
-      // driver-collected erased keys per group: sidecars are erasure/
-      // update batches — bounded by contract (the readEntries shape)
-      val withDvKeys = groups.map { case (dvs, es) =>
+    if (groups.size <= 1 && !anyDv) {
+      // uniform layout, no sidecars: the pure columnar parquet scan.
+      // (Spark maps the scan output to the relation's columns by NAME,
+      // so the data-then-partition column order is fine.)
+      val partKeys = groups.headOption.map(_._1._2).getOrElse(Set.empty[String])
+      parquetScan(kept, partKeys)._1
+    } else {
+      // sidecars and/or mixed layouts: one delegate scan per group,
+      // rows remapped to ONE output order and anti-filtered per group.
+      // Key ordinals only exist when a DV group needs them (`wanted`
+      // only carries the keys then — a layout-only composite may not)
+      val keyTypes =
+        if (anyDv) m.keys.map(k => m.schema(m.schema.fieldIndex(k)).dataType)
+        else Seq.empty[org.apache.spark.sql.types.DataType]
+      val keyOrdinals = if (anyDv) m.keys.map(k => wanted.fieldIndex(k)) else Seq.empty[Int]
+      val parts = groups.map { case ((dvs, partKeys), es) =>
+        val (scan, outSchema) = parquetScan(es, partKeys)
+        // driver-collected erased keys: sidecars are erasure/update
+        // batches — bounded by contract (the readEntries shape)
         val keySet: Set[Seq[Any]] =
           if (dvs.isEmpty) Set.empty
           else spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
             .collect().map(r => Seq.range(0, m.keys.size).map(r.get)).toSet
-        (parquetScan(es), keySet)
+        // remap: composite field i reads group-output ordinal remap(i)
+        val remap = wanted.fieldNames.map(outSchema.fieldIndex)
+        GraftLakeScanGroup(scan, keySet, remap)
       }
-      new GraftLakeDvScan(withDvKeys, outSchema, keyOrdinals, keyTypes)
+      new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes)
     }
   }
 }
 
-/** Composite V2 Scan for snapshots with equality-delete sidecars: one
-  * delegate parquet scan per sidecar GROUP. Groups without sidecars
-  * pass their partitions (and columnar batches) through untouched;
-  * DV'd groups read row-based with an anti-filter on the erased keys —
-  * the Iceberg equality-delete read shape, applied inside the scan so
-  * the plan above stays a single BatchScan. */
-private[graft] class GraftLakeDvScan(
-    groups: Seq[(org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, Set[Seq[Any]])],
+/** One delegate scan of the composite: its erased-key set (empty for
+  * sidecar-free groups) and the ordinal remap from the composite's
+  * output order to this group's own (data-then-partition) order. */
+private[graft] case class GraftLakeScanGroup(
+    scan: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    dvKeys: Set[Seq[Any]], remap: Array[Int])
+
+/** Composite V2 Scan for snapshots that need per-group read shaping:
+  * equality-delete sidecars (rows anti-filtered on the erased keys —
+  * the Iceberg equality-delete read shape) and/or MIXED partition
+  * layouts after a no-rewrite partition evolution (each group's
+  * partition columns ride its own PartitionSpec; outputs remapped to
+  * one order). A scan's partitions must be UNIFORMLY row-based or
+  * columnar (BatchScanExec refuses a mix), so a composite snapshot
+  * reads row-based — the transient price of an uncompacted DV or an
+  * un-migrated layout, healed by `compact` (clean uniform snapshots
+  * never construct this and keep the pure columnar ParquetScan). */
+private[graft] class GraftLakeCompositeScan(
+    groups: Seq[GraftLakeScanGroup],
     out: StructType, keyOrdinals: Seq[Int],
     keyTypes: Seq[org.apache.spark.sql.types.DataType])
     extends org.apache.spark.sql.connector.read.Scan
@@ -472,11 +498,11 @@ private[graft] class GraftLakeDvScan(
 
   override def readSchema(): StructType = out
   override def description(): String =
-    s"graftlake DV scan (${groups.size} sidecar groups)"
+    s"graftlake composite scan (${groups.size} sidecar/layout groups)"
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val ests = groups.map(_._1.estimateStatistics())
+      private val ests = groups.map(_.scan.estimateStatistics())
       override def sizeInBytes(): java.util.OptionalLong = {
         val sizes = ests.map(_.sizeInBytes)
         if (sizes.forall(_.isPresent))
@@ -490,39 +516,34 @@ private[graft] class GraftLakeDvScan(
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
-        groups.zipWithIndex.flatMap { case ((scan, _), g) =>
-          scan.toBatch.planInputPartitions().map(p => GraftLakeGroupPartition(p, g))
+        groups.zipWithIndex.flatMap { case (g, i) =>
+          g.scan.toBatch.planInputPartitions().map(p => GraftLakeGroupPartition(p, i))
         }.toArray
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new GraftLakeDvReaderFactory(
-          groups.map(_._1.toBatch.createReaderFactory()).toArray,
-          groups.map(_._2).toArray, keyOrdinals.toArray, keyTypes.toArray)
+        new GraftLakeCompositeReaderFactory(
+          groups.map(_.scan.toBatch.createReaderFactory()).toArray,
+          groups.map(_.dvKeys).toArray, groups.map(_.remap).toArray,
+          out, keyOrdinals.toArray, keyTypes.toArray)
     }
 }
 
-/** An input partition tagged with its sidecar group. */
+/** An input partition tagged with its composite group. */
 private[graft] case class GraftLakeGroupPartition(
     inner: org.apache.spark.sql.connector.read.InputPartition, group: Int)
     extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Reader factory routing each partition to its group's delegate. A
-  * scan's partitions must be UNIFORMLY row-based or columnar
-  * (BatchScanExec refuses a mix), so the presence of ANY sidecar group
-  * drops the whole snapshot's read to rows — the price of an
-  * uncompacted DV, paid until `compact` materializes the sidecars away
-  * (clean snapshots never construct this factory and keep the pure
-  * columnar ParquetScan). */
-private[graft] class GraftLakeDvReaderFactory(
+/** Reader factory routing each partition to its group's delegate,
+  * remapping the group's column order onto the composite's, and
+  * anti-filtering the group's erased keys. */
+private[graft] class GraftLakeCompositeReaderFactory(
     factories: Array[org.apache.spark.sql.connector.read.PartitionReaderFactory],
-    dvKeys: Array[Set[Seq[Any]]], keyOrdinals: Array[Int],
+    dvKeys: Array[Set[Seq[Any]]], remaps: Array[Array[Int]],
+    out: StructType, keyOrdinals: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType])
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
-
-  private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition) =
-    p.asInstanceOf[GraftLakeGroupPartition]
 
   override def supportColumnarReads(
       p: org.apache.spark.sql.connector.read.InputPartition): Boolean = false
@@ -531,12 +552,19 @@ private[graft] class GraftLakeDvReaderFactory(
       p: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
-    val gp = unwrap(p)
+    val gp = p.asInstanceOf[GraftLakeGroupPartition]
     val delegate = factories(gp.group).createReader(gp.inner)
     val erased = dvKeys(gp.group)
-    if (erased.isEmpty) delegate
+    val remap = remaps(gp.group)
+    val identity = remap.zipWithIndex.forall { case (o, i) => o == i }
+    if (erased.isEmpty && identity) delegate
     else new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
+      // remap group order → composite order with a codegen'd projection
+      private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(out.indices.map(i =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            remap(i), out(i).dataType, nullable = true)))
       // internal → external converters so key equality is value-based
       // (UTF8String/Decimal internals compare to the collected keys'
       // external Scala forms)
@@ -545,10 +573,13 @@ private[graft] class GraftLakeDvReaderFactory(
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
       override def next(): Boolean = {
         while (delegate.next()) {
-          val r = delegate.get()
-          val key: Seq[Any] = keyOrdinals.indices
-            .map(i => toScala(i)(r.get(keyOrdinals(i), keyTypes(i))))
-          if (!erased.contains(key)) { current = r; return true }
+          val r = proj(delegate.get())
+          val keep = erased.isEmpty || {
+            val key: Seq[Any] = keyOrdinals.indices
+              .map(i => toScala(i)(r.get(keyOrdinals(i), keyTypes(i))))
+            !erased.contains(key)
+          }
+          if (keep) { current = r; return true }
         }
         false
       }

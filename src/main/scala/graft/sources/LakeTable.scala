@@ -546,21 +546,29 @@ object LakeTable {
     * read their missing columns as null). Partition-layout tables store
     * their partition columns in the DIRECTORY, not the parquet: entries
     * group by their (manifest-recorded) partition values, each group
-    * reads the data-only schema, and the partition columns come back as
+    * reads its data-only schema, and the partition columns come back as
     * typed literals — the manifest is the single source of truth, no
-    * re-inference from paths at read time. NO deletion sidecars. */
+    * re-inference from paths at read time.
+    *
+    * Each entry reads under ITS OWN layout (`entry.part.keys`), not the
+    * manifest header's: after a no-rewrite [[evolvePartitioning]], files
+    * written under the old layout still store the new partition column
+    * in their DATA (and vice versa), and reading them with the header's
+    * layout would null a column they physically carry. NO deletion
+    * sidecars here. */
   private def readRaw(spark: SparkSession, m: Manifest,
       entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-    if (m.parts.isEmpty)
+    if (entries.forall(_.part.isEmpty))
       return spark.read.schema(m.schema).parquet(entries.map(_.path): _*)
     val outCols = m.schema.map(f => col(f.name))
     entries.groupBy(_.part).toSeq.map { case (part, es) =>
-      val base = spark.read.schema(m.dataSchema).parquet(es.map(_.path): _*)
-      m.parts.foldLeft(base) { (df, c) =>
+      val dataSchema = StructType(m.schema.filterNot(f => part.contains(f.name)))
+      val base = spark.read.schema(dataSchema).parquet(es.map(_.path): _*)
+      part.foldLeft(base) { case (df, (c, v)) =>
         val dt = m.schema(m.schema.fieldIndex(c)).dataType
-        df.withColumn(c, lit(part.getOrElse(c, null)).cast(dt))
+        df.withColumn(c, lit(v).cast(dt))
       }.select(outCols: _*)
     }.reduce(_ unionByName _)
   }
@@ -1017,6 +1025,24 @@ object LakeTable {
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl,
       carried ++ flipped, m.parts), flipped.map(_.path), flipped)
+    current + 1
+  }
+
+  /** Partition EVOLUTION without rewriting a byte (the Iceberg spec-v2
+    * shape): a header-only churn commit switches the layout NEW WRITES
+    * use — files already on disk keep their own recorded layout (each
+    * entry's `part` map), reads reconstruct per entry, and pruning on
+    * the new column stays conservative for old files until
+    * copy-on-write migration or [[compact]] (which rewrites everything
+    * under the current layout) heals the table to uniform. */
+  def evolvePartitioning(path: String, newParts: Seq[String]): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot evolve partitioning of missing table at $path")
+    val m = manifest(path, current)
+    newParts.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"LakeTable: partition column $c is not in the schema"))
+    commitDelta(path, Manifest(current + 1, "evolve-partitioning",
+      m.keys, m.schemaDdl, m.files, newParts), Seq.empty, Seq.empty)
     current + 1
   }
 

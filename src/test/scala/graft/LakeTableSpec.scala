@@ -897,6 +897,52 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, p).count() == 599)
   }
 
+  test("partition evolution without rewrite: header-only commit, mixed layouts read correctly") {
+    import spark.implicits._
+    val p = freshPath("partevolve")
+    val day0 = java.time.LocalDate.of(2025, 3, 1)
+    val base = (0L until 300L).map { i =>
+      (i, java.sql.Date.valueOf(day0.plusDays(i % 3)), s"v$i")
+    }.toDF("k", "d", "s")
+    // start UNPARTITIONED: d lives in the data files
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 4)
+    val v1Files = LakeTable.manifestFiles(p, 1).toSet
+    // evolve to PARTITIONED BY d — zero bytes rewritten
+    assert(LakeTable.evolvePartitioning(p, Seq("d")) == 2)
+    assert(LakeTable.manifestFiles(p, 2).toSet == v1Files,
+      "evolution rewrote data files")
+    assert(LakeTable.manifest(p, 2).parts == Seq("d"))
+    // new writes land in the NEW layout; old files keep reading d from
+    // their DATA (per-entry layout, not the header's)
+    LakeTable.merge(spark, p,
+      Seq((1000L, java.sql.Date.valueOf(day0), "new")).toDF("k", "d", "s"), Seq("k"))
+    val m3 = LakeTable.manifest(p, 3)
+    val newEntries = m3.files.filterNot(e => v1Files.contains(e.path))
+    assert(newEntries.nonEmpty && newEntries.forall(_.part.contains("d")),
+      "post-evolution write did not land in the directory layout")
+    assert(m3.files.exists(_.part.isEmpty), "old-layout files vanished")
+    // the MIXED snapshot reads correctly through the API...
+    val expect = (0L until 300L).map(i =>
+      (i, day0.plusDays(i % 3).toString, s"v$i")).toSet + ((1000L, day0.toString, "new"))
+    def state(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2))).toSet
+    assert(state(LakeTable.read(spark, p).select("k", "d", "s")) == expect)
+    // ...and through SQL (the composite V2 scan remaps mixed layouts)
+    spark.read.format("graftlake").load(p).createOrReplaceTempView("pevt")
+    assert(state(spark.sql("SELECT k, d, s FROM pevt")) == expect)
+    val day1 = java.sql.Date.valueOf(day0.plusDays(1))
+    assert(state(spark.sql(s"SELECT k, d, s FROM pevt WHERE d = DATE'$day1'")) ==
+      expect.filter(_._2 == day1.toString))
+    // compact migrates everything to the CURRENT layout — uniform again
+    LakeTable.compact(spark, p, targetFiles = 2)
+    val m4 = LakeTable.manifest(p, 4)
+    assert(m4.files.forall(_.part.contains("d")), "compact did not migrate the layout")
+    assert(state(LakeTable.read(spark, p).select("k", "d", "s")) == expect)
+    // pruning on the partition column now cuts whole directories
+    val (kept, total) = LakeTable.prunedEntries(p, 4, "d", day1, day1)
+    assert(kept.nonEmpty && kept.size < total)
+  }
+
   test("SQL catalog: CREATE/INSERT/DELETE/OVERWRITE/TRUNCATE/DROP lifecycle via spark.sql") {
     import spark.implicits._
     val root = freshPath("sqlcat")
