@@ -27,6 +27,7 @@ object SparkEntry {
     "lake_sql_ddl"             -> (MergeOps.qLakeSqlDdl _),
     "lake_merge_into"          -> (MergeOps.qLakeMergeInto _),
     "lake_partition_evolve"    -> (MergeOps.qLakePartitionEvolve _),
+    "lake_sql_call"            -> (MergeOps.qLakeSqlCall _),
     "lake_zorder_scan"         -> (MergeOps.qLakeZorderScan _),
     "lake_clone_merge"         -> (MergeOps.qLakeCloneMerge _),
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
@@ -1642,6 +1643,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderstatus FROM st
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey < 1000)
         |ORDER BY o_orderkey""".stripMargin,
+    // table services ran as SQL stored procedures (CALL compact +
+    // history, gated in-entry on the exact op list); the oracle replays
+    // the upsert — compaction must be row-identical
+    "lake_sql_call" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 47 = 11 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // a header-only commit evolved the layout (entry REQUIRES zero
     // files rewritten and a genuinely MIXED snapshot after the merge);
     // old files read the partition column from data, new from the

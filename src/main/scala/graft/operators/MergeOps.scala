@@ -605,6 +605,46 @@ object MergeOps {
       .orderBy("o_orderkey")
   }
 
+  /** The lake's table services through SQL stored procedures (r15 —
+    * [[graft.sources.GraftLakeProcedures]], the ProcedureCatalog half
+    * of the SQL-first surface): after a CREATE + corpus INSERT + upsert
+    * INSERT through the catalog, `CALL <cat>.system.compact` rewrites
+    * the layout as a new version and `CALL <cat>.system.history` must
+    * report exactly the four commits with their ops (in-entry require —
+    * a maintenance call that silently failed or double-committed shifts
+    * the op list). The returned state is the post-compaction read: the
+    * oracle replays the upsert over the raw table, so compaction must
+    * be row-identical — a compact that drops, duplicates, or un-upserts
+    * rows breaks the hash. */
+  def qLakeSqlCall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakecall_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(root))
+    spark.conf.set("spark.sql.catalog.graft_lake_svc",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_lake_svc.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_lake_svc.orders_t")
+    spark.sql("CREATE TABLE graft_lake_svc.orders_t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING) TBLPROPERTIES ('keys'='o_orderkey')")
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+      .createOrReplaceTempView("graft_svc_src")
+    spark.sql("INSERT INTO graft_lake_svc.orders_t SELECT * FROM graft_svc_src")
+    spark.sql("INSERT INTO graft_lake_svc.orders_t " +
+      "SELECT o_orderkey, 'U' FROM graft_svc_src WHERE o_orderkey % 47 = 11")
+    val v = spark.sql("CALL graft_lake_svc.system.compact(" +
+      "`table` => 'orders_t', target_files => 4)").head().getInt(0)
+    require(v == 4 && LakeTable.manifestFiles(s"$root/orders_t", 4).size <= 4,
+      s"lake_sql_call: compact committed v$v with " +
+        s"${LakeTable.manifestFiles(s"$root/orders_t", v).size} files")
+    val ops = spark.sql("CALL graft_lake_svc.system.history(`table` => 'orders_t')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    require(ops == Seq((1, "create"), (2, "merge"), (3, "merge"), (4, "compact")),
+      s"lake_sql_call: history reported $ops")
+    spark.sql("SELECT o_orderkey, o_orderstatus FROM graft_lake_svc.orders_t " +
+      "ORDER BY o_orderkey")
+  }
+
   /** Partition evolution WITHOUT rewriting a byte (r15 — the
     * "+ partition evolution" half of VERDICT r14 missing #5, the
     * Iceberg spec-v2 shape): the orders table starts UNPARTITIONED, a

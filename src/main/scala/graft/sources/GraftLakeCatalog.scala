@@ -42,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - ALTER TABLE is refused: the lake's schema evolves through merge
   *     batches, versioned in the log, not through catalog DDL
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -132,6 +133,15 @@ class GraftLakeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graftlake catalog: RENAME is not " +
       "supported (manifests reference absolute paths); use shallowClone to branch")
   }
+
+  // ---- table-service procedures: CALL <cat>.system.<op>(...) ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftLakeProcedures.load(warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftLakeProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")

@@ -1015,6 +1015,48 @@ class LakeTableSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "b"), (3L, "c")))
   }
 
+  test("SQL procedures: CALL compact/vacuum/history/restore/evolve_partitioning") {
+    import spark.implicits._
+    val root = freshPath("sqlproc")
+    spark.conf.set("spark.sql.catalog.graft_proc_spec",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_proc_spec.warehouse", root)
+    spark.sql("CREATE TABLE graft_proc_spec.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 200L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("proc_src")
+    spark.sql("INSERT INTO graft_proc_spec.t SELECT * FROM proc_src")
+    spark.sql("INSERT INTO graft_proc_spec.t VALUES (7, 'upd', 77)")
+    // history lists every commit with its op
+    val hist = spark.sql("CALL graft_proc_spec.system.history(`table` => 't')")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.map(_._2).toSeq == Seq("create", "merge", "merge"), s"got ${hist.toSeq}")
+    // compact commits a new version and shrinks the layout
+    val v = spark.sql(
+      "CALL graft_proc_spec.system.compact(`table` => 't', target_files => 2)")
+      .head().getInt(0)
+    assert(v == 4 && LakeTable.manifestFiles(s"$root/t", 4).size <= 2)
+    // restore rolls back to the pre-compact state as a forward commit
+    assert(spark.sql(
+      "CALL graft_proc_spec.system.restore(`table` => 't', version => 2)")
+      .head().getInt(0) == 5)
+    assert(rows(spark.sql("SELECT k, s, v FROM graft_proc_spec.t")) ==
+      (1L to 200L).map(k => (k, "base", k)).toSet)
+    // evolve_partitioning is the header-only layout switch
+    assert(spark.sql("CALL graft_proc_spec.system.evolve_partitioning(" +
+      "`table` => 't', partition_by => 's')").head().getInt(0) == 6)
+    assert(LakeTable.manifest(s"$root/t", 6).parts == Seq("s"))
+    // vacuum reports (manifests dropped, files deleted); reads stay green
+    val vac = spark.sql(
+      "CALL graft_proc_spec.system.vacuum(`table` => 't', keep_last => 2)").head()
+    assert(vac.getInt(0) == 4 && vac.getInt(1) > 0, s"got $vac")
+    assert(spark.sql("SELECT count(*) FROM graft_proc_spec.t").head().getLong(0) == 200)
+    // unknown procedure is loud
+    intercept[Exception] {
+      spark.sql("CALL graft_proc_spec.system.frobnicate(`table` => 't')")
+    }
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
