@@ -287,6 +287,16 @@ object ScalingBench {
     // the registered streaming source's full feed: four-commit build +
     // three O(delta) diffs — the build dominates, the feed tracks churn
     "stream_lake_source",
+    // r15: the SQL-first lake surface. All five pay a k-fold corpus
+    // write in their builds; the interesting terms must NOT be k-fold:
+    // partition_prune's scan tracks the one-priority slice,
+    // partition_evolve's evolution commit is header-only + a FIXED
+    // 4-key CoW merge, sql_ddl's DELETE is an O(keys) DV commit,
+    // merge_into's three statements are the CoW merge kernels, and
+    // sql_call's compact is the honest k-fold rewrite (the service
+    // being priced)
+    "lake_partition_prune", "lake_partition_evolve", "lake_sql_ddl",
+    "lake_merge_into", "lake_sql_call",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

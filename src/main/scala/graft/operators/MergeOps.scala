@@ -501,24 +501,28 @@ object MergeOps {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakeddl_${graft.SessionCache.dirKey(dir)}").toString
     LakeTable.deleteRecursively(new java.io.File(root))
-    spark.conf.set("spark.sql.catalog.graft_lake",
+    // catalog name keyed by the data dir: catalog instances cache their
+    // init-time warehouse per NAME, so a second dir in the same JVM (the
+    // scaling sweep's amplified scratch) must get a fresh catalog
+    val cat = s"graft_lake_${graft.SessionCache.dirKey(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftLakeCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", root)
-    spark.sql("DROP TABLE IF EXISTS graft_lake.orders_t")
-    spark.sql("CREATE TABLE graft_lake.orders_t " +
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    spark.sql(s"CREATE TABLE $cat.orders_t " +
       "(o_orderkey BIGINT, o_orderstatus STRING) " +
       "TBLPROPERTIES ('keys'='o_orderkey')")
     Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
       .createOrReplaceTempView("graft_ddl_src")
-    spark.sql("INSERT INTO graft_lake.orders_t " +
+    spark.sql(s"INSERT INTO $cat.orders_t " +
       "SELECT o_orderkey, o_orderstatus FROM graft_ddl_src")
-    spark.sql("INSERT INTO graft_lake.orders_t " +
+    spark.sql(s"INSERT INTO $cat.orders_t " +
       "SELECT o_orderkey, 'U' FROM graft_ddl_src WHERE o_orderkey % 41 = 6")
     // DELETE's predicate must be source-filter expressible (the
     // SupportsDelete contract); anything wilder needs row-level rewrite
-    spark.sql("DELETE FROM graft_lake.orders_t " +
+    spark.sql(s"DELETE FROM $cat.orders_t " +
       "WHERE o_orderstatus = 'F' AND o_orderkey < 1000")
-    spark.sql("SELECT o_orderkey, o_orderstatus FROM graft_lake.orders_t " +
+    spark.sql(s"SELECT o_orderkey, o_orderstatus FROM $cat.orders_t " +
       "ORDER BY o_orderkey")
   }
 
@@ -540,15 +544,18 @@ object MergeOps {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakemi_${graft.SessionCache.dirKey(dir)}").toString
     LakeTable.deleteRecursively(new java.io.File(root))
-    spark.conf.set("spark.sql.catalog.graft_lake_mi",
+    // dir-keyed catalog name (catalog instances cache their init-time
+    // warehouse per name; a second dir in one JVM needs a fresh catalog)
+    val cat = s"graft_lake_mi_${graft.SessionCache.dirKey(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftLakeCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_lake_mi.warehouse", root)
-    spark.sql("DROP TABLE IF EXISTS graft_lake_mi.orders_t")
-    spark.sql("CREATE TABLE graft_lake_mi.orders_t " +
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    spark.sql(s"CREATE TABLE $cat.orders_t " +
       "(o_orderkey BIGINT, o_orderstatus STRING) TBLPROPERTIES ('keys'='o_orderkey')")
     val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
     base.createOrReplaceTempView("graft_mi_base")
-    spark.sql("INSERT INTO graft_lake_mi.orders_t SELECT * FROM graft_mi_base")
+    spark.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_mi_base")
     // source: status updates for one key class + brand-new offset keys
     base.filter(col("o_orderkey") % 37 === 5)
       .select(col("o_orderkey"), lit("M").as("o_orderstatus"))
@@ -556,17 +563,17 @@ object MergeOps {
         .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
           lit("I").as("o_orderstatus")))
       .createOrReplaceTempView("graft_mi_src")
-    spark.sql("""MERGE INTO graft_lake_mi.orders_t AS tg
+    spark.sql(s"""MERGE INTO $cat.orders_t AS tg
       |USING graft_mi_src AS src ON tg.o_orderkey = src.o_orderkey
       |WHEN MATCHED THEN UPDATE SET *
       |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    spark.sql("UPDATE graft_lake_mi.orders_t SET o_orderstatus = 'Z' " +
+    spark.sql(s"UPDATE $cat.orders_t SET o_orderstatus = 'Z' " +
       "WHERE o_orderkey % 71 = 9")
-    spark.sql("""MERGE INTO graft_lake_mi.orders_t AS tg
+    spark.sql(s"""MERGE INTO $cat.orders_t AS tg
       |USING (SELECT o_orderkey FROM graft_mi_base WHERE o_orderkey % 43 = 1) AS d
       |ON tg.o_orderkey = d.o_orderkey
       |WHEN MATCHED THEN DELETE""".stripMargin)
-    spark.sql("SELECT o_orderkey, o_orderstatus FROM graft_lake_mi.orders_t " +
+    spark.sql(s"SELECT o_orderkey, o_orderstatus FROM $cat.orders_t " +
       "ORDER BY o_orderkey")
   }
 
@@ -621,27 +628,28 @@ object MergeOps {
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakecall_${graft.SessionCache.dirKey(dir)}").toString
     LakeTable.deleteRecursively(new java.io.File(root))
-    spark.conf.set("spark.sql.catalog.graft_lake_svc",
+    val cat = s"graft_lake_svc_${graft.SessionCache.dirKey(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftLakeCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_lake_svc.warehouse", root)
-    spark.sql("DROP TABLE IF EXISTS graft_lake_svc.orders_t")
-    spark.sql("CREATE TABLE graft_lake_svc.orders_t " +
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    spark.sql(s"CREATE TABLE $cat.orders_t " +
       "(o_orderkey BIGINT, o_orderstatus STRING) TBLPROPERTIES ('keys'='o_orderkey')")
     Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
       .createOrReplaceTempView("graft_svc_src")
-    spark.sql("INSERT INTO graft_lake_svc.orders_t SELECT * FROM graft_svc_src")
-    spark.sql("INSERT INTO graft_lake_svc.orders_t " +
+    spark.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_svc_src")
+    spark.sql(s"INSERT INTO $cat.orders_t " +
       "SELECT o_orderkey, 'U' FROM graft_svc_src WHERE o_orderkey % 47 = 11")
-    val v = spark.sql("CALL graft_lake_svc.system.compact(" +
+    val v = spark.sql(s"CALL $cat.system.compact(" +
       "`table` => 'orders_t', target_files => 4)").head().getInt(0)
     require(v == 4 && LakeTable.manifestFiles(s"$root/orders_t", 4).size <= 4,
       s"lake_sql_call: compact committed v$v with " +
         s"${LakeTable.manifestFiles(s"$root/orders_t", v).size} files")
-    val ops = spark.sql("CALL graft_lake_svc.system.history(`table` => 'orders_t')")
+    val ops = spark.sql(s"CALL $cat.system.history(`table` => 'orders_t')")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     require(ops == Seq((1, "create"), (2, "merge"), (3, "merge"), (4, "compact")),
       s"lake_sql_call: history reported $ops")
-    spark.sql("SELECT o_orderkey, o_orderstatus FROM graft_lake_svc.orders_t " +
+    spark.sql(s"SELECT o_orderkey, o_orderstatus FROM $cat.orders_t " +
       "ORDER BY o_orderkey")
   }
 
