@@ -152,11 +152,24 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
             cond.map(byName).getOrElse(lit(true))
           }
           // full-row projection of the source through an action's
-          // assignments, in target-schema order
+          // assignments, in target-schema order. A KEY column's assigned
+          // value must BE the ON clause's source expression: the lowering
+          // classifies matched/unmatched by the ON key, so an action that
+          // assigns a key something else (SET k = s.k + 1) would land
+          // rows under a different identity than the one that classified
+          // them — refused, never silently mis-keyed.
+          val onKeyExpr = keyPairs.toMap
           def projection(assigns: Seq[Assignment], what: String): Seq[Column] = {
             val byCol = assigns.map(a => assignedName(a) -> a.value).toMap
             byCol.values.foreach(v => if (!v.references.subsetOf(srcSet))
               refuse(s"$what values may reference SOURCE columns only, got $v"))
+            byCol.foreach { case (c, v) =>
+              if (keys.contains(c) && !v.semanticEquals(onKeyExpr(c)))
+                refuse(s"$what assigns merge-identity column $c a value " +
+                  s"($v) different from the ON clause's (${onKeyExpr(c)}) — " +
+                  "rows are classified by the ON key; reassigning identity " +
+                  "needs DELETE + INSERT")
+            }
             schema.fieldNames.toIndexedSeq.map(c => byCol.get(c) match {
               case Some(v) => byName(v).cast(schema(c).dataType).as(c)
               case None => refuse(s"$what must assign every target column " +

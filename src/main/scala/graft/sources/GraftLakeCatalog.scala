@@ -145,11 +145,16 @@ class GraftLakeCatalog extends TableCatalog
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val nsPath = LakeIo.normKey(dir)
     LakeIo.listRecursive(dir)
       .map(_.getPath)
       .filter(p => p.getParent != null && p.getParent.getName == "_log")
       .map(_.getParent.getParent) // <table>/_log/<record> → <table>
       .distinct
+      // only tables DIRECTLY in this namespace: a table nested deeper
+      // (cat.ns.sub.t) belongs to ITS namespace — listing it here with
+      // only its leaf name would yield an identifier that cannot resolve
+      .filter(t => t.getParent != null && LakeIo.normKey(t.getParent.toString) == nsPath)
       .map(t => Identifier.of(namespace, t.getName))
       .toArray
   }

@@ -391,6 +391,8 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       case FloatType => v.toFloat
       case DoubleType => v.toDouble
       case DateType => java.sql.Date.valueOf(v)
+      case TimestampType => java.sql.Timestamp.valueOf(v)
+      case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
       case _: DecimalType => new java.math.BigDecimal(v)
       case BooleanType => v.toBoolean
       case _ => v // strings and anything else: as written

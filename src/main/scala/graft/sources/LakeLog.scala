@@ -131,16 +131,23 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
     val out = f.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val renamed =
-      try f.rename(tmp, target)
-      finally { if (f.exists(tmp)) f.delete(tmp, false); () }
-    if (!renamed)
-      throw new IllegalStateException(
-        s"LakeLog: concurrent commit conflict — publish of $target refused " +
-          "(target exists)")
-    // read-back verify: on a rename-replaces filesystem two racers can
-    // both rename; exactly one content survives, so the writer whose
-    // bytes are NOT at the target knows it lost
+    // publish via FileContext rename WITHOUT overwrite — the Delta
+    // HDFSLogStore primitive: unlike FileSystem.rename (which on some
+    // implementations silently REPLACES, leaving two racers each
+    // believing they won for the whole tmp-write window), Rename.NONE
+    // refuses an existing destination at the rename itself
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"LakeLog: concurrent commit conflict — publish of $target refused " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
+    } finally { if (f.exists(tmp)) f.delete(tmp, false); () }
+    // read-back verify as a backstop for filesystems whose no-overwrite
+    // rename is itself check-then-act: the writer whose bytes are NOT at
+    // the target knows it lost
     if (read(target) != content)
       throw new IllegalStateException(
         s"LakeLog: concurrent commit conflict — $target was concurrently " +
@@ -155,8 +162,17 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
     val out = f.create(tmp, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(target)) f.delete(target, false)
-    if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
+    // a failed replace must THROW, never silently no-op: best-effort
+    // callers (the `_latest` hint, interval checkpoints) catch at the
+    // call site, but vacuum's retention-floor checkpoint pin RELIES on
+    // replace succeeding before the floor's ancestry is dropped
+    try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(s"LakeLog: replace of $target failed", e)
+    }
   }
 
   override def read(target: Path): String = {
@@ -192,11 +208,21 @@ private[graft] object LakeIo {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** Scheme-insensitive comparison key: the URI path component. The
-    * manifest stores paths as the filesystem qualifies them, but
-    * `input_file_name()` renders `file:///...` where a listing renders
-    * `file:/...` — set membership must not depend on the rendering. */
-  def normKey(p: String): String = new Path(p).toUri.getPath
+  /** Scheme-insensitive comparison key: the DECODED URI path component.
+    * The manifest stores paths as the filesystem qualifies them (raw,
+    * e.g. `file:/tmp/my data/t`), but `input_file_name()` renders a
+    * percent-ENCODED URI (`file:///tmp/my%20data/t`) — set membership
+    * must depend on neither the rendering nor the encoding. A proper
+    * URI decodes through java.net.URI; a raw path with characters a URI
+    * may not carry (spaces) falls back to the Hadoop Path parse, whose
+    * getPath returns it verbatim. */
+  def normKey(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null) u.getPath else new Path(p).toUri.getPath
+    } catch {
+      case _: java.net.URISyntaxException => new Path(p).toUri.getPath
+    }
 
   /** All files under `dir` (recursive), as the filesystem qualifies
     * them; empty when the dir is missing. */

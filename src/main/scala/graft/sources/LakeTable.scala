@@ -934,7 +934,18 @@ object LakeTable {
               .select(keyCols.map(col): _*)
               .join(broadcast(updates.select(keyCols.map(col): _*)), keyCols, "left_semi")
               .limit(1).count() > 0)
-            catch { case iae: IllegalArgumentException => Left(iae) }
+            catch {
+              // ONLY the changes() schema-diff requires (all prefixed
+              // "LakeTable.changes:") classify as "winner evolved the
+              // schema"; any other IllegalArgumentException — e.g. the
+              // read version's record vacuumed mid-classification — is a
+              // real error and rethrows as itself (ADVICE r14 #4's
+              // narrowing, kept narrow)
+              case iae: IllegalArgumentException
+                  if iae.getMessage != null &&
+                    iae.getMessage.contains("LakeTable.changes:") =>
+                Left(iae)
+            }
           classification match {
             case Right(false) => // disjoint: rebase and retry
             case conflicted =>
@@ -1178,9 +1189,14 @@ object LakeTable {
   def versionAsOf(path: String, epochMillis: Long): Int = {
     val latest = latestVersion(path)
     require(latest > 0, s"LakeTable: no table at $path")
-    val vs = (1 to latest).filter(v =>
-      store(path).exists(manifestPath(path, v)) &&
-        commitTimestamp(path, v) <= epochMillis)
+    // one store (and one Hadoop conf construction) for the whole walk —
+    // per-version store(path) calls would rebuild the configuration
+    // 2x per version on a long-lived table
+    val s = store(path)
+    val vs = (1 to latest).filter { v =>
+      val p = manifestPath(path, v)
+      s.exists(p) && s.mtime(p) <= epochMillis
+    }
     require(vs.nonEmpty,
       s"LakeTable: no version at $path committed at or before $epochMillis " +
         "(earliest retained commit is later — history may have been vacuumed)")

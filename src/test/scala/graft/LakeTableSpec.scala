@@ -1057,6 +1057,31 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("paths with URL-encodable characters: touched-file discovery and DV matching survive") {
+    import spark.implicits._
+    // input_file_name() renders percent-ENCODED URIs while manifests
+    // store raw qualified paths — a space in the table path must not
+    // break the normKey set membership (a miss here silently duplicates
+    // merged keys and turns deletes into no-ops)
+    val p = freshPath("enc odd+chars")
+    assert(p.contains(" "), "fixture lost its space")
+    val base = (1L to 80L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 4)
+    LakeTable.merge(spark, p, Seq((5L, "upd", 55L)).toDF("k", "s", "v"), Seq("k"))
+    val got = rows(LakeTable.read(spark, p).select("k", "s", "v"))
+    assert(got == (1L to 80L).filterNot(_ == 5L).map(k => (k, "base", k)).toSet
+      + ((5L, "upd", 55L)), "merge duplicated or lost keys under an encoded path")
+    // CoW actually narrowed: not every file rewrote
+    assert(LakeTable.manifestFiles(p, 1).toSet
+      .intersect(LakeTable.manifestFiles(p, 2).toSet).nonEmpty,
+      "touched-file discovery missed: merge rewrote the whole table")
+    LakeTable.delete(spark, p, Seq(Tuple1(7L)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, p).count() == 79,
+      "delete was a silent no-op under an encoded path")
+    LakeTable.deleteDV(spark, p, Seq(Tuple1(9L)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, p).count() == 78)
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
