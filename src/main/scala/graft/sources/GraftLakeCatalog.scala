@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The lake as a Spark `TableCatalog` (VERDICT r14 missing #4) — the
@@ -113,9 +113,35 @@ class GraftLakeCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graftlake catalog: ALTER TABLE is " +
-      "not supported — the lake's schema evolves through merge batches, versioned in the log")
+  /** `ALTER TABLE ... ADD COLUMN(S)` lowers onto the lake's HEADER-ONLY
+    * schema-evolution commit ([[LakeTable.addColumns]] — no byte of
+    * data moves, existing rows read null, as-of reads keep the schema
+    * their version committed with). Everything else — drops, renames,
+    * retypes, repositioning — is refused with the reason: each would
+    * need a rewrite or a rename-mapping layer the manifest format does
+    * not carry, and a silent approximation would corrupt the table. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (LakeTable.latestVersion(p) == 0) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          s"graftlake catalog: ADD COLUMN supports top-level columns only, " +
+            s"got ${a.fieldNames().mkString(".")}")
+        if (a.position() != null) throw new UnsupportedOperationException(
+          "graftlake catalog: ADD COLUMN FIRST/AFTER is not supported — " +
+            "added columns append (the header-only evolution contract)")
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          "graftlake catalog: added columns must be nullable — every " +
+            "already-committed row reads them as null")
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graftlake catalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN(S) lowers onto the header-only schema-evolution commit")
+    }
+    LakeTable.addColumns(p, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -145,17 +171,14 @@ class GraftLakeCatalog extends TableCatalog
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
-    val nsPath = LakeIo.normKey(dir)
-    LakeIo.listRecursive(dir)
-      .map(_.getPath)
-      .filter(p => p.getParent != null && p.getParent.getName == "_log")
-      .map(_.getParent.getParent) // <table>/_log/<record> → <table>
-      .distinct
-      // only tables DIRECTLY in this namespace: a table nested deeper
-      // (cat.ns.sub.t) belongs to ITS namespace — listing it here with
-      // only its leaf name would yield an identifier that cannot resolve
-      .filter(t => t.getParent != null && LakeIo.normKey(t.getParent.toString) == nsPath)
-      .map(t => Identifier.of(namespace, t.getName))
+    // immediate children only, each probed for a `_log` dir: O(#children)
+    // metadata calls — never the recursive every-data-file walk of the
+    // whole warehouse a SHOW TABLES must not pay at 100 TB (ADVICE r15).
+    // A table nested deeper (cat.ns.sub.t) belongs to ITS namespace and
+    // is naturally invisible here.
+    LakeIo.childDirs(dir)
+      .filter(t => LakeIo.dirExists(s"$t/_log"))
+      .map(t => Identifier.of(namespace, new org.apache.hadoop.fs.Path(t).getName))
       .toArray
   }
 }

@@ -52,7 +52,7 @@ private[graft] object GraftLakeProcedures {
   }
 
   private[graft] val names: Seq[String] =
-    Seq("compact", "vacuum", "history", "restore", "evolve_partitioning")
+    Seq("compact", "vacuum", "history", "restore", "evolve_partitioning", "zorder")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def path(tbl: UTF8String): String =
@@ -85,6 +85,18 @@ private[graft] object GraftLakeProcedures {
         versionOut,
         input => Seq(InternalRow(LakeTable.restore(
           SparkSession.active, path(input.getUTF8String(0)), input.getInt(1)))))
+      // the Delta `OPTIMIZE ZORDER BY` shape: re-cluster the current
+      // snapshot by the Morton key of the named columns as a forward
+      // commit, so multi-column box scans prune from ANY prior layout
+      case "zorder" => new LakeProc("zorder",
+        Array(in("table", StringType), in("columns", StringType),
+          inDefault("target_files", IntegerType, "8")),
+        versionOut,
+        input => Seq(InternalRow(LakeTable.rezorder(
+          SparkSession.active, path(input.getUTF8String(0)),
+          input.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq,
+          input.getInt(2)))))
       case "evolve_partitioning" => new LakeProc("evolve_partitioning",
         Array(in("table", StringType), in("partition_by", StringType)),
         versionOut,

@@ -391,7 +391,18 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       case FloatType => v.toFloat
       case DoubleType => v.toDouble
       case DateType => java.sql.Date.valueOf(v)
-      case TimestampType => java.sql.Timestamp.valueOf(v)
+      // parse in the SESSION timezone — the zone Spark wrote and would
+      // itself re-infer the partition value in; java.sql.Timestamp
+      // .valueOf would use the JVM default zone and shift every value
+      // when the two differ (ADVICE r15)
+      case TimestampType =>
+        return org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+              spark.sessionState.conf.sessionLocalTimeZone))
+          .getOrElse(throw new IllegalStateException(
+            s"graftlake: cannot parse partition timestamp '$v'"))
       case TimestampNTZType => java.time.LocalDateTime.parse(v.replace(' ', 'T'))
       case _: DecimalType => new java.math.BigDecimal(v)
       case BooleanType => v.toBoolean

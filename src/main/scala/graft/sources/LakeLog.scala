@@ -208,15 +208,29 @@ private[graft] object LakeIo {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  /** Scheme-insensitive comparison key: the DECODED URI path component.
-    * The manifest stores paths as the filesystem qualifies them (raw,
-    * e.g. `file:/tmp/my data/t`), but `input_file_name()` renders a
-    * percent-ENCODED URI (`file:///tmp/my%20data/t`) — set membership
-    * must depend on neither the rendering nor the encoding. A proper
-    * URI decodes through java.net.URI; a raw path with characters a URI
-    * may not carry (spaces) falls back to the Hadoop Path parse, whose
-    * getPath returns it verbatim. */
-  def normKey(p: String): String =
+  /** Scheme-insensitive comparison key for RAW filesystem paths —
+    * manifest entries, Hadoop listings, caller-supplied table dirs: the
+    * path component exactly as the filesystem NAMES it. Routed through
+    * Hadoop `Path(String)`, which treats the string as unencoded (its
+    * multi-arg URI constructor quotes any '%' and getPath decodes it
+    * straight back), so a directory literally named `c=10%3A30` — a
+    * Hive-escaped ':' partition value — keeps its raw name instead of
+    * being mis-decoded to `c=10:30` (ADVICE r15: that mis-decode made
+    * touched-file discovery miss the file and silently duplicate keys
+    * on merge / skip deletes). */
+  def normKey(p: String): String = new Path(p).toUri.getPath
+
+  /** Comparison key for URI-RENDERED paths — `input_file_name()`, which
+    * renders the raw name percent-ENCODED (`c=10%3A30` →
+    * `c=10%253A30`): decode ONCE back to the raw filesystem name so
+    * membership tests against [[normKey]]-normalized manifest paths
+    * compare raw-to-raw. Provenance picks the function — applying THIS
+    * to a raw manifest path would over-decode a literal `%XX`, and
+    * [[normKey]] on an encoded URI would under-decode; guessing from
+    * the string cannot distinguish the two. A string that fails to
+    * parse as a URI (spaces from an unencoded renderer) falls back to
+    * the raw parse. */
+  def normUri(p: String): String =
     try {
       val u = new java.net.URI(p)
       if (u.getPath != null) u.getPath else new Path(p).toUri.getPath
@@ -234,6 +248,21 @@ private[graft] object LakeIo {
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
     while (it.hasNext) buf += it.next()
     buf.toSeq
+  }
+
+  /** Immediate child DIRECTORIES of `dir` (no recursion); empty when
+    * the dir is missing. One listStatus call — the namespace walk
+    * listTables needs, never the full-warehouse recursive listing. */
+  def childDirs(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.toString)
+  }
+
+  def dirExists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).exists(p)
   }
 
   /** Leaf parquet part-files under a just-written batch directory. */

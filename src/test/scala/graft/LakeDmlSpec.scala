@@ -5,8 +5,9 @@ import graft.sources.LakeTable
 /** SQL MERGE INTO / UPDATE over graftlake catalog tables — the planner
   * extension (graft.plans.LakeDml) lowering onto the lake's
   * transactional keyed merge/delete: semantics per clause, one atomic
-  * version per statement, loud refusals for the unsupported surface,
-  * and non-graftlake targets untouched. */
+  * version per statement, first-match-wins clause precedence, loud
+  * refusals for the unsupported surface, and non-graftlake targets
+  * untouched. */
 class LakeDmlSpec extends SparkSpec {
 
   private def freshRoot(tag: String): String = {
@@ -65,6 +66,113 @@ class LakeDmlSpec extends SparkSpec {
       expect.filterNot(r => r._1 == 13L || r._1 == 201L))
   }
 
+  test("MATCHED DELETE is scoped to pre-statement matched keys; DELETE+INSERT is one version") {
+    import spark.implicits._
+    val root = setupCatalog("delscope")
+    spark.sql("CREATE TABLE dml_delscope.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 40L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_ds_base")
+    spark.sql("INSERT INTO dml_delscope.t SELECT * FROM dml_ds_base")
+    // source rows 30..50 all satisfy the delete condition; 41..50 are
+    // UNMATCHED and satisfy the insert condition too. MERGE semantics:
+    // matched 30..40 delete, unmatched 41..50 insert AND SURVIVE — the
+    // pre-fix lowering inserted then deleted them (ADVICE r15 high).
+    (30L to 50L).map(k => (k, "I", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_ds_src")
+    val v0 = LakeTable.latestVersion(s"$root/t")
+    spark.sql("""MERGE INTO dml_delscope.t AS tg USING dml_ds_src AS src
+      ON tg.k = src.k
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(LakeTable.latestVersion(s"$root/t") == v0 + 1,
+      "matched-delete + unmatched-insert must commit as ONE atomic version")
+    assert(stateOf("dml_delscope") ==
+      ((1L to 29L).map(k => (k, "base", k)) ++
+        (41L to 50L).map(k => (k, "I", k))).toSet,
+      "an unmatched source row satisfying the delete condition must survive as an insert")
+  }
+
+  test("row-level MERGE: target-referencing conditions, partial SET, clause precedence") {
+    import spark.implicits._
+    setupCatalog("row")
+    spark.sql("CREATE TABLE dml_row.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 60L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_row_base")
+    spark.sql("INSERT INTO dml_row.t SELECT * FROM dml_row_base")
+    // source shares column names with the target (provenance must
+    // disambiguate), carries a delta column, and includes new keys
+    ((1L to 60L).filter(_ % 3 == 0).map(k => (k, k * 10, "U")) ++
+      Seq((101L, 7L, "N"))).toDF("k", "d", "s")
+      .createOrReplaceTempView("dml_row_src")
+    // clause order: big-v rows DELETE first; remaining matched rows take
+    // a PARTIAL update whose value reads BOTH sides (tg.v + src.d) under
+    // a condition reading BOTH sides (tg.v < src.d)
+    spark.sql("""MERGE INTO dml_row.t AS tg USING dml_row_src AS src
+      ON tg.k = src.k
+      WHEN MATCHED AND tg.v >= 48 THEN DELETE
+      WHEN MATCHED AND tg.v < src.d THEN UPDATE SET v = tg.v + src.d, s = src.s
+      WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (src.k, src.d, src.s)""")
+    val expect = (1L to 60L).flatMap { k =>
+      if (k % 3 == 0 && k >= 48) None // first clause wins: deleted
+      else if (k % 3 == 0) Some((k, "U", k + k * 10)) // k < k*10 always
+      else Some((k, "base", k))
+    }.toSet + ((101L, "N", 7L))
+    assert(stateOf("dml_row") == expect)
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE updates/deletes target rows outside the source") {
+    import spark.implicits._
+    setupCatalog("nmbs")
+    spark.sql("CREATE TABLE dml_nmbs.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 30L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_nmbs_base")
+    spark.sql("INSERT INTO dml_nmbs.t SELECT * FROM dml_nmbs_base")
+    (1L to 10L).map(k => (k, "keep", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_nmbs_src")
+    val v0 = LakeTable.latestVersion(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_lakedml_nmbs", "t").toString)
+    spark.sql("""MERGE INTO dml_nmbs.t AS tg USING dml_nmbs_src AS src
+      ON tg.k = src.k
+      WHEN MATCHED THEN UPDATE SET s = src.s
+      WHEN NOT MATCHED BY SOURCE AND tg.v > 25 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND tg.k % 2 = 0 THEN UPDATE SET s = 'orphan'""")
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_lakedml_nmbs", "t").toString
+    assert(LakeTable.latestVersion(root) == v0 + 1,
+      "matched-update + NMBS update + NMBS delete must commit as ONE version")
+    assert(stateOf("dml_nmbs") == (1L to 30L).flatMap { k =>
+      if (k <= 10) Some((k, "keep", k)) // matched
+      else if (k > 25) None // NMBS delete (first NMBS clause wins)
+      else if (k % 2 == 0) Some((k, "orphan", k)) // NMBS update
+      else Some((k, "base", k))
+    }.toSet)
+  }
+
+  test("merge classification reads an envelope-pruned key scan, not the full table") {
+    import spark.implicits._
+    val root = setupCatalog("prune")
+    // range layout: key envelopes per file are narrow, so a tight-range
+    // source must classify against a small fraction of the files
+    LakeTable.create(spark, s"$root/t",
+      (1L to 4000L).map(k => (k, "base", k)).toDF("k", "s", "v"),
+      Seq("k"), nBuckets = 16, layout = "range")
+    (100L to 140L).map(k => (k, "M", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_prune_src")
+    spark.sql("""MERGE INTO dml_prune.t AS tg USING dml_prune_src AS src
+      ON tg.k = src.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val (kept, total) = graft.sources.GraftLakeSource.lastPrune(s"$root/t@classify")
+    assert(total >= 12 && kept * 4 <= total,
+      s"classification scan should be envelope-pruned (kept $kept/$total)")
+    assert(stateOf("dml_prune") == (1L to 4000L).map(k =>
+      if (k >= 100 && k <= 140) (k, "M", k) else (k, "base", k)).toSet)
+  }
+
   test("UPDATE: partial SET with target-row expressions; key reassignment refused") {
     import spark.implicits._
     val root = setupCatalog("upd")
@@ -101,18 +209,28 @@ class LakeDmlSpec extends SparkSpec {
         ON tg.s = src.s WHEN MATCHED THEN UPDATE SET *""")
     }
     assert(e1.getMessage.contains("merge identity"))
-    // NOT MATCHED BY SOURCE is out of the supported surface
+    // reassigning the merge identity away from the ON expression
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql("""MERGE INTO dml_refuse.t AS tg USING dml_r_src AS src
-        ON tg.k = src.k WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        ON tg.k = src.k
+        WHEN MATCHED THEN UPDATE SET k = src.k + 1, s = src.s, v = src.v""")
     }
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
-    // a non-graftlake V2 target still gets Spark's own refusal, not ours
+    assert(e2.getMessage.contains("identity"))
+    // NOT MATCHED BY SOURCE conditions live in target-land only (either
+    // our refusal or the analyzer's own resolution error — both loud)
     val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_refuse.t AS tg USING dml_r_src AS src
+        ON tg.k = src.k
+        WHEN NOT MATCHED BY SOURCE AND src.v > 0 THEN DELETE""")
+    }
+    assert(e3.getMessage.contains("TARGET columns only") ||
+      e3.getMessage.contains("cannot be resolved"))
+    // a non-graftlake V2 target still gets Spark's own refusal, not ours
+    val e4 = intercept[Exception] {
       spark.sql("""MERGE INTO dml_r_src AS tg USING dml_r_src AS src
         ON tg.k = src.k WHEN MATCHED THEN UPDATE SET *""")
     }
-    assert(!e3.isInstanceOf[UnsupportedOperationException] ||
-      !e3.getMessage.startsWith("graftlake"))
+    assert(!e4.isInstanceOf[UnsupportedOperationException] ||
+      !e4.getMessage.startsWith("graftlake"))
   }
 }

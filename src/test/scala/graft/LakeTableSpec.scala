@@ -993,9 +993,18 @@ class LakeTableSpec extends SparkSpec {
     // TRUNCATE rides the DV path with an always-true predicate
     spark.sql("TRUNCATE TABLE graft_cat_spec.t")
     assert(spark.sql("SELECT count(*) FROM graft_cat_spec.t").head().getLong(0) == 0)
-    // ALTER is refused (schema evolves through merge batches)
+    // ALTER ADD COLUMN is the header-only evolution commit; anything
+    // else (drop/rename/retype) is still refused with the reason
+    val preAlter = LakeTable.manifestFiles(s"$root/t",
+      LakeTable.latestVersion(s"$root/t"))
+    spark.sql("ALTER TABLE graft_cat_spec.t ADD COLUMN x BIGINT")
+    assert(spark.sql("SELECT * FROM graft_cat_spec.t").columns.toSeq ==
+      Seq("k", "s", "v", "x"))
+    assert(LakeTable.manifestFiles(s"$root/t",
+      LakeTable.latestVersion(s"$root/t")) == preAlter,
+      "ALTER ADD COLUMN must not move a byte of data")
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat_spec.t ADD COLUMN x BIGINT")
+      spark.sql("ALTER TABLE graft_cat_spec.t DROP COLUMN x")
     }
     // SHOW TABLES sees it; DROP removes it and SELECT fails loudly
     assert(spark.sql("SHOW TABLES IN graft_cat_spec").collect()
@@ -1080,6 +1089,115 @@ class LakeTableSpec extends SparkSpec {
       "delete was a silent no-op under an encoded path")
     LakeTable.deleteDV(spark, p, Seq(Tuple1(9L)).toDF("k"), Seq("k"))
     assert(LakeTable.read(spark, p).count() == 78)
+  }
+
+  test("Hive-escaped partition VALUES (':', '%'): merge and DV-delete find their files") {
+    import spark.implicits._
+    // partitionBy escapes ':' to %3A and '%' to %25 in the directory
+    // name; input_file_name() then DOUBLE-encodes that rendering. The
+    // raw-vs-URI normalization split (normKey/normUri) must land both
+    // sides on the raw name — decoding the manifest side as if it were
+    // a URI turned `c=10%3A30` into `c=10:30` and made touched-file
+    // discovery miss the file: old rows carried AND updates re-added
+    // (silent key duplication), deletes missed (ADVICE r15)
+    val p = freshPath("hiveesc")
+    val base = (1L to 60L).map(k =>
+      (k, if (k % 2 == 0) "10:30" else "50%", k)).toDF("k", "c", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 2,
+      partitionBy = Seq("c"))
+    assert(LakeTable.manifest(p, 1).files.exists(_.path.contains("%3A")),
+      "fixture must produce a Hive-escaped ':' partition directory")
+    LakeTable.merge(spark, p,
+      Seq((4L, "10:30", 444L), (5L, "50%", 555L)).toDF("k", "c", "v"), Seq("k"))
+    val got = LakeTable.read(spark, p).select("k", "c", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = (1L to 60L).filterNot(k => k == 4L || k == 5L).map(k =>
+      (k, if (k % 2 == 0) "10:30" else "50%", k)).toSet ++
+      Set((4L, "10:30", 444L), (5L, "50%", 555L))
+    assert(got == expect,
+      "merge duplicated or lost keys under a Hive-escaped partition value")
+    // CoW narrowed: the 2-key merge must carry at least one file
+    assert(LakeTable.manifestFiles(p, 1).toSet
+      .intersect(LakeTable.manifestFiles(p, 2).toSet).nonEmpty,
+      "touched-file discovery missed: merge rewrote the whole table")
+    LakeTable.delete(spark, p, Seq(Tuple1(6L)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, p).count() == 59,
+      "delete was a silent no-op under a Hive-escaped partition value")
+    LakeTable.deleteDV(spark, p, Seq(Tuple1(8L)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, p).count() == 58)
+  }
+
+  test("addColumns: header-only schema evolution; as-of keeps the committed schema") {
+    import spark.implicits._
+    val p = freshPath("addcol")
+    val base = (1L to 40L).map(k => (k, "base")).toDF("k", "s")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 4)
+    val preFiles = LakeTable.manifestFiles(p, 1)
+    assert(LakeTable.addColumns(p,
+      Seq(org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType))) == 2)
+    // header-only: the file list is bit-identical across the commit
+    assert(LakeTable.manifestFiles(p, 2) == preFiles,
+      "ADD COLUMN must not move a byte of data")
+    // live reads see the new column as null; as-of(1) keeps the 2-col shape
+    assert(LakeTable.read(spark, p).columns.toSeq == Seq("k", "s", "note"))
+    assert(LakeTable.read(spark, p).filter(col("note").isNotNull).count() == 0)
+    assert(LakeTable.read(spark, p, Some(1)).columns.toSeq == Seq("k", "s"))
+    // a merge can now land values in the new column; old rows stay null
+    LakeTable.merge(spark, p,
+      Seq((3L, "upd", "hello")).toDF("k", "s", "note"), Seq("k"))
+    val m = LakeTable.read(spark, p)
+    assert(m.filter(col("note") === "hello").count() == 1)
+    assert(m.filter(col("note").isNull).count() == 39)
+    // duplicate column refused
+    intercept[IllegalArgumentException] {
+      LakeTable.addColumns(p, Seq(org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    }
+  }
+
+  test("rezorder: a hash-layout table re-clusters so 2-D boxes prune >= half the files") {
+    import spark.implicits._
+    val p = freshPath("rezorder")
+    val n = 4096L
+    val side = 64L
+    val base = (0L until n).map(i => (i, i % side, i / side)).toDF("k", "x", "y")
+    // hash layout on the key: x/y envelopes are wide in every file, a
+    // box over (x, y) prunes nothing
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 16, layout = "hash")
+    val (preKept, preTotal) = LakeTable.prunedEntriesBox(p, 1,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L)))
+    assert(preKept.size == preTotal, "hash layout should not prune the box")
+    assert(LakeTable.rezorder(spark, p, Seq("x", "y"), targetFiles = 16) == 2)
+    // rows identical, layout changed, the same box now prunes >= half
+    assert(LakeTable.read(spark, p).count() == n)
+    assert(LakeTable.read(spark, p).agg(sum("k")).head().getLong(0)
+      == n * (n - 1) / 2)
+    val (kept, total) = LakeTable.prunedEntriesBox(p, 2,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L)))
+    assert(total >= 12 && kept.size * 2 <= total,
+      s"rezorder should let the 2-D box prune >= half (kept ${kept.size}/$total)")
+    // and the box scan is row-correct
+    assert(LakeTable.scanBox(spark, p,
+      Seq(("x", 0L, 15L), ("y", 0L, 15L))).count() ==
+      base.filter(col("x") <= 15 && col("y") <= 15).count())
+  }
+
+  test("mergeDelete: upsert batch + delete keys commit as ONE version; update wins ties") {
+    import spark.implicits._
+    val p = freshPath("mergedel")
+    LakeTable.create(spark, p,
+      (1L to 30L).map(k => (k, "base", k)).toDF("k", "s", "v"), Seq("k"))
+    val v = LakeTable.mergeDelete(spark, p,
+      Seq((2L, "upd", 22L), (31L, "ins", 310L), (5L, "tie", 50L)).toDF("k", "s", "v"),
+      Some(Seq(Tuple1(3L), Tuple1(4L), Tuple1(5L)).toDF("k")), Seq("k"))
+    assert(v == 2, "one statement, one version")
+    assert(LakeTable.latestVersion(p) == 2)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) ==
+      ((1L to 30L).filterNot(k => k == 2L || k == 3L || k == 4L || k == 5L)
+        .map(k => (k, "base", k)).toSet ++
+        Set((2L, "upd", 22L), (31L, "ins", 310L), (5L, "tie", 50L))),
+      "deletes must vanish, updates/inserts land, a key in both sets resolves update-wins")
   }
 
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
