@@ -267,10 +267,24 @@ private[graft] object LakeIo {
 
   /** Leaf parquet part-files under a just-written batch directory. */
   def leafParquet(dir: String): Seq[String] =
-    listRecursive(dir)
-      .filter(s => s.getPath.getName.startsWith("part-") &&
-        s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted
+    leafParquetWith(dir, conf)
+
+  /** [[leafParquet]] with an explicit Configuration — the executor-side
+    * form (no active session to derive a conf from). */
+  def leafParquetWith(dir: String,
+      hadoopConf: Configuration): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet")) buf += s.getPath.toString
+    }
+    buf.sorted.toSeq
+  }
 
   def deleteFile(path: String): Boolean = {
     val p = new Path(path)

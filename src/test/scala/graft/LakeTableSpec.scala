@@ -1200,6 +1200,46 @@ class LakeTableSpec extends SparkSpec {
       "deletes must vanish, updates/inserts land, a key in both sets resolves update-wins")
   }
 
+  test("V2 scan applies a >=100k-key accumulated sidecar set EXECUTOR-side") {
+    import spark.implicits._
+    val p = freshPath("dvexec")
+    val n = 400000L
+    LakeTable.create(spark, p,
+      (1L to n).map(k => (k, k % 7)).toDF("k", "v"), Seq("k"), nBuckets = 8)
+    // two accumulated erasure batches (the between-compactions shape):
+    // 120k keys total across two sidecar commits
+    LakeTable.deleteDV(spark, p,
+      (1L to 60000L).map(k => Tuple1(k * 3)).toDF("k"), Seq("k"))
+    LakeTable.deleteDV(spark, p,
+      (1L to 60000L).map(k => Tuple1(k * 5)).toDF("k"), Seq("k"))
+    val got = spark.read.format("graftlake").load(p)
+    val expect = (1L to n).filterNot(k =>
+      (k % 3 == 0 && k <= 180000) || (k % 5 == 0 && k <= 300000))
+    assert(got.count() == expect.size.toLong)
+    assert(got.agg(sum("k")).head().getLong(0) == expect.sum)
+    assert(graft.sources.GraftLakeSource.lastDvMode(p) == "executor",
+      "a long-key DV table must apply sidecars executor-side, not via driver collect")
+    // string keys ride the executor path too (UTF8String byte layout)
+    val ps = freshPath("dvexecstr")
+    LakeTable.create(spark, ps,
+      (1L to 5000L).map(k => (f"key$k%06d", k)).toDF("k", "v"), Seq("k"), nBuckets = 4)
+    LakeTable.deleteDV(spark, ps,
+      (1L to 1000L).map(k => Tuple1(f"key${k * 3}%06d")).toDF("k"), Seq("k"))
+    assert(spark.read.format("graftlake").load(ps).count() == 4000)
+    assert(graft.sources.GraftLakeSource.lastDvMode(ps) == "executor")
+    // a key type the executor loader does not speak (timestamp) stays
+    // CORRECT through the bounded driver fallback — and says so
+    val pt = freshPath("dvfall")
+    LakeTable.create(spark, pt,
+      (1L to 300L).map(k => (new java.sql.Timestamp(k * 60000L), k))
+        .toDF("k", "v"), Seq("k"), nBuckets = 2)
+    LakeTable.deleteDV(spark, pt,
+      (1L to 100L).map(k => Tuple1(new java.sql.Timestamp(k * 3 * 60000L)))
+        .toDF("k"), Seq("k"))
+    assert(spark.read.format("graftlake").load(pt).count() == 200)
+    assert(graft.sources.GraftLakeSource.lastDvMode(pt) == "driver")
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
