@@ -35,6 +35,9 @@ object SparkEntry {
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
+    "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
+    "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
+    "lake_zorder_call"         -> (MergeOps.qLakeZorderCall _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1587,6 +1590,50 @@ object SparkEntry {
     // entry REQUIRES the box pruned >= half the files; the oracle scans
     // the raw table under the same box
     "lake_zorder_scan" ->
+      """WITH b AS (
+        |  SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
+        |         CAST(max(l_suppkey) AS BIGINT) AS ms FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
+        |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // ALTER ADD COLUMN is a header-only commit (entry REQUIRES zero
+    // files moved and the pre-ALTER version keeping its 2-col schema);
+    // pre-evolution rows read the new column as null, the upserted key
+    // class carries values — the oracle replays the final state
+    "lake_sql_alter" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 53 = 7 THEN 'A' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 53 = 7 THEN 'note' ELSE CAST(NULL AS VARCHAR) END AS o_note
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the row-level MERGE forms, replayed clause by clause: statement 1
+    // deletes even-custkey matched rows (first clause wins), partially
+    // updates the rest with a two-sided value (ck -> 2ck+7, 'R'),
+    // inserts offset keys ('I', 42); statement 2 marks matched %3=0
+    // keys 'K', NMBS-deletes %5=1 keys, NMBS-updates ck>100 to 'X'
+    "lake_merge_row" ->
+      """WITH t1 AS (
+        |  SELECT o_orderkey, 'R' AS st, 2 * o_custkey + 7 AS ck FROM orders
+        |  WHERE o_orderkey % 31 = 4 AND o_custkey % 2 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+        |  WHERE o_orderkey % 31 <> 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 'I', 42 FROM orders WHERE o_orderkey % 31 = 4
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey < 20000000 AND o_orderkey % 3 = 0 THEN 'K'
+        |       WHEN ck > 100 THEN 'X'
+        |       ELSE st END AS o_orderstatus,
+        |  ck AS o_custkey
+        |FROM t1
+        |WHERE (o_orderkey < 20000000 AND o_orderkey % 3 = 0) OR o_orderkey % 5 <> 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // CALL system.zorder re-clustered a hash layout (entry REQUIRES the
+    // box to prune nothing before and >= half after); the box scan is
+    // row-exact against the raw range predicate
+    "lake_zorder_call" ->
       """WITH b AS (
         |  SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
         |         CAST(max(l_suppkey) AS BIGINT) AS ms FROM lineitem)
