@@ -38,6 +38,7 @@ object SparkEntry {
     "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
     "lake_zorder_call"         -> (MergeOps.qLakeZorderCall _),
+    "lake_cluster_join"        -> (MergeOps.qLakeClusterJoin _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1642,6 +1643,18 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
         |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // two cluster_buckets=16 lake tables joined on the clustering key
+    // (entry REQUIRES a shuffle-family join with ZERO Exchange — the
+    // storage-partitioned join); the oracle replays the join over the
+    // raw tables, so a bucket misalignment loses or duplicates rows
+    "lake_cluster_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.line_cnt, l.ln_sum
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, count(*) AS line_cnt,
+        |        CAST(sum(l_linenumber) AS BIGINT) AS ln_sum
+        |      FROM lineitem GROUP BY l_orderkey) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     // plain SQL over the registered graftlake source at versionAsOf=2:
     // the low-band merge ('Q' for keys < 400) is visible, the predicate
     // pushes down to manifest pruning, the residual re-applies

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     batches, versioned in the log, not through catalog DDL
   */
 class GraftLakeCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -109,7 +110,14 @@ class GraftLakeCatalog extends TableCatalog
           s"graftlake catalog: only identity PARTITIONED BY columns are supported, got $t")
       }
     }
-    LakeTable.createEmpty(tablePath(ident), schema, keys, parts)
+    // 'cluster_buckets'='N' declares the table CLUSTERED on its merge
+    // identity: every write hash-routes rows to N buckets, the manifest
+    // records each file's bucket, and the V2 scan reports the layout as
+    // a KeyGroupedPartitioning — two equal-bucketed tables join with
+    // ZERO Exchange (the storage-partitioned join)
+    val clusterBuckets = Option(properties.get("cluster_buckets"))
+      .map(_.trim.toInt).getOrElse(0)
+    LakeTable.createEmpty(tablePath(ident), schema, keys, parts, clusterBuckets)
     loadTable(ident)
   }
 
@@ -159,6 +167,17 @@ class GraftLakeCatalog extends TableCatalog
     throw new UnsupportedOperationException("graftlake catalog: RENAME is not " +
       "supported (manifests reference absolute paths); use shallowClone to branch")
   }
+
+  // ---- function catalog: the bucket function clustered scans report
+  // their KeyGroupedPartitioning through (the Iceberg SPJ shape) ----
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
 
   // ---- table-service procedures: CALL <cat>.system.<op>(...) ----
 
@@ -232,6 +251,52 @@ private[graft] class GraftLakeCatalogTable(spark: SparkSession, path: String, ve
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftLakeCatalogTable.translatable)
+}
+
+/** The clustered layout's hash function, `bucket(n, cols...)` =
+  * `pmod(murmur3(cols, seed=42), n)` — EXACTLY Spark's HashPartitioning
+  * routing, i.e. the function `repartition(n, keys)` placed rows with
+  * at write time. Clustered scans report their KeyGroupedPartitioning
+  * through this function; two scans reporting the same canonical
+  * function and bucket count are shuffle-compatible, which is what
+  * lets EnsureRequirements drop the Exchange (the Iceberg SPJ shape). */
+private[graft] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, cols...): pmod(murmur3(cols, 42), n) — the graftlake clustered-layout hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length >= 2,
+      "graftlake bucket(n, cols...) needs the bucket count and at least one column")
+    val types = inputType.fields.map(_.dataType)
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = types
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graftlake.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        // the HashPartitioning chain: seed 42, each column's murmur3
+        // folds into the running seed; nulls leave it unchanged
+        var hash = 42L
+        var i = 1
+        while (i < types.length) {
+          if (!input.isNullAt(i))
+            hash = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+              .hash(input.get(i, types(i)), types(i), hash)
+          i += 1
+        }
+        val r = hash.toInt % n
+        if (r < 0) r + n else r
+      }
+    }
+  }
 }
 
 private[graft] object GraftLakeCatalogTable {

@@ -95,16 +95,28 @@ object LakeTable {
     * partition values, lifted from its `col=value` path segments at
     * commit time. Partition values also surface as EXACT (min==max)
     * entries in `stats`, so the one [[entryMatches]] kernel prunes on
-    * partition predicates and data stats alike. */
+    * partition predicates and data stats alike. For CLUSTERED tables
+    * (`Manifest.clusterBuckets > 0`), `bucket` records which hash
+    * bucket of the key space the file holds (-1 = unknown — the file
+    * then disqualifies the snapshot from bucket-aligned reads, never
+    * mis-aligns them). */
   final case class FileEntry(path: String,
       stats: Map[String, ColStats] = Map.empty,
       dvs: Seq[String] = Seq.empty,
-      part: Map[String, String] = Map.empty)
+      part: Map[String, String] = Map.empty,
+      bucket: Int = -1)
 
   /** The complete committed state of one version. `parts` names the
-    * table's partition columns (empty = no directory layout). */
+    * table's partition columns (empty = no directory layout).
+    * `clusterBuckets > 0` declares the table CLUSTERED: every data
+    * file holds exactly one bucket of `pmod(murmur3(keys), n)` (the
+    * Spark HashPartitioning function), writes preserve the property,
+    * and the V2 scan reports the layout as a KeyGroupedPartitioning so
+    * equal-bucketed joins plan WITHOUT an Exchange (the storage-
+    * partitioned-join contract). */
   final case class Manifest(version: Int, op: String, keys: Seq[String],
-      schemaDdl: String, files: Seq[FileEntry], parts: Seq[String] = Seq.empty) {
+      schemaDdl: String, files: Seq[FileEntry], parts: Seq[String] = Seq.empty,
+      clusterBuckets: Int = 0) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def filePaths: Seq[String] = files.map(_.path)
     def dvPaths: Seq[String] = files.flatMap(_.dvs).distinct
@@ -140,13 +152,15 @@ object LakeTable {
     * replaces the old one. */
   private[graft] final case class DeltaRecord(version: Int, op: String,
       keys: Seq[String], schemaDdl: String, parts: Seq[String],
-      removedPaths: Seq[String], addedEntries: Seq[FileEntry])
+      removedPaths: Seq[String], addedEntries: Seq[FileEntry],
+      clusterBuckets: Int = 0)
 
   /** Apply a churn record to its predecessor's reconstructed state. */
   private def applyDelta(prev: Manifest, d: DeltaRecord): Manifest = {
     val removed = d.removedPaths.toSet
     Manifest(d.version, d.op, d.keys, d.schemaDdl,
-      prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries, d.parts)
+      prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries, d.parts,
+      d.clusterBuckets)
   }
 
   // ---- commit-record JSON (Jackson — a real writer, so paths containing
@@ -159,6 +173,7 @@ object LakeTable {
     files.foreach { fe =>
       val fn = filesArr.addObject()
       fn.put("path", fe.path)
+      if (fe.bucket >= 0) { fn.put("bucket", fe.bucket); () }
       if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
       if (fe.part.nonEmpty) {
         val pn = fn.putObject("part")
@@ -202,13 +217,14 @@ object LakeTable {
         pn.fields().asScala.map(e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
       }.getOrElse(Map.empty[String, String])
-      FileEntry(fn.path("path").asText(), stats, dvs, part)
+      FileEntry(fn.path("path").asText(), stats, dvs, part,
+        if (fn.has("bucket")) fn.path("bucket").asInt() else -1)
     }.toSeq
   }
 
   private def headerJson(version: Int, op: String, keys: Seq[String],
       schemaDdl: String, parts: Seq[String],
-      kind: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+      kind: String, clusterBuckets: Int): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = jsonMapper.createObjectNode()
     root.put("format", 3)
     root.put("kind", kind)
@@ -217,18 +233,21 @@ object LakeTable {
     val keysArr = root.putArray("keys")
     keys.foreach(keysArr.add)
     if (parts.nonEmpty) { val pa = root.putArray("parts"); parts.foreach(pa.add) }
+    if (clusterBuckets > 0) { root.put("cluster", clusterBuckets); () }
     root.put("schema", schemaDdl)
     root
   }
 
   private def manifestJson(m: Manifest): String = {
-    val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, m.parts, "full")
+    val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, m.parts, "full",
+      m.clusterBuckets)
     writeEntriesJson(root.putArray("files"), m.files)
     jsonMapper.writeValueAsString(root)
   }
 
   private def deltaJson(d: DeltaRecord): String = {
-    val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, d.parts, "delta")
+    val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, d.parts, "delta",
+      d.clusterBuckets)
     val rm = root.putArray("remove")
     d.removedPaths.foreach(rm.add)
     writeEntriesJson(root.putArray("add"), d.addedEntries)
@@ -247,14 +266,15 @@ object LakeTable {
     val op = root.path("op").asText()
     val keys = root.path("keys").elements().asScala.map(_.asText()).toSeq
     val parts = root.path("parts").elements().asScala.map(_.asText()).toSeq
+    val cluster = root.path("cluster").asInt(0)
     val schemaDdl = root.path("schema").asText()
     if (root.path("kind").asText() == "delta")
       Left(DeltaRecord(version, op, keys, schemaDdl, parts,
         root.path("remove").elements().asScala.map(_.asText()).toSeq,
-        parseEntriesJson(root.path("add"))))
+        parseEntriesJson(root.path("add")), cluster))
     else
       Right(Manifest(version, op, keys, schemaDdl,
-        parseEntriesJson(root.path("files")), parts))
+        parseEntriesJson(root.path("files")), parts, cluster))
   }
 
   /** Commit a STATE-REPLACING version (create/overwrite/compact/restore/
@@ -270,7 +290,8 @@ object LakeTable {
   private[graft] def commitDelta(path: String, m: Manifest,
       removedPaths: Seq[String], addedEntries: Seq[FileEntry]): Unit = {
     publish(path, m, deltaJson(
-      DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, m.parts, removedPaths, addedEntries)))
+      DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, m.parts,
+        removedPaths, addedEntries, m.clusterBuckets)))
     // periodic full-state checkpoint: bounds reconstruction to at most
     // ChkInterval record reads (every interval-th version is an anchor —
     // this checkpoint when the record there is a delta; a full record is
@@ -483,16 +504,31 @@ object LakeTable {
     * (read-time reconstruction) and as exact min==max stats (pruning). */
   private def entriesFor(spark: SparkSession, dir: String,
       keyCols: Seq[String], schema: StructType,
-      parts: Seq[String] = Seq.empty): Seq[FileEntry] = {
+      parts: Seq[String] = Seq.empty, clustered: Boolean = false): Seq[FileEntry] = {
     val statCols = keyCols.filterNot(parts.contains).flatMap(k =>
       schema.find(_.name == k).flatMap(f => statsFamily(f.dataType)).map(k -> _))
     val files = leafFiles(dir)
     val stats = footerStats(spark, files, statCols)
     files.map { f =>
       val pv = liftPartValues(f, parts)
-      FileEntry(f, stats.getOrElse(f, Map.empty) ++ partStats(pv, schema), part = pv)
+      FileEntry(f, stats.getOrElse(f, Map.empty) ++ partStats(pv, schema),
+        part = pv, bucket = if (clustered) bucketOf(f) else -1)
     }
   }
+
+  /** A clustered write's file→bucket mapping, lifted from the part-file
+    * NAME: `repartition(n, keys)` routes each row to shuffle partition
+    * `pmod(murmur3(keys), n)` and the task writes exactly one
+    * `part-<partitionId>-<uuid>` file — the Spark FileFormatWriter
+    * naming contract, the same one bucketBy relies on. An unparsable
+    * name yields -1, which DISQUALIFIES the snapshot from bucket-
+    * aligned reads (conservative, never mis-aligned). */
+  private val partNumRe = "part-(\\d+)-.*".r
+  private def bucketOf(path: String): Int =
+    new org.apache.hadoop.fs.Path(path).getName match {
+      case partNumRe(n) => n.toInt
+      case _ => -1
+    }
 
   /** The Hive-style `col=value` values of a leaf file's path, decoded
     * the way Spark escaped them at write time. The null-partition
@@ -734,10 +770,14 @@ object LakeTable {
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the data schema"))
+    require(layout != "cluster" || partitionBy.isEmpty,
+      "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    val cluster = if (layout == "cluster") nBuckets else 0
     val dir = s"$path/data/create"
     writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
     commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema, partitionBy), partitionBy))
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0),
+      partitionBy, cluster))
     1
   }
 
@@ -746,14 +786,17 @@ object LakeTable {
     * lands data through [[merge]]). The manifest is the schema
     * authority from the start, exactly as for a data-bearing create. */
   def createEmpty(path: String, schema: StructType, keyCols: Seq[String],
-      partitionBy: Seq[String] = Seq.empty): Int = {
+      partitionBy: Seq[String] = Seq.empty, clusterBuckets: Int = 0): Int = {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
       s"LakeTable: key column $c is not in the schema"))
     partitionBy.foreach(c => require(schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the schema"))
-    commit(path, Manifest(1, "create", keyCols, schema.toDDL, Seq.empty, partitionBy))
+    require(clusterBuckets == 0 || partitionBy.isEmpty,
+      "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    commit(path, Manifest(1, "create", keyCols, schema.toDDL, Seq.empty,
+      partitionBy, clusterBuckets))
     1
   }
 
@@ -818,10 +861,14 @@ object LakeTable {
       partitionBy: Seq[String] = Seq.empty): Int = {
     val current = latestVersion(path)
     if (current == 0) return create(spark, path, df, keyCols, nBuckets, layout, partitionBy)
+    require(layout != "cluster" || partitionBy.isEmpty,
+      "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    val cluster = if (layout == "cluster") nBuckets else 0
     val dir = s"$path/data/overwrite-v${current + 1}-${java.util.UUID.randomUUID()}"
     writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
     commit(path, Manifest(current + 1, "overwrite", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema, partitionBy), partitionBy))
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0),
+      partitionBy, cluster))
     current + 1
   }
 
@@ -882,14 +929,23 @@ object LakeTable {
       else readEntries(spark, m, touchedEntries)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    writeData(survivors, rewriteDir, m.parts)
+    // a CLUSTERED table's rewrite re-routes every row to its hash
+    // bucket, so the part-number→bucket mapping (and the exchange-free
+    // join it serves) SURVIVES the merge; only touched buckets produce
+    // files — still O(batch + touched)
+    writeData(
+      if (m.clusterBuckets > 0)
+        survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
+      else survivors,
+      rewriteDir, m.parts)
     val newSchema = evolveSchema(m.schema, updates.schema)
     testInterleave()
-    val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts)
+    val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts,
+      m.clusterBuckets > 0)
     // churn record: removed = the touched files, added = the rewrite —
     // O(batch-touched files) metadata, never the carried 99.99%
     commitDelta(path, Manifest(readVersion + 1, "merge", m.keys, newSchema.toDDL,
-      carried ++ added, m.parts), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets), touchedEntries.map(_.path), added)
     readVersion + 1
   }
 
@@ -1013,13 +1069,18 @@ object LakeTable {
         // merge leaves heterogeneous files; footer-inferred reads would
         // nondeterministically drop the evolved column — ADVICE r13),
         // minus the files' sidecars, minus the erased keys
-        writeData(readEntries(spark, m, touchedEntries)
-          .join(broadcast(keyRows), keyCols, "left_anti"), rewriteDir, m.parts)
-        entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts)
+        val survivors = readEntries(spark, m, touchedEntries)
+          .join(broadcast(keyRows), keyCols, "left_anti")
+        writeData(
+          if (m.clusterBuckets > 0)
+            survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
+          else survivors,
+          rewriteDir, m.parts)
+        entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts, m.clusterBuckets > 0)
       }
     // a no-op delete still commits — an EMPTY churn record (idempotent replays)
     commitDelta(path, Manifest(current + 1, "delete", m.keys, m.schemaDdl,
-      carried ++ added, m.parts), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets), touchedEntries.map(_.path), added)
     current + 1
   }
 
@@ -1058,7 +1119,7 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts), flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts, m.clusterBuckets), flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -1099,7 +1160,7 @@ object LakeTable {
     val evolved = StructType(m.schema.fields ++
       newCols.map(f => StructField(f.name, f.dataType, nullable = true)))
     commitDelta(path, Manifest(current + 1, "add-columns", m.keys,
-      evolved.toDDL, m.files, m.parts), Seq.empty, Seq.empty)
+      evolved.toDDL, m.files, m.parts, m.clusterBuckets), Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1141,9 +1202,18 @@ object LakeTable {
     require(current > 0, s"LakeTable: cannot compact missing table at $path")
     val m = manifest(path, current)
     val dir = s"$path/data/compact-v${current + 1}"
-    writeData(read(spark, path, Some(current)).repartition(targetFiles), dir, m.parts)
+    // a CLUSTERED table compacts back to its declared bucket count —
+    // hash-routed so the bucket mapping (and the exchange-free join it
+    // serves) survives the rewrite; targetFiles only applies to
+    // unclustered tables
+    writeData(
+      if (m.clusterBuckets > 0)
+        read(spark, path, Some(current)).repartition(m.clusterBuckets, m.keys.map(col): _*)
+      else read(spark, path, Some(current)).repartition(targetFiles),
+      dir, m.parts)
     commit(path, Manifest(current + 1, "compact", m.keys, m.schemaDdl,
-      entriesFor(spark, dir, m.keys, m.schema, m.parts), m.parts))
+      entriesFor(spark, dir, m.keys, m.schema, m.parts, m.clusterBuckets > 0),
+      m.parts, m.clusterBuckets))
     current + 1
   }
 

@@ -1240,6 +1240,121 @@ class LakeTableSpec extends SparkSpec {
     assert(graft.sources.GraftLakeSource.lastDvMode(pt) == "driver")
   }
 
+  test("clustered lake tables: equal-bucketed join plans with ZERO Exchange and stays correct") {
+    import spark.implicits._
+    val root = freshPath("cluster")
+    spark.conf.set("spark.sql.catalog.graft_clu",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_clu.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_clu.a")
+    spark.sql("DROP TABLE IF EXISTS graft_clu.b")
+    spark.sql("CREATE TABLE graft_clu.a (k BIGINT, va BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='8')")
+    spark.sql("CREATE TABLE graft_clu.b (k BIGINT, vb BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='8')")
+    (1L to 4000L).map(k => (k, k * 2)).toDF("k", "va")
+      .createOrReplaceTempView("clu_a_src")
+    (500L to 4500L).map(k => (k, k * 3)).toDF("k", "vb")
+      .createOrReplaceTempView("clu_b_src")
+    spark.sql("INSERT INTO graft_clu.a SELECT * FROM clu_a_src")
+    spark.sql("INSERT INTO graft_clu.b SELECT * FROM clu_b_src")
+    // a merge into one side must PRESERVE the clustering (bucket-routed
+    // rewrite), or the join below would silently mis-align
+    spark.sql("INSERT INTO graft_clu.a VALUES (17, 1700), (4999, 9998)")
+    assert(LakeTable.manifest(s"$root/a",
+      LakeTable.latestVersion(s"$root/a")).files.forall(_.bucket >= 0),
+      "merge lost the file->bucket mapping")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // broadcast would trivially avoid the exchange; force the real
+      // co-partitioned path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql("SELECT a.k, a.va, b.vb FROM graft_clu.a a " +
+        "JOIN graft_clu.b b ON a.k = b.k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join operator:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"clustered fact-to-fact join must plan with ZERO Exchange:\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (500L to 4000L).map { k =>
+        val va = if (k == 17L) 1700L else k * 2 // 17 < 500: not in join range anyway
+        (k, va, k * 3)
+      }.toSet
+      assert(got == expect, "storage-partitioned join lost or duplicated rows")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
+  test("cross-PROCESS OCC race: two JVMs' log-store clients never both win a version") {
+    // The in-JVM race specs share one process's FileSystem cache; an
+    // object-store deployment runs INDEPENDENT clients. This forks a
+    // second JVM (graft.RaceMain — no Spark, the log protocol is pure
+    // metadata I/O) and races putIfAbsent publishes for 60 versions of
+    // one file:-URI table log through two unrelated FileContext
+    // instances. The OCC invariant under test: for every version,
+    // EXACTLY ONE racer wins and the loser detects the conflict — never
+    // a lost/torn commit, never both believing they won.
+    val dirRaw = freshPath("xprocrace")
+    val dir = "file:" + dirRaw
+    val n = 60
+    val tmp = java.nio.file.Files.createTempDirectory("graft_race")
+    val childOut = tmp.resolve("child.txt")
+    val goFile = tmp.resolve("go")
+    val java17 = java.nio.file.Paths.get(System.getProperty("java.home"),
+      "bin", "java").toString
+    val pb = new ProcessBuilder(java17, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.RaceMain", dir, n.toString, "child",
+      childOut.toString, goFile.toString)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile("graft_race_log", ".txt"))
+    val child = pb.start()
+    try {
+      // parent racer: its own store instance, started on the barrier
+      val store = graft.sources.LakeLogStore.forPath(dir)
+      Thread.sleep(1500) // let the child JVM reach the barrier spin
+      java.nio.file.Files.createFile(goFile)
+      val parentWins = (1 to n).map { v =>
+        val target = new org.apache.hadoop.fs.Path(s"$dir/_log", f"v$v%05d.json")
+        val won =
+          try { store.putIfAbsent(target, s"""{"racer":"parent","v":$v}"""); true }
+          catch {
+            case e: IllegalStateException if e.getMessage.contains("conflict") => false
+          }
+        v -> won
+      }.toMap
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "forked racer did not finish")
+      assert(child.exitValue() == 0, "forked racer failed")
+      val childWins = scala.io.Source.fromFile(childOut.toFile).getLines()
+        .map(_.split(' ')).map(a => a(0).toInt -> (a(1) == "won")).toMap
+      assert(childWins.size == n, "forked racer under-reported")
+      val store2 = graft.sources.LakeLogStore.forPath(dir)
+      (1 to n).foreach { v =>
+        assert(parentWins(v) ^ childWins(v),
+          s"version $v: parent=${parentWins(v)} child=${childWins(v)} — " +
+            "exactly one racer must win each version")
+        // the committed bytes are exactly the winner's payload — no torn
+        // or replaced commit
+        val winner = if (parentWins(v)) "parent" else "child"
+        val content = store2.read(
+          new org.apache.hadoop.fs.Path(s"$dir/_log", f"v$v%05d.json"))
+        assert(content == s"""{"racer":"$winner","v":$v}""",
+          s"version $v: committed bytes are not the winner's payload")
+      }
+      // genuine contention, not one process sweeping an idle log
+      val p = (1 to n).count(parentWins)
+      assert(p > 0 && p < n,
+        s"race was one-sided ($p/$n parent wins) — raise n or re-balance the barrier")
+    } finally { child.destroyForcibly(); () }
+  }
+
   test("lake_merge_asof entry: both generations present, non-vacuous, decision replay") {
     val out = graft.operators.MergeOps.qLakeMergeAsof(spark, SfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
