@@ -52,7 +52,13 @@ object Bench {
     // exchanges; code untouched since r12, verify hash green) vs the
     // r12 1.00 s — environment band, not a regression; the rep floor
     // stops the row from re-opening every round (BASELINE.md r14)
-    "q_recursive_chain")
+    "q_recursive_chain",
+    // r16 adjudication of the r15 driver outliers (BASELINE.md r16):
+    // isolated AND warm-subset min-of-6 put both inside the same
+    // 1.4-1.9x context band their DIFF-CLEAN sub-second join peers
+    // (q_anti_join, q_broadcast_join, q_full_outer_join) show in the
+    // identical run — environment, not code; floor the published minima
+    "q_sessionize", "q_null_safe_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,7 +52,8 @@ private[graft] object GraftLakeProcedures {
   }
 
   private[graft] val names: Seq[String] =
-    Seq("compact", "vacuum", "history", "restore", "evolve_partitioning", "zorder")
+    Seq("compact", "vacuum", "history", "restore", "evolve_partitioning",
+      "zorder", "recluster")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def path(tbl: UTF8String): String =
@@ -97,6 +98,14 @@ private[graft] object GraftLakeProcedures {
           input.getUTF8String(1).toString.split(',').map(_.trim)
             .filter(_.nonEmpty).toSeq,
           input.getInt(2)))))
+      // change a clustered table's bucket count — or cluster a table
+      // post hoc — as a forward commit; SPJ and point-lookup bucket
+      // pruning apply from the next read
+      case "recluster" => new LakeProc("recluster",
+        Array(in("table", StringType), in("buckets", IntegerType)),
+        versionOut,
+        input => Seq(InternalRow(LakeTable.recluster(
+          SparkSession.active, path(input.getUTF8String(0)), input.getInt(1)))))
       case "evolve_partitioning" => new LakeProc("evolve_partitioning",
         Array(in("table", StringType), in("partition_by", StringType)),
         versionOut,

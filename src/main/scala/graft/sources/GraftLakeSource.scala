@@ -422,9 +422,50 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     })
   }
 
+  /** BUCKET pruning for clustered snapshots: an equality predicate
+    * covering EVERY key column pins the row (if it exists) to exactly
+    * `pmod(murmur3(keys, 42), n)` — one bucket — so a point lookup
+    * reads 1/n of the files before stats pruning even starts (the
+    * bucketed-table point-read story as a lake property; at 100 TB the
+    * difference between scanning a table and scanning one bucket).
+    * Conservative everywhere: any key column without a single equality
+    * value, any value whose external form does not match its column
+    * type, or any file with an unknown bucket keeps everything. */
+  private def bucketPrune(kept: Seq[LakeTable.FileEntry]): Seq[LakeTable.FileEntry] = {
+    if (m.clusterBuckets <= 0 || kept.exists(_.bucket < 0)) return kept
+    def eqValue(c: String): Option[Any] = {
+      val vs = filters.toSeq.flatMap {
+        case EqualTo(`c`, v) if v != null => Seq(v)
+        case _ => Seq.empty
+      }.distinct
+      if (vs.size == 1) Some(vs.head) else None
+    }
+    val keyVals = m.keys.map(k => eqValue(k).map(v =>
+      (v, m.schema(m.schema.fieldIndex(k)).dataType)))
+    if (keyVals.exists(_.isEmpty)) return kept
+    var hash = 42L
+    keyVals.flatten.foreach { case (v, dt) =>
+      // the hash speaks CATALYST forms (UTF8String, not String); a
+      // converter miss (unexpected external class) aborts the prune
+      val cat =
+        try org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(v)
+        catch { case _: Exception => return kept }
+      if (cat == null) return kept
+      try hash = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(cat, dt, hash)
+      catch { case _: Exception => return kept }
+    }
+    val b = {
+      val r = hash.toInt % m.clusterBuckets
+      if (r < 0) r + m.clusterBuckets else r
+    }
+    kept.filter(_.bucket == b)
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
-    val kept = m.files.filter(LakeTable.entryMatches(_, preds))
+    val kept = bucketPrune(m.files.filter(LakeTable.entryMatches(_, preds)))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     // groups: entries sharing BOTH a sidecar set and a physical LAYOUT
     // (which columns live in the directory vs the data — per entry, so

@@ -1188,6 +1188,28 @@ object LakeTable {
     current + 1
   }
 
+  /** Re-cluster the CURRENT snapshot to `n` hash buckets on the merge
+    * identity as a forward commit — change a clustered table's bucket
+    * count, or CLUSTER a table post hoc (the OPTIMIZE-into-a-layout
+    * twin of [[rezorder]]). Rows identical; the new manifest records
+    * the bucket mapping, so storage-partitioned joins and point-lookup
+    * bucket pruning apply from the next read. */
+  def recluster(spark: SparkSession, path: String, n: Int): Int = {
+    require(n > 0, s"LakeTable: recluster needs a positive bucket count, got $n")
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot recluster missing table at $path")
+    val m = manifest(path, current)
+    require(m.parts.isEmpty,
+      "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    val dir = s"$path/data/recluster-v${current + 1}"
+    writeData(read(spark, path, Some(current))
+      .repartition(n, m.keys.map(col): _*), dir, m.parts)
+    commit(path, Manifest(current + 1, "recluster", m.keys, m.schemaDdl,
+      entriesFor(spark, dir, m.keys, m.schema, m.parts, clustered = true),
+      m.parts, n))
+    current + 1
+  }
+
   /** Compaction (the OPTIMIZE table service): rewrite the CURRENT
     * snapshot's rows as `targetFiles` files and commit the result as a
     * new version — the maintenance pass that heals the small-file

@@ -1286,6 +1286,29 @@ class LakeTableSpec extends SparkSpec {
         (k, va, k * 3)
       }.toSet
       assert(got == expect, "storage-partitioned join lost or duplicated rows")
+      // POINT LOOKUP: the full-key equality pins one hash bucket — the
+      // scan reads 1/n of the files before stats pruning even starts
+      val one = spark.sql("SELECT va FROM graft_clu.a WHERE k = 1234")
+      assert(one.collect().map(_.getLong(0)).toSeq == Seq(2468L))
+      val (kept, total) = graft.sources.GraftLakeSource.lastPrune(s"$root/a")
+      assert(total >= 8 && kept * 4 <= total,
+        s"point lookup should bucket-prune to ~1/8 of the files (kept $kept/$total)")
+      // aggregation on the clustering key is exchange-free too
+      val agg = spark.sql("SELECT k, sum(va) AS s FROM graft_clu.a GROUP BY k")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "groupBy on the clustering key must not shuffle a clustered table")
+      assert(agg.count() == 4001)
+      // CALL recluster changes the bucket count as a forward commit;
+      // mismatched bucket counts make SPJ conservatively inapplicable —
+      // the join re-plans WITH exchanges and stays correct
+      val v = spark.sql("CALL graft_clu.system.recluster(`table` => 'a', " +
+        "buckets => 4)").head().getInt(0)
+      assert(LakeTable.manifest(s"$root/a", v).clusterBuckets == 4)
+      val joined2 = spark.sql("SELECT a.k, a.va, b.vb FROM graft_clu.a a " +
+        "JOIN graft_clu.b b ON a.k = b.k")
+      assert(joined2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "4-bucket vs 8-bucket tables must NOT storage-partition join")
+      assert(joined2.count() == expect.size.toLong)
     } finally saved.foreach { case (k, v) =>
       v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
     }
