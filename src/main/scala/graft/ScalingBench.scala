@@ -297,6 +297,14 @@ object ScalingBench {
     // being priced)
     "lake_partition_prune", "lake_partition_evolve", "lake_sql_ddl",
     "lake_merge_into", "lake_sql_call",
+    // r16: ALTER is a header-only commit (flat) atop a k-fold build;
+    // merge_row's two row-level statements classify against the
+    // envelope-pruned key scan but their matched classes are k-fold by
+    // construction (the lake_merge_into honesty note); zorder_call and
+    // cluster_join price the k-fold re-cluster/INSERT builds with the
+    // box scan resp. the exchange-free join as the served term
+    "lake_sql_alter", "lake_merge_row", "lake_zorder_call",
+    "lake_cluster_join",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so
