@@ -1621,15 +1621,15 @@ object SparkEntry {
         |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
         |  WHERE o_orderkey % 31 <> 4
         |  UNION ALL
-        |  SELECT o_orderkey + 20000000, 'I', 42 FROM orders WHERE o_orderkey % 31 = 4
+        |  SELECT o_orderkey + 1000000000, 'I', 42 FROM orders WHERE o_orderkey % 31 = 4
         |)
         |SELECT o_orderkey,
-        |  CASE WHEN o_orderkey < 20000000 AND o_orderkey % 3 = 0 THEN 'K'
+        |  CASE WHEN o_orderkey < 1000000000 AND o_orderkey % 3 = 0 THEN 'K'
         |       WHEN ck > 100 THEN 'X'
         |       ELSE st END AS o_orderstatus,
         |  ck AS o_custkey
         |FROM t1
-        |WHERE (o_orderkey < 20000000 AND o_orderkey % 3 = 0) OR o_orderkey % 5 <> 1
+        |WHERE (o_orderkey < 1000000000 AND o_orderkey % 3 = 0) OR o_orderkey % 5 <> 1
         |ORDER BY o_orderkey""".stripMargin,
     // CALL system.zorder re-clustered a hash layout (entry REQUIRES the
     // box to prune nothing before and >= half after); the box scan is

@@ -1000,7 +1000,7 @@ object MergeOps {
       |USING (SELECT o_orderkey, o_custkey + 7 AS d FROM graft_mr_base
       |         WHERE o_orderkey % 31 = 4
       |       UNION ALL
-      |       SELECT o_orderkey + 20000000 AS o_orderkey, 42 AS d
+      |       SELECT o_orderkey + 1000000000 AS o_orderkey, 42 AS d
       |         FROM graft_mr_base WHERE o_orderkey % 31 = 4) AS src
       |ON tg.o_orderkey = src.o_orderkey
       |WHEN MATCHED AND tg.o_custkey % 2 = 0 THEN DELETE

@@ -446,15 +446,37 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
   /** Commit a statement's upsert batch and delete keys as ONE version
     * ([[LakeTable.mergeDelete]]); a delete-only statement rides the
     * single-commit [[LakeTable.delete]]; an empty statement commits
-    * nothing. */
+    * nothing.
+    *
+    * CARDINALITY GUARD (the SQL MERGE_CARDINALITY_VIOLATION contract,
+    * extended to inserts because the table is KEYED): a duplicate key
+    * across the statement's claimed rows means either one target row
+    * was matched by several source rows or two source rows insert the
+    * same identity — committing would silently break the one-row-per-
+    * key invariant every later merge/delete relies on. One small agg
+    * over the batch keys, refused loudly, never approximated. */
   private def commitBatches(spark: SparkSession, path: String,
       keys: Seq[String], batch: Option[DataFrame],
-      delKeys: Option[DataFrame]): Unit =
+      delKeys: Option[DataFrame]): Unit = {
+    val claimed = (batch.map(_.select(keys.map(col): _*)).toSeq ++
+      delKeys.map(_.select(keys.map(col): _*)).toSeq)
+      .reduceOption(_ unionByName _)
+    claimed.foreach { c =>
+      val dup = c.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      if (dup > 0) throw new IllegalStateException(
+        "graftlake MERGE: cardinality violation — more than one source row " +
+          "claimed the same target key (matched several times, or duplicate " +
+          "insert identities); the keyed table admits one row per key, so " +
+          "collapse the source per key first")
+    }
     (batch, delKeys) match {
       case (Some(b), d) => LakeTable.mergeDelete(spark, path, b, d, keys); ()
       case (None, Some(d)) => LakeTable.delete(spark, path, d, keys); ()
       case (None, None) => ()
     }
+  }
 
   private def exec(label: String, run: () => Unit): Seq[SparkPlan] =
     Seq(LakeDmlExec(label, run))

@@ -190,13 +190,16 @@ class GraftLakeCatalog extends TableCatalog
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
-    // immediate children only, each probed for a `_log` dir: O(#children)
-    // metadata calls — never the recursive every-data-file walk of the
-    // whole warehouse a SHOW TABLES must not pay at 100 TB (ADVICE r15).
-    // A table nested deeper (cat.ns.sub.t) belongs to ITS namespace and
-    // is naturally invisible here.
+    // immediate children only, each probed for a COMMITTED version
+    // (latestVersion — the exact tableExists predicate, so everything
+    // listed RESOLVES): O(#children) metadata calls, never the
+    // recursive every-data-file walk of the whole warehouse a SHOW
+    // TABLES must not pay at 100 TB (ADVICE r15). A stray `_log` FILE
+    // or an empty `_log` left by a crashed pre-v1 create is not listed
+    // (review r16 #6). A table nested deeper (cat.ns.sub.t) belongs to
+    // ITS namespace and is naturally invisible here.
     LakeIo.childDirs(dir)
-      .filter(t => LakeIo.dirExists(s"$t/_log"))
+      .filter(t => LakeTable.latestVersion(t) > 0)
       .map(t => Identifier.of(namespace, new org.apache.hadoop.fs.Path(t).getName))
       .toArray
   }
@@ -231,8 +234,15 @@ private[graft] class GraftLakeCatalogTable(spark: SparkSession, path: String, ve
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             val m = LakeTable.manifest(path, LakeTable.latestVersion(path))
             if (replace)
-              LakeTable.overwrite(data.sparkSession, path, data, m.keys,
-                partitionBy = m.parts)
+              // a declared clustering is a TABLE property: the replace
+              // re-creates the layout under it (dropping it silently
+              // would retire SPJ/bucket-pruning behind the user's back)
+              if (m.clusterBuckets > 0)
+                LakeTable.overwrite(data.sparkSession, path, data, m.keys,
+                  nBuckets = m.clusterBuckets, layout = "cluster")
+              else
+                LakeTable.overwrite(data.sparkSession, path, data, m.keys,
+                  partitionBy = m.parts)
             else
               LakeTable.merge(data.sparkSession, path, data, m.keys)
             ()

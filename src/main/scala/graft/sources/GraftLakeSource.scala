@@ -560,26 +560,8 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
       }
       new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes, keySchema,
-        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
     }
-  }
-}
-
-/** Java-serializable Hadoop Configuration carrier (the shape Spark's own
-  * tasks use): the composite reader factory ships the session's conf to
-  * executors so the sidecar loader can open the same filesystem the
-  * driver would. */
-private[graft] class SerializableHadoopConf(
-    @transient var value: org.apache.hadoop.conf.Configuration)
-    extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new org.apache.hadoop.conf.Configuration(false)
-    value.readFields(in)
   }
 }
 
@@ -616,15 +598,46 @@ private[graft] object DvKeyReader {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     Seq[String], java.util.HashSet[UnsafeRow]]()
 
+  /** Epoch bound on the executor cache (review r16 #3): each DV commit
+    * changes a group's dvDirs list and so mints a NEW cache key whose
+    * set subsumes the old one — without eviction the superseded sets
+    * (100k+ rows each) would pin executor heap for the process
+    * lifetime, growing with every DV commit read. Crossing the bound
+    * clears the WHOLE map: crude, but the only cost is a re-load of
+    * the few live sets, and correctness never depends on the cache. */
+  private val MaxCachedSets = 32
+
+  /** Key projections normalize float/double through
+    * [[org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero]] on
+    * BOTH the set-building side and the probe side, so -0.0 == 0.0 and
+    * all NaN bit patterns match — the same normalization Spark applies
+    * to join keys, which is exactly what the V1 anti-join read path
+    * does with these keys (review r16 #8: a byte-wise probe without it
+    * would resurrect a DV-deleted -0.0 row on the V2 path only). */
+  private[graft] def normalizedRefs(
+      ordinals: Seq[Int], types: Seq[org.apache.spark.sql.types.DataType])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    ordinals.zip(types).map { case (o, dt) =>
+      val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+        o, dt, nullable = true)
+      dt match {
+        case FloatType | DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(ref)
+        case _ => ref
+      }
+    }
+
   def keySet(dvDirs: Seq[String], keySchema: StructType,
-      conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[UnsafeRow] =
+      conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[UnsafeRow] = {
+    if (cache.size >= MaxCachedSets) cache.clear()
     cache.computeIfAbsent(dvDirs, _ => load(dvDirs, keySchema, conf))
+  }
 
   private def load(dvDirs: Seq[String], keySchema: StructType,
       conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[UnsafeRow] = {
     val set = new java.util.HashSet[UnsafeRow]()
     val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-      .create(keySchema)
+      .create(normalizedRefs(keySchema.indices, keySchema.map(_.dataType)))
     dvDirs.foreach { dir =>
       LakeIo.leafParquetWith(dir, conf).foreach { f =>
         val reader = org.apache.parquet.hadoop.ParquetReader
@@ -692,7 +705,7 @@ private[graft] class GraftLakeCompositeScan(
     groups: Seq[GraftLakeScanGroup],
     out: StructType, keyOrdinals: Seq[Int],
     keyTypes: Seq[org.apache.spark.sql.types.DataType],
-    keySchema: StructType, conf: SerializableHadoopConf)
+    keySchema: StructType, conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -825,7 +838,7 @@ private[graft] class GraftLakeCompositeReaderFactory(
     remaps: Array[Array[Int]],
     out: StructType, keyOrdinals: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
-    keySchema: StructType, conf: SerializableHadoopConf)
+    keySchema: StructType, conf: org.apache.spark.util.SerializableConfiguration)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
@@ -857,9 +870,7 @@ private[graft] class GraftLakeCompositeReaderFactory(
       private val keyProj =
         if (erasedUnsafe != null)
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
-            keyOrdinals.indices.map(i =>
-              org.apache.spark.sql.catalyst.expressions.BoundReference(
-                keyOrdinals(i), keyTypes(i), nullable = true)).toSeq)
+            DvKeyReader.normalizedRefs(keyOrdinals.toSeq, keyTypes.toSeq))
         else null
       // fallback path: internal → external converters so key equality
       // is value-based against the driver-collected external forms

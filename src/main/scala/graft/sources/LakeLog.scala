@@ -260,11 +260,6 @@ private[graft] object LakeIo {
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.toString)
   }
 
-  def dirExists(path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(conf).exists(p)
-  }
-
   /** Leaf parquet part-files under a just-written batch directory. */
   def leafParquet(dir: String): Seq[String] =
     leafParquetWith(dir, conf)

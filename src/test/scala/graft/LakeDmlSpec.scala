@@ -225,6 +225,25 @@ class LakeDmlSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("TARGET columns only") ||
       e3.getMessage.contains("cannot be resolved"))
+    // MERGE cardinality violation: two source rows claiming one target
+    // key must refuse on BOTH lowerings — committing would silently
+    // break the one-row-per-key invariant
+    Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_r_dup")
+    val c1 = intercept[IllegalStateException] {
+      spark.sql("""MERGE INTO dml_refuse.t AS tg USING dml_r_dup AS src
+        ON tg.k = src.k
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(c1.getMessage.contains("cardinality"))
+    val c2 = intercept[IllegalStateException] {
+      spark.sql("""MERGE INTO dml_refuse.t AS tg USING dml_r_dup AS src
+        ON tg.k = src.k
+        WHEN MATCHED AND tg.v >= 0 THEN UPDATE SET s = src.s""")
+    }
+    assert(c2.getMessage.contains("cardinality"))
+    assert(stateOf("dml_refuse") == Set((1L, "a", 1L)),
+      "a refused cardinality-violating MERGE must leave the table untouched")
     // a non-graftlake V2 target still gets Spark's own refusal, not ours
     val e4 = intercept[Exception] {
       spark.sql("""MERGE INTO dml_r_src AS tg USING dml_r_src AS src

@@ -1006,9 +1006,17 @@ class LakeTableSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_cat_spec.t DROP COLUMN x")
     }
-    // SHOW TABLES sees it; DROP removes it and SELECT fails loudly
-    assert(spark.sql("SHOW TABLES IN graft_cat_spec").collect()
-      .map(_.getString(1)).contains("t"))
+    // SHOW TABLES sees it — and everything listed RESOLVES: a stray
+    // _log FILE or an empty _log dir (crashed pre-v1 create) must not
+    // be listed (review r16 #6)
+    new java.io.File(s"$root/junk1").mkdirs()
+    new java.io.File(s"$root/junk1/_log").createNewFile()
+    new java.io.File(s"$root/junk2/_log").mkdirs()
+    val listed = spark.sql("SHOW TABLES IN graft_cat_spec").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("t"))
+    assert(!listed.contains("junk1") && !listed.contains("junk2"),
+      "SHOW TABLES listed identifiers that cannot resolve")
     spark.sql("DROP TABLE graft_cat_spec.t")
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft_cat_spec.t").collect()
@@ -1238,6 +1246,18 @@ class LakeTableSpec extends SparkSpec {
         .toDF("k"), Seq("k"))
     assert(spark.read.format("graftlake").load(pt).count() == 200)
     assert(graft.sources.GraftLakeSource.lastDvMode(pt) == "driver")
+    // +-0.0 double keys: the executor probe must agree with the V1
+    // anti-join's NormalizeNaNAndZero semantics (review r16 #8 — a
+    // byte-wise probe would resurrect a DV-deleted -0.0 on V2 only)
+    val pz = freshPath("dvzero")
+    LakeTable.create(spark, pz,
+      Seq((-0.0d, 1L), (1.5d, 2L), (2.5d, 3L)).toDF("k", "v"),
+      Seq("k"), nBuckets = 1)
+    LakeTable.deleteDV(spark, pz, Seq(Tuple1(0.0d)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, pz).count() == 2)
+    assert(spark.read.format("graftlake").load(pz).count() == 2,
+      "the V2 executor probe must erase a -0.0 key when 0.0 was DV-deleted")
+    assert(graft.sources.GraftLakeSource.lastDvMode(pz) == "executor")
   }
 
   test("clustered lake tables: equal-bucketed join plans with ZERO Exchange and stays correct") {
@@ -1309,6 +1329,21 @@ class LakeTableSpec extends SparkSpec {
       assert(joined2.queryExecution.executedPlan.toString.contains("Exchange"),
         "4-bucket vs 8-bucket tables must NOT storage-partition join")
       assert(joined2.count() == expect.size.toLong)
+      // INSERT OVERWRITE keeps the declared clustering (review r16 #2)
+      spark.sql("INSERT OVERWRITE graft_clu.a SELECT * FROM clu_a_src")
+      val mo = LakeTable.manifest(s"$root/a", LakeTable.latestVersion(s"$root/a"))
+      assert(mo.clusterBuckets == 4 && mo.files.forall(_.bucket >= 0),
+        "INSERT OVERWRITE dropped the declared clustering property")
+      // zorder / partition evolution REFUSE rather than silently
+      // dropping the clustering (review r16 #4)
+      val ez = intercept[IllegalArgumentException] {
+        LakeTable.rezorder(spark, s"$root/a", Seq("k", "va"))
+      }
+      assert(ez.getMessage.contains("CLUSTERED"))
+      val ep = intercept[IllegalArgumentException] {
+        LakeTable.evolvePartitioning(s"$root/a", Seq("va"))
+      }
+      assert(ep.getMessage.contains("CLUSTERED"))
     } finally saved.foreach { case (k, v) =>
       v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
     }
