@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PlanExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
@@ -196,6 +196,30 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
               .select(schema.fieldNames.toIndexedSeq.map(c =>
                 setCols.get(c).map(_.as(c)).getOrElse(col(c))): _*)
             LakeTable.merge(spark, t.tablePath, updates, keys)
+            ()
+          })
+      }
+
+    // DELETE FROM with a predicate Spark could NOT translate to source
+    // filters: the translatable shapes never reach the planner as
+    // DeleteFromTable (the metadata-only rewrite routes them through
+    // SupportsDelete.deleteWhere first), so what lands here is exactly
+    // the formerly-refused row-level remainder — `WHERE v % 7 = 3`,
+    // function predicates, any expression over the row. Lowered as
+    // read → filter → merge-on-read DV commit over the matching keys:
+    // one version, zero data files rewritten, the same kernel as the
+    // translatable path. Subqueries stay refused (byName).
+    case d: DeleteFromTable =>
+      lakeTarget(d.table) match {
+        case None => Nil
+        case Some((t, _)) =>
+          val cond = byName(d.condition)
+          val keys = t.m.keys
+          exec(s"graftlake DELETE FROM ${t.name()} (row-level)", { () =>
+            val spark = SparkSession.active
+            val doomed = LakeTable.read(spark, t.tablePath).filter(cond)
+              .select(keys.map(col): _*)
+            LakeTable.deleteDV(spark, t.tablePath, doomed, keys)
             ()
           })
       }

@@ -173,6 +173,31 @@ class LakeDmlSpec extends SparkSpec {
       if (k >= 100 && k <= 140) (k, "M", k) else (k, "base", k)).toSet)
   }
 
+  test("row-level DELETE: non-pushable predicates lower onto the DV commit") {
+    import spark.implicits._
+    val root = setupCatalog("rowdel")
+    spark.sql("CREATE TABLE dml_rowdel.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 50L).map(k => (k, "s" * (k % 5).toInt, k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_rowdel_base")
+    spark.sql("INSERT INTO dml_rowdel.t SELECT * FROM dml_rowdel_base")
+    // `v % 7 = 3` has no source-filter translation — previously refused;
+    // now a read-filter-DV lowering that rewrites NO data file
+    val pre = LakeTable.manifestFiles(s"$root/t", 2).toSet
+    spark.sql("DELETE FROM dml_rowdel.t WHERE v % 7 = 3 AND length(s) > 1")
+    assert(LakeTable.manifestFiles(s"$root/t", 3).toSet == pre,
+      "row-level DELETE must commit a sidecar, not rewrite data files")
+    assert(stateOf("dml_rowdel") == (1L to 50L)
+      .filterNot(k => k % 7 == 3 && (k % 5) > 1)
+      .map(k => (k, "s" * (k % 5).toInt, k)).toSet)
+    // subqueries stay refused, loudly
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("DELETE FROM dml_rowdel.t WHERE k IN " +
+        "(SELECT k FROM dml_rowdel_base WHERE v > 40)")
+    }
+    assert(e.getMessage.contains("subquer"))
+  }
+
   test("UPDATE: partial SET with target-row expressions; key reassignment refused") {
     import spark.implicits._
     val root = setupCatalog("upd")
