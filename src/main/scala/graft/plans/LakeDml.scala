@@ -104,6 +104,33 @@ object LakeDml {
     GraftLakeSource.recordPrune(s"$path@classify", kept.size, m.files.size)
     LakeTable.readEntries(spark, m, kept)
   }
+
+  /** Predicate-pruned target read for UPDATE / row-level DELETE: the
+    * statement's WHERE conjuncts translate to source filters
+    * (DataSourceStrategy — the same translation a scan's pushdown gets)
+    * and prune manifest entries through the one `entryMatches` kernel.
+    * Sound because the DML batch needs only MATCHING rows: a file whose
+    * stats envelope cannot satisfy the predicate holds no row the
+    * statement would touch, and copy-on-write carries it by reference.
+    * Untranslatable conjuncts simply prune nothing (the full filter
+    * re-applies on the survivors) — a selective keyed UPDATE reads
+    * O(matching files), not O(table). */
+  private[graft] def prunedByPredicate(spark: SparkSession, path: String,
+      cond: Option[Expression]): DataFrame = {
+    val v = LakeTable.latestVersion(path)
+    val m = LakeTable.manifest(path, v)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val preds = cond.toSeq.flatMap(conjuncts)
+      .flatMap(e => ColumnBridge.translateFilter(e))
+      .flatMap(f => GraftLakeSource.toIntervals(f))
+    val kept = m.files.filter(LakeTable.entryMatches(_, preds))
+    GraftLakeSource.recordPrune(s"$path@dml", kept.size, m.files.size)
+    LakeTable.readEntries(spark, m, kept)
+  }
 }
 
 object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
@@ -186,12 +213,15 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
           val setCols = byCol.map { case (c, v) =>
             c -> byName(v).cast(schema(c).dataType)
           }
+          val condExpr = u.condition
           exec(s"graftlake UPDATE ${t.name()}", { () =>
             val spark = SparkSession.active
             // read-modify-merge: matching rows get their assigned
             // columns recomputed, everything else carries; merge's
-            // copy-on-write keeps the rewrite O(touched files)
-            val snap = LakeTable.read(spark, t.tablePath)
+            // copy-on-write keeps the rewrite O(touched files), and the
+            // READ is predicate-pruned from the manifest stats — a
+            // selective keyed UPDATE opens O(matching files)
+            val snap = LakeDml.prunedByPredicate(spark, t.tablePath, condExpr)
             val updates = snap.filter(condCol)
               .select(schema.fieldNames.toIndexedSeq.map(c =>
                 setCols.get(c).map(_.as(c)).getOrElse(col(c))): _*)
@@ -214,10 +244,13 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
         case None => Nil
         case Some((t, _)) =>
           val cond = byName(d.condition)
+          val condExpr = d.condition
           val keys = t.m.keys
           exec(s"graftlake DELETE FROM ${t.name()} (row-level)", { () =>
             val spark = SparkSession.active
-            val doomed = LakeTable.read(spark, t.tablePath).filter(cond)
+            // the doomed-key read is predicate-pruned like UPDATE's
+            val doomed = LakeDml.prunedByPredicate(spark, t.tablePath,
+              Some(condExpr)).filter(cond)
               .select(keys.map(col): _*)
             LakeTable.deleteDV(spark, t.tablePath, doomed, keys)
             ()

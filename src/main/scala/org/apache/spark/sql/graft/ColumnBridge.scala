@@ -26,6 +26,14 @@ object ColumnBridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Catalyst predicate → data-source Filter — the exact translation a
+    * scan's pushdown receives (`DataSourceStrategy.translateFilter` is
+    * `protected[sql]`; this bridges it for the lake DML's
+    * predicate-pruned reads). */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** DataFrame over an InternalRow RDD with the streaming bit set — what
     * a V1 streaming Source's getBatch must return (MicroBatchExecution
     * asserts isStreaming on the returned frame; cf. FileStreamSource,

@@ -171,6 +171,22 @@ class LakeDmlSpec extends SparkSpec {
       s"classification scan should be envelope-pruned (kept $kept/$total)")
     assert(stateOf("dml_prune") == (1L to 4000L).map(k =>
       if (k >= 100 && k <= 140) (k, "M", k) else (k, "base", k)).toSet)
+    // UPDATE and row-level DELETE reads are predicate-pruned the same
+    // way: a narrow key range opens O(matching files), not the table
+    spark.sql("UPDATE dml_prune.t SET s = 'P' WHERE k BETWEEN 200 AND 260")
+    val (ku, tu) = graft.sources.GraftLakeSource.lastPrune(s"$root/t@dml")
+    assert(tu >= 12 && ku * 4 <= tu,
+      s"UPDATE read should be predicate-pruned (kept $ku/$tu)")
+    spark.sql("DELETE FROM dml_prune.t WHERE k BETWEEN 300 AND 320 AND v % 2 = 1")
+    val (kd, td) = graft.sources.GraftLakeSource.lastPrune(s"$root/t@dml")
+    assert(td >= 12 && kd * 4 <= td,
+      s"row-level DELETE read should be predicate-pruned (kept $kd/$td)")
+    assert(stateOf("dml_prune") == (1L to 4000L).flatMap { k =>
+      if (k >= 300 && k <= 320 && k % 2 == 1) None
+      else if (k >= 200 && k <= 260) Some((k, "P", k))
+      else if (k >= 100 && k <= 140) Some((k, "M", k))
+      else Some((k, "base", k))
+    }.toSet)
   }
 
   test("row-level DELETE: non-pushable predicates lower onto the DV commit") {
