@@ -398,6 +398,14 @@ object ScalingBench {
     val maxOk = ord.agg(max(col("o_orderkey"))).head().getLong(0)
     require(maxOk < 10000000L,
       s"base o_orderkey range too large for amplification: $maxOk >= 1e7")
+    // lake_merge_row's synthetic insert identities live at +1e9; an
+    // amplified corpus must stay BELOW that line or replica keys would
+    // collide with the insert class and silently re-scope the measured
+    // statement (review r16-2 #6 — guard the assumption, not just the
+    // constant)
+    require(k < 100,
+      s"amplification factor $k would push replica o_orderkeys past 1e9 " +
+        "(the lake_merge_row insert-identity offset)")
     (0 until k).map { i =>
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
     }.reduce(_ unionAll _)

@@ -67,7 +67,7 @@ import graft.sources.{GraftLakeCatalogTable, GraftLakeSource, LakeTable}
   * commits through the optimistic-concurrency merge (losing a publish
   * race rebases exactly like the programmatic API).
   */
-object LakeDml {
+object LakeDml extends PredicateHelper {
   /** Idempotently inject the strategy (the TopKPerGroup registration
     * pattern). [[graft.sources.GraftLakeCatalog.initialize]] calls this,
     * so configuring the catalog IS enabling its SQL DML. */
@@ -75,6 +75,14 @@ object LakeDml {
     if (!spark.experimental.extraStrategies.contains(LakeDmlStrategy))
       spark.experimental.extraStrategies =
         LakeDmlStrategy +: spark.experimental.extraStrategies
+
+  /** Largest doomed-key set a row-level DELETE commits as an
+    * equality-delete sidecar; beyond it the statement rewrites the
+    * survivors instead (the sidecar would otherwise ride every reader's
+    * broadcast anti-join — the 'bounded by contract' assumption the DV
+    * kernel documents). `var` so specs can drive the fallback
+    * deterministically at test scale. */
+  private[graft] var DvDeleteCap: Long = 2000000L
 
   /** Envelope-pruned target read for merge classification: `srcKeys`
     * (key-named columns) bound a per-column min/max box; manifest stats
@@ -119,12 +127,7 @@ object LakeDml {
       cond: Option[Expression]): DataFrame = {
     val v = LakeTable.latestVersion(path)
     val m = LakeTable.manifest(path, v)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val preds = cond.toSeq.flatMap(conjuncts)
+    val preds = cond.toSeq.flatMap(splitConjunctivePredicates)
       .flatMap(e => ColumnBridge.translateFilter(e))
       .flatMap(f => GraftLakeSource.toIntervals(f))
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
@@ -248,12 +251,36 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
           val keys = t.m.keys
           exec(s"graftlake DELETE FROM ${t.name()} (row-level)", { () =>
             val spark = SparkSession.active
+            val path = t.tablePath
             // the doomed-key read is predicate-pruned like UPDATE's
-            val doomed = LakeDml.prunedByPredicate(spark, t.tablePath,
-              Some(condExpr)).filter(cond)
-              .select(keys.map(col): _*)
-            LakeTable.deleteDV(spark, t.tablePath, doomed, keys)
-            ()
+            def doomed = LakeDml.prunedByPredicate(spark, path,
+              Some(condExpr)).filter(cond).select(keys.map(col): _*)
+            val n = doomed.count()
+            if (n == 0) {
+              // a statement touching nothing commits nothing (the
+              // commitBatches contract; review r16-2 #4) — no spurious
+              // empty versions for CDC consumers or the vacuum horizon
+              ()
+            } else if (n <= LakeDml.DvDeleteCap) {
+              LakeTable.deleteDV(spark, path, doomed, keys); ()
+            } else {
+              // UNSELECTIVE delete: the O(keys) sidecar contract no
+              // longer holds — the doomed set is a sizable fraction of
+              // the table, and a sidecar that big would ride every
+              // reader's broadcast (review r16-2 #3). Rewrite the
+              // SURVIVORS as one forward commit instead (layout and
+              // clustering preserved; history and pinned readers
+              // survive as for any overwrite).
+              val m = LakeTable.manifest(path, LakeTable.latestVersion(path))
+              val survivors = LakeTable.read(spark, path).filter(!cond)
+              LakeTable.overwrite(spark, path, survivors, m.keys,
+                nBuckets =
+                  if (m.clusterBuckets > 0) m.clusterBuckets
+                  else math.max(8, m.files.size),
+                layout = if (m.clusterBuckets > 0) "cluster" else "hash",
+                partitionBy = m.parts)
+              ()
+            }
           })
       }
 
@@ -515,8 +542,16 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
   private def commitBatches(spark: SparkSession, path: String,
       keys: Seq[String], batch: Option[DataFrame],
       delKeys: Option[DataFrame]): Unit = {
-    val claimed = (batch.map(_.select(keys.map(col): _*)).toSeq ++
-      delKeys.map(_.select(keys.map(col): _*)).toSeq)
+    // ONE evaluation serves both the guard and the commit (review r16-2
+    // #1): localCheckpoint materializes the statement's batches, so the
+    // cardinality check cannot diverge from the committed rows under a
+    // non-deterministic source, and the merge kernel's discovery /
+    // survivor passes re-read blocks instead of re-running the source
+    // joins. Blocks are statement-sized and reclaimed on GC.
+    val bc = batch.map(_.localCheckpoint())
+    val dc = delKeys.map(_.localCheckpoint())
+    val claimed = (bc.map(_.select(keys.map(col): _*)).toSeq ++
+      dc.map(_.select(keys.map(col): _*)).toSeq)
       .reduceOption(_ unionByName _)
     claimed.foreach { c =>
       val dup = c.groupBy(keys.map(col): _*)
@@ -528,7 +563,7 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
           "insert identities); the keyed table admits one row per key, so " +
           "collapse the source per key first")
     }
-    (batch, delKeys) match {
+    (bc, dc) match {
       case (Some(b), d) => LakeTable.mergeDelete(spark, path, b, d, keys); ()
       case (None, Some(d)) => LakeTable.delete(spark, path, d, keys); ()
       case (None, None) => ()

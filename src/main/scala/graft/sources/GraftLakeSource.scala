@@ -629,7 +629,11 @@ private[graft] object DvKeyReader {
 
   def keySet(dvDirs: Seq[String], keySchema: StructType,
       conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[UnsafeRow] = {
-    if (cache.size >= MaxCachedSets) cache.clear()
+    // evict only on a MISS at capacity: a hit on a cached set must stay
+    // O(1) even with many live sets — clearing on every call past the
+    // bound would thrash each scan back to O(partitions × set size)
+    // sidecar re-reads (review r16-2 #2)
+    if (!cache.containsKey(dvDirs) && cache.size >= MaxCachedSets) cache.clear()
     cache.computeIfAbsent(dvDirs, _ => load(dvDirs, keySchema, conf))
   }
 

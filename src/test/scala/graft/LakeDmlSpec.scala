@@ -212,6 +212,26 @@ class LakeDmlSpec extends SparkSpec {
         "(SELECT k FROM dml_rowdel_base WHERE v > 40)")
     }
     assert(e.getMessage.contains("subquer"))
+    // a DELETE matching nothing commits nothing — no spurious empty
+    // versions for CDC consumers or the vacuum horizon
+    val vNow = LakeTable.latestVersion(s"$root/t")
+    spark.sql("DELETE FROM dml_rowdel.t WHERE v % 7 = 3 AND v > 100000")
+    assert(LakeTable.latestVersion(s"$root/t") == vNow,
+      "a no-op row-level DELETE must not commit a version")
+    // an UNSELECTIVE delete rewrites the survivors as one forward
+    // commit instead of committing a table-sized sidecar
+    val savedCap = graft.plans.LakeDml.DvDeleteCap
+    try {
+      graft.plans.LakeDml.DvDeleteCap = 3
+      spark.sql("DELETE FROM dml_rowdel.t WHERE v % 2 = 0")
+      val m = LakeTable.manifest(s"$root/t", LakeTable.latestVersion(s"$root/t"))
+      assert(m.op == "overwrite",
+        s"an over-cap delete should rewrite survivors, committed op ${m.op}")
+      assert(stateOf("dml_rowdel") == (1L to 50L)
+        .filterNot(k => k % 7 == 3 && (k % 5) > 1)
+        .filter(_ % 2 == 1)
+        .map(k => (k, "s" * (k % 5).toInt, k)).toSet)
+    } finally graft.plans.LakeDml.DvDeleteCap = savedCap
   }
 
   test("UPDATE: partial SET with target-row expressions; key reassignment refused") {
