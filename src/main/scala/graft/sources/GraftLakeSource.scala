@@ -342,6 +342,31 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
 
   override def name(): String = s"graftlake `$path` @v$version"
   override def schema(): StructType = m.schema
+
+  /** Honest catalog METADATA (DESCRIBE / SHOW CREATE / SHOW
+    * TBLPROPERTIES render these; V1-fallback writes ignore them): the
+    * directory layout as identity transforms, the declared clustering
+    * as a bucket transform, and the manifest header as properties. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val parts = m.parts.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    val cluster =
+      if (m.clusterBuckets > 0)
+        Seq(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          m.clusterBuckets, m.keys: _*))
+      else Seq.empty
+    (parts ++ cluster).toArray
+  }
+
+  override def properties(): java.util.Map[String, String] = {
+    val p = new java.util.HashMap[String, String]()
+    p.put("keys", m.keys.mkString(","))
+    if (m.clusterBuckets > 0) p.put("cluster_buckets", m.clusterBuckets.toString)
+    p.put("version", m.version.toString)
+    p.put("op", m.op)
+    p
+  }
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)

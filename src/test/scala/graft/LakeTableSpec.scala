@@ -1349,6 +1349,36 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("CTAS through the catalog; DESCRIBE/SHOW TBLPROPERTIES render honest metadata") {
+    import spark.implicits._
+    val root = freshPath("ctas")
+    spark.conf.set("spark.sql.catalog.graft_ctas",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ctas.warehouse", root)
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "s")
+      .createOrReplaceTempView("ctas_src")
+    // CREATE TABLE AS SELECT: catalog createTable from the query schema,
+    // then the V1-fallback keyed write lands the rows as version 2
+    spark.sql("CREATE TABLE graft_ctas.t TBLPROPERTIES('keys'='k') " +
+      "AS SELECT k, s FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM graft_ctas.t").head().getLong(0) == 100)
+    // the CTAS table is a full citizen: INSERT is still the keyed merge
+    spark.sql("INSERT INTO graft_ctas.t VALUES (7, 'upd')")
+    assert(spark.sql("SELECT count(*) FROM graft_ctas.t").head().getLong(0) == 100)
+    assert(spark.sql("SELECT s FROM graft_ctas.t WHERE k = 7").head().getString(0) == "upd")
+    // metadata renders from the manifest header
+    val props = spark.sql("SHOW TBLPROPERTIES graft_ctas.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keys").contains("k"))
+    // a clustered table's DESCRIBE shows the bucket transform
+    spark.sql("CREATE TABLE graft_ctas.c (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('keys'='k','cluster_buckets'='4')")
+    spark.sql("INSERT INTO graft_ctas.c VALUES (1, 10)")
+    val desc = spark.sql("DESCRIBE EXTENDED graft_ctas.c").collect()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("bucket(4, k)"), s"DESCRIBE missing the clustering:\n$desc")
+  }
+
   test("cross-PROCESS OCC race: two JVMs' log-store clients never both win a version") {
     // The in-JVM race specs share one process's FileSystem cache; an
     // object-store deployment runs INDEPENDENT clients. This forks a
