@@ -39,6 +39,7 @@ object SparkEntry {
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
     "lake_zorder_call"         -> (MergeOps.qLakeZorderCall _),
     "lake_cluster_join"        -> (MergeOps.qLakeClusterJoin _),
+    "lake_sql_ctas"            -> (MergeOps.qLakeSqlCtas _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1643,6 +1644,12 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN mp // 10 AND mp // 10 + greatest(mp // 20, 1)
         |  AND l_suppkey BETWEEN ms // 5 AND ms // 5 + greatest(ms // 5, 1)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // CREATE TABLE AS SELECT (entry REQUIRES 3 versions: create + CTAS
+    // write + upsert); the follow-up INSERT must upsert, not append
+    "lake_sql_ctas" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 61 = 13 THEN 'C' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // two cluster_buckets=16 lake tables joined on the clustering key
     // (entry REQUIRES a shuffle-family join with ZERO Exchange — the
     // storage-partitioned join); the oracle replays the join over the
