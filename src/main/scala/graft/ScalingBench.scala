@@ -304,7 +304,7 @@ object ScalingBench {
     // cluster_join price the k-fold re-cluster/INSERT builds with the
     // box scan resp. the exchange-free join as the served term
     "lake_sql_alter", "lake_merge_row", "lake_zorder_call",
-    "lake_cluster_join",
+    "lake_cluster_join", "lake_sql_ctas",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so
