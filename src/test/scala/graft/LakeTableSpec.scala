@@ -1349,6 +1349,48 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("clustered x DV lifecycle: sidecars suspend SPJ conservatively; compact restores it") {
+    import spark.implicits._
+    val root = freshPath("cludv")
+    spark.conf.set("spark.sql.catalog.graft_cdv",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdv.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_cdv.a")
+    spark.sql("DROP TABLE IF EXISTS graft_cdv.b")
+    spark.sql("CREATE TABLE graft_cdv.a (k BIGINT, va BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='4')")
+    spark.sql("CREATE TABLE graft_cdv.b (k BIGINT, vb BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='4')")
+    (1L to 1000L).map(k => (k, k)).toDF("k", "va").createOrReplaceTempView("cdv_a")
+    (1L to 1000L).map(k => (k, k * 2)).toDF("k", "vb").createOrReplaceTempView("cdv_b")
+    spark.sql("INSERT INTO graft_cdv.a SELECT * FROM cdv_a")
+    spark.sql("INSERT INTO graft_cdv.b SELECT * FROM cdv_b")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def joinPlan = spark.sql("SELECT a.k FROM graft_cdv.a a " +
+        "JOIN graft_cdv.b b ON a.k = b.k").queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), "clean clustered tables must SPJ")
+      // a DV sidecar makes the snapshot composite: SPJ conservatively
+      // suspends (exchanges return), rows stay correct
+      spark.sql("DELETE FROM graft_cdv.a WHERE k > 990")
+      assert(joinPlan.contains("Exchange"),
+        "a DV'd clustered snapshot must not claim the co-partitioning")
+      assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
+        "ON a.k = b.k").head().getLong(0) == 990)
+      // compact materializes the sidecar away AND restores the bucket
+      // layout — SPJ comes back
+      spark.sql("CALL graft_cdv.system.compact(`table` => 'a', target_files => 4)")
+      val mc = LakeTable.manifest(s"$root/a", LakeTable.latestVersion(s"$root/a"))
+      assert(mc.clusterBuckets == 4 && mc.files.forall(_.bucket >= 0) &&
+        mc.dvPaths.isEmpty, "compact must heal the clustered layout")
+      assert(!joinPlan.contains("Exchange"), "compaction must restore SPJ")
+      assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
+        "ON a.k = b.k").head().getLong(0) == 990)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+  }
+
   test("CTAS through the catalog; DESCRIBE/SHOW TBLPROPERTIES render honest metadata") {
     import spark.implicits._
     val root = freshPath("ctas")
