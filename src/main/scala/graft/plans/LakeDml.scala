@@ -252,9 +252,15 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
           exec(s"graftlake DELETE FROM ${t.name()} (row-level)", { () =>
             val spark = SparkSession.active
             val path = t.tablePath
-            // the doomed-key read is predicate-pruned like UPDATE's
-            def doomed = LakeDml.prunedByPredicate(spark, path,
+            // the doomed-key read is predicate-pruned like UPDATE's.
+            // Materialized ONCE (review r17 #4): the cap decision and
+            // the committed sidecar must reflect the SAME snapshot — a
+            // def would re-resolve latestVersion on each use, and a
+            // concurrent commit between count() and deleteDV could make
+            // them diverge.
+            val doomed = LakeDml.prunedByPredicate(spark, path,
               Some(condExpr)).filter(cond).select(keys.map(col): _*)
+              .localCheckpoint()
             val n = doomed.count()
             if (n == 0) {
               // a statement touching nothing commits nothing (the
@@ -272,7 +278,13 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
               // clustering preserved; history and pinned readers
               // survive as for any overwrite).
               val m = LakeTable.manifest(path, LakeTable.latestVersion(path))
-              val survivors = LakeTable.read(spark, path).filter(!cond)
+              // SQL three-valued logic: a row where cond is NULL is NOT
+              // deleted (DELETE removes rows where cond IS TRUE), so it
+              // must SURVIVE — !cond alone would yield NULL and drop it.
+              // coalesce(cond, false) makes the survivor filter match
+              // the DV path's filter(cond) complement exactly.
+              val survivors = LakeTable.read(spark, path)
+                .filter(!coalesce(cond, lit(false)))
               LakeTable.overwrite(spark, path, survivors, m.keys,
                 nBuckets =
                   if (m.clusterBuckets > 0) m.clusterBuckets
@@ -548,8 +560,14 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
     // non-deterministic source, and the merge kernel's discovery /
     // survivor passes re-read blocks instead of re-running the source
     // joins. Blocks are statement-sized and reclaimed on GC.
-    val bc = batch.map(_.localCheckpoint())
-    val dc = delKeys.map(_.localCheckpoint())
+    // Empty-statement contract (review r17 #3): a statement whose
+    // materialized batches carry ZERO rows commits NOTHING — same as
+    // the delete-only n == 0 path above. Without this, an empty MERGE
+    // would mint a spurious version for CDC consumers and the vacuum
+    // horizon. The batches are already checkpointed, so the counts are
+    // reads of materialized blocks, not re-runs of the source joins.
+    val bc = batch.map(_.localCheckpoint()).filter(_.limit(1).count() > 0)
+    val dc = delKeys.map(_.localCheckpoint()).filter(_.limit(1).count() > 0)
     val claimed = (bc.map(_.select(keys.map(col): _*)).toSeq ++
       dc.map(_.select(keys.map(col): _*)).toSeq)
       .reduceOption(_ unionByName _)

@@ -909,16 +909,31 @@ private[graft] class GraftLakeCompositeReaderFactory(
             org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter)
         else null
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
+      // SQL equi-join semantics (review r17 #2): NULL never equals
+      // anything, so a target row with a NULL key value can never be
+      // claimed by a sidecar key — it always SURVIVES, matching the V1
+      // anti-join path. Without this guard the byte-wise UnsafeRow
+      // probe would treat NULL==NULL as a match and silently delete.
+      private def anyKeyNull(r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+        var i = 0
+        while (i < keyOrdinals.length) {
+          if (r.isNullAt(keyOrdinals(i))) return true
+          i += 1
+        }
+        false
+      }
       override def next(): Boolean = {
         while (delegate.next()) {
           val r = proj(delegate.get())
           val keep =
-            if (erasedUnsafe != null) !erasedUnsafe.contains(keyProj(r))
-            else if (toScala != null) {
+            if (erasedUnsafe == null && toScala == null) true
+            else if (anyKeyNull(r)) true
+            else if (erasedUnsafe != null) !erasedUnsafe.contains(keyProj(r))
+            else {
               val key: Seq[Any] = keyOrdinals.indices
                 .map(i => toScala(i)(r.get(keyOrdinals(i), keyTypes(i))))
               !fallback.contains(key)
-            } else true
+            }
           if (keep) { current = r; return true }
         }
         false

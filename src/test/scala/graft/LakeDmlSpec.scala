@@ -313,4 +313,61 @@ class LakeDmlSpec extends SparkSpec {
     assert(!e4.isInstanceOf[UnsupportedOperationException] ||
       !e4.getMessage.startsWith("graftlake"))
   }
+
+  test("DELETE three-valued logic: NULL-condition rows survive on BOTH sides of the DV cap") {
+    import spark.implicits._
+    setupCatalog("nul3vl")
+    spark.sql("CREATE TABLE dml_nul3vl.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    // k in 1..30; v is NULL for every k % 5 == 0 — `v % 7 = 3` evaluates
+    // to NULL there, and SQL DELETE removes only rows where the
+    // condition IS TRUE, so the NULL-v rows must SURVIVE
+    (1L to 30L).map(k =>
+        (k, s"s$k", if (k % 5 == 0) null else java.lang.Long.valueOf(k)))
+      .toDF("k", "s", "v").createOrReplaceTempView("dml_nul_base")
+    spark.sql("INSERT INTO dml_nul3vl.t SELECT * FROM dml_nul_base")
+    def survivors: Set[Long] =
+      spark.sql("SELECT k FROM dml_nul3vl.t").collect().map(_.getLong(0)).toSet
+    val expect = (1L to 30L).filterNot(k => k % 5 != 0 && k % 7 == 3).toSet
+    // under the cap: DV path (filter(cond) keeps NULL rows by construction)
+    spark.sql("DELETE FROM dml_nul3vl.t WHERE v % 7 = 3")
+    assert(survivors == expect,
+      s"DV-path DELETE dropped NULL-condition rows: ${expect -- survivors}")
+    // over the cap: survivor-rewrite path — the pre-fix !cond filter
+    // yielded NULL for NULL-v rows and silently deleted them
+    val savedCap = graft.plans.LakeDml.DvDeleteCap
+    try {
+      graft.plans.LakeDml.DvDeleteCap = 1
+      spark.sql("DELETE FROM dml_nul3vl.t WHERE v % 7 = 1")
+      val expect2 = expect.filterNot(k => k % 5 != 0 && k % 7 == 1)
+      assert(survivors == expect2,
+        s"survivor-rewrite DELETE dropped NULL-condition rows: ${expect2 -- survivors}")
+    } finally graft.plans.LakeDml.DvDeleteCap = savedCap
+  }
+
+  test("an empty MERGE statement commits no version") {
+    import spark.implicits._
+    val root = setupCatalog("emptym")
+    spark.sql("CREATE TABLE dml_emptym.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    import spark.implicits._
+    (1L to 20L).map(k => (k, "base", k)).toDF("k", "s", "v")
+      .createOrReplaceTempView("dml_em_base")
+    spark.sql("INSERT INTO dml_emptym.t SELECT * FROM dml_em_base")
+    val v0 = LakeTable.latestVersion(s"$root/t")
+    // source-only lowering, every clause filtered to nothing
+    spark.sql("""MERGE INTO dml_emptym.t AS tg USING dml_em_base AS src
+      ON tg.k = src.k
+      WHEN MATCHED AND src.v > 100000 THEN UPDATE SET *
+      WHEN NOT MATCHED AND src.v > 100000 THEN INSERT *""")
+    assert(LakeTable.latestVersion(s"$root/t") == v0,
+      "an empty source-only MERGE minted a spurious version")
+    // row-level lowering (target-referencing condition), also empty
+    spark.sql("""MERGE INTO dml_emptym.t AS tg USING dml_em_base AS src
+      ON tg.k = src.k
+      WHEN MATCHED AND tg.v > 100000 THEN UPDATE SET s = src.s""")
+    assert(LakeTable.latestVersion(s"$root/t") == v0,
+      "an empty row-level MERGE minted a spurious version")
+    assert(stateOf("dml_emptym") == (1L to 20L).map(k => (k, "base", k)).toSet)
+  }
 }

@@ -1258,6 +1258,23 @@ class LakeTableSpec extends SparkSpec {
     assert(spark.read.format("graftlake").load(pz).count() == 2,
       "the V2 executor probe must erase a -0.0 key when 0.0 was DV-deleted")
     assert(graft.sources.GraftLakeSource.lastDvMode(pz) == "executor")
+    // NULL key semantics (review r17 #2): NULL never equi-joins, so a
+    // NULL-bearing sidecar key can never claim a NULL-key target row —
+    // the V2 byte-wise probe must KEEP it, matching the V1 anti-join
+    val pn = freshPath("dvnull")
+    LakeTable.create(spark, pn,
+      Seq((java.lang.Long.valueOf(1L), 10L), (java.lang.Long.valueOf(2L), 20L),
+        (null.asInstanceOf[java.lang.Long], 30L)).toDF("k", "v"),
+      Seq("k"), nBuckets = 1)
+    LakeTable.deleteDV(spark, pn,
+      Seq(java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long])
+        .map(Tuple1(_)).toDF("k"), Seq("k"))
+    assert(LakeTable.read(spark, pn).count() == 2,
+      "V1 anti-join must keep the NULL-key row (NULL never equi-joins)")
+    val v2n = spark.read.format("graftlake").load(pn)
+    assert(v2n.count() == 2,
+      "V2 probe must keep the NULL-key row when the sidecar carries a NULL key")
+    assert(v2n.agg(sum("v")).head().getLong(0) == 40L)
   }
 
   test("clustered lake tables: equal-bucketed join plans with ZERO Exchange and stays correct") {
