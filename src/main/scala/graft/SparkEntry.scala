@@ -40,6 +40,7 @@ object SparkEntry {
     "lake_zorder_call"         -> (MergeOps.qLakeZorderCall _),
     "lake_cluster_join"        -> (MergeOps.qLakeClusterJoin _),
     "lake_sql_ctas"            -> (MergeOps.qLakeSqlCtas _),
+    "lake_runtime_prune"       -> (MergeOps.qLakeRuntimePrune _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1662,6 +1663,17 @@ object SparkEntry {
         |      FROM lineitem GROUP BY l_orderkey) l
         |  ON o.o_orderkey = l.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    // a dimension filter's surviving join keys prune the lake fact scan
+    // at RUNTIME (entry REQUIRES the dynamic-pruning filter in the
+    // executed plan and >= 4x manifest-entry skipping); the oracle
+    // replays the semi-join, so a wrongly-skipped file breaks the hash
+    "lake_runtime_prune" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT dk FROM (SELECT o_orderkey AS dk FROM orders
+        |                  ORDER BY o_orderkey LIMIT 40)
+        |  WHERE dk % 2 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     // plain SQL over the registered graftlake source at versionAsOf=2:
     // the low-band merge ('Q' for keys < 400) is visible, the predicate
     // pushes down to manifest pruning, the residual re-applies

@@ -294,6 +294,23 @@ object GraftLakeSource {
     case And(l, r) => toIntervals(l) ++ toIntervals(r)
     case _ => Seq.empty // Or / IsNull / StringContains / ... : no pruning
   }
+
+  /** RUNTIME-filter matching for one manifest entry (the
+    * [[GraftLakeRuntimeScan]] kernel). DPP delivers the dim side's
+    * surviving join-key VALUES as an `In` — matched PER VALUE against
+    * the file's [min,max] (a file survives iff SOME value can live in
+    * it), which prunes scattered keys the collapsed [min(vs),max(vs)]
+    * envelope never could. The per-value pass is driver-side O(files ×
+    * values); past the cap it degrades to the envelope interval — still
+    * sound, just coarser. Unsupported shapes keep the file. */
+  private val RuntimeInValuesCap = 10000
+  private[graft] def runtimeMatches(e: LakeTable.FileEntry, f: Filter): Boolean =
+    f match {
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) &&
+          vs.length <= RuntimeInValuesCap =>
+        vs.exists(v => LakeTable.entryMatches(e, Seq((c, Some(v), Some(v)))))
+      case other => LakeTable.entryMatches(e, toIntervals(other))
+    }
 }
 
 private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
@@ -555,7 +572,17 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
           kept.forall(_.bucket >= 0))
         new GraftLakeClusteredScan(scan, m.clusterBuckets, m.keys,
           kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap)
-      else scan
+      // otherwise the scan accepts RUNTIME filters too (DPP / runtime
+      // bloom): a dimension filter's join-key values, delivered at
+      // execution time, re-prune the manifest entries the STATIC
+      // predicates kept — dynamic file skipping, the biggest untapped
+      // read lever at 100 TB (VERDICT r16 ask #1). The clustered branch
+      // above stays static-only: its KeyGroupedPartitioning pins the
+      // partition layout at planning, and BatchScanExec requires the
+      // post-filter grouping to match it.
+      else new GraftLakeRuntimeScan(path, kept, m.schema.fieldNames.toSeq,
+        scan, allowed => parquetScan(kept.filter(e =>
+          allowed(LakeIo.normKey(e.path))), partKeys)._1)
     } else {
       // sidecars and/or mixed layouts: one delegate scan per group,
       // rows remapped to ONE output order and anti-filtered per group.
@@ -574,20 +601,105 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       val execSide = anyDv && DvKeyReader.supported(keySchema)
       if (anyDv)
         GraftLakeSource.recordDvMode(path, if (execSide) "executor" else "driver")
-      val parts = groups.map { case ((dvs, partKeys), es) =>
-        val (scan, outSchema) = parquetScan(es, partKeys)
-        val fallback: Set[Seq[Any]] =
-          if (dvs.isEmpty || execSide) Set.empty
-          else spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
-            .collect().map(r => Seq.range(0, m.keys.size).map(r.get)).toSet
-        // remap: composite field i reads group-output ordinal remap(i)
-        val remap = wanted.fieldNames.map(outSchema.fieldIndex)
-        GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
+      // one driver fallback collect per group, computed ONCE and shared
+      // by runtime rebuilds (the fallback set is a property of the
+      // sidecars, not of which files survive pruning)
+      val fallbacks = groups.map { case ((dvs, _), _) =>
+        if (dvs.isEmpty || execSide) Set.empty[Seq[Any]]
+        else spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
+          .collect().map(r => Seq.range(0, m.keys.size).map(r.get)).toSet
       }
-      new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes, keySchema,
-        new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      // GROUP STRUCTURE IS PINNED at build time: runtime filtering only
+      // refills each group's file list (possibly to empty), never
+      // reorders or drops groups — BatchScanExec resolves its reader
+      // factory from the PRE-filter batch, so the group indices carried
+      // by post-filter partitions must keep meaning the same thing.
+      def assemble(allowed: String => Boolean)
+          : org.apache.spark.sql.connector.read.Scan = {
+        val parts = groups.zip(fallbacks).map {
+          case (((dvs, partKeys), es), fallback) =>
+            val esKept = es.filter(e => allowed(LakeIo.normKey(e.path)))
+            val (scan, outSchema) = parquetScan(esKept, partKeys)
+            // remap: composite field i reads group-output ordinal remap(i)
+            val remap = wanted.fieldNames.map(outSchema.fieldIndex)
+            GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
+        }
+        new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes,
+          keySchema, conf)
+      }
+      new GraftLakeRuntimeScan(path, kept, m.schema.fieldNames.toSeq,
+        assemble(_ => true), allowed => assemble(allowed))
     }
   }
+}
+
+/** V2 Scan wrapper adding RUNTIME filtering ([[SupportsRuntimeFiltering]],
+  * VERDICT r16 ask #1): Spark's dynamic partition pruning hands the scan
+  * the JOIN-KEY VALUES a dimension filter survived with, at execution
+  * time, as `In` filters — the scan re-prunes the statically-kept
+  * manifest entries against its per-file min/max stats, so a star join's
+  * fact scan opens only the files that can hold a surviving key. The
+  * filter is file-level and CONSERVATIVE (a kept file may still hold no
+  * match — the join above re-checks every row), so correctness never
+  * depends on it.
+  *
+  * Contract with [[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]]:
+  * the reader FACTORY resolves from the pre-filter batch while the
+  * PARTITIONS re-plan post-filter, so `rebuild` must produce a scan
+  * whose reader factory is interchangeable with the original's — same
+  * read schema, same group indexing, only the file set shrunk. The
+  * wrapper pins `createReaderFactory` to the ORIGINAL scan's batch to
+  * make that invariant explicit. */
+private[graft] class GraftLakeRuntimeScan(
+    path: String, statically: Seq[LakeTable.FileEntry], columns: Seq[String],
+    inner: org.apache.spark.sql.connector.read.Scan,
+    rebuild: (String => Boolean) => org.apache.spark.sql.connector.read.Scan)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  @volatile private var current = inner
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"graftlake runtime-filterable scan (${statically.size} entries static)"
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    columns.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val kept = statically.filter(e =>
+      filters.forall(GraftLakeSource.runtimeMatches(e, _)))
+    GraftLakeSource.recordPrune(s"$path@runtime", kept.size, statically.size)
+    if (kept.size < statically.size) {
+      val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet
+      current = rebuild(allowed)
+    }
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        current.toBatch.planInputPartitions()
+      // ALWAYS the original's factory (see the class doc): the factory
+      // must not depend on which files runtime filtering dropped
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        inner.toBatch.createReaderFactory()
+    }
 }
 
 /** EXECUTOR-side equality-delete key loading for the V2 composite scan

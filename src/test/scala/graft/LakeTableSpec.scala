@@ -1277,6 +1277,48 @@ class LakeTableSpec extends SparkSpec {
     assert(v2n.agg(sum("v")).head().getLong(0) == 40L)
   }
 
+  test("runtime filtering: a dimension filter prunes lake manifest entries at execution time") {
+    import spark.implicits._
+    val root = freshPath("rtfilter")
+    val fact = s"$root/fact"
+    LakeTable.create(spark, fact,
+      (1L to 100000L).map(k => (k, k % 97)).toDF("k", "v"),
+      Seq("k"), nBuckets = 32, layout = "range")
+    // dim in parquet (a LocalRelation dim constant-folds its filter away
+    // and DPP never triggers); hot keys are scattered multiples of 3
+    (1L to 100L).map(k => (k * 3, if (k <= 5) "hot" else "cold"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.format("graftlake").load(fact).createOrReplaceTempView("rtf_fact")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("rtf_dim")
+    def run(): (Long, String) = {
+      val q = spark.sql("SELECT sum(f.v) AS s FROM rtf_fact f " +
+        "JOIN rtf_dim d ON f.k = d.dk WHERE d.tag = 'hot'")
+      (q.collect()(0).getLong(0), q.queryExecution.executedPlan.toString)
+    }
+    val (s1, plan1) = run()
+    assert(s1 == (1L to 5L).map(k => (k * 3) % 97).sum)
+    assert(plan1.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-pruning runtime filter on the lake scan:\n$plan1")
+    val (kept1, total1) = graft.sources.GraftLakeSource.lastPrune(s"$fact@runtime")
+    assert(total1 == 32 && kept1 * 4 <= total1,
+      s"runtime filter should skip most files (kept $kept1/$total1)")
+    // the 5 hot keys (3,6,9,12,15) live in ONE of 32 range files: the
+    // per-value matcher should pin exactly it
+    assert(kept1 <= 2, s"per-value runtime matching too coarse (kept $kept1)")
+    // DV sidecars route the scan through the COMPOSITE path — runtime
+    // filtering must hold there too (group structure pinned, reader
+    // factory stays interchangeable), and results stay DV-correct
+    LakeTable.deleteDV(spark, fact, Seq(3L, 9L).map(Tuple1(_)).toDF("k"), Seq("k"))
+    spark.read.format("graftlake").load(fact).createOrReplaceTempView("rtf_fact")
+    val (s2, plan2) = run()
+    assert(s2 == Seq(6L, 12L, 15L).map(_ % 97).sum,
+      "DV'd keys must stay erased under runtime filtering")
+    assert(plan2.toLowerCase.contains("dynamicpruning"))
+    val (kept2, total2) = graft.sources.GraftLakeSource.lastPrune(s"$fact@runtime")
+    assert(total2 == 32 && kept2 * 4 <= total2,
+      s"composite runtime filter should still skip files (kept $kept2/$total2)")
+  }
+
   test("clustered lake tables: equal-bucketed join plans with ZERO Exchange and stays correct") {
     import spark.implicits._
     val root = freshPath("cluster")
