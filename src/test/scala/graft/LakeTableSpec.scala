@@ -1408,7 +1408,7 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
-  test("clustered x DV lifecycle: sidecars suspend SPJ conservatively; compact restores it") {
+  test("clustered x DV lifecycle: SPJ survives sidecars (bucket-local anti-join); compact restores columnar") {
     import spark.implicits._
     val root = freshPath("cludv")
     spark.conf.set("spark.sql.catalog.graft_cdv",
@@ -1431,22 +1431,37 @@ class LakeTableSpec extends SparkSpec {
       def joinPlan = spark.sql("SELECT a.k FROM graft_cdv.a a " +
         "JOIN graft_cdv.b b ON a.k = b.k").queryExecution.executedPlan.toString
       assert(!joinPlan.contains("Exchange"), "clean clustered tables must SPJ")
-      // a DV sidecar makes the snapshot composite: SPJ conservatively
-      // suspends (exchanges return), rows stay correct
+      // a DV sidecar routes the read through the clustered COMPOSITE:
+      // the anti-join is bucket-local (erased keys never move surviving
+      // rows across buckets), so the snapshot KEEPS reporting its bucket
+      // layout — the join stays exchange-free WITH the sidecar applied
+      // (r17, VERDICT r16 ask #2; the read is row-based until compact —
+      // that part of the composite price stands)
       spark.sql("DELETE FROM graft_cdv.a WHERE k > 990")
-      assert(joinPlan.contains("Exchange"),
-        "a DV'd clustered snapshot must not claim the co-partitioning")
+      assert(!joinPlan.contains("Exchange"),
+        "a DV'd clustered snapshot must keep its exchange-free join " +
+          "(the sidecar anti-join is bucket-local)")
       assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
         "ON a.k = b.k").head().getLong(0) == 990)
-      // compact materializes the sidecar away AND restores the bucket
-      // layout — SPJ comes back
+      // erased keys stay erased THROUGH the bucket-grouped partitions
+      assert(spark.sql("SELECT count(*) FROM graft_cdv.a WHERE k > 985")
+        .head().getLong(0) == 5)
+      // a SECOND sidecar batch accumulates; the join still plans
+      // exchange-free and both erasure generations apply
+      spark.sql("DELETE FROM graft_cdv.a WHERE k BETWEEN 981 AND 985")
+      assert(!joinPlan.contains("Exchange"),
+        "accumulated sidecars must not suspend the storage-partitioned join")
+      assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
+        "ON a.k = b.k").head().getLong(0) == 985)
+      // compact materializes the sidecars away — SPJ stays, and the
+      // scan is pure columnar again
       spark.sql("CALL graft_cdv.system.compact(`table` => 'a', target_files => 4)")
       val mc = LakeTable.manifest(s"$root/a", LakeTable.latestVersion(s"$root/a"))
       assert(mc.clusterBuckets == 4 && mc.files.forall(_.bucket >= 0) &&
         mc.dvPaths.isEmpty, "compact must heal the clustered layout")
-      assert(!joinPlan.contains("Exchange"), "compaction must restore SPJ")
+      assert(!joinPlan.contains("Exchange"), "compaction must keep SPJ")
       assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
-        "ON a.k = b.k").head().getLong(0) == 990)
+        "ON a.k = b.k").head().getLong(0) == 985)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
   }
 
