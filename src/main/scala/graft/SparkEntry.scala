@@ -41,6 +41,8 @@ object SparkEntry {
     "lake_cluster_join"        -> (MergeOps.qLakeClusterJoin _),
     "lake_sql_ctas"            -> (MergeOps.qLakeSqlCtas _),
     "lake_runtime_prune"       -> (MergeOps.qLakeRuntimePrune _),
+    "lake_column_map"          -> (MergeOps.qLakeColumnMap _),
+    "lake_convert"             -> (MergeOps.qLakeConvert _),
     "upsert_cdc_apply"         -> (MergeOps.qUpsertCdcApply _),
     "dedup_pk_latest"          -> (MergeOps.qDedupPkLatest _),
     "incremental_changed_rows" -> (MergeOps.qIncrementalChangedRows _),
@@ -1673,6 +1675,24 @@ object SparkEntry {
         |  SELECT dk FROM (SELECT o_orderkey AS dk FROM orders
         |                  ORDER BY o_orderkey LIMIT 40)
         |  WHERE dk % 2 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    // header-only RENAME/DROP/re-ADD via column mapping (entry REQUIRES
+    // zero data files moved across all three ALTERs, the as-of read
+    // keeping its version's names/values, and NULL for every pre-add
+    // row of the re-added column); the upsert lands under new names
+    "lake_column_map" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 37 = 5 THEN 'R' ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_orderkey % 37 = 5 THEN o_totalprice ELSE NULL END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // a plain parquet directory converted to a lake table IN PLACE
+    // (entry REQUIRES v1 to reference exactly the pre-existing files —
+    // zero data I/O), then merged/DV-deleted/time-traveled over
+    "lake_convert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 41 = 6 THEN 'C' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 53 <> 17
         |ORDER BY o_orderkey""".stripMargin,
     // plain SQL over the registered graftlake source at versionAsOf=2:
     // the low-band merge ('Q' for keys < 400) is visible, the predicate

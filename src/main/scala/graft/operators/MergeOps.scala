@@ -1205,4 +1205,106 @@ object MergeOps {
       s"lake_runtime_prune: runtime filter pruned too little (kept $kept/$total)")
     out
   }
+
+  /** COLUMN MAPPING (r17 — VERDICT r16 ask #3, the Delta name-mode /
+    * Iceberg field-id shape): `ALTER TABLE RENAME COLUMN` and `DROP
+    * COLUMN` as HEADER-ONLY commits — the stable PHYSICAL name stays on
+    * every data file, only the manifest's logical schema changes, and a
+    * dropped column's physical RETIRES so a later re-ADD of the same
+    * name allocates fresh and old data can never resurrect. The entry
+    * runs the whole lifecycle through SQL — CREATE → INSERT → RENAME →
+    * DROP → re-ADD → upsert → SELECT — REQUIRING the file list
+    * bit-identical across all three ALTERs (zero data I/O), the as-of
+    * read keeping its version's names and values (time travel), and the
+    * re-added column reading NULL for every pre-add row (the
+    * resurrection gate). The oracle replays the surviving state over
+    * the raw table — a leaked rename, a resurrected drop, or an upsert
+    * landed under the wrong physical breaks the hash. */
+  def qLakeColumnMap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakecm_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(root))
+    val cat = s"graft_lake_cm_${graft.SessionCache.dirKey(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    spark.sql(s"CREATE TABLE $cat.orders_t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('keys'='o_orderkey')")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("graft_cm_src")
+    spark.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_cm_src")
+    val p = s"$root/orders_t"
+    val files2 = LakeTable.manifestFiles(p, 2).toSet
+    spark.sql(s"ALTER TABLE $cat.orders_t RENAME COLUMN o_orderstatus TO status")
+    spark.sql(s"ALTER TABLE $cat.orders_t DROP COLUMN o_totalprice")
+    spark.sql(s"ALTER TABLE $cat.orders_t ADD COLUMN o_totalprice DOUBLE")
+    require(LakeTable.manifestFiles(p, 5).toSet == files2,
+      "lake_column_map: RENAME/DROP/ADD must move zero data files")
+    // time travel: the pre-ALTER version keeps its names AND its values
+    val asOf = spark.read.format("graftlake").option("versionAsOf", "2").load(p)
+    require(asOf.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "o_totalprice") &&
+      asOf.filter(col("o_totalprice").isNull).isEmpty,
+      "lake_column_map: the as-of read lost its version's names or values")
+    // the resurrection gate: every pre-add row reads the re-added
+    // column as NULL — the dropped physical stays retired
+    require(spark.sql(s"SELECT count(*) FROM $cat.orders_t " +
+      "WHERE o_totalprice IS NOT NULL").head().getLong(0) == 0,
+      "lake_column_map: dropped column data resurrected under the re-added name")
+    // the post-ALTER upsert lands under the new logical names
+    spark.sql(s"INSERT INTO $cat.orders_t " +
+      "SELECT o_orderkey, 'R', o_totalprice FROM graft_cm_src " +
+      "WHERE o_orderkey % 37 = 5")
+    spark.sql(s"SELECT o_orderkey, status, o_totalprice FROM $cat.orders_t " +
+      "ORDER BY o_orderkey")
+  }
+
+  /** CONVERT-TO-LAKE (r17 — VERDICT r16 ask #4, the Delta `CONVERT TO
+    * DELTA` shape): an EXISTING plain-parquet directory registers as a
+    * lake table IN PLACE — v1's manifest references the directory's own
+    * part-files (the entry REQUIRES the v1 file list to be exactly the
+    * pre-existing files: zero data rewritten; the only I/O is footer
+    * metadata for key stats). The converted table is then a full
+    * citizen: a keyed MERGE updates a class copy-on-write, a DV DELETE
+    * erases keys with zero rewrite, and the as-of v1 read still sees
+    * the original corpus (time travel over pre-lake files). The oracle
+    * replays update-then-delete over the raw table. This is the
+    * migration story for a pre-existing 100 TB corpus — no rewrite, no
+    * downtime, history from day one. */
+  def qLakeConvert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakecv_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(root))
+    val p = s"$root/orders_t"
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // the PRE-EXISTING corpus: a plain parquet directory, no lake anywhere
+    base.repartition(8).write.parquet(p)
+    val pre = graft.sources.LakeIo.leafParquet(p)
+      .map(graft.sources.LakeIo.normKey).toSet
+    LakeTable.convert(spark, p, Seq("o_orderkey"))
+    val v1 = LakeTable.manifestFiles(p, 1)
+      .map(graft.sources.LakeIo.normKey).toSet
+    require(v1 == pre && pre.nonEmpty,
+      s"lake_convert: convert must reference the ${pre.size} pre-existing " +
+        s"files in place, got ${v1.size} (zero data I/O is the contract)")
+    // the converted table is a full citizen: keyed CoW merge + DV delete
+    LakeTable.merge(spark, p,
+      base.filter(col("o_orderkey") % 41 === 6)
+        .withColumn("o_orderstatus", lit("C")),
+      Seq("o_orderkey"))
+    LakeTable.deleteDV(spark, p,
+      base.filter(col("o_orderkey") % 53 === 17).select("o_orderkey"),
+      Seq("o_orderkey"))
+    // time travel: as-of v1 still reads the original corpus
+    require(LakeTable.read(spark, p, Some(1)).count() == base.count(),
+      "lake_convert: the as-of v1 read lost pre-conversion rows")
+    LakeTable.read(spark, p)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
 }

@@ -121,33 +121,53 @@ class GraftLakeCatalog extends TableCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` lowers onto the lake's HEADER-ONLY
-    * schema-evolution commit ([[LakeTable.addColumns]] — no byte of
-    * data moves, existing rows read null, as-of reads keep the schema
-    * their version committed with). Everything else — drops, renames,
-    * retypes, repositioning — is refused with the reason: each would
-    * need a rewrite or a rename-mapping layer the manifest format does
-    * not carry, and a silent approximation would corrupt the table. */
+  /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN` all lower onto
+    * HEADER-ONLY commits — adds via the schema-evolution commit
+    * ([[LakeTable.addColumns]]), renames and drops via COLUMN MAPPING
+    * (r17 — [[LakeTable.renameColumn]]/[[LakeTable.dropColumn]]: the
+    * stable physical name stays on every data file, only the manifest's
+    * logical schema changes; a dropped column's physical retires so a
+    * re-add can never resurrect old data). No byte of data moves in any
+    * of them; as-of reads keep the schema (and names) their version
+    * committed with. Retypes and repositioning stay refused with the
+    * reason — each would need a rewrite, and a silent approximation
+    * would corrupt the table. Identity/partition column renames and
+    * drops refuse inside LakeTable (the key-reassignment convention). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (LakeTable.latestVersion(p) == 0) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"graftlake catalog: $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    val adds = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
-          s"graftlake catalog: ADD COLUMN supports top-level columns only, " +
-            s"got ${a.fieldNames().mkString(".")}")
+        topLevel(a.fieldNames(), "ADD COLUMN")
         if (a.position() != null) throw new UnsupportedOperationException(
           "graftlake catalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "added columns append (the header-only evolution contract)")
         if (!a.isNullable) throw new UnsupportedOperationException(
           "graftlake catalog: added columns must be nullable — every " +
             "already-committed row reads them as null")
-        StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+        adds += StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+      case r: TableChange.RenameColumn =>
+        try LakeTable.renameColumn(p, topLevel(r.fieldNames(), "RENAME COLUMN"),
+          r.newName())
+        catch { case e: IllegalArgumentException =>
+          throw new UnsupportedOperationException(e.getMessage, e) }
+      case d: TableChange.DeleteColumn =>
+        try LakeTable.dropColumn(p, topLevel(d.fieldNames(), "DROP COLUMN"))
+        catch { case e: IllegalArgumentException =>
+          throw new UnsupportedOperationException(e.getMessage, e) }
       case other => throw new UnsupportedOperationException(
-        s"graftlake catalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMN(S) lowers onto the header-only schema-evolution commit")
+        s"graftlake catalog: unsupported ALTER TABLE change $other — " +
+          "ADD/RENAME/DROP COLUMN lower onto header-only commits; retypes " +
+          "and repositioning would need a rewrite and are refused")
     }
-    LakeTable.addColumns(p, adds)
+    if (adds.nonEmpty) LakeTable.addColumns(p, adds.toSeq)
     loadTable(ident)
   }
 

@@ -53,7 +53,7 @@ private[graft] object GraftLakeProcedures {
 
   private[graft] val names: Seq[String] =
     Seq("compact", "vacuum", "history", "restore", "evolve_partitioning",
-      "zorder", "recluster")
+      "zorder", "recluster", "convert")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def path(tbl: UTF8String): String =
@@ -106,6 +106,16 @@ private[graft] object GraftLakeProcedures {
         versionOut,
         input => Seq(InternalRow(LakeTable.recluster(
           SparkSession.active, path(input.getUTF8String(0)), input.getInt(1)))))
+      // CONVERT TO LAKE (r17): register an existing parquet directory
+      // under the warehouse as a lake table in place — zero data I/O,
+      // footer-only stats; the converted table is then a full citizen
+      case "convert" => new LakeProc("convert",
+        Array(in("table", StringType), in("keys", StringType)),
+        versionOut,
+        input => Seq(InternalRow(LakeTable.convert(
+          SparkSession.active, path(input.getUTF8String(0)),
+          input.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq))))
       case "evolve_partitioning" => new LakeProc("evolve_partitioning",
         Array(in("table", StringType), in("partition_by", StringType)),
         versionOut,

@@ -304,12 +304,14 @@ object GraftLakeSource {
     * values); past the cap it degrades to the envelope interval — still
     * sound, just coarser. Unsupported shapes keep the file. */
   private val RuntimeInValuesCap = 10000
-  private[graft] def runtimeMatches(e: LakeTable.FileEntry, f: Filter): Boolean =
+  private[graft] def runtimeMatches(e: LakeTable.FileEntry, f: Filter,
+      phys: String => String): Boolean =
     f match {
       case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) &&
           vs.length <= RuntimeInValuesCap =>
-        vs.exists(v => LakeTable.entryMatches(e, Seq((c, Some(v), Some(v)))))
-      case other => LakeTable.entryMatches(e, toIntervals(other))
+        vs.exists(v => LakeTable.entryMatches(e, Seq((phys(c), Some(v), Some(v)))))
+      case other => LakeTable.entryMatches(e,
+        toIntervals(other).map { case (c, lo, hi) => (phys(c), lo, hi) })
     }
 }
 
@@ -327,7 +329,9 @@ private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // footer stats are keyed by PHYSICAL name (identity unless mapped)
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
+      .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
     val kept = m.files.filter(LakeTable.entryMatches(_, preds))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     val df = LakeTable.readEntries(sqlContext.sparkSession, m, kept)
@@ -506,7 +510,9 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // footer stats are keyed by PHYSICAL name (identity unless mapped)
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
+      .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
     val kept = bucketPrune(m.files.filter(LakeTable.entryMatches(_, preds)))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     // groups: entries sharing BOTH a sidecar set and a physical LAYOUT
@@ -532,7 +538,13 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     def parquetScan(files: Seq[LakeTable.FileEntry], partKeys: Set[String])
         : (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, StructType) = {
       import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
-      val readDataSchema = StructType(wanted.filterNot(f => partKeys.contains(f.name)))
+      // data files speak PHYSICAL names (column mapping; identity when
+      // unmapped) — the delegate reads physical, and the composite's
+      // ordinal remap surfaces the logical order. Partition columns are
+      // never mapped (rename/drop refuse them).
+      val readDataSchema = StructType(
+        wanted.filterNot(f => partKeys.contains(f.name))
+          .map(f => f.copy(name = m.phys(f.name))))
       val readPartSchema = StructType(wanted.filter(f => partKeys.contains(f.name)))
       val partSchemaFull = StructType(m.schema.filter(f => partKeys.contains(f.name)))
       val spec =
@@ -549,15 +561,19 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         Map.empty[String, String], Some(m.schema), NoopCache, Some(spec))
       (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
         spark, spark.sessionState.newHadoopConf(), index,
-        dataSchema = StructType(m.schema.filterNot(f => partKeys.contains(f.name))),
+        dataSchema = StructType(m.schema.filterNot(f => partKeys.contains(f.name))
+          .map(f => f.copy(name = m.phys(f.name)))),
         readDataSchema = readDataSchema,
         readPartitionSchema = readPartSchema,
-        pushedFilters = filters,
+        // footer row-group skipping speaks physical names too; a mapped
+        // table passes none (conservative — every filter is residual
+        // above the scan, and manifest pruning already applied)
+        pushedFilters = if (m.colMap.isEmpty) filters else Array.empty,
         options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()),
         StructType(readDataSchema ++ readPartSchema))
     }
 
-    if (groups.size <= 1 && !anyDv) {
+    if (groups.size <= 1 && !anyDv && m.colMap.isEmpty) {
       // uniform layout, no sidecars: the pure columnar parquet scan.
       // (Spark maps the scan output to the relation's columns by NAME,
       // so the data-then-partition column order is fine.)
@@ -580,8 +596,11 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       // above stays static-only: its KeyGroupedPartitioning pins the
       // partition layout at planning, and BatchScanExec requires the
       // post-filter grouping to match it.
-      else new GraftLakeRuntimeScan(path, kept, m.schema.fieldNames.toSeq,
-        scan, allowed => parquetScan(kept.filter(e =>
+      // filterAttributes must resolve against the PRUNED relation output
+      // (PartitionPruning resolves them hard — an over-claimed column the
+      // query pruned away fails analysis), so advertise only `required`
+      else new GraftLakeRuntimeScan(path, kept, required.fieldNames.toSeq,
+        m.phys, scan, allowed => parquetScan(kept.filter(e =>
           allowed(LakeIo.normKey(e.path))), partKeys)._1)
     } else {
       // sidecars and/or mixed layouts: one delegate scan per group,
@@ -634,15 +653,17 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
             val esKept = es.filter(e => allowed(LakeIo.normKey(e.path)))
             val (scan, outSchema) = parquetScan(esKept, partKeys)
             // remap: composite field i reads group-output ordinal remap(i)
-            val remap = wanted.fieldNames.map(outSchema.fieldIndex)
+            // (group outputs speak PHYSICAL names; the composite's out
+            // order is logical)
+            val remap = wanted.fieldNames.map(f => outSchema.fieldIndex(m.phys(f)))
             GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
         }
         new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes,
           keySchema, conf, clusterSpec)
       }
       if (clusterSpec.isDefined) assemble(_ => true)
-      else new GraftLakeRuntimeScan(path, kept, m.schema.fieldNames.toSeq,
-        assemble(_ => true), allowed => assemble(allowed))
+      else new GraftLakeRuntimeScan(path, kept, required.fieldNames.toSeq,
+        m.phys, assemble(_ => true), allowed => assemble(allowed))
     }
   }
 }
@@ -666,6 +687,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
   * make that invariant explicit. */
 private[graft] class GraftLakeRuntimeScan(
     path: String, statically: Seq[LakeTable.FileEntry], columns: Seq[String],
+    phys: String => String,
     inner: org.apache.spark.sql.connector.read.Scan,
     rebuild: (String => Boolean) => org.apache.spark.sql.connector.read.Scan)
     extends org.apache.spark.sql.connector.read.Scan
@@ -693,7 +715,7 @@ private[graft] class GraftLakeRuntimeScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     val kept = statically.filter(e =>
-      filters.forall(GraftLakeSource.runtimeMatches(e, _)))
+      filters.forall(GraftLakeSource.runtimeMatches(e, _, phys)))
     GraftLakeSource.recordPrune(s"$path@runtime", kept.size, statically.size)
     if (kept.size < statically.size) {
       val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet

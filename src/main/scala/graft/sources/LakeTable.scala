@@ -116,7 +116,8 @@ object LakeTable {
     * partitioned-join contract). */
   final case class Manifest(version: Int, op: String, keys: Seq[String],
       schemaDdl: String, files: Seq[FileEntry], parts: Seq[String] = Seq.empty,
-      clusterBuckets: Int = 0) {
+      clusterBuckets: Int = 0, colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def filePaths: Seq[String] = files.map(_.path)
     def dvPaths: Seq[String] = files.flatMap(_.dvs).distinct
@@ -124,6 +125,20 @@ object LakeTable {
       * live in the directory layout, not the parquet. */
     def dataSchema: StructType =
       if (parts.isEmpty) schema else StructType(schema.filterNot(f => parts.contains(f.name)))
+    /** COLUMN MAPPING (r17 — VERDICT r16 ask #3, the Delta name-mode /
+      * Iceberg field-id shape): `colMap` maps a column's LOGICAL name to
+      * its stable PHYSICAL name (identity entries omitted) — data files
+      * and footer stats always speak physical, so RENAME/DROP COLUMN
+      * are header-only commits that move zero bytes. `retired` lists
+      * physical names of DROPPED columns, so a later re-ADD of the same
+      * logical name allocates a FRESH physical and old data can never
+      * resurrect under it. Full-rewrite commits (overwrite / compact /
+      * zorder / recluster) write under current logical names and HEAL
+      * the mapping back to identity. */
+    def phys(c: String): String = colMap.getOrElse(c, c)
+    /** `schema` with each field under its physical name (order kept). */
+    def physSchema(fields: Seq[StructField]): StructType =
+      StructType(fields.map(f => f.copy(name = phys(f.name))))
   }
 
   // ALL log I/O goes through the LakeLogStore seam and all data-plane
@@ -153,14 +168,15 @@ object LakeTable {
   private[graft] final case class DeltaRecord(version: Int, op: String,
       keys: Seq[String], schemaDdl: String, parts: Seq[String],
       removedPaths: Seq[String], addedEntries: Seq[FileEntry],
-      clusterBuckets: Int = 0)
+      clusterBuckets: Int = 0, colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Seq.empty)
 
   /** Apply a churn record to its predecessor's reconstructed state. */
   private def applyDelta(prev: Manifest, d: DeltaRecord): Manifest = {
     val removed = d.removedPaths.toSet
     Manifest(d.version, d.op, d.keys, d.schemaDdl,
       prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries, d.parts,
-      d.clusterBuckets)
+      d.clusterBuckets, d.colMap, d.retired)
   }
 
   // ---- commit-record JSON (Jackson — a real writer, so paths containing
@@ -224,7 +240,9 @@ object LakeTable {
 
   private def headerJson(version: Int, op: String, keys: Seq[String],
       schemaDdl: String, parts: Seq[String],
-      kind: String, clusterBuckets: Int): com.fasterxml.jackson.databind.node.ObjectNode = {
+      kind: String, clusterBuckets: Int,
+      colMap: Map[String, String], retired: Seq[String])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = jsonMapper.createObjectNode()
     root.put("format", 3)
     root.put("kind", kind)
@@ -234,20 +252,26 @@ object LakeTable {
     keys.foreach(keysArr.add)
     if (parts.nonEmpty) { val pa = root.putArray("parts"); parts.foreach(pa.add) }
     if (clusterBuckets > 0) { root.put("cluster", clusterBuckets); () }
+    if (colMap.nonEmpty) {
+      val cm = root.putObject("colmap")
+      // sorted for a deterministic record byte stream
+      colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    if (retired.nonEmpty) { val ra = root.putArray("retired"); retired.foreach(ra.add) }
     root.put("schema", schemaDdl)
     root
   }
 
   private def manifestJson(m: Manifest): String = {
     val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, m.parts, "full",
-      m.clusterBuckets)
+      m.clusterBuckets, m.colMap, m.retired)
     writeEntriesJson(root.putArray("files"), m.files)
     jsonMapper.writeValueAsString(root)
   }
 
   private def deltaJson(d: DeltaRecord): String = {
     val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, d.parts, "delta",
-      d.clusterBuckets)
+      d.clusterBuckets, d.colMap, d.retired)
     val rm = root.putArray("remove")
     d.removedPaths.foreach(rm.add)
     writeEntriesJson(root.putArray("add"), d.addedEntries)
@@ -268,13 +292,16 @@ object LakeTable {
     val parts = root.path("parts").elements().asScala.map(_.asText()).toSeq
     val cluster = root.path("cluster").asInt(0)
     val schemaDdl = root.path("schema").asText()
+    val colMap = root.path("colmap").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val retired = root.path("retired").elements().asScala.map(_.asText()).toSeq
     if (root.path("kind").asText() == "delta")
       Left(DeltaRecord(version, op, keys, schemaDdl, parts,
         root.path("remove").elements().asScala.map(_.asText()).toSeq,
-        parseEntriesJson(root.path("add")), cluster))
+        parseEntriesJson(root.path("add")), cluster, colMap, retired))
     else
       Right(Manifest(version, op, keys, schemaDdl,
-        parseEntriesJson(root.path("files")), parts, cluster))
+        parseEntriesJson(root.path("files")), parts, cluster, colMap, retired))
   }
 
   /** Commit a STATE-REPLACING version (create/overwrite/compact/restore/
@@ -291,7 +318,7 @@ object LakeTable {
       removedPaths: Seq[String], addedEntries: Seq[FileEntry]): Unit = {
     publish(path, m, deltaJson(
       DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, m.parts,
-        removedPaths, addedEntries, m.clusterBuckets)))
+        removedPaths, addedEntries, m.clusterBuckets, m.colMap, m.retired)))
     // periodic full-state checkpoint: bounds reconstruction to at most
     // ChkInterval record reads (every interval-th version is an anchor —
     // this checkpoint when the record there is a delta; a full record is
@@ -596,12 +623,21 @@ object LakeTable {
       entries: Seq[FileEntry]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    // data files speak PHYSICAL column names (identity unless the table
+    // carries a column mapping): read physical, surface logical
+    def toLogical(df: DataFrame, fields: Seq[StructField]): DataFrame =
+      if (m.colMap.isEmpty) df
+      else df.select(fields.map(f => col(m.phys(f.name)).as(f.name)): _*)
     if (entries.forall(_.part.isEmpty))
-      return spark.read.schema(m.schema).parquet(entries.map(_.path): _*)
+      return toLogical(
+        spark.read.schema(m.physSchema(m.schema)).parquet(entries.map(_.path): _*),
+        m.schema)
     val outCols = m.schema.map(f => col(f.name))
     entries.groupBy(_.part).toSeq.map { case (part, es) =>
-      val dataSchema = StructType(m.schema.filterNot(f => part.contains(f.name)))
-      val base = spark.read.schema(dataSchema).parquet(es.map(_.path): _*)
+      val dataFields = m.schema.filterNot(f => part.contains(f.name))
+      val base = toLogical(
+        spark.read.schema(m.physSchema(dataFields)).parquet(es.map(_.path): _*),
+        dataFields)
       part.foldLeft(base) { case (df, (c, v)) =>
         val dt = m.schema(m.schema.fieldIndex(c)).dataType
         df.withColumn(c, lit(v).cast(dt))
@@ -655,8 +691,9 @@ object LakeTable {
   def prunedEntriesBox(path: String, v: Int,
       preds: Seq[(String, Any, Any)]): (Seq[FileEntry], Int) = {
     val m = manifest(path, v)
+    // stats are keyed by PHYSICAL name (identity unless mapped)
     val kept = m.files.filter(entryMatches(_,
-      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }))
+      preds.map { case (c, lo, hi) => (m.phys(c), Some(lo), Some(hi)) }))
     (kept, m.files.size)
   }
 
@@ -800,6 +837,44 @@ object LakeTable {
     1
   }
 
+  /** CONVERT an EXISTING parquet directory into a lake table IN PLACE
+    * (r17 — VERDICT r16 ask #4, the Delta `CONVERT TO DELTA` shape —
+    * the migration story for a pre-existing 100 TB corpus): version 1
+    * references the directory's own part-files — ZERO data I/O, the
+    * only reads are footer metadata for the key-column stats. Hive-
+    * style `col=value` directories lift into per-entry `part` maps (the
+    * partition columns join the schema via Spark's own inference), and
+    * the converted table is a full citizen of every later path: keyed
+    * merges, deletes, DVs, time travel, compaction, clustering via
+    * `CALL recluster`. Key uniqueness is the caller's contract, exactly
+    * as for every other keyed write. */
+  def convert(spark: SparkSession, path: String, keyCols: Seq[String]): Int = {
+    require(latestVersion(path) == 0,
+      s"LakeTable: $path is already a lake table (version ${latestVersion(path)})")
+    require(keyCols.nonEmpty, "LakeTable: convert needs at least one key column")
+    val files = LakeIo.leafParquet(path)
+    require(files.nonEmpty, s"LakeTable: no parquet part-files under $path to convert")
+    // partition keys from the directory layout, uniform across files
+    val base = LakeIo.normKey(path).stripSuffix("/")
+    def partKeysOf(f: String): Seq[String] = {
+      val rel = LakeIo.normKey(f).stripPrefix(base)
+      rel.split('/').filter(_.contains('=')).map(s => s.substring(0, s.indexOf('='))).toSeq
+    }
+    val parts = partKeysOf(files.head)
+    require(files.forall(f => partKeysOf(f) == parts),
+      s"LakeTable: heterogeneous partition layouts under $path — " +
+        "convert needs one uniform col=value directory shape")
+    // schema by Spark's own reader: merged part schemas + typed
+    // partition columns inferred from the directories
+    val schema = spark.read.parquet(path).schema
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"LakeTable: key column $c is not in the converted schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    commit(path, Manifest(1, "convert", keyCols, schema.toDDL,
+      entriesFor(spark, path, keyCols, schema, parts), parts))
+    1
+  }
+
   /** The physical clustering behind [[create]] and [[overwrite]]: hash
     * layout partitions on the KEY COLUMNS directly (one shuffle,
     * uniform over all nBuckets partitions — hashing a precomputed
@@ -844,9 +919,38 @@ object LakeTable {
   /** One write shape for every data-landing path: partition layouts
     * split into Hive-style `col=value` directories, plain tables write
     * flat part files. */
-  private def writeData(df: DataFrame, dir: String, parts: Seq[String]): Unit = {
-    val w = df.write.mode("overwrite")
+  private def writeData(df: DataFrame, dir: String, parts: Seq[String],
+      colMap: Map[String, String] = Map.empty): Unit = {
+    // a mapped table's files store PHYSICAL names; partition columns are
+    // never mapped (rename/drop refuse them), so partitionBy is safe
+    val out =
+      if (colMap.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(colMap.getOrElse(c, c))): _*)
+    val w = out.write.mode("overwrite")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+  }
+
+  /** Physical-name allocation for columns ADDED to a table (r17 column
+    * mapping): a new logical name serves as its own physical unless that
+    * name is occupied by a live column's physical or RETIRED by a drop —
+    * then a fresh versioned physical keeps dropped data from ever
+    * resurrecting under a re-added name. */
+  private def allocPhysical(m: Manifest, names: Seq[String],
+      atVersion: Int): Map[String, String] = {
+    val occupied = scala.collection.mutable.Set[String]()
+    occupied ++= m.schema.fieldNames.map(m.phys)
+    occupied ++= m.retired
+    names.flatMap { n =>
+      if (!occupied(n)) { occupied += n; None }
+      else {
+        var i = atVersion
+        var cand = s"${n}_r$i"
+        while (occupied(cand)) { i += 1; cand = s"${n}_r$i" }
+        occupied += cand
+        Some(n -> cand)
+      }
+    }.toMap
   }
 
   /** OVERWRITE as a forward commit (code-review r14 F3): the new state
@@ -956,6 +1060,12 @@ object LakeTable {
       else readEntries(spark, m, touchedEntries)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
+    // schema evolution first: a batch-added column needs its physical
+    // name allocated BEFORE the write (fresh if its name is retired)
+    val newSchema = evolveSchema(m.schema, updates.schema)
+    val newColMap = m.colMap ++ allocPhysical(m,
+      newSchema.fieldNames.filterNot(m.schema.fieldNames.contains).toSeq,
+      readVersion + 1)
     // a CLUSTERED table's rewrite re-routes every row to its hash
     // bucket, so the part-number→bucket mapping (and the exchange-free
     // join it serves) SURVIVES the merge; only touched buckets produce
@@ -964,15 +1074,15 @@ object LakeTable {
       if (m.clusterBuckets > 0)
         survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
       else survivors,
-      rewriteDir, m.parts)
-    val newSchema = evolveSchema(m.schema, updates.schema)
+      rewriteDir, m.parts, newColMap)
     testInterleave()
     val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts,
       m.clusterBuckets > 0)
     // churn record: removed = the touched files, added = the rewrite —
     // O(batch-touched files) metadata, never the carried 99.99%
     commitDelta(path, Manifest(readVersion + 1, "merge", m.keys, newSchema.toDDL,
-      carried ++ added, m.parts, m.clusterBuckets), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets, newColMap, m.retired),
+      touchedEntries.map(_.path), added)
     readVersion + 1
   }
 
@@ -1102,12 +1212,13 @@ object LakeTable {
           if (m.clusterBuckets > 0)
             survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
           else survivors,
-          rewriteDir, m.parts)
+          rewriteDir, m.parts, m.colMap)
         entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts, m.clusterBuckets > 0)
       }
     // a no-op delete still commits — an EMPTY churn record (idempotent replays)
     commitDelta(path, Manifest(current + 1, "delete", m.keys, m.schemaDdl,
-      carried ++ added, m.parts, m.clusterBuckets), touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets, m.colMap, m.retired),
+      touchedEntries.map(_.path), added)
     current + 1
   }
 
@@ -1146,7 +1257,8 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts, m.clusterBuckets), flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired),
+      flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -1171,7 +1283,8 @@ object LakeTable {
     newParts.foreach(c => require(m.schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the schema"))
     commitDelta(path, Manifest(current + 1, "evolve-partitioning",
-      m.keys, m.schemaDdl, m.files, newParts), Seq.empty, Seq.empty)
+      m.keys, m.schemaDdl, m.files, newParts, 0, m.colMap, m.retired),
+      Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1193,8 +1306,74 @@ object LakeTable {
       s"LakeTable: column ${f.name} already exists"))
     val evolved = StructType(m.schema.fields ++
       newCols.map(f => StructField(f.name, f.dataType, nullable = true)))
+    // re-adding a DROPPED name allocates a fresh physical — the retired
+    // files' stale data must never resurrect under the new column
+    val newColMap = m.colMap ++ allocPhysical(m, newCols.map(_.name), current + 1)
     commitDelta(path, Manifest(current + 1, "add-columns", m.keys,
-      evolved.toDDL, m.files, m.parts, m.clusterBuckets), Seq.empty, Seq.empty)
+      evolved.toDDL, m.files, m.parts, m.clusterBuckets, newColMap, m.retired),
+      Seq.empty, Seq.empty)
+    current + 1
+  }
+
+  /** SQL `ALTER TABLE RENAME COLUMN` (r17 — VERDICT r16 ask #3): a
+    * HEADER-ONLY commit via column mapping — the logical name changes in
+    * the manifest schema, the stable physical name stays on every data
+    * file and footer stat, zero bytes move. As-of reads keep the names
+    * their version committed with. Merge-identity and partition columns
+    * refuse (identity classifies every keyed write and sidecar;
+    * partition names are baked into directory paths) — rename around
+    * them with DELETE + re-create, the same convention as UPDATE's key
+    * reassignment refusal. */
+  def renameColumn(path: String, from: String, to: String): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot alter missing table at $path")
+    val m = manifest(path, current)
+    require(m.schema.fieldNames.contains(from),
+      s"LakeTable: column $from does not exist")
+    require(!m.schema.fieldNames.contains(to),
+      s"LakeTable: column $to already exists")
+    require(!m.keys.contains(from),
+      s"LakeTable: cannot rename merge-identity column $from — identity " +
+        "classifies every keyed write and DV sidecar")
+    require(!m.parts.contains(from),
+      s"LakeTable: cannot rename partition column $from — the name is " +
+        "baked into the directory layout")
+    val physName = m.phys(from)
+    val newSchema = StructType(m.schema.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    // renaming BACK to the physical name heals that entry to identity
+    val newColMap = (m.colMap - from) ++
+      (if (physName == to) Map.empty[String, String] else Map(to -> physName))
+    commitDelta(path, Manifest(current + 1, s"rename-column:$from->$to",
+      m.keys, newSchema.toDDL, m.files, m.parts, m.clusterBuckets,
+      newColMap, m.retired), Seq.empty, Seq.empty)
+    current + 1
+  }
+
+  /** SQL `ALTER TABLE DROP COLUMN` (r17 — VERDICT r16 ask #3): a
+    * HEADER-ONLY commit — the column leaves the manifest schema, its
+    * physical name joins the RETIRED list (so a later re-ADD of the
+    * same name gets a fresh physical and the dropped data never
+    * resurrects), and the data files keep carrying the bytes until the
+    * next full rewrite (compact/overwrite) ages them out. As-of reads
+    * of earlier versions still see the column. Identity and partition
+    * columns refuse, as does dropping the last column. */
+  def dropColumn(path: String, name: String): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot alter missing table at $path")
+    val m = manifest(path, current)
+    require(m.schema.fieldNames.contains(name),
+      s"LakeTable: column $name does not exist")
+    require(!m.keys.contains(name),
+      s"LakeTable: cannot drop merge-identity column $name")
+    require(!m.parts.contains(name),
+      s"LakeTable: cannot drop partition column $name")
+    require(m.schema.length > 1, "LakeTable: cannot drop the last column")
+    val newSchema = StructType(m.schema.filterNot(_.name == name))
+    commitDelta(path, Manifest(current + 1, s"drop-column:$name", m.keys,
+      newSchema.toDDL, m.files, m.parts, m.clusterBuckets,
+      m.colMap - name, (m.retired :+ m.phys(name)).distinct),
+      Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1323,8 +1502,11 @@ object LakeTable {
           s"at v$toV — schema diff across a column REMOVAL has no single-" +
           "schema reading; project the earlier version first")
     }
-    // before-slice rows read with the target schema (missing → null)
-    val mfAtTarget = mf.copy(schemaDdl = mt.schemaDdl)
+    // before-slice rows read with the target schema (missing → null) —
+    // and the target's COLUMN MAPPING: an added-then-remapped column
+    // must resolve to its fresh physical (old files read null), never
+    // to a retired physical's stale bytes
+    val mfAtTarget = mf.copy(schemaDdl = mt.schemaDdl, colMap = mt.colMap)
     // churn = entries NOT carried identically (path + sidecar set) —
     // the manifest diff that bounds the scan
     val fromByPath = mf.files.map(e => e.path -> e).toMap

@@ -1003,8 +1003,13 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.manifestFiles(s"$root/t",
       LakeTable.latestVersion(s"$root/t")) == preAlter,
       "ALTER ADD COLUMN must not move a byte of data")
+    // DROP COLUMN is header-only since r17 (column mapping); identity
+    // columns still refuse
+    spark.sql("ALTER TABLE graft_cat_spec.t DROP COLUMN x")
+    assert(spark.sql("SELECT * FROM graft_cat_spec.t").columns.toSeq ==
+      Seq("k", "s", "v"))
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat_spec.t DROP COLUMN x")
+      spark.sql("ALTER TABLE graft_cat_spec.t DROP COLUMN k")
     }
     // SHOW TABLES sees it — and everything listed RESOLVES: a stray
     // _log FILE or an empty _log dir (crashed pre-v1 create) must not
@@ -1463,6 +1468,140 @@ class LakeTableSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graft_cdv.a a JOIN graft_cdv.b b " +
         "ON a.k = b.k").head().getLong(0) == 985)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+  }
+
+  test("column mapping: RENAME/DROP COLUMN are header-only; retired names never resurrect") {
+    import spark.implicits._
+    val root = freshPath("colmap")
+    spark.conf.set("spark.sql.catalog.graft_cm",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cm.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_cm.t")
+    spark.sql("CREATE TABLE graft_cm.t (k BIGINT, a STRING, b BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 100L).map(k => (k, s"a$k", k * 2)).toDF("k", "a", "b")
+      .createOrReplaceTempView("cm_src")
+    spark.sql("INSERT INTO graft_cm.t SELECT * FROM cm_src")
+    val p = s"$root/t"
+    val files2 = LakeTable.manifestFiles(p, 2).toSet
+    // RENAME: header-only — the file list is bit-identical
+    spark.sql("ALTER TABLE graft_cm.t RENAME COLUMN a TO alpha")
+    assert(LakeTable.manifestFiles(p, 3).toSet == files2,
+      "RENAME COLUMN must move zero data files")
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 5")
+      .head().getString(0) == "a5")
+    intercept[Exception] { spark.sql("SELECT a FROM graft_cm.t").collect() }
+    // as-of reads keep their version's names
+    assert(spark.read.format("graftlake").option("versionAsOf", "2").load(p)
+      .select("a").count() == 100)
+    // writes after the rename keep merging under the stable physical
+    spark.sql("INSERT INTO graft_cm.t VALUES (5, 'upd', 10)")
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 5")
+      .head().getString(0) == "upd")
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t").head().getLong(0) == 100)
+    // stats pruning still bites on the renamed column's physical stats
+    // (merge-identity k is unmapped, but the residual read is via alpha)
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 50")
+      .head().getString(0) == "a50")
+    // DROP: header-only; the column leaves the schema, data files stay
+    val vBeforeDrop = LakeTable.latestVersion(p)
+    spark.sql("ALTER TABLE graft_cm.t DROP COLUMN b")
+    assert(LakeTable.manifestFiles(p, vBeforeDrop + 1).toSet ==
+      LakeTable.manifestFiles(p, vBeforeDrop).toSet,
+      "DROP COLUMN must move zero data files")
+    intercept[Exception] { spark.sql("SELECT b FROM graft_cm.t").collect() }
+    assert(spark.read.format("graftlake").option("versionAsOf", "2").load(p)
+      .select("b").agg(sum("b")).head().getLong(0) == (1L to 100L).map(_ * 2).sum)
+    // RE-ADD of the dropped name: fresh physical — the old b bytes MUST
+    // NOT resurrect (every pre-add row reads null)
+    spark.sql("ALTER TABLE graft_cm.t ADD COLUMN b BIGINT")
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
+      .head().getLong(0) == 0,
+      "dropped column data resurrected under a re-added name")
+    spark.sql("INSERT INTO graft_cm.t VALUES (7, 'seven', 777)")
+    assert(spark.sql("SELECT b FROM graft_cm.t WHERE k = 7").head().getLong(0) == 777)
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
+      .head().getLong(0) == 1)
+    // V1 read path agrees with the V2/SQL one
+    val v1row = LakeTable.read(spark, p).filter(col("k") === 7L)
+      .select("alpha", "b").head()
+    assert(v1row.getString(0) == "seven" && v1row.getLong(1) == 777L)
+    // refusals: identity/partition columns and retypes stay loud
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cm.t RENAME COLUMN k TO kk") }
+    assert(e1.getMessage.contains("identity"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cm.t DROP COLUMN k") }
+    assert(e2.getMessage.contains("identity"))
+    // retype refuses loudly (ours or Spark's own V2 refusal — both loud)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cm.t ALTER COLUMN alpha TYPE BIGINT") }
+    assert(e3.getMessage != null && e3.getMessage.nonEmpty)
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 7")
+      .head().getString(0) == "seven", "a refused retype must not corrupt reads")
+    // compact HEALS the mapping: files rewritten under current logical
+    // names, identity map, pure columnar V2 again — and rows identical
+    spark.sql("CALL graft_cm.system.compact(`table` => 't', target_files => 2)")
+    val mHealed = LakeTable.manifest(p, LakeTable.latestVersion(p))
+    assert(mHealed.colMap.isEmpty && mHealed.retired.isEmpty,
+      "compact must heal the column mapping to identity")
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 7")
+      .head().getString(0) == "seven")
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
+      .head().getLong(0) == 1)
+    // drop + re-add AFTER the heal: the healed files carry real `b`
+    // bytes (k=7 -> 777), so the retire/fresh-physical cycle must again
+    // keep them from resurrecting
+    spark.sql("ALTER TABLE graft_cm.t DROP COLUMN b")
+    spark.sql("ALTER TABLE graft_cm.t ADD COLUMN b BIGINT")
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
+      .head().getLong(0) == 0,
+      "healed-file column data resurrected after drop + re-add")
+  }
+
+  test("convert: an existing Hive-partitioned parquet dir becomes a lake table in place") {
+    import spark.implicits._
+    val root = freshPath("convert")
+    spark.conf.set("spark.sql.catalog.graft_cv",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cv.warehouse", root)
+    val p = s"$root/conv_t"
+    // the pre-existing corpus: plain partitioned parquet, no lake
+    (1L to 200L).map(k => (k, k % 4, s"v$k")).toDF("k", "d", "s")
+      .write.partitionBy("d").parquet(p)
+    val pre = graft.sources.LakeIo.leafParquet(p)
+      .map(graft.sources.LakeIo.normKey).toSet
+    // conversion through the SQL surface
+    val v = spark.sql("CALL graft_cv.system.convert(`table` => 'conv_t', " +
+      "keys => 'k')").head().getInt(0)
+    assert(v == 1)
+    assert(LakeTable.manifestFiles(p, 1)
+      .map(graft.sources.LakeIo.normKey).toSet == pre,
+      "convert must reference the pre-existing files in place")
+    val m = LakeTable.manifest(p, 1)
+    assert(m.parts == Seq("d"), s"partition dirs must lift, got ${m.parts}")
+    // reads: full, partition-filtered, and through the catalog SQL
+    assert(LakeTable.read(spark, p).count() == 200)
+    assert(spark.sql("SELECT count(*) FROM graft_cv.conv_t WHERE d = 2")
+      .head().getLong(0) == 50)
+    // lifted partition values prune as exact-range stats
+    val (kept, total) = LakeTable.prunedEntries(p, 1, "d", 2L, 2L)
+    assert(total >= 4 && kept.size * 2 <= total,
+      s"partition-lifted stats should prune (kept ${kept.size}/$total)")
+    // the converted table is a full citizen: keyed merge + time travel
+    // directory inference typed `d` as INT — the merge batch must match
+    LakeTable.merge(spark, p,
+      Seq((5L, (5L % 4).toInt, "upd")).toDF("k", "d", "s"), Seq("k"))
+    assert(LakeTable.read(spark, p).filter(col("k") === 5L)
+      .select("s").head().getString(0) == "upd")
+    assert(LakeTable.read(spark, p, Some(1)).filter(col("k") === 5L)
+      .select("s").head().getString(0) == "v5",
+      "as-of v1 must still read the raw corpus")
+    // converting an existing lake table refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.convert(spark, p, Seq("k"))
+    }
+    assert(e.getMessage.contains("already"))
   }
 
   test("CTAS through the catalog; DESCRIBE/SHOW TBLPROPERTIES render honest metadata") {
