@@ -650,6 +650,18 @@ object MergeOps {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     require(ops == Seq((1, "create"), (2, "merge"), (3, "merge"), (4, "compact")),
       s"lake_sql_call: history reported $ops")
+    // the same facts as SQL RELATIONS (r17 — VERDICT r16 ask #8, the
+    // Iceberg metadata-table shape): `SELECT FROM <t>.history/.files`
+    // reads the manifest only — BI tools speak SELECT, not CALL
+    val metaOps = spark.sql(
+      s"SELECT version, op FROM $cat.orders_t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    require(metaOps == ops,
+      s"lake_sql_call: the history metadata TABLE diverged from CALL ($metaOps)")
+    val metaFiles = spark.sql(s"SELECT path FROM $cat.orders_t.files")
+      .collect().map(_.getString(0)).toSet
+    require(metaFiles == LakeTable.manifestFiles(s"$root/orders_t", 4).toSet,
+      "lake_sql_call: the files metadata table diverged from the manifest")
     spark.sql(s"SELECT o_orderkey, o_orderstatus FROM $cat.orders_t " +
       "ORDER BY o_orderkey")
   }

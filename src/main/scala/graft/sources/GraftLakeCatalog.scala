@@ -71,8 +71,18 @@ class GraftLakeCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     val v = LakeTable.latestVersion(p)
-    if (v == 0) throw new NoSuchTableException(ident)
-    new GraftLakeCatalogTable(SparkSession.active, p, v)
+    if (v > 0) return new GraftLakeCatalogTable(SparkSession.active, p, v)
+    // METADATA TABLES (r17): `SELECT * FROM cat.t.history / cat.t.files`
+    // arrives as Identifier(namespace=[...t], name=history|files); when
+    // the namespace itself is a lake table, serve the manifest-backed
+    // relation (zero data I/O). A real table at the full path wins above.
+    val meta = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace().nonEmpty && GraftLakeMetadataTable.names(meta)) {
+      val parent = (warehouse +: ident.namespace().toSeq).mkString("/")
+      if (LakeTable.latestVersion(parent) > 0)
+        return new GraftLakeMetadataTable(parent, meta)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel — `SELECT ... FROM cat.t VERSION AS OF 3`. */

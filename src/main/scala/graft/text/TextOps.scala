@@ -1049,25 +1049,17 @@ object TextOps {
     val sketchBytes = toks
       .agg(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
       .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    // The ONE deliberate UDF in the repo. Spark ships a native codegen'd
-    // probe for bloom filters (`BloomFilterMightContain`, paired with
-    // `bloom_filter_agg` — the dedup_bloom_probe path) but has NO
-    // CMS-probe expression: `count_min_sketch` exists only as the
-    // BUILD-side aggregate, and `CountMinSketch.estimateCount` is a
-    // JVM-object method with no Catalyst counterpart (SPARK-16283 added
-    // the agg, never a scalar probe). A custom Expression wrapping the
-    // sketch would still hold the same driver-built object and row-wise
-    // virtual call — codegen could not fuse the hash loop any tighter
-    // than the UDF could — so the UDF is the honest minimum here, riding a
-    // 20-row driver-bounded frame, never the corpus.
-    val probe = udf((s: String) => cms.estimateCount(s))
+    // the probe rides the native codegen'd CmsEstimate expression over
+    // the sketch's serialized form (r17 — the repo's last UDF retired;
+    // Spark ships the CMS aggregate but no scalar probe, SPARK-16283)
+    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CmsEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("w")), sketchBytes))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
     val totalDf = counts.agg(sum("exact_n").as("__n_total"))
     counts.orderBy(col("exact_n").desc, col("w")).limit(20)
       .crossJoin(broadcast(totalDf))
-      .withColumn("__est", probe(col("w")))
+      .withColumn("__est", probe)
       .select(col("w"), col("exact_n"),
         (col("__est") >= col("exact_n") &&
           col("__est") <= col("exact_n") + ceil(col("__n_total") * 0.001))

@@ -1559,6 +1559,103 @@ class LakeTableSpec extends SparkSpec {
       "healed-file column data resurrected after drop + re-add")
   }
 
+  test("SPJ x skew: partially-clustered distribution splits a multi-file bucket, zero Exchange") {
+    import spark.implicits._
+    val root = freshPath("spjskew")
+    spark.conf.set("spark.sql.catalog.graft_sk",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_sk.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_sk.f")
+    spark.sql("DROP TABLE IF EXISTS graft_sk.d")
+    spark.sql("CREATE TABLE graft_sk.f (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='4')")
+    spark.sql("CREATE TABLE graft_sk.d (k BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='4')")
+    (1L to 4000L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("sk_f")
+    (1L to 4000L).map(k => (k, k * 7)).toDF("k", "w").createOrReplaceTempView("sk_d")
+    // three commits give each FACT bucket several files (a real ingest's
+    // shape — the skewed side); the dim stays one file per bucket
+    spark.sql("INSERT INTO graft_sk.f SELECT * FROM sk_f")
+    spark.sql("INSERT INTO graft_sk.f SELECT k + 4000, v FROM sk_f")
+    spark.sql("INSERT INTO graft_sk.f SELECT k + 8000, v FROM sk_f")
+    spark.sql("INSERT INTO graft_sk.d SELECT * FROM sk_d")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def join = spark.sql(
+        "SELECT f.k, f.v, d.w FROM graft_sk.f f JOIN graft_sk.d d ON f.k = d.k")
+      val expect = (1L to 4000L).map(k => (k, k, k * 7)).toSet
+      // default: fully-grouped SPJ — one task per bucket, zero Exchange
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+      val j1 = join
+      assert(!j1.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(j1.rdd.getNumPartitions == 4,
+        "grouped SPJ should plan one partition per bucket")
+      assert(j1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        == expect)
+      // partially-clustered: the bigger (multi-file) side KEEPS its
+      // per-file splits — a hot bucket no longer serializes into one
+      // task — while the join still plans with ZERO Exchange
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val j2 = join
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "partially-clustered SPJ must stay exchange-free")
+      assert(j2.rdd.getNumPartitions > 4,
+        s"partially-clustered SPJ should keep the skewed side split, " +
+          s"got ${j2.rdd.getNumPartitions} partitions")
+      assert(j2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        == expect, "partially-clustered SPJ lost or duplicated rows")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+    }
+  }
+
+  test("metadata tables: SELECT from <t>.history and <t>.files reads the manifest, zero data I/O") {
+    import spark.implicits._
+    val root = freshPath("metatbl")
+    spark.conf.set("spark.sql.catalog.graft_mt",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_mt.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_mt.t")
+    spark.sql("CREATE TABLE graft_mt.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v").createOrReplaceTempView("mt_src")
+    spark.sql("INSERT INTO graft_mt.t SELECT * FROM mt_src")
+    spark.sql("DELETE FROM graft_mt.t WHERE k > 90") // DV commit
+    // history: one row per version, ops in order, joinable/filterable
+    val hist = spark.sql(
+      "SELECT version, op, n_files, n_dvs FROM graft_mt.t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(hist.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(hist(0)._2 == "create" && hist(1)._2 == "merge")
+    assert(hist(2)._4 > 0, "the DV commit must report its sidecars")
+    // committed_at is the TIMESTAMP-AS-OF clock, monotone over versions
+    val times = spark.sql(
+      "SELECT committed_at FROM graft_mt.t.history ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(times.sliding(2).forall(w => w(0) <= w(1)))
+    // files: one row per current-snapshot entry, matching the manifest
+    val m = LakeTable.manifest(s"$root/t", 3)
+    val files = spark.sql(
+      "SELECT path, n_dvs FROM graft_mt.t.files ORDER BY path").collect()
+    assert(files.length == m.files.size)
+    assert(files.map(_.getString(0)).toSet == m.files.map(_.path).toSet)
+    assert(files.map(_.getInt(1)).sum == m.files.map(_.dvs.size).sum)
+    // the relations are real SQL citizens: aggregate over history
+    assert(spark.sql("SELECT max(n_files) FROM graft_mt.t.history")
+      .head().getInt(0) == m.files.size)
+    // a missing parent still refuses loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_mt.nosuch.history").collect()
+    }
+  }
+
   test("convert: an existing Hive-partitioned parquet dir becomes a lake table in place") {
     import spark.implicits._
     val root = freshPath("convert")

@@ -1050,6 +1050,47 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 0, 3L -> 0))
   }
 
+  test("cms_estimate: native probe bit-identical to CountMinSketch.estimateCount; null and codegen") {
+    import spark.implicits._
+    // build a small sketch the same way the entry does
+    val words = (1L to 500L).map(k => s"w${k % 37}") ++ Seq.fill(200)("hot")
+    val toks = words.toDF("w")
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    // differential: the expression's estimate == the driver-side call,
+    // for present keys, absent keys, and a NULL input (null propagates)
+    val probeKeys = ((0L to 36L).map(k => s"w$k") ++
+      Seq("hot", "never-seen", "w999")).map(Option(_)) :+ None
+    val got = probeKeys.toDF("w").select(col("w"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CmsEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("w")),
+        sketchBytes)).as("est")).collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "NULL input must estimate NULL")
+      else assert(r.getLong(1) == cms.estimateCount(r.getString(0)),
+        s"divergence for key ${r.getString(0)}")
+    }
+    // the probe stays inside whole-stage codegen (no UDF hop) — over a
+    // distributed frame (a LocalRelation would constant-fold the plan)
+    val dist = spark.range(0, 100).select(
+      concat(lit("w"), (col("id") % 37).cast("string")).as("w"))
+    val distProbe = dist.select(col("w"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CmsEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("w")),
+        sketchBytes)).as("est"))
+    val plan = distProbe.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the whole-stage-codegen marker in the
+    // executed plan's rendering
+    assert(plan.contains("*(1) Project") && plan.contains("cms_estimate"),
+      s"probe fell out of codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+    distProbe.collect().foreach(r =>
+      assert(r.getLong(1) == cms.estimateCount(r.getString(0))))
+  }
+
   test("ws tokenizer: native kernels bit-identical to the regex form, codegen'd, SQL-callable") {
     import graft.functions.GraftFunctions
     // corpus-wide differential: tokens AND count vs split(trim, "\\s+")
