@@ -303,7 +303,27 @@ object GraftLakeSource {
     * envelope never could. The per-value pass is driver-side O(files ×
     * values); past the cap it degrades to the envelope interval — still
     * sound, just coarser. Unsupported shapes keep the file. */
-  private val RuntimeInValuesCap = 10000
+  private[graft] val RuntimeInValuesCap = 10000
+
+  /** The hash bucket a SINGLE-key value routes to under the clustered
+    * layout (`pmod(murmur3(catalyst(v), 42), n)` — the exact
+    * HashPartitioning chain every clustered write uses). None when the
+    * value cannot convert or hash — callers must keep the file
+    * (conservative, never a wrong prune). */
+  private[graft] def valueBucket(v: Any,
+      dt: org.apache.spark.sql.types.DataType, n: Int): Option[Int] =
+    try {
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)
+      if (cat == null) None
+      else {
+        val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(cat, dt, 42L)
+        val r = h.toInt % n
+        Some(if (r < 0) r + n else r)
+      }
+    } catch { case _: Exception => None }
+
   private[graft] def runtimeMatches(e: LakeTable.FileEntry, f: Filter,
       phys: String => String): Boolean =
     f match {
@@ -586,8 +606,20 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       // (conservative: plain scan, Spark shuffles as usual).
       if (m.clusterBuckets > 0 && partKeys.isEmpty && kept.nonEmpty &&
           kept.forall(_.bucket >= 0))
+        // the clustered scan takes runtime filters too (r17): files
+        // prune inside buckets (per-value stats + the value-bucket hash
+        // tier for single-key clusterings), while emptied buckets keep
+        // an empty partition so the reported KeyGroupedPartitioning —
+        // and any storage-partitioned join planned on it — survives
         new GraftLakeClusteredScan(scan, m.clusterBuckets, m.keys,
-          kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap)
+          kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap,
+          Some(GraftLakeClusteredScan.RuntimeCtx(path, kept,
+            required.fieldNames.toSeq, m.phys,
+            if (m.keys.size == 1)
+              Some(m.schema(m.schema.fieldIndex(m.keys.head)).dataType)
+            else None,
+            allowed => parquetScan(kept.filter(e =>
+              allowed(LakeIo.normKey(e.path))), partKeys)._1)))
       // otherwise the scan accepts RUNTIME filters too (DPP / runtime
       // bloom): a dimension filter's join-key values, delivered at
       // execution time, re-prune the manifest entries the STATIC
@@ -993,16 +1025,60 @@ private[graft] class GraftLakeBucketPartition(idx: Int,
   * its reader factory reads them columnar as ever. */
 private[graft] class GraftLakeClusteredScan(
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    nBuckets: Int, keyNames: Seq[String], bucketByPath: Map[String, Int])
+    nBuckets: Int, keyNames: Seq[String], bucketByPath: Map[String, Int],
+    runtime: Option[GraftLakeClusteredScan.RuntimeCtx] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var current = delegate
+  @volatile private var runtimeFiltered = false
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
     s"graftlake clustered scan bucket($nBuckets, ${keyNames.mkString(", ")})"
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     delegate.estimateStatistics()
+
+  /** RUNTIME filtering on the CLUSTERED scan (r17): the partition-value
+    * SET must survive filtering exactly (BatchScanExec verifies a
+    * KeyGroupedPartitioning's values after the filter — a dropped
+    * bucket would break SPJ alignment), so pruning here removes FILES
+    * while keeping one EMPTY partition for any bucket that lost all of
+    * them. Two pruning tiers per DPP `In` batch: per-value manifest
+    * stats (like the plain runtime scan), and — for a single-key
+    * clustering — the VALUE-BUCKET tier: a file in bucket b survives
+    * only if SOME runtime value hashes to b, which turns a key-list
+    * dimension join into a reads-only-matching-buckets fact scan. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    runtime.map(_.columns.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+      .getOrElse(Array.empty)
+
+  override def filter(filters: Array[Filter]): Unit = runtime.foreach { ctx =>
+    def bucketAlive(e: LakeTable.FileEntry, f: Filter): Boolean = f match {
+      case In(c, vs) if keyNames == Seq(c) && ctx.keyType.isDefined &&
+          vs.nonEmpty && vs.forall(_ != null) &&
+          vs.length <= GraftLakeSource.RuntimeInValuesCap =>
+        val bs = vs.flatMap(v =>
+          GraftLakeSource.valueBucket(v, ctx.keyType.get, nBuckets))
+        // any value that failed to hash keeps everything (conservative)
+        if (bs.length != vs.length) true else bs.contains(e.bucket)
+      case _ => true
+    }
+    val kept = ctx.statically.filter(e =>
+      filters.forall(f => GraftLakeSource.runtimeMatches(e, f, ctx.phys) &&
+        bucketAlive(e, f)))
+    GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
+      ctx.statically.size)
+    if (kept.size < ctx.statically.size) {
+      val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet
+      current = ctx.rebuild(allowed)
+      runtimeFiltered = true
+    }
+  }
 
   /** One partition per (delegate FilePartition × bucket), each carrying
     * its bucket as the partition key (file splits of the same file
@@ -1014,11 +1090,12 @@ private[graft] class GraftLakeClusteredScan(
     * side's, so a skewed bucket no longer serializes into one task
     * (r17 — VERDICT r16 ask #5). Pre-grouping here (one partition per
     * bucket, the r16 shape) foreclosed that. */
-  private lazy val bucketPartitions
-      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val fps = delegate.toBatch.planInputPartitions()
+  private def partitionsOf(
+      scan: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+      padTo: Seq[Int]): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val fps = scan.toBatch.planInputPartitions()
       .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
-    fps.flatMap { fp =>
+    val real = fps.flatMap { fp =>
       fp.files.groupBy { f =>
         // PartitionedFile renders a URI-encoded path; the manifest map
         // is keyed by the raw name
@@ -1028,11 +1105,26 @@ private[graft] class GraftLakeClusteredScan(
           s"mapping (${files.head.filePath}) — manifest and plan disagree")
         (b, files)
       }
-    }.sortBy(_._1).zipWithIndex.map { case ((b, files), i) =>
+    }
+    // padding: a runtime-filtered plan keeps one EMPTY partition for any
+    // bucket the filter emptied, so the partition-value set (and with it
+    // the reported KeyGroupedPartitioning) survives exactly
+    val present = real.map(_._1).toSet
+    val padded = real ++ padTo.filterNot(present).map(b =>
+      (b, Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]))
+    padded.sortBy(_._1).zipWithIndex.map { case ((b, files), i) =>
       new GraftLakeBucketPartition(i, files, b)
         : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
   }
+
+  private lazy val bucketPartitions
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    partitionsOf(delegate, Seq.empty)
+
+  private lazy val originalBuckets: Seq[Int] = bucketPartitions.map {
+    case p: GraftLakeBucketPartition => p.partitionKey().getInt(0)
+  }.toSeq.distinct
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -1045,11 +1137,28 @@ private[graft] class GraftLakeClusteredScan(
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
-        bucketPartitions
+        if (runtimeFiltered) partitionsOf(current, originalBuckets)
+        else bucketPartitions
+      // always the ORIGINAL scan's factory — BatchScanExec resolves it
+      // from the pre-filter batch (the GraftLakeRuntimeScan contract)
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         delegate.toBatch.createReaderFactory()
     }
+}
+
+private[graft] object GraftLakeClusteredScan {
+  /** What runtime filtering needs beyond the static scan: the
+    * statically-kept entries to re-prune, the PRUNED relation columns
+    * (filterAttributes must resolve against them), the physical-name
+    * map, the single clustering key's type (None for composite keys —
+    * the value-bucket tier then stays off), and the delegate rebuild. */
+  final case class RuntimeCtx(path: String,
+      statically: Seq[LakeTable.FileEntry], columns: Seq[String],
+      phys: String => String,
+      keyType: Option[org.apache.spark.sql.types.DataType],
+      rebuild: (String => Boolean) =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
 }
 
 /** An input partition tagged with its composite group. */

@@ -1559,6 +1559,50 @@ class LakeTableSpec extends SparkSpec {
       "healed-file column data resurrected after drop + re-add")
   }
 
+  test("runtime filtering on the CLUSTERED scan: value-bucket pruning, partitioning preserved") {
+    import spark.implicits._
+    val root = freshPath("rtclu")
+    spark.conf.set("spark.sql.catalog.graft_rc",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_rc.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_rc.f")
+    spark.sql("CREATE TABLE graft_rc.f (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k', 'cluster_buckets'='8')")
+    (1L to 20000L).map(k => (k, k % 97)).toDF("k", "v")
+      .createOrReplaceTempView("rc_src")
+    spark.sql("INSERT INTO graft_rc.f SELECT * FROM rc_src")
+    // parquet dim (a LocalRelation's filter constant-folds; DPP needs a
+    // real scan): 3 hot keys, scattered
+    Seq((3L, "hot"), (1003L, "hot"), (7777L, "hot"), (15000L, "cold"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("rc_dim")
+    val fact = s"$root/f"
+    def run(): Long = {
+      val q = spark.sql("SELECT sum(f.v) AS s FROM graft_rc.f f " +
+        "JOIN rc_dim d ON f.k = d.dk WHERE d.tag = 'hot'")
+      val got = q.collect()(0).getLong(0)
+      assert(q.queryExecution.executedPlan.toString.toLowerCase
+        .contains("dynamicpruning"), "DPP did not reach the clustered scan")
+      got
+    }
+    assert(run() == Seq(3L, 1003L, 7777L).map(_ % 97).sum)
+    val (kept, total) = graft.sources.GraftLakeSource.lastPrune(s"$fact@runtime")
+    // 3 values hash to <= 3 of 8 buckets: the value-bucket tier must
+    // prune at least the other 5 buckets' files
+    assert(total == 8 && kept <= 3,
+      s"value-bucket runtime pruning too weak (kept $kept/$total)")
+    // the same join with v2 bucketing ON: the reported partitioning
+    // must survive runtime filtering (emptied buckets keep an empty
+    // partition), and the result stays exact
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      assert(run() == Seq(3L, 1003L, 7777L).map(_ % 97).sum,
+        "runtime filtering under v2 bucketing lost rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("SPJ x skew: partially-clustered distribution splits a multi-file bucket, zero Exchange") {
     import spark.implicits._
     val root = freshPath("spjskew")
