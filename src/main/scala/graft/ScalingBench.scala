@@ -305,6 +305,14 @@ object ScalingBench {
     // box scan resp. the exchange-free join as the served term
     "lake_sql_alter", "lake_merge_row", "lake_zorder_call",
     "lake_cluster_join", "lake_sql_ctas",
+    // r17: runtime_prune pays the k-fold range build; the gated JOIN's
+    // fact scan is runtime-pruned to the FIXED 20-key dim, so the
+    // served term must flatten while the build scales. column_map's
+    // three ALTERs are header-only atop the k-fold build + a k-fold
+    // matched-class upsert (the merge_into honesty note). convert's
+    // in-place registration is footer-metadata-only atop the k-fold
+    // plain-parquet write, then a k-fold-class CoW merge + O(keys) DV
+    "lake_runtime_prune", "lake_column_map", "lake_convert",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so
