@@ -184,7 +184,9 @@ object Bench {
     // recorded in `reps` and the row named in `adjudicated`. Sub-second
     // standings skip (2x of 0.3 s is scheduler noise, the documented
     // subset-protocol effect): the gate is 2x AND +0.5 s absolute.
-    def repoRootEarly: java.nio.file.Path = {
+    // ONE root-discovery helper for both the standing read (here) and
+    // the artifact write (below) — they must anchor at the same root
+    def repoRoot: java.nio.file.Path = {
       var p = java.nio.file.Paths.get("").toAbsolutePath
       while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
         p = p.getParent
@@ -192,7 +194,7 @@ object Bench {
     }
     val standing: Map[String, Double] =
       try {
-        val f = repoRootEarly.resolve("BENCH_LOCAL.json")
+        val f = repoRoot.resolve("BENCH_LOCAL.json")
         if (!java.nio.file.Files.exists(f)) Map.empty
         else {
           val txt = java.nio.file.Files.readString(f)
@@ -208,18 +210,30 @@ object Bench {
           t > 2 * s && t > s + 0.5) =>
         var best = t
         var extra = 0
+        var failures = 0
+        var firstErr: Option[String] = None
         while (extra < 3 && standing.get(name).exists(s =>
             best > 2 * s && best > s + 0.5)) {
           System.gc()
           val (t2, err2) = run(s"adjudicate:$name", SparkEntry.queries(name))
           extra += 1
-          if (err2.isEmpty && t2 < best) best = t2
+          if (err2.isEmpty) { if (t2 < best) best = t2 }
+          else { failures += 1; if (firstErr.isEmpty) firstErr = err2 }
         }
         repCounts(name) = repCounts.getOrElse(name, 0) + extra
         adjudicatedNames += name
         System.err.println(f"[bench] $name adjudicated vs standing " +
-          f"${standing(name)}%.2f: $t%.2f -> $best%.2f s (+$extra reps)")
-        (name, best, None: Option[Issue])
+          f"${standing(name)}%.2f: $t%.2f -> $best%.2f s " +
+          f"(+$extra reps, $failures failed)")
+        // a row whose ADJUDICATION reps failed must not publish as
+        // clean (review r17-2 #3): the protocol exists to surface
+        // instability, not to launder it — every-rep-failed rows carry
+        // the error as Flaky even though the in-suite min was valid
+        val issue =
+          if (failures == extra && extra > 0) firstErr.map(e =>
+            Flaky(s"all $extra adjudication reps failed: $e"): Issue)
+          else None
+        (name, best, issue)
       case r => r
     }
     val (stdoutLine, compactLine, line) =
@@ -240,12 +254,7 @@ object Bench {
     // (nearest ancestor with build.sbt) rather than the raw CWD. A subset
     // run (SPARK_GRAFT_ONLY) must NEVER clobber the full-suite artifact —
     // route it via SPARK_GRAFT_BENCH_OUT or it is simply not persisted.
-    def repoRoot: java.nio.file.Path = {
-      var p = java.nio.file.Paths.get("").toAbsolutePath
-      while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
-        p = p.getParent
-      if (p == null) java.nio.file.Paths.get("").toAbsolutePath else p
-    }
+    // (repoRoot is the shared helper defined above the standing read.)
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(java.nio.file.Paths.get(_))
       .orElse(if (only.isDefined) None else Some(repoRoot.resolve("BENCH_LOCAL.json")))
     out.foreach { o =>

@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage span instead of a UDF's encode/decode hop.
   * TextOpsSpec pins the differential identity against the direct
   * driver-side `estimateCount` call. */
-case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+case class CmsEstimate(child: Expression, sketchBytes: Seq[Byte])
     extends UnaryExpression {
+  // Seq[Byte], not Array[Byte]: case-class equality on an Array is
+  // reference identity, which would defeat Catalyst canonicalization /
+  // common-subexpression elimination for value-equal probes
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
@@ -35,7 +38,7 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
 
   @transient private lazy val cms: org.apache.spark.util.sketch.CountMinSketch =
     org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
+      new java.io.ByteArrayInputStream(sketchBytes.toArray))
 
   /** Point estimate for generated code. `estimateCount` hashes the
     * STRING form; UTF8String round-trips through toString exactly. */

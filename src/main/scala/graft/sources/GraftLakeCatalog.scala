@@ -152,32 +152,61 @@ class GraftLakeCatalog extends TableCatalog
           s"got ${fieldNames.mkString(".")}")
       fieldNames(0)
     }
-    val adds = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    changes.foreach {
+    // TWO PHASES (review r17-2 #1): a multi-change statement must not
+    // half-apply — an invalid later change after committed earlier ones
+    // would leave the table altered by a statement that reported
+    // failure. Phase 1 VALIDATES every change in statement order
+    // against a simulated schema (no commit); phase 2 applies, in the
+    // same order, only after the whole statement checked out. The
+    // window between phases is the same OCC window every multi-commit
+    // statement has — a racing writer surfaces loudly at commit.
+    val m0 = LakeTable.manifest(p, LakeTable.latestVersion(p))
+    var names = m0.schema.fieldNames.toSeq
+    def refuse(msg: String): Nothing = throw new UnsupportedOperationException(msg)
+    val planned: Seq[() => Unit] = changes.map {
       case a: TableChange.AddColumn =>
-        topLevel(a.fieldNames(), "ADD COLUMN")
-        if (a.position() != null) throw new UnsupportedOperationException(
+        val c = topLevel(a.fieldNames(), "ADD COLUMN")
+        if (a.position() != null) refuse(
           "graftlake catalog: ADD COLUMN FIRST/AFTER is not supported — " +
             "added columns append (the header-only evolution contract)")
-        if (!a.isNullable) throw new UnsupportedOperationException(
+        if (!a.isNullable) refuse(
           "graftlake catalog: added columns must be nullable — every " +
             "already-committed row reads them as null")
-        adds += StructField(a.fieldNames()(0), a.dataType(), nullable = true)
+        if (names.contains(c)) refuse(s"graftlake catalog: column $c already exists")
+        names = names :+ c
+        () => { LakeTable.addColumns(p,
+          Seq(StructField(c, a.dataType(), nullable = true))); () }
       case r: TableChange.RenameColumn =>
-        try LakeTable.renameColumn(p, topLevel(r.fieldNames(), "RENAME COLUMN"),
-          r.newName())
-        catch { case e: IllegalArgumentException =>
-          throw new UnsupportedOperationException(e.getMessage, e) }
+        val from = topLevel(r.fieldNames(), "RENAME COLUMN")
+        val to = r.newName()
+        if (!names.contains(from)) refuse(
+          s"graftlake catalog: column $from does not exist")
+        if (names.contains(to)) refuse(
+          s"graftlake catalog: column $to already exists")
+        if (m0.keys.contains(from)) refuse(
+          s"graftlake catalog: cannot rename merge-identity column $from")
+        if (m0.parts.contains(from)) refuse(
+          s"graftlake catalog: cannot rename partition column $from")
+        names = names.map(n => if (n == from) to else n)
+        () => { LakeTable.renameColumn(p, from, to); () }
       case d: TableChange.DeleteColumn =>
-        try LakeTable.dropColumn(p, topLevel(d.fieldNames(), "DROP COLUMN"))
-        catch { case e: IllegalArgumentException =>
-          throw new UnsupportedOperationException(e.getMessage, e) }
-      case other => throw new UnsupportedOperationException(
+        val c = topLevel(d.fieldNames(), "DROP COLUMN")
+        if (!names.contains(c)) refuse(
+          s"graftlake catalog: column $c does not exist")
+        if (m0.keys.contains(c)) refuse(
+          s"graftlake catalog: cannot drop merge-identity column $c")
+        if (m0.parts.contains(c)) refuse(
+          s"graftlake catalog: cannot drop partition column $c")
+        if (names.size <= 1) refuse(
+          "graftlake catalog: cannot drop the last column")
+        names = names.filterNot(_ == c)
+        () => { LakeTable.dropColumn(p, c); () }
+      case other => refuse(
         s"graftlake catalog: unsupported ALTER TABLE change $other — " +
           "ADD/RENAME/DROP COLUMN lower onto header-only commits; retypes " +
           "and repositioning would need a rewrite and are refused")
     }
-    if (adds.nonEmpty) LakeTable.addColumns(p, adds.toSeq)
+    planned.foreach(apply0 => apply0())
     loadTable(ident)
   }
 

@@ -72,9 +72,11 @@ private[graft] object GraftLakeMetadataTable {
 
   def rows(path: String, kind: String): Array[InternalRow] = kind match {
     case "history" =>
-      LakeTable.history(path).map { case (v, op, nf, nd) =>
-        InternalRow(v, UTF8String.fromString(op), nf, nd,
-          LakeTable.commitTimestamp(path, v) * 1000L)
+      val hist = LakeTable.history(path)
+      // one store resolution for all versions, not one per row
+      val times = LakeTable.commitTimestamps(path, hist.map(_._1))
+      hist.map { case (v, op, nf, nd) =>
+        InternalRow(v, UTF8String.fromString(op), nf, nd, times(v) * 1000L)
       }.toArray
     case "files" =>
       val m = LakeTable.manifest(path, LakeTable.latestVersion(path))

@@ -1488,16 +1488,20 @@ object LakeTable {
     // diff speaks the TARGET version's schema — pre-evolution rows read
     // null in added columns, so a row whose only change is gaining a
     // value in a new column classifies as an update with a null
-    // pre-image. Type conflicts and column REMOVAL stay loud: a
-    // retyped/retired column has no honest one-schema diff.
-    val fromTypes = fromSchema.map(f => f.name -> f.dataType).toMap
+    // pre-image. Identity is PHYSICAL (review r17-2 #2): a RENAME
+    // between the versions is the same column under a new logical name
+    // — both slices read under the target's names, so CDC consumers and
+    // the OCC rebase survive rename commits (which churn zero keys).
+    // Type conflicts and column REMOVAL stay loud: a retyped/dropped
+    // column has no honest one-schema diff.
+    val fromPhysTypes = fromSchema.map(f => mf.phys(f.name) -> f.dataType).toMap
     toSchema.foreach { f =>
-      fromTypes.get(f.name).foreach(dt => require(dt == f.dataType,
+      fromPhysTypes.get(mt.phys(f.name)).foreach(dt => require(dt == f.dataType,
         s"LakeTable.changes: schema type conflict on column ${f.name} " +
           s"($dt at v$fromV vs ${f.dataType} at v$toV)"))
     }
     fromSchema.foreach { f =>
-      require(toSchema.exists(_.name == f.name),
+      require(toSchema.exists(tf => mt.phys(tf.name) == mf.phys(f.name)),
         s"LakeTable.changes: column ${f.name} present at v$fromV is missing " +
           s"at v$toV — schema diff across a column REMOVAL has no single-" +
           "schema reading; project the earlier version first")
@@ -1567,6 +1571,15 @@ object LakeTable {
     * for a given state). Basis for [[versionAsOf]]. */
   def commitTimestamp(path: String, version: Int): Long =
     store(path).mtime(manifestPath(path, version))
+
+  /** [[commitTimestamp]] for a version batch — ONE store/conf
+    * resolution for the whole listing (the metadata `history` table
+    * reads every retained version; per-version store() would rebuild
+    * the Hadoop conf once per row). */
+  def commitTimestamps(path: String, versions: Seq[Int]): Map[Int, Long] = {
+    val s = store(path)
+    versions.map(v => v -> s.mtime(manifestPath(path, v))).toMap
+  }
 
   /** TIMESTAMP AS OF resolution: the newest version committed at or
     * before `epochMillis` (the Delta semantics). Loud if the earliest

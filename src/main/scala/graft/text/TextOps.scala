@@ -1054,7 +1054,7 @@ object TextOps {
     // Spark ships the CMS aggregate but no scalar probe, SPARK-16283)
     val probe = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.CmsEstimate(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("w")), sketchBytes))
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("w")), sketchBytes.toIndexedSeq))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("exact_n"))
     val totalDf = counts.agg(sum("exact_n").as("__n_total"))
     counts.orderBy(col("exact_n").desc, col("w")).limit(20)

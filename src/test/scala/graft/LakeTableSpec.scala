@@ -1557,6 +1557,27 @@ class LakeTableSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
       .head().getLong(0) == 0,
       "healed-file column data resurrected after drop + re-add")
+    // multi-change ALTER is ATOMIC (review r17-2 #1): an invalid later
+    // change must leave earlier ones UNAPPLIED — validation runs for
+    // the whole statement before any commit
+    val vPre = LakeTable.latestVersion(p)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cm.t DROP COLUMNS (b, k)")
+    }
+    assert(LakeTable.latestVersion(p) == vPre,
+      "a refused multi-change ALTER committed a version")
+    assert(spark.sql("SELECT b FROM graft_cm.t").columns.toSeq == Seq("b"),
+      "a refused multi-change ALTER half-applied an earlier drop")
+    // CDC across a RENAME (review r17-2 #2): the rename commit churns
+    // zero keys, identity is physical — the feed reads under the
+    // TARGET version's names instead of refusing
+    val renameV = spark.sql(
+      "SELECT version FROM graft_cm.t.history WHERE op LIKE 'rename%'")
+      .head().getInt(0)
+    val feed = LakeTable.changes(spark, p, renameV - 1, renameV + 1, Seq("k"))
+    assert(feed.columns.contains("alpha"),
+      "the cross-rename feed must speak the target version's names")
+    assert(feed.filter(col("_change_type") === "update").count() > 0)
   }
 
   test("runtime filtering on the CLUSTERED scan: value-bucket pruning, partitioning preserved") {
@@ -1594,13 +1615,15 @@ class LakeTableSpec extends SparkSpec {
     // the same join with v2 bucketing ON: the reported partitioning
     // must survive runtime filtering (emptied buckets keep an empty
     // partition), and the result stays exact
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       assert(run() == Seq(3L, 1003L, 7777L).map(_ % 97).sum,
         "runtime filtering under v2 bucketing lost rows")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
   }
 
   test("SPJ x skew: partially-clustered distribution splits a multi-file bucket, zero Exchange") {

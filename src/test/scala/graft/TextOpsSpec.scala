@@ -1067,7 +1067,7 @@ class TextOpsSpec extends SparkSpec {
     val got = probeKeys.toDF("w").select(col("w"),
       org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CmsEstimate(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("w")),
-        sketchBytes)).as("est")).collect()
+        sketchBytes.toIndexedSeq)).as("est")).collect()
     got.foreach { r =>
       if (r.isNullAt(0)) assert(r.isNullAt(1), "NULL input must estimate NULL")
       else assert(r.getLong(1) == cms.estimateCount(r.getString(0)),
@@ -1080,7 +1080,7 @@ class TextOpsSpec extends SparkSpec {
     val distProbe = dist.select(col("w"),
       org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CmsEstimate(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("w")),
-        sketchBytes)).as("est"))
+        sketchBytes.toIndexedSeq)).as("est"))
     val plan = distProbe.queryExecution.executedPlan.toString
     // the `*(n)` prefix is the whole-stage-codegen marker in the
     // executed plan's rendering
