@@ -333,6 +333,25 @@ object GraftLakeSource {
       case other => LakeTable.entryMatches(e,
         toIntervals(other).map { case (c, lo, hi) => (phys(c), lo, hi) })
     }
+
+  /** The full runtime-filter keep decision for one entry: per-value
+    * stats matching plus — on a SINGLE-key clustered snapshot — the
+    * value-bucket tier (a file in bucket b survives only if some
+    * runtime value hashes to b). Shared by the clustered scan and the
+    * clustered composite. */
+  private[graft] def runtimeKeep(e: LakeTable.FileEntry, filters: Seq[Filter],
+      phys: String => String, singleKey: Option[(String,
+        org.apache.spark.sql.types.DataType)], nBuckets: Int): Boolean = {
+    def bucketAlive(f: Filter): Boolean = (f, singleKey) match {
+      case (In(c, vs), Some((k, dt))) if c == k && e.bucket >= 0 &&
+          vs.nonEmpty && vs.forall(_ != null) && vs.length <= RuntimeInValuesCap =>
+        val bs = vs.flatMap(v => valueBucket(v, dt, nBuckets))
+        // any value that failed to hash keeps everything (conservative)
+        if (bs.length != vs.length) true else bs.contains(e.bucket)
+      case _ => true
+    }
+    filters.forall(f => runtimeMatches(e, f, phys) && bucketAlive(f))
+  }
 }
 
 private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
@@ -678,9 +697,8 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
           Some((m.clusterBuckets, m.keys,
             kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap))
         else None
-      def assemble(allowed: String => Boolean)
-          : org.apache.spark.sql.connector.read.Scan = {
-        val parts = groups.zip(fallbacks).map {
+      def mkGroups(allowed: String => Boolean): Seq[GraftLakeScanGroup] =
+        groups.zip(fallbacks).map {
           case (((dvs, partKeys), es), fallback) =>
             val esKept = es.filter(e => allowed(LakeIo.normKey(e.path)))
             val (scan, outSchema) = parquetScan(esKept, partKeys)
@@ -690,12 +708,18 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
             val remap = wanted.fieldNames.map(f => outSchema.fieldIndex(m.phys(f)))
             GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
         }
-        new GraftLakeCompositeScan(parts, wanted, keyOrdinals, keyTypes,
-          keySchema, conf, clusterSpec)
-      }
-      if (clusterSpec.isDefined) assemble(_ => true)
-      else new GraftLakeRuntimeScan(path, kept, required.fieldNames.toSeq,
-        m.phys, assemble(_ => true), allowed => assemble(allowed))
+      // the composite carries its OWN runtime-filter support (group
+      // structure pinned; a clustered composite pads emptied buckets so
+      // its KeyGroupedPartitioning survives) — sidecars, mixed layouts,
+      // and clustering all keep dynamic file skipping
+      new GraftLakeCompositeScan(mkGroups(_ => true), wanted, keyOrdinals,
+        keyTypes, keySchema, conf, clusterSpec,
+        Some(GraftLakeCompositeScan.RuntimeCtx(path, kept,
+          required.fieldNames.toSeq, m.phys,
+          if (clusterSpec.isDefined && m.keys.size == 1)
+            Some((m.keys.head, m.schema(m.schema.fieldIndex(m.keys.head)).dataType))
+          else None,
+          allowed => mkGroups(allowed))))
     }
   }
 }
@@ -913,10 +937,41 @@ private[graft] class GraftLakeCompositeScan(
     out: StructType, keyOrdinals: Seq[Int],
     keyTypes: Seq[org.apache.spark.sql.types.DataType],
     keySchema: StructType, conf: org.apache.spark.util.SerializableConfiguration,
-    cluster: Option[(Int, Seq[String], Map[String, Int])] = None)
+    cluster: Option[(Int, Seq[String], Map[String, Int])] = None,
+    runtime: Option[GraftLakeCompositeScan.RuntimeCtx] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var currentGroups = groups
+  @volatile private var runtimeFiltered = false
+
+  /** RUNTIME filtering on the composite (r17): the GROUP structure is
+    * pinned (the reader-factory contract), so filtering only shrinks
+    * each group's file list. A CLUSTERED composite additionally pads
+    * emptied buckets with an empty partition so the reported
+    * KeyGroupedPartitioning survives BatchScanExec's post-filter
+    * verification — a GDPR-active clustered table keeps BOTH its
+    * exchange-free joins and its runtime file skipping. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    runtime.map(_.columns.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray)
+      .getOrElse(Array.empty)
+
+  override def filter(filters: Array[Filter]): Unit = runtime.foreach { ctx =>
+    val kept = ctx.statically.filter(e =>
+      GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, ctx.singleKey,
+        cluster.map(_._1).getOrElse(0)))
+    GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
+      ctx.statically.size)
+    if (kept.size < ctx.statically.size) {
+      val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet
+      currentGroups = ctx.regroup(allowed)
+      runtimeFiltered = true
+    }
+  }
 
   override def readSchema(): StructType = out
   override def description(): String =
@@ -933,10 +988,10 @@ private[graft] class GraftLakeCompositeScan(
     * GDPR-active clustered table keeps its exchange-free joins between
     * compactions (the read is row-based until compact — that part of
     * the composite price stands). */
-  private lazy val clusteredPartitions
+  private def clusteredPartitionsOf(gs: Seq[GraftLakeScanGroup], padTo: Seq[Int])
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val (_, _, bucketByPath) = cluster.get
-    groups.zipWithIndex.flatMap { case (g, i) =>
+    val real = gs.zipWithIndex.flatMap { case (g, i) =>
       g.scan.toBatch.planInputPartitions()
         .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
         .flatMap(_.files)
@@ -949,8 +1004,26 @@ private[graft] class GraftLakeCompositeScan(
               j, files.toArray), i, b)
             : org.apache.spark.sql.connector.read.InputPartition
         }
-    }.toArray
+    }
+    // pad emptied buckets with an EMPTY partition (group 0 — it reads
+    // no files) so the partition-value set survives runtime filtering
+    val present = real.map {
+      case p: GraftLakeGroupBucketPartition => p.partitionKey().getInt(0)
+    }.toSet
+    (real ++ padTo.filterNot(present).map(b =>
+      new GraftLakeGroupBucketPartition(
+        new org.apache.spark.sql.execution.datasources.FilePartition(0,
+          Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]),
+        0, b): org.apache.spark.sql.connector.read.InputPartition)).toArray
   }
+
+  private lazy val clusteredPartitions
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    clusteredPartitionsOf(groups, Seq.empty)
+
+  private lazy val originalBuckets: Seq[Int] = clusteredPartitions.map {
+    case p: GraftLakeGroupBucketPartition => p.partitionKey().getInt(0)
+  }.toSeq.distinct
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -982,10 +1055,16 @@ private[graft] class GraftLakeCompositeScan(
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
-        if (cluster.isDefined) clusteredPartitions
-        else groups.zipWithIndex.flatMap { case (g, i) =>
+        if (cluster.isDefined) {
+          if (runtimeFiltered) clusteredPartitionsOf(currentGroups, originalBuckets)
+          else clusteredPartitions
+        } else currentGroups.zipWithIndex.flatMap { case (g, i) =>
           g.scan.toBatch.planInputPartitions().map(p => new GraftLakeGroupPartition(p, i))
         }.toArray
+      // ALWAYS the ORIGINAL groups' factories: BatchScanExec resolves
+      // the factory from the pre-filter batch, and the group structure
+      // is pinned across runtime rebuilds, so indices keep meaning the
+      // same (dvDirs, fallback, remap) triple
       override def createReaderFactory()
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         new GraftLakeCompositeReaderFactory(
@@ -994,6 +1073,18 @@ private[graft] class GraftLakeCompositeScan(
           groups.map(_.remap).toArray,
           out, keyOrdinals.toArray, keyTypes.toArray, keySchema, conf)
     }
+}
+
+private[graft] object GraftLakeCompositeScan {
+  /** Runtime-filtering context for the composite: statically-kept
+    * entries, the pruned relation columns, the physical-name map, the
+    * single clustering key (name, type) when the value-bucket tier
+    * applies, and the group rebuild (same structure, filtered files). */
+  final case class RuntimeCtx(path: String,
+      statically: Seq[LakeTable.FileEntry], columns: Seq[String],
+      phys: String => String,
+      singleKey: Option[(String, org.apache.spark.sql.types.DataType)],
+      regroup: (String => Boolean) => Seq[GraftLakeScanGroup])
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
@@ -1058,19 +1149,11 @@ private[graft] class GraftLakeClusteredScan(
       .getOrElse(Array.empty)
 
   override def filter(filters: Array[Filter]): Unit = runtime.foreach { ctx =>
-    def bucketAlive(e: LakeTable.FileEntry, f: Filter): Boolean = f match {
-      case In(c, vs) if keyNames == Seq(c) && ctx.keyType.isDefined &&
-          vs.nonEmpty && vs.forall(_ != null) &&
-          vs.length <= GraftLakeSource.RuntimeInValuesCap =>
-        val bs = vs.flatMap(v =>
-          GraftLakeSource.valueBucket(v, ctx.keyType.get, nBuckets))
-        // any value that failed to hash keeps everything (conservative)
-        if (bs.length != vs.length) true else bs.contains(e.bucket)
-      case _ => true
+    val singleKey = ctx.keyType.collect {
+      case dt if keyNames.size == 1 => (keyNames.head, dt)
     }
     val kept = ctx.statically.filter(e =>
-      filters.forall(f => GraftLakeSource.runtimeMatches(e, f, ctx.phys) &&
-        bucketAlive(e, f)))
+      GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, singleKey, nBuckets))
     GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
       ctx.statically.size)
     if (kept.size < ctx.statically.size) {

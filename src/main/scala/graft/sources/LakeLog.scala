@@ -120,59 +120,108 @@ private[graft] object LocalLinkLogStore extends LakeLogStore {
 private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore {
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
-  override def putIfAbsent(target: Path, content: String): Unit = {
-    val f = fs(target)
-    f.mkdirs(target.getParent)
-    if (f.exists(target))
-      throw new IllegalStateException(
-        s"LakeLog: concurrent commit conflict — $target already exists")
-    val tmp = new Path(target.getParent,
-      s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // publish via FileContext rename WITHOUT overwrite — the Delta
-    // HDFSLogStore primitive: unlike FileSystem.rename (which on some
-    // implementations silently REPLACES, leaving two racers each
-    // believing they won for the whole tmp-write window), Rename.NONE
-    // refuses an existing destination at the rename itself
-    try {
-      org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
-    } catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"LakeLog: concurrent commit conflict — publish of $target refused " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
-    } finally { if (f.exists(tmp)) f.delete(tmp, false); () }
-    // read-back verify as a backstop for filesystems whose no-overwrite
-    // rename is itself check-then-act: the writer whose bytes are NOT at
-    // the target knows it lost
-    if (read(target) != content)
-      throw new IllegalStateException(
-        s"LakeLog: concurrent commit conflict — $target was concurrently " +
-          "replaced by another writer's publish")
+  /** `file:`-schemed targets get the LOCAL atomicity primitives (hard
+    * link / ATOMIC_MOVE on the URI's path) instead of the Hadoop rename
+    * chain — the Delta-LogStore design point that the publish primitive
+    * is the ONE filesystem-specific piece. Why it matters here: Hadoop's
+    * local `FileContext` resolves to ChecksumFs, whose rename moves the
+    * `.crc` SIDECAR and the data file as two separate renames over a
+    * silently-replacing raw rename — a cross-process race on one version
+    * can land writer A's data under writer B's crc, after which every
+    * later read of that manifest throws ChecksumException (a torn
+    * commit that bricks the table; observed as an intermittent
+    * cross-process OCC spec failure). The link publish is one atomic
+    * syscall that REFUSES an existing target — no window, no sidecar. */
+  private def localPath(p: Path): Option[java.nio.file.Path] =
+    if ("file".equalsIgnoreCase(p.toUri.getScheme))
+      Some(java.nio.file.Paths.get(p.toUri.getPath))
+    else None
+
+  /** Any checksum sidecar left by EARLIER Hadoop-API writes of this
+    * name must not outlive a nio publish: a stale `.name.crc` paired
+    * with fresh bytes fails every checksummed read. */
+  private def dropCrcSidecar(nioTarget: java.nio.file.Path): Unit = {
+    val crc = nioTarget.getParent.resolve(s".${nioTarget.getFileName}.crc")
+    java.nio.file.Files.deleteIfExists(crc); ()
   }
 
-  override def replace(target: Path, content: String): Unit = {
-    val f = fs(target)
-    f.mkdirs(target.getParent)
-    val tmp = new Path(target.getParent,
-      s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // a failed replace must THROW, never silently no-op: best-effort
-    // callers (the `_latest` hint, interval checkpoints) catch at the
-    // call site, but vacuum's retention-floor checkpoint pin RELIES on
-    // replace succeeding before the floor's ancestry is dropped
-    try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
-      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
-      case e: java.io.IOException =>
-        f.delete(tmp, false)
-        throw new IllegalStateException(s"LakeLog: replace of $target failed", e)
-    }
+  override def putIfAbsent(target: Path, content: String): Unit = localPath(target) match {
+    case Some(nio) =>
+      java.nio.file.Files.createDirectories(nio.getParent)
+      val tmp = nio.getParent.resolve(
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, content)
+      try {
+        java.nio.file.Files.createLink(nio, tmp)
+        dropCrcSidecar(nio)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"LakeLog: concurrent commit conflict — $target already exists")
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    case None =>
+      val f = fs(target)
+      f.mkdirs(target.getParent)
+      if (f.exists(target))
+        throw new IllegalStateException(
+          s"LakeLog: concurrent commit conflict — $target already exists")
+      val tmp = new Path(target.getParent,
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // publish via FileContext rename WITHOUT overwrite — the Delta
+      // HDFSLogStore primitive: unlike FileSystem.rename (which on some
+      // implementations silently REPLACES, leaving two racers each
+      // believing they won for the whole tmp-write window), Rename.NONE
+      // refuses an existing destination at the rename itself
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE)
+      } catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"LakeLog: concurrent commit conflict — publish of $target refused " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
+      } finally { if (f.exists(tmp)) f.delete(tmp, false); () }
+      // read-back verify as a backstop for filesystems whose no-overwrite
+      // rename is itself check-then-act: the writer whose bytes are NOT at
+      // the target knows it lost
+      if (read(target) != content)
+        throw new IllegalStateException(
+          s"LakeLog: concurrent commit conflict — $target was concurrently " +
+            "replaced by another writer's publish")
+  }
+
+  override def replace(target: Path, content: String): Unit = localPath(target) match {
+    case Some(nio) =>
+      java.nio.file.Files.createDirectories(nio.getParent)
+      val tmp = nio.getParent.resolve(
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, nio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dropCrcSidecar(nio)
+    case None =>
+      val f = fs(target)
+      f.mkdirs(target.getParent)
+      val tmp = new Path(target.getParent,
+        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // a failed replace must THROW, never silently no-op: best-effort
+      // callers (the `_latest` hint, interval checkpoints) catch at the
+      // call site, but vacuum's retention-floor checkpoint pin RELIES on
+      // replace succeeding before the floor's ancestry is dropped
+      try org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+        .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch {
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          throw new IllegalStateException(s"LakeLog: replace of $target failed", e)
+      }
   }
 
   override def read(target: Path): String = {

@@ -1624,6 +1624,24 @@ class LakeTableSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
     }
+    // a DV sidecar routes the table through the clustered COMPOSITE:
+    // runtime filtering (incl. the value-bucket tier) must hold there
+    // too, the erased key stays erased, and the partitioning survives
+    spark.sql("DELETE FROM graft_rc.f WHERE k = 1003")
+    assert(run() == Seq(3L, 7777L).map(_ % 97).sum,
+      "the DV'd clustered composite lost erasure or rows under runtime filtering")
+    val (kc, tc) = graft.sources.GraftLakeSource.lastPrune(s"$fact@runtime")
+    assert(tc == 8 && kc <= 3,
+      s"composite value-bucket runtime pruning too weak (kept $kc/$tc)")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      assert(run() == Seq(3L, 7777L).map(_ % 97).sum,
+        "the DV'd clustered composite lost rows under v2 bucketing + runtime filters")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    }
   }
 
   test("SPJ x skew: partially-clustered distribution splits a multi-file bucket, zero Exchange") {
@@ -1829,6 +1847,13 @@ class LakeTableSpec extends SparkSpec {
       java.nio.file.Files.createFile(goFile)
       val parentWins = (1 to n).map { v =>
         val target = new org.apache.hadoop.fs.Path(s"$dir/_log", f"v$v%05d.json")
+        // balance the per-version race: the warm parent JVM would sweep
+        // an atomic-link publish otherwise (the r17 primitive is one
+        // syscall — faster and with less jitter than the old Hadoop
+        // rename chain). Yielding a beat on even versions hands the
+        // child real wins; the invariant under test (exactly one winner,
+        // winner's bytes committed) is timing-independent.
+        if (v % 2 == 0) Thread.sleep(2)
         val won =
           try { store.putIfAbsent(target, s"""{"racer":"parent","v":$v}"""); true }
           catch {
