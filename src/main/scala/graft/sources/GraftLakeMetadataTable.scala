@@ -52,10 +52,12 @@ private[graft] class GraftLakeMetadataTable(tablePath: String, kind: String)
 }
 
 private[graft] object GraftLakeMetadataTable {
-  val names: Set[String] = Set("history", "files")
+  val names: Set[String] = Set("history", "files", "snapshots")
 
   def schemaOf(kind: String): StructType = kind match {
-    case "history" => new StructType()
+    // `snapshots` is the Iceberg-named sibling of `history` (same
+    // manifest facts, the column order BI tools expect from that shape)
+    case "history" | "snapshots" => new StructType()
       .add("version", IntegerType, nullable = false)
       .add("op", StringType, nullable = false)
       .add("n_files", IntegerType, nullable = false)
@@ -71,7 +73,7 @@ private[graft] object GraftLakeMetadataTable {
   }
 
   def rows(path: String, kind: String): Array[InternalRow] = kind match {
-    case "history" =>
+    case "history" | "snapshots" =>
       val hist = LakeTable.history(path)
       // one store resolution for all versions, not one per row
       val times = LakeTable.commitTimestamps(path, hist.map(_._1))

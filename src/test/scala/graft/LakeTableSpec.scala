@@ -1735,6 +1735,10 @@ class LakeTableSpec extends SparkSpec {
     // the relations are real SQL citizens: aggregate over history
     assert(spark.sql("SELECT max(n_files) FROM graft_mt.t.history")
       .head().getInt(0) == m.files.size)
+    // `snapshots` is the Iceberg-named sibling of `history`
+    assert(spark.sql("SELECT version, op FROM graft_mt.t.snapshots ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      hist.map(h => (h._1, h._2)).toSeq)
     // a missing parent still refuses loudly
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_mt.nosuch.history").collect()
