@@ -324,6 +324,42 @@ object GraftLakeSource {
       }
     } catch { case _: Exception => None }
 
+  /** Rewrite a source Filter's column names logical→physical so a
+    * MAPPED table's parquet scan keeps footer row-group skipping (the
+    * filters are file-source HINTS — the exact residual re-applies
+    * above the scan, so a dropped untranslatable shape only loses
+    * skipping, never rows). And/Or keep only fully-translated branches
+    * where that stays sound (an And may keep one side; an Or may not). */
+  private[graft] def translateFilter(f: Filter, phys: String => String,
+      strict: Boolean = false): Option[Filter] =
+    f match {
+      case EqualTo(c, v) => Some(EqualTo(phys(c), v))
+      case EqualNullSafe(c, v) => Some(EqualNullSafe(phys(c), v))
+      case GreaterThan(c, v) => Some(GreaterThan(phys(c), v))
+      case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(phys(c), v))
+      case LessThan(c, v) => Some(LessThan(phys(c), v))
+      case LessThanOrEqual(c, v) => Some(LessThanOrEqual(phys(c), v))
+      case In(c, vs) => Some(In(phys(c), vs))
+      case IsNull(c) => Some(IsNull(phys(c)))
+      case IsNotNull(c) => Some(IsNotNull(phys(c)))
+      case StringStartsWith(c, v) => Some(StringStartsWith(phys(c), v))
+      case StringEndsWith(c, v) => Some(StringEndsWith(phys(c), v))
+      case StringContains(c, v) => Some(StringContains(phys(c), v))
+      case And(l, r) =>
+        (translateFilter(l, phys, strict), translateFilter(r, phys, strict)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          // one conjunct alone weakens the predicate — sound for a
+          // skipping HINT, but NEVER under a Not (¬(a∧b) ≠ ¬a): strict
+          // contexts take all-or-none
+          case (a, b) => if (strict) None else a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- translateFilter(l, phys, strict)
+              b <- translateFilter(r, phys, strict) } yield Or(a, b)
+      case Not(c) => translateFilter(c, phys, strict = true).map(Not)
+      case _ => None
+    }
+
   private[graft] def runtimeMatches(e: LakeTable.FileEntry, f: Filter,
       phys: String => String): Boolean =
     f match {
@@ -604,20 +640,31 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
           .map(f => f.copy(name = m.phys(f.name)))),
         readDataSchema = readDataSchema,
         readPartitionSchema = readPartSchema,
-        // footer row-group skipping speaks physical names too; a mapped
-        // table passes none (conservative — every filter is residual
-        // above the scan, and manifest pruning already applied)
-        pushedFilters = if (m.colMap.isEmpty) filters else Array.empty,
+        // footer row-group skipping speaks physical names too: a mapped
+        // table pushes NAME-TRANSLATED filters (untranslatable shapes
+        // drop — the exact residual re-applies above the scan)
+        pushedFilters =
+          if (m.colMap.isEmpty) filters
+          else filters.flatMap(GraftLakeSource.translateFilter(_, m.phys)),
         options = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()),
         StructType(readDataSchema ++ readPartSchema))
     }
 
-    if (groups.size <= 1 && !anyDv && m.colMap.isEmpty) {
+    if (groups.size <= 1 && !anyDv) {
       // uniform layout, no sidecars: the pure columnar parquet scan.
-      // (Spark maps the scan output to the relation's columns by NAME,
-      // so the data-then-partition column order is fine.)
+      // (Spark derives the relation's columns from the scan's
+      // readSchema, so a MAPPED table wraps the physical-named delegate
+      // with a logical-named readSchema — vectorized batches bind by
+      // POSITION, so the rename costs nothing and the read stays
+      // columnar; unmapped tables pass through untouched.)
       val partKeys = groups.headOption.map(_._1._2).getOrElse(Set.empty[String])
-      val scan = parquetScan(kept, partKeys)._1
+      val toLogical: Map[String, String] = m.colMap.map(_.swap)
+      def named(p: (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, StructType))
+          : org.apache.spark.sql.connector.read.Scan =
+        if (m.colMap.isEmpty) p._1
+        else new GraftLakeRenamedScan(p._1, StructType(p._2.map(f =>
+          f.copy(name = toLogical.getOrElse(f.name, f.name)))))
+      val first = parquetScan(kept, partKeys)
       // CLUSTERED snapshot with a complete bucket mapping: wrap the
       // columnar scan so it REPORTS the bucket layout — equal-bucketed
       // joins then plan WITHOUT an Exchange (storage-partitioned join).
@@ -629,8 +676,10 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         // prune inside buckets (per-value stats + the value-bucket hash
         // tier for single-key clusterings), while emptied buckets keep
         // an empty partition so the reported KeyGroupedPartitioning —
-        // and any storage-partitioned join planned on it — survives
-        new GraftLakeClusteredScan(scan, m.clusterBuckets, m.keys,
+        // and any storage-partitioned join planned on it — survives.
+        // A MAPPED clustered table overrides the reported schema with
+        // the logical names (batches bind by position).
+        new GraftLakeClusteredScan(first._1, m.clusterBuckets, m.keys,
           kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap,
           Some(GraftLakeClusteredScan.RuntimeCtx(path, kept,
             required.fieldNames.toSeq, m.phys,
@@ -638,21 +687,22 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
               Some(m.schema(m.schema.fieldIndex(m.keys.head)).dataType)
             else None,
             allowed => parquetScan(kept.filter(e =>
-              allowed(LakeIo.normKey(e.path))), partKeys)._1)))
+              allowed(LakeIo.normKey(e.path))), partKeys)._1)),
+          outSchema =
+            if (m.colMap.isEmpty) None
+            else Some(StructType(first._2.map(f =>
+              f.copy(name = toLogical.getOrElse(f.name, f.name))))))
       // otherwise the scan accepts RUNTIME filters too (DPP / runtime
       // bloom): a dimension filter's join-key values, delivered at
       // execution time, re-prune the manifest entries the STATIC
       // predicates kept — dynamic file skipping, the biggest untapped
-      // read lever at 100 TB (VERDICT r16 ask #1). The clustered branch
-      // above stays static-only: its KeyGroupedPartitioning pins the
-      // partition layout at planning, and BatchScanExec requires the
-      // post-filter grouping to match it.
+      // read lever at 100 TB (VERDICT r16 ask #1).
       // filterAttributes must resolve against the PRUNED relation output
       // (PartitionPruning resolves them hard — an over-claimed column the
       // query pruned away fails analysis), so advertise only `required`
       else new GraftLakeRuntimeScan(path, kept, required.fieldNames.toSeq,
-        m.phys, scan, allowed => parquetScan(kept.filter(e =>
-          allowed(LakeIo.normKey(e.path))), partKeys)._1)
+        m.phys, named(first), allowed => named(parquetScan(kept.filter(e =>
+          allowed(LakeIo.normKey(e.path))), partKeys)))
     } else {
       // sidecars and/or mixed layouts: one delegate scan per group,
       // rows remapped to ONE output order and anti-filtered per group.
@@ -722,6 +772,34 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
           allowed => mkGroups(allowed))))
     }
   }
+}
+
+/** COLUMNAR reads for MAPPED tables (r17): the delegate ParquetScan
+  * reads PHYSICAL column names, but vectorized batches bind columns by
+  * POSITION — so reporting the same StructType under the LOGICAL names
+  * is all the translation a clean (single-group, no-DV) mapped snapshot
+  * needs. Everything else delegates: partitions, reader factory (the
+  * batches flow through untouched — still columnar, still whole-stage),
+  * statistics. Spark derives the relation's output attributes from
+  * THIS readSchema, so the plan above resolves logical names as usual.
+  * (The composite path remains for sidecars/mixed layouts, where rows
+  * must be filtered/remapped per group.) */
+private[graft] class GraftLakeRenamedScan(
+    delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    logicalOut: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  require(delegate.readSchema().length == logicalOut.length &&
+    delegate.readSchema().zip(logicalOut).forall { case (p, l) =>
+      p.dataType == l.dataType },
+    "graftlake renamed scan: logical schema must match the physical " +
+      "positions and types exactly")
+  override def readSchema(): StructType = logicalOut
+  override def description(): String =
+    s"graftlake column-mapped scan (${logicalOut.fieldNames.mkString(", ")})"
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    delegate.estimateStatistics()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
 }
 
 /** V2 Scan wrapper adding RUNTIME filtering ([[SupportsRuntimeFiltering]],
@@ -1117,7 +1195,8 @@ private[graft] class GraftLakeBucketPartition(idx: Int,
 private[graft] class GraftLakeClusteredScan(
     delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
     nBuckets: Int, keyNames: Seq[String], bucketByPath: Map[String, Int],
-    runtime: Option[GraftLakeClusteredScan.RuntimeCtx] = None)
+    runtime: Option[GraftLakeClusteredScan.RuntimeCtx] = None,
+    outSchema: Option[StructType] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1126,7 +1205,9 @@ private[graft] class GraftLakeClusteredScan(
   @volatile private var current = delegate
   @volatile private var runtimeFiltered = false
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // outSchema: a MAPPED table's logical names over the delegate's
+  // physical positions (vectorized batches bind by position)
+  override def readSchema(): StructType = outSchema.getOrElse(delegate.readSchema())
   override def description(): String =
     s"graftlake clustered scan bucket($nBuckets, ${keyNames.mkString(", ")})"
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

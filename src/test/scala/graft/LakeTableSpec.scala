@@ -1494,6 +1494,13 @@ class LakeTableSpec extends SparkSpec {
     // as-of reads keep their version's names
     assert(spark.read.format("graftlake").option("versionAsOf", "2").load(p)
       .select("a").count() == 100)
+    // a mapped snapshot still reads COLUMNAR (r17: the renamed scan
+    // reports logical names over the physical positions — no composite
+    // row path for a clean mapped table)
+    val planCm = spark.sql("SELECT alpha FROM graft_cm.t WHERE k < 10")
+      .queryExecution.executedPlan.toString
+    assert(planCm.contains("ColumnarToRow"),
+      s"a clean mapped table must keep the columnar scan:\n$planCm")
     // writes after the rename keep merging under the stable physical
     spark.sql("INSERT INTO graft_cm.t VALUES (5, 'upd', 10)")
     assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 5")
