@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *   - `history`: one row per retained version — version, op, n_files,
   *     n_dvs, committed_at (the manifest file's own mtime, the same
-  *     clock TIMESTAMP AS OF resolves against).
+  *     clock TIMESTAMP AS OF resolves against). `snapshots` is an
+  *     alias of it under the Iceberg metadata-table name (the lake's
+  *     versions ARE its snapshots).
   *   - `files`: one row per CURRENT-snapshot manifest entry — path,
   *     bucket (-1 = unclustered), n_dvs, partition (`k=v` rendering of
   *     the entry's directory values).
@@ -55,8 +57,9 @@ private[graft] object GraftLakeMetadataTable {
   val names: Set[String] = Set("history", "files", "snapshots")
 
   def schemaOf(kind: String): StructType = kind match {
-    // `snapshots` is the Iceberg-named sibling of `history` (same
-    // manifest facts, the column order BI tools expect from that shape)
+    // `snapshots` is an ALIAS of `history` under the Iceberg metadata
+    // table's name — same manifest facts, same shape (the lake's
+    // versions ARE its snapshots; there is no separate snapshot id)
     case "history" | "snapshots" => new StructType()
       .add("version", IntegerType, nullable = false)
       .add("op", StringType, nullable = false)

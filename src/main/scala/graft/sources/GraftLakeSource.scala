@@ -739,8 +739,9 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       // a CLUSTERED snapshot with a complete bucket map keeps reporting
       // its layout even with sidecars (r17 — VERDICT r16 ask #2: the
       // anti-join is bucket-local, so the bucket map survives erasure);
-      // like GraftLakeClusteredScan it stays STATIC-only, since its
-      // KeyGroupedPartitioning is pinned at planning
+      // runtime filtering applies here too — the composite pads emptied
+      // buckets with an empty partition so the reported
+      // KeyGroupedPartitioning survives the post-filter verification
       val clusterSpec =
         if (m.clusterBuckets > 0 && kept.nonEmpty &&
             kept.forall(e => e.bucket >= 0 && e.part.isEmpty))

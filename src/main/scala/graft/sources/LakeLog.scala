@@ -147,19 +147,22 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
 
   override def putIfAbsent(target: Path, content: String): Unit = localPath(target) match {
     case Some(nio) =>
-      java.nio.file.Files.createDirectories(nio.getParent)
-      val tmp = nio.getParent.resolve(
-        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.writeString(tmp, content)
-      try {
-        java.nio.file.Files.createLink(nio, tmp)
-        dropCrcSidecar(nio)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"LakeLog: concurrent commit conflict — $target already exists")
-      } finally java.nio.file.Files.deleteIfExists(tmp)
-    case None =>
+      // delegate to the SAME link primitive the plain-path store uses
+      // (one implementation of the local atomicity recipe, not two);
+      // a filesystem without hard links (CIFS/SMB, some FUSE mounts)
+      // throws a non-conflict error — fall back to the Hadoop rename
+      // chain, which works there (its race window returns, but the
+      // table stays USABLE; the conflict ISE passes through untouched)
+      try { LocalLinkLogStore.putIfAbsent(target, content); dropCrcSidecar(nio) }
+      catch {
+        case e: IllegalStateException => throw e
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          hadoopPutIfAbsent(target, content)
+      }
+    case None => hadoopPutIfAbsent(target, content)
+  }
+
+  private def hadoopPutIfAbsent(target: Path, content: String): Unit = {
       val f = fs(target)
       f.mkdirs(target.getParent)
       if (f.exists(target))
@@ -195,15 +198,25 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
 
   override def replace(target: Path, content: String): Unit = localPath(target) match {
     case Some(nio) =>
-      java.nio.file.Files.createDirectories(nio.getParent)
-      val tmp = nio.getParent.resolve(
-        s".tmp-${target.getName}-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.writeString(tmp, content)
-      java.nio.file.Files.move(tmp, nio,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop a legacy crc sidecar BEFORE the swap (review r17-3 #2): a
+      // stale checksum over fresh bytes fails concurrent Hadoop-API
+      // reads, while a MISSING crc is a legal unverified read. Then
+      // delegate to the shared ATOMIC_MOVE primitive; wrap failures in
+      // the documented contract (review r17-3 #3 — vacuum's
+      // retention-floor pin relies on a loud replace) and fall back to
+      // the Hadoop chain where ATOMIC_MOVE is unsupported.
       dropCrcSidecar(nio)
-    case None =>
+      try LocalLinkLogStore.replace(target, content)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.AtomicMoveNotSupportedException =>
+          hadoopReplace(target, content)
+        case e: Exception =>
+          throw new IllegalStateException(s"LakeLog: replace of $target failed", e)
+      }
+    case None => hadoopReplace(target, content)
+  }
+
+  private def hadoopReplace(target: Path, content: String): Unit = {
       val f = fs(target)
       f.mkdirs(target.getParent)
       val tmp = new Path(target.getParent,
@@ -222,6 +235,7 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
           f.delete(tmp, false)
           throw new IllegalStateException(s"LakeLog: replace of $target failed", e)
       }
+      ()
   }
 
   override def read(target: Path): String = {
