@@ -461,6 +461,12 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
     if (m.clusterBuckets > 0) p.put("cluster_buckets", m.clusterBuckets.toString)
     p.put("version", m.version.toString)
     p.put("op", m.op)
+    // honest mapping visibility: SHOW TBLPROPERTIES tells an operator
+    // whether renames/drops left a live logical->physical map (and so
+    // whether a compact would heal it)
+    if (m.colMap.nonEmpty)
+      p.put("column_mapping", m.colMap.toSeq.sorted
+        .map { case (l, ph) => s"$l->$ph" }.mkString(","))
     p
   }
   override def capabilities()

@@ -1564,6 +1564,30 @@ class LakeTableSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE b IS NOT NULL")
       .head().getLong(0) == 0,
       "healed-file column data resurrected after drop + re-add")
+    // the WHOLE DML surface works over the mapped names: UPDATE and
+    // row-level DELETE (LakeDml), predicate DELETE (SupportsDelete),
+    // and MERGE INTO all classify/rewrite under the logical schema
+    // while files stay physical
+    spark.sql("UPDATE graft_cm.t SET alpha = 'U9' WHERE k = 9")
+    assert(spark.sql("SELECT alpha FROM graft_cm.t WHERE k = 9")
+      .head().getString(0) == "U9")
+    spark.sql("DELETE FROM graft_cm.t WHERE alpha = 'U9'")
+    assert(spark.sql("SELECT count(*) FROM graft_cm.t WHERE k = 9")
+      .head().getLong(0) == 0)
+    Seq((10L, "M10", 100L)).toDF("k", "alpha", "b")
+      .createOrReplaceTempView("cm_merge_src")
+    spark.sql("""MERGE INTO graft_cm.t AS tg USING cm_merge_src AS s
+      ON tg.k = s.k WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql("SELECT alpha, b FROM graft_cm.t WHERE k = 10")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("M10", 100L)))
+    // SHOW TBLPROPERTIES surfaces the live mapping (alpha healed to
+    // identity at the compact above; the re-added b carries the fresh
+    // physical)
+    val cmProps = spark.sql("SHOW TBLPROPERTIES graft_cm.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cmProps.get("column_mapping").exists(_.startsWith("b->")),
+      s"mapping not surfaced: $cmProps")
     // multi-change ALTER is ATOMIC (review r17-2 #1): an invalid later
     // change must leave earlier ones UNAPPLIED — validation runs for
     // the whole statement before any commit
