@@ -1880,15 +1880,26 @@ class LakeTableSpec extends SparkSpec {
       val store = graft.sources.LakeLogStore.forPath(dir)
       Thread.sleep(1500) // let the child JVM reach the barrier spin
       java.nio.file.Files.createFile(goFile)
+      // per-version RENDEZVOUS markers (mirrored in RaceMain), plus a
+      // deterministic split: ODD versions race for real from the
+      // synchronized point; on EVEN versions the parent waits (bounded)
+      // for the child's publish to LAND and then attempts — exercising
+      // the cross-process conflict-detection path from the losing side.
+      // Without the split, host load starves the cold child JVM and the
+      // warm parent sweeps all 60 (a scheduler artifact, not the OCC
+      // property under test — observed under full-suite runs).
       val parentWins = (1 to n).map { v =>
         val target = new org.apache.hadoop.fs.Path(s"$dir/_log", f"v$v%05d.json")
-        // balance the per-version race: the warm parent JVM would sweep
-        // an atomic-link publish otherwise (the r17 primitive is one
-        // syscall — faster and with less jitter than the old Hadoop
-        // rename chain). Yielding a beat on even versions hands the
-        // child real wins; the invariant under test (exactly one winner,
-        // winner's bytes committed) is timing-independent.
-        if (v % 2 == 0) Thread.sleep(2)
+        java.nio.file.Files.createFile(tmp.resolve(s"rdv-parent-$v"))
+        val peerMark = tmp.resolve(s"rdv-child-$v")
+        val waitUntil = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (!java.nio.file.Files.exists(peerMark) &&
+          System.nanoTime() < waitUntil) Thread.`yield`()
+        if (v % 2 == 0) {
+          val landBy = System.nanoTime() + 5L * 1000 * 1000 * 1000
+          while (!store.exists(target) && System.nanoTime() < landBy)
+            Thread.`yield`()
+        }
         val won =
           try { store.putIfAbsent(target, s"""{"racer":"parent","v":$v}"""); true }
           catch {

@@ -23,8 +23,23 @@ object RaceMain {
         throw new IllegalStateException("RaceMain: start barrier never appeared")
       Thread.`yield`()
     }
+    // per-version RENDEZVOUS (r17): each racer drops a marker for v and
+    // spins (bounded) for the peer's before attempting — the publish
+    // race then starts from a synchronized point every version, so
+    // two-sided contention survives host load (without it, a starved
+    // JVM attempts every version late and loses all 60, which is a
+    // scheduling artifact, not the OCC property under test). A missing
+    // peer marker after the bound means the peer died or fell behind —
+    // proceed, the invariant holds regardless.
+    val barrierDir = go.getParent
+    val peer = if (writerId == "child") "parent" else "child"
     val results = new StringBuilder
     (1 to n).foreach { v =>
+      java.nio.file.Files.createFile(barrierDir.resolve(s"rdv-$writerId-$v"))
+      val peerMark = barrierDir.resolve(s"rdv-$peer-$v")
+      val waitUntil = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(peerMark) &&
+        System.nanoTime() < waitUntil) Thread.`yield`()
       val target = new org.apache.hadoop.fs.Path(s"$dir/_log", f"v$v%05d.json")
       val payload = s"""{"racer":"$writerId","v":$v}"""
       val won =
