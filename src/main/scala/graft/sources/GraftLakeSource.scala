@@ -388,6 +388,20 @@ object GraftLakeSource {
     }
     filters.forall(f => runtimeMatches(e, f, phys) && bucketAlive(f))
   }
+
+  /** Columns worth ADVERTISING for runtime filtering (ADVICE r17 #4):
+    * [[runtimeKeep]] prunes only through manifest stats (which carry
+    * partition values as exact entries) and the value-bucket tier on
+    * the clustering keys — advertising any other column makes Spark
+    * plan AND EXECUTE a DPP subquery whose delivered values can never
+    * drop a file, paying the dim-side subquery for nothing. Always a
+    * subset of `required`, so the resolve-against-pruned-output
+    * contract (filterAttributes must name live relation columns) holds. */
+  private[graft] def pruneAdvertisable(required: Seq[String],
+      entries: Seq[LakeTable.FileEntry], phys: String => String,
+      clusterKeys: Seq[String]): Seq[String] =
+    required.filter(c => clusterKeys.contains(c) ||
+      entries.exists(_.stats.contains(phys(c))))
 }
 
 private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
@@ -688,7 +702,8 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         new GraftLakeClusteredScan(first._1, m.clusterBuckets, m.keys,
           kept.map(e => LakeIo.normKey(e.path) -> e.bucket).toMap,
           Some(GraftLakeClusteredScan.RuntimeCtx(path, kept,
-            required.fieldNames.toSeq, m.phys,
+            GraftLakeSource.pruneAdvertisable(
+              required.fieldNames.toSeq, kept, m.phys, m.keys), m.phys,
             if (m.keys.size == 1)
               Some(m.schema(m.schema.fieldIndex(m.keys.head)).dataType)
             else None,
@@ -706,7 +721,9 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       // filterAttributes must resolve against the PRUNED relation output
       // (PartitionPruning resolves them hard — an over-claimed column the
       // query pruned away fails analysis), so advertise only `required`
-      else new GraftLakeRuntimeScan(path, kept, required.fieldNames.toSeq,
+      else new GraftLakeRuntimeScan(path, kept,
+        GraftLakeSource.pruneAdvertisable(
+          required.fieldNames.toSeq, kept, m.phys, Seq.empty),
         m.phys, named(first), allowed => named(parquetScan(kept.filter(e =>
           allowed(LakeIo.normKey(e.path))), partKeys)))
     } else {
@@ -772,7 +789,8 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       new GraftLakeCompositeScan(mkGroups(_ => true), wanted, keyOrdinals,
         keyTypes, keySchema, conf, clusterSpec,
         Some(GraftLakeCompositeScan.RuntimeCtx(path, kept,
-          required.fieldNames.toSeq, m.phys,
+          GraftLakeSource.pruneAdvertisable(required.fieldNames.toSeq, kept,
+            m.phys, if (clusterSpec.isDefined) m.keys else Seq.empty), m.phys,
           if (clusterSpec.isDefined && m.keys.size == 1)
             Some((m.keys.head, m.schema(m.schema.fieldIndex(m.keys.head)).dataType))
           else None,
@@ -1299,10 +1317,15 @@ private[graft] class GraftLakeClusteredScan(
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    // DISTINCT bucket count, not raw partition count (ADVICE r17 #3):
+    // since the per-(FilePartition × bucket) split, partitions outnumber
+    // buckets — Spark regroups by partition key either way, but the
+    // reported numPartitions should be the value-set size the composite
+    // scan also reports, not an artifact of file splitting
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
         nBuckets, keyNames: _*)),
-      bucketPartitions.length)
+      originalBuckets.length)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {

@@ -145,18 +145,39 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
     java.nio.file.Files.deleteIfExists(crc); ()
   }
 
+  /** Does this FileSystemException mean "this filesystem cannot hard
+    * link" (CIFS/SMB, some FUSE mounts — EPERM/EOPNOTSUPP at the link
+    * syscall), as opposed to a transient I/O error (AccessDenied on the
+    * tmp write, NoSuchFile on a vanished parent) that must SURFACE
+    * rather than silently downgrade the atomic publish to the racy
+    * rename chain (ADVICE r17 #2)? */
+  private def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
+    val reason = Option(e.getReason).getOrElse("").toLowerCase
+    reason.contains("not supported") || reason.contains("not permitted") ||
+      reason.contains("invalid cross-device link") ||
+      reason.contains("too many links")
+  }
+
   override def putIfAbsent(target: Path, content: String): Unit = localPath(target) match {
     case Some(nio) =>
+      // any checksum sidecar from EARLIER Hadoop-API writes must be gone
+      // BEFORE the publish (ADVICE r17 #1): a crash (or a concurrent
+      // checksummed read) between the link landing and a post-publish
+      // delete would pair fresh bytes with a stale crc — the exact torn
+      // state this path exists to prevent. The post-publish drop stays
+      // as a backstop against a sidecar recreated in the window.
+      dropCrcSidecar(nio)
       // delegate to the SAME link primitive the plain-path store uses
       // (one implementation of the local atomicity recipe, not two);
-      // a filesystem without hard links (CIFS/SMB, some FUSE mounts)
-      // throws a non-conflict error — fall back to the Hadoop rename
-      // chain, which works there (its race window returns, but the
-      // table stays USABLE; the conflict ISE passes through untouched)
+      // ONLY a link-unsupported filesystem falls back to the Hadoop
+      // rename chain (its race window returns, but the table stays
+      // USABLE); the conflict ISE and genuine I/O errors pass through
       try { LocalLinkLogStore.putIfAbsent(target, content); dropCrcSidecar(nio) }
       catch {
         case e: IllegalStateException => throw e
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        case _: UnsupportedOperationException =>
+          hadoopPutIfAbsent(target, content)
+        case e: java.nio.file.FileSystemException if linkUnsupported(e) =>
           hadoopPutIfAbsent(target, content)
       }
     case None => hadoopPutIfAbsent(target, content)

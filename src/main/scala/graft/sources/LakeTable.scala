@@ -1501,10 +1501,26 @@ object LakeTable {
           s"($dt at v$fromV vs ${f.dataType} at v$toV)"))
     }
     fromSchema.foreach { f =>
-      require(toSchema.exists(tf => mt.phys(tf.name) == mf.phys(f.name)),
-        s"LakeTable.changes: column ${f.name} present at v$fromV is missing " +
-          s"at v$toV — schema diff across a column REMOVAL has no single-" +
-          "schema reading; project the earlier version first")
+      if (!toSchema.exists(tf => mt.phys(tf.name) == mf.phys(f.name))) {
+        // the physical-identity check distinguishes a genuine REMOVAL
+        // from a mapping HEAL (compact/overwrite after a RENAME resets
+        // physicals to identity, so the physical no longer matches even
+        // though the logical column survived) — name the actual
+        // limitation instead of a misleading "missing" (ADVICE r17 #5)
+        val healed = toSchema.exists(_.name == f.name)
+        require(false,
+          if (healed)
+            s"LakeTable.changes: the feed crosses a column-mapping HEAL " +
+              s"(a compact/overwrite between v$fromV and v$toV reset the " +
+              s"physical names, so column ${f.name}'s physical identity " +
+              s"${mf.phys(f.name)} no longer resolves at v$toV) — read the " +
+              s"feed in two legs split at the healing commit, or project " +
+              s"the earlier version first"
+          else
+            s"LakeTable.changes: column ${f.name} present at v$fromV is " +
+              s"missing at v$toV — schema diff across a column REMOVAL has " +
+              "no single-schema reading; project the earlier version first")
+      }
     }
     // before-slice rows read with the target schema (missing → null) —
     // and the target's COLUMN MAPPING: an added-then-remapped column
