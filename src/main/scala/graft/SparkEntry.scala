@@ -34,6 +34,7 @@ object SparkEntry {
     "lake_restore_read"        -> (MergeOps.qLakeRestoreRead _),
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
+    "lake_delete_pos"          -> (MergeOps.qLakeDeletePos _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
@@ -1798,6 +1799,20 @@ object SparkEntry {
       """SELECT 1 AS version, o_orderkey, o_orderstatus FROM orders
         |UNION ALL
         |SELECT 2, o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 59 <> 0
+        |ORDER BY version, o_orderkey""".stripMargin,
+    // v2 = post-merge state (time travel must still see the rows the
+    // positional delete later dooms); v3 = the live state after a
+    // PREDICATE delete on a NON-key column, committed as a positional
+    // (file, row-ordinal) sidecar WITHOUT rewriting any data file —
+    // which the entry requires bit-identically
+    "lake_delete_pos" ->
+      """WITH st AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 2 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders)
+        |SELECT 2 AS version, o_orderkey, o_custkey, o_orderstatus FROM st
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_custkey, o_orderstatus FROM st WHERE o_custkey % 59 <> 0
         |ORDER BY version, o_orderkey""".stripMargin,
     // two racing disjoint-key writers both land (v2, v3) under the
     // optimistic-concurrency retry; the final state is order-independent

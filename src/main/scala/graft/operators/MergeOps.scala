@@ -736,6 +736,46 @@ object MergeOps {
       .orderBy("version", "o_orderkey")
   }
 
+  /** POSITIONAL deletion vectors (r18 — VERDICT r17 ask #1; the
+    * Iceberg v2 position-delete / Delta deletion-vector shape): after a
+    * create + CoW merge, a PREDICATE delete on a NON-key column
+    * ([[graft.sources.LakeTable.deletePosWhere]]) commits as one
+    * (source file, row ordinal) sidecar — the entry REQUIRES the v3
+    * file list BIT-IDENTICAL to v2's (zero data-file rewrite), and the
+    * scan applies the sidecar as an ordinal anti-filter, no key
+    * anti-join at all (wide/composite merge identities cost nothing —
+    * why CDC/GDPR-heavy lakes converged on positional bitmaps between
+    * compactions). Emits the as-of(v2) read alongside the live v3
+    * state; the oracle replays both. Coexistence with equality DVs,
+    * compact heal, V2 ordinal probing, and vacuum reclamation are
+    * spec-pinned (LakeTableSpec "deletePos"). */
+  def qLakeDeletePos(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakedvp_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"))
+    LakeTable.merge(spark, path,
+      base.filter(col("o_orderkey") % 13 === 2)
+        .withColumn("o_orderstatus", lit("U")),
+      Seq("o_orderkey"))
+    LakeTable.deletePosWhere(spark, path, col("o_custkey") % 59 === 0)
+    require(LakeTable.manifestFiles(path, 3).sorted ==
+        LakeTable.manifestFiles(path, 2).sorted &&
+        LakeTable.manifestFiles(path, 3).size == LakeTable.manifestFiles(path, 2).size,
+      "lake_delete_pos: the positional delete rewrote data files")
+    require(LakeTable.manifest(path, 3).posDvPaths.nonEmpty,
+      "lake_delete_pos: expected a positional sidecar on the committed version")
+    val v2 = LakeTable.read(spark, path, Some(2)).withColumn("version", lit(2L))
+    val v3 = LakeTable.read(spark, path, Some(3)).withColumn("version", lit(3L))
+    v2.unionByName(v3)
+      .select(col("version"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      .orderBy("version", "o_orderkey")
+  }
+
   /** Change feed ACROSS a schema-evolving commit (r14 — upgrades the
     * former loud refusal to the Delta-CDF column policy): the diff
     * speaks the TARGET version's schema, so the evolved batch's rows

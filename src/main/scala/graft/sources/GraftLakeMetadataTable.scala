@@ -18,8 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     alias of it under the Iceberg metadata-table name (the lake's
   *     versions ARE its snapshots).
   *   - `files`: one row per CURRENT-snapshot manifest entry — path,
-  *     bucket (-1 = unclustered), n_dvs, partition (`k=v` rendering of
-  *     the entry's directory values).
+  *     bucket (-1 = unclustered), n_dvs (equality sidecars), n_pos_dvs
+  *     (positional sidecars), partition (`k=v` rendering of the
+  *     entry's directory values).
   *
   * Resolution: `cat.t.history` reaches [[GraftLakeCatalog.loadTable]]
   * as Identifier(namespace=[t], name=history); when no real table
@@ -70,6 +71,7 @@ private[graft] object GraftLakeMetadataTable {
       .add("path", StringType, nullable = false)
       .add("bucket", IntegerType, nullable = false)
       .add("n_dvs", IntegerType, nullable = false)
+      .add("n_pos_dvs", IntegerType, nullable = false)
       .add("partition", StringType, nullable = false)
     case other => throw new IllegalArgumentException(
       s"graftlake: unknown metadata table $other")
@@ -87,6 +89,7 @@ private[graft] object GraftLakeMetadataTable {
       val m = LakeTable.manifest(path, LakeTable.latestVersion(path))
       m.files.map { e =>
         InternalRow(UTF8String.fromString(e.path), e.bucket, e.dvs.size,
+          e.pos.size,
           UTF8String.fromString(
             e.part.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
               .mkString(",")))

@@ -610,11 +610,14 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
     val kept = bucketPrune(m.files.filter(LakeTable.entryMatches(_, preds)))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
-    // groups: entries sharing BOTH a sidecar set and a physical LAYOUT
-    // (which columns live in the directory vs the data — per entry, so
-    // a no-rewrite partition evolution leaves mixed layouts behind)
-    val groups = kept.groupBy(e => (e.dvs, e.part.keySet)).toSeq.sortBy(_._1._1.size)
+    // groups: entries sharing sidecar sets (equality AND positional)
+    // and a physical LAYOUT (which columns live in the directory vs the
+    // data — per entry, so a no-rewrite partition evolution leaves
+    // mixed layouts behind)
+    val groups = kept.groupBy(e => (e.dvs, e.pos, e.part.keySet)).toSeq
+      .sortBy(g => (g._1._1.size, g._1._2.size))
     val anyDv = groups.exists(_._1._1.nonEmpty)
+    val anyPos = groups.exists(_._1._2.nonEmpty)
     // the DV anti-filter needs the key columns in the read schema even
     // when the query pruned them away; Spark's pushdown rule re-projects
     // the scan output down to the query's columns above the scan
@@ -630,16 +633,33 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       * files; the values come from the MANIFEST, never re-inferred from
       * paths at read time. Returns the scan and its OUTPUT schema
       * (FileScan contract: data columns then partition columns). */
-    def parquetScan(files: Seq[LakeTable.FileEntry], partKeys: Set[String])
+    def parquetScan(files: Seq[LakeTable.FileEntry], partKeys: Set[String],
+        withRowIdx: Boolean = false)
         : (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, StructType) = {
       import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, NoopCache, PartitionPath, PartitionSpec}
       // data files speak PHYSICAL names (column mapping; identity when
       // unmapped) — the delegate reads physical, and the composite's
       // ordinal remap surfaces the logical order. Partition columns are
       // never mapped (rename/drop refuse them).
+      // Positional-delete groups additionally request the parquet ROW
+      // INDEX via Spark's own temporary-column contract: a field named
+      // ROW_INDEX_TEMPORARY_COLUMN_NAME in the read schema is populated
+      // by the parquet readers from footer offsets (correct under
+      // row-group/page skipping and splits — the machinery behind
+      // `_metadata.row_index`, reachable here because the V2 factory
+      // wires ParquetRowIndexUtil the same as the V1 format).
       val readDataSchema = StructType(
         wanted.filterNot(f => partKeys.contains(f.name))
-          .map(f => f.copy(name = m.phys(f.name))))
+          .map(f => f.copy(name = m.phys(f.name))) ++
+          (if (withRowIdx) Seq(StructField(
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+              .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            // NULLABLE on purpose: the column is absent from the FILE
+            // schema, and the reader's required-column check refuses a
+            // required-but-missing field before the row-index generator
+            // (matched by NAME) ever fills it
+            org.apache.spark.sql.types.LongType, nullable = true))
+           else Seq.empty))
       val readPartSchema = StructType(wanted.filter(f => partKeys.contains(f.name)))
       val partSchemaFull = StructType(m.schema.filter(f => partKeys.contains(f.name)))
       val spec =
@@ -670,14 +690,14 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         StructType(readDataSchema ++ readPartSchema))
     }
 
-    if (groups.size <= 1 && !anyDv) {
+    if (groups.size <= 1 && !anyDv && !anyPos) {
       // uniform layout, no sidecars: the pure columnar parquet scan.
       // (Spark derives the relation's columns from the scan's
       // readSchema, so a MAPPED table wraps the physical-named delegate
       // with a logical-named readSchema — vectorized batches bind by
       // POSITION, so the rename costs nothing and the read stays
       // columnar; unmapped tables pass through untouched.)
-      val partKeys = groups.headOption.map(_._1._2).getOrElse(Set.empty[String])
+      val partKeys = groups.headOption.map(_._1._3).getOrElse(Set.empty[String])
       val toLogical: Map[String, String] = m.colMap.map(_.swap)
       def named(p: (org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan, StructType))
           : org.apache.spark.sql.connector.read.Scan =
@@ -747,7 +767,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       // one driver fallback collect per group, computed ONCE and shared
       // by runtime rebuilds (the fallback set is a property of the
       // sidecars, not of which files survive pruning)
-      val fallbacks = groups.map { case ((dvs, _), _) =>
+      val fallbacks = groups.map { case ((dvs, _, _), _) =>
         if (dvs.isEmpty || execSide) Set.empty[Seq[Any]]
         else spark.read.parquet(dvs: _*).select(m.keys.map(col): _*)
           .collect().map(r => Seq.range(0, m.keys.size).map(r.get)).toSet
@@ -773,14 +793,22 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         else None
       def mkGroups(allowed: String => Boolean): Seq[GraftLakeScanGroup] =
         groups.zip(fallbacks).map {
-          case (((dvs, partKeys), es), fallback) =>
+          case (((dvs, pos, partKeys), es), fallback) =>
             val esKept = es.filter(e => allowed(LakeIo.normKey(e.path)))
-            val (scan, outSchema) = parquetScan(esKept, partKeys)
+            // positional groups read the parquet row index as a trailing
+            // data column (the ordinal anti-filter's probe key)
+            val (scan, outSchema) = parquetScan(esKept, partKeys,
+              withRowIdx = pos.nonEmpty)
             // remap: composite field i reads group-output ordinal remap(i)
             // (group outputs speak PHYSICAL names; the composite's out
             // order is logical)
             val remap = wanted.fieldNames.map(f => outSchema.fieldIndex(m.phys(f)))
-            GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback, remap)
+            GraftLakeScanGroup(scan, if (execSide) dvs else Seq.empty, fallback,
+              remap, pos,
+              if (pos.isEmpty) -1
+              else outSchema.fieldIndex(
+                org.apache.spark.sql.execution.datasources.parquet
+                  .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME))
         }
       // the composite carries its OWN runtime-filter support (group
       // structure pinned; a clustered composite pads emptied buckets so
@@ -1016,6 +1044,60 @@ private[graft] object DvKeyReader {
   }
 }
 
+/** EXECUTOR-side POSITIONAL-delete loading (r18 — the [[DvKeyReader]]
+  * pattern for ordinal sidecars): each executor process loads each
+  * distinct positional sidecar set ONCE via parquet-mr, materializing a
+  * per-source-file set of deleted row ordinals; readers probe it as a
+  * primitive long membership test. The sidecar's `__file` strings are
+  * `_metadata.file_path` renderings — normalized through
+  * [[LakeIo.normUri]] to the raw filesystem name, the same key the
+  * reader derives from its partition's [[org.apache.spark.sql.execution
+  * .datasources.PartitionedFile]]. Cache lifetime and eviction mirror
+  * [[DvKeyReader]]: bounded by distinct sidecar sets between
+  * compactions, cleared wholesale past the bound (correctness never
+  * depends on the cache). */
+private[graft] object PosDvReader {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Seq[String], Map[String, java.util.HashSet[java.lang.Long]]]()
+  private val MaxCachedSets = 32
+  private val Empty = new java.util.HashSet[java.lang.Long]()
+
+  def deletedFor(dirs: Seq[String], file: String,
+      conf: org.apache.hadoop.conf.Configuration): java.util.HashSet[java.lang.Long] = {
+    if (!cache.containsKey(dirs) && cache.size >= MaxCachedSets) cache.clear()
+    cache.computeIfAbsent(dirs, _ => load(dirs, conf)).getOrElse(file, Empty)
+  }
+
+  private def load(dirs: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, java.util.HashSet[java.lang.Long]] = {
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, java.util.HashSet[java.lang.Long]]
+    dirs.foreach { dir =>
+      LakeIo.leafParquetWith(dir, conf).foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(f))
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            // fields resolved BY NAME from the sidecar's own schema
+            val fi = g.getType.getFieldIndex("__file")
+            val pi = g.getType.getFieldIndex("__pos")
+            val fileKey = LakeIo.normUri(new String(
+              g.getBinary(fi, 0).getBytes, java.nio.charset.StandardCharsets.UTF_8))
+            acc.getOrElseUpdate(fileKey, new java.util.HashSet[java.lang.Long]())
+              .add(g.getLong(pi, 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    acc.toMap
+  }
+}
+
 /** One delegate scan of the composite: its sidecar dirs (executor-side
   * loading), the driver-collected fallback key set (non-empty only for
   * key types the executor loader does not speak), and the ordinal remap
@@ -1023,7 +1105,12 @@ private[graft] object DvKeyReader {
   * (data-then-partition) order. */
 private[graft] case class GraftLakeScanGroup(
     scan: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    dvDirs: Seq[String], fallbackKeys: Set[Seq[Any]], remap: Array[Int])
+    dvDirs: Seq[String], fallbackKeys: Set[Seq[Any]], remap: Array[Int],
+    // POSITIONAL sidecars (r18): dirs of (__file, __pos) parquet, and
+    // the ordinal of the parquet ROW-INDEX column in this group's
+    // output (-1 when the group carries no positional deletes — the
+    // row-index field is only materialized when needed)
+    posDirs: Seq[String] = Seq.empty, rowIdxOrd: Int = -1)
 
 /** Composite V2 Scan for snapshots that need per-group read shaping:
   * equality-delete sidecars (rows anti-filtered on the erased keys —
@@ -1098,8 +1185,13 @@ private[graft] class GraftLakeCompositeScan(
       g.scan.toBatch.planInputPartitions()
         .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
         .flatMap(_.files)
-        .groupBy(f => bucketByPath.getOrElse(LakeIo.normUri(f.filePath.toString), -1))
-        .toSeq.sortBy(_._1).zipWithIndex.map { case ((b, files), j) =>
+        // a POSITIONAL group's partitions must each hold ONE file (the
+        // ordinal probe needs an unambiguous per-row source file), so
+        // split per (bucket × file) there; same-bucket partitions still
+        // group under the reported KeyGroupedPartitioning either way
+        .groupBy(f => (bucketByPath.getOrElse(LakeIo.normUri(f.filePath.toString), -1),
+          if (g.posDirs.nonEmpty) f.filePath.toString else ""))
+        .toSeq.sortBy(_._1).zipWithIndex.map { case (((b, _), files), j) =>
           require(b >= 0, s"graftlake clustered composite: a planned file has " +
             s"no bucket mapping (${files.head.filePath}) — manifest and plan disagree")
           new GraftLakeGroupBucketPartition(
@@ -1162,7 +1254,24 @@ private[graft] class GraftLakeCompositeScan(
           if (runtimeFiltered) clusteredPartitionsOf(currentGroups, originalBuckets)
           else clusteredPartitions
         } else currentGroups.zipWithIndex.flatMap { case (g, i) =>
-          g.scan.toBatch.planInputPartitions().map(p => new GraftLakeGroupPartition(p, i))
+          val planned = g.scan.toBatch.planInputPartitions()
+          if (g.posDirs.isEmpty)
+            planned.map(p => new GraftLakeGroupPartition(p, i)
+              : org.apache.spark.sql.connector.read.InputPartition)
+          else
+            // one partition per FILE for positional groups: the ordinal
+            // anti-filter resolves its deleted set by the partition's
+            // single source file (splits of one file stay together)
+            planned
+              .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
+              .flatMap(_.files)
+              .groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex
+              .map { case ((_, fs), j) =>
+                new GraftLakeGroupPartition(
+                  new org.apache.spark.sql.execution.datasources.FilePartition(
+                    j, fs.toArray), i)
+                  : org.apache.spark.sql.connector.read.InputPartition
+              }
         }.toArray
       // ALWAYS the ORIGINAL groups' factories: BatchScanExec resolves
       // the factory from the pre-filter batch, and the group structure
@@ -1174,7 +1283,8 @@ private[graft] class GraftLakeCompositeScan(
           groups.map(_.scan.toBatch.createReaderFactory()).toArray,
           groups.map(_.dvDirs).toArray, groups.map(_.fallbackKeys).toArray,
           groups.map(_.remap).toArray,
-          out, keyOrdinals.toArray, keyTypes.toArray, keySchema, conf)
+          out, keyOrdinals.toArray, keyTypes.toArray, keySchema, conf,
+          groups.map(_.posDirs).toArray, groups.map(_.rowIdxOrd).toArray)
     }
 }
 
@@ -1388,7 +1498,9 @@ private[graft] class GraftLakeCompositeReaderFactory(
     remaps: Array[Array[Int]],
     out: StructType, keyOrdinals: Array[Int],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
-    keySchema: StructType, conf: org.apache.spark.util.SerializableConfiguration)
+    keySchema: StructType, conf: org.apache.spark.util.SerializableConfiguration,
+    posDvDirs: Array[Seq[String]] = Array.empty,
+    rowIdxOrds: Array[Int] = Array.empty)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
@@ -1403,8 +1515,10 @@ private[graft] class GraftLakeCompositeReaderFactory(
     val dirs = dvDirs(gp.group)
     val fallback = fallbackKeys(gp.group)
     val remap = remaps(gp.group)
+    val posDirs = if (posDvDirs.isEmpty) Seq.empty[String] else posDvDirs(gp.group)
+    val rowIdxOrd = if (rowIdxOrds.isEmpty) -1 else rowIdxOrds(gp.group)
     val identity = remap.zipWithIndex.forall { case (o, i) => o == i }
-    if (dirs.isEmpty && fallback.isEmpty && identity) delegate
+    if (dirs.isEmpty && fallback.isEmpty && posDirs.isEmpty && identity) delegate
     else new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
       // remap group order → composite order with a codegen'd projection
@@ -1429,6 +1543,22 @@ private[graft] class GraftLakeCompositeReaderFactory(
           keyTypes.map(
             org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter)
         else null
+      // POSITIONAL anti-filter (r18): this partition holds exactly ONE
+      // source file (the planner splits positional groups per file), so
+      // the deleted-ordinal set resolves once per partition from the
+      // executor-cached sidecar load — the per-row probe is then a
+      // primitive long membership test, independent of key width
+      private val posDeleted: java.util.HashSet[java.lang.Long] =
+        if (posDirs.isEmpty) null
+        else {
+          val files = gp.inner match {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(f => LakeIo.normUri(f.filePath.toString)).distinct
+          }
+          require(files.length == 1, "graftlake positional read: a positional " +
+            s"group's partition must hold one file, got ${files.mkString(", ")}")
+          PosDvReader.deletedFor(posDirs, files.head, conf.value)
+        }
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
       // SQL equi-join semantics (review r17 #2): NULL never equals
       // anything, so a target row with a NULL key value can never be
@@ -1445,17 +1575,22 @@ private[graft] class GraftLakeCompositeReaderFactory(
       }
       override def next(): Boolean = {
         while (delegate.next()) {
-          val r = proj(delegate.get())
-          val keep =
-            if (erasedUnsafe == null && toScala == null) true
-            else if (anyKeyNull(r)) true
-            else if (erasedUnsafe != null) !erasedUnsafe.contains(keyProj(r))
-            else {
-              val key: Seq[Any] = keyOrdinals.indices
-                .map(i => toScala(i)(r.get(keyOrdinals(i), keyTypes(i))))
-              !fallback.contains(key)
-            }
-          if (keep) { current = r; return true }
+          val r0 = delegate.get()
+          // ordinal probe BEFORE the remap projection: the row-index
+          // column is a group-output ordinal the composite never surfaces
+          if (posDeleted == null || !posDeleted.contains(r0.getLong(rowIdxOrd))) {
+            val r = proj(r0)
+            val keep =
+              if (erasedUnsafe == null && toScala == null) true
+              else if (anyKeyNull(r)) true
+              else if (erasedUnsafe != null) !erasedUnsafe.contains(keyProj(r))
+              else {
+                val key: Seq[Any] = keyOrdinals.indices
+                  .map(i => toScala(i)(r.get(keyOrdinals(i), keyTypes(i))))
+                !fallback.contains(key)
+              }
+            if (keep) { current = r; return true }
+          }
         }
         false
       }

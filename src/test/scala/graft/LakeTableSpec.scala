@@ -426,6 +426,75 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got3)
   }
 
+  test("deletePos: positional bitmaps rewrite NO data file; V2 ordinal probe; coexist with equality DVs; compact heals") {
+    import spark.implicits._
+    val p = freshPath("dvpos")
+    val base = (1L to 400L).map(k => (k, "base", k)).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 8)
+    val erased = (1L to 400L).filter(_ % 50 == 3)
+    LakeTable.deletePos(spark, p, erased.map(Tuple1(_)).toDF("k"), Seq("k"))
+    // ZERO data-file rewrite: the file list is bit-identical, only
+    // positional sidecar references changed (the lake_delete_pos gate)
+    assert(LakeTable.manifestFiles(p, 2).toSet == LakeTable.manifestFiles(p, 1).toSet)
+    assert(LakeTable.manifest(p, 2).posDvPaths.size == 1)
+    assert(LakeTable.manifest(p, 2).dvPaths.isEmpty)
+    val expect2 = (1L to 400L).filterNot(erased.contains).map(k => (k, "base", k)).toSet
+    // V1 read path (ordinal anti-join on (_metadata.file_path, row_index))
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect2)
+    // V2 read path (composite reader's executor-side long-set probe)
+    assert(rows(spark.read.format("graftlake").load(p).select("k", "s", "v")) == expect2)
+    // time travel still sees the erased rows; the feed is O(delta) deletes
+    assert(rows(LakeTable.read(spark, p, Some(1)).select("k", "s", "v")).size == 400)
+    val feed = LakeTable.changes(spark, p, 1, 2, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == erased.map(k => (k, "delete")).toSet, s"got $feed")
+    // a merge re-inserts a position-deleted key into a NEW file — the
+    // old file's sidecar pins ordinals of the OLD file only, so the
+    // fresh row is untouched by construction
+    LakeTable.merge(spark, p, Seq((3L, "back", 33L)).toDF("k", "s", "v"), Seq("k"))
+    val got3 = rows(LakeTable.read(spark, p).select("k", "s", "v"))
+    assert(got3 == expect2 + ((3L, "back", 33L)))
+    // COEXISTENCE: an equality DV lands on top of the positional state
+    // (different keys) — both sidecar families apply on one snapshot
+    LakeTable.deleteDV(spark, p, Seq(Tuple1(100L)).toDF("k"), Seq("k"))
+    val got4 = got3.filterNot(_._1 == 100L)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got4)
+    assert(rows(spark.read.format("graftlake").load(p).select("k", "s", "v")) == got4)
+    // compact materializes BOTH sidecar families away: clean manifest,
+    // same rows
+    LakeTable.compact(spark, p, targetFiles = 4)
+    val mc = LakeTable.manifest(p, LakeTable.latestVersion(p))
+    assert(mc.posDvPaths.isEmpty && mc.dvPaths.isEmpty)
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got4)
+    // vacuum reclaims the positional sidecar parquet
+    val posLeaf = local(LakeTable.manifest(p, 2).posDvPaths.head)
+    assert(posLeaf.exists)
+    LakeTable.vacuum(p, keepLast = 1)
+    assert(Option(posLeaf.listFiles).getOrElse(Array.empty)
+      .forall(f => !f.getName.endsWith(".parquet")), "pos sidecar survived vacuum")
+    assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got4)
+  }
+
+  test("deletePosWhere: predicate-only positional delete; NULL predicate rows survive") {
+    import spark.implicits._
+    val p = freshPath("dvposw")
+    // v nullable: NULL rows make the predicate three-valued
+    val base = (1L to 50L).map(k =>
+      (k, if (k % 10 == 0) "flag" else "keep",
+        if (k % 7 == 0) null else java.lang.Long.valueOf(k))).toDF("k", "s", "v")
+    LakeTable.create(spark, p, base, Seq("k"))
+    // predicate touches a NON-key column and is NULL where v is NULL:
+    // only definitively-true rows are doomed (v > 25 AND s = 'flag')
+    LakeTable.deletePosWhere(spark, p, col("v") > 25L && col("s") === "flag")
+    assert(LakeTable.manifestFiles(p, 2).toSet == LakeTable.manifestFiles(p, 1).toSet)
+    val got = LakeTable.read(spark, p).select("k").as[Long].collect().toSet
+    val doomed = (1L to 50L).filter(k => k % 10 == 0 && k % 7 != 0 && k > 25)
+    assert(got == (1L to 50L).toSet -- doomed, s"doomed=$doomed got=$got")
+    // V2 parity
+    assert(spark.read.format("graftlake").load(p).select("k").as[Long]
+      .collect().toSet == got)
+  }
+
   test("optimistic concurrency: disjoint racing writers both land; overlapping fails loudly") {
     import spark.implicits._
     val p = freshPath("occ")
