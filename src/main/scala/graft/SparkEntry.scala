@@ -35,6 +35,7 @@ object SparkEntry {
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_delete_pos"          -> (MergeOps.qLakeDeletePos _),
+    "lake_bloom_skip"          -> (MergeOps.qLakeBloomSkip _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
@@ -1800,6 +1801,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 59 <> 0
         |ORDER BY version, o_orderkey""".stripMargin,
+    // point lookup on a declared SECONDARY index column: the engine
+    // probes per-file bloom bits (>=4x file skipping required by the
+    // entry); the oracle recomputes the same three lookup ids from the
+    // raw table — a wrongly-skipped file loses rows (no-false-negative)
+    "lake_bloom_skip" ->
+      """WITH ids AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 1
+        |  ORDER BY o_orderkey LIMIT 3)
+        |SELECT o.o_orderkey, 'u' || CAST(o.o_orderkey AS VARCHAR) AS o_uid,
+        |  o.o_orderstatus
+        |FROM orders o JOIN ids USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // v2 = post-merge state (time travel must still see the rows the
     // positional delete later dooms); v3 = the live state after a
     // PREDICATE delete on a NON-key column, committed as a positional

@@ -776,6 +776,47 @@ object MergeOps {
       .orderBy("version", "o_orderkey")
   }
 
+  /** BLOOM file indexes on a declared SECONDARY column (r18 — VERDICT
+    * r17 ask #2; the reference's `idx_cards_oracle_id` point-lookup
+    * shape, init.sql:133-134, at lake scale): the table is hash-
+    * clustered on its KEY, so any one `o_uid` value's [min,max]
+    * straddle keeps every file — stats cannot prune an unsorted
+    * secondary column. Declaring `index_columns='o_uid'` makes every
+    * write collect per-file bloom bits over xxhash64(o_uid); the point
+    * lookup then probes them and opens only the files that can hold a
+    * wanted id. The entry REQUIRES ≥4x manifest-entry skipping via the
+    * scan observability; the oracle recomputes the same ids from the
+    * raw table — a wrongly-skipped file loses rows and breaks the
+    * hash (the bloom no-false-negative contract, also spec-pinned). */
+  def qLakeBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakebloom_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      concat(lit("u"), col("o_orderkey")).as("o_uid"),
+      col("o_orderstatus"))
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 16,
+      indexCols = Seq("o_uid"))
+    // three deterministic lookup ids (bounded driver collect)
+    val ids = base.filter(col("o_orderkey") % 997 === 1)
+      .orderBy("o_orderkey").limit(3)
+      .select("o_uid").collect().map(_.getString(0)).toSeq
+    require(ids.nonEmpty, "lake_bloom_skip: no lookup ids at this SF")
+    val out = spark.read.format("graftlake").load(path)
+      .filter(col("o_uid").isin(ids: _*))
+      .select("o_orderkey", "o_uid", "o_orderstatus")
+      .orderBy("o_orderkey")
+    // execute once so the scan's static pruning observability records
+    // (the lake_runtime_prune gating pattern), then gate the skip ratio
+    out.collect()
+    val (kept, total) = graft.sources.GraftLakeSource.lastPrune(path)
+    require(kept * 4 <= total,
+      s"lake_bloom_skip: expected >=4x bloom file skipping, got $kept/$total")
+    out
+  }
+
   /** Change feed ACROSS a schema-evolving commit (r14 — upgrades the
     * former loud refusal to the Delta-CDF column policy): the diff
     * speaks the TARGET version's schema, so the evolved batch's rows

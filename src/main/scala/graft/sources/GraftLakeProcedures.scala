@@ -53,7 +53,7 @@ private[graft] object GraftLakeProcedures {
 
   private[graft] val names: Seq[String] =
     Seq("compact", "vacuum", "history", "restore", "evolve_partitioning",
-      "zorder", "recluster", "convert")
+      "zorder", "recluster", "convert", "set_index_columns")
 
   def load(warehouse: String, ident: Identifier): UnboundProcedure = {
     def path(tbl: UTF8String): String =
@@ -114,6 +114,16 @@ private[graft] object GraftLakeProcedures {
         versionOut,
         input => Seq(InternalRow(LakeTable.convert(
           SparkSession.active, path(input.getUTF8String(0)),
+          input.getUTF8String(1).toString.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq))))
+      // declare secondary INDEX columns (r18): a header-only commit —
+      // new writes collect per-file bloom bits for them, compact
+      // backfills; surfaced as TBLPROPERTIES 'index_columns'
+      case "set_index_columns" => new LakeProc("set_index_columns",
+        Array(in("table", StringType), in("columns", StringType)),
+        versionOut,
+        input => Seq(InternalRow(LakeTable.setIndexColumns(
+          path(input.getUTF8String(0)),
           input.getUTF8String(1).toString.split(',').map(_.trim)
             .filter(_.nonEmpty).toSeq))))
       case "evolve_partitioning" => new LakeProc("evolve_partitioning",

@@ -389,6 +389,51 @@ object GraftLakeSource {
     filters.forall(f => runtimeMatches(e, f, phys) && bucketAlive(f))
   }
 
+  /** xxhash64 of a LITERAL value on the axis [[LakeTable.bloomKeepAny]]
+    * probes: the bloom ingests `xxhash64(col)` longs (seed 42, the SQL
+    * function's default), so the driver-side probe hashes the external
+    * literal through the same catalyst chain. None when the value
+    * cannot convert or hash — callers must keep the file. */
+  private[graft] def hashLiteral(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] =
+    try {
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)
+      if (cat == null) None
+      else Some(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(cat, dt, 42L))
+    } catch { case _: Exception => None }
+
+  /** BLOOM-index keep decision for one manifest entry (r18 — VERDICT
+    * r17 ask #2): equality/In predicates on a DECLARED index column
+    * probe the entry's per-file bloom bits — a point lookup on a
+    * NON-layout column skips every file whose bloom rejects the value,
+    * where min/max envelopes on an unsorted column keep everything.
+    * Sound by the bloom contract (no false negatives); any unhashable
+    * value, missing bloom, or other filter shape keeps the file.
+    * Returns a closure so the per-column types resolve once. */
+  private[graft] def bloomFilterKeep(m: LakeTable.Manifest)
+      : (LakeTable.FileEntry, Seq[Filter]) => Boolean = {
+    if (m.indexCols.isEmpty) (_, _) => true
+    else {
+      val types = m.schema.map(f => f.name -> f.dataType).toMap
+      def hashesOf(c: String, vs: Seq[Any]): Option[Seq[Long]] =
+        types.get(c).flatMap { dt =>
+          val hs = vs.flatMap(v => hashLiteral(v, dt))
+          if (hs.length == vs.length) Some(hs) else None
+        }
+      (e, filters) => filters.forall {
+        case EqualTo(c, v) if m.indexCols.contains(c) && v != null =>
+          hashesOf(c, Seq(v)).forall(hs => LakeTable.bloomKeepAny(e, m.phys(c), hs))
+        case In(c, vs) if m.indexCols.contains(c) && vs.nonEmpty &&
+            vs.forall(_ != null) && vs.length <= RuntimeInValuesCap =>
+          hashesOf(c, vs.toSeq).forall(hs =>
+            LakeTable.bloomKeepAny(e, m.phys(c), hs))
+        case _ => true
+      }
+    }
+  }
+
   /** Columns worth ADVERTISING for runtime filtering (ADVICE r17 #4):
     * [[runtimeKeep]] prunes only through manifest stats (which carry
     * partition values as exact entries) and the value-bucket tier on
@@ -401,7 +446,8 @@ object GraftLakeSource {
       entries: Seq[LakeTable.FileEntry], phys: String => String,
       clusterKeys: Seq[String]): Seq[String] =
     required.filter(c => clusterKeys.contains(c) ||
-      entries.exists(_.stats.contains(phys(c))))
+      entries.exists(e => e.stats.contains(phys(c)) ||
+        e.blooms.contains(phys(c))))
 }
 
 private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
@@ -418,10 +464,13 @@ private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    // footer stats are keyed by PHYSICAL name (identity unless mapped)
+    // footer stats are keyed by PHYSICAL name (identity unless mapped);
+    // bloom bits on declared index columns prune equality/In lookups
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
       .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
-    val kept = m.files.filter(LakeTable.entryMatches(_, preds))
+    val bloomKeep = GraftLakeSource.bloomFilterKeep(m)
+    val kept = m.files.filter(e =>
+      LakeTable.entryMatches(e, preds) && bloomKeep(e, filters.toSeq))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     val df = LakeTable.readEntries(sqlContext.sparkSession, m, kept)
     df.select(requiredColumns.toSeq.map(col): _*).rdd
@@ -481,6 +530,8 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
     if (m.colMap.nonEmpty)
       p.put("column_mapping", m.colMap.toSeq.sorted
         .map { case (l, ph) => s"$l->$ph" }.mkString(","))
+    // the declared secondary-index columns (per-file bloom skipping)
+    if (m.indexCols.nonEmpty) p.put("index_columns", m.indexCols.mkString(","))
     p
   }
   override def capabilities()
@@ -608,7 +659,12 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     // footer stats are keyed by PHYSICAL name (identity unless mapped)
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
       .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
-    val kept = bucketPrune(m.files.filter(LakeTable.entryMatches(_, preds)))
+    // three static pruning tiers: stats envelopes, per-file BLOOM bits
+    // on declared index columns (equality/In on a non-layout column),
+    // and the all-keys-equality bucket pin
+    val bloomKeep = GraftLakeSource.bloomFilterKeep(m)
+    val kept = bucketPrune(m.files.filter(e =>
+      LakeTable.entryMatches(e, preds) && bloomKeep(e, filters.toSeq)))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     // groups: entries sharing sidecar sets (equality AND positional)
     // and a physical LAYOUT (which columns live in the directory vs the
@@ -728,7 +784,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
               Some(m.schema(m.schema.fieldIndex(m.keys.head)).dataType)
             else None,
             allowed => parquetScan(kept.filter(e =>
-              allowed(LakeIo.normKey(e.path))), partKeys)._1)),
+              allowed(LakeIo.normKey(e.path))), partKeys)._1, bloomKeep)),
           outSchema =
             if (m.colMap.isEmpty) None
             else Some(StructType(first._2.map(f =>
@@ -745,7 +801,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
         GraftLakeSource.pruneAdvertisable(
           required.fieldNames.toSeq, kept, m.phys, Seq.empty),
         m.phys, named(first), allowed => named(parquetScan(kept.filter(e =>
-          allowed(LakeIo.normKey(e.path))), partKeys)))
+          allowed(LakeIo.normKey(e.path))), partKeys)), bloomKeep)
     } else {
       // sidecars and/or mixed layouts: one delegate scan per group,
       // rows remapped to ONE output order and anti-filtered per group.
@@ -822,7 +878,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
           if (clusterSpec.isDefined && m.keys.size == 1)
             Some((m.keys.head, m.schema(m.schema.fieldIndex(m.keys.head)).dataType))
           else None,
-          allowed => mkGroups(allowed))))
+          allowed => mkGroups(allowed), bloomKeep)))
     }
   }
 }
@@ -876,7 +932,8 @@ private[graft] class GraftLakeRuntimeScan(
     path: String, statically: Seq[LakeTable.FileEntry], columns: Seq[String],
     phys: String => String,
     inner: org.apache.spark.sql.connector.read.Scan,
-    rebuild: (String => Boolean) => org.apache.spark.sql.connector.read.Scan)
+    rebuild: (String => Boolean) => org.apache.spark.sql.connector.read.Scan,
+    bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -902,7 +959,8 @@ private[graft] class GraftLakeRuntimeScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     val kept = statically.filter(e =>
-      filters.forall(GraftLakeSource.runtimeMatches(e, _, phys)))
+      filters.forall(GraftLakeSource.runtimeMatches(e, _, phys)) &&
+        bloomKeep(e, filters.toSeq))
     GraftLakeSource.recordPrune(s"$path@runtime", kept.size, statically.size)
     if (kept.size < statically.size) {
       val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet
@@ -1153,7 +1211,7 @@ private[graft] class GraftLakeCompositeScan(
   override def filter(filters: Array[Filter]): Unit = runtime.foreach { ctx =>
     val kept = ctx.statically.filter(e =>
       GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, ctx.singleKey,
-        cluster.map(_._1).getOrElse(0)))
+        cluster.map(_._1).getOrElse(0)) && ctx.bloomKeep(e, filters.toSeq))
     GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
       ctx.statically.size)
     if (kept.size < ctx.statically.size) {
@@ -1297,7 +1355,8 @@ private[graft] object GraftLakeCompositeScan {
       statically: Seq[LakeTable.FileEntry], columns: Seq[String],
       phys: String => String,
       singleKey: Option[(String, org.apache.spark.sql.types.DataType)],
-      regroup: (String => Boolean) => Seq[GraftLakeScanGroup])
+      regroup: (String => Boolean) => Seq[GraftLakeScanGroup],
+      bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
@@ -1369,7 +1428,8 @@ private[graft] class GraftLakeClusteredScan(
       case dt if keyNames.size == 1 => (keyNames.head, dt)
     }
     val kept = ctx.statically.filter(e =>
-      GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, singleKey, nBuckets))
+      GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, singleKey,
+        nBuckets) && ctx.bloomKeep(e, filters.toSeq))
     GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
       ctx.statically.size)
     if (kept.size < ctx.statically.size) {
@@ -1462,7 +1522,8 @@ private[graft] object GraftLakeClusteredScan {
       phys: String => String,
       keyType: Option[org.apache.spark.sql.types.DataType],
       rebuild: (String => Boolean) =>
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+      bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
 }
 
 /** An input partition tagged with its composite group. */

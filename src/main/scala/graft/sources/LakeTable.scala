@@ -116,7 +116,16 @@ object LakeTable {
       dvs: Seq[String] = Seq.empty,
       part: Map[String, String] = Map.empty,
       bucket: Int = -1,
-      pos: Seq[String] = Seq.empty)
+      pos: Seq[String] = Seq.empty,
+      // per-file BLOOM bits for declared index columns (r18 — VERDICT
+      // r17 ask #2): base64 of the Spark util.sketch serialization,
+      // keyed by PHYSICAL column name, items are xxhash64(value) longs.
+      // Consulted by the scan's equality/In pruning alongside min/max —
+      // a point lookup on a NON-layout column skips every file whose
+      // bloom rejects the value, instead of opening every file whose
+      // [min,max] straddles it (the init.sql:133-134 oracle_id-lookup
+      // shape at lake scale). Absent = never pruned (old files, safe).
+      blooms: Map[String, String] = Map.empty)
 
   /** The complete committed state of one version. `parts` names the
     * table's partition columns (empty = no directory layout).
@@ -129,7 +138,12 @@ object LakeTable {
   final case class Manifest(version: Int, op: String, keys: Seq[String],
       schemaDdl: String, files: Seq[FileEntry], parts: Seq[String] = Seq.empty,
       clusterBuckets: Int = 0, colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Seq.empty) {
+      retired: Seq[String] = Seq.empty,
+      // declared secondary INDEX columns (logical names): new writes
+      // collect per-file bloom bits for them; compact backfills the
+      // whole table. Declared at create or via [[setIndexColumns]]
+      // (surfaced as TBLPROPERTIES 'index_columns').
+      indexCols: Seq[String] = Seq.empty) {
     def schema: StructType = StructType.fromDDL(schemaDdl)
     def filePaths: Seq[String] = files.map(_.path)
     def dvPaths: Seq[String] = files.flatMap(_.dvs).distinct
@@ -182,14 +196,14 @@ object LakeTable {
       keys: Seq[String], schemaDdl: String, parts: Seq[String],
       removedPaths: Seq[String], addedEntries: Seq[FileEntry],
       clusterBuckets: Int = 0, colMap: Map[String, String] = Map.empty,
-      retired: Seq[String] = Seq.empty)
+      retired: Seq[String] = Seq.empty, indexCols: Seq[String] = Seq.empty)
 
   /** Apply a churn record to its predecessor's reconstructed state. */
   private def applyDelta(prev: Manifest, d: DeltaRecord): Manifest = {
     val removed = d.removedPaths.toSet
     Manifest(d.version, d.op, d.keys, d.schemaDdl,
       prev.files.filterNot(e => removed(e.path)) ++ d.addedEntries, d.parts,
-      d.clusterBuckets, d.colMap, d.retired)
+      d.clusterBuckets, d.colMap, d.retired, d.indexCols)
   }
 
   // ---- commit-record JSON (Jackson — a real writer, so paths containing
@@ -205,6 +219,10 @@ object LakeTable {
       if (fe.bucket >= 0) { fn.put("bucket", fe.bucket); () }
       if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
       if (fe.pos.nonEmpty) { val a = fn.putArray("pos"); fe.pos.foreach(a.add) }
+      if (fe.blooms.nonEmpty) {
+        val bn = fn.putObject("bloom")
+        fe.blooms.toSeq.sortBy(_._1).foreach { case (c, b) => bn.put(c, b); () }
+      }
       if (fe.part.nonEmpty) {
         val pn = fn.putObject("part")
         fe.part.foreach { case (c, v) => if (v == null) pn.putNull(c) else pn.put(c, v); () }
@@ -249,15 +267,19 @@ object LakeTable {
         pn.fields().asScala.map(e =>
           e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
       }.getOrElse(Map.empty[String, String])
+      val blooms = Option(fn.get("bloom")).map { bn =>
+        bn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
       FileEntry(fn.path("path").asText(), stats, dvs, part,
-        if (fn.has("bucket")) fn.path("bucket").asInt() else -1, pos)
+        if (fn.has("bucket")) fn.path("bucket").asInt() else -1, pos, blooms)
     }.toSeq
   }
 
   private def headerJson(version: Int, op: String, keys: Seq[String],
       schemaDdl: String, parts: Seq[String],
       kind: String, clusterBuckets: Int,
-      colMap: Map[String, String], retired: Seq[String])
+      colMap: Map[String, String], retired: Seq[String],
+      indexCols: Seq[String])
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = jsonMapper.createObjectNode()
     root.put("format", 3)
@@ -274,20 +296,21 @@ object LakeTable {
       colMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
     }
     if (retired.nonEmpty) { val ra = root.putArray("retired"); retired.foreach(ra.add) }
+    if (indexCols.nonEmpty) { val ia = root.putArray("index"); indexCols.foreach(ia.add) }
     root.put("schema", schemaDdl)
     root
   }
 
   private def manifestJson(m: Manifest): String = {
     val root = headerJson(m.version, m.op, m.keys, m.schemaDdl, m.parts, "full",
-      m.clusterBuckets, m.colMap, m.retired)
+      m.clusterBuckets, m.colMap, m.retired, m.indexCols)
     writeEntriesJson(root.putArray("files"), m.files)
     jsonMapper.writeValueAsString(root)
   }
 
   private def deltaJson(d: DeltaRecord): String = {
     val root = headerJson(d.version, d.op, d.keys, d.schemaDdl, d.parts, "delta",
-      d.clusterBuckets, d.colMap, d.retired)
+      d.clusterBuckets, d.colMap, d.retired, d.indexCols)
     val rm = root.putArray("remove")
     d.removedPaths.foreach(rm.add)
     writeEntriesJson(root.putArray("add"), d.addedEntries)
@@ -311,13 +334,15 @@ object LakeTable {
     val colMap = root.path("colmap").properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
     val retired = root.path("retired").elements().asScala.map(_.asText()).toSeq
+    val indexCols = root.path("index").elements().asScala.map(_.asText()).toSeq
     if (root.path("kind").asText() == "delta")
       Left(DeltaRecord(version, op, keys, schemaDdl, parts,
         root.path("remove").elements().asScala.map(_.asText()).toSeq,
-        parseEntriesJson(root.path("add")), cluster, colMap, retired))
+        parseEntriesJson(root.path("add")), cluster, colMap, retired, indexCols))
     else
       Right(Manifest(version, op, keys, schemaDdl,
-        parseEntriesJson(root.path("files")), parts, cluster, colMap, retired))
+        parseEntriesJson(root.path("files")), parts, cluster, colMap, retired,
+        indexCols))
   }
 
   /** Commit a STATE-REPLACING version (create/overwrite/compact/restore/
@@ -334,7 +359,8 @@ object LakeTable {
       removedPaths: Seq[String], addedEntries: Seq[FileEntry]): Unit = {
     publish(path, m, deltaJson(
       DeltaRecord(m.version, m.op, m.keys, m.schemaDdl, m.parts,
-        removedPaths, addedEntries, m.clusterBuckets, m.colMap, m.retired)))
+        removedPaths, addedEntries, m.clusterBuckets, m.colMap, m.retired,
+        m.indexCols)))
     // periodic full-state checkpoint: bounds reconstruction to at most
     // ChkInterval record reads (every interval-th version is an anchor —
     // this checkpoint when the record there is a delta; a full record is
@@ -547,17 +573,93 @@ object LakeTable {
     * (read-time reconstruction) and as exact min==max stats (pruning). */
   private def entriesFor(spark: SparkSession, dir: String,
       keyCols: Seq[String], schema: StructType,
-      parts: Seq[String] = Seq.empty, clustered: Boolean = false): Seq[FileEntry] = {
+      parts: Seq[String] = Seq.empty, clustered: Boolean = false,
+      bloomCols: Seq[(String, DataType)] = Seq.empty): Seq[FileEntry] = {
     val statCols = keyCols.filterNot(parts.contains).flatMap(k =>
       schema.find(_.name == k).flatMap(f => statsFamily(f.dataType)).map(k -> _))
     val files = leafFiles(dir)
     val stats = footerStats(spark, files, statCols)
+    val blooms = fileBloomBits(spark, files, bloomCols)
     files.map { f =>
       val pv = liftPartValues(f, parts)
       FileEntry(f, stats.getOrElse(f, Map.empty) ++ partStats(pv, schema),
-        part = pv, bucket = if (clustered) bucketOf(f) else -1)
+        part = pv, bucket = if (clustered) bucketOf(f) else -1,
+        blooms = blooms.getOrElse(LakeIo.normKey(f), Map.empty))
     }
   }
+
+  /** Bits cap per (file, column): past it the filter keeps its size and
+    * the realized fpp degrades gracefully (still sound — a bloom never
+    * false-negatives). 2^21 bits = 256 KB holds ~220k rows at the 1%
+    * design fpp; a 1M-row file realizes ~20% — still a 5x skip on a
+    * uniform lookup, and compact-to-smaller-files restores the design
+    * point. Manifest-size note: blooms ride CHURN records (O(delta) per
+    * commit); full checkpoints carry all of them, which is the price of
+    * manifest-resident indexes — declare index columns where the
+    * lookup traffic earns it. */
+  private[graft] val BloomMaxBits: Long = 1L << 21
+
+  /** Per-file bloom bits over xxhash64(value) for the declared index
+    * columns — ONE column-pruned Spark scan of the just-written files,
+    * aggregated per source file with the in-plan BloomFilterAggregate
+    * (no driver-side sketch build; the same kernel dedup_bloom_probe
+    * gates). Sized from the batch's footer row counts (VERDICT r17 ask
+    * #2), capped at [[BloomMaxBits]]. Keys are PHYSICAL column names —
+    * the axis footer stats already use. */
+  private def fileBloomBits(spark: SparkSession, files: Seq[String],
+      bloomCols: Seq[(String, DataType)]): Map[String, Map[String, String]] = {
+    if (bloomCols.isEmpty || files.isEmpty) return Map.empty
+    graft.functions.GraftFunctions.register(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.collection.parallel.CollectionConverters._
+    val maxRows = files.par.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.max
+    val est = math.max(maxRows, 64L)
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, 0.01),
+      BloomMaxBits)
+    val readSchema = StructType(bloomCols.map { case (c, dt) => StructField(c, dt) })
+    val aggs = bloomCols.map { case (c, _) =>
+      expr(s"bloom_filter_agg(xxhash64(`$c`), CAST($est AS BIGINT), " +
+        s"CAST($numBits AS BIGINT))").as(c) }
+    spark.read.schema(readSchema).parquet(files: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        LakeIo.normUri(r.getString(0)) -> bloomCols.zipWithIndex.flatMap {
+          case ((c, _), i) => Option(r.get(i + 1)).map(b => c ->
+            java.util.Base64.getEncoder.encodeToString(b.asInstanceOf[Array[Byte]]))
+        }.toMap
+      }.toMap
+  }
+
+  /** Does `fe`'s bloom for `colPhys` admit ANY of `hashes`
+    * (xxhash64(value) longs)? No bloom, or unreadable bits, never
+    * prunes. A bloom has NO false negatives, so a `false` here is a
+    * sound skip. */
+  private[graft] def bloomKeepAny(fe: FileEntry, colPhys: String,
+      hashes: Seq[Long]): Boolean =
+    fe.blooms.get(colPhys) match {
+      case None => true
+      case Some(b64) =>
+        try {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+          hashes.exists(bf.mightContainLong)
+        } catch { case _: Exception => true }
+    }
+
+  /** (physical name, type) pairs for the declared index columns that
+    * are data columns of `schema` — what a rewrite passes to
+    * [[entriesFor]] so the new files carry bloom bits. */
+  private def bloomColsOf(m: Manifest, schema: StructType): Seq[(String, DataType)] =
+    m.indexCols.filterNot(m.parts.contains).flatMap(c =>
+      schema.find(_.name == c).map(f => m.phys(c) -> f.dataType))
 
   /** A clustered write's file→bucket mapping, lifted from the part-file
     * NAME: `repartition(n, keys)` routes each row to shuffle partition
@@ -855,20 +957,49 @@ object LakeTable {
     * ingest parallelism. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       keyCols: Seq[String], nBuckets: Int = 8, layout: String = "hash",
-      partitionBy: Seq[String] = Seq.empty): Int = {
+      partitionBy: Seq[String] = Seq.empty,
+      indexCols: Seq[String] = Seq.empty): Int = {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the data schema"))
     require(layout != "cluster" || partitionBy.isEmpty,
       "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    indexCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"LakeTable: index column $c is not in the data schema"))
+    indexCols.foreach(c => require(!partitionBy.contains(c),
+      s"LakeTable: index column $c is a partition column — directory " +
+        "pruning already serves it"))
     val cluster = if (layout == "cluster") nBuckets else 0
     val dir = s"$path/data/create"
     writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
-    commit(path, Manifest(1, "create", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0),
-      partitionBy, cluster))
+    val m1 = Manifest(1, "create", keyCols, df.schema.toDDL, Seq.empty,
+      partitionBy, cluster, indexCols = indexCols)
+    commit(path, m1.copy(files =
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0,
+        bloomColsOf(m1, df.schema))))
     1
+  }
+
+  /** Declare (or redeclare) the table's secondary INDEX columns — a
+    * HEADER-ONLY commit (the TBLPROPERTIES 'index_columns' surface).
+    * Existing files carry no bloom bits (never pruned on the new
+    * index — safe); every later write collects them, and a
+    * [[compact]]/ [[rezorder]]/[[recluster]] BACKFILLS the whole
+    * table. */
+  def setIndexColumns(path: String, cols: Seq[String]): Int = {
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot alter missing table at $path")
+    val m = manifest(path, current)
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"LakeTable: index column $c is not in the schema"))
+    cols.foreach(c => require(!m.parts.contains(c),
+      s"LakeTable: index column $c is a partition column — directory " +
+        "pruning already serves it"))
+    commitDelta(path, Manifest(current + 1, "set-index", m.keys, m.schemaDdl,
+      m.files, m.parts, m.clusterBuckets, m.colMap, m.retired, cols),
+      Seq.empty, Seq.empty)
+    current + 1
   }
 
   /** Create the table as version 1 from its SCHEMA alone — zero data
@@ -1023,9 +1154,16 @@ object LakeTable {
     val cluster = if (layout == "cluster") nBuckets else 0
     val dir = s"$path/data/overwrite-v${current + 1}-${java.util.UUID.randomUUID()}"
     writeLayout(df, keyCols, nBuckets, layout, dir, partitionBy)
-    commit(path, Manifest(current + 1, "overwrite", keyCols, df.schema.toDDL,
-      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0),
-      partitionBy, cluster))
+    // the index declaration survives an overwrite for the columns that
+    // still exist (an overwrite heals the column mapping, so the
+    // physical axis is the logical name again)
+    val keptIndex = manifest(path, current).indexCols
+      .filter(df.schema.fieldNames.contains).filterNot(partitionBy.contains)
+    val mNew = Manifest(current + 1, "overwrite", keyCols, df.schema.toDDL,
+      Seq.empty, partitionBy, cluster, indexCols = keptIndex)
+    commit(path, mNew.copy(files =
+      entriesFor(spark, dir, keyCols, df.schema, partitionBy, cluster > 0,
+        bloomColsOf(mNew, df.schema))))
     current + 1
   }
 
@@ -1130,12 +1268,12 @@ object LakeTable {
       rewriteDir, m.parts, newColMap)
     testInterleave()
     val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts,
-      m.clusterBuckets > 0)
+      m.clusterBuckets > 0, bloomColsOf(m, newSchema))
     // churn record: removed = the touched files, added = the rewrite —
     // O(batch-touched files) metadata, never the carried 99.99%
     commitDelta(path, Manifest(readVersion + 1, "merge", m.keys, newSchema.toDDL,
-      carried ++ added, m.parts, m.clusterBuckets, newColMap, m.retired),
-      touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets, newColMap, m.retired,
+      m.indexCols), touchedEntries.map(_.path), added)
     readVersion + 1
   }
 
@@ -1266,12 +1404,13 @@ object LakeTable {
             survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
           else survivors,
           rewriteDir, m.parts, m.colMap)
-        entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts, m.clusterBuckets > 0)
+        entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts,
+          m.clusterBuckets > 0, bloomColsOf(m, m.schema))
       }
     // a no-op delete still commits — an EMPTY churn record (idempotent replays)
     commitDelta(path, Manifest(current + 1, "delete", m.keys, m.schemaDdl,
-      carried ++ added, m.parts, m.clusterBuckets, m.colMap, m.retired),
-      touchedEntries.map(_.path), added)
+      carried ++ added, m.parts, m.clusterBuckets, m.colMap, m.retired,
+      m.indexCols), touchedEntries.map(_.path), added)
     current + 1
   }
 
@@ -1310,8 +1449,8 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-dv", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired),
-      flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired,
+      m.indexCols), flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -1364,8 +1503,8 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-pos", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired),
-      flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired,
+      m.indexCols), flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -1397,8 +1536,8 @@ object LakeTable {
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(current + 1, "delete-pos", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired),
-      flipped.map(_.path), flipped)
+      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired,
+      m.indexCols), flipped.map(_.path), flipped)
     current + 1
   }
 
@@ -1423,8 +1562,8 @@ object LakeTable {
     newParts.foreach(c => require(m.schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the schema"))
     commitDelta(path, Manifest(current + 1, "evolve-partitioning",
-      m.keys, m.schemaDdl, m.files, newParts, 0, m.colMap, m.retired),
-      Seq.empty, Seq.empty)
+      m.keys, m.schemaDdl, m.files, newParts, 0, m.colMap, m.retired,
+      m.indexCols), Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1450,8 +1589,8 @@ object LakeTable {
     // files' stale data must never resurrect under the new column
     val newColMap = m.colMap ++ allocPhysical(m, newCols.map(_.name), current + 1)
     commitDelta(path, Manifest(current + 1, "add-columns", m.keys,
-      evolved.toDDL, m.files, m.parts, m.clusterBuckets, newColMap, m.retired),
-      Seq.empty, Seq.empty)
+      evolved.toDDL, m.files, m.parts, m.clusterBuckets, newColMap, m.retired,
+      m.indexCols), Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1478,6 +1617,10 @@ object LakeTable {
     require(!m.parts.contains(from),
       s"LakeTable: cannot rename partition column $from — the name is " +
         "baked into the directory layout")
+    require(!m.indexCols.contains(from),
+      s"LakeTable: cannot rename INDEXED column $from — per-file bloom " +
+        "bits are keyed by its physical name; drop it from index_columns " +
+        "first (setIndexColumns), rename, then redeclare")
     val physName = m.phys(from)
     val newSchema = StructType(m.schema.map(f =>
       if (f.name == from) f.copy(name = to) else f))
@@ -1486,7 +1629,7 @@ object LakeTable {
       (if (physName == to) Map.empty[String, String] else Map(to -> physName))
     commitDelta(path, Manifest(current + 1, s"rename-column:$from->$to",
       m.keys, newSchema.toDDL, m.files, m.parts, m.clusterBuckets,
-      newColMap, m.retired), Seq.empty, Seq.empty)
+      newColMap, m.retired, m.indexCols), Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1512,8 +1655,8 @@ object LakeTable {
     val newSchema = StructType(m.schema.filterNot(_.name == name))
     commitDelta(path, Manifest(current + 1, s"drop-column:$name", m.keys,
       newSchema.toDDL, m.files, m.parts, m.clusterBuckets,
-      m.colMap - name, (m.retired :+ m.phys(name)).distinct),
-      Seq.empty, Seq.empty)
+      m.colMap - name, (m.retired :+ m.phys(name)).distinct,
+      m.indexCols.filterNot(_ == name)), Seq.empty, Seq.empty)
     current + 1
   }
 
@@ -1545,7 +1688,9 @@ object LakeTable {
     writeLayout(read(spark, path, Some(current)), zCols, targetFiles, "zorder",
       dir, m.parts)
     commit(path, Manifest(current + 1, "zorder", m.keys, m.schemaDdl,
-      entriesFor(spark, dir, (m.keys ++ zCols).distinct, m.schema, m.parts), m.parts))
+      entriesFor(spark, dir, (m.keys ++ zCols).distinct, m.schema, m.parts,
+        clustered = false, bloomColsOf(m.copy(colMap = Map.empty), m.schema)),
+      m.parts, 0, Map.empty, Seq.empty, m.indexCols))
     current + 1
   }
 
@@ -1566,8 +1711,9 @@ object LakeTable {
     writeData(read(spark, path, Some(current))
       .repartition(n, m.keys.map(col): _*), dir, m.parts)
     commit(path, Manifest(current + 1, "recluster", m.keys, m.schemaDdl,
-      entriesFor(spark, dir, m.keys, m.schema, m.parts, clustered = true),
-      m.parts, n))
+      entriesFor(spark, dir, m.keys, m.schema, m.parts, clustered = true,
+        bloomCols = bloomColsOf(m.copy(colMap = Map.empty), m.schema)),
+      m.parts, n, Map.empty, Seq.empty, m.indexCols))
     current + 1
   }
 
@@ -1595,8 +1741,9 @@ object LakeTable {
       else read(spark, path, Some(current)).repartition(targetFiles),
       dir, m.parts)
     commit(path, Manifest(current + 1, "compact", m.keys, m.schemaDdl,
-      entriesFor(spark, dir, m.keys, m.schema, m.parts, m.clusterBuckets > 0),
-      m.parts, m.clusterBuckets))
+      entriesFor(spark, dir, m.keys, m.schema, m.parts, m.clusterBuckets > 0,
+        bloomColsOf(m.copy(colMap = Map.empty), m.schema)),
+      m.parts, m.clusterBuckets, Map.empty, Seq.empty, m.indexCols))
     current + 1
   }
 

@@ -495,6 +495,64 @@ class LakeTableSpec extends SparkSpec {
       .collect().toSet == got)
   }
 
+  test("bloom index: no false negative on any value; lifecycle declare->write->backfill; rename refusal") {
+    import spark.implicits._
+    val p = freshPath("bloomidx")
+    // secondary unique id scattered by the hash layout: min/max cannot
+    // prune it, blooms must — and must NEVER skip a file holding a match
+    val base = (1L to 2000L).map(k => (k, s"u$k", "base")).toDF("k", "uid", "s")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 16, indexCols = Seq("uid"))
+    assert(LakeTable.manifest(p, 1).files.forall(_.blooms.contains("uid")))
+    // NO FALSE NEGATIVE: every one of the 2000 ids must be found via the
+    // bloom-pruned V2 read (one query with all ids — each present id
+    // must keep its holder file)
+    val allHit = spark.read.format("graftlake").load(p)
+      .filter(col("uid").isin((1L to 2000L).map(k => s"u$k"): _*))
+      .count()
+    assert(allHit == 2000L, s"bloom false negative: only $allHit of 2000 ids found")
+    // a point lookup prunes: one id lives in exactly one file (+ rare fp)
+    val one = spark.read.format("graftlake").load(p)
+      .filter(col("uid") === "u137").select("k").as[Long].collect().toSeq
+    assert(one == Seq(137L))
+    val (kept, total) = graft.sources.GraftLakeSource.lastPrune(p)
+    assert(total == 16 && kept <= 4, s"expected bloom skip, kept $kept/$total")
+    // LIFECYCLE on an undeclared table: setIndexColumns is header-only
+    // (old files bloom-less and never pruned), a merge's new files
+    // collect bits, compact BACKFILLS the whole table
+    val p2 = freshPath("bloomidx2")
+    LakeTable.create(spark, p2, base, Seq("k"), nBuckets = 8)
+    LakeTable.setIndexColumns(p2, Seq("uid"))
+    assert(LakeTable.manifestFiles(p2, 2) == LakeTable.manifestFiles(p2, 1),
+      "set-index must be a header-only commit")
+    assert(LakeTable.manifest(p2, 2).files.forall(_.blooms.isEmpty))
+    LakeTable.merge(spark, p2, Seq((3000L, "u3000", "ins")).toDF("k", "uid", "s"), Seq("k"))
+    val m3 = LakeTable.manifest(p2, 3)
+    assert(m3.files.exists(_.blooms.contains("uid")), "merge must collect blooms")
+    assert(m3.files.exists(_.blooms.isEmpty), "untouched files stay bloom-less")
+    // undeclared-column reads stay correct while only SOME files carry bits
+    assert(spark.read.format("graftlake").load(p2)
+      .filter(col("uid") === "u3000").count() == 1L)
+    LakeTable.compact(spark, p2, targetFiles = 4)
+    val mc = LakeTable.manifest(p2, LakeTable.latestVersion(p2))
+    assert(mc.indexCols == Seq("uid") && mc.files.forall(_.blooms.contains("uid")),
+      "compact must backfill blooms for the declared index")
+    // rename of an INDEXED column refuses loudly (bits are keyed by its
+    // physical name); partition/index declaration checks refuse too
+    val e = intercept[IllegalArgumentException](
+      LakeTable.renameColumn(p2, "uid", "uid2"))
+    assert(e.getMessage.contains("INDEXED"))
+    // TBLPROPERTIES + CALL surface
+    spark.sql("SET spark.sql.catalog.graft_bx=graft.sources.GraftLakeCatalog")
+    spark.sql(s"SET spark.sql.catalog.graft_bx.warehouse=${new java.io.File(p2).getParent}")
+    val tbl = new java.io.File(p2).getName
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft_bx.`$tbl`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("index_columns").contains("uid"))
+    val v = spark.sql(
+      s"CALL graft_bx.system.set_index_columns('$tbl', 'uid,s')").head().getInt(0)
+    assert(LakeTable.manifest(p2, v).indexCols == Seq("uid", "s"))
+  }
+
   test("optimistic concurrency: disjoint racing writers both land; overlapping fails loudly") {
     import spark.implicits._
     val p = freshPath("occ")
