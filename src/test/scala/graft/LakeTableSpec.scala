@@ -1597,6 +1597,84 @@ class LakeTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
   }
 
+  test("SPJ across MISMATCHED bucket counts: 16 x 8 folds exchange-free; non-divisible re-plans with exchanges") {
+    import spark.implicits._
+    val root = freshPath("clufold")
+    spark.conf.set("spark.sql.catalog.graft_cf",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cf.warehouse", root)
+    Seq(("a", 16), ("b", 8), ("c", 12)).foreach { case (t, n) =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cf.$t")
+      spark.sql(s"CREATE TABLE graft_cf.$t (k BIGINT, v$t BIGINT) " +
+        s"TBLPROPERTIES ('keys'='k', 'cluster_buckets'='$n')")
+      (1L to 1000L).map(k => (k, k * (t.head - 'a' + 1)))
+        .toDF("k", s"v$t").createOrReplaceTempView(s"cf_$t")
+      spark.sql(s"INSERT INTO graft_cf.$t SELECT * FROM cf_$t")
+    }
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan(l: String, r: String) = spark.sql(
+        s"SELECT a.k FROM graft_cf.$l a JOIN graft_cf.$r b ON a.k = b.k")
+        .queryExecution.executedPlan.toString
+      // 16 x 8: the 16-side folds (bucket % 8 — pmod(h,16)%8 == pmod(h,8),
+      // the ReducibleFunction contract) — ZERO exchange, exact rows
+      assert(!plan("a", "b").contains("Exchange"),
+        "16x8 clustered pair must fold to an exchange-free SPJ")
+      val rows = spark.sql("SELECT a.k, a.va, b.vb FROM graft_cf.a a " +
+        "JOIN graft_cf.b b ON a.k = b.k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == (1L to 1000L).map(k => (k, k, k * 2)).toSet)
+      // both orders fold (the reducer lives on the LARGER side)
+      assert(!plan("b", "a").contains("Exchange"),
+        "8x16 must fold too — direction-independent")
+      // 12 x 8: no division relationship — conservative exchanges, and
+      // rows still exact (correctness never depends on the fold)
+      assert(plan("c", "b").contains("Exchange"),
+        "non-divisible bucket counts must re-plan with exchanges")
+      assert(spark.sql("SELECT count(*) FROM graft_cf.c a JOIN graft_cf.b b " +
+        "ON a.k = b.k").head().getLong(0) == 1000)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("clustered write bucket purity survives shuffle elision + AQE coalescing") {
+    import spark.implicits._
+    // the r17 regression shape: the merge batch arrives ALREADY shuffled
+    // by the key at EXACTLY nBuckets == shuffle.partitions, so the
+    // write's repartition(n, keys) is elided as redundant and AQE may
+    // legally coalesce the surviving upstream shuffle — bucket identity
+    // must come from the writer's directory split, not part numbering
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val p = freshPath("bucketpure")
+    LakeTable.createEmpty(p,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, n BIGINT"),
+      Seq("k"), clusterBuckets = 4)
+    val batch = (1L to 4000L).map(k => (k % 500, 1L)).toDF("k", "v")
+      .groupBy("k").agg(count("*").as("n")) // aggregate pre-shuffles by k at 4
+    LakeTable.merge(spark, p, batch, Seq("k"))
+    val m = LakeTable.manifest(p, 2)
+    assert(m.files.nonEmpty && m.files.forall(_.bucket >= 0))
+    // PURITY: every row of every file hashes to the file's labeled bucket
+    m.files.foreach { e =>
+      val buckets = spark.read.parquet(e.path)
+        .select(pmod(hash(col("k")), lit(4)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(buckets == Set(e.bucket),
+        s"file ${e.path} labeled bucket ${e.bucket} but holds $buckets")
+    }
+    // and the rows are intact
+    assert(LakeTable.read(spark, p).count() == 500)
+  }
+
   test("column mapping: RENAME/DROP COLUMN are header-only; retired names never resurrect") {
     import spark.implicits._
     val root = freshPath("colmap")
