@@ -95,21 +95,30 @@ class GraftLakeSource extends RelationProvider
   // of commit versions, each row a CDC event with pre-image columns and
   // `_commit_version`) ----
 
-  private def streamParams(parameters: Map[String, String]): (String, Int) = {
+  private def streamParams(parameters: Map[String, String]): (String, Int, Option[Int]) = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graftlake: 'path' is required"))
     // default: stream only commits AFTER stream start (the tail-the-log
     // posture); startingVersion=N replays history from version N+1 on
     val startingVersion = parameters.get("startingVersion").map(_.trim.toInt)
       .getOrElse(LakeTable.latestVersion(path))
-    (path, startingVersion)
+    // PACING (r18 — VERDICT r17 ask #5, the Delta maxFilesPerTrigger
+    // shape): cap how many commit VERSIONS one micro-batch drains, so a
+    // startingVersion backfill over thousands of commits advances in
+    // bounded chunks instead of one unbounded union. Unset = drain to
+    // latest (the tail-the-log default, where batches are one commit
+    // wide in steady state anyway).
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.trim.toInt)
+    maxPerTrigger.foreach(n => require(n > 0,
+      s"graftlake: maxVersionsPerTrigger must be positive, got $n"))
+    (path, startingVersion, maxPerTrigger)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graftlake: the stream schema is the table's + CDC columns; do not supply one")
-    val (path, _) = streamParams(parameters)
+    val (path, _, _) = streamParams(parameters)
     (shortName(), GraftLakeStreamSource.cdcSchema(path))
   }
 
@@ -117,7 +126,7 @@ class GraftLakeSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    val (path, startingVersion) = streamParams(parameters)
+    val (path, startingVersion, maxPerTrigger) = streamParams(parameters)
     // pin the resolved starting version in the query's OWN metadata dir
     // (code-review r14 F1): the tail-the-log default resolves "latest"
     // at FIRST start; a checkpoint restart must reuse that resolution,
@@ -139,7 +148,8 @@ class GraftLakeSource extends RelationProvider
         finally out.close()
         startingVersion
       }
-    new GraftLakeStreamSource(sqlContext.sparkSession, path, pinned)
+    new GraftLakeStreamSource(sqlContext.sparkSession, path, pinned,
+      maxPerTrigger)
   }
 
   // ---- streaming sink: each micro-batch commits ONE atomic lake
@@ -1698,8 +1708,46 @@ private[graft] object GraftLakeStreamSource {
   * deletion-vector commits stream as deletes, rewritten-verbatim rows
   * stay silent. */
 private[graft] class GraftLakeStreamSource(spark: SparkSession,
-    path: String, startingVersion: Int)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    path: String, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow end-bound, latched ONCE at query start: a
+    * PACED source must keep advancing chunk by chunk toward the log
+    * position the trigger promised to drain — without this interface
+    * Spark's wrapper latches the FIRST paced offset as the end and a
+    * backfill would stop after one chunk. Commits landing after the
+    * latch belong to the next run (the AvailableNow contract). */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(LakeTable.latestVersion(path))
+  }
+
+  /** Admission control (the pacing seam): Spark hands [[latestOffset]]
+    * the CURRENT start offset — on a fresh query the pinned starting
+    * version, after a restart the checkpointed position — so the next
+    * chunk is computed from authoritative state, never a source-local
+    * mark that a recovery could desynchronize. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val base = Option(startOffset).map(_.json.trim.toInt).getOrElse(startingVersion)
+    val l = availableNowCap.fold(LakeTable.latestVersion(path))(cap =>
+      math.min(cap, LakeTable.latestVersion(path)))
+    // cap the next batch at maxVersionsPerTrigger commits past the
+    // current position — a historical backfill advances in bounded
+    // chunks (each chunk is O(chunk churn), never one unbounded union
+    // over thousands of versions)
+    val target = maxVersionsPerTrigger.fold(l)(n => math.min(l, base + n))
+    if (target > base) GraftLakeVersionOffset(target) else null
+  }
 
   // one manifest resolution at stream start: schema AND keys derive
   // from the same pinned snapshot of the table's shape
@@ -1713,6 +1761,8 @@ private[graft] class GraftLakeStreamSource(spark: SparkSession,
   private def parse(o: org.apache.spark.sql.execution.streaming.Offset): Int =
     o.json.trim.toInt
 
+  // legacy surface (Spark routes through latestOffset when the source
+  // declares admission control): unpaced latest, the pre-r18 behavior
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val l = LakeTable.latestVersion(path)
     if (l > startingVersion) Some(GraftLakeVersionOffset(l)) else None
