@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The lake's MAINTENANCE surface as SQL stored procedures (the
@@ -65,13 +65,18 @@ private[graft] object GraftLakeProcedures {
         versionOut,
         input => Seq(InternalRow(LakeTable.compact(
           SparkSession.active, path(input.getUTF8String(0)), input.getInt(1)))))
+      // dry_run previews (nothing deleted); the retention guard refuses
+      // to expire versions younger than the horizon unless force => true
       case "vacuum" => new LakeProc("vacuum",
-        Array(in("table", StringType), inDefault("keep_last", IntegerType, "1")),
+        Array(in("table", StringType), inDefault("keep_last", IntegerType, "1"),
+          inDefault("dry_run", BooleanType, "false"),
+          inDefault("force", BooleanType, "false")),
         new StructType().add("manifests_dropped", IntegerType)
           .add("data_files_deleted", IntegerType),
         input => {
           val (dropped, deleted) =
-            LakeTable.vacuum(path(input.getUTF8String(0)), input.getInt(1))
+            LakeTable.vacuum(path(input.getUTF8String(0)), input.getInt(1),
+              dryRun = input.getBoolean(2), force = input.getBoolean(3))
           Seq(InternalRow(dropped, deleted))
         })
       case "history" => new LakeProc("history",

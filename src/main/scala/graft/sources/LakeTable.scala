@@ -1984,19 +1984,45 @@ object LakeTable {
     * expired version fail loudly on their next resolution, never
     * silently read surviving files. Returns (manifests dropped, data
     * files deleted). */
-  def vacuum(path: String, keepLast: Int = 1): (Int, Int) = {
+  /** Default minimum retention before a version may be EXPIRED: the
+    * Delta `retentionDurationCheck` shape — an operator typo
+    * (`keep_last => 1` on the wrong table) must not strand active
+    * as-of readers or running queries pinned to a snapshot committed
+    * minutes ago. Versions younger than the horizon refuse to expire
+    * unless `force = true` says the caller really means it. */
+  private[graft] val DefaultVacuumRetainMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  def vacuum(path: String, keepLast: Int = 1, dryRun: Boolean = false,
+      force: Boolean = false,
+      minRetainMs: Long = DefaultVacuumRetainMs): (Int, Int) = {
     require(keepLast >= 1, s"LakeTable: vacuum must keep >= 1 version, got $keepLast")
     val latest = latestVersion(path)
     require(latest > 0, s"LakeTable: cannot vacuum missing table at $path")
     val keepFrom = math.max(1, latest - keepLast + 1)
     val s = store(path)
+    // RETENTION GUARD (r18 — VERDICT r17 ask #8): refuse to expire any
+    // version whose commit is younger than the horizon; `force` is the
+    // explicit override (and dry runs are exempt — they delete nothing)
+    if (!force && !dryRun && keepFrom > 1) {
+      val horizon = System.currentTimeMillis() - minRetainMs
+      val young = (1 until keepFrom).filter { v =>
+        val p = manifestPath(path, v)
+        s.exists(p) && s.mtime(p) > horizon
+      }
+      if (young.nonEmpty) throw new IllegalArgumentException(
+        s"LakeTable: vacuum would expire version${if (young.size > 1) "s" else ""} " +
+          s"${young.mkString(", ")} committed within the retention horizon " +
+          s"(${minRetainMs / 1000} s) — an as-of reader pinned to them would " +
+          "fail. Pass force = true (CALL ... force => true) to override, " +
+          "or dryRun = true to preview.")
+    }
     // the retention floor must stay RECONSTRUCTABLE after the records
     // below it drop: if keepFrom's record is a churn record, pin its
     // full state as a checkpoint FIRST (not best-effort — dropping the
     // floor's ancestry without this anchor would orphan every retained
     // delta chain). Records above the floor then reconstruct through it.
     val floorRec = manifestPath(path, keepFrom)
-    if (keepFrom > 1 && parseRecord(s.read(floorRec), floorRec).isLeft &&
+    if (!dryRun && keepFrom > 1 && parseRecord(s.read(floorRec), floorRec).isLeft &&
         !s.exists(checkpointPath(path, keepFrom)))
       s.replace(checkpointPath(path, keepFrom), manifestJson(manifest(path, keepFrom)))
     // membership compares scheme-insensitively (normKey): manifests may
@@ -2014,6 +2040,11 @@ object LakeTable {
       .map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .filterNot(p => kept(LakeIo.normKey(p.toString)))
+    // DRY RUN: report what WOULD drop, touch nothing (the preview an
+    // operator runs before pointing a retention policy at a table)
+    if (dryRun)
+      return ((1 until keepFrom).count(v => s.exists(manifestPath(path, v))),
+        orphans.size)
     orphans.foreach { p =>
       if (!LakeIo.deleteFile(p.toString)) throw new IllegalStateException(
         s"LakeTable: vacuum cannot delete $p")

@@ -146,7 +146,7 @@ class LakeTableSpec extends SparkSpec {
       s"delete of 2 keys rewrote ${v1f.diff(v2f).size}/${v1f.size} files")
     // vacuum(keep 1): v1's manifest drops, its orphaned pre-delete file
     // is PHYSICALLY deleted (erasure), shared files survive
-    val (droppedManifests, deletedFiles) = LakeTable.vacuum(p, keepLast = 1)
+    val (droppedManifests, deletedFiles) = LakeTable.vacuum(p, keepLast = 1, force = true)
     assert(droppedManifests == 1 && deletedFiles == v1f.diff(v2f).size)
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")).size == 398)
     intercept[IllegalArgumentException] { LakeTable.read(spark, p, Some(1)) }
@@ -205,7 +205,7 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.manifestFiles(p, 2) == preFiles)
     // vacuum reclaims every fragment: v1 ∪ v2 files all orphaned by the
     // full-rewrite compaction (deleted = |v1 ∪ v2| ≥ |v2|)
-    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1)
+    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1, force = true)
     assert(dropped == 2 && deleted >= preFiles.size)
     preFiles.foreach(f => assert(!local(f).exists, s"fragment $f survived"))
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == expect)
@@ -420,7 +420,7 @@ class LakeTableSpec extends SparkSpec {
     // vacuum reclaims the sidecar parquet along with orphaned data files
     val dvLeaf = new java.io.File(LakeTable.manifest(p, 2).dvPaths.head)
     assert(dvLeaf.exists)
-    LakeTable.vacuum(p, keepLast = 1)
+    LakeTable.vacuum(p, keepLast = 1, force = true)
     assert(Option(dvLeaf.listFiles).getOrElse(Array.empty)
       .forall(f => !f.getName.endsWith(".parquet")), "dv sidecar survived vacuum")
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got3)
@@ -469,7 +469,7 @@ class LakeTableSpec extends SparkSpec {
     // vacuum reclaims the positional sidecar parquet
     val posLeaf = local(LakeTable.manifest(p, 2).posDvPaths.head)
     assert(posLeaf.exists)
-    LakeTable.vacuum(p, keepLast = 1)
+    LakeTable.vacuum(p, keepLast = 1, force = true)
     assert(Option(posLeaf.listFiles).getOrElse(Array.empty)
       .forall(f => !f.getName.endsWith(".parquet")), "pos sidecar survived vacuum")
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")) == got4)
@@ -551,6 +551,36 @@ class LakeTableSpec extends SparkSpec {
     val v = spark.sql(
       s"CALL graft_bx.system.set_index_columns('$tbl', 'uid,s')").head().getInt(0)
     assert(LakeTable.manifest(p2, v).indexCols == Seq("uid", "s"))
+  }
+
+  test("vacuum safety rail: young versions refuse to expire; dry run previews and touches nothing") {
+    import spark.implicits._
+    val p = freshPath("vacguard")
+    LakeTable.create(spark, p, (1L to 50L).map(k => (k, k)).toDF("k", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((1L, 100L)).toDF("k", "v"), Seq("k"))
+    LakeTable.merge(spark, p, Seq((2L, 200L)).toDF("k", "v"), Seq("k"))
+    // the guard: versions committed seconds ago are inside the default
+    // retention horizon — expiring them would strand as-of readers
+    val e = intercept[IllegalArgumentException](LakeTable.vacuum(p, keepLast = 1))
+    assert(e.getMessage.contains("retention horizon") && e.getMessage.contains("force"))
+    // nothing was deleted by the refusal
+    assert(LakeTable.history(p).size == 3)
+    // DRY RUN is exempt (it deletes nothing): reports what WOULD drop
+    val (wouldDrop, wouldDelete) = LakeTable.vacuum(p, keepLast = 1, dryRun = true)
+    assert(wouldDrop == 2 && wouldDelete > 0, s"preview: $wouldDrop/$wouldDelete")
+    assert(LakeTable.history(p).size == 3, "dry run must touch nothing")
+    assert(LakeTable.read(spark, p, Some(1)).count() == 50, "v1 must still read")
+    // force overrides — the real deletion matches the preview
+    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1, force = true)
+    assert(dropped == wouldDrop && deleted == wouldDelete,
+      s"preview promised $wouldDrop/$wouldDelete, force did $dropped/$deleted")
+    assert(LakeTable.history(p).size == 1)
+    // a shrunken horizon also admits the vacuum (the tunable rail)
+    val p2 = freshPath("vacguard2")
+    LakeTable.create(spark, p2, (1L to 10L).map(k => (k, k)).toDF("k", "v"), Seq("k"))
+    LakeTable.merge(spark, p2, Seq((1L, 1L)).toDF("k", "v"), Seq("k"))
+    val (d2, _) = LakeTable.vacuum(p2, keepLast = 1, minRetainMs = 0L)
+    assert(d2 == 1)
   }
 
   test("optimistic concurrency: disjoint racing writers both land; overlapping fails loudly") {
@@ -906,7 +936,7 @@ class LakeTableSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("conflict"))
     // vacuum erases orphans through the FS API
-    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1)
+    val (dropped, deleted) = LakeTable.vacuum(p, keepLast = 1, force = true)
     assert(dropped == 3 && deleted > 0)
     assert(rows(LakeTable.read(spark, p).select("k", "s", "v")).size == 410)
     LakeTable.deleteRecursively(p)
@@ -952,7 +982,7 @@ class LakeTableSpec extends SparkSpec {
     // vacuum to a floor whose record is a CHURN record (v11, not on the
     // checkpoint cadence): vacuum must pin a floor checkpoint so the
     // retained delta chain stays reconstructable after its ancestry drops
-    LakeTable.vacuum(p, keepLast = 3)
+    LakeTable.vacuum(p, keepLast = 3, force = true)
     assert(new java.io.File(f"$p/_log/chk-v${11}%05d.json").exists,
       "vacuum dropped the floor's ancestry without anchoring it")
     assert(!new java.io.File(f"$p/_log/v${1}%05d.json").exists)
@@ -1197,7 +1227,7 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.manifest(s"$root/t", 6).parts == Seq("s"))
     // vacuum reports (manifests dropped, files deleted); reads stay green
     val vac = spark.sql(
-      "CALL graft_proc_spec.system.vacuum(`table` => 't', keep_last => 2)").head()
+      "CALL graft_proc_spec.system.vacuum(`table` => 't', keep_last => 2, force => true)").head()
     assert(vac.getInt(0) == 4 && vac.getInt(1) > 0, s"got $vac")
     assert(spark.sql("SELECT count(*) FROM graft_proc_spec.t").head().getLong(0) == 200)
     // unknown procedure is loud
