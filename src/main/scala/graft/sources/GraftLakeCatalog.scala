@@ -127,7 +127,14 @@ class GraftLakeCatalog extends TableCatalog
     // ZERO Exchange (the storage-partitioned join)
     val clusterBuckets = Option(properties.get("cluster_buckets"))
       .map(_.trim.toInt).getOrElse(0)
-    LakeTable.createEmpty(tablePath(ident), schema, keys, parts, clusterBuckets)
+    // 'index_columns'='c1,c2' declares secondary BLOOM-indexed columns:
+    // every write collects per-file bloom bits for them (see
+    // lake_bloom_skip); surfaced back via SHOW TBLPROPERTIES
+    val indexCols = Option(properties.get("index_columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    LakeTable.createEmpty(tablePath(ident), schema, keys, parts, clusterBuckets,
+      indexCols)
     loadTable(ident)
   }
 

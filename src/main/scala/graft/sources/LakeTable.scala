@@ -1010,7 +1010,8 @@ object LakeTable {
     * lands data through [[merge]]). The manifest is the schema
     * authority from the start, exactly as for a data-bearing create. */
   def createEmpty(path: String, schema: StructType, keyCols: Seq[String],
-      partitionBy: Seq[String] = Seq.empty, clusterBuckets: Int = 0): Int = {
+      partitionBy: Seq[String] = Seq.empty, clusterBuckets: Int = 0,
+      indexCols: Seq[String] = Seq.empty): Int = {
     require(latestVersion(path) == 0,
       s"LakeTable: table at $path already exists (version ${latestVersion(path)})")
     keyCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -1019,8 +1020,11 @@ object LakeTable {
       s"LakeTable: partition column $c is not in the schema"))
     require(clusterBuckets == 0 || partitionBy.isEmpty,
       "LakeTable: clustered layout and a partition-directory layout are exclusive")
+    indexCols.foreach(c => require(schema.fieldNames.contains(c) &&
+      !partitionBy.contains(c),
+      s"LakeTable: index column $c must be a non-partition schema column"))
     commit(path, Manifest(1, "create", keyCols, schema.toDDL, Seq.empty,
-      partitionBy, clusterBuckets))
+      partitionBy, clusterBuckets, indexCols = indexCols))
     1
   }
 
