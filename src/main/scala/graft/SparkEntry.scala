@@ -33,6 +33,7 @@ object SparkEntry {
     "lake_sql_source"          -> (MergeOps.qLakeSqlSource _),
     "lake_restore_read"        -> (MergeOps.qLakeRestoreRead _),
     "lake_evolve_feed"         -> (MergeOps.qLakeEvolveFeed _),
+    "lake_rename_feed"         -> (MergeOps.qLakeRenameFeed _),
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_delete_pos"          -> (MergeOps.qLakeDeletePos _),
     "lake_bloom_skip"          -> (MergeOps.qLakeBloomSkip _),
@@ -1737,6 +1738,16 @@ object SparkEntry {
       """SELECT o_orderkey, 'update' AS _change_type, 'U' AS o_orderstatus,
         |  o_orderpriority AS o_priority, o_orderstatus AS _before_o_orderstatus
         |FROM orders WHERE o_orderkey % 13 = 2 ORDER BY o_orderkey""".stripMargin,
+    // the MV maintained from ONE change feed crossing a RENAME commit
+    // (v2 batch under the old name, v4 under the new): the oracle
+    // recomputes the final per-status counts with both batches applied
+    // — the later batch wins where they overlap
+    "lake_rename_feed" ->
+      """SELECT CASE WHEN o_orderkey % 11 = 5 THEN 'X'
+        |            WHEN o_orderkey % 7 = 3 THEN 'U'
+        |            ELSE o_orderstatus END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the engine answers this interval from a manifest-stats-pruned
     // file subset (the entry REQUIRES pruning bit); the oracle scans the
     // raw table — a wrongly-skipped file loses rows and breaks the hash

@@ -1713,6 +1713,44 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, p).count() == 500)
   }
 
+  test("rename -> re-add: the vacated logical name gets a fresh physical; CDC crosses the chain") {
+    import spark.implicits._
+    val p = freshPath("renreadd")
+    val base = (1L to 50L).map(k => (k, s"a$k")).toDF("k", "a")
+    LakeTable.create(spark, p, base, Seq("k"))
+    LakeTable.renameColumn(p, "a", "alpha")
+    // re-adding the VACATED old name must allocate a fresh physical —
+    // the live physical `a` now serves logical `alpha`, so a naive
+    // identity mapping for the re-added `a` would resurrect its bytes
+    LakeTable.addColumns(p, Seq(org.apache.spark.sql.types.StructField(
+      "a", org.apache.spark.sql.types.StringType)))
+    val live = LakeTable.read(spark, p)
+    assert(live.filter(col("a").isNotNull).count() == 0,
+      "renamed-away column bytes resurrected under the re-added name")
+    assert(live.filter(col("alpha") === "a5").count() == 1,
+      "the renamed column lost its original bytes")
+    // writes land in the fresh physical and stay separable from alpha
+    LakeTable.merge(spark, p,
+      Seq((5L, "upd", "NEW")).toDF("k", "alpha", "a"), Seq("k"))
+    val r5 = LakeTable.read(spark, p).filter(col("k") === 5L)
+      .select("alpha", "a").head()
+    assert(r5.getString(0) == "upd" && r5.getString(1) == "NEW")
+    assert(LakeTable.read(spark, p).filter(col("a").isNotNull).count() == 1)
+    // ONE change feed across rename + re-add + merge: target-version
+    // names, the k=5 row classifies as an update carrying both columns
+    val feed = LakeTable.changes(spark, p, 1, LakeTable.latestVersion(p),
+      Seq("k"), includeBefore = true)
+    assert(feed.columns.toSet ==
+      Set("k", "_change_type", "alpha", "a", "_before_alpha", "_before_a"),
+      s"cross-rename/re-add feed columns: ${feed.columns.mkString(",")}")
+    val f5 = feed.filter(col("k") === 5L).head()
+    assert(f5.getAs[String]("_change_type") == "update" &&
+      f5.getAs[String]("alpha") == "upd" && f5.getAs[String]("a") == "NEW" &&
+      f5.getAs[String]("_before_alpha") == "a5" &&
+      f5.getAs[String]("_before_a") == null)
+    assert(feed.count() == 1, "untouched rows leaked into the feed")
+  }
+
   test("column mapping: RENAME/DROP COLUMN are header-only; retired names never resurrect") {
     import spark.implicits._
     val root = freshPath("colmap")
