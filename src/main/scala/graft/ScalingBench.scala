@@ -313,6 +313,22 @@ object ScalingBench {
     // in-place registration is footer-metadata-only atop the k-fold
     // plain-parquet write, then a k-fold-class CoW merge + O(keys) DV
     "lake_runtime_prune", "lake_column_map", "lake_convert",
+    // r18: delete_pos prices the k-fold build + an O(matched) positional
+    // sidecar commit and ordinal-filtered read (no key anti-join, so
+    // the served term must not scale with identity width); bloom_skip
+    // pays the k-fold build + per-file bloom construction (one in-plan
+    // agg scan of the written files) with a FIXED 3-id lookup as the
+    // served term — the lookup must flatten as blooms keep the opened
+    // file set constant; cluster_fold's 16⋈8 exchange-free join is
+    // k-fold on both sides (the honest join growth, like cluster_join);
+    // rename_feed's header-only RENAME is flat atop two k-fold-class
+    // merge batches + the O(churn) feed and MV fold
+    "lake_delete_pos", "lake_bloom_skip", "lake_cluster_fold",
+    "lake_rename_feed",
+    // r18: agg_push's served term is a MANIFEST fold (O(#files), zero
+    // data I/O) atop the k-fold build — clean-phase cost must be flat;
+    // the DV'd fallback phase is the honest k-fold row scan
+    "lake_agg_push",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

@@ -37,6 +37,7 @@ object SparkEntry {
     "lake_delete_dv"           -> (MergeOps.qLakeDeleteDV _),
     "lake_delete_pos"          -> (MergeOps.qLakeDeletePos _),
     "lake_bloom_skip"          -> (MergeOps.qLakeBloomSkip _),
+    "lake_agg_push"            -> (MergeOps.qLakeAggPush _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
@@ -1738,6 +1739,17 @@ object SparkEntry {
       """SELECT o_orderkey, 'update' AS _change_type, 'U' AS o_orderstatus,
         |  o_orderpriority AS o_priority, o_orderstatus AS _before_o_orderstatus
         |FROM orders WHERE o_orderkey % 13 = 2 ORDER BY o_orderkey""".stripMargin,
+    // phase 1 answered metadata-only from the manifest (entry-gated),
+    // phase 2 after a DV delete fell back to the row scan (also
+    // entry-gated); the oracle replays both phases from the raw table
+    "lake_agg_push" ->
+      """SELECT 'clean' AS phase, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k FROM orders
+        |UNION ALL
+        |SELECT 'deleted', CAST(count(*) AS BIGINT),
+        |  min(o_orderkey), max(o_orderkey)
+        |FROM orders WHERE o_orderkey % 13 <> 4
+        |ORDER BY phase""".stripMargin,
     // the MV maintained from ONE change feed crossing a RENAME commit
     // (v2 batch under the old name, v4 under the new): the oracle
     // recomputes the final per-status counts with both batches applied

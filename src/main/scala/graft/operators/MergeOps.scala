@@ -817,6 +817,52 @@ object MergeOps {
     out
   }
 
+  /** Metadata-only AGGREGATE pushdown (r18 — the Iceberg/Delta
+    * metadata-count shape): `SELECT count(*) / min(key) / max(key)` on
+    * a sidecar-free lake snapshot answers from the MANIFEST alone —
+    * per-file footer-lifted row counts and stats, via the V2
+    * `SupportsPushDownAggregates` complete pushdown — zero data files
+    * opened (at 100 TB, the difference between a catalog lookup and a
+    * table scan). The entry runs the aggregate twice: on the CLEAN
+    * snapshot it REQUIRES the pushdown served it (scan observability),
+    * then after a merge-on-read DV delete it REQUIRES the pushdown
+    * REFUSED (deleted rows still live in the data files — a manifest
+    * count would overcount) while the row-scan fallback stays exact.
+    * The oracle recomputes both phases from the raw table — a pushdown
+    * that miscounts, includes deleted rows, or mis-folds min/max
+    * breaks the hash. Doubles/strings refuse by design (footer stats
+    * are sound as BOUNDS, not as answers — see the builder doc). */
+  def qLakeAggPush(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakeagg_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 16)
+    def aggNow(): org.apache.spark.sql.Row = {
+      val r = spark.read.format("graftlake").load(path)
+        .createOrReplaceTempView("lake_agg_t")
+      spark.sql("SELECT count(*) AS n_orders, min(o_orderkey) AS min_k, " +
+        "max(o_orderkey) AS max_k FROM lake_agg_t").head()
+    }
+    val clean = aggNow()
+    require(graft.sources.GraftLakeSource.lastAggPush(path),
+      "lake_agg_push: the clean snapshot must answer from the manifest")
+    // merge-on-read delete: sidecar present, pushdown must refuse
+    LakeTable.deleteDV(spark, path,
+      base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val dved = aggNow()
+    require(!graft.sources.GraftLakeSource.lastAggPush(path),
+      "lake_agg_push: a DV'd snapshot must NOT answer from the manifest")
+    import spark.implicits._
+    Seq(
+      ("clean", clean.getLong(0), clean.getLong(1), clean.getLong(2)),
+      ("deleted", dved.getLong(0), dved.getLong(1), dved.getLong(2)))
+      .toDF("phase", "n_orders", "min_k", "max_k")
+      .orderBy("phase")
+  }
+
   /** Change feed ACROSS a schema-evolving commit (r14 — upgrades the
     * former loud refusal to the Delta-CDF column policy): the diff
     * speaks the TARGET version's schema, so the evolved batch's rows

@@ -229,6 +229,17 @@ object GraftLakeSource {
   private[graft] def lastPrune(path: String): (Int, Int) =
     pruneByTable.getOrDefault(LakeIo.normKey(path), (0, 0))
 
+  /** Whether the last V2 scan of a table served a COMPLETE aggregate
+    * pushdown from the manifest (true) or fell back to a row scan
+    * (false). Entry/spec observability for `lake_agg_push`. */
+  private val aggPushByTable =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def recordAggPush(path: String, pushed: Boolean): Unit = {
+    aggPushByTable.put(LakeIo.normKey(path), pushed); ()
+  }
+  private[graft] def lastAggPush(path: String): Boolean =
+    aggPushByTable.getOrDefault(LakeIo.normKey(path), false)
+
   /** How the last V2 scan of a table applied its equality-delete
     * sidecars: "executor" (per-executor sidecar load, the scale path)
     * or "driver" (bounded driver-collected fallback for key types the
@@ -575,10 +586,108 @@ private[graft] class GraftLakeTable(spark: SparkSession, path: String, version: 
 private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: LakeTable.Manifest)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = m.schema
   private var filters: Array[Filter] = Array.empty
+  // COMPLETE aggregate pushdown (r18): result values + schema computed
+  // from the manifest at push time; build() then returns a metadata
+  // scan that opens ZERO data files
+  private var pushedAgg: Option[(StructType, Seq[Any])] = None
+
+  /** Metadata-only aggregate answering (the Iceberg/Delta
+    * metadata-count shape): `SELECT count(*) / min(k) / max(k)` on a
+    * sidecar-free snapshot answers from the manifest alone — per-file
+    * footer-lifted row counts for COUNT(*), footer stats for MIN/MAX.
+    *
+    * Refusal ladder (None = Spark plans the normal row-scan aggregate;
+    * never a wrong answer):
+    *  - any pushed filter or GROUP BY (Spark's own rule also gates on
+    *    this — our filters are all residual, so a filtered aggregate
+    *    keeps its Filter node and the rule never pushes);
+    *  - any equality or positional delete sidecar (deleted rows still
+    *    live in the files — counts and extremes would include them;
+    *    compact heals and re-enables);
+    *  - COUNT(*): any file without a recorded row count (pre-r18
+    *    manifest, foreign file);
+    *  - MIN/MAX: only columns on an exact INTEGER stats axis
+    *    (int family, date, timestamp-micros). Doubles refuse — parquet
+    *    footer NaN handling is historically unsound; strings refuse —
+    *    footer stats are BOUNDS (foreign writers may truncate them,
+    *    and `convert` adopts foreign files), sound for pruning but not
+    *    as answers. Any file missing the column's stats (all-null
+    *    chunk, unsupported writer) refuses. */
+  private def aggResult(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
+    if (m.files.exists(e => e.dvs.nonEmpty || e.pos.nonEmpty)) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      val f = m.schema.find(_.name == c).getOrElse(return None)
+      val intAxis = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      if (!intAxis) return None
+      if (m.files.isEmpty) return Some((f.dataType, null))
+      val phys = m.phys(c)
+      val vals = m.files.map(e => e.stats.get(phys) match {
+        case Some(st) if st.t == "long" =>
+          (if (wantMin) st.min else st.max).asInstanceOf[Long]
+        case _ => return None
+      })
+      val v = if (wantMin) vals.min else vals.max
+      Some((f.dataType, f.dataType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType | DateType => v.toInt
+        case _ => v
+      }))
+    }
+    val cols = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val out = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        if (m.files.exists(_.rows < 0)) return None
+        cols += StructField("count(*)", LongType, nullable = false)
+        m.files.map(_.rows).sum
+      case mn: Min =>
+        val c = colOf(mn.column).getOrElse(return None)
+        val (dt, v) = extreme(c, wantMin = true).getOrElse(return None)
+        cols += StructField(s"min($c)", dt, nullable = true)
+        v
+      case mx: Max =>
+        val c = colOf(mx.column).getOrElse(return None)
+        val (dt, v) = extreme(c, wantMin = false).getOrElse(return None)
+        cols += StructField(s"max($c)", dt, nullable = true)
+        v
+      case _ => return None
+    }
+    Some((StructType(cols.toSeq), out))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggResult(agg) match {
+      // PARTIAL pushdown (complete unsupported) is refused too: a
+      // per-partition partial from the manifest has nothing to offer
+      // that the complete form doesn't
+      case Some(r) => pushedAgg = Some(r); true
+      case None => false
+    }
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     filters = fs
@@ -666,6 +775,14 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // COMPLETE pushed aggregate: a one-row metadata scan, zero file opens
+    pushedAgg match {
+      case Some((aggSchema, values)) =>
+        GraftLakeSource.recordAggPush(path, pushed = true)
+        return new GraftLakeAggScan(aggSchema, values)
+      case None =>
+        GraftLakeSource.recordAggPush(path, pushed = false)
+    }
     // footer stats are keyed by PHYSICAL name (identity unless mapped)
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
       .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
@@ -889,6 +1006,47 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
             Some((m.keys.head, m.schema(m.schema.fieldIndex(m.keys.head)).dataType))
           else None,
           allowed => mkGroups(allowed), bloomKeep)))
+    }
+  }
+}
+
+/** One-row metadata scan serving a COMPLETE pushed aggregate (r18):
+  * the values were computed from the manifest at push time (per-file
+  * footer-lifted row counts and stats), so the "scan" opens nothing —
+  * one partition, one [[InternalRow]]. The Spark pushdown rule wires
+  * this scan's output positionally to the query's aggregate
+  * expressions, so the schema mirrors their order exactly. */
+private[graft] class GraftLakeAggScan(schema: StructType, values: Seq[Any])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftLakeAggScan(manifest-only: ${schema.fieldNames.mkString(", ")})"
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(GraftLakeAggPartition(values.toArray))
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftLakeAggReaderFactory
+}
+
+private[graft] case class GraftLakeAggPartition(values: Array[Any])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[graft] class GraftLakeAggReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val vals = p.asInstanceOf[GraftLakeAggPartition].values
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      override def close(): Unit = ()
     }
   }
 }

@@ -125,7 +125,14 @@ object LakeTable {
       // bloom rejects the value, instead of opening every file whose
       // [min,max] straddles it (the init.sql:133-134 oracle_id-lookup
       // shape at lake scale). Absent = never pruned (old files, safe).
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      // per-file ROW COUNT lifted from the parquet footer at commit
+      // time (r18): powers metadata-only COUNT(*) aggregate pushdown —
+      // a `SELECT count(*)` on a sidecar-free snapshot answers from
+      // the manifest alone, zero file opens. -1 = unknown (pre-r18
+      // manifests); any unknown file refuses the pushdown, never
+      // mis-counts.
+      rows: Long = -1L)
 
   /** The complete committed state of one version. `parts` names the
     * table's partition columns (empty = no directory layout).
@@ -216,6 +223,7 @@ object LakeTable {
     files.foreach { fe =>
       val fn = filesArr.addObject()
       fn.put("path", fe.path)
+      if (fe.rows >= 0) { fn.put("rows", fe.rows); () }
       if (fe.bucket >= 0) { fn.put("bucket", fe.bucket); () }
       if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
       if (fe.pos.nonEmpty) { val a = fn.putArray("pos"); fe.pos.foreach(a.add) }
@@ -271,7 +279,8 @@ object LakeTable {
         bn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
       FileEntry(fn.path("path").asText(), stats, dvs, part,
-        if (fn.has("bucket")) fn.path("bucket").asInt() else -1, pos, blooms)
+        if (fn.has("bucket")) fn.path("bucket").asInt() else -1, pos, blooms,
+        if (fn.has("rows")) fn.path("rows").asLong() else -1L)
     }.toSeq
   }
 
@@ -479,14 +488,16 @@ object LakeTable {
     case _ => None
   }
 
-  /** Lift per-file min/max for `cols` from the parquet FOOTERS of
-    * `files` — O(#files) metadata reads, no data scan (how Delta and
-    * Iceberg writers record skipping stats without re-reading what they
-    * just wrote). A file whose footer lacks usable stats for a column
-    * simply omits that column (it is then never pruned — safe). */
+  /** Lift per-file min/max for `cols` AND the row count from the
+    * parquet FOOTERS of `files` — O(#files) metadata reads, no data
+    * scan (how Delta and Iceberg writers record skipping stats without
+    * re-reading what they just wrote). A file whose footer lacks usable
+    * stats for a column simply omits that column (it is then never
+    * pruned — safe). Row counts are lifted always (the footer is
+    * already the open object); they power metadata-only COUNT(*)
+    * aggregate pushdown. */
   private def footerStats(spark: SparkSession, files: Seq[String],
-      cols: Seq[(String, String)]): Map[String, Map[String, ColStats]] = {
-    if (cols.isEmpty) return files.map(_ -> Map.empty[String, ColStats]).toMap
+      cols: Seq[(String, String)]): Map[String, (Map[String, ColStats], Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     // footer opens are independent driver-side metadata I/O (~10ms each
     // through the Hadoop FS layer); a 32-file commit pays ~0.3s serial —
@@ -499,6 +510,7 @@ object LakeTable {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = reader.getFooter.getBlocks.asScala
+        val rowCount = blocks.map(_.getRowCount).sum
         val msgType = reader.getFooter.getFileMetaData.getSchema
         val perCol = cols.flatMap { case (name, fam) =>
           // one column chunk per block; the file's range is the union
@@ -561,7 +573,7 @@ object LakeTable {
             }
           }
         }.toMap
-        f -> perCol
+        f -> (perCol, rowCount)
       } finally reader.close()
     }.seq.toMap
   }
@@ -582,9 +594,11 @@ object LakeTable {
     val blooms = fileBloomBits(spark, files, bloomCols)
     files.map { f =>
       val pv = liftPartValues(f, parts)
-      FileEntry(f, stats.getOrElse(f, Map.empty) ++ partStats(pv, schema),
+      val (colStats, rowCount) = stats.getOrElse(f, (Map.empty[String, ColStats], -1L))
+      FileEntry(f, colStats ++ partStats(pv, schema),
         part = pv, bucket = if (clustered) bucketOf(f) else -1,
-        blooms = blooms.getOrElse(LakeIo.normKey(f), Map.empty))
+        blooms = blooms.getOrElse(LakeIo.normKey(f), Map.empty),
+        rows = rowCount)
     }
   }
 

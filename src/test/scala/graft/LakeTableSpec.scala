@@ -1713,6 +1713,63 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, p).count() == 500)
   }
 
+  test("aggregate pushdown: manifest-only count/min/max; sidecars, filters, strings refuse") {
+    import spark.implicits._
+    import graft.sources.GraftLakeSource
+    val root = freshPath("aggpush")
+    spark.conf.set("spark.sql.catalog.graft_ap",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ap.warehouse", root)
+    spark.sql("DROP TABLE IF EXISTS graft_ap.t")
+    spark.sql("CREATE TABLE graft_ap.t (k BIGINT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('keys'='k')")
+    (1L to 1000L).map(k => (k, s"s$k", k * 3)).toDF("k", "s", "v")
+      .createOrReplaceTempView("ap_src")
+    spark.sql("INSERT INTO graft_ap.t SELECT * FROM ap_src")
+    val p = s"$root/t"
+    // clean snapshot: the aggregate answers from the manifest, and the
+    // executed plan carries the metadata scan (no parquet read)
+    val q1 = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM graft_ap.t")
+    val r1 = q1.head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == (1000L, 1L, 1000L))
+    assert(GraftLakeSource.lastAggPush(p),
+      "clean snapshot must serve count/min/max from the manifest")
+    assert(q1.queryExecution.executedPlan.toString.contains("GraftLakeAggScan"),
+      "the executed plan must carry the metadata-only scan")
+    // string extremes refuse (footer stats are bounds, not answers) —
+    // and the fallback row scan stays exact
+    assert(spark.sql("SELECT max(s) AS mxs FROM graft_ap.t")
+      .head().getString(0) == "s999")
+    assert(!GraftLakeSource.lastAggPush(p),
+      "string min/max must not answer from footer stats")
+    // a filter blocks the pushdown (our filters are all residual, so
+    // Spark's own rule keeps the Filter node and never pushes the agg)
+    assert(spark.sql("SELECT count(*) AS n FROM graft_ap.t WHERE k > 500")
+      .head().getLong(0) == 500L)
+    assert(!GraftLakeSource.lastAggPush(p))
+    // GROUP BY blocks
+    assert(spark.sql(
+      "SELECT k % 2 AS par, count(*) AS n FROM graft_ap.t GROUP BY k % 2")
+      .collect().map(_.getLong(1)).sum == 1000L)
+    assert(!GraftLakeSource.lastAggPush(p))
+    // a merge-on-read DELETE leaves sidecars: pushdown must refuse
+    // (deleted rows still live in the files) and the fallback is exact
+    spark.sql("DELETE FROM graft_ap.t WHERE k <= 10")
+    val r2 = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn FROM graft_ap.t").head()
+    assert((r2.getLong(0), r2.getLong(1)) == (990L, 11L))
+    assert(!GraftLakeSource.lastAggPush(p),
+      "a sidecar'd snapshot must not answer aggregates from the manifest")
+    // compact materializes the sidecars away and re-enables the pushdown
+    spark.sql("CALL graft_ap.system.compact(`table` => 't', target_files => 4)")
+    val r3 = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM graft_ap.t").head()
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == (990L, 11L, 1000L))
+    assert(GraftLakeSource.lastAggPush(p),
+      "compact must heal the snapshot back to manifest-served aggregates")
+  }
+
   test("rename -> re-add: the vacated logical name gets a fresh physical; CDC crosses the chain") {
     import spark.implicits._
     val p = freshPath("renreadd")
