@@ -797,7 +797,15 @@ object MergeOps {
       col("o_orderkey"),
       concat(lit("u"), col("o_orderkey")).as("o_uid"),
       col("o_orderstatus"))
-    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 16,
+    // file count tracks the corpus so per-file rows stay inside the
+    // bloom design point (~220k rows at the 2^21-bit cap — the
+    // operational file-sizing posture; review r18 #1: a FIXED 16-file
+    // layout pushes per-file rows past the cap as SF grows, the
+    // realized fpp climbs, and the >=4x gate below fails on fpp, not
+    // on a real regression)
+    val nFiles = math.max(16L,
+      base.count() / 100000L).toInt
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = nFiles,
       indexCols = Seq("o_uid"))
     // three deterministic lookup ids (bounded driver collect)
     val ids = base.filter(col("o_orderkey") % 997 === 1)
@@ -1238,8 +1246,16 @@ object MergeOps {
     * shuffle-family join in the executed plan). At 100 TB this is the
     * difference between a daily fact-to-fact reconciliation shuffling
     * both tables and one that only streams co-located buckets. */
-  def qLakeClusterJoin(spark: SparkSession, dir: String): DataFrame = {
+  def qLakeClusterJoin(outerSpark: SparkSession, dir: String): DataFrame = {
     import graft.sources.LakeTable
+    // ISOLATED session (review r18 follow-up): this entry opens a
+    // planner-conf window (broadcast joins off, SPJ on) that would RACE
+    // concurrently-planning queries in the driver's multithreaded
+    // Verify harness — a same-JVM query planned inside the window sees
+    // broadcast disabled and can lose its DPP runtime filter.
+    // newSession() shares the SparkContext but owns conf + temp views,
+    // so the window is invisible outside this entry.
+    val spark = outerSpark.newSession()
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakeclj_${graft.SessionCache.dirKey(dir)}").toString
     LakeTable.deleteRecursively(new java.io.File(root))
@@ -1297,8 +1313,10 @@ object MergeOps {
     * compatible-transforms conf; counts with no division relationship
     * conservatively re-plan with exchanges (spec-pinned, with row
     * exactness under both). */
-  def qLakeClusterFold(spark: SparkSession, dir: String): DataFrame = {
+  def qLakeClusterFold(outerSpark: SparkSession, dir: String): DataFrame = {
     import graft.sources.LakeTable
+    // isolated session — same rationale as [[qLakeClusterJoin]]
+    val spark = outerSpark.newSession()
     val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_lakeclf_${graft.SessionCache.dirKey(dir)}").toString
     LakeTable.deleteRecursively(new java.io.File(root))
@@ -1319,24 +1337,41 @@ object MergeOps {
     spark.sql(s"INSERT INTO $cat.orders_t SELECT * FROM graft_clf_orders")
     spark.sql(s"INSERT INTO $cat.lines_t SELECT l_orderkey, count(*) " +
       "FROM graft_clf_lines GROUP BY l_orderkey")
+    // base v2-bucketing stays on per the lake_cluster_join session
+    // posture (inert for non-clustered scans), but the FOLD lever is
+    // restored: allowCompatibleTransforms changes which joins fold vs
+    // re-plan, and leaking it session-wide flipped an unrelated spec's
+    // conservative-mismatch premise (review r18 #8)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    spark.conf.set(
-      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    val savedFold = spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
     val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val joined =
       try {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val j = spark.sql(s"SELECT o.o_orderkey, o.o_orderstatus, l.line_cnt " +
           s"FROM $cat.orders_t o JOIN $cat.lines_t l " +
           "ON o.o_orderkey = l.o_orderkey")
+        // force the plan while the confs hold; QueryExecution caches it,
+        // so the caller's later execution reuses the folded plan
         val plan = j.queryExecution.executedPlan.toString
         require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
           s"lake_cluster_fold: expected a shuffle-family join:\n$plan")
         require(!plan.contains("Exchange"),
           s"lake_cluster_fold: a 16x8 clustered pair must fold to ZERO Exchange:\n$plan")
         j
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+        savedFold match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", v)
+          case None => spark.conf.unset(
+            "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+        }
+      }
     joined.orderBy("o_orderkey")
   }
 

@@ -434,8 +434,8 @@ object GraftLakeSource {
     * value, missing bloom, or other filter shape keeps the file.
     * Returns a closure so the per-column types resolve once. */
   private[graft] def bloomFilterKeep(m: LakeTable.Manifest)
-      : (LakeTable.FileEntry, Seq[Filter]) => Boolean = {
-    if (m.indexCols.isEmpty) (_, _) => true
+      : Seq[Filter] => (LakeTable.FileEntry => Boolean) = {
+    if (m.indexCols.isEmpty) _ => _ => true
     else {
       val types = m.schema.map(f => f.name -> f.dataType).toMap
       def hashesOf(c: String, vs: Seq[Any]): Option[Seq[Long]] =
@@ -443,14 +443,24 @@ object GraftLakeSource {
           val hs = vs.flatMap(v => hashLiteral(v, dt))
           if (hs.length == vs.length) Some(hs) else None
         }
-      (e, filters) => filters.forall {
-        case EqualTo(c, v) if m.indexCols.contains(c) && v != null =>
-          hashesOf(c, Seq(v)).forall(hs => LakeTable.bloomKeepAny(e, m.phys(c), hs))
-        case In(c, vs) if m.indexCols.contains(c) && vs.nonEmpty &&
-            vs.forall(_ != null) && vs.length <= RuntimeInValuesCap =>
-          hashesOf(c, vs.toSeq).forall(hs =>
-            LakeTable.bloomKeepAny(e, m.phys(c), hs))
-        case _ => true
+      // CURRIED: hash each probed value ONCE per filter SET, not once
+      // per (filter x entry) — hashing inside the per-entry body made a
+      // 10k-value DPP In over a 1000-file table pay ~10M driver-side
+      // Catalyst-convert+XxHash64 calls where ~10k suffice (review r18
+      // #6). An unhashable value yields no probe — the filter keeps
+      // every file, same as before.
+      filters => {
+        val probes: Seq[(String, Seq[Long])] = filters.flatMap {
+          case EqualTo(c, v) if m.indexCols.contains(c) && v != null =>
+            hashesOf(c, Seq(v)).map(hs => (m.phys(c), hs))
+          case In(c, vs) if m.indexCols.contains(c) && vs.nonEmpty &&
+              vs.forall(_ != null) && vs.length <= RuntimeInValuesCap =>
+            hashesOf(c, vs.toSeq).map(hs => (m.phys(c), hs))
+          case _ => None
+        }
+        if (probes.isEmpty) _ => true
+        else e => probes.forall { case (phys, hs) =>
+          LakeTable.bloomKeepAny(e, phys, hs) }
       }
     }
   }
@@ -489,9 +499,9 @@ private[graft] class GraftLakeRelation(val sqlContext: SQLContext,
     // bloom bits on declared index columns prune equality/In lookups
     val preds = filters.toSeq.flatMap(GraftLakeSource.toIntervals)
       .map { case (c, lo, hi) => (m.phys(c), lo, hi) }
-    val bloomKeep = GraftLakeSource.bloomFilterKeep(m)
+    val bloomKeep = GraftLakeSource.bloomFilterKeep(m)(filters.toSeq)
     val kept = m.files.filter(e =>
-      LakeTable.entryMatches(e, preds) && bloomKeep(e, filters.toSeq))
+      LakeTable.entryMatches(e, preds) && bloomKeep(e))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     val df = LakeTable.readEntries(sqlContext.sparkSession, m, kept)
     df.select(requiredColumns.toSeq.map(col): _*).rdd
@@ -790,8 +800,9 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     // on declared index columns (equality/In on a non-layout column),
     // and the all-keys-equality bucket pin
     val bloomKeep = GraftLakeSource.bloomFilterKeep(m)
+    val staticBloomKeep = bloomKeep(filters.toSeq)
     val kept = bucketPrune(m.files.filter(e =>
-      LakeTable.entryMatches(e, preds) && bloomKeep(e, filters.toSeq)))
+      LakeTable.entryMatches(e, preds) && staticBloomKeep(e)))
     GraftLakeSource.recordPrune(path, kept.size, m.files.size)
     // groups: entries sharing sidecar sets (equality AND positional)
     // and a physical LAYOUT (which columns live in the directory vs the
@@ -1101,7 +1112,7 @@ private[graft] class GraftLakeRuntimeScan(
     phys: String => String,
     inner: org.apache.spark.sql.connector.read.Scan,
     rebuild: (String => Boolean) => org.apache.spark.sql.connector.read.Scan,
-    bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
+    bloomKeep: Seq[Filter] => (LakeTable.FileEntry => Boolean) = _ => _ => true)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1126,9 +1137,9 @@ private[graft] class GraftLakeRuntimeScan(
     columns.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
+    val bk = bloomKeep(filters.toSeq) // hash values once, not per entry
     val kept = statically.filter(e =>
-      filters.forall(GraftLakeSource.runtimeMatches(e, _, phys)) &&
-        bloomKeep(e, filters.toSeq))
+      filters.forall(GraftLakeSource.runtimeMatches(e, _, phys)) && bk(e))
     GraftLakeSource.recordPrune(s"$path@runtime", kept.size, statically.size)
     if (kept.size < statically.size) {
       val allowed = kept.map(e => LakeIo.normKey(e.path)).toSet
@@ -1377,9 +1388,10 @@ private[graft] class GraftLakeCompositeScan(
       .getOrElse(Array.empty)
 
   override def filter(filters: Array[Filter]): Unit = runtime.foreach { ctx =>
+    val bk = ctx.bloomKeep(filters.toSeq) // hash values once, not per entry
     val kept = ctx.statically.filter(e =>
       GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, ctx.singleKey,
-        cluster.map(_._1).getOrElse(0)) && ctx.bloomKeep(e, filters.toSeq))
+        cluster.map(_._1).getOrElse(0)) && bk(e))
     GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
       ctx.statically.size)
     if (kept.size < ctx.statically.size) {
@@ -1524,7 +1536,7 @@ private[graft] object GraftLakeCompositeScan {
       phys: String => String,
       singleKey: Option[(String, org.apache.spark.sql.types.DataType)],
       regroup: (String => Boolean) => Seq[GraftLakeScanGroup],
-      bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
+      bloomKeep: Seq[Filter] => (LakeTable.FileEntry => Boolean) = _ => _ => true)
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
@@ -1595,9 +1607,10 @@ private[graft] class GraftLakeClusteredScan(
     val singleKey = ctx.keyType.collect {
       case dt if keyNames.size == 1 => (keyNames.head, dt)
     }
+    val bk = ctx.bloomKeep(filters.toSeq) // hash values once, not per entry
     val kept = ctx.statically.filter(e =>
       GraftLakeSource.runtimeKeep(e, filters.toSeq, ctx.phys, singleKey,
-        nBuckets) && ctx.bloomKeep(e, filters.toSeq))
+        nBuckets) && bk(e))
     GraftLakeSource.recordPrune(s"${ctx.path}@runtime", kept.size,
       ctx.statically.size)
     if (kept.size < ctx.statically.size) {
@@ -1691,7 +1704,7 @@ private[graft] object GraftLakeClusteredScan {
       keyType: Option[org.apache.spark.sql.types.DataType],
       rebuild: (String => Boolean) =>
         org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-      bloomKeep: (LakeTable.FileEntry, Seq[Filter]) => Boolean = (_, _) => true)
+      bloomKeep: Seq[Filter] => (LakeTable.FileEntry => Boolean) = _ => _ => true)
 }
 
 /** An input partition tagged with its composite group. */

@@ -145,18 +145,38 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
     java.nio.file.Files.deleteIfExists(crc); ()
   }
 
-  /** Does this FileSystemException mean "this filesystem cannot hard
-    * link" (CIFS/SMB, some FUSE mounts — EPERM/EOPNOTSUPP at the link
-    * syscall), as opposed to a transient I/O error (AccessDenied on the
-    * tmp write, NoSuchFile on a vanished parent) that must SURFACE
-    * rather than silently downgrade the atomic publish to the racy
-    * rename chain (ADVICE r17 #2)? */
-  private def linkUnsupported(e: java.nio.file.FileSystemException): Boolean = {
-    val reason = Option(e.getReason).getOrElse("").toLowerCase
-    reason.contains("not supported") || reason.contains("not permitted") ||
-      reason.contains("invalid cross-device link") ||
-      reason.contains("too many links")
-  }
+  /** Can this directory's filesystem hard-link at all (CIFS/SMB and
+    * some FUSE mounts cannot — EPERM/EOPNOTSUPP at the link syscall)?
+    * Probed ONCE per directory by actually creating a link between two
+    * scratch files — a FUNCTIONAL classification, because parsing the
+    * FileSystemException's strerror text is locale-dependent
+    * ('Operation not permitted' never matches on a non-English JVM,
+    * which would turn the intended fallback into a hard publish
+    * failure; review r18 #3). The publish's tmp lives in the target's
+    * parent (see [[LocalLinkLogStore.putIfAbsent]]), so a same-dir
+    * probe models the real link exactly — no cross-device case. A
+    * probe broken by a transient error classifies as unsupported and
+    * downgrades to the rename chain: the table stays usable, and only
+    * ADVICE r17 #2's atomicity upgrade is (temporarily) lost. */
+  private val linkSupportByDir =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path, java.lang.Boolean]()
+  private def linksSupported(dir: java.nio.file.Path): Boolean =
+    linkSupportByDir.computeIfAbsent(dir, d => {
+      var a: java.nio.file.Path = null
+      var b: java.nio.file.Path = null
+      try {
+        a = java.nio.file.Files.createTempFile(d, ".linkprobe-", ".tmp")
+        b = d.resolve(s".linkprobe-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.createLink(b, a)
+        true
+      } catch { case _: Exception => false }
+      finally {
+        if (b != null) { try java.nio.file.Files.deleteIfExists(b)
+          catch { case _: Exception => () } }
+        if (a != null) { try java.nio.file.Files.deleteIfExists(a)
+          catch { case _: Exception => () } }
+      }
+    })
 
   override def putIfAbsent(target: Path, content: String): Unit = localPath(target) match {
     case Some(nio) =>
@@ -171,14 +191,16 @@ private[graft] class HadoopFsLogStore(conf: Configuration) extends LakeLogStore 
       // (one implementation of the local atomicity recipe, not two);
       // ONLY a link-unsupported filesystem falls back to the Hadoop
       // rename chain (its race window returns, but the table stays
-      // USABLE); the conflict ISE and genuine I/O errors pass through
+      // USABLE); the conflict ISE and genuine I/O errors pass through —
+      // classified by the link-support PROBE, not strerror text
       try { LocalLinkLogStore.putIfAbsent(target, content); dropCrcSidecar(nio) }
       catch {
         case e: IllegalStateException => throw e
         case _: UnsupportedOperationException =>
           hadoopPutIfAbsent(target, content)
-        case e: java.nio.file.FileSystemException if linkUnsupported(e) =>
-          hadoopPutIfAbsent(target, content)
+        case e: java.nio.file.FileSystemException =>
+          if (!linksSupported(nio.getParent)) hadoopPutIfAbsent(target, content)
+          else throw e
       }
     case None => hadoopPutIfAbsent(target, content)
   }

@@ -591,7 +591,10 @@ object LakeTable {
       schema.find(_.name == k).flatMap(f => statsFamily(f.dataType)).map(k -> _))
     val files = leafFiles(dir)
     val stats = footerStats(spark, files, statCols)
-    val blooms = fileBloomBits(spark, files, bloomCols)
+    // bloom sizing reuses the row counts the stats pass just lifted —
+    // no second footer open per file (review r18 #5)
+    val blooms = fileBloomBits(spark, files, bloomCols,
+      stats.valuesIterator.map(_._2).foldLeft(-1L)(math.max))
     files.map { f =>
       val pv = liftPartValues(f, parts)
       val (colStats, rowCount) = stats.getOrElse(f, (Map.empty[String, ColStats], -1L))
@@ -621,18 +624,11 @@ object LakeTable {
     * #2), capped at [[BloomMaxBits]]. Keys are PHYSICAL column names —
     * the axis footer stats already use. */
   private def fileBloomBits(spark: SparkSession, files: Seq[String],
-      bloomCols: Seq[(String, DataType)]): Map[String, Map[String, String]] = {
+      bloomCols: Seq[(String, DataType)],
+      maxFileRows: Long): Map[String, Map[String, String]] = {
     if (bloomCols.isEmpty || files.isEmpty) return Map.empty
     graft.functions.GraftFunctions.register(spark)
-    val conf = spark.sessionState.newHadoopConf()
-    import scala.collection.parallel.CollectionConverters._
-    val maxRows = files.par.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.max
-    val est = math.max(maxRows, 64L)
+    val est = math.max(maxFileRows, 64L)
     val numBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, 0.01),
       BloomMaxBits)
@@ -1532,29 +1528,11 @@ object LakeTable {
     val m = manifest(path, current)
     val keyRows = keys.select(keyCols.map(col): _*)
     // doomed positions: ONE envelope-pruned scan carrying the parquet
-    // row index + source file, semi-joined on the (broadcast) keys.
-    // localCheckpoint pins ONE materialization — the touched-file set
-    // and the sidecar bytes must describe the same rows.
+    // row index + source file, semi-joined on the (broadcast) keys
     val doomed = readRaw(spark, m, envelopeCandidates(m, keyRows, keyCols),
         withPos = true)
       .join(broadcast(keyRows), keyCols, "left_semi")
-      .select(col(PosFileCol).as("__file"), col(PosIdxCol).as("__pos"))
-      .localCheckpoint()
-    val touched = doomed.select("__file").distinct().collect()
-      .map(r => LakeIo.normUri(r.getString(0))).toSet
-    val flipped =
-      if (touched.isEmpty) Seq.empty[FileEntry]
-      else {
-        val dvDir = s"$path/data/dvpos-v${current + 1}-${java.util.UUID.randomUUID()}"
-        doomed.coalesce(1).write.mode("overwrite").parquet(dvDir)
-        m.files.filter(e => touched(LakeIo.normKey(e.path)))
-          .map(e => e.copy(pos = e.pos :+ dvDir))
-      }
-    val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
-    commitDelta(path, Manifest(current + 1, "delete-pos", m.keys, m.schemaDdl,
-      carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired,
-      m.indexCols), flipped.map(_.path), flipped)
-    current + 1
+    commitPosSidecar(path, m, doomed)
   }
 
   /** [[deletePos]] with an arbitrary row PREDICATE instead of a key
@@ -1571,6 +1549,18 @@ object LakeTable {
     // rows where cond is definitively true are doomed
     val doomed = readRaw(spark, m, m.files, withPos = true)
       .filter(coalesce(cond, lit(false)))
+    commitPosSidecar(path, m, doomed)
+  }
+
+  /** Shared positional-delete commit (review r18 #7): write the doomed
+    * (file, ordinal) rows as ONE sidecar parquet, flip the touched
+    * entries, publish one `delete-pos` version. `doomed` must still
+    * carry [[PosFileCol]]/[[PosIdxCol]]; localCheckpoint pins ONE
+    * materialization — the touched-file set and the sidecar bytes must
+    * describe the same rows. */
+  private def commitPosSidecar(path: String, m: Manifest,
+      doomedRows: DataFrame): Int = {
+    val doomed = doomedRows
       .select(col(PosFileCol).as("__file"), col(PosIdxCol).as("__pos"))
       .localCheckpoint()
     val touched = doomed.select("__file").distinct().collect()
@@ -1578,16 +1568,16 @@ object LakeTable {
     val flipped =
       if (touched.isEmpty) Seq.empty[FileEntry]
       else {
-        val dvDir = s"$path/data/dvpos-v${current + 1}-${java.util.UUID.randomUUID()}"
+        val dvDir = s"$path/data/dvpos-v${m.version + 1}-${java.util.UUID.randomUUID()}"
         doomed.coalesce(1).write.mode("overwrite").parquet(dvDir)
         m.files.filter(e => touched(LakeIo.normKey(e.path)))
           .map(e => e.copy(pos = e.pos :+ dvDir))
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
-    commitDelta(path, Manifest(current + 1, "delete-pos", m.keys, m.schemaDdl,
+    commitDelta(path, Manifest(m.version + 1, "delete-pos", m.keys, m.schemaDdl,
       carried ++ flipped, m.parts, m.clusterBuckets, m.colMap, m.retired,
       m.indexCols), flipped.map(_.path), flipped)
-    current + 1
+    m.version + 1
   }
 
   /** Partition EVOLUTION without rewriting a byte (the Iceberg spec-v2
@@ -1610,6 +1600,16 @@ object LakeTable {
         "(overwrite with layout=hash)")
     newParts.foreach(c => require(m.schema.fieldNames.contains(c),
       s"LakeTable: partition column $c is not in the schema"))
+    // index/partition exclusion, same as create/setIndexColumns (review
+    // r18 #4): partitioning an INDEXED column would silently stop bloom
+    // collection (bloomColsOf skips partition columns) while the
+    // declaration kept advertising — and refusing renames for — an
+    // index that no longer prunes
+    newParts.filter(m.indexCols.contains).foreach(c => require(false,
+      s"LakeTable: cannot partition by INDEXED column $c — directory " +
+        "pruning would supersede the bloom index but the declaration " +
+        "would go stale; drop the index first (setIndexColumns), then " +
+        "evolve the partitioning"))
     commitDelta(path, Manifest(current + 1, "evolve-partitioning",
       m.keys, m.schemaDdl, m.files, newParts, 0, m.colMap, m.retired,
       m.indexCols), Seq.empty, Seq.empty)

@@ -541,6 +541,12 @@ class LakeTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       LakeTable.renameColumn(p2, "uid", "uid2"))
     assert(e.getMessage.contains("INDEXED"))
+    // partition evolution onto an INDEXED column refuses too (review
+    // r18 #4): blooms are skipped for partition columns, so the
+    // declaration would go silently stale while still advertised
+    val ep = intercept[IllegalArgumentException](
+      LakeTable.evolvePartitioning(p2, Seq("uid")))
+    assert(ep.getMessage.contains("INDEXED"))
     // TBLPROPERTIES + CALL surface
     spark.sql("SET spark.sql.catalog.graft_bx=graft.sources.GraftLakeCatalog")
     spark.sql(s"SET spark.sql.catalog.graft_bx.warehouse=${new java.io.File(p2).getParent}")
