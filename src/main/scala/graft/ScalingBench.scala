@@ -329,6 +329,11 @@ object ScalingBench {
     // data I/O) atop the k-fold build — clean-phase cost must be flat;
     // the DV'd fallback phase is the honest k-fold row scan
     "lake_agg_push",
+    // r18: compact_where pays the k-fold partitioned build + DV delete;
+    // the SERVED term is the scoped rewrite — 1/5 of the corpus (one
+    // priority partition), so the slope prices partition-proportional
+    // maintenance, never a whole-table rewrite
+    "lake_compact_where",
     // MAD anomaly flags: one hourly groupBy + a time-bounded collect
     // journey paths: per-user sessionize + per-session rank windows;
     // bloom semi-join: the probe must keep the reduced stream (and so

@@ -38,6 +38,7 @@ object SparkEntry {
     "lake_delete_pos"          -> (MergeOps.qLakeDeletePos _),
     "lake_bloom_skip"          -> (MergeOps.qLakeBloomSkip _),
     "lake_agg_push"            -> (MergeOps.qLakeAggPush _),
+    "lake_compact_where"       -> (MergeOps.qLakeCompactWhere _),
     "lake_concurrent_merge"    -> (MergeOps.qLakeConcurrentMerge _),
     "lake_sql_alter"           -> (MergeOps.qLakeSqlAlter _),
     "lake_merge_row"           -> (MergeOps.qLakeMergeRow _),
@@ -1739,6 +1740,12 @@ object SparkEntry {
       """SELECT o_orderkey, 'update' AS _change_type, 'U' AS o_orderstatus,
         |  o_orderpriority AS o_priority, o_orderstatus AS _before_o_orderstatus
         |FROM orders WHERE o_orderkey % 13 = 2 ORDER BY o_orderkey""".stripMargin,
+    // the scoped partition healed its sidecars, unscoped partitions
+    // carried by reference and still apply theirs at read (both
+    // entry-gated); the oracle replays the delete over the raw table
+    "lake_compact_where" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderkey % 17 <> 3 ORDER BY o_orderkey""".stripMargin,
     // phase 1 answered metadata-only from the manifest (entry-gated),
     // phase 2 after a DV delete fell back to the row scan (also
     // entry-gated); the oracle replays both phases from the raw table

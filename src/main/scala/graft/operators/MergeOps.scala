@@ -825,6 +825,53 @@ object MergeOps {
     out
   }
 
+  /** PARTITION-SCOPED compaction (r18 — the Delta `OPTIMIZE ... WHERE`
+    * / Iceberg rewrite-data-files-with-filter shape): after a
+    * merge-on-read delete scatters equality sidecars across every
+    * partition, ONE partition directory is compacted — the entry
+    * REQUIRES the scoped partition rewritten with its sidecars
+    * materialized away AND every unscoped partition carried
+    * BIT-IDENTICAL by reference (paths and sidecar refs unchanged). At
+    * 100 TB this is the operational maintenance shape: compact
+    * yesterday's partition after its CDC day, never the lake. The
+    * oracle replays the delete over the raw table — a scoped rewrite
+    * that loses rows, leaks other partitions' rewrites, or
+    * double-applies the healed sidecar breaks the hash (unscoped
+    * partitions still apply their sidecars at read). */
+  def qLakeCompactWhere(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LakeTable
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_lakecw_${graft.SessionCache.dirKey(dir)}").toString
+    LakeTable.deleteRecursively(new java.io.File(path))
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 4,
+      partitionBy = Seq("o_orderpriority"))
+    LakeTable.deleteDV(spark, path,
+      base.filter(col("o_orderkey") % 17 === 3).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val vPre = LakeTable.latestVersion(path)
+    val mPre = LakeTable.manifest(path, vPre)
+    val seg = "1-URGENT"
+    def segOf(m: LakeTable.Manifest, inSeg: Boolean) =
+      m.files.filter(_.part.get("o_orderpriority").contains(seg) == inSeg)
+    require(segOf(mPre, inSeg = true).exists(_.dvs.nonEmpty),
+      "lake_compact_where: the delete left no sidecar in the scoped partition")
+    val vPost = LakeTable.compactWhere(spark, path,
+      Map("o_orderpriority" -> seg), 2)
+    val mPost = LakeTable.manifest(path, vPost)
+    require(segOf(mPost, inSeg = true).nonEmpty &&
+      segOf(mPost, inSeg = true).forall(e =>
+        e.dvs.isEmpty && e.pos.isEmpty && e.path.contains("compactw-v")),
+      "lake_compact_where: scoped partition must rewrite with sidecars healed")
+    require(segOf(mPost, inSeg = false).map(e => (e.path, e.dvs, e.pos)).toSet ==
+      segOf(mPre, inSeg = false).map(e => (e.path, e.dvs, e.pos)).toSet,
+      "lake_compact_where: unscoped partitions must carry bit-identical")
+    LakeTable.read(spark, path)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** Metadata-only AGGREGATE pushdown (r18 — the Iceberg/Delta
     * metadata-count shape): `SELECT count(*) / min(key) / max(key)` on
     * a sidecar-free lake snapshot answers from the MANIFEST alone —

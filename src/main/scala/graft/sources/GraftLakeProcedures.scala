@@ -60,11 +60,34 @@ private[graft] object GraftLakeProcedures {
       (warehouse +: tbl.toString.split('.').toSeq).mkString("/")
     val versionOut = new StructType().add("version", IntegerType)
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      // optional `where => 'col=value[,col=value]'` scopes the rewrite
+      // to matching partition DIRECTORIES (the Delta OPTIMIZE ... WHERE
+      // shape) — everything else carries by reference; empty = whole
+      // table (which also heals any column mapping)
       case "compact" => new LakeProc("compact",
-        Array(in("table", StringType), in("target_files", IntegerType)),
+        Array(in("table", StringType), in("target_files", IntegerType),
+          inDefault("where", StringType, "''")),
         versionOut,
-        input => Seq(InternalRow(LakeTable.compact(
-          SparkSession.active, path(input.getUTF8String(0)), input.getInt(1)))))
+        input => {
+          val where = input.getUTF8String(2).toString.trim
+          val v =
+            if (where.isEmpty)
+              LakeTable.compact(SparkSession.active,
+                path(input.getUTF8String(0)), input.getInt(1))
+            else {
+              val eqs = where.split(',').map(_.trim).filter(_.nonEmpty)
+                .map { kv =>
+                  val i = kv.indexOf('=')
+                  require(i > 0,
+                    s"graftlake compact: cannot parse where clause '$kv' — " +
+                      "expected col=value[,col=value]")
+                  kv.take(i).trim -> kv.drop(i + 1).trim
+                }.toMap
+              LakeTable.compactWhere(SparkSession.active,
+                path(input.getUTF8String(0)), eqs, input.getInt(1))
+            }
+          Seq(InternalRow(v))
+        })
       // dry_run previews (nothing deleted); the retention guard refuses
       // to expire versions younger than the horizon unless force => true
       case "vacuum" => new LakeProc("vacuum",

@@ -1797,6 +1797,55 @@ object LakeTable {
     current + 1
   }
 
+  /** PARTITION-SCOPED compaction (r18 — the Delta `OPTIMIZE ... WHERE`
+    * / Iceberg rewrite-data-files-with-filter shape): rewrite ONLY the
+    * files of the partitions matching `partEquals` (partition column →
+    * directory value), applying and dropping their accumulated
+    * equality/positional sidecars; every other file carries BY
+    * REFERENCE. At 100 TB this is the operational form — you compact
+    * yesterday's partition after its CDC day, never the lake. The
+    * predicate is partition-granular by contract (a data-stats scope
+    * would split files); non-partition columns refuse loudly. Scoped
+    * compaction CANNOT heal a column mapping (untouched files keep
+    * their physical names), so the mapping and retired set carry —
+    * the whole-table [[compact]] remains the healing op. A predicate
+    * matching nothing commits nothing. Clustered tables refuse: their
+    * layout is the bucket map, not directories, and a partial bucket
+    * rewrite would break the purity invariant SPJ rides on. */
+  def compactWhere(spark: SparkSession, path: String,
+      partEquals: Map[String, String], targetFiles: Int): Int = {
+    require(targetFiles > 0,
+      s"LakeTable: compactWhere needs targetFiles > 0, got $targetFiles")
+    require(partEquals.nonEmpty,
+      "LakeTable: compactWhere needs at least one partition equality " +
+        "(use compact for the whole table)")
+    val current = latestVersion(path)
+    require(current > 0, s"LakeTable: cannot compact missing table at $path")
+    val m = manifest(path, current)
+    require(m.clusterBuckets == 0,
+      "LakeTable: compactWhere applies to partition-directory tables; a " +
+        "clustered table's layout is its bucket map — compact it whole")
+    partEquals.keys.foreach(c => require(m.parts.contains(c),
+      s"LakeTable: compactWhere column $c is not a partition column " +
+        s"(${m.parts.mkString(", ")}) — scoped compaction is " +
+        "partition-granular; use keyed DML for row-level rewrites"))
+    val scoped = m.files.filter(e =>
+      partEquals.forall { case (c, v) => e.part.get(c).contains(v) })
+    if (scoped.isEmpty) return current // no matching partition: no commit
+    val dir = s"$path/data/compactw-v${current + 1}"
+    // read ONLY the scoped entries — sidecars apply inside readEntries,
+    // so the rewrite materializes them away for exactly this scope
+    writeData(readEntries(spark, m, scoped)
+        .repartition(targetFiles), dir, m.parts, m.colMap)
+    val rewritten = entriesFor(spark, dir, m.keys, m.schema, m.parts,
+      clustered = false, bloomColsOf(m, m.schema))
+    val carried = m.files.filterNot(e => scoped.exists(_.path == e.path))
+    commitDelta(path, Manifest(current + 1, "compact-where", m.keys,
+      m.schemaDdl, carried ++ rewritten, m.parts, 0, m.colMap, m.retired,
+      m.indexCols), scoped.map(_.path), rewritten)
+    current + 1
+  }
+
   /** Change feed between two committed versions — the CDC read the
     * manifest format gives for O(delta), not O(table) (Delta's CDF
     * shape): copy-on-write guarantees every unchanged row lives in a

@@ -1719,6 +1719,75 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, p).count() == 500)
   }
 
+  test("partition-scoped compaction: only the scoped directory rewrites; sidecars heal in scope") {
+    import spark.implicits._
+    val p = freshPath("compactw")
+    val segs = Seq("a", "b", "c")
+    val base = (1L to 300L).map(k => (k, segs((k % 3).toInt), k * 10)).toDF("k", "seg", "v")
+    LakeTable.create(spark, p, base, Seq("k"), nBuckets = 4,
+      partitionBy = Seq("seg"))
+    // sidecar'd deletes in TWO partitions
+    LakeTable.deleteDV(spark, p,
+      Seq(3L, 6L).toDF("k"), Seq("k"))                    // seg a (k%3==0)
+    LakeTable.deleteDV(spark, p,
+      Seq(1L, 4L).toDF("k"), Seq("k"))                    // seg b (k%3==1)
+    val vPre = LakeTable.latestVersion(p)
+    val mPre = LakeTable.manifest(p, vPre)
+    def segFiles(m: LakeTable.Manifest, s: String) =
+      m.files.filter(_.part.get("seg").contains(s))
+    assert(segFiles(mPre, "a").exists(_.dvs.nonEmpty) &&
+      segFiles(mPre, "b").exists(_.dvs.nonEmpty))
+    // scoped compact of seg a only
+    val vPost = LakeTable.compactWhere(spark, p, Map("seg" -> "a"), 2)
+    assert(vPost == vPre + 1)
+    val mPost = LakeTable.manifest(p, vPost)
+    // untouched partitions carry BY REFERENCE, sidecar refs intact
+    assert(segFiles(mPost, "b").map(e => (e.path, e.dvs)).toSet ==
+      segFiles(mPre, "b").map(e => (e.path, e.dvs)).toSet,
+      "unscoped partition b must carry bit-identical")
+    assert(segFiles(mPost, "c").map(_.path).toSet ==
+      segFiles(mPre, "c").map(_.path).toSet)
+    // scoped partition: rewritten fresh, sidecars materialized away
+    assert(segFiles(mPost, "a").forall(e =>
+      e.dvs.isEmpty && e.pos.isEmpty && e.path.contains("compactw-v")),
+      "scoped partition a must rewrite with sidecars healed")
+    // rows exact everywhere (b's sidecar still applies at read)
+    val got = LakeTable.read(spark, p).select("k").as[Long].collect().toSet
+    assert(got == (1L to 300L).toSet -- Set(3L, 6L, 1L, 4L))
+    // refusals: non-partition column, clustered table
+    val e1 = intercept[IllegalArgumentException](
+      LakeTable.compactWhere(spark, p, Map("k" -> "1"), 2))
+    assert(e1.getMessage.contains("partition"))
+    // no matching partition: NO commit
+    assert(LakeTable.compactWhere(spark, p, Map("seg" -> "zzz"), 2) == vPost)
+    assert(LakeTable.latestVersion(p) == vPost)
+    val pc = freshPath("compactwclu")
+    LakeTable.create(spark, pc, (1L to 50L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), nBuckets = 4, layout = "cluster")
+    val e2 = intercept[IllegalArgumentException](
+      LakeTable.compactWhere(spark, pc, Map("v" -> "1"), 2))
+    assert(e2.getMessage.contains("bucket map"))
+    // column mapping CARRIES across a scoped compact (no heal)
+    LakeTable.renameColumn(p, "v", "value")
+    val vMap = LakeTable.compactWhere(spark, p, Map("seg" -> "c"), 2)
+    val mMap = LakeTable.manifest(p, vMap)
+    assert(mMap.colMap.nonEmpty,
+      "scoped compaction must not heal the column mapping")
+    assert(LakeTable.read(spark, p).filter(col("k") === 2L)
+      .select("value").as[Long].head() == 20L)
+    // SQL surface: CALL system.compact(..., where => 'seg=b') heals b
+    spark.conf.set("spark.sql.catalog.graft_cw",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cw.warehouse",
+      new java.io.File(p).getParent)
+    val tbl = new java.io.File(p).getName
+    spark.sql(s"CALL graft_cw.system.compact(`table` => '$tbl', " +
+      "target_files => 2, where => 'seg=b')")
+    val mSql = LakeTable.manifest(p, LakeTable.latestVersion(p))
+    assert(segFiles(mSql, "b").forall(e => e.dvs.isEmpty && e.pos.isEmpty))
+    assert(LakeTable.read(spark, p).count() == 296)
+  }
+
   test("aggregate pushdown: manifest-only count/min/max; sidecars, filters, strings refuse") {
     import spark.implicits._
     import graft.sources.GraftLakeSource
