@@ -1755,7 +1755,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'deleted', CAST(count(*) AS BIGINT),
         |  min(o_orderkey), max(o_orderkey)
-        |FROM orders WHERE o_orderkey % 13 <> 4
+        |FROM orders WHERE o_orderkey % 19 <> 6 AND o_orderkey % 13 <> 4
+        |UNION ALL
+        |SELECT 'posdel', CAST(count(*) AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 19 <> 6
         |ORDER BY phase""".stripMargin,
     // the MV maintained from ONE change feed crossing a RENAME commit
     // (v2 batch under the old name, v4 under the new): the oracle

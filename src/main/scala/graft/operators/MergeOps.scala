@@ -878,15 +878,18 @@ object MergeOps {
     * per-file footer-lifted row counts and stats, via the V2
     * `SupportsPushDownAggregates` complete pushdown — zero data files
     * opened (at 100 TB, the difference between a catalog lookup and a
-    * table scan). The entry runs the aggregate twice: on the CLEAN
-    * snapshot it REQUIRES the pushdown served it (scan observability),
-    * then after a merge-on-read DV delete it REQUIRES the pushdown
-    * REFUSED (deleted rows still live in the data files — a manifest
-    * count would overcount) while the row-scan fallback stays exact.
-    * The oracle recomputes both phases from the raw table — a pushdown
-    * that miscounts, includes deleted rows, or mis-folds min/max
-    * breaks the hash. Doubles/strings refuse by design (footer stats
-    * are sound as BOUNDS, not as answers — see the builder doc). */
+    * table scan). Three phases: the CLEAN snapshot REQUIRES the
+    * pushdown served it (scan observability); after a POSITIONAL
+    * delete COUNT(*) must STILL answer from the manifest (the Delta
+    * DV-cardinality design — each sidecar's per-entry deleted-row
+    * count rides the manifest, so a GDPR-active table keeps metadata
+    * counts between compactions); after an EQUALITY delete the
+    * pushdown must REFUSE (key-valued doomed set, no cardinality)
+    * while the row-scan fallback stays exact. The oracle recomputes
+    * every phase from the raw table — a pushdown that miscounts,
+    * includes deleted rows, or mis-folds min/max breaks the hash.
+    * Doubles/strings refuse by design (footer stats are sound as
+    * BOUNDS, not as answers — see the builder doc). */
   def qLakeAggPush(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.LakeTable
     val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
@@ -894,26 +897,40 @@ object MergeOps {
     LakeTable.deleteRecursively(new java.io.File(path))
     val base = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
     LakeTable.create(spark, path, base, Seq("o_orderkey"), nBuckets = 16)
-    def aggNow(): org.apache.spark.sql.Row = {
-      val r = spark.read.format("graftlake").load(path)
-        .createOrReplaceTempView("lake_agg_t")
+    def viewNow(): Unit = spark.read.format("graftlake").load(path)
+      .createOrReplaceTempView("lake_agg_t")
+    def aggAll(): org.apache.spark.sql.Row = {
+      viewNow()
       spark.sql("SELECT count(*) AS n_orders, min(o_orderkey) AS min_k, " +
         "max(o_orderkey) AS max_k FROM lake_agg_t").head()
     }
-    val clean = aggNow()
+    val clean = aggAll()
     require(graft.sources.GraftLakeSource.lastAggPush(path),
       "lake_agg_push: the clean snapshot must answer from the manifest")
-    // merge-on-read delete: sidecar present, pushdown must refuse
+    // POSITIONAL delete: cardinality rides the manifest — count(*)
+    // still metadata-only (min/max would refuse, so count alone here)
+    LakeTable.deletePos(spark, path,
+      base.filter(col("o_orderkey") % 19 === 6).select("o_orderkey"),
+      Seq("o_orderkey"))
+    viewNow()
+    val posCount = spark.sql(
+      "SELECT count(*) AS n_orders FROM lake_agg_t").head().getLong(0)
+    require(graft.sources.GraftLakeSource.lastAggPush(path),
+      "lake_agg_push: COUNT(*) under positional DVs must subtract the " +
+        "manifest cardinality, not fall back to a row scan")
+    // EQUALITY delete: key-valued doomed set, no cardinality — refuse
     LakeTable.deleteDV(spark, path,
       base.filter(col("o_orderkey") % 13 === 4).select("o_orderkey"),
       Seq("o_orderkey"))
-    val dved = aggNow()
+    val dved = aggAll()
     require(!graft.sources.GraftLakeSource.lastAggPush(path),
-      "lake_agg_push: a DV'd snapshot must NOT answer from the manifest")
+      "lake_agg_push: an equality-DV'd snapshot must NOT answer from " +
+        "the manifest")
     import spark.implicits._
     Seq(
-      ("clean", clean.getLong(0), clean.getLong(1), clean.getLong(2)),
-      ("deleted", dved.getLong(0), dved.getLong(1), dved.getLong(2)))
+      ("clean", clean.getLong(0), Option(clean.getLong(1)), Option(clean.getLong(2))),
+      ("posdel", posCount, Option.empty[Long], Option.empty[Long]),
+      ("deleted", dved.getLong(0), Option(dved.getLong(1)), Option(dved.getLong(2))))
       .toDF("phase", "n_orders", "min_k", "max_k")
       .orderBy("phase")
   }

@@ -616,11 +616,15 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     *  - any pushed filter or GROUP BY (Spark's own rule also gates on
     *    this — our filters are all residual, so a filtered aggregate
     *    keeps its Filter node and the rule never pushes);
-    *  - any equality or positional delete sidecar (deleted rows still
-    *    live in the files — counts and extremes would include them;
-    *    compact heals and re-enables);
+    *  - any EQUALITY delete sidecar (key-valued doomed set, no
+    *    manifest cardinality — compact heals and re-enables);
+    *    POSITIONAL sidecars carry their exact per-entry deleted-row
+    *    count, so COUNT(*) subtracts and stays metadata-only on a
+    *    DV-active table; MIN/MAX still refuse under them (a deleted
+    *    ordinal may hold the extreme);
     *  - COUNT(*): any file without a recorded row count (pre-r18
-    *    manifest, foreign file);
+    *    manifest, foreign file) or with a pre-cardinality positional
+    *    sidecar;
     *  - MIN/MAX: only columns on an exact INTEGER stats axis
     *    (int family, date, timestamp-micros). Doubles refuse — parquet
     *    footer NaN handling is historically unsound; strings refuse —
@@ -634,7 +638,14 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
     import org.apache.spark.sql.types._
     if (agg.groupByExpressions.nonEmpty || filters.nonEmpty) return None
-    if (m.files.exists(e => e.dvs.nonEmpty || e.pos.nonEmpty)) return None
+    // equality sidecars refuse everything (their doomed set is
+    // key-valued — no manifest cardinality); positional sidecars carry
+    // their exact per-entry deleted-row count (the Delta DV-cardinality
+    // design), so COUNT(*) subtracts and stays metadata-only on a
+    // DV-active table — MIN/MAX still refuse (the extreme row may be
+    // among the deleted ordinals)
+    if (m.files.exists(_.dvs.nonEmpty)) return None
+    val anyPos = m.files.exists(_.pos.nonEmpty)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -642,6 +653,7 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
       case _ => None
     }
     def extreme(c: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      if (anyPos) return None // a deleted ordinal may hold the extreme
       val f = m.schema.find(_.name == c).getOrElse(return None)
       val intAxis = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
@@ -667,9 +679,10 @@ private[graft] class GraftLakeScanBuilder(spark: SparkSession, path: String, m: 
     val cols = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val out = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        if (m.files.exists(_.rows < 0)) return None
+        if (m.files.exists(e => e.rows < 0 ||
+          (e.pos.nonEmpty && e.posDel < 0))) return None
         cols += StructField("count(*)", LongType, nullable = false)
-        m.files.map(_.rows).sum
+        m.files.map(e => e.rows - math.max(e.posDel, 0L)).sum
       case mn: Min =>
         val c = colOf(mn.column).getOrElse(return None)
         val (dt, v) = extreme(c, wantMin = true).getOrElse(return None)

@@ -132,7 +132,19 @@ object LakeTable {
       // the manifest alone, zero file opens. -1 = unknown (pre-r18
       // manifests); any unknown file refuses the pushdown, never
       // mis-counts.
-      rows: Long = -1L)
+      rows: Long = -1L,
+      // rows of THIS file deleted by its positional sidecars (the
+      // Delta deletion-vector CARDINALITY design): recorded at each
+      // [[deletePos]]/[[deletePosWhere]] commit from the doomed frame
+      // the sidecar was written from, so COUNT(*) stays metadata-only
+      // BETWEEN compactions on a DV-active table (count = rows -
+      // posDel). Ordinals are doomed from a snapshot that already
+      // applies prior sidecars, so pairs never double-count. -1 with a
+      // non-empty `pos` = unknown (pre-cardinality manifest) — refuses
+      // the pushdown, never mis-counts. Equality sidecars carry no
+      // cardinality (their doomed set is key-valued, applied per read)
+      // and always refuse.
+      posDel: Long = -1L)
 
   /** The complete committed state of one version. `parts` names the
     * table's partition columns (empty = no directory layout).
@@ -224,6 +236,7 @@ object LakeTable {
       val fn = filesArr.addObject()
       fn.put("path", fe.path)
       if (fe.rows >= 0) { fn.put("rows", fe.rows); () }
+      if (fe.posDel >= 0) { fn.put("posdel", fe.posDel); () }
       if (fe.bucket >= 0) { fn.put("bucket", fe.bucket); () }
       if (fe.dvs.nonEmpty) { val a = fn.putArray("dvs"); fe.dvs.foreach(a.add) }
       if (fe.pos.nonEmpty) { val a = fn.putArray("pos"); fe.pos.foreach(a.add) }
@@ -280,7 +293,8 @@ object LakeTable {
       }.getOrElse(Map.empty[String, String])
       FileEntry(fn.path("path").asText(), stats, dvs, part,
         if (fn.has("bucket")) fn.path("bucket").asInt() else -1, pos, blooms,
-        if (fn.has("rows")) fn.path("rows").asLong() else -1L)
+        if (fn.has("rows")) fn.path("rows").asLong() else -1L,
+        if (fn.has("posdel")) fn.path("posdel").asLong() else -1L)
     }.toSeq
   }
 
@@ -1563,15 +1577,28 @@ object LakeTable {
     val doomed = doomedRows
       .select(col(PosFileCol).as("__file"), col(PosIdxCol).as("__pos"))
       .localCheckpoint()
-    val touched = doomed.select("__file").distinct().collect()
-      .map(r => LakeIo.normUri(r.getString(0))).toSet
+    // one bounded collect serves both the touched set and the per-file
+    // DOOMED CARDINALITY (the Delta DV-cardinality design): ordinals
+    // are doomed from a snapshot that already applies prior sidecars,
+    // so the counts accumulate without double-counting and COUNT(*)
+    // stays metadata-only on a DV-active table
+    val perFile = doomed.groupBy("__file").agg(count(lit(1)).as("n"))
+      .collect().map(r => LakeIo.normUri(r.getString(0)) -> r.getLong(1)).toMap
+    val touched = perFile.keySet
     val flipped =
       if (touched.isEmpty) Seq.empty[FileEntry]
       else {
         val dvDir = s"$path/data/dvpos-v${m.version + 1}-${java.util.UUID.randomUUID()}"
         doomed.coalesce(1).write.mode("overwrite").parquet(dvDir)
         m.files.filter(e => touched(LakeIo.normKey(e.path)))
-          .map(e => e.copy(pos = e.pos :+ dvDir))
+          .map { e =>
+            // a pre-cardinality sidecar (pos non-empty, count unknown)
+            // stays unknown — refusing the pushdown beats mis-counting
+            val prior = if (e.pos.isEmpty) 0L else e.posDel
+            e.copy(pos = e.pos :+ dvDir,
+              posDel = if (prior < 0) -1L
+                else prior + perFile.getOrElse(LakeIo.normKey(e.path), 0L))
+          }
       }
     val carried = m.files.filterNot(e => flipped.exists(_.path == e.path))
     commitDelta(path, Manifest(m.version + 1, "delete-pos", m.keys, m.schemaDdl,

@@ -1843,6 +1843,23 @@ class LakeTableSpec extends SparkSpec {
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == (990L, 11L, 1000L))
     assert(GraftLakeSource.lastAggPush(p),
       "compact must heal the snapshot back to manifest-served aggregates")
+    // POSITIONAL delete: the sidecar's cardinality rides the manifest,
+    // so COUNT(*) stays metadata-only; MIN/MAX refuse under it (a
+    // deleted ordinal may hold the extreme)
+    LakeTable.deletePos(spark, p, Seq(20L, 21L).toDF("k"), Seq("k"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft_ap.t")
+      .head().getLong(0) == 988L)
+    assert(GraftLakeSource.lastAggPush(p),
+      "positional-DV count must subtract the manifest cardinality")
+    assert(spark.sql("SELECT min(k) AS mn FROM graft_ap.t")
+      .head().getLong(0) == 11L)
+    assert(!GraftLakeSource.lastAggPush(p),
+      "min/max under positional DVs must row-scan")
+    // a second positional delete ACCUMULATES cardinality correctly
+    LakeTable.deletePos(spark, p, Seq(22L).toDF("k"), Seq("k"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft_ap.t")
+      .head().getLong(0) == 987L)
+    assert(GraftLakeSource.lastAggPush(p))
   }
 
   test("rename -> re-add: the vacated logical name gets a fresh physical; CDC crosses the chain") {
