@@ -159,9 +159,14 @@ object AnnIndexStore {
     * so a rebuild-vs-append decision stays visible in `meta.json`
     * (`appended` count). */
   def append(spark: SparkSession, dataDir: String, path: String,
-      batch: DataFrame): Unit = {
+      batch0: DataFrame): Unit = {
     val idx = read(spark, dataDir, path)
     val meta = readMeta(path)
+    // materialize the batch ONCE: the vectors write, the encode pass and
+    // the appended-count bookkeeping all consume it, and without the
+    // barrier each re-runs the batch's source plan (job-level profiling
+    // at sf0.1 measured the count alone re-scanning the corpus filter)
+    val batch = batch0.localCheckpoint()
     val encoded = SimilarityOps.encodeWithIndex(spark, batch, idx)
     // Write order is a crash-safety invariant: the FULL vectors land
     // FIRST, the ADC-rankable codes second. Codes serve the ranking, but

@@ -112,7 +112,11 @@ object DedupIndexStore {
   def write(spark: SparkSession, dataDir: String, path: String,
       docs: DataFrame): Unit = {
     LakeTable.deleteRecursively(new java.io.File(path))
-    val s = signed(docs)
+    // sign ONCE: the shingles write and the postings write both consume
+    // the signed frame, and without the barrier each re-runs the full
+    // shingle + minhash pipeline (the expensive half of a build —
+    // job-level profiling at sf0.1 measured both writes paying it)
+    val s = signed(docs).localCheckpoint()
     s.select("doc_id", "sh").write.mode("overwrite").parquet(shinglesDir(path, 0))
     DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
       .select("band", "bucket", "doc_id")
@@ -131,12 +135,15 @@ object DedupIndexStore {
       batch: DataFrame): Unit = {
     checkFresh(dataDir, path, "append")
     val meta = readMeta(path)
-    val s = signed(batch)
+    // sign ONCE (the write-path rationale above); the appended-count
+    // bookkeeping reads the materialized blocks instead of re-running
+    // the batch's source plan a third time
+    val s = signed(batch).localCheckpoint()
     s.select("doc_id", "sh").write.mode("append").parquet(shinglesDir(path, meta.gen))
     DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
       .select("band", "bucket", "doc_id")
       .write.mode("append").parquet(postingsDir(path, meta.gen))
-    writeMeta(path, meta.copy(appended = meta.appended + batch.count()))
+    writeMeta(path, meta.copy(appended = meta.appended + s.count()))
   }
 
   /** Publish generation `gen+1` from the given frames, then drop the

@@ -1149,14 +1149,24 @@ object TextOps {
   private[graft] def packUnits(spark: SparkSession, units: DataFrame,
       orderCols: Seq[String], maxIdHint: Option[Long] = None): DataFrame = {
     val B = 2048L
+    // Materialize `units` ONCE (doc_id + n_tokens — two longs per unit):
+    // the partials collect below and the final within-bucket window both
+    // consume it, and without the barrier each executes the full unit
+    // plan (the tokenize pass, or the caller's chunk election)
+    // independently — job-level profiling at sf0.1 measured the partials
+    // collect costing as much as the window pass itself. The checkpoint
+    // also subsumes maxIdHint's reason to exist (the max(doc_id) read is
+    // now a block read, not a plan re-run), but the hint is kept for
+    // callers that know the bound without any job at all.
+    val unitsM = units.localCheckpoint()
     // id-range buckets preserve global order across buckets
     val maxId = maxIdHint.getOrElse {
-      val row = units.agg(max("doc_id")).head()
+      val row = unitsM.agg(max("doc_id")).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
     val p = spark.sparkContext.defaultParallelism
     val width = math.max(1L, (maxId + p) / p)
-    val bucketed = units.withColumn("__b", expr(s"doc_id DIV $width"))
+    val bucketed = unitsM.withColumn("__b", expr(s"doc_id DIV $width"))
     val partials = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -1768,8 +1778,16 @@ object TextOps {
     * double whose last ulp could flip a boundary doc between engines. */
   def qCcnetBucket(spark: SparkSession, dir: String): DataFrame = {
     val scored = qLmPerplexity(spark, dir).select(col("doc_id"), col("mean_nll_unat"))
+    // Materialize the scored frame ONCE (3 narrow columns, one row per
+    // doc): the sample collect below and the final bucketing join both
+    // consume it, and without the barrier each executes the whole
+    // corpus-sized LM-scoring subtree independently — job-level profiling
+    // at sf0.1 measured the scoring pass run twice per invocation, ~45%
+    // of the entry's wall (guide §1.1/§5: cut lineage for a reused
+    // intermediate that is small relative to what produced it).
     val withLang = scored
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint()
     val n = Tables.tableCount(spark, dir, "documents")
     val cap = math.min(1024L, (1024L * 1000L + n - 1) / n)
     val hb = shiftrightunsigned(graft.functions.GraftFunctions
