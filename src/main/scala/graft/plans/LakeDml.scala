@@ -566,21 +566,40 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
     // would mint a spurious version for CDC consumers and the vacuum
     // horizon. The batches are already checkpointed, so the counts are
     // reads of materialized blocks, not re-runs of the source joins.
-    val bc = batch.map(_.localCheckpoint()).filter(_.limit(1).count() > 0)
-    val dc = delKeys.map(_.localCheckpoint()).filter(_.limit(1).count() > 0)
-    val claimed = (bc.map(_.select(keys.map(col): _*)).toSeq ++
-      dc.map(_.select(keys.map(col): _*)).toSeq)
+    val bcp = batch.map(_.localCheckpoint())
+    val dcp = delKeys.map(_.localCheckpoint())
+    // ONE aggregate job answers all three questions the three separate
+    // actions used to ask (batch empty? delete batch empty? any
+    // duplicated key across the union?): group the tagged key union,
+    // then fold to (per-source row counts, max group size). Empty
+    // batches contribute no rows, so the duplicate test over the full
+    // tagged union is identical to the old test over the non-empty
+    // subset. The checkpoints above stay the single evaluation point.
+    val tagged = (bcp.map(_.select(keys.map(col): _*)
+        .withColumn("__src", lit(1))).toSeq ++
+      dcp.map(_.select(keys.map(col): _*)
+        .withColumn("__src", lit(2))).toSeq)
       .reduceOption(_ unionByName _)
-    claimed.foreach { c =>
-      val dup = c.groupBy(keys.map(col): _*)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).count()
-      if (dup > 0) throw new IllegalStateException(
-        "graftlake MERGE: cardinality violation — more than one source row " +
-          "claimed the same target key (matched several times, or duplicate " +
-          "insert identities); the keyed table admits one row per key, so " +
-          "collapse the source per key first")
+    val (nBatch, nDel) = tagged match {
+      case None => (0L, 0L)
+      case Some(t) =>
+        import org.apache.spark.sql.functions.{count => fcount, max => fmax, sum => fsum, when}
+        val row = t.groupBy(keys.map(col): _*)
+          .agg(fcount(lit(1)).as("__n"),
+            fsum(when(col("__src") === 1, 1L).otherwise(0L)).as("__nb"),
+            fsum(when(col("__src") === 2, 1L).otherwise(0L)).as("__nd"))
+          .agg(coalesce(fmax(col("__n")), lit(0L)),
+            coalesce(fsum(col("__nb")), lit(0L)),
+            coalesce(fsum(col("__nd")), lit(0L))).head()
+        if (row.getLong(0) > 1) throw new IllegalStateException(
+          "graftlake MERGE: cardinality violation — more than one source row " +
+            "claimed the same target key (matched several times, or duplicate " +
+            "insert identities); the keyed table admits one row per key, so " +
+            "collapse the source per key first")
+        (row.getLong(1), row.getLong(2))
     }
+    val bc = bcp.filter(_ => nBatch > 0)
+    val dc = dcp.filter(_ => nDel > 0)
     (bc, dc) match {
       case (Some(b), d) => LakeTable.mergeDelete(spark, path, b, d, keys); ()
       case (None, Some(d)) => LakeTable.delete(spark, path, d, keys); ()

@@ -1291,15 +1291,21 @@ object LakeTable {
     // delete removes the snapshot row, the update batch re-adds it)
     val keys = deleteKeys.foldLeft(updates.select(keyCols.map(col): _*))(
       (u, d) => u.unionByName(d.select(keyCols.map(col): _*)))
-    val snap = readRaw(spark, m, envelopeCandidates(m, keys, keyCols))
+    val candidates = envelopeCandidates(m, keys, keyCols)
     // touched-file discovery: ONE scan of the envelope-candidate files
     // with a broadcast semi-join on the (small) batch keys — no shuffle,
-    // and no open of any file that cannot hold a claimed key
-    val touched = snap.withColumn("__file", input_file_name())
-      .join(broadcast(keys), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(r => LakeIo.normUri(r.getString(0))) // input_file_name is a
-      .toSet // percent-ENCODED URI; decode to the raw name. Bounded: ≤ #files.
+    // and no open of any file that cannot hold a claimed key. ZERO
+    // candidates (empty table — every scratch build's first INSERT — or
+    // a fully envelope-pruned batch) skip the scan outright: running it
+    // would still BUILD the batch-keys broadcast (a full pass over the
+    // batch source) just to probe an empty relation.
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readRaw(spark, m, candidates).withColumn("__file", input_file_name())
+        .join(broadcast(keys), keyCols, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => LakeIo.normUri(r.getString(0))) // input_file_name is a
+        .toSet // percent-ENCODED URI; decode to the raw name. Bounded: ≤ #files.
     val (touchedEntries, carried) = m.files.partition(e => touched(LakeIo.normKey(e.path)))
     // rewrite = surviving rows of touched files (minus their equality-
     // delete sidecars — a deleted row must not resurrect into the
@@ -1442,11 +1448,14 @@ object LakeTable {
     require(current > 0, s"LakeTable: cannot delete from missing table at $path")
     val m = manifest(path, current)
     val keyRows = keys.select(keyCols.map(col): _*)
-    val snap = readRaw(spark, m, envelopeCandidates(m, keyRows, keyCols))
-    val touched = snap.withColumn("__file", input_file_name())
-      .join(broadcast(keyRows), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(r => LakeIo.normUri(r.getString(0))).toSet
+    val candidates = envelopeCandidates(m, keyRows, keyCols)
+    // zero candidates skip the discovery scan — see attemptMerge
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readRaw(spark, m, candidates).withColumn("__file", input_file_name())
+        .join(broadcast(keyRows), keyCols, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => LakeIo.normUri(r.getString(0))).toSet
     val (touchedEntries, carried) = m.files.partition(e => touched(LakeIo.normKey(e.path)))
     val added =
       if (touchedEntries.isEmpty) Seq.empty[FileEntry]
@@ -1490,11 +1499,14 @@ object LakeTable {
     require(current > 0, s"LakeTable: cannot delete from missing table at $path")
     val m = manifest(path, current)
     val keyRows = keys.select(keyCols.map(col): _*)
-    val snap = readRaw(spark, m, envelopeCandidates(m, keyRows, keyCols))
-    val touched = snap.withColumn("__file", input_file_name())
-      .join(broadcast(keyRows), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(r => LakeIo.normUri(r.getString(0))).toSet
+    val candidates = envelopeCandidates(m, keyRows, keyCols)
+    // zero candidates skip the discovery scan — see attemptMerge
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else readRaw(spark, m, candidates).withColumn("__file", input_file_name())
+        .join(broadcast(keyRows), keyCols, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => LakeIo.normUri(r.getString(0))).toSet
     // churn = the touched entries re-added with the sidecar attached
     // (remove-then-add replaces them in place); untouched files never
     // appear in the record
