@@ -302,21 +302,29 @@ object DedupOps {
       .unionByName(pairs.select(col("doc_a").as("doc_id")))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    // Materialize the node set ONCE, as the initial labels: the edge
+    // list's self-loops below read the checkpointed blocks instead of
+    // re-running the distinct's shuffle a second time (labels and edges
+    // are checkpointed separately, so an unshared `nodes` subtree would
+    // execute in both).
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
     // symmetric edge list including self-loops so isolated docs keep
     // labels. localCheckpoint (eager) truncates lineage: without it every
     // propagation round re-executes the (expensive) pair-mining plan, and
     // the plan tree grows with the iteration count.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .unionByName(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .unionByName(labels.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      // checkpointed before the jump self-join below references it twice:
-      // without the barrier the propagation join+agg executes once per
-      // reference (exchange reuse covers the shuffle, not the aggregation)
+      // ONE materialization job per round (was two): the propagation
+      // join+agg feeds the jump self-join as a shared subtree inside the
+      // same plan — the shuffle is computed once (ReusedExchange) and the
+      // small post-shuffle aggregation runs once per reference, which is
+      // cheaper than a second full job + checkpoint barrier per round
+      // (the aggregate's input is label-sized, never corpus-sized).
       val propagated = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -325,7 +333,6 @@ object DedupOps {
           // every node has exactly one self-loop, so this picks out its
           // own label from the previous round (works for any label type)
           max(when(col("src") === col("dst"), col("cluster"))).as("__prev"))
-        .localCheckpoint()
       // Pointer jumping: replace each node's label with its LABEL's label
       // (labels are themselves node ids, so the lookup is a self-join on
       // this round's output). Min-propagation alone needs O(diameter)
@@ -347,7 +354,6 @@ object DedupOps {
         .localCheckpoint()
       val nChanged = next.filter(!(col("cluster") <=> col("__prev"))).count()
       // next is checkpointed, so the round's intermediate blocks can go
-      propagated.unpersist()
       labels.unpersist()
       // keep `next` itself (the checkpointed Dataset) as the loop variable
       // so unpersist targets the actual checkpoint blocks; __prev rides

@@ -276,6 +276,12 @@ object GovernanceOps {
   private def frameAudit(name: String, before: DataFrame, after: DataFrame,
       residualKey: Column, reqKeys: DataFrame,
       changed: (String => Column, String => Column) => Column): DataFrame = {
+    // Deliberately NOT checkpointed (measured, r18 optimization round):
+    // each generation is consumed three times below, but the expensive
+    // ancestors (CC labels, pack units) are already materialized by their
+    // kernels — an A/B at sf0.1 measured eager checkpoints here COSTING
+    // ~1.5 s/entry (four extra materialization barriers) against cheap
+    // re-joins that whole-stage-codegen together inside the final plan.
     val nBefore = before.agg(count(lit(1)).as("rows_before"))
     val nAfter = residualAgg(after, residualKey, reqKeys)
     val b = before.select(before.columns.map(c => col(c).as(s"__b_$c")): _*)
