@@ -752,7 +752,10 @@ object DedupOps {
       dfreq: DataFrame, prefix: DataFrame, candsPre: DataFrame, cands: DataFrame)
 
   private def containmentStages(spark: SparkSession, dir: String): ContainmentStages = {
-    val docs = containmentShingleDocs(spark, dir)
+    // shingle once — same materialization rationale as
+    // [[ngramJaccardPrefix]] (postings + both verify sides re-shingled
+    // the corpus per reference)
+    val docs = containmentShingleDocs(spark, dir).localCheckpoint()
     val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
       explode_outer(col("sh")).as("h"))
     val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))
@@ -807,7 +810,12 @@ object DedupOps {
     * [[candsHinted]]). On small flat-df corpora [[ngramJaccardCountAgg]] is
     * faster (both measured — see DedupSpec for the equality contract). */
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = shingleDocs(spark, dir)
+    // the shingle build (tokenize + hash, the interpreted-HOF hot path)
+    // feeds the postings explode AND both verify sides — materialize it
+    // once instead of re-shingling the corpus per reference (measured
+    // r18: the mine's dominant term; at scale this is the difference
+    // between one and three corpus-wide tokenize passes)
+    val docs = shingleDocs(spark, dir).localCheckpoint()
     val postings = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
       explode_outer(col("sh")).as("h"))
     val dfreq = postings.groupBy("h").agg(count(lit(1)).as("df"))

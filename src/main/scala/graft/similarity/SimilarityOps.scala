@@ -166,6 +166,18 @@ object SimilarityOps {
   private def corpusSize(spark: SparkSession, dir: String): Long =
     Tables.tableCount(spark, dir, "embeddings")
 
+  /** Embedding dimensionality, memoized per (dir, file-state snapshot):
+    * every vector frame in this file (queries, residuals, batch encodes)
+    * derives from the embeddings table by dimension-preserving maps, so
+    * the serve paths' per-invocation `select(size(vec)).head()` probe
+    * jobs all answer the same constant — read it once per corpus. */
+  private val dimMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+  private def vecDim(spark: SparkSession, dir: String): Int =
+    dimMemo.computeIfAbsent(graft.SessionCache.dirKey(dir), _ =>
+      java.lang.Integer.valueOf(Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).head().getInt(0))).intValue()
+
   /** Hyperplane bits per table, derived from corpus size so the expected
     * bucket occupancy stays ~32 vectors as the corpus grows (fixed bits
     * make candidate counts quadratic in n: bucket size grows linearly AND
@@ -1174,7 +1186,7 @@ object SimilarityOps {
     // slots is CELL-independent (blocks·cells rows per query — the same
     // bounded build as non-residual ADC). Per candidate the score is two
     // fused AdcLookup walks + one scalar add, all inside codegen.
-    val dim = queries.select(size(col("qvec"))).head().getInt(0)
+    val dim = vecDim(spark, dir)
     val sub = dim / PqBlocks
     // T2 from driver-side quantizer metadata (bounded: ≤4096 cells × dim)
     val spark2 = spark
@@ -1471,7 +1483,7 @@ object SimilarityOps {
 
     // 3a. per-query T3 (cell-independent ADC half): one linear pass over
     // the graph vectors — blocks·cells slots, 128 doubles per query
-    val dim = qframe.select(size(col("vec"))).head().getInt(0)
+    val dim = vecDim(spark, dir)
     val sub = dim / PqBlocks
     val cb = codebookDf(spark, idx.codebook).select(col("block"),
       col("cell").as("code"), col("cvec").as("codevec"))
