@@ -198,10 +198,24 @@ object Bench {
         if (!java.nio.file.Files.exists(f)) Map.empty
         else {
           val txt = java.nio.file.Files.readString(f)
-          val node = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(txt).path("queries")
-          import scala.jdk.CollectionConverters._
-          node.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+          // Cross-regime guard (VERDICT r18 #5): the driver's 8-core
+          // scaling run once overwrote this file, so a 32-core run was
+          // adjudicating against 8-core minima — a different performance
+          // regime (8c is FASTER on many barrier-bound rows at sf0.1).
+          // The artifact now records its core count; a standing map
+          // whose cpus differ from this run's is not a valid reference
+          // and the adjudication protocol is skipped outright.
+          val standingCpus = root.path("cpus")
+          if (!standingCpus.isMissingNode && standingCpus.asInt() != cpus.toInt) {
+            System.err.println(s"[bench] standing map is cpus=${standingCpus.asInt()}, " +
+              s"this run is cpus=$cpus: skipping standing adjudication")
+            Map.empty
+          } else {
+            val node = root.path("queries")
+            import scala.jdk.CollectionConverters._
+            node.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }
         }
       } catch { case _: Exception => Map.empty }
     val adjudicatedNames = scala.collection.mutable.ListBuffer.empty[String]
@@ -238,17 +252,19 @@ object Bench {
     }
     val (stdoutLine, compactLine, line) =
       summarize(adjudicated, sfDir, only.isDefined, repCounts.toMap,
-        adjudicatedNames.toSeq)
+        adjudicatedNames.toSeq, Some(cpus.toInt))
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
-    // JSON it finds there. The tail-safe bounded line alone was not
-    // enough: BENCH_r08 AND r09 both recorded "parsed": null even though
-    // the line survived in the tail. So the LAST line printed is now a
-    // COMPACT total-only summary (~150 chars, no `queries` map) that no
-    // truncation or prefix noise can break; the bounded slowest-first
-    // line prints just before it for human tail-readers, and the full
-    // per-query map goes to BENCH_LOCAL.json (below), not stdout.
-    println(stdoutLine)
+    // LAST JSON it finds there. Print order matters (VERDICT r18 #1): in
+    // r18 the compact total-only line printed LAST, so the driver's
+    // per-query PERF comparison got totals but no `queries` map
+    // (PERF_r18.json: n_common 0, geomean null). The bounded
+    // slowest-first line is guaranteed <= 1900 chars (summarize), so it
+    // fits the tail whole when printed last; the compact line prints
+    // just BEFORE it as the truncation-proof fallback — if anything ever
+    // clips the bounded line's head, the last COMPLETE JSON in the tail
+    // is still the compact summary.
     println(compactLine)
+    println(stdoutLine)
     // Persist the full line in-repo so every round's complete numbers
     // survive driver-side truncation. The default anchors at the repo root
     // (nearest ancestor with build.sbt) rather than the raw CWD. A subset
@@ -290,7 +306,8 @@ object Bench {
       sfDir: String,
       subset: Boolean,
       repCounts: Map[String, Int] = Map.empty,
-      adjudicated: Seq[String] = Seq.empty): (String, String, String) = {
+      adjudicated: Seq[String] = Seq.empty,
+      cpus: Option[Int] = None): (String, String, String) = {
     val failed = results.collect { case (k, _, Some(Failed(e))) => k -> e }
     val flaky = results.collect { case (k, _, Some(Flaky(e))) => k -> e }
     val qs = results.map { case (k, v, _) =>
@@ -305,8 +322,12 @@ object Bench {
       case (_, v, Some(Flaky(_))) => v
     }.sum
     val onlyFlag = if (subset) ""","subset":true""" else ""
+    // the core count travels with every line (VERDICT r18 #5) so the
+    // ship-clean protocol and later rounds can refuse cross-regime
+    // comparisons (an 8-core standing map must not adjudicate a 32-core run)
+    val cpusFlag = cpus.map(c => s""","cpus":$c""").getOrElse("")
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","query_count":${results.size},"failed":${failed.size},"flaky":${flaky.size}$onlyFlag$cpusFlag"""
     // the artifact line (never stdout) also records each query's rep
     // count so a later round can normalize published minima across rep
     // policies instead of re-adjudicating policy-induced drift

@@ -56,6 +56,19 @@ class BenchSpec extends AnyFunSuite {
       s"compact line must not grow with the suite: $compact")
   }
 
+  test("the core count travels with every emitted line when provided (VERDICT r18 #5)") {
+    val (stdout, compact, artifact) =
+      Bench.summarize(ok, "/data/sf", subset = false, cpus = Some(32))
+    for (j <- Seq(stdout, compact, artifact)) assert(j.contains("\"cpus\":32"), j)
+    // and stays absent when the caller has no regime to record
+    val (s2, c2, a2) = Bench.summarize(ok, "/data/sf", subset = false)
+    for (j <- Seq(s2, c2, a2)) assert(!j.contains("\"cpus\""), j)
+    // the bounded line keeps its tail-safety guarantee with the flag on
+    val many = (1 to 300).map(i => (f"q_$i%03d", i / 100.0, None: Option[Bench.Issue]))
+    val (wide, _, _) = Bench.summarize(many, "/d", subset = false, cpus = Some(32))
+    assert(wide.length <= 1900 && wide.contains("\"cpus\":32"), s"${wide.length} chars")
+  }
+
   test("an intermittent failure is flagged as flaky, counted in the total") {
     val results = ok :+ (("q_flaky", 1.0,
       Some(Bench.Flaky("intermittent 1/3 reps: executor OOM"))))
