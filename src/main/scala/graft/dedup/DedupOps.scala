@@ -325,6 +325,10 @@ object DedupOps {
       // small post-shuffle aggregation runs once per reference, which is
       // cheaper than a second full job + checkpoint barrier per round
       // (the aggregate's input is label-sized, never corpus-sized).
+      // ASSUMES spark.sql.exchangeReuseEnabled (default on; ADVICE r18):
+      // with reuse disabled the corpus-sized propagation join+agg executes
+      // twice per round — correctness unaffected (deterministic aggregates
+      // over checkpointed inputs), only the single-shuffle claim.
       val propagated = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))

@@ -568,6 +568,14 @@ object LakeDmlStrategy extends SparkStrategy with PredicateHelper {
     // reads of materialized blocks, not re-runs of the source joins.
     val bcp = batch.map(_.localCheckpoint())
     val dcp = delKeys.map(_.localCheckpoint())
+    // the tag/agg aliases below would silently SHADOW a key column of the
+    // same name (withColumn replaces; the groupBy output would then fold
+    // the key into the tag), corrupting both the cardinality check and
+    // the empty-batch counts — refuse loudly instead (ADVICE r18)
+    for (reserved <- Seq("__src", "__n", "__nb", "__nd"))
+      require(!keys.contains(reserved),
+        s"graftlake MERGE: key column name $reserved collides with an " +
+          "internal statement-guard alias; rename the key column")
     // ONE aggregate job answers all three questions the three separate
     // actions used to ask (batch empty? delete batch empty? any
     // duplicated key across the union?): group the tagged key union,

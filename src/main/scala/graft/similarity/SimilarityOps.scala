@@ -173,10 +173,26 @@ object SimilarityOps {
     * jobs all answer the same constant — read it once per corpus. */
   private val dimMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
-  private def vecDim(spark: SparkSession, dir: String): Int =
-    dimMemo.computeIfAbsent(graft.SessionCache.dirKey(dir), _ =>
-      java.lang.Integer.valueOf(Tables.embeddings(spark, dir)
-        .select(size(col("embedding"))).head().getInt(0))).intValue()
+  private def vecDim(spark: SparkSession, dir: String): Int = {
+    // the probe job runs OUTSIDE the map (ADVICE r18: a Spark job inside
+    // computeIfAbsent blocks every thread hashing to the same bin for the
+    // job's duration) — double-checked put, the idSpaceGuardMemo pattern;
+    // a racing duplicate probe is idempotent
+    val key = graft.SessionCache.dirKey(dir)
+    val hit = dimMemo.get(key)
+    if (hit != null) hit.intValue()
+    else {
+      val row = Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).limit(1).collect()
+      if (row.isEmpty)
+        throw new IllegalStateException(
+          s"SimilarityOps: embeddings table at $dir is empty — no vector " +
+            "dimensionality to serve against")
+      val d = row(0).getInt(0)
+      dimMemo.putIfAbsent(key, java.lang.Integer.valueOf(d))
+      d
+    }
+  }
 
   /** Hyperplane bits per table, derived from corpus size so the expected
     * bucket occupancy stays ~32 vectors as the corpus grows (fixed bits
@@ -1294,11 +1310,15 @@ object SimilarityOps {
     // eager lifecycle: write() rebuilds (clearing any prior invocation's
     // appends — idempotent per invocation), append() encodes the batch
     // with the frozen quantizer; both complete before the lazy serve
-    // below ever reads the store
+    // below ever reads the store.
+    // The batch (n/25 rows — batch-sized, not corpus-sized) materializes
+    // ONCE: the append write and the truth side both consumed it as
+    // separate plans, each re-running the corpus scan + filter.
+    val batch = appendBatch(spark, dir).localCheckpoint()
     graft.sources.AnnIndexStore.write(spark, dir, path)
-    graft.sources.AnnIndexStore.append(spark, dir, path, appendBatch(spark, dir))
+    graft.sources.AnnIndexStore.append(spark, dir, path, batch)
     val ranked = graft.sources.AnnIndexStore.serve(spark, dir, path, st)
-    val truth = bruteTruthTop10(spark, dir, st, Some(appendBatch(spark, dir)))
+    val truth = bruteTruthTop10(spark, dir, st, Some(batch))
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
     val perQuery = ranked
       .join(truth, Seq("query_id", "vec_id"), "left")
@@ -1341,7 +1361,10 @@ object SimilarityOps {
     val path = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_ann_maint_${graft.SessionCache.dirKey(dir)}").toString
-    val batch = appendBatch(spark, dir)
+    // materialize the batch ONCE (n/25 rows): its corpus scan + filter
+    // otherwise re-runs for each consumer — two appends, the retraction
+    // key set, and the truth side (4 scans per invocation)
+    val batch = appendBatch(spark, dir).localCheckpoint()
     val srcId = col("vec_id") - AppendIdOffset
     val surviving = batch.filter(srcId % 50 === 0)
     val retracted = batch.filter(srcId % 50 === 25)

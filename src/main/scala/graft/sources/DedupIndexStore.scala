@@ -91,11 +91,24 @@ object DedupIndexStore {
     ()
   }
 
-  /** (doc_id, sh, sig) projection under the FIXED banding config. */
-  private def signed(docs: DataFrame): DataFrame =
+  /** (doc_id, sh) shingle projection under the FIXED banding config —
+    * the tokenize+shingle pass, the expensive half of signing. */
+  private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       DedupOps.shingleHashes(graft.text.TextOps.wsTokens(col("text")), ShingleN).as("sh"))
-      .withColumn("sig", DedupOps.minhashSignature(col("sh"), SigK))
+
+  /** (doc_id, sh, sig) projection under the FIXED banding config. */
+  private def signed(docs: DataFrame): DataFrame =
+    shingled(docs).withColumn("sig", DedupOps.minhashSignature(col("sh"), SigK))
+
+  /** part-file names currently in a store directory — the write paths
+    * use a before/after listing diff to read back EXACTLY the rows one
+    * append produced (writers are single-per-index-path by contract, so
+    * the diff is precise). */
+  private def partFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toSet
 
   private def checkFresh(dataDir: String, path: String, op: String): Unit = {
     val stored = readMeta(path).snapshot
@@ -112,12 +125,18 @@ object DedupIndexStore {
   def write(spark: SparkSession, dataDir: String, path: String,
       docs: DataFrame): Unit = {
     LakeTable.deleteRecursively(new java.io.File(path))
-    // sign ONCE: the shingles write and the postings write both consume
-    // the signed frame, and without the barrier each re-runs the full
-    // shingle + minhash pipeline (the expensive half of a build —
-    // job-level profiling at sf0.1 measured both writes paying it)
-    val s = signed(docs).localCheckpoint()
-    s.select("doc_id", "sh").write.mode("overwrite").parquet(shinglesDir(path, 0))
+    // Tokenize+shingle ONCE, with the shingles STORE as the
+    // materialization: the shingles write lands the (doc_id, sh) rows,
+    // and the postings pass reads them BACK from parquet to derive the
+    // minhash signatures (signatures are a pure function of sh). Two
+    // jobs total, no localCheckpoint — the r18 checkpoint shape pinned
+    // a corpus-sized lineage-free block set in the block manager
+    // (VERDICT r18 #4: one lost executor kills the query at cluster
+    // scale; ADVICE r18: blocks lingered until dataset GC); the durable
+    // parquet the store must write anyway is the better barrier.
+    shingled(docs).write.mode("overwrite").parquet(shinglesDir(path, 0))
+    val s = spark.read.parquet(shinglesDir(path, 0))
+      .withColumn("sig", DedupOps.minhashSignature(col("sh"), SigK))
     DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
       .select("band", "bucket", "doc_id")
       .write.mode("overwrite").parquet(postingsDir(path, 0))
@@ -135,15 +154,27 @@ object DedupIndexStore {
       batch: DataFrame): Unit = {
     checkFresh(dataDir, path, "append")
     val meta = readMeta(path)
-    // sign ONCE (the write-path rationale above); the appended-count
-    // bookkeeping reads the materialized blocks instead of re-running
-    // the batch's source plan a third time
-    val s = signed(batch).localCheckpoint()
-    s.select("doc_id", "sh").write.mode("append").parquet(shinglesDir(path, meta.gen))
-    DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
-      .select("band", "bucket", "doc_id")
-      .write.mode("append").parquet(postingsDir(path, meta.gen))
-    writeMeta(path, meta.copy(appended = meta.appended + s.count()))
+    // Tokenize+shingle ONCE (the write-path shape): the shingles write
+    // materializes the batch, the postings pass reads back exactly the
+    // part files this append produced (before/after listing diff —
+    // single writer by contract), and the appended-count bookkeeping
+    // rides the write itself via observe() instead of a third job.
+    val sDir = shinglesDir(path, meta.gen)
+    val before = partFiles(sDir)
+    val obs = org.apache.spark.sql.Observation()
+    shingled(batch).observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(sDir)
+    val appendedN = obs.get("n").asInstanceOf[Long]
+    val newFiles = (partFiles(sDir) -- before).toSeq.sorted.map(f => s"$sDir/$f")
+    // an empty batch writes no part files and has no postings to band
+    if (newFiles.nonEmpty) {
+      val s = spark.read.parquet(newFiles: _*)
+        .withColumn("sig", DedupOps.minhashSignature(col("sh"), SigK))
+      DedupOps.bandedBuckets(s, "doc_id", "sig", RowsPerBand)
+        .select("band", "bucket", "doc_id")
+        .write.mode("append").parquet(postingsDir(path, meta.gen))
+    }
+    writeMeta(path, meta.copy(appended = meta.appended + appendedN))
   }
 
   /** Publish generation `gen+1` from the given frames, then drop the
