@@ -128,9 +128,12 @@ object GovernanceOps {
       changed = (b, a) =>
         b("decision") =!= a("decision") || b("cluster") =!= a("cluster"))
 
-    // pack-sequences audit: re-pack the survivors (global prefix sum)
-    val packBefore = graft.text.TextOps.packSequences(
-      spark, Tables.spread(spark, docs))
+    // pack-sequences audit: re-pack the survivors (global prefix sum).
+    // BEFORE = the session-cached materialized manifest (the decBefore
+    // convention above: a pipeline holds its packed manifest; erasure
+    // does not re-derive it) — only the AFTER re-pack is this entry's
+    // own priced propagation work
+    val packBefore = graft.text.TextOps.cachedPackedManifest(spark, dir)
     val packAfter = graft.text.TextOps.packSequences(
       spark, Tables.spread(spark, erased))
     val packAudit = frameAudit("pack_sequences", packBefore, packAfter,
@@ -214,7 +217,9 @@ object GovernanceOps {
       .select(col("doc_id"),
         when(col("doc_id") === col("rep"), "rep")
           .otherwise("exact_dup").as("dedup_status"))
-    val pack = graft.text.TextOps.packSequences(spark, docs)
+    // the one corpus-priced column rides the session-cached manifest
+    // (the packBefore convention in forgetAudit — same artifact)
+    val pack = graft.text.TextOps.cachedPackedManifest(spark, dir)
       .join(reqKeys, col("doc_id") === col("__req_id"), "left_semi")
       .select(col("doc_id"), col("token_start"))
     requests.select(col("doc_id")).distinct()

@@ -1110,6 +1110,21 @@ object TextOps {
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     packSequences(spark, Tables.spread(spark, Tables.documents(spark, dir)))
 
+  /** The CURRENT packed manifest over the FULL corpus, served from the
+    * session cache — for consumers that need the materialized artifact a
+    * training pipeline keeps (the governance audits' BEFORE generation
+    * and the access report's token_start column), not a re-derivation of
+    * it. The exact convention of
+    * [[graft.dedup.DedupOps.cachedDecisionFrame]]: erasure propagation
+    * does not re-derive the before generation — only the AFTER re-pack is
+    * the audit's own priced work. [[qPackSequences]] (the registered
+    * entry) stays uncached: it IS the packing operator and must price its
+    * own work. Snapshot-keyed, so a rewritten corpus invalidates. */
+  private[graft] def cachedPackedManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.cachedDirView(spark, "graft_packed_manifest", dir)(
+      packSequences(spark, Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
+
   /** [[qPackSequences]]'s kernel over an explicit (doc_id, text) corpus —
     * factored so erasure propagation
     * ([[graft.operators.GovernanceOps.qGdprForgetKeys]]) can re-pack the
