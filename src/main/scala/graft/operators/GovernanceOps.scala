@@ -134,8 +134,17 @@ object GovernanceOps {
     // does not re-derive it) — only the AFTER re-pack is this entry's
     // own priced propagation work
     val packBefore = graft.text.TextOps.cachedPackedManifest(spark, dir)
+    // The AFTER pack materializes once: its prefix-sum WINDOW pass
+    // otherwise executes per consumer (the residual aggregate and the
+    // change-join side share the window's input exchange via
+    // ReusedExchange, but the window computation itself runs in each
+    // consumer's stage). A/B at sf0.1 (min-of-6): keys 4.86 -> 4.29,
+    // batch 5.14 -> 4.47. The SAME barrier on decAfter measured ~1.6 s
+    // SLOWER per entry (its expensive ancestors — CC labels, the cached
+    // pair list — are already materialized, the frameAudit r18 note), so
+    // only the pack side pins.
     val packAfter = graft.text.TextOps.packSequences(
-      spark, Tables.spread(spark, erased))
+      spark, Tables.spread(spark, erased)).localCheckpoint()
     val packAudit = frameAudit("pack_sequences", packBefore, packAfter,
       residualKey = col("doc_id"), reqKeys = reqKeys,
       changed = (b, a) =>
