@@ -1316,7 +1316,12 @@ object SimilarityOps {
     // separate plans, each re-running the corpus scan + filter.
     val batch = appendBatch(spark, dir).localCheckpoint()
     graft.sources.AnnIndexStore.write(spark, dir, path)
-    graft.sources.AnnIndexStore.append(spark, dir, path, batch)
+    // the ingest client holds the loaded index across appends (cells +
+    // codebook are frozen at write) instead of re-collecting the
+    // codebook per batch; serve below still reloads from the STORE —
+    // that reload is the entry's point
+    val loaded = graft.sources.AnnIndexStore.read(spark, dir, path)
+    graft.sources.AnnIndexStore.append(spark, dir, path, batch, Some(loaded))
     val ranked = graft.sources.AnnIndexStore.serve(spark, dir, path, st)
     val truth = bruteTruthTop10(spark, dir, st, Some(batch))
       .select(col("query_id"), col("vec_id"), lit(true).as("in_brute"))
@@ -1369,8 +1374,11 @@ object SimilarityOps {
     val surviving = batch.filter(srcId % 50 === 0)
     val retracted = batch.filter(srcId % 50 === 25)
     graft.sources.AnnIndexStore.write(spark, dir, path)
-    graft.sources.AnnIndexStore.append(spark, dir, path, surviving)
-    graft.sources.AnnIndexStore.append(spark, dir, path, retracted)
+    // the client holds the loaded index across both appends (the
+    // qAnnIndexServe note); the post-maintenance serve reloads the store
+    val loaded = graft.sources.AnnIndexStore.read(spark, dir, path)
+    graft.sources.AnnIndexStore.append(spark, dir, path, surviving, Some(loaded))
+    graft.sources.AnnIndexStore.append(spark, dir, path, retracted, Some(loaded))
     val fragsBefore = graft.sources.AnnIndexStore.codesFragments(path)
     graft.sources.AnnIndexStore.compactIndexFiles(spark, dir, path, targetFiles = 2)
     val fragsAfter = graft.sources.AnnIndexStore.codesFragments(path)

@@ -162,8 +162,19 @@ object AnnIndexStore {
     * so a rebuild-vs-append decision stays visible in `meta.json`
     * (`appended` count). */
   def append(spark: SparkSession, dataDir: String, path: String,
-      batch0: DataFrame): Unit = {
-    val idx = read(spark, dataDir, path)
+      batch0: DataFrame): Unit =
+    append(spark, dataDir, path, batch0, None)
+
+  /** [[append]] with an optionally pre-LOADED index — the real client
+    * shape: a serving/ingest process holds the loaded quantizer
+    * (cells + codebook are immutable after write()) and appends many
+    * batches against it, instead of re-collecting the codebook from
+    * parquet per batch. The caller is responsible for having loaded it
+    * via [[read]] against the same store (which runs the staleness
+    * gate). */
+  private[graft] def append(spark: SparkSession, dataDir: String,
+      path: String, batch0: DataFrame, preloaded: Option[IvfPqIndex]): Unit = {
+    val idx = preloaded.getOrElse(read(spark, dataDir, path))
     val meta = readMeta(path)
     // Evaluate the batch ONCE, with the appended-vectors STORE as the
     // materialization: the vectors write lands (vec_id, vec), the encode
